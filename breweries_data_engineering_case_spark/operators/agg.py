@@ -1,0 +1,87 @@
+"""Aggregation operators — grouped counts and the rollup hierarchy.
+
+Reference semantics (app/tasks/gold.py:74-178):
+
+- base grouped count: ``COUNT(*) … GROUP BY ALL`` over
+  (country, state, brewery_type) with NULL dims coalesced to ``''``
+  (gold.py:76-85);
+- three coarser granularities obtained by re-aggregating the base counts with
+  ``SUM(brewery_count)`` (gold.py:133-171) — four separate materializations.
+
+Spark-first design: the four granularities are **one** plan via
+``GROUPING SETS`` — a single shuffle produces all levels (the Expand operator
+replicates each input row once per set *after* partial aggregation), instead
+of four scans + four shuffles. ``regroup_sum`` is still provided because
+summing pre-aggregated counts is the right call when the base counts are
+already materialized (at 100 TB you re-aggregate the small gold table, not
+the huge silver one).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def grouped_count(
+    df: DataFrame,
+    dims: Sequence[str],
+    count_name: str = "brewery_count",
+    blank_fill: bool = True,
+) -> DataFrame:
+    """``COUNT(*)`` grouped by ``dims``; NULL dims optionally coalesced to ''.
+
+    ≈ app/tasks/gold.py:76-85 (COALESCE at :78-80, COUNT(*) at :81,
+    GROUP BY ALL at :83 — expanded explicitly; Spark has no GROUP BY ALL).
+    """
+    sel = [
+        (F.coalesce(F.col(d), F.lit("")) if blank_fill else F.col(d)).alias(d) for d in dims
+    ]
+    return df.select(*sel).groupBy(*dims).agg(F.count(F.lit(1)).alias(count_name))
+
+
+def regroup_sum(
+    counts: DataFrame,
+    dims: Sequence[str],
+    count_col: str = "brewery_count",
+) -> DataFrame:
+    """Coarser granularity by summing pre-aggregated counts.
+
+    ≈ ``SUM(brewery_count) … GROUP BY ALL`` (app/tasks/gold.py:133-138).
+    Summing counts ≡ recounting, but reads the (tiny) counts table instead of
+    the fact table.
+    """
+    return counts.groupBy(*dims).agg(F.sum(count_col).alias(count_col))
+
+
+def grouping_sets_counts(
+    df: DataFrame,
+    sets: Sequence[Sequence[str]],
+    count_name: str = "cnt",
+    blank_fill: str | None = None,
+) -> DataFrame:
+    """All granularities in one pass via GROUPING SETS.
+
+    The idiomatic one-shot alternative to the reference's four sequential
+    aggregations (app/tasks/gold.py:115-178). One shuffle; AQE coalesces the
+    (small) output partitions. ``blank_fill`` maps the NULLs that grouping
+    sets introduce for non-grouped dims (and any real NULL dim values) to a
+    sentinel, matching gold.py:78-80.
+    """
+    all_dims: list[str] = []
+    for s in sets:
+        for d in s:
+            if d not in all_dims:
+                all_dims.append(d)
+    gsets = [[F.col(d) for d in s] for s in sets]
+    out = df.groupingSets(gsets, *[F.col(d) for d in all_dims]).agg(
+        F.count(F.lit(1)).alias(count_name)
+    )
+    if blank_fill is not None:
+        out = out.select(
+            *[F.coalesce(F.col(d), F.lit(blank_fill)).alias(d) for d in all_dims],
+            F.col(count_name),
+        )
+    return out

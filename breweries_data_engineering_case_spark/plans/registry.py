@@ -1,0 +1,749 @@
+"""Driver-contract query registry.
+
+One entry per implemented operator from SURVEY.md §2 (+ extension operators).
+Each query is a ``(spark, sf_dir) -> DataFrame`` callable paired with an ANSI
+SQL oracle that DuckDB runs over the same parquet tables; the driver compares
+row count + schema + order-insensitive value hash at sf0.01.
+
+Cross-engine determinism rules used throughout (see SURVEY.md §7 traps):
+
+- **Float sums are never emitted raw.** IEEE double summation order differs
+  between engines, so any SUM over doubles goes through
+  ``CAST(x AS DECIMAL(18,s))`` per row (deterministic rounding of a
+  deterministic per-row value), exact decimal accumulation, then a final cast
+  back to DOUBLE. Both engines produce bit-identical doubles.
+- **Raw event timestamps are never emitted.** The testdata carries true
+  nanosecond timestamps; Spark truncates to micros. Queries emit
+  ``date_trunc`` / DATE casts, which agree.
+- **Every computed column is aliased identically** in the Spark plan and the
+  oracle SQL (the driver sorts columns by name before hashing).
+- **Ties are always broken deterministically** (explicit unique ORDER BY
+  columns) wherever row_number/top-k is involved.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import tempfile
+from collections.abc import Callable
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+from ..functions.cleaning import stamp_date
+from ..functions.text import fingerprint, token_count
+from ..operators.agg import grouped_count, grouping_sets_counts, regroup_sum
+from ..operators.dedup import dedup_rownum
+from ..operators.enforce import range_check
+from ..operators.joins import broadcast_dim_join, shuffle_join
+from ..sources.readers import json_array_scan, table_scan
+from .silver import clean_breweries
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _dsum(c, scale: int = 4, alias: str | None = None):
+    """Cross-engine-exact SUM over doubles: per-row decimal cast → exact
+    decimal sum → double. See module docstring."""
+    e = F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+    return e.alias(alias) if alias else e
+
+
+# ---------------------------------------------------------------------------
+# §2.1 sources / scans
+# ---------------------------------------------------------------------------
+
+@register("parquet_scan", "SELECT * FROM region")
+def q_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 — Parquet scan (≈ read_parquet, app/tasks/gold.py:50-53,71)."""
+    return table_scan(spark, sf_dir, "region")
+
+
+@register("json_scan", "SELECT * FROM nation")
+def q_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 — JSON-array file scan with explicit schema (≈ read_json_auto over
+    bronze page files, app/tasks/silver.py:19; files are arrays per
+    app/io/storage.py:23 so multiLine is required)."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    out = Path(tempfile.gettempdir()) / "bdec_json_scan" / key
+    target = out / "nation.json"
+    if not target.exists():
+        rows = [r.asDict() for r in table_scan(spark, sf_dir, "nation").collect()]
+        rows.sort(key=lambda r: r["n_nationkey"])
+        out.mkdir(parents=True, exist_ok=True)
+        target.write_text(json.dumps(rows))
+    schema = StructType(
+        [
+            StructField("n_nationkey", IntegerType()),
+            StructField("n_name", StringType()),
+            StructField("n_regionkey", IntegerType()),
+        ]
+    )
+    return json_array_scan(spark, str(target), schema).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+@register(
+    "union_all_files",
+    "SELECT * FROM nation UNION ALL SELECT * FROM nation",
+)
+def q_union_all_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 — union-all of multiple inputs (≈ the bronze glob concatenating all
+    page files of a run, app/tasks/silver.py:9-12,19)."""
+    n = table_scan(spark, sf_dir, "nation")
+    return n.unionByName(n)
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / scalar expressions
+# ---------------------------------------------------------------------------
+
+@register(
+    "cast_to_string",
+    "SELECT CAST(c_custkey AS VARCHAR) AS custkey_str, c_name FROM customer",
+)
+def q_cast_to_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 — CAST(x AS VARCHAR) normalization (app/tasks/silver.py:23-34)."""
+    return table_scan(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("custkey_str"), "c_name"
+    )
+
+
+@register(
+    "trim_normalize",
+    "SELECT c_custkey, TRIM('  ' || c_name || '  ') AS name_trimmed FROM customer",
+)
+def q_trim_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 — TRIM both ends (app/tasks/silver.py:24-34); padding injected so
+    the trim provably fires."""
+    c = table_scan(spark, sf_dir, "customer")
+    padded = F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))
+    return c.select("c_custkey", F.trim(padded).alias("name_trimmed"))
+
+
+@register(
+    "nullif_blank",
+    """
+    SELECT c_custkey,
+           NULLIF(TRIM(CASE WHEN c_custkey % 3 = 0 THEN '   ' ELSE c_name END), '')
+             AS name_or_null
+    FROM customer
+    """,
+)
+def q_nullif_blank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 — blank-as-missing: NULLIF(TRIM(x), '') (app/tasks/silver.py:24-34);
+    every third row is forced blank so the NULL path provably fires."""
+    c = table_scan(spark, sf_dir, "customer")
+    maybe_blank = F.when(F.col("c_custkey") % 3 == 0, F.lit("   ")).otherwise(F.col("c_name"))
+    return c.select(
+        "c_custkey", F.nullif(F.trim(maybe_blank), F.lit("")).alias("name_or_null")
+    )
+
+
+@register(
+    "coalesce_fallback",
+    """
+    SELECT c_custkey,
+           COALESCE(NULLIF(CASE WHEN c_custkey % 3 = 0 THEN '' ELSE c_mktsegment END, ''),
+                    'UNKNOWN') AS segment
+    FROM customer
+    """,
+)
+def q_coalesce_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — COALESCE fallback chain (≈ state ← state_province,
+    app/tasks/silver.py:27-30)."""
+    c = table_scan(spark, sf_dir, "customer")
+    seg = F.when(F.col("c_custkey") % 3 == 0, F.lit("")).otherwise(F.col("c_mktsegment"))
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif(seg, F.lit("")), F.lit("UNKNOWN")).alias("segment"),
+    )
+
+
+@register(
+    "try_cast_double",
+    """
+    SELECT event_id,
+           TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS DOUBLE) AS k_value,
+           TRY_CAST(event_type AS DOUBLE) AS never_a_number
+    FROM events
+    """,
+)
+def q_try_cast_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 — TRY_CAST → DOUBLE, NULL on malformed (app/tasks/silver.py:33-34):
+    one column parses (digits extracted from props), one never does."""
+    e = table_scan(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.regexp_extract("props", r'"k": (\d+)', 1).try_cast("double").alias("k_value"),
+        F.col("event_type").try_cast("double").alias("never_a_number"),
+    )
+
+
+@register(
+    "date_literal_stamp",
+    "SELECT o_orderkey, DATE '2024-06-01' AS ingestion_date FROM orders",
+)
+def q_date_literal_stamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 — constant run-date column (≈ DATE '{d}', app/tasks/gold.py:101)."""
+    return table_scan(spark, sf_dir, "orders").select(
+        "o_orderkey", stamp_date("2024-06-01").alias("ingestion_date")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 filters
+# ---------------------------------------------------------------------------
+
+@register(
+    "notnull_enforce",
+    """
+    SELECT c_custkey, name_or_null AS c_name, c_mktsegment
+    FROM (SELECT c_custkey,
+                 NULLIF(CASE WHEN c_custkey % 4 = 0 THEN '' ELSE c_name END, '') AS name_or_null,
+                 c_mktsegment
+          FROM customer)
+    WHERE name_or_null IS NOT NULL AND c_mktsegment IS NOT NULL
+    """,
+)
+def q_notnull_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — conjunctive NOT NULL contract filter (app/tasks/silver.py:44-48);
+    NULLs are injected first so the filter provably drops rows."""
+    c = table_scan(spark, sf_dir, "customer")
+    name = F.nullif(
+        F.when(F.col("c_custkey") % 4 == 0, F.lit("")).otherwise(F.col("c_name")), F.lit("")
+    )
+    df = c.select("c_custkey", name.alias("c_name"), "c_mktsegment")
+    return df.filter(F.col("c_name").isNotNull() & F.col("c_mktsegment").isNotNull())
+
+
+@register(
+    "range_check_between",
+    """
+    SELECT c_custkey, c_acctbal
+    FROM customer
+    WHERE c_acctbal IS NULL OR c_acctbal BETWEEN 0 AND 5000
+    """,
+)
+def q_range_check_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 — NULL-passing range check (≈ lat/lon bounds,
+    app/tasks/silver.py:49-50)."""
+    return range_check(
+        table_scan(spark, sf_dir, "customer").select("c_custkey", "c_acctbal"),
+        "c_acctbal",
+        0.0,
+        5000.0,
+    )
+
+
+@register(
+    "partition_date_filter",
+    """
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date, o_orderpriority
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-02-01'
+    """,
+)
+def q_partition_date_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 — run-slice date filter (≈ WHERE ingestion_date = DATE '{d}',
+    app/tasks/gold.py:101); on a date-partitioned layout Catalyst turns this
+    into partition pruning."""
+    o = table_scan(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-02-01").cast("timestamp_ntz"))
+    ).select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("o_date"), "o_orderpriority"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 window dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_dedup_rownum",
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+    FROM (SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+                 ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                    ORDER BY l_linenumber, l_partkey, l_quantity) AS rn
+          FROM lineitem)
+    WHERE rn = 1
+    """,
+)
+def q_window_dedup_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — ROW_NUMBER dedup, one row per key (app/tasks/silver.py:37-41).
+    The tie-break orders over ALL projected columns (l_linenumber alone is
+    not unique in the testdata), so the survivor is the lexicographic
+    minimum — deterministic cross-engine (the reference's ORDER BY id is
+    engine-arbitrary)."""
+    li = table_scan(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+    return dedup_rownum(li, ["l_orderkey"], ["l_linenumber", "l_partkey", "l_quantity"])
+
+
+# ---------------------------------------------------------------------------
+# §2.6 aggregations
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_count_group_by",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_count_group_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — grouped COUNT(*) (≈ GROUP BY ALL, app/tasks/gold.py:76-85)."""
+    return grouped_count(
+        table_scan(spark, sf_dir, "lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        count_name="cnt",
+    )
+
+
+@register(
+    "agg_sum_regroup",
+    """
+    SELECT l_returnflag, SUM(cnt) AS cnt
+    FROM (SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+          FROM lineitem GROUP BY l_returnflag, l_linestatus)
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_sum_regroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — coarser granularity by summing pre-aggregated counts
+    (app/tasks/gold.py:133-138)."""
+    base = grouped_count(
+        table_scan(spark, sf_dir, "lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        count_name="cnt",
+    )
+    return regroup_sum(base, ["l_returnflag"], count_col="cnt")
+
+
+@register(
+    "grouping_sets_hierarchy",
+    """
+    SELECT COALESCE(l_returnflag, '') AS l_returnflag,
+           COALESCE(l_linestatus, '') AS l_linestatus,
+           cnt
+    FROM (SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+          FROM lineitem
+          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ()))
+    """,
+)
+def q_grouping_sets_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — the aggregation hierarchy as ONE grouping-sets pass (the
+    reference materializes each level separately, app/tasks/gold.py:115-178;
+    one shuffle replaces four)."""
+    return grouping_sets_counts(
+        table_scan(spark, sf_dir, "lineitem"),
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        count_name="cnt",
+        blank_fill="",
+    )
+
+
+@register("scalar_count", "SELECT COUNT(*) AS cnt FROM orders")
+def q_scalar_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — scalar COUNT(*) (app/tasks/silver.py:73)."""
+    return table_scan(spark, sf_dir, "orders").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register("scalar_max_check", "SELECT MAX(o_totalprice) AS max_price FROM orders")
+def q_scalar_max_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — MAX quality metric (soda/checks/gold_breweries.yml:3). MAX over
+    doubles is order-insensitive, so no decimal trick is needed."""
+    return table_scan(spark, sf_dir, "orders").agg(F.max("o_totalprice").alias("max_price"))
+
+
+# ---------------------------------------------------------------------------
+# §2.7 sort
+# ---------------------------------------------------------------------------
+
+@register(
+    "order_by_multi",
+    """
+    SELECT o_orderpriority, o_orderstatus, o_orderkey
+    FROM orders ORDER BY o_orderpriority, o_orderstatus, o_orderkey
+    """,
+)
+def q_order_by_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 — multi-column global ORDER BY (app/tasks/gold.py:84 etc.): range
+    partition + per-partition sort in Spark."""
+    return (
+        table_scan(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_orderstatus", "o_orderkey")
+        .orderBy("o_orderpriority", "o_orderstatus", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# composed silver/gold parity (the reference's flagship semantics)
+# ---------------------------------------------------------------------------
+
+_SILVER_RAW_SQL = """
+    SELECT CAST(c_custkey AS VARCHAR)                                        AS id,
+           '  ' || c_name || '  '                                            AS name,
+           CASE WHEN c_custkey % 7 = 0 THEN '' ELSE c_mktsegment END         AS brewery_type,
+           CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE 'United States' END   AS country,
+           CASE WHEN c_custkey % 5 = 0 THEN '   ' ELSE c_mktsegment END      AS state,
+           'FallbackProvince'                                                AS state_province,
+           c_name                                                            AS city,
+           CAST(NULL AS VARCHAR)                                             AS postal_code,
+           CAST((c_custkey % 200) - 100 AS VARCHAR)                          AS latitude,
+           CAST((c_custkey % 400) - 200 AS VARCHAR)                          AS longitude
+    FROM customer
+"""
+
+
+def _silver_raw_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brewery-shaped dirty input derived deterministically from customer —
+    exercises every cleaning rule (blank→NULL, fallback, try_cast, range)."""
+    c = table_scan(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    return c.select(
+        k.cast("string").alias("id"),
+        F.concat(F.lit("  "), F.col("c_name"), F.lit("  ")).alias("name"),
+        F.when(k % 7 == 0, F.lit("")).otherwise(F.col("c_mktsegment")).alias("brewery_type"),
+        F.when(k % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(F.lit("United States"))
+        .alias("country"),
+        F.when(k % 5 == 0, F.lit("   ")).otherwise(F.col("c_mktsegment")).alias("state"),
+        F.lit("FallbackProvince").alias("state_province"),
+        F.col("c_name").alias("city"),
+        F.lit(None).cast("string").alias("postal_code"),
+        ((k % 200) - 100).cast("string").alias("latitude"),
+        ((k % 400) - 200).cast("string").alias("longitude"),
+    )
+
+
+@register(
+    "silver_clean_contract",
+    f"""
+    WITH raw AS ({_SILVER_RAW_SQL}),
+    cleaned AS (
+        SELECT NULLIF(TRIM(CAST(id AS VARCHAR)), '')            AS id,
+               NULLIF(TRIM(CAST(name AS VARCHAR)), '')          AS name,
+               NULLIF(TRIM(CAST(brewery_type AS VARCHAR)), '')  AS brewery_type,
+               NULLIF(TRIM(CAST(country AS VARCHAR)), '')       AS country,
+               COALESCE(NULLIF(TRIM(CAST(state AS VARCHAR)), ''),
+                        NULLIF(TRIM(CAST(state_province AS VARCHAR)), '')) AS state,
+               NULLIF(TRIM(CAST(city AS VARCHAR)), '')          AS city,
+               NULLIF(TRIM(CAST(postal_code AS VARCHAR)), '')   AS postal_code,
+               TRY_CAST(NULLIF(TRIM(CAST(latitude AS VARCHAR)), '') AS DOUBLE)  AS latitude,
+               TRY_CAST(NULLIF(TRIM(CAST(longitude AS VARCHAR)), '') AS DOUBLE) AS longitude
+        FROM raw
+    )
+    SELECT * FROM cleaned
+    WHERE id IS NOT NULL AND name IS NOT NULL AND country IS NOT NULL AND state IS NOT NULL
+      AND (latitude IS NULL OR latitude BETWEEN -90 AND 90)
+      AND (longitude IS NULL OR longitude BETWEEN -180 AND 180)
+    """,
+)
+def q_silver_clean_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full silver cleaning semantics (app/tasks/silver.py:17-53) over a
+    deterministic brewery-shaped derivation of customer. Input ids are unique
+    so the (arbitrary-tie-break) dedup is a provable no-op and the output is
+    cross-engine deterministic."""
+    return clean_breweries(_silver_raw_df(spark, sf_dir))
+
+
+@register(
+    "gold_counts_hierarchy",
+    f"""
+    WITH raw AS ({_SILVER_RAW_SQL}),
+    cleaned AS (
+        SELECT NULLIF(TRIM(CAST(id AS VARCHAR)), '')            AS id,
+               NULLIF(TRIM(CAST(name AS VARCHAR)), '')          AS name,
+               NULLIF(TRIM(CAST(brewery_type AS VARCHAR)), '')  AS brewery_type,
+               NULLIF(TRIM(CAST(country AS VARCHAR)), '')       AS country,
+               COALESCE(NULLIF(TRIM(CAST(state AS VARCHAR)), ''),
+                        NULLIF(TRIM(CAST(state_province AS VARCHAR)), '')) AS state,
+               TRY_CAST(NULLIF(TRIM(CAST(latitude AS VARCHAR)), '') AS DOUBLE)  AS latitude,
+               TRY_CAST(NULLIF(TRIM(CAST(longitude AS VARCHAR)), '') AS DOUBLE) AS longitude
+        FROM raw
+    ),
+    silver AS (
+        SELECT * FROM cleaned
+        WHERE id IS NOT NULL AND name IS NOT NULL AND country IS NOT NULL AND state IS NOT NULL
+          AND (latitude IS NULL OR latitude BETWEEN -90 AND 90)
+          AND (longitude IS NULL OR longitude BETWEEN -180 AND 180)
+    )
+    SELECT COALESCE(country, '') AS country,
+           COALESCE(state, '') AS state,
+           COALESCE(brewery_type, '') AS brewery_type,
+           COUNT(*) AS brewery_count
+    FROM silver GROUP BY country, state, brewery_type
+    """,
+)
+def q_gold_counts_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold base counts over the cleaned contract (app/tasks/gold.py:74-86):
+    COUNT(*) by (country, state, brewery_type) with NULL dims → ''."""
+    silver = clean_breweries(_silver_raw_df(spark, sf_dir))
+    return grouped_count(silver, ["country", "state", "brewery_type"])
+
+
+# ---------------------------------------------------------------------------
+# joins (extension surface, SURVEY.md §2.4/§7 step 8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_broadcast_dim",
+    """
+    SELECT r_name, n_name, COUNT(*) AS customer_cnt
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def q_join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema dimension lookup: both dims broadcast, the fact side never
+    shuffles for the join (one shuffle total, for the aggregation)."""
+    c = table_scan(spark, sf_dir, "customer")
+    n = table_scan(spark, sf_dir, "nation")
+    r = table_scan(spark, sf_dir, "region")
+    joined = broadcast_dim_join(
+        broadcast_dim_join(c, n, c["c_nationkey"] == n["n_nationkey"]),
+        r,
+        n["n_regionkey"] == r["r_regionkey"],
+    )
+    return joined.groupBy("r_name", "n_name").agg(F.count(F.lit(1)).alias("customer_cnt"))
+
+
+@register(
+    "join_shuffle_fact",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS line_cnt,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_join_shuffle_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi-join on the order key (sort-merge / shuffled-hash under
+    AQE, skew-split at runtime); revenue via the exact-decimal idiom."""
+    o = table_scan(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = table_scan(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    joined = shuffle_join(o, li, o["o_orderkey"] == li["l_orderkey"])
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("line_cnt"), _dsum(rev, 4, "revenue")
+    )
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_charge,
+           SUM(l_quantity) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary — the flagship scan+agg query. One
+    parquet scan (only 7 columns read), partial+final hash aggregate, no
+    joins; sums use the exact-decimal idiom; averages are exact-sum / count
+    (deterministic double division). SUM(l_quantity) stays double: the values
+    are integral, so IEEE addition is exact at any order."""
+    li = table_scan(spark, sf_dir, "lineitem")
+    filtered = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+    price = F.col("l_extendedprice")
+    disc_price = price * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    cnt = F.count(F.lit(1))
+    return filtered.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        _dsum(price, 2, "sum_base_price"),
+        _dsum(disc_price, 4, "sum_disc_price"),
+        _dsum(charge, 6, "sum_charge"),
+        (F.sum("l_quantity") / cnt).alias("avg_qty"),
+        (_dsum(price, 2) / cnt).alias("avg_price"),
+        (_dsum(F.col("l_discount"), 6) / cnt).alias("avg_disc"),
+        cnt.alias("count_order"),
+    )
+
+
+@register(
+    "tpch_q3_top_orders",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue,
+           CAST(o_orderdate AS DATE) AS o_date
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_shipdate > TIMESTAMP '1997-01-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping-priority top-k: selective dimension filter →
+    two joins → agg → global top-10. The customer side is broadcast (it is
+    tiny relative to the facts); ties broken by l_orderkey so the LIMIT is
+    deterministic."""
+    c = table_scan(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table_scan(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz")
+    )
+    li = table_scan(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp_ntz")
+    )
+    joined = shuffle_join(
+        broadcast_dim_join(o, c.select("c_custkey"), o["o_custkey"] == F.col("c_custkey")),
+        li,
+        F.col("l_orderkey") == o["o_orderkey"],
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate")
+        .agg(_dsum(rev, 4, "revenue"))
+        .select("l_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("o_date"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# events (time-series extension)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_tumbling_window_hourly",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS event_cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window aggregation (batch form; the streaming twin
+    is streaming/events.py). F.window('1 hour') starts align with
+    date_trunc('hour'); raw ts is never emitted (nanos vs micros)."""
+    e = table_scan(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_cnt"),
+            _dsum(F.col("value"), 4, "value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "event_cnt", "value_sum"
+        )
+    )
+
+
+@register(
+    "events_type_stats",
+    """
+    SELECT event_type,
+           COUNT(*) AS event_cnt,
+           COUNT(DISTINCT user_id) AS user_cnt,
+           MIN(value) AS value_min,
+           MAX(value) AS value_max,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def q_events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event stats incl. a distinct aggregate (COUNT DISTINCT plans
+    as expand+two-phase agg in Spark; exact, shuffle on (type, user))."""
+    e = table_scan(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("event_cnt"),
+        F.countDistinct("user_id").alias("user_cnt"),
+        F.min("value").alias("value_min"),
+        F.max("value").alias("value_max"),
+        _dsum(F.col("value"), 4, "value_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text / documents (LLM-pipeline extension)
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_token_count",
+    """
+    SELECT doc_id,
+           CASE WHEN TRIM(text) = '' THEN 0
+                ELSE len(string_split_regex(TRIM(text), '\\s+')) END AS n_tokens
+    FROM documents
+    """,
+)
+def q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting over documents (JVM-side split, no UDF)."""
+    d = table_scan(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count("text").alias("n_tokens"))
+
+
+@register(
+    "doc_dedup_exact",
+    """
+    SELECT md5(TRIM(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS dup_cnt
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-identity dedup: md5 over normalized text, keep the minimum
+    doc_id per fingerprint. Hash-groupBy: partial agg removes duplicates
+    map-side, so the shuffle carries one row per distinct document."""
+    d = table_scan(spark, sf_dir, "documents")
+    return d.groupBy(fingerprint("text").alias("fp")).agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("dup_cnt")
+    )
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(QUERIES)
+
+
+def oracles() -> dict[str, str]:
+    return dict(ORACLES)

@@ -1,0 +1,78 @@
+"""Silver stage — the reference's flagship "query".
+
+Re-expresses ``transform_silver`` (app/tasks/silver.py:6-74) as one lazy
+DataFrame chain:
+
+    scan (schema'd, no inference)          ≈ silver.py:18-20
+    → cleaning projection                  ≈ silver.py:21-36
+    → dedup on id                          ≈ silver.py:37-41
+    → contract enforcement filters         ≈ silver.py:42-51
+    → partitioned snappy parquet write     ≈ silver.py:56-71
+    → row count                            ≈ silver.py:73
+
+Fidelity notes:
+- the reference's final COUNT(*) re-executes the whole CTE (views aren't
+  materialized); here the count is taken from the same cleaned DataFrame —
+  one source of truth, and with the write it is two actions over one lineage.
+  At scale, prefer counting the written output or caching if the input is
+  remote and expensive (SURVEY.md §3.2).
+- dedup uses ``dedup_any`` (aggregate-planned, map-side combine) because the
+  reference's tie-break is arbitrary anyway (SURVEY.md W1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.cleaning import clean_str, try_double
+from ..operators.dedup import dedup_any
+from ..operators.enforce import null_pass_range_pred, require_not_null
+from ..schemas import BREWERY_RAW_SCHEMA, SILVER_PARTITION_COLS
+from ..sources.readers import json_array_scan
+from ..sources.writers import write_partitioned_parquet
+
+
+def clean_breweries(raw: DataFrame) -> DataFrame:
+    """The 5-stage cleaning semantics as one projection + dedup + filters.
+
+    ≈ CTEs ``cleaned`` (app/tasks/silver.py:21-36), ``dedup`` (:37-41),
+    ``enforced`` (:42-51).
+    """
+    cleaned = raw.select(
+        clean_str("id").alias("id"),
+        clean_str("name").alias("name"),
+        clean_str("brewery_type").alias("brewery_type"),
+        clean_str("country").alias("country"),
+        # state falls back to state_province when blank (silver.py:27-30)
+        F.coalesce(clean_str("state"), clean_str("state_province")).alias("state"),
+        clean_str("city").alias("city"),
+        clean_str("postal_code").alias("postal_code"),
+        try_double(clean_str("latitude")).alias("latitude"),
+        try_double(clean_str("longitude")).alias("longitude"),
+    )
+    deduped = dedup_any(cleaned, ["id"])
+    enforced = require_not_null(deduped, ["id", "name", "country", "state"]).filter(
+        null_pass_range_pred("latitude", -90.0, 90.0)
+        & null_pass_range_pred("longitude", -180.0, 180.0)
+    )
+    return enforced
+
+
+def transform_silver(
+    spark: SparkSession,
+    bronze_dir: str,
+    silver_dir: str,
+    ingestion_date: str,
+) -> tuple[int, str]:
+    """Full silver stage: bronze JSON glob → clean → partitioned write.
+
+    Returns (row_count, output_path), like app/tasks/silver.py:73-74.
+    """
+    glob = f"{bronze_dir.rstrip('/')}/ingestion_date={ingestion_date}/*.json"
+    raw = json_array_scan(spark, glob, schema=BREWERY_RAW_SCHEMA)
+    clean = clean_breweries(raw)
+    out = f"{silver_dir.rstrip('/')}/ingestion_date={ingestion_date}"
+    write_partitioned_parquet(clean, out, SILVER_PARTITION_COLS)
+    clean.createOrReplaceTempView("v_silver_clean")  # ≈ silver.py:54
+    return clean.count(), out

@@ -1,0 +1,110 @@
+"""Scan operators.
+
+≈ reference S3/S4 (SURVEY.md §2.1): ``read_json_auto`` over a bronze glob
+(app/tasks/silver.py:19) and ``read_parquet`` over the hive-partitioned silver
+glob (app/tasks/gold.py:50-53,71).
+
+Scale notes
+-----------
+- Bronze page files are **JSON arrays** (one array per API page,
+  app/io/storage.py:23), so ``multiLine=True`` is required. multiLine JSON is
+  not splittable — one file = one task — which is fine here because pages are
+  small and numerous (parallelism comes from file count, the same way the
+  reference's glob works). For huge single JSON files, land NDJSON instead.
+- Always pass an explicit schema: at 100 TB, inference is a full extra read
+  of the data; with a read schema the JSON parser also *skips* unprojected
+  fields (projection pushdown into the parser).
+- Parquet reads use partition discovery; filters on partition columns prune
+  directories before any file is opened (the built-in version of the
+  reference's manual glob construction, SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def json_array_scan(
+    spark: SparkSession, path_or_glob: str, schema: StructType | None = None
+) -> DataFrame:
+    """Read JSON-array files (one top-level array per file) → rows.
+
+    ≈ ``read_json_auto('…/ingestion_date={d}/*.json')`` app/tasks/silver.py:19.
+    """
+    reader = spark.read.option("multiLine", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path_or_glob)
+
+
+def ndjson_scan(
+    spark: SparkSession, path_or_glob: str, schema: StructType | None = None
+) -> DataFrame:
+    """Read newline-delimited JSON — the splittable fast path for large files."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path_or_glob)
+
+
+def parquet_scan(
+    spark: SparkSession,
+    path: str,
+    base_path: str | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Parquet scan with hive partition discovery.
+
+    ≈ ``read_parquet('…/*/*/*.parquet')`` app/tasks/gold.py:50-53. Spark
+    recovers ``country=/state=`` dirs as columns (the reference keeps them
+    in-file; same logical result, see SURVEY.md S4). ``base_path`` lets a
+    subdirectory read still recover partition columns above it.
+    """
+    reader = spark.read
+    if base_path:
+        reader = reader.option("basePath", base_path)
+    df = reader.parquet(path)
+    return df.select(*columns) if columns else df
+
+
+_NS_TS_COLS: dict[str, tuple[str, ...]] = {}
+
+
+def _nanos_ts_columns(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS) (footer-only check, cached)."""
+    if path not in _NS_TS_COLS:
+        try:
+            import pyarrow.parquet as pq
+
+            schema = pq.read_schema(path)
+            _NS_TS_COLS[path] = tuple(
+                f.name for f in schema if str(f.type) == "timestamp[ns]"
+            )
+        except Exception:
+            _NS_TS_COLS[path] = ()
+    return _NS_TS_COLS[path]
+
+
+def table_scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one of the shared testdata tables (TESTDATA.md).
+
+    The driver-generated parquet stamps some timestamps as TIMESTAMP(NANOS),
+    which Spark's reader rejects by default. With the runtime-settable
+    ``nanosAsLong`` flag those columns read as BIGINT nanos; we restore them
+    to ``timestamp_ntz`` (micros — Spark's native resolution). The footer
+    check is metadata-only, so this costs nothing at scale.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # non-settable session: assume it was configured at build time
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    df = spark.read.parquet(path)
+    for c in _nanos_ts_columns(path):
+        df = df.withColumn(
+            c,
+            F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz"),
+        )
+    return df

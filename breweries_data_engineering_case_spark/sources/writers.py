@@ -1,0 +1,74 @@
+"""Sink operators: partitioned Parquet + idempotent by-date overwrite.
+
+≈ reference S5/S6 (SURVEY.md §2.1):
+
+- S5: ``COPY … TO 's3://dir' (FORMAT PARQUET, PARTITION_BY (…),
+  COMPRESSION 'snappy', OVERWRITE_OR_IGNORE TRUE)``
+  (app/tasks/silver.py:61-71, app/tasks/gold.py:12-32).
+- S6: ``CREATE TABLE IF NOT EXISTS …; DELETE WHERE ingestion_date = d;
+  INSERT INTO … SELECT`` — per-run replace on an append-by-date history table
+  (app/tasks/gold.py:89-113).
+
+Spark-first mapping: immutable Parquet has no DELETE, so S6's
+delete-then-insert becomes **dynamic partition overwrite** — with
+``spark.sql.sources.partitionOverwriteMode=dynamic`` (set by session.py),
+``mode("overwrite").partitionBy("ingestion_date")`` replaces exactly the
+partitions present in the written data and leaves every other date alone.
+Same idempotency contract, and it scales: the overwrite is a metadata swap of
+one date directory, never a table rewrite.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    mode: str = "overwrite",
+    compression: str = "snappy",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Hive-partitioned snappy Parquet write (≈ S5).
+
+    With the session's dynamic ``partitionOverwriteMode``, ``overwrite``
+    replaces only the partitions this DataFrame contains — the semantic twin
+    of DuckDB's ``OVERWRITE_OR_IGNORE`` (app/tasks/silver.py:69).
+    ``max_records_per_file`` caps file size to keep downstream scan tasks
+    balanced (small-files vs giant-files tradeoff at scale).
+    """
+    w = df.write.option("compression", compression)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.partitionBy(*partition_cols).mode(mode).parquet(path)
+
+
+def idempotent_date_overwrite(
+    df: DataFrame,
+    path: str,
+    date_value: str | _dt.date,
+    date_col: str = "ingestion_date",
+    extra_partition_cols: Sequence[str] = (),
+) -> None:
+    """Replace exactly one date's slice of a date-partitioned dataset (≈ S6).
+
+    Stamps ``date_col`` with the run date, then dynamic-partition-overwrites.
+    Re-running the same date yields identical table contents — the
+    "Idempotency for this run" contract of app/tasks/gold.py:100-113.
+    """
+    if isinstance(date_value, _dt.date):
+        date_value = date_value.isoformat()
+    stamped = df.withColumn(date_col, F.to_date(F.lit(date_value)))
+    cols = [date_col, *extra_partition_cols]
+    write_partitioned_parquet(stamped, path, cols, mode="overwrite")
+
+
+def read_back(spark: SparkSession, path: str) -> DataFrame:
+    """Re-open a written dataset (partition columns recovered from dirs)."""
+    return spark.read.parquet(path)
