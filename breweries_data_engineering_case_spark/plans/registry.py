@@ -34,11 +34,18 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
 from ..functions.cleaning import stamp_date
-from ..functions.text import fingerprint, token_count
+from ..functions.text import LANG_MARKERS, fingerprint, lang_id, quality_score, token_count
 from ..operators.agg import grouped_count, grouping_sets_counts, regroup_sum
 from ..operators.dedup import dedup_rownum
 from ..operators.enforce import range_check
+from ..operators.fuzzy_dedup import (
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
 from ..operators.joins import broadcast_dim_join, shuffle_join
+from ..operators.similarity import cosine_topk, cosine_topk_lsh, embedding_near_dup_pairs
 from ..sources.readers import json_array_scan, table_scan
 from .silver import clean_breweries
 
@@ -739,6 +746,219 @@ def q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy(fingerprint("text").alias("fp")).agg(
         F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("dup_cnt")
     )
+
+
+# ---------------------------------------------------------------------------
+# similarity search (LLM-pipeline extension)
+# ---------------------------------------------------------------------------
+
+_ANN_ORACLE = """
+    WITH p AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             UNNEST(q.embedding) AS qe, UNNEST(v.embedding) AS ve,
+             UNNEST(range(len(q.embedding))) AS i
+      FROM embeddings q, embeddings v
+      WHERE q.vec_id < 5 AND v.vec_id <> q.vec_id
+    ),
+    d AS (
+      SELECT query_id, neighbor_id,
+             SUM(CAST(qe AS DOUBLE) * CAST(ve AS DOUBLE) ORDER BY i) AS dot,
+             SUM(CAST(qe AS DOUBLE) * CAST(qe AS DOUBLE) ORDER BY i) AS qn,
+             SUM(CAST(ve AS DOUBLE) * CAST(ve AS DOUBLE) ORDER BY i) AS vn
+      FROM p GROUP BY query_id, neighbor_id
+    ),
+    s AS (
+      SELECT query_id, neighbor_id, dot / (sqrt(qn) * sqrt(vn)) AS score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dot / (sqrt(qn) * sqrt(vn)) DESC,
+                                         neighbor_id) AS rank
+      FROM d
+    )
+    SELECT query_id, neighbor_id, score, CAST(rank AS INT) AS rank
+    FROM s WHERE rank <= 10
+"""
+
+
+@register("ann_cosine_topk", _ANN_ORACLE)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for 5 query vectors over the whole
+    embedding corpus. Bit-identical to the oracle: both engines fold the
+    dot/norm sums in array-index order in double precision (verified
+    element-wise). Query side broadcast; corpus never shuffles until the
+    tiny window top-k."""
+    emb = table_scan(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk(emb, queries_df, k=10)
+
+
+@register("ann_cosine_topk_lsh")  # approximate → rows-only driver check
+def q_ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (random hyperplanes, 4 bands × 8 bits): the scale
+    path — candidates only from matching buckets, then exact re-score.
+    Approximate recall ⇒ no SQL oracle (rows-only check)."""
+    emb = table_scan(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk_lsh(emb, queries_df, k=10)
+
+
+@register("embedding_near_dup")  # LSH candidate generation → rows-only check
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.9) via LSH
+    candidates + exact verify; O(N²) never materializes."""
+    emb = table_scan(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.9)
+
+
+# ---------------------------------------------------------------------------
+# fuzzy dedup (LLM-pipeline extension)
+# ---------------------------------------------------------------------------
+
+@register("doc_dedup_minhash_lsh")  # xxhash64-based → rows-only driver check
+def q_doc_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(16 bands × 4) near-dup pairs over documents,
+    verified by exact shingle Jaccard >= 0.7. Uses Spark-internal xxhash64
+    (no cross-engine twin) ⇒ rows-only check; the Jaccard verifier itself is
+    oracle-checked separately (ngram_jaccard_pairs)."""
+    d = table_scan(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, threshold=0.7)
+
+
+@register("doc_minhash_signature")  # xxhash64-based → rows-only driver check
+def q_doc_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature head (first 4 of 64 hashes) — exercises
+    the full signature pipeline deterministically (same output every run)."""
+    d = table_scan(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, num_hashes=64)
+    return sigs.select(
+        F.col("id").alias("doc_id"),
+        *[F.element_at("sig", i + 1).alias(f"mh{i}") for i in range(4)],
+    )
+
+
+@register(
+    "doc_dedup_simhash",
+    # generated SQL mirrors the Spark expression exactly (md5-based 60-bit
+    # token hash, per-bit sign votes, 32-bit pack)
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(UNNEST(string_split_regex(TRIM(text), '\\s+'))), 1, 15)) AS BIGINT) AS h
+      FROM documents
+    ),
+    votes AS (
+      SELECT doc_id,
+             {vote_exprs}
+      FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id, {pack_expr} AS simhash
+    FROM votes
+    """.replace(
+        "{vote_exprs}",
+        ",\n             ".join(
+            f"SUM(((h >> {i}) & 1) * 2 - 1) AS v{i}" for i in range(32)
+        ),
+    ).replace(
+        "{pack_expr}",
+        " + ".join(f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32)),
+    ),
+)
+def q_doc_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32) per document from md5-based token hashes — fully
+    oracle-checked (the hash is engine-portable). Near-identical docs get
+    equal/near-equal values; grouping by simhash is the dedup step."""
+    d = table_scan(spark, sf_dir, "documents")
+    return simhash(d, bits=32).select(F.col("id").alias("doc_id"), "simhash")
+
+
+@register(
+    "doc_ngram_jaccard_pairs",
+    """
+    WITH s AS (
+      SELECT doc_id, list_distinct(string_split_regex(TRIM(text), '\\s+')) AS sh
+      FROM documents WHERE doc_id < 150
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    """,
+)
+def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard similarity join (bounded subset): the
+    verification primitive behind MinHash-LSH, oracle-checked. Integer set
+    sizes → one double division (cross-engine deterministic)."""
+    d = table_scan(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return ngram_jaccard_pairs(d, shingle_n=1, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# text analysis (LLM-pipeline extension)
+# ---------------------------------------------------------------------------
+
+def _lang_sql() -> str:
+    """DuckDB twin of functions.text.lang_id (kept in sync by construction)."""
+    hits = {
+        lang: " + ".join(
+            f"(CASE WHEN regexp_matches(text, '(^|\\s){w}(\\s|$)') THEN 1 ELSE 0 END)"
+            for w in ws
+        )
+        for lang, ws in LANG_MARKERS.items()
+    }
+    # fixed fold order = same deterministic tie-break as the Spark expression
+    expr = "'und'"
+    score = "0"
+    for lang in LANG_MARKERS:
+        expr = f"(CASE WHEN ({hits[lang]}) > ({score}) THEN '{lang}' ELSE {expr} END)"
+        score = f"(CASE WHEN ({hits[lang]}) > ({score}) THEN ({hits[lang]}) ELSE {score} END)"
+    return f"SELECT doc_id, {expr} AS lang_pred FROM documents"
+
+
+@register("doc_lang_id", _lang_sql())
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword-marker argmax) — JVM regex only, no
+    UDF; the production swap-in point for a real model is the multimodal
+    mapInPandas path."""
+    d = table_scan(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id("text").alias("lang_pred"))
+
+
+@register(
+    "doc_quality_score",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN TRIM(text) = '' THEN 0
+                  ELSE len(string_split_regex(TRIM(text), '\\s+')) END AS n_tokens,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                       / length(text) END AS alpha_ratio,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE)
+                       / length(text) END AS punct_ratio,
+             ((CASE WHEN regexp_matches(text, '(^|\\s)the(\\s|$)') THEN 1 ELSE 0 END)
+            + (CASE WHEN regexp_matches(text, '(^|\\s)and(\\s|$)') THEN 1 ELSE 0 END)
+            + (CASE WHEN regexp_matches(text, '(^|\\s)of(\\s|$)') THEN 1 ELSE 0 END)
+            + (CASE WHEN regexp_matches(text, '(^|\\s)to(\\s|$)') THEN 1 ELSE 0 END)
+            + (CASE WHEN regexp_matches(text, '(^|\\s)is(\\s|$)') THEN 1 ELSE 0 END)) AS stop_hits
+      FROM documents
+    )
+    SELECT doc_id,
+           GREATEST(0.0, LEAST(1.0,
+             0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+           + 0.4 * alpha_ratio
+           + 0.2 * LEAST(CAST(stop_hits AS DOUBLE) / 3.0, 1.0)
+           - 0.2 * punct_ratio)) AS quality
+    FROM m
+    """,
+)
+def q_doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite text-quality score (length + alphabetic ratio + stopword
+    presence − punctuation excess), per-row double arithmetic — exact
+    cross-engine parity, no aggregation involved."""
+    d = table_scan(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score("text").alias("quality"))
 
 
 def queries() -> dict[str, QueryFn]:

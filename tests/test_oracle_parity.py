@@ -63,3 +63,18 @@ def test_query_matches_oracle(spark, sf_dir, name):
 def test_all_queries_have_callables():
     assert set(registry.ORACLES) <= set(registry.QUERIES)
     assert registry.QUERIES, "registry must not be empty"
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(registry.QUERIES) - set(registry.ORACLES))
+)
+def test_rows_only_query_executes_deterministically(spark, sf_dir, name):
+    """Rows-only queries (no SQL oracle) must still execute, return a stable
+    schema, and be run-to-run deterministic."""
+    fn = registry.QUERIES[name]
+    df1 = fn(spark, sf_dir)
+    rows1 = sorted(map(str, df1.collect()))
+    df2 = fn(spark, sf_dir)
+    rows2 = sorted(map(str, df2.collect()))
+    assert df1.columns == df2.columns
+    assert rows1 == rows2, f"{name} is not deterministic across runs"
