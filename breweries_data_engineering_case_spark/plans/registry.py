@@ -961,6 +961,475 @@ def q_doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", quality_score("text").alias("quality"))
 
 
+# ---------------------------------------------------------------------------
+# analytic windows beyond the reference (rank/lag/top-k per group)
+# ---------------------------------------------------------------------------
+
+@register(
+    "topk_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rnk AS INT) AS rnk
+    FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+          FROM orders)
+    WHERE rnk <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per priority — per-key top-k as one window pass (the
+    generalization of W1's keep-one). Tie-break by o_orderkey."""
+    o = table_scan(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "window_lag_lead",
+    """
+    SELECT o_custkey, o_orderkey,
+           LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_orderkey,
+           LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_orderkey
+    FROM orders
+    """,
+)
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/LEAD over a deterministic per-customer ordering (unique key)."""
+    o = table_scan(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+@register(
+    "window_running_agg",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total
+    FROM orders
+    """,
+)
+def q_window_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total with an explicit ROWS frame; per-partition ordered
+    decimal accumulation is deterministic cross-engine."""
+    o = table_scan(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+        .alias("running_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# event-time windows: sliding + session (batch form; streaming twins in
+# streaming/events.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_sliding_window",
+    """
+    WITH w AS (
+      SELECT event_type, value,
+             CAST(time_bucket(INTERVAL '15 minutes', ts) AS TIMESTAMP)
+               - (INTERVAL '15 minutes' * o) AS window_start
+      FROM events, UNNEST([0, 1, 2, 3]) AS t(o)
+    )
+    SELECT window_start, event_type, COUNT(*) AS event_cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+    FROM w GROUP BY window_start, event_type
+    """,
+)
+def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 min: each event lands in 4 windows
+    (Expand operator). The oracle derives the same 4 starts per event from
+    the 15-minute bucket grid."""
+    e = table_scan(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("event_cnt"), _dsum(F.col("value"), 4, "value_sum"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "event_cnt", "value_sum")
+    )
+
+
+@register(
+    "events_session_window",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM ordered
+    )
+    SELECT user_id,
+           CAST(date_trunc('second', MIN(ts)) AS TIMESTAMP) AS session_start,
+           COUNT(*) AS event_cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity closes a session) via
+    F.session_window; the oracle is the classic gaps-and-islands rewrite.
+    Session start is second-truncated so ns-vs-µs storage cannot diverge."""
+    e = table_scan(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("event_cnt"), _dsum(F.col("value"), 4, "value_sum"))
+        .select(
+            "user_id",
+            F.date_trunc("second", F.col("w.start")).cast("timestamp_ntz").alias("session_start"),
+            "event_cnt",
+            "value_sum",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins beyond inner: outer / semi / anti; set ops; pivot
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_left_outer_nulls",
+    """
+    SELECT n_name, r_name
+    FROM nation LEFT JOIN region
+      ON n_regionkey = r_regionkey AND r_name <> 'EUROPE'
+    """,
+)
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with a non-equi residual condition — unmatched rows
+    keep NULL right columns."""
+    n = table_scan(spark, sf_dir, "nation")
+    r = table_scan(spark, sf_dir, "region")
+    return n.join(
+        F.broadcast(r),
+        on=[n["n_regionkey"] == r["r_regionkey"], r["r_name"] != "EUROPE"],
+        how="left",
+    ).select("n_name", "r_name")
+
+
+@register(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with at least one order. The build
+    side is only the distinct keys — no payload shuffle."""
+    c = table_scan(spark, sf_dir, "customer")
+    o = table_scan(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders."""
+    c = table_scan(spark, sf_dir, "customer")
+    o = table_scan(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "set_ops_intersect_except",
+    """
+    SELECT c_nationkey AS nationkey, 'both' AS src FROM customer
+    INTERSECT
+    SELECT s_nationkey, 'both' FROM supplier
+    UNION ALL
+    (SELECT c_nationkey, 'customer_only' FROM customer
+     EXCEPT
+     SELECT s_nationkey, 'customer_only' FROM supplier)
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (distinct set semantics) composed with UNION ALL."""
+    c = table_scan(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = table_scan(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    both = c.intersect(s).withColumn("src", F.lit("both"))
+    # EXCEPT is distinct-set semantics → subtract (NOT exceptAll, which is
+    # bag semantics and leaves duplicate left rows alive)
+    only_c = c.subtract(s).withColumn("src", F.lit("customer_only"))
+    return both.select("nationkey", "src").unionByName(only_c.select("nationkey", "src"))
+
+
+@register(
+    "pivot_event_types",
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click_cnt,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view_cnt,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase_cnt
+    FROM events GROUP BY user_id
+    """,
+)
+def q_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation) — explicit value list so the plan
+    is a single pass with no pre-scan for distinct pivot values."""
+    e = table_scan(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            F.coalesce(F.col("click"), F.lit(0)).alias("click_cnt"),
+            F.coalesce(F.col("view"), F.lit(0)).alias("view_cnt"),
+            F.coalesce(F.col("purchase"), F.lit(0)).alias("purchase_cnt"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar-function surface beyond the reference (strings, dates, math, maps)
+# ---------------------------------------------------------------------------
+
+@register(
+    "string_functions",
+    """
+    SELECT p_partkey,
+           lower(p_name) AS name_lower,
+           upper(p_brand) AS brand_upper,
+           substr(p_type, 1, 5) AS type_head,
+           concat(p_brand, ':', p_type) AS brand_type,
+           replace(p_name, ' ', '_') AS name_snake,
+           length(p_name) AS name_len,
+           CASE WHEN regexp_matches(p_type, '^(STANDARD|SMALL)') THEN 1 ELSE 0 END AS is_std_small,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded
+    FROM part
+    """,
+)
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function sweep (lower/upper/substr/concat/replace/length/
+    regexp/lpad) — the reference uses none of these (SURVEY §2.8); provided
+    as engine surface."""
+    p = table_scan(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_type", 1, 5).alias("type_head"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.when(F.col("p_type").rlike("^(STANDARD|SMALL)"), 1).otherwise(0)
+        .cast("int")
+        .alias("is_std_small"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+    )
+
+
+@register(
+    "date_functions",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           CAST(day(o_orderdate) AS INT) AS order_day,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS order_dow,  -- DuckDB Sun=0, Spark Sun=1
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start
+    FROM orders
+    """,
+)
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time-function sweep (extract, trunc, add, diff)."""
+    o = table_scan(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("int").alias("order_year"),
+        F.month(d).cast("int").alias("order_month"),
+        F.dayofmonth(d).cast("int").alias("order_day"),
+        F.dayofweek(d).cast("int").alias("order_dow"),
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.date_add(d.cast("date"), 30).alias("due_date"),
+        F.datediff(d.cast("date"), F.to_date(F.lit("1995-01-01")))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+    )
+
+
+@register(
+    "math_bucketing",
+    """
+    SELECT CAST(floor(o_totalprice / 20000) AS BIGINT) AS price_bucket,
+           COUNT(*) AS cnt,
+           MIN(o_totalprice) AS bucket_min,
+           MAX(o_totalprice) AS bucket_max
+    FROM orders GROUP BY 1
+    """,
+)
+def q_math_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram bucketing via floor division (round/abs/floor surface) —
+    the building block for numeric distribution profiling."""
+    o = table_scan(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 20000).cast("long").alias("price_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("o_totalprice").alias("bucket_min"),
+            F.max("o_totalprice").alias("bucket_max"),
+        )
+    )
+
+
+@register("approx_distinct_users")  # approx sketch differs per engine → rows-only
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — the 100 TB path for cardinality
+    (exact distinct shuffles every key; HLL ships a 1.5 KB sketch). Sketch
+    values are engine-specific ⇒ rows-only check; accuracy asserted in unit
+    tests against the exact count."""
+    e = table_scan(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# part/supplier star queries (remaining tables)
+# ---------------------------------------------------------------------------
+
+@register(
+    "part_brand_stats",
+    """
+    SELECT p_brand,
+           COUNT(*) AS part_cnt,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS retail_sum,
+           MIN(p_size) AS min_size,
+           MAX(p_size) AS max_size
+    FROM part GROUP BY p_brand
+    """,
+)
+def q_part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand-level part profile (exact-decimal sums)."""
+    p = table_scan(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("part_cnt"),
+        _dsum(F.col("p_retailprice"), 2, "retail_sum"),
+        F.min("p_size").alias("min_size"),
+        F.max("p_size").alias("max_size"),
+    )
+
+
+@register(
+    "supplier_nation_rollup",
+    """
+    SELECT n_name,
+           COUNT(*) AS supplier_cnt,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_supplier_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier accounting rollup by nation (broadcast dim join)."""
+    s = table_scan(spark, sf_dir, "supplier")
+    n = table_scan(spark, sf_dir, "nation")
+    return (
+        broadcast_dim_join(s, n, s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("supplier_cnt"),
+            _dsum(F.col("s_acctbal"), 2, "acctbal_sum"),
+        )
+    )
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style local-supplier volume: the full 6-table star join.
+    Dims (supplier/nation/region/customer) broadcast; only the two facts
+    shuffle."""
+    c = table_scan(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = table_scan(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    li = table_scan(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = table_scan(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table_scan(spark, sf_dir, "nation")
+    r = table_scan(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+
+    joined = (
+        shuffle_join(o, li, o["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy("n_name").agg(_dsum(rev, 4, "revenue"))
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -1,0 +1,113 @@
+"""Event-time streaming operators over the events stream.
+
+The reference is pure batch (SURVEY.md §2.9) — incremental processing is the
+``ingestion_date`` run parameter. These are the Spark-native upgrades:
+
+- ``stream_events``: file-source stream (works over a growing directory; use
+  ``Trigger.AvailableNow`` for batch-like catch-up runs).
+- ``tumbling_counts``: watermarked event-time tumbling window aggregation —
+  the streaming twin of registry ``events_tumbling_window_hourly``; late
+  rows beyond the watermark are dropped, state is bounded.
+- ``sliding_counts``: overlapping windows.
+- ``streaming_dedup``: stateful ``dropDuplicatesWithinWatermark`` — the
+  streaming analog of the silver dedup (W1, app/tasks/silver.py:37-41) with
+  bounded state.
+
+Scale notes: watermark delay bounds state size; the shuffle key is
+(window, event_type), which is low-cardinality — AQE coalesces. For
+session-style analysis, compose with ``F.session_window``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(
+    spark: SparkSession, path: str, fmt: str = "parquet", schema: StructType | None = None
+) -> DataFrame:
+    """File-source stream over a directory of event files."""
+    return (
+        spark.readStream.format(fmt)
+        .schema(schema or EVENTS_STREAM_SCHEMA)
+        .load(path)
+    )
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked tumbling-window counts+sums by event_type."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("event_cnt"), F.sum("value").alias("value_sum"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "event_cnt", "value_sum")
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked sliding-window counts by event_type."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("event_cnt"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "event_cnt")
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stateful exactly-once dedup with bounded state — the streaming analog
+    of silver's per-id dedup (W1): duplicates arriving within the watermark
+    horizon are dropped, state for older keys is evicted."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def run_available_now(stream_df: DataFrame, out_path: str, checkpoint: str) -> None:
+    """Process-everything-then-stop run (the batch-compatible trigger): the
+    incremental twin of a dated batch re-run — restart-safe via checkpoint."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
