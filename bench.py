@@ -3,10 +3,11 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed once as a count() action after a shared warm-up (JVM +
-parquet footer caches), timing the full plan execution (scan → shuffle →
-agg). Results are deliberately not collected to the driver — the cost being
-measured is the distributed plan, not row transfer.
+Each query is executed once into Spark's ``noop`` sink after a shared warm-up
+(JVM + parquet footer caches). The noop sink forces every column of the full
+plan to be computed (a ``count()`` would let Catalyst prune projection-only
+work) without collecting rows to the driver — the cost measured is the
+distributed plan, not row transfer.
 """
 
 from __future__ import annotations
@@ -18,17 +19,23 @@ import time
 HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_top_orders",
+    "tpch_q5_local_supplier_volume",
     "join_broadcast_dim",
     "join_shuffle_fact",
     "agg_count_group_by",
     "grouping_sets_hierarchy",
     "window_dedup_rownum",
+    "topk_per_group",
     "silver_clean_contract",
     "gold_counts_hierarchy",
     "events_tumbling_window_hourly",
+    "events_sliding_window",
+    "events_session_window",
     "events_type_stats",
     "doc_dedup_exact",
+    "doc_dedup_minhash_lsh",
     "doc_token_count",
+    "ann_cosine_topk",
 ]
 
 
@@ -40,8 +47,11 @@ def main() -> None:
     spark = get_spark(app_name="bdec-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    def run(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
     # warm-up: JVM JIT + file listing + parquet footers, not measured
-    registry.QUERIES["agg_count_group_by"](spark, sf_dir).count()
+    run(registry.QUERIES["agg_count_group_by"](spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -49,7 +59,7 @@ def main() -> None:
         if fn is None:
             continue
         t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
+        run(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -32,14 +32,25 @@ def tokens(c: Column | str, pattern: str = r"\s+") -> Column:
 
 
 def word_shingles(c: Column | str, n: int = 3) -> Column:
-    """Distinct n-word shingles of the text (n=1 → token set)."""
+    """Distinct n-word shingles of the text (n=1 → token set).
+
+    Built by zipping n shifted copies of the token array (``zip_with`` over
+    ``slice``), so the token-split expression is referenced a CONSTANT number
+    of times. Any per-element lambda that touches the tokens (via
+    ``element_at`` or per-index ``slice``) re-evaluates the split for every
+    element — O(len²) per document, measured 2-8× slower at 5k docs."""
     toks = tokens(c)
     if n == 1:
         return F.array_distinct(toks)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    )
+    sz = F.size(toks)
+    acc = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, F.greatest(sz - k, F.lit(0)))
+        # zip_with pads the shorter side with NULL; concat_ws skips NULLs, so
+        # the tail holds partial shingles — sliced off below
+        acc = F.zip_with(acc, shifted, lambda x, y: F.concat_ws(" ", x, y))
+    valid = F.greatest(sz - (n - 1), F.lit(0))
+    return F.array_distinct(F.slice(acc, 1, valid))
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -50,16 +61,43 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
 
 
-def _seeded_hash(i: int):
-    """Unary lambda factory: pyspark binds a second lambda parameter to the
-    array index, so the seed must be closed over, never a default arg."""
-    return lambda s: F.xxhash64(s, F.lit(i))
+#: Mersenne prime for the universal hash family. Operands stay < 2^31, so
+#: a*h+b < 2^62 — no long overflow even under ANSI mode.
+_MH_P = (1 << 31) - 1
 
 
-def _minhash_sig(shingles: Column, num_hashes: int) -> Column:
-    return F.array(
-        *[F.array_min(F.transform(shingles, _seeded_hash(i))) for i in range(num_hashes)]
-    )
+def _mh_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MH_P), rng.randrange(0, _MH_P)) for _ in range(num_hashes)]
+
+
+def _base_hashes(shingles: Column) -> Column:
+    """Each shingle string is hashed ONCE (xxhash64 → [0, p)); the k MinHash
+    permutations are then derived arithmetically (h_i = (a_i·h + b_i) mod p,
+    a universal hash family) — k cheap integer transforms instead of k
+    string-hash passes (~10× cheaper for k=64)."""
+    return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_P)))
+
+
+def _perm(a: int, b: int):
+    return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MH_P)
+
+
+def _minhash_cols(df: DataFrame, id_out: str, num_hashes: int) -> DataFrame:
+    """(id, m0..m{k-1}) from a df of (id, __h array): explode the base
+    hashes and take k min-aggregates. The explode+hash-aggregate shape stays
+    inside whole-stage codegen (a 64-wide nest of array_min(transform(...))
+    does not — it blows the codegen budget and falls back to interpretation,
+    ~10× slower measured); partial aggregation means the shuffle carries one
+    64-long state per doc per partition."""
+    exploded = df.select(F.col(id_out).alias(id_out), F.explode("__h").alias("h"))
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MH_P)).alias(f"m{i}")
+        for i, (a, b) in enumerate(_mh_coeffs(num_hashes))
+    ]
+    return exploded.groupBy(id_out).agg(*aggs)
 
 
 def minhash_signatures(
@@ -69,10 +107,14 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, sig: array<bigint>) — sig[i] = min over shingles of
-    xxhash64(shingle, i). Pure expressions; one map pass."""
+    """(id, sig: array<bigint>) — sig[i] = min over shingles of the i-th
+    universal hash of the shingle."""
     sh = word_shingles(text_col, shingle_n)
-    return df.select(F.col(id_col).alias("id"), _minhash_sig(sh, num_hashes).alias("sig"))
+    based = df.select(F.col(id_col).alias("id"), _base_hashes(sh).alias("__h"))
+    mins = _minhash_cols(based, "id", num_hashes)
+    return mins.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def minhash_lsh_pairs(
@@ -92,17 +134,16 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sh = word_shingles(text_col, shingle_n)
-    base = df.select(F.col(id_col).alias("id"), sh.alias("shingles"))
-    with_sig = base.select(
-        "id", "shingles", _minhash_sig(F.col("shingles"), num_hashes).alias("sig")
-    )
+    docs = df.select(F.col(id_col).alias("id"), sh.alias("shingles"))
+    based = docs.withColumn("__h", _base_hashes(F.col("shingles"))).select("id", "__h")
+    with_sig = _minhash_cols(based, "id", num_hashes)
     band_arr = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
                 F.xxhash64(
                     F.concat_ws(
-                        ",", *[F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                        ",", *[F.col(f"m{b * rows_per_band + r}").cast("string")
                                for r in range(rows_per_band)]
                     )
                 ).alias("band_hash"),
@@ -110,8 +151,12 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = with_sig.select("id", "shingles", F.explode(band_arr).alias("b")).select(
-        "id", "shingles", "b.band_idx", "b.band_hash"
+    # skinny (id, band_idx, band_hash) — the self-join and the pair dedup
+    # never carry shingle payloads; shingles are re-joined only for the
+    # (small) candidate set. At scale this is the difference between
+    # shuffling ids and shuffling whole documents.
+    banded = with_sig.select("id", F.explode(band_arr).alias("b")).select(
+        "id", "b.band_idx", "b.band_hash"
     )
     left = banded.alias("l")
     right = banded.alias("r")
@@ -124,18 +169,34 @@ def minhash_lsh_pairs(
                 F.col("l.id") < F.col("r.id"),
             ],
         )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.shingles").alias("__sa"),
-            F.col("r.shingles").alias("__sb"),
-        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        # candidates are referenced three times below (pair list + two id
+        # fetches); without materialization, Spark recomputes the whole
+        # signature + band-join pipeline per reference. localCheckpoint cuts
+        # the lineage so that cannot happen; the pair set is tiny (output
+        # scale), so materializing it is free at any corpus size.
+        .localCheckpoint(eager=True)
     )
-    return (
-        cand.select("id_a", "id_b", jaccard(F.col("__sa"), F.col("__sb")).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    # verify: shingle sets are recomputed ONLY for candidate ids (semi-join
+    # first, shingle expression after) — never a second full-corpus pass
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .unionByName(cand.select(F.col("id_b").alias("id")))
+        .distinct()
     )
+    sub = (
+        df.join(F.broadcast(cand_ids), F.col(id_col) == cand_ids["id"], "left_semi")
+        .select(F.col(id_col).alias("id"), sh.alias("shingles"))
+    )
+    sa = sub.select(F.col("id").alias("id_a"), F.col("shingles").alias("__sa"))
+    sb = sub.select(F.col("id").alias("id_b"), F.col("shingles").alias("__sb"))
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jaccard(F.col("__sa"), F.col("__sb")).alias("jaccard"))
+    )
+    return verified.filter(F.col("jaccard") >= threshold)
 
 
 def _md5_token_hash(tok: Column) -> Column:
