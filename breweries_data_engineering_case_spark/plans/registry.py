@@ -38,6 +38,7 @@ from ..functions.text import LANG_MARKERS, fingerprint, lang_id, quality_score, 
 from ..operators.agg import grouped_count, grouping_sets_counts, regroup_sum
 from ..operators.dedup import dedup_rownum
 from ..operators.enforce import range_check
+from ..operators.asof import asof_join_backward
 from ..operators.fuzzy_dedup import (
     minhash_lsh_pairs,
     minhash_signatures,
@@ -1428,6 +1429,134 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return joined.groupBy("n_name").agg(_dsum(rev, 4, "revenue"))
+
+
+# ---------------------------------------------------------------------------
+# as-of join, percentiles, streaming, multimodal
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_asof_join",
+    """
+    WITH u AS (
+      SELECT user_id, CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS uts,
+             0 AS tag, event_id AS pid, CAST(NULL AS BIGINT) AS click_id
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS uts,
+             1 AS tag, CAST(NULL AS BIGINT) AS pid, event_id
+      FROM events WHERE event_type = 'click'
+    ),
+    w AS (
+      SELECT user_id, tag, click_id,
+             LAST_VALUE(pid IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY uts, tag, pid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_purchase_id
+      FROM u
+    )
+    SELECT click_id AS event_id, user_id, prev_purchase_id
+    FROM w WHERE tag = 1
+    """,
+)
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click gets the user's latest at-or-before purchase.
+    Union + running last_value — ONE shuffle on the key, same cost as an
+    equi-join (operators/asof.py); the oracle is the identical rewrite
+    (DuckDB's native ASOF JOIN leaves ties unspecified, so the explicit
+    form is used on both sides)."""
+    e = table_scan(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    return asof_join_backward(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload="purchase_id",
+        left_cols=["event_id"],
+        payload_out="prev_purchase_id",
+    ).select("event_id", "user_id", "prev_purchase_id")
+
+
+@register(
+    "order_price_percentiles",
+    """
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           quantile_cont(o_totalprice, 0.99) AS p99
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (PERCENTILE_CONT semantics): sort-based
+    exact aggregate; interpolation between exactly-stored doubles is
+    deterministic cross-engine. The approximate scale path is
+    approx_percentile (sketch-based, rows-only like approx_distinct)."""
+    o = table_scan(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.5).alias("p50"),
+        F.percentile("o_totalprice", 0.9).alias("p90"),
+        F.percentile("o_totalprice", 0.99).alias("p99"),
+    )
+
+
+@register(
+    "streaming_tumbling_window",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS event_cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling aggregation executed through Structured Streaming
+    (readStream → window agg → complete-mode memory sink, AvailableNow) and
+    checked against the SAME batch oracle — proving the streaming path
+    computes identical results. Events are re-landed once per sf_dir as
+    µs-timestamp parquet (streaming scans reject the raw ns files)."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    staging = Path(tempfile.gettempdir()) / "bdec_stream_events" / key
+    if not (staging / "_SUCCESS").exists():
+        table_scan(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(
+            str(staging)
+        )
+    from ..streaming.events import stream_events
+
+    stream = stream_events(spark, str(staging))
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("event_cnt"), _dsum(F.col("value"), 4, "value_sum"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "event_cnt", "value_sum"
+        )
+    )
+    qname = f"bdec_stream_tumble_{key}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
+@register("multimodal_feature_extract")  # synthetic binary assets → rows-only
+def q_multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary multimodal
+    payloads (deterministic fake codec; real codec is a drop-in). Exercises
+    the schema contract + batch plumbing end-to-end."""
+    from ..operators.multimodal import extract_features, synthetic_assets
+
+    return extract_features(synthetic_assets(spark, n=128))
 
 
 def queries() -> dict[str, QueryFn]:

@@ -66,6 +66,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # managed-table root (bucketed tables); never the process CWD
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/bdec-spark-warehouse"),
+        )
     )
 
     if cfg.lake_root.startswith("s3a://") and cfg.s3_endpoint:
