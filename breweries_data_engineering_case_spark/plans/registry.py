@@ -48,6 +48,7 @@ from ..operators.fuzzy_dedup import (
 from ..operators.joins import broadcast_dim_join, shuffle_join
 from ..operators.similarity import cosine_topk, cosine_topk_lsh, embedding_near_dup_pairs
 from ..sources.readers import json_array_scan, table_scan
+from ..sources.writers import idempotent_date_overwrite, write_partitioned_parquet
 from .silver import clean_breweries
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1557,6 +1558,134 @@ def q_multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import extract_features, synthetic_assets
 
     return extract_features(synthetic_assets(spark, n=128))
+
+
+# ---------------------------------------------------------------------------
+# sinks + ingestion as driver-checkable queries (SURVEY §2.1 S1/S5/S6)
+# ---------------------------------------------------------------------------
+
+@register("rest_paginated_ingest")  # driver-side HTTP loop → rows-only check
+def q_rest_paginated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2 — paginated REST ingestion exercised offline: a deterministic
+    fake fetcher yields 3 pages of brewery records; pages land as bronze
+    JSON-array files (uuid-keyed) and are read back with the explicit raw
+    schema (app/tasks/extract.py:29-77, app/io/storage.py:14-30)."""
+    import shutil
+
+    from ..schemas import BREWERY_RAW_SCHEMA
+    from ..sources.rest import ingest_to_bronze
+
+    per_page = 4
+    pages = [
+        [
+            {
+                "id": str(p * per_page + i),
+                "name": f"Brewery {p * per_page + i}",
+                "brewery_type": "micro" if i % 2 == 0 else "brewpub",
+                "country": "United States",
+                "state": "California" if p % 2 == 0 else "Texas",
+                "city": f"City{p}",
+                "latitude": str(34.0 + i),
+                "longitude": str(-118.0 - i),
+            }
+            for i in range(per_page if p < 2 else 2)  # last page short → stop
+        ]
+        for p in range(3)
+    ]
+
+    def fetch(page: int):
+        return (pages[page - 1] if page <= len(pages) else []), None
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    bronze = Path(tempfile.gettempdir()) / "bdec_rest_ingest" / key
+    shutil.rmtree(bronze, ignore_errors=True)
+    ingest_to_bronze(fetch, str(bronze), "2024-06-01", per_page=per_page)
+    raw = json_array_scan(
+        spark, str(bronze / "ingestion_date=2024-06-01" / "*.json"), BREWERY_RAW_SCHEMA
+    )
+    return raw.select("id", "name", "brewery_type", "country", "state").orderBy("id")
+
+
+@register(
+    "partitioned_parquet_write",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_partitioned_parquet_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 — hive-partitioned snappy write + partition-discovering read-back
+    (app/tasks/silver.py:61-71): lineitem lands partitioned by
+    (l_returnflag, l_linestatus); the read-back recovers partition columns
+    from directories and must aggregate to exactly the source's numbers —
+    the oracle never sees the round-trip, so any loss would mismatch."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    out = Path(tempfile.gettempdir()) / "bdec_part_write" / key
+    li = table_scan(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag", "l_linestatus"
+    )
+    write_partitioned_parquet(li, str(out), ["l_returnflag", "l_linestatus"])
+    back = spark.read.parquet(str(out))
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"), _dsum(F.col("l_quantity"), 2, "qty_sum")
+    )
+
+
+@register(
+    "idempotent_date_overwrite",
+    """
+    SELECT DATE '2024-01-01' AS ingestion_date, COUNT(*) AS cnt FROM nation
+    UNION ALL
+    SELECT DATE '2024-01-02' AS ingestion_date, COUNT(*) AS cnt FROM region
+    """,
+)
+def q_idempotent_date_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 — idempotent per-date replace (app/tasks/gold.py:89-113 as dynamic
+    partition overwrite): date1 is written TWICE (second write must replace,
+    not append) plus a different date2; the read-back per-date counts only
+    match the oracle if the overwrite touched exactly its own partition."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    out = Path(tempfile.gettempdir()) / "bdec_idem_write" / key
+    nation = table_scan(spark, sf_dir, "nation")
+    region = table_scan(spark, sf_dir, "region")
+    idempotent_date_overwrite(nation, str(out), "2024-01-01")
+    idempotent_date_overwrite(nation, str(out), "2024-01-01")  # re-run, same date
+    idempotent_date_overwrite(region, str(out), "2024-01-02")
+    back = spark.read.parquet(str(out))
+    return back.groupBy("ingestion_date").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "sql_view_catalog",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+    GROUP BY l_returnflag
+    """,
+)
+def q_sql_view_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 + the SQL front door — TPC-H Q6-style revenue-forecast filter run
+    as a pure SQL string over a registered temp view
+    (createOrReplaceTempView ≈ app/tasks/silver.py:54, gold.py:36-41):
+    proving the engine's full-SQL surface, not just the DataFrame API."""
+    table_scan(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+                 AS revenue
+        FROM v_lineitem
+        WHERE l_shipdate >= TIMESTAMP_NTZ '1995-01-01'
+          AND l_shipdate < TIMESTAMP_NTZ '1996-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+        GROUP BY l_returnflag
+        """
+    )
 
 
 def queries() -> dict[str, QueryFn]:

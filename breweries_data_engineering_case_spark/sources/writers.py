@@ -34,16 +34,21 @@ def write_partitioned_parquet(
     mode: str = "overwrite",
     compression: str = "snappy",
     max_records_per_file: int | None = None,
+    dynamic_overwrite: bool = True,
 ) -> None:
     """Hive-partitioned snappy Parquet write (≈ S5).
 
-    With the session's dynamic ``partitionOverwriteMode``, ``overwrite``
-    replaces only the partitions this DataFrame contains — the semantic twin
-    of DuckDB's ``OVERWRITE_OR_IGNORE`` (app/tasks/silver.py:69).
-    ``max_records_per_file`` caps file size to keep downstream scan tasks
-    balanced (small-files vs giant-files tradeoff at scale).
+    ``dynamic_overwrite`` pins ``partitionOverwriteMode=dynamic`` as a
+    per-write option (NOT relying on session conf — an externally-created
+    session defaults to static, which silently wipes every other partition):
+    ``overwrite`` then replaces only the partitions this DataFrame contains —
+    the semantic twin of DuckDB's ``OVERWRITE_OR_IGNORE``
+    (app/tasks/silver.py:69). ``max_records_per_file`` caps file size to keep
+    downstream scan tasks balanced (small-files vs giant-files tradeoff).
     """
     w = df.write.option("compression", compression)
+    if dynamic_overwrite:
+        w = w.option("partitionOverwriteMode", "dynamic")
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", max_records_per_file)
     w.partitionBy(*partition_cols).mode(mode).parquet(path)
