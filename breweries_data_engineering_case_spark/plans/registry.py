@@ -1560,6 +1560,48 @@ def q_multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(synthetic_assets(spark, n=128))
 
 
+@register(
+    "agg_rollup",
+    """
+    SELECT COALESCE(l_returnflag, '@total') AS l_returnflag,
+           COALESCE(l_linestatus, '@total') AS l_linestatus,
+           cnt
+    FROM (SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus))
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP — hierarchical subtotals (prefix grouping sets) in one pass."""
+    li = table_scan(spark, sf_dir, "lineitem")
+    out = li.rollup("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("cnt"))
+    return out.select(
+        F.coalesce(F.col("l_returnflag"), F.lit("@total")).alias("l_returnflag"),
+        F.coalesce(F.col("l_linestatus"), F.lit("@total")).alias("l_linestatus"),
+        "cnt",
+    )
+
+
+@register(
+    "agg_cube",
+    """
+    SELECT COALESCE(o_orderstatus, '@total') AS o_orderstatus,
+           COALESCE(o_orderpriority, '@total') AS o_orderpriority,
+           cnt
+    FROM (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority))
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all 2^n grouping combinations in one pass."""
+    o = table_scan(spark, sf_dir, "orders")
+    out = o.cube("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("cnt"))
+    return out.select(
+        F.coalesce(F.col("o_orderstatus"), F.lit("@total")).alias("o_orderstatus"),
+        F.coalesce(F.col("o_orderpriority"), F.lit("@total")).alias("o_orderpriority"),
+        "cnt",
+    )
+
+
 # ---------------------------------------------------------------------------
 # sinks + ingestion as driver-checkable queries (SURVEY §2.1 S1/S5/S6)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,47 @@
+"""Scale-mechanics proofs: salted skew joins stay correct, partition pruning
+actually prunes, broadcast hints actually broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from breweries_data_engineering_case_spark.operators.joins import (
+    broadcast_dim_join,
+    salted_join,
+)
+from breweries_data_engineering_case_spark.sources.readers import table_scan
+from breweries_data_engineering_case_spark.sources.writers import write_partitioned_parquet
+
+
+def test_salted_join_equals_plain_join(spark):
+    # heavily skewed probe: 90% of rows share one key
+    probe = spark.range(0, 2000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("v"),
+    )
+    build = spark.createDataFrame([(k, f"dim{k}") for k in range(100)], "k long, name string")
+    plain = probe.join(build, "k").select("k", "v", "name")
+    salted = salted_join(probe, build, key="k", salt_buckets=8).select("k", "v", "name")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "li_part")
+    li = table_scan(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    write_partitioned_parquet(li, out, ["l_returnflag"])
+    back = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(l_returnflag" in plan, plan
+    # correctness: pruned read equals row filter on original
+    assert back.count() == li.filter(F.col("l_returnflag") == "R").count()
+
+
+def test_broadcast_hint_materializes(spark, sf_dir):
+    c = table_scan(spark, sf_dir, "customer")
+    n = table_scan(spark, sf_dir, "nation")
+    j = broadcast_dim_join(c, n, c["c_nationkey"] == n["n_nationkey"])
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
