@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import datetime as _dt
 from collections.abc import Sequence
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -77,6 +78,36 @@ def idempotent_date_overwrite(
 def read_back(spark: SparkSession, path: str) -> DataFrame:
     """Re-open a written dataset (partition columns recovered from dirs)."""
     return spark.read.parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_mb: int = 128,
+    partition_cols: Sequence[str] = (),
+) -> int:
+    """Small-files compaction: rewrite a dataset into ~target-sized files.
+
+    The small-files problem is the classic failure mode of incremental
+    pipelines (every micro-batch/run appends a few KB files; a year later the
+    scan spends longer listing+opening than reading). Rewrites with a file
+    count derived from the actual byte size; returns the file count used.
+    Partitioned datasets compact within partitions via a repartition on the
+    partition key (one shuffle, each output partition dir gets coalesced
+    files).
+    """
+    df = spark.read.parquet(path)
+    total_bytes = sum(f.stat().st_size for f in Path(path).rglob("*.parquet"))
+    n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    if partition_cols:
+        df = df.repartition(n_files, *[F.col(c) for c in partition_cols])
+        write_partitioned_parquet(df, out_path, partition_cols)
+    else:
+        df.repartition(n_files).write.mode("overwrite").option(
+            "compression", "snappy"
+        ).parquet(out_path)
+    return n_files
 
 
 def write_bucketed_table(
