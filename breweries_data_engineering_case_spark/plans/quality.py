@@ -35,6 +35,7 @@ def run_checks(
     require_nonempty: bool = True,
     positive_cols: tuple[str, ...] = (),
     not_null_cols: tuple[str, ...] = (),
+    unique_cols: tuple[str, ...] = (),
     hard_fail: bool = True,
 ) -> list[CheckResult]:
     """Evaluate all requested checks in ONE aggregation pass."""
@@ -43,6 +44,9 @@ def run_checks(
         aggs.append(F.max(F.col(c)).alias(f"__max_{c}"))
     for c in not_null_cols:
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"))
+    for c in unique_cols:
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__distinct_{c}"))
+        aggs.append(F.sum(F.col(c).isNotNull().cast("long")).alias(f"__nn_{c}"))
     row = df.agg(*aggs).collect()[0].asDict()
 
     results: list[CheckResult] = []
@@ -54,6 +58,10 @@ def run_checks(
     for c in not_null_cols:
         v = row[f"__nulls_{c}"]
         results.append(CheckResult(f"nulls({c}) == 0", v == 0, v))
+    for c in unique_cols:
+        # unique over non-null values: distinct count equals non-null count
+        d, nn = row[f"__distinct_{c}"], row[f"__nn_{c}"]
+        results.append(CheckResult(f"unique({c})", d == nn, f"{d} distinct / {nn} rows"))
 
     if hard_fail:
         failed = [r for r in results if not r.passed]

@@ -107,6 +107,35 @@ def test_date_overwrite_touches_only_its_partition(spark, tmp_path):
     assert rows == {("a", 1), ("c", 3)}
 
 
+def test_quality_uniqueness_check(spark):
+    dup = spark.createDataFrame([("a",), ("a",), ("b",)], "id string")
+    with pytest.raises(QualityError):
+        run_checks(dup, unique_cols=("id",))
+    uniq = spark.createDataFrame([("a",), ("b",), (None,)], "id string")
+    results = run_checks(uniq, unique_cols=("id",))  # NULLs don't break uniqueness
+    assert all(r.passed for r in results)
+
+
+def test_corrupt_bronze_page_does_not_poison_run(spark, tmp_path):
+    """A malformed JSON page yields an all-NULL row under the explicit read
+    schema (PERMISSIVE mode); the contract filters drop it — the run
+    continues, matching the blank-as-missing philosophy rather than failing
+    the whole date like read_json_auto would."""
+    from breweries_data_engineering_case_spark.plans.silver import clean_breweries
+    from breweries_data_engineering_case_spark.schemas import BREWERY_RAW_SCHEMA
+    from breweries_data_engineering_case_spark.sources.readers import json_array_scan
+
+    d = tmp_path / "ingestion_date=2024-01-01"
+    d.mkdir(parents=True)
+    (d / "page_1_ok.json").write_text(
+        json.dumps([{"id": "1", "name": "A", "country": "US", "state": "CA"}])
+    )
+    (d / "page_2_corrupt.json").write_text('{"id": "2", "name": "B", truncated...')
+    raw = json_array_scan(spark, str(tmp_path / "*" / "*.json"), BREWERY_RAW_SCHEMA)
+    out = clean_breweries(raw).collect()
+    assert {r.id for r in out} == {"1"}
+
+
 def test_quality_checks_fail_hard(spark):
     empty = spark.createDataFrame([], "brewery_count long")
     with pytest.raises(QualityError):
