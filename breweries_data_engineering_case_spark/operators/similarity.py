@@ -18,6 +18,9 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -67,12 +70,17 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    bits_per_band: int = 8,
-    n_bands: int = 4,
+    bits_per_band: int = 4,
+    n_bands: int = 8,
     seed: int = 42,
     exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH.
+
+    Default 8 bands × 4 bits: for a neighbor at angle θ the per-band match
+    probability is (1-θ/π)^4, any-band recall 1-(1-p)^8 ≈ 0.8 at cos≈0.5.
+    Wider bands (8 bits) measured recall 0.08 on the test embeddings — too
+    selective; fewer bits per band trades candidate count for recall.
 
     Each vector gets ``n_bands`` signatures of ``bits_per_band`` sign bits;
     a (query, vector) pair is scored only if any band matches. Corpus
@@ -106,6 +114,129 @@ def cosine_topk_lsh(
     if exclude_self:
         cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
     cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+    scored = cand.select("query_id", "neighbor_id", cosine("__qvec", "__cvec").alias("score"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def _centroid_assign_udf(centroids):
+    """pandas UDF: index of the nearest centroid (L2) per embedding —
+    one numpy matmul per Arrow batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    C_norms = (C * C).sum(axis=1)
+
+    @pandas_udf("int")
+    def assign(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype="int32")
+        X = np.stack(col.to_numpy()).astype(np.float64)  # (n, dim)
+        # argmin ||x-c||^2 = argmin (c.c - 2 x.c); ties -> lowest index (np)
+        d = C_norms[None, :] - 2.0 * (X @ C.T)
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    return assign
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """K-means (Lloyd) coarse quantizer for IVF.
+
+    Deterministic init (first k vectors by id); each iteration is one
+    broadcast-assign map pass + one groupBy-mean — two jobs over the corpus,
+    no driver-side data beyond the k×dim centroid matrix.
+    """
+    init = (
+        corpus.orderBy(id_col).limit(k).select(vec_col).collect()
+    )
+    centroids = [list(map(float, r[0])) for r in init]
+    for _ in range(iters):
+        assign = _centroid_assign_udf(centroids)
+        assigned = corpus.select(assign(F.col(vec_col)).alias("__c"), vec_col)
+        # mean per centroid via posexplode + avg (JVM-side), rebuilt in order
+        means = (
+            assigned.select("__c", F.posexplode(vec_col).alias("__i", "__x"))
+            .groupBy("__c", "__i")
+            .agg(F.avg("__x").alias("__m"))
+            .collect()
+        )
+        by_c: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_c.setdefault(r["__c"], {})[r["__i"]] = r["__m"]
+        dim = len(centroids[0])
+        centroids = [
+            [by_c.get(c, {}).get(i, centroids[c][i]) for i in range(dim)]
+            for c in range(len(centroids))
+        ]
+    return centroids
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus is partitioned by nearest
+    centroid (inverted lists); each query scores only its ``nprobe`` nearest
+    lists. At 100 TB the assignment column is computed once at ingest and
+    the corpus is clustered/partitioned by it on disk, so a query touches
+    nprobe/k of the data; recall is tunable via nprobe."""
+    cents = centroids or train_ivf_centroids(corpus, k=n_centroids, id_col=id_col, vec_col=vec_col)
+    assign = _centroid_assign_udf(cents)
+    c_assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"),
+        assign(F.col(vec_col)).alias("__list"),
+    )
+
+    # driver-side probe lists for the (few) queries: nprobe nearest centroids
+    C = np.asarray(cents, dtype=np.float64)
+    C_norms = (C * C).sum(axis=1)
+    q_rows = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")).collect()
+    probe_rows = []
+    for r in q_rows:
+        x = np.asarray(r["__qvec"], dtype=np.float64)
+        d = C_norms - 2.0 * (C @ x)
+        for c in np.argsort(d, kind="stable")[:nprobe]:
+            probe_rows.append((r["query_id"], list(map(float, r["__qvec"])), int(c)))
+    spark = corpus.sparkSession
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    probes = spark.createDataFrame(
+        probe_rows,
+        StructType(
+            [
+                StructField("query_id", LongType()),
+                StructField("__qvec", ArrayType(FloatType())),
+                StructField("__list", IntegerType()),
+            ]
+        ),
+    )
+    cand = c_assigned.join(F.broadcast(probes), on="__list")
+    if exclude_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
     scored = cand.select("query_id", "neighbor_id", cosine("__qvec", "__cvec").alias("score"))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (

@@ -46,7 +46,12 @@ from ..operators.fuzzy_dedup import (
     simhash,
 )
 from ..operators.joins import broadcast_dim_join, shuffle_join
-from ..operators.similarity import cosine_topk, cosine_topk_lsh, embedding_near_dup_pairs
+from ..operators.similarity import (
+    cosine_topk,
+    cosine_topk_ivf,
+    cosine_topk_lsh,
+    embedding_near_dup_pairs,
+)
 from ..sources.readers import json_array_scan, table_scan
 from ..sources.writers import idempotent_date_overwrite, write_partitioned_parquet
 from .silver import clean_breweries
@@ -801,6 +806,16 @@ def q_ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table_scan(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
     return cosine_topk_lsh(emb, queries_df, k=10)
+
+
+@register("ann_cosine_topk_ivf")  # approximate (nprobe<k lists) → rows-only
+def q_ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: k-means coarse quantizer (deterministic init, 3
+    Lloyd iterations), corpus probed only in the query's 4 nearest of 16
+    inverted lists. Recall vs exact asserted in unit tests."""
+    emb = table_scan(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk_ivf(emb, queries_df, k=10, n_centroids=16, nprobe=4)
 
 
 @register("embedding_near_dup")  # LSH candidate generation → rows-only check
