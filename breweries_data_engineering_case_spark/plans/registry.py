@@ -1864,6 +1864,58 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_json_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    """,
+)
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar JSON extraction from a string column (get_json_object) — the
+    semi-structured accessor the reference's read_json_auto scan cannot
+    provide post-load."""
+    e = table_scan(spark, sf_dir, "events")
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("bigint").alias("k_value")
+    )
+
+
+@register(
+    "explode_unnest",
+    """
+    SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\\s+')) AS token
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def q_explode_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array explode (UNNEST): one output row per token — the lateral
+    fan-out primitive under every shingle/band pipeline here."""
+    d = table_scan(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+
+
+@register(
+    "null_safe_equality",
+    """
+    SELECT c_custkey,
+           (NULLIF(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM NULLIF(c_mktsegment, 'AUTOMOBILE'))
+             AS segs_match
+    FROM customer
+    """,
+)
+def q_null_safe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (<=> / IS NOT DISTINCT FROM): NULL<=>NULL is TRUE,
+    NULL<=>x is FALSE — three-valued-logic-free comparison."""
+    c = table_scan(spark, sf_dir, "customer")
+    a = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    b = F.nullif(F.col("c_mktsegment"), F.lit("AUTOMOBILE"))
+    return c.select("c_custkey", a.eqNullSafe(b).alias("segs_match"))
+
+
+@register(
     "multi_distinct_agg",
     """
     SELECT o_orderstatus,
