@@ -1565,6 +1565,63 @@ def q_streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname)
 
 
+@register(
+    "grouped_zscore",
+    """
+    WITH stats AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value * value AS DECIMAL(24,8))) AS DOUBLE) AS s2,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type,
+           (value - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)) AS zscore
+    FROM events e JOIN stats USING (event_type)
+    """,
+)
+def q_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score normalization as pure expressions: exact decimal
+    moment sums (deterministic) broadcast back over the rows — the
+    built-in-first way to write what applyInPandas is often (wastefully)
+    used for; the pandas twin is grouped_zscore_pandas."""
+    e = table_scan(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(24,8)")).cast("double")
+        .alias("s2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    joined = e.join(F.broadcast(stats), "event_type")
+    mean = F.col("s1") / F.col("n")
+    std = F.sqrt(F.col("s2") / F.col("n") - mean * mean)
+    return joined.select(
+        "event_id", "event_type", ((F.col("value") - mean) / std).alias("zscore")
+    )
+
+
+@register("grouped_zscore_pandas")  # numpy accumulation order → rows-only
+def q_grouped_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same normalization as a grouped-map applyInPandas — the pattern
+    for per-group logic that genuinely needs imperative pandas/numpy (model
+    scoring, per-group fitting). Each group arrives as one Arrow-backed
+    pandas DataFrame. Float accumulation order is numpy's ⇒ rows-only."""
+    import pandas as pd
+
+    e = table_scan(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf["value"].std(ddof=0)
+        z = (pdf["value"] - pdf["value"].mean()) / (std if std else 1.0)
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "event_type": pdf["event_type"], "zscore": z}
+        )
+
+    return e.groupBy("event_type").applyInPandas(
+        norm, schema="event_id long, event_type string, zscore double"
+    )
+
+
 @register("multimodal_feature_extract")  # synthetic binary assets → rows-only
 def q_multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary multimodal
