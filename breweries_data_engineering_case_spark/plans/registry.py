@@ -1622,6 +1622,53 @@ def q_grouped_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_pii_scrub",
+    """
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                            '<EMAIL>', 'g'),
+             '\\+?\\d[\\d() -]{7,}\\d', '<PHONE>', 'g') AS scrubbed
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass (emails, phone-like digit runs → placeholders) —
+    the standard pre-training redaction map pass; pure JVM regex."""
+    d = table_scan(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+?\d[\d() -]{7,}\d"
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), email, "<EMAIL>"), phone, "<PHONE>"
+        ).alias("scrubbed"),
+    )
+
+
+@register(
+    "vocab_term_freq",
+    """
+    SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+    FROM (SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\\s+')) AS token
+          FROM documents)
+    GROUP BY token
+    """,
+)
+def q_vocab_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with term and document frequencies — the explode →
+    two-level aggregate behind tokenizer training / tf-idf; partial
+    aggregation collapses the token fan-out before the shuffle."""
+    d = table_scan(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    return toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df")
+    )
+
+
 @register("multimodal_feature_extract")  # synthetic binary assets → rows-only
 def q_multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary multimodal
