@@ -1669,6 +1669,68 @@ def q_vocab_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_levenshtein_pairs",
+    """
+    WITH s AS (SELECT doc_id, text FROM documents WHERE doc_id < 30)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.text, b.text) AS INT) AS edit_distance
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    """,
+)
+def q_doc_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity join on a bounded subset — the exact-verify
+    primitive for fuzzy text matching (parity with DuckDB is exact; the
+    scale path prunes candidates via LSH first, as in doc_dedup_minhash_lsh)."""
+    d = table_scan(spark, sf_dir, "documents").filter(F.col("doc_id") < 30).select(
+        "doc_id", "text"
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    return a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.levenshtein(F.col("a.text"), F.col("b.text")).cast("int").alias("edit_distance"),
+    )
+
+
+@register(
+    "window_ntile_quartiles",
+    """
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS price_quartile
+    FROM orders
+    """,
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing over a deterministic total order (global sort window —
+    single-partition by construction; at scale, bucket within groups or use
+    approx quantile cutoffs instead)."""
+    o = table_scan(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey", F.ntile(4).over(w).cast("int").alias("price_quartile")
+    )
+
+
+@register(
+    "unpivot_measures",
+    """
+    SELECT o_orderkey, 'o_totalprice' AS measure, CAST(o_totalprice AS DOUBLE) AS value
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'o_custkey', CAST(o_custkey AS DOUBLE) FROM orders
+    """,
+)
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) wide measures to long form — the inverse of pivot;
+    values coerce to the common double type."""
+    o = table_scan(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_custkey"
+    )
+    return o.unpivot("o_orderkey", ["o_totalprice", "o_custkey"], "measure", "value")
+
+
 @register("multimodal_feature_extract")  # synthetic binary assets → rows-only
 def q_multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary multimodal
