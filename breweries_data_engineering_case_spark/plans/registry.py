@@ -840,6 +840,24 @@ def q_doc_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(d, threshold=0.7)
 
 
+@register("doc_dedup_keep_list")  # minhash-derived edges → rows-only check
+def q_doc_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END dedup decision: MinHash-LSH verified pairs → connected
+    components (duplicates are transitive) → one canonical survivor per
+    cluster. Returns only the dropped docs + their surviving representative
+    (empty ⇒ corpus is already unique at the 0.7 Jaccard level)."""
+    from ..operators.components import keep_one_per_cluster
+
+    d = table_scan(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, threshold=0.7)
+    decisions = keep_one_per_cluster(d.select("doc_id"), pairs)
+    return (
+        decisions.filter(~F.col("is_kept"))
+        .select(F.col("doc_id").alias("dropped_doc_id"), F.col("component").alias("kept_doc_id"))
+        .orderBy("dropped_doc_id")
+    )
+
+
 @register("doc_minhash_signature")  # xxhash64-based → rows-only driver check
 def q_doc_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document MinHash signature head (first 4 of 64 hashes) — exercises
