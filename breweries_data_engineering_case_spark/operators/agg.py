@@ -61,6 +61,7 @@ def grouping_sets_counts(
     sets: Sequence[Sequence[str]],
     count_name: str = "cnt",
     blank_fill: str | None = None,
+    level_col: str | None = None,
 ) -> DataFrame:
     """All granularities in one pass via GROUPING SETS.
 
@@ -69,6 +70,11 @@ def grouping_sets_counts(
     (small) output partitions. ``blank_fill`` maps the NULLs that grouping
     sets introduce for non-grouped dims (and any real NULL dim values) to a
     sentinel, matching gold.py:78-80.
+
+    ``level_col`` additionally emits ``grouping_id()`` (bit i set ⇔ dim i is
+    NOT grouped in the row's set, first dim = MSB), so a subtotal row is
+    distinguishable from a genuine group whose dim values are NULL — the
+    ambiguity ``blank_fill`` alone would introduce in a mixed-level output.
     """
     all_dims: list[str] = []
     for s in sets:
@@ -76,12 +82,14 @@ def grouping_sets_counts(
             if d not in all_dims:
                 all_dims.append(d)
     gsets = [[F.col(d) for d in s] for s in sets]
-    out = df.groupingSets(gsets, *[F.col(d) for d in all_dims]).agg(
-        F.count(F.lit(1)).alias(count_name)
-    )
+    aggs = [F.count(F.lit(1)).alias(count_name)]
+    if level_col is not None:
+        aggs.append(F.grouping_id().alias(level_col))
+    out = df.groupingSets(gsets, *[F.col(d) for d in all_dims]).agg(*aggs)
     if blank_fill is not None:
         out = out.select(
             *[F.coalesce(F.col(d), F.lit(blank_fill)).alias(d) for d in all_dims],
             F.col(count_name),
+            *([F.col(level_col)] if level_col is not None else []),
         )
     return out

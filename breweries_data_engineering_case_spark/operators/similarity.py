@@ -215,21 +215,17 @@ def cosine_topk_ivf(
         for c in np.argsort(d, kind="stable")[:nprobe]:
             probe_rows.append((r["query_id"], list(map(float, r["__qvec"])), int(c)))
     spark = corpus.sparkSession
-    from pyspark.sql.types import (
-        ArrayType,
-        FloatType,
-        IntegerType,
-        LongType,
-        StructField,
-        StructType,
-    )
+    from pyspark.sql.types import IntegerType, StructField, StructType
 
+    # probe schema mirrors the callers' actual id/vector types (string ids,
+    # double embeddings, ... all work) instead of hardcoding long/float
+    q_schema = {f.name: f.dataType for f in queries.schema.fields}
     probes = spark.createDataFrame(
         probe_rows,
         StructType(
             [
-                StructField("query_id", LongType()),
-                StructField("__qvec", ArrayType(FloatType())),
+                StructField("query_id", q_schema[id_col]),
+                StructField("__qvec", q_schema[vec_col]),
                 StructField("__list", IntegerType()),
             ]
         ),

@@ -46,3 +46,70 @@ def test_ivf_and_lsh_recall(spark, sf_dir):
     # every returned neighbor must be a real scored vector (no phantom ids)
     all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
     assert all(n in all_ids for s in ivf.values() for n in s)
+
+
+def test_embedding_near_dup_planted_pairs(spark):
+    """LSH near-dup must find planted near-duplicates at the production
+    threshold (0.9): each planted pair is a vector plus a tiny perturbation
+    of it (cosine >= 0.99), buried in 200 random vectors."""
+    import random
+
+    from breweries_data_engineering_case_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    rng = random.Random(123)
+    dim = 64
+    rows = []
+    for i in range(200):
+        rows.append((i, [rng.gauss(0.0, 1.0) for _ in range(dim)]))
+    planted = []
+    for j in range(10):
+        base_id = j * 17
+        base = rows[base_id][1]
+        dup = [x + rng.gauss(0.0, 0.02) for x in base]
+        dup_id = 1000 + j
+        rows.append((dup_id, dup))
+        planted.append((base_id, dup_id))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(emb, threshold=0.9).collect()
+    }
+    found = sum(1 for p in planted if p in got)
+    # 8 bands x 7 bits at cosine ~0.99 -> per-band match ~0.67, any-band ~1.0
+    assert found >= 9, f"found only {found}/10 planted near-dup pairs: {got}"
+    # precision 1.0 by construction: every returned pair is exactly verified
+    # and random 64-dim pairs essentially never reach cosine 0.9
+    extras = got - set(planted)
+    assert not extras, f"false positives: {extras}"
+
+
+def test_embedding_near_dup_recall_vs_exact(spark, sf_dir):
+    """On the real (dup-free) test corpus at threshold 0.4 the LSH path must
+    recover most of the exact all-pairs result; precision is 1.0 because
+    candidates are exactly re-scored."""
+    from breweries_data_engineering_case_spark.functions.vectors import cosine
+    from breweries_data_engineering_case_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = table_scan(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))
+    exact = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine("__va", "__vb").alias("score"))
+        .filter(F.col("score") >= 0.4)
+        .collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(emb, threshold=0.4, bits_per_band=4).collect()
+    }
+    assert approx <= exact, f"false positives: {approx - exact}"
+    if exact:
+        recall = len(approx & exact) / len(exact)
+        assert recall >= 0.5, f"near-dup recall {recall:.2f}"
