@@ -2168,6 +2168,444 @@ def q_multi_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round 2: subquery-shaped TPC-H surface, range join, rank windows, CSV,
+# watermarked streaming dedup
+# ---------------------------------------------------------------------------
+# The testdata is reduced TPC-H (no partsupp; lineitem lacks shipmode/
+# commitdate; customer lacks phone) — the shapes below keep each query's
+# defining structure (correlated scalar subquery, IN-over-HAVING, disjunctive
+# pushdown, scalar-subquery + anti join) with filters adapted to the columns
+# that exist.
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-filter-aggregate — the canary for predicate
+    pushdown (all four predicates reach the parquet scan) and column pruning
+    (only 4 of 11 columns read)."""
+    li = table_scan(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(_dsum(F.col("l_extendedprice") * F.col("l_discount"), 4, "revenue"))
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             EXTRACT(year FROM l_shipdate) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): a 5-way join where the two nation legs
+    are broadcast and the disjunctive nation-pair predicate is applied AFTER
+    both joins (it references both sides). lineitem⋈orders is the only
+    shuffle pair; supplier/customer/nation ride broadcasts at this shape."""
+    li = table_scan(spark, sf_dir, "lineitem")
+    o = table_scan(spark, sf_dir, "orders")
+    c = table_scan(spark, sf_dir, "customer")
+    s = table_scan(spark, sf_dir, "supplier")
+    n1 = table_scan(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table_scan(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate").cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")),
+                4,
+                "revenue",
+            )
+        )
+    )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order distribution): left join with a residual
+    filter ON THE JOIN (not a WHERE — customers with only urgent orders must
+    still appear with count 0), then a re-aggregation of the counts."""
+    c = table_scan(spark, sf_dir, "customer")
+    o = table_scan(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    """
+    WITH thresh AS (
+      SELECT l_partkey,
+             0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                    / COUNT(*)) AS qty_limit
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+           AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN thresh USING (l_partkey)
+    WHERE p_brand = 'Brand#23' AND l_quantity < qty_limit
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): the correlated scalar
+    subquery `l_quantity < 0.2*avg(l_quantity per part)` decorrelated into a
+    per-part aggregate joined back — the plan Catalyst produces for the
+    subquery form, written explicitly. The threshold uses the decimal-sum /
+    count formulation so Spark and the oracle compute the identical double
+    (a naive AVG(double) differs in summation order across engines and can
+    flip the `<` at the boundary)."""
+    li = table_scan(spark, sf_dir, "lineitem")
+    thresh = li.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("qty_limit")
+    )
+    p = table_scan(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(thresh, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double") / 7.0)
+            .alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 200
+      )
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume orders): IN over a HAVING subquery becomes a
+    left-semi join against the aggregated key set; the decimal sum keeps the
+    `> 200` cut exact in both engines."""
+    li = table_scan(spark, sf_dir, "lineitem")
+    o = table_scan(spark, sf_dir, "orders")
+    c = table_scan(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("s"))
+        .filter(F.col("s") > 200)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"], "left_semi")
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == li["l_orderkey"])
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(_dsum(F.col("l_quantity"), 4, "total_qty"))
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_pushdown",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, disjunctive predicates): the classic
+    OR-of-ANDs. Catalyst extracts the common single-side conjuncts — the
+    l_quantity range [1,30] and p_size range [1,15] are pushed below the
+    join as scan filters; the cross-side residual stays on the join."""
+    li = table_scan(spark, sf_dir, "lineitem")
+    p = table_scan(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")),
+                4,
+                "revenue",
+            )
+        )
+    )
+
+
+@register(
+    "tpch_q22_dormant_customers",
+    """
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+             AS a
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > a
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): scalar subquery (average
+    positive balance) broadcast to every row + NOT EXISTS anti join. The
+    scalar reaches the executors as a broadcast single-row cross join — no
+    collect, no second action. Dormancy = no urgent orders (every customer
+    in the testdata has SOME order, which would make the literal Q22
+    predicate vacuous)."""
+    c = table_scan(spark, sf_dir, "customer")
+    o = (
+        table_scan(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("a")
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dsum(F.col("c_acctbal"), 4, "totacctbal"),
+        )
+    )
+
+
+@register(
+    "range_join_value_bands",
+    """
+    SELECT band_name, COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+    FROM events
+    JOIN (VALUES ('p00_10', 0.0, 10.0), ('p10_50', 10.0, 50.0),
+                 ('p50_200', 50.0, 200.0), ('p200_inf', 200.0, 1e308))
+         AS bands(band_name, lo, hi)
+      ON value >= lo AND value < hi
+    GROUP BY band_name
+    """,
+)
+def q_range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: fact value ∈ [lo, hi) against a tiny band
+    dimension. A non-equi join has no hash key, so Spark plans
+    BroadcastNestedLoopJoin — correct and cheap ONLY because the build side
+    is 4 rows; the general scale path for big-×-big range joins is binning
+    both sides to an equi key first (see events_asof_join)."""
+    e = table_scan(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [
+            ("p00_10", 0.0, 10.0),
+            ("p10_50", 10.0, 50.0),
+            ("p50_200", 50.0, 200.0),
+            ("p200_inf", 200.0, 1e308),
+        ],
+        "band_name string, lo double, hi double",
+    )
+    return (
+        e.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("band_name")
+        .agg(F.count(F.lit(1)).alias("cnt"), _dsum(F.col("value"), 4, "value_sum"))
+    )
+
+
+@register(
+    "window_rank_distribution",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           percent_rank() OVER w AS pr,
+           cume_dist()    OVER w AS cd,
+           first_value(o_totalprice) OVER w AS cheapest
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank / cume_dist) plus
+    first_value over the same window spec — one sort per partition serves
+    all three. The ORDER BY includes the unique o_orderkey so rank-based
+    results are deterministic under o_totalprice ties."""
+    o = table_scan(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.first("o_totalprice").over(w).alias("cheapest"),
+    )
+
+
+@register("csv_scan", "SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def q_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source with an explicit schema (no inference pass — schema
+    inference reads the data twice and is banned at 100 TB), header on,
+    PERMISSIVE mode. The nation table is landed as CSV once per sf_dir so
+    the oracle can check the round-trip against the parquet original."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    staging = Path(tempfile.gettempdir()) / "bdec_csv_nation" / key
+    if not (staging / "_SUCCESS").exists():
+        table_scan(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        ).write.mode("overwrite").option("header", True).csv(str(staging))
+    return (
+        spark.read.schema("n_nationkey bigint, n_name string, n_regionkey bigint")
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .csv(str(staging))
+    )
+
+
+@register(
+    "streaming_dedup_watermark",
+    """
+    SELECT DISTINCT event_id, event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM events
+    """,
+)
+def q_streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with bounded state: readStream over the staged events
+    plus a planted exact-duplicate file, watermark on ts,
+    ``dropDuplicatesWithinWatermark`` on event_id — state for a key is
+    dropped once the watermark passes it, so memory is bounded by the
+    watermark horizon instead of growing with the whole stream (the scale
+    fix over plain ``dropDuplicates``). Duplicates are full-row copies, so
+    the surviving row is well-defined and the batch oracle is DISTINCT."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    staging = Path(tempfile.gettempdir()) / "bdec_stream_dedup" / key
+    if not (staging / "_DONE").exists():
+        ev = table_scan(spark, sf_dir, "events")
+        ev.repartition(4).write.mode("overwrite").parquet(str(staging))
+        # plant exact duplicates: every 100th event re-delivered
+        ev.filter(F.col("event_id") % 100 == 0).write.mode("append").parquet(
+            str(staging)
+        )
+        (staging / "_DONE").touch()
+    from ..streaming.events import stream_events, streaming_dedup
+
+    stream = stream_events(spark, str(staging))
+    deduped = streaming_dedup(stream, ["event_id"], watermark="1 hour").select(
+        "event_id", "event_type", "value"
+    )
+    qname = f"bdec_stream_dedup_{key}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
+# ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
 # The driver correctness-checks the FIRST 50 registry entries per round
@@ -2218,6 +2656,18 @@ _WINDOW_PRIORITY: list[str] = [
     "events_json_extract",
     "explode_unnest",
     "null_safe_equality",
+    # new this round
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q13_customer_distribution",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_pushdown",
+    "tpch_q22_dormant_customers",
+    "range_join_value_bands",
+    "window_rank_distribution",
+    "csv_scan",
+    "streaming_dedup_watermark",
 ]
 
 
