@@ -270,6 +270,76 @@ def simhash(
     return df.select(F.col(id_col).alias("id"), packed.alias("simhash"))
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming) — pairs whose SimHash Hamming distance is
+    ≤ ``max_hamming``, via banded LSH + exact verify.
+
+    Pigeonhole guarantee: ``max_hamming < bands`` means any qualifying pair
+    differs in fewer bits than there are bands, so at least one band is
+    untouched and the pair collides there — **recall is exactly 1.0**, the
+    output is bit-identical to the exact all-pairs result, and the operator
+    is fully oracle-checkable (unlike probabilistic MinHash-LSH).
+
+    Scale shape: the self-join carries only (id, simhash, band_idx,
+    band_val) — the simhash rides along so verification needs no re-join
+    with the corpus. Cost model: band values have ``2^(bits/bands)``
+    distinct values, so candidate volume is ~N²·bands/2^(bits/bands); with
+    32/4 that divisor is 256 — fine up to ~10⁶ docs per partition-able
+    corpus slice. At 100 TB use ``bits=64, bands=8`` (16-bit bands → 65 536
+    buckets) — same code path, same guarantee for hamming ≤ 7."""
+    assert max_hamming < bands, "pigeonhole guarantee requires max_hamming < bands"
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    sh = simhash(df, id_col, text_col, bits)
+    banded = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright("simhash", i * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "simhash", "b.band_idx", "b.band_val")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.simhash").alias("__sa"),
+            F.col("r.simhash").alias("__sb"),
+        )
+        .distinct()  # a pair may collide in several bands
+    )
+    hamming = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -44,6 +44,7 @@ from ..operators.fuzzy_dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
+    simhash_near_dup_pairs,
 )
 from ..operators.joins import broadcast_dim_join, shuffle_join
 from ..operators.similarity import (
@@ -2605,6 +2606,87 @@ def q_streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname)
 
 
+_SIMHASH_CTE = """
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(UNNEST(string_split_regex(TRIM(text), '\\s+'))), 1, 15)) AS BIGINT) AS h
+      FROM documents
+    ),
+    votes AS (
+      SELECT doc_id, {vote_exprs}
+      FROM tok GROUP BY doc_id
+    ),
+    sh AS (SELECT doc_id, {pack_expr} AS simhash FROM votes)
+""".replace(
+    "{vote_exprs}",
+    ", ".join(f"SUM(((h >> {i}) & 1) * 2 - 1) AS v{i}" for i in range(32)),
+).replace(
+    "{pack_expr}",
+    " + ".join(f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32)),
+)
+
+
+@register(
+    "doc_simhash_near_dup",
+    _SIMHASH_CTE
+    + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sh a, sh b
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def q_doc_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs (Hamming ≤ 3) via banded LSH self-join
+    + exact verify. max_hamming < bands gives recall exactly 1.0 by
+    pigeonhole, so the LSH path is checked bit-for-bit against the oracle's
+    exact all-pairs form — the only fuzzy-dedup operator in the family whose
+    approximation is provably lossless."""
+    d = table_scan(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(d, bits=32, bands=4, max_hamming=3).select(
+        F.col("id_a"), F.col("id_b"), F.col("hamming")
+    )
+
+
+@register(
+    "join_salted_skew",
+    """
+    WITH stats AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+             AS mean_v
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, COUNT(*) AS cnt_above
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE e.value > s.mean_v
+    GROUP BY e.event_type
+    """,
+)
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join checked against the plain-join oracle: event_type
+    has 5 values over 10⁴+ rows — the pathological low-cardinality key where
+    every row of a key lands on one reducer. salted_join spreads each key
+    over 16 (key, salt) buckets by replicating the 5-row build side; the
+    oracle proves salting changes the partitioning, never the result."""
+    from ..operators.joins import salted_join
+
+    e = table_scan(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_v")
+    )
+    return (
+        salted_join(e, stats, "event_type", salt_buckets=16)
+        .filter(F.col("value") > F.col("mean_v"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt_above"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
@@ -2626,8 +2708,10 @@ _WINDOW_PRIORITY: list[str] = [
     "embedding_near_dup",
     "embedding_near_dup_exact",
     "doc_dedup_minhash_lsh",
-    "doc_dedup_keep_list",
-    "doc_minhash_signature",
+    # (doc_dedup_keep_list / doc_minhash_signature changed too, but they are
+    # rows-only checks with identical row counts and already have r01 rows;
+    # their real evidence is tests/test_minhash_ground_truth.py — slots go
+    # to oracle-checked newcomers instead)
     # r01 tail (registered after the 50-entry window → no row yet)
     "tpch_q4_order_priority_check",
     "tpch_q5_local_supplier_volume",
@@ -2668,6 +2752,8 @@ _WINDOW_PRIORITY: list[str] = [
     "window_rank_distribution",
     "csv_scan",
     "streaming_dedup_watermark",
+    "doc_simhash_near_dup",
+    "join_salted_skew",
 ]
 
 

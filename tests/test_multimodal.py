@@ -13,7 +13,10 @@ from breweries_data_engineering_case_spark.operators.multimodal import (
     FEATURE_SCHEMA,
     extract_features,
     frame_sample_plan,
+    probe_codecs,
+    real_decode,
     synthetic_assets,
+    synthetic_real_assets,
 )
 
 
@@ -32,10 +35,59 @@ def test_extract_features_schema_and_values(spark):
     assert again == {k: v.feature_head for k, v in rows.items()}
 
 
-def test_real_codec_is_stubbed(spark):
+def test_real_codec_unsupported_format_fails_loudly(spark):
+    """Fake payloads (random bytes, no magic) through the real-codec path
+    must fail the task, never silently produce features."""
     assets = synthetic_assets(spark, n=4)
-    with pytest.raises(NotImplementedError):
-        extract_features(assets, require_real_codec=True)
+    with pytest.raises(Exception, match="NotImplementedError|no available codec"):
+        extract_features(assets, require_real_codec=True).collect()
+
+
+def test_probe_codecs_baseline():
+    avail = probe_codecs()
+    assert avail["wav"] and avail["pgm"] and avail["ppm"]
+    assert isinstance(avail["pil"], bool) and isinstance(avail["video"], bool)
+
+
+def test_real_codec_decodes_wav_and_pgm(spark):
+    """The real-codec path on real encoded payloads: PGM pixel stats and WAV
+    amplitude features must match closed-form expectations."""
+    assets = synthetic_real_assets(spark, n=8)
+    feats = extract_features(assets, require_real_codec=True)
+    assert feats.schema == FEATURE_SCHEMA
+    rows = {r.asset_id: r for r in feats.collect()}
+    assert len(rows) == 8
+
+    # image 0: P5 gradient, 8x6, values (x+y) % 256 -> mean known exactly
+    img0 = rows[0]
+    assert img0.feature_dim == 5  # 4 stats + 1 channel mean
+    vals = [float(v) for v in img0.feature_head.split(",")]
+    px = [((x + y) % 256) / 255.0 for y in range(6) for x in range(8)]
+    assert abs(vals[0] - sum(px) / len(px)) < 1e-3  # mean
+    assert abs(vals[2] - min(px)) < 1e-3 and abs(vals[3] - max(px)) < 1e-3
+
+    # audio 1: 440 Hz sine at amplitude 3000/32768 -> rms ~ A/sqrt(2)
+    aud1 = rows[1]
+    assert aud1.feature_dim == 5
+    dur, mean_abs, rms, peak, nch = (float(v) for v in aud1.feature_head.split(","))
+    amp = 3000 / 32768
+    assert abs(dur - 0.05) < 1e-6 and nch == 1.0
+    assert abs(rms - amp / 2**0.5) < amp * 0.05
+    assert peak <= amp * 1.01 and peak > amp * 0.9
+
+
+def test_real_decode_direct_roundtrip():
+    """real_decode on a hand-built P6 RGB image: per-channel means exact."""
+    w, h = 4, 2
+    header = f"P6\n{w} {h}\n255\n".encode()
+    # channel values: R=10, G=100, B=200 everywhere
+    px = bytes([10, 100, 200] * (w * h))
+    out = real_decode(header + px, "image")
+    assert out["dim"] == 7  # 4 stats + 3 channel means
+    vals = [float(v) for v in out["head"].split(",")]
+    assert abs(vals[4] - 10 / 255) < 1e-3
+    assert abs(vals[5] - 100 / 255) < 1e-3
+    assert abs(vals[6] - 200 / 255) < 1e-3
 
 
 def test_frame_sample_plan(spark):

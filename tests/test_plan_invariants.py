@@ -57,3 +57,53 @@ def test_no_python_udf_in_scalar_pipelines(spark, sf_dir, name):
     ArrowEvalPython nodes) — Python appears only in explicitly-pandas ops."""
     plan = _plan(spark, sf_dir, name)
     assert "EvalPython" not in plan
+
+
+def test_q6_full_pushdown_and_pruning(spark, sf_dir):
+    """Q6 is the pushdown canary: all four predicates reach the parquet scan
+    and only the 4 needed columns of 11 are read."""
+    plan = _plan(spark, sf_dir, "tpch_q6_forecast_revenue")
+    # NB: toString truncates long filter lists with '…' — assert on the head
+    pushed = plan.split("PushedFilters")[1][:400]
+    for frag in ("l_shipdate", "l_discount", "l_quantity", "GreaterThanOrEqual"):
+        assert frag in pushed
+    read = plan.split("ReadSchema")[1][:300]
+    assert "l_orderkey" not in read and "l_returnflag" not in read
+
+
+def test_q19_disjunction_pushed_to_both_scans(spark, sf_dir):
+    """The OR-of-ANDs must be pushed below the join: each side's scan gets
+    its single-side residual (Or(...) on both lineitem and part)."""
+    plan = _plan(spark, sf_dir, "tpch_q19_disjunctive_pushdown")
+    scans = plan.split("PushedFilters")
+    assert len(scans) >= 3  # two parquet scans with pushed filters
+    assert sum("Or(" in s[:500] for s in scans[1:]) >= 2
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_q18_semi_join_before_fact_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q18_large_orders")
+    assert "LeftSemi" in plan
+
+
+def test_q7_broadcasts_nation_pair_filter_pushed(spark, sf_dir):
+    """Both nation legs broadcast AND the pair disjunction is pushed into
+    both nation scans as Or(EqualTo(...)) — no post-join mega-filter scan."""
+    plan = _plan(spark, sf_dir, "tpch_q7_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("Or(EqualTo(n_name,") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_salted_join_spreads_partitions(spark, sf_dir):
+    """The salted join must group by (key, salt): its join key cardinality
+    is 5*16, not 5 — visible as __salt in the join's Exchange keys."""
+    plan = _plan(spark, sf_dir, "join_salted_skew")
+    assert "__salt" in plan
+
+
+def test_simhash_near_dup_no_cartesian(spark, sf_dir):
+    """Banded self-join must be an equi-join on (band_idx, band_val), never
+    an all-pairs product."""
+    plan = _plan(spark, sf_dir, "doc_simhash_near_dup")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
