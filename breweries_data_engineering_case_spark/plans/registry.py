@@ -2687,6 +2687,121 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_chunking",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS toks
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, toks,
+             GREATEST(CAST(CEIL((len(toks) - 16) / 48.0) AS BIGINT), 1) AS nch
+      FROM t
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           array_to_string(list_slice(toks, i*48 + 1, i*48 + 64), ' ')
+             AS chunk_text,
+           CAST(len(list_slice(toks, i*48 + 1, i*48 + 64)) AS BIGINT)
+             AS n_tokens
+    FROM k, UNNEST(range(nch)) AS u(i)
+    """,
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token windows, 16 overlap) —
+    the long-document fan-out ahead of tokenization/embedding. All JVM
+    higher-order functions over one materialized token array; explode is the
+    only row multiplier (operators/chunking.py)."""
+    from ..operators.chunking import chunk_documents
+
+    d = table_scan(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=64, overlap=16)
+
+
+@register(
+    "dataset_split_hash",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+)
+def q_dataset_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by engine-portable hash
+    bucket — stable across runs, engines, partitionings, and row order
+    (functions/hashing.py). The oracle recomputes the same assignment in
+    DuckDB, which is the point: split decisions persist beyond the job and
+    must be reproducible everywhere."""
+    from ..functions.hashing import split_assign
+
+    d = table_scan(spark, sf_dir, "documents")
+    return d.select("doc_id", split_assign("doc_id").alias("split"))
+
+
+@register(
+    "doc_filter_pipeline",
+    """
+    WITH m AS (
+      SELECT doc_id, text,
+             CASE WHEN TRIM(text) = '' THEN 0
+                  ELSE len(string_split_regex(TRIM(text), '\\s+')) END AS n_tokens,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                       / length(text) END AS alpha_ratio,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE)
+                       / length(text) END AS punct_ratio,
+             ((CASE WHEN regexp_matches(text, '(^|\\s)the(\\s|$)') THEN 1 ELSE 0 END)
+            + (CASE WHEN regexp_matches(text, '(^|\\s)and(\\s|$)') THEN 1 ELSE 0 END)
+            + (CASE WHEN regexp_matches(text, '(^|\\s)of(\\s|$)') THEN 1 ELSE 0 END)
+            + (CASE WHEN regexp_matches(text, '(^|\\s)to(\\s|$)') THEN 1 ELSE 0 END)
+            + (CASE WHEN regexp_matches(text, '(^|\\s)is(\\s|$)') THEN 1 ELSE 0 END)) AS stop_hits
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, n_tokens, stop_hits,
+             GREATEST(0.0, LEAST(1.0,
+               0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+             + 0.4 * alpha_ratio
+             + 0.2 * LEAST(CAST(stop_hits AS DOUBLE) / 3.0, 1.0)
+             - 0.2 * punct_ratio)) AS quality
+      FROM m
+    )
+    SELECT doc_id, quality, CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM q
+    WHERE quality >= 0.5 AND n_tokens BETWEEN 10 AND 5000 AND stop_hits >= 1
+    """,
+)
+def q_doc_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pre-training quality gate: length band + quality score +
+    English-marker presence in ONE predicate pass — Catalyst fuses all three
+    signals into a single projection+filter over one scan (no distinct
+    per-signal passes). The oracle replays the identical arithmetic, so the
+    0.5 boundary is bit-exact cross-engine."""
+    from ..functions.text import word_hits
+
+    d = table_scan(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        quality_score("text").alias("quality"),
+        token_count("text").alias("n_tokens"),
+        word_hits("text", LANG_MARKERS["en"]).alias("__stop_hits"),
+    )
+    return scored.filter(
+        (F.col("quality") >= 0.5)
+        & F.col("n_tokens").between(10, 5000)
+        & (F.col("__stop_hits") >= 1)
+    ).select("doc_id", "quality", "n_tokens")
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
