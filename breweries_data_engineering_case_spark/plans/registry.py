@@ -2802,6 +2802,178 @@ def q_doc_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "quality", "n_tokens")
 
 
+@register(
+    "doc_token_count_bpe",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+             AS n_subtokens
+    FROM documents
+    """,
+)
+def q_doc_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: `\\w+|[^\\w\\s]` splits words and punctuation
+    into separate tokens (the pre-tokenization regex family BPE vocabularies
+    are trained over) — the second token metric next to whitespace
+    `doc_token_count`. JVM regexp_extract_all, no UDF."""
+    d = table_scan(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0))
+        .cast("long")
+        .alias("n_subtokens"),
+    )
+
+
+@register(
+    "doc_rolling_fingerprint",
+    r"""
+    SELECT doc_id,
+           list_reduce(
+             list_transform(string_split_regex(TRIM(text), '\s+'),
+                            t -> CAST(concat('0x', substr(md5(t), 1, 15))
+                                      AS BIGINT) % 1000000007),
+             (a, b) -> (a * 1000003 + b) % 1000000007
+           ) AS fp
+    FROM documents
+    """,
+)
+def q_doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-SENSITIVE document fingerprint: polynomial rolling hash over the
+    token-hash sequence (h = h·B + t mod p). Complements the set-based md5
+    fingerprint (`doc_dedup_exact`): reordered tokens change this value but
+    not a bag-of-words hash. Engine-portable (md5 token hash, same modular
+    fold in DuckDB list_reduce), pure JVM F.aggregate."""
+    from ..functions.hashing import portable_hash64
+
+    P, B = 1_000_000_007, 1_000_003
+    d = table_scan(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    th = F.transform(toks, lambda t: F.pmod(portable_hash64(t), F.lit(P)))
+    base = d.select("doc_id", th.alias("__th"))
+    rolled = F.aggregate(
+        F.expr("slice(__th, 2, size(__th) - 1)"),
+        F.element_at("__th", 1),
+        lambda a, b: F.pmod(a * F.lit(B) + b, F.lit(P)),
+    )
+    return base.select("doc_id", rolled.alias("fp"))
+
+
+@register(
+    "tpch_q8_market_share",
+    """
+    SELECT l_year,
+           CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                              ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
+           / CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT EXTRACT(year FROM o_orderdate) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem, orders, customer, supplier,
+           nation n1, nation n2, region
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey AND n2.n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+    ) nations
+    GROUP BY l_year
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): two-level conditional aggregation —
+    numerator is a CASE-gated subset of the denominator, computed in ONE
+    grouped pass (no second scan/join for the share). Customer-side nation →
+    region filter rides broadcasts; the only shuffle is lineitem⋈orders.
+    Decimal sums make the division bit-exact cross-engine."""
+    li = table_scan(spark, sf_dir, "lineitem")
+    o = table_scan(spark, sf_dir, "orders")
+    c = table_scan(spark, sf_dir, "customer")
+    s = table_scan(spark, sf_dir, "supplier")
+    n1 = table_scan(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table_scan(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    r = table_scan(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    volume = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    gated = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_region") == F.col("r_regionkey"))
+        .withColumn("l_year", F.year("o_orderdate").cast("long"))
+        .groupBy("l_year")
+        .agg(
+            (
+                F.sum(gated.cast("decimal(18,4)")).cast("double")
+                / F.sum(volume.cast("decimal(18,4)")).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "sorted_scan_prune",
+    """
+    SELECT COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS price_sum
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+)
+def q_sorted_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout-aware scan: lineitem is landed ONCE per sf_dir
+    range-partitioned + sorted by l_shipdate, so each parquet file covers a
+    narrow, non-overlapping shipdate range and the pushed-down date predicate
+    skips whole files/row-groups via footer min/max — the layout that turns
+    a 100 TB full scan into a touched-fraction scan. The oracle runs the
+    same filter over the unsorted original: identical results, different
+    I/O. File-range disjointness is asserted in tests/test_scale_mechanics.py."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    staging = Path(tempfile.gettempdir()) / "bdec_sorted_lineitem" / key
+    if not (staging / "_SUCCESS").exists():
+        (
+            table_scan(spark, sf_dir, "lineitem")
+            .repartitionByRange(8, "l_shipdate")
+            .sortWithinPartitions("l_shipdate")
+            .write.mode("overwrite")
+            .parquet(str(staging))
+        )
+    li = spark.read.parquet(str(staging))
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        _dsum(F.col("l_extendedprice"), 4, "price_sum"),
+    )
+
+
+@register("multimodal_real_codec_extract")  # numpy/wave decode → rows-only
+def q_multimodal_real_codec_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL-codec multimodal path end-to-end through storage: a real
+    encoded asset table (PGM images + WAV audio payloads) is landed as
+    parquet once, scanned back as binary columns, and decoded with actual
+    codecs (numpy netpbm parse, stdlib wave PCM) inside Arrow-batched
+    mapInPandas. Deterministic features (fixed payloads) → rows-only check;
+    closed-form feature values asserted in tests/test_multimodal.py."""
+    from ..operators.multimodal import extract_features, synthetic_real_assets
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    staging = Path(tempfile.gettempdir()) / "bdec_real_assets" / key
+    if not (staging / "_SUCCESS").exists():
+        synthetic_real_assets(spark, n=64).write.mode("overwrite").parquet(str(staging))
+    assets = spark.read.parquet(str(staging))
+    return extract_features(assets, require_real_codec=True).orderBy("asset_id")
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

@@ -45,3 +45,40 @@ def test_broadcast_hint_materializes(spark, sf_dir):
     j = broadcast_dim_join(c, n, c["c_nationkey"] == n["n_nationkey"])
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_sorted_layout_file_ranges_disjoint(spark, sf_dir, tmp_path):
+    """repartitionByRange + sortWithinPartitions must produce parquet files
+    whose l_shipdate [min, max] ranges are (near-)disjoint — the property
+    that lets footer stats skip whole files for a date predicate. Verified
+    directly from the parquet footers, not the plan."""
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "li_sorted")
+    (
+        table_scan(spark, sf_dir, "lineitem")
+        .repartitionByRange(6, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    import glob as _glob
+
+    ranges = []
+    for f in _glob.glob(out + "/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == "l_shipdate" and col.statistics:
+                    st = col.statistics
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+        if lo is not None:
+            ranges.append((lo, hi))
+    assert len(ranges) >= 4
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        # range-partitioned: next file starts at or after the previous end
+        assert lo2 >= hi1, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
