@@ -2974,6 +2974,108 @@ def q_multimodal_real_codec_extract(spark: SparkSession, sf_dir: str) -> DataFra
     return extract_features(assets, require_real_codec=True).orderBy("asset_id")
 
 
+@register(
+    "stratified_sample_hash",
+    """
+    SELECT event_id, event_type
+    FROM events
+    WHERE event_type = 'purchase'
+       OR CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR) || ':'
+                                       || event_type), 1, 15))
+               AS BIGINT) % 10 = 0
+    """,
+)
+def q_stratified_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-rebalancing stratified sample: keep ALL of the rare class
+    ('purchase'), a deterministic 10% of everything else — selection by
+    portable hash of (id, stratum), so the sample is reproducible across
+    engines/runs/partitionings (unlike Bernoulli df.sample, whose RNG is
+    engine-internal). One scan, pure filter — no shuffle, no sort."""
+    from ..functions.hashing import portable_hash64
+
+    e = table_scan(spark, sf_dir, "events")
+    h = portable_hash64(
+        F.concat(F.col("event_id").cast("string"), F.lit(":"), F.col("event_type"))
+    )
+    return e.filter((F.col("event_type") == "purchase") | (h % 10 == 0)).select(
+        "event_id", "event_type"
+    )
+
+
+@register(
+    "events_time_rollup",
+    """
+    WITH e AS (
+      SELECT CAST(EXTRACT(year FROM ts) AS BIGINT) AS y,
+             CAST(EXTRACT(month FROM ts) AS BIGINT) AS m,
+             CAST(EXTRACT(day FROM ts) AS BIGINT) AS d,
+             value
+      FROM events
+    )
+    SELECT y, m, d, COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum,
+           CAST(GROUPING_ID(y, m, d) AS BIGINT) AS lvl
+    FROM e GROUP BY ROLLUP(y, m, d)
+    """,
+)
+def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-hierarchy rollup (the hypertable continuous-aggregate shape):
+    day → month → year → grand total in ONE grouped pass over the events
+    stream table; grouping_id disambiguates subtotal levels. At scale this
+    is the materialized-rollup feeding query — partial aggregation means
+    each executor emits at most one row per (day-bucket × level)."""
+    e = table_scan(spark, sf_dir, "events").select(
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("m"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        "value",
+    )
+    return e.rollup("y", "m", "d").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        _dsum(F.col("value"), 4, "value_sum"),
+        F.grouping_id().cast("long").alias("lvl"),
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))) AS scale
+      FROM embeddings
+    )
+    SELECT vec_id, scale,
+           list_transform(embedding,
+             x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / NULLIF(scale, 0.0))
+                       AS INTEGER)) AS q
+    FROM s
+    """,
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (per-vector absmax scaling) —
+    the 4× storage/bandwidth compression step before ANN indexing at scale.
+    The scale is materialized as a COLUMN before the per-element lambda so
+    it is computed once per vector, not once per element (the higher-order-
+    function O(n²) trap); floor keeps rounding engine-portable."""
+    emb = table_scan(spark, sf_dir, "embeddings")
+    scaled = emb.select(
+        "vec_id",
+        "embedding",
+        F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))).alias(
+            "scale"
+        ),
+    )
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(
+            x.cast("double") * F.lit(127.0) / F.nullif(F.col("scale"), F.lit(0.0))
+        ).cast("int"),
+    )
+    return scaled.select("vec_id", "scale", q.alias("q"))
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
@@ -2994,12 +3096,17 @@ _WINDOW_PRIORITY: list[str] = [
     "grouping_sets_hierarchy",
     "embedding_near_dup",
     "embedding_near_dup_exact",
-    "doc_dedup_minhash_lsh",
-    # (doc_dedup_keep_list / doc_minhash_signature changed too, but they are
-    # rows-only checks with identical row counts and already have r01 rows;
-    # their real evidence is tests/test_minhash_ground_truth.py — slots go
-    # to oracle-checked newcomers instead)
-    # r01 tail (registered after the 50-entry window → no row yet)
+    # r01 tail (registered after the 50-entry window → no row yet).
+    # Deferred to round 3 for slot budget (each has an r01 row, a pytest
+    # anchor, or is a trivial variant of an in-window query):
+    # doc_dedup_minhash_lsh / doc_dedup_keep_list / doc_minhash_signature
+    # (rows-only, tests/test_minhash_ground_truth.py), grouped_zscore_pandas
+    # (rows-only twin of oracle grouped_zscore), approx_distinct_users,
+    # multimodal_feature_extract / multimodal_real_codec_extract
+    # (tests/test_multimodal.py), agg_cube (variant of agg_rollup),
+    # math_bucketing / unpivot_measures / null_safe_equality /
+    # events_json_extract / doc_levenshtein_pairs (covered by
+    # tests/test_oracle_parity.py locally).
     "tpch_q4_order_priority_check",
     "tpch_q5_local_supplier_volume",
     "tpch_q10_returned_items",
@@ -3009,27 +3116,19 @@ _WINDOW_PRIORITY: list[str] = [
     "multi_distinct_agg",
     "string_functions",
     "date_functions",
-    "math_bucketing",
-    "approx_distinct_users",
     "part_brand_stats",
     "supplier_nation_rollup",
     "streaming_tumbling_window",
     "grouped_zscore",
-    "grouped_zscore_pandas",
     "doc_pii_scrub",
     "vocab_term_freq",
-    "doc_levenshtein_pairs",
     "window_ntile_quartiles",
-    "unpivot_measures",
-    "multimodal_feature_extract",
     "agg_rollup",
-    "agg_cube",
-    "events_json_extract",
     "explode_unnest",
-    "null_safe_equality",
-    # new this round
+    # new this round (all oracle-checked unless noted)
     "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
     "tpch_q13_customer_distribution",
     "tpch_q17_small_quantity_revenue",
     "tpch_q18_large_orders",
@@ -3041,6 +3140,15 @@ _WINDOW_PRIORITY: list[str] = [
     "streaming_dedup_watermark",
     "doc_simhash_near_dup",
     "join_salted_skew",
+    "doc_chunking",
+    "dataset_split_hash",
+    "doc_filter_pipeline",
+    "doc_token_count_bpe",
+    "doc_rolling_fingerprint",
+    "sorted_scan_prune",
+    "stratified_sample_hash",
+    "events_time_rollup",
+    "embedding_quantize_int8",
 ]
 
 
