@@ -3188,6 +3188,81 @@ def q_bucketed_join_zero_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_range_frame_avg",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+             AS sum_1h,
+           COUNT(*) OVER w AS cnt_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_events_range_frame_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (trailing 1-hour per-user aggregate) — a VALUE
+    range over event time, not a row count: every event aggregates all of
+    the same user's events within the preceding hour, however many there
+    are. Spark expresses time ranges as rangeBetween over epoch seconds
+    (one sort per user partition serves both aggregates). Distinct surface
+    from the rows-frame `window_running_agg`."""
+    e = table_scan(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts").alias("__ts_s"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias(
+            "sum_1h"
+        ),
+        F.count(F.lit(1)).over(w).alias("cnt_1h"),
+    )
+
+
+@register(
+    "key_skew_profile",
+    """
+    WITH k AS (
+      SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT CAST(SUM(CAST(cnt AS BIGINT)) AS BIGINT) AS n,
+                   COUNT(*) AS distinct_keys FROM k)
+    SELECT k.key, k.cnt,
+           CAST(k.cnt AS DOUBLE) / tot.n AS frac,
+           tot.distinct_keys
+    FROM k, tot
+    ORDER BY k.cnt DESC, k.key
+    LIMIT 20
+    """,
+)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter skew diagnosis: per-key counts, each hitter's fraction
+    of the table, and the distinct-key count in one pass — the numbers that
+    decide between plain shuffle, AQE skew-split, and salting for a join
+    key. Top-20 via a total ordering (cnt desc, key) so ties are
+    deterministic. The totals ride a broadcast single-row cross join."""
+    o = table_scan(spark, sf_dir, "orders")
+    k = o.groupBy(F.col("o_custkey").alias("key")).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = k.agg(
+        F.sum("cnt").cast("long").alias("n"), F.count(F.lit(1)).alias("distinct_keys")
+    )
+    return (
+        k.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("n")).alias("frac"),
+            "distinct_keys",
+        )
+        .orderBy(F.desc("cnt"), "key")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
