@@ -3156,6 +3156,9 @@ def q_bucketed_join_zero_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     ot, lt = f"bdec_orders_b_{key}", f"bdec_lineitem_b_{key}"
+    # external-table locations under tmp: catalog entries are per-session,
+    # so a fresh session must be able to re-create over the leftover dir
+    base = Path(tempfile.gettempdir()) / "bdec_bucketed" / key
     if not spark.catalog.tableExists(ot):
         write_bucketed_table(
             table_scan(spark, sf_dir, "orders").select(
@@ -3165,6 +3168,7 @@ def q_bucketed_join_zero_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["o_orderkey"],
             num_buckets=16,
             sort_cols=["o_orderkey"],
+            path=str(base / "orders"),
         )
     if not spark.catalog.tableExists(lt):
         write_bucketed_table(
@@ -3175,6 +3179,7 @@ def q_bucketed_join_zero_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["l_orderkey"],
             num_buckets=16,
             sort_cols=["l_orderkey"],
+            path=str(base / "lineitem"),
         )
     o = spark.table(ot)
     li = spark.table(lt)

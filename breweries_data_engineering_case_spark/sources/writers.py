@@ -21,6 +21,7 @@ one date directory, never a table rewrite.
 from __future__ import annotations
 
 import datetime as _dt
+import shutil
 from collections.abc import Sequence
 from pathlib import Path
 
@@ -117,8 +118,9 @@ def write_bucketed_table(
     num_buckets: int = 32,
     sort_cols: Sequence[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
-    """Bucketed (hash-clustered) managed table — the co-located-join path.
+    """Bucketed (hash-clustered) table — the co-located-join path.
 
     Two tables bucketed on the same key with the same bucket count join with
     ZERO shuffle (both sides arrive pre-partitioned; with sort_cols, even the
@@ -126,8 +128,18 @@ def write_bucketed_table(
     from two full shuffles per query into none — the shuffle is paid once at
     write time. No DuckDB/reference counterpart (the reference is single-
     process); Spark-native scale feature.
+
+    ``path`` makes the table EXTERNAL at that location. Catalog entries are
+    per-session (in-memory metastore) but the location persists — so a fresh
+    session re-creating the table would hit LOCATION_ALREADY_EXISTS on the
+    leftover directory; with mode='overwrite' the stale location is removed
+    first.
     """
     w = df.write.format("parquet").bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
+    if path is not None:
+        if mode == "overwrite":
+            shutil.rmtree(path, ignore_errors=True)
+        w = w.option("path", path)
     w.mode(mode).saveAsTable(name)

@@ -111,3 +111,69 @@ def run_available_now(stream_df: DataFrame, out_path: str, checkpoint: str) -> N
         .start()
     )
     q.awaitTermination()
+
+
+def maintain_rollup_foreach_batch(
+    stream: DataFrame,
+    rollup_path: str,
+    checkpoint: str,
+    ts_col: str = "ts",
+) -> None:
+    """Incrementally-maintained daily rollup: the continuous-aggregate
+    pattern (streaming twin of registry ``events_time_rollup``'s leaf
+    level). Each micro-batch is aggregated to per-day partials, then merged
+    into the rollup snapshot with ``merge_upsert`` inside ``foreachBatch``
+    — the hook for any sink without native streaming upsert. Combining
+    per-batch partials with stored totals is exact for algebraic aggregates
+    (count/sum), so the maintained table always equals the batch rollup of
+    everything processed so far (asserted in tests/test_streaming_events.py).
+
+    Scale notes: per-batch work is one partial aggregation (narrow) + one
+    key-equi merge join against the snapshot, which at 100 TB is bucketed by
+    the rollup key so the merge is shuffle-free; state lives in the table,
+    not executor memory, so there is no watermark/state-store growth at all.
+    """
+    from ..operators.merge import merge_upsert
+
+    def upsert_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        partial = batch.groupBy(
+            F.to_date(ts_col).alias("day")
+        ).agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("value_sum"))
+        try:
+            current = spark.read.parquet(rollup_path)
+            have = True
+        except Exception:
+            have = False
+        if have:
+            merged_new = (
+                partial.alias("p")
+                .join(current.alias("c"), "day", "left_outer")
+                .select(
+                    F.col("day"),
+                    (F.col("p.cnt") + F.coalesce(F.col("c.cnt"), F.lit(0))).alias(
+                        "cnt"
+                    ),
+                    (
+                        F.col("p.value_sum")
+                        + F.coalesce(F.col("c.value_sum"), F.lit(0.0))
+                    ).alias("value_sum"),
+                    F.lit(False).alias("_deleted"),
+                )
+            )
+            out = merge_upsert(current, merged_new, key="day")
+        else:
+            out = partial
+        # rewrite the (small) snapshot atomically-enough for a demo sink;
+        # a real lake table would use a transactional format here
+        tmp = rollup_path.rstrip("/") + "__stage"
+        out.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(rollup_path)
+
+    q = (
+        stream.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -10,11 +10,19 @@ from breweries_data_engineering_case_spark.sources.readers import table_scan
 from breweries_data_engineering_case_spark.sources.writers import write_bucketed_table
 
 
-def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     orders = table_scan(spark, sf_dir, "orders")
     lineitem = table_scan(spark, sf_dir, "lineitem")
-    write_bucketed_table(orders, "b_orders", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
-    write_bucketed_table(lineitem, "b_lineitem", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    # external-table paths under tmp: a leftover cwd spark-warehouse dir from
+    # an earlier session would fail managed-table creation
+    write_bucketed_table(
+        orders, "b_orders", ["o_orderkey"], 8,
+        sort_cols=["o_orderkey"], path=str(tmp_path / "b_orders"),
+    )
+    write_bucketed_table(
+        lineitem, "b_lineitem", ["l_orderkey"], 8,
+        sort_cols=["l_orderkey"], path=str(tmp_path / "b_lineitem"),
+    )
 
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ

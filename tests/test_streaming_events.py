@@ -64,3 +64,36 @@ def test_streaming_dedup_bounded_state(spark, events_dir):
         spark.read.parquet(str(events_dir / "in")).select("user_id").distinct().count()
     )
     assert got.count() == got.select("user_id").distinct().count() == n_users
+
+
+def test_foreach_batch_rollup_matches_batch(spark, events_dir, tmp_path):
+    """The incrementally-maintained daily rollup (foreachBatch + merge per
+    micro-batch) must equal the one-shot batch rollup of the same data —
+    exactness of partial+stored combination for count/sum."""
+    from breweries_data_engineering_case_spark.streaming.events import (
+        maintain_rollup_foreach_batch,
+    )
+
+    src = str(events_dir / "in")
+    rollup = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    # force several micro-batches so the merge path actually executes
+    stream = (
+        spark.readStream.schema(stream_events(spark, src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    maintain_rollup_foreach_batch(stream, rollup, ckpt)
+
+    got = {
+        r.day: (r.cnt, round(r.value_sum, 6))
+        for r in spark.read.parquet(rollup).collect()
+    }
+    batch = spark.read.parquet(src).groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("value_sum")
+    )
+    want = {r.day: (r.cnt, round(r.value_sum, 6)) for r in batch.collect()}
+    assert got.keys() == want.keys()
+    for day in want:
+        assert got[day][0] == want[day][0], day
+        assert abs(got[day][1] - want[day][1]) < 1e-4, day
