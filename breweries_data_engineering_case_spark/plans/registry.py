@@ -3268,6 +3268,155 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "chunk_dedup_exact",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS toks
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, toks,
+             GREATEST(CAST(CEIL((len(toks) - 16) / 48.0) AS BIGINT), 1) AS nch
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id,
+             array_to_string(list_slice(toks, i*48 + 1, i*48 + 64), ' ')
+               AS chunk_text
+      FROM k, UNNEST(range(nch)) AS u(i)
+    )
+    SELECT md5(chunk_text) AS fp, COUNT(*) AS dup_cnt,
+           MIN(doc_id) AS first_doc
+    FROM c GROUP BY fp HAVING COUNT(*) > 1
+    """,
+)
+def q_chunk_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: exact dedup at CHUNK granularity — repeated
+    64-token windows across documents (headers, footers, license blocks)
+    that document-level dedup can't see. chunk fan-out → md5 hash-groupBy
+    with map-side combine; emitted fingerprints are only the duplicated
+    ones."""
+    from ..operators.chunking import chunk_documents
+
+    d = table_scan(spark, sf_dir, "documents")
+    chunks = chunk_documents(d, chunk_tokens=64, overlap=16)
+    return (
+        chunks.groupBy(F.md5("chunk_text").alias("fp"))
+        .agg(
+            F.count(F.lit(1)).alias("dup_cnt"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("dup_cnt") > 1)
+    )
+
+
+@register(
+    "benchmark_contamination",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             CAST(concat('0x', substr(md5(array_to_string(
+                    list_slice(t, i+1, i+5), ' ')), 1, 15)) AS BIGINT) AS h
+      FROM tok, UNNEST(range(GREATEST(len(t) - 4, 0))) AS u(i)
+    ),
+    bench AS (SELECT doc_id AS bench_doc_id, h FROM sh WHERE doc_id < 50),
+    corp  AS (SELECT doc_id AS corpus_doc_id, h FROM sh WHERE doc_id >= 50)
+    SELECT corpus_doc_id, bench_doc_id,
+           CAST(COUNT(DISTINCT corp.h) AS BIGINT) AS shared_5grams
+    FROM corp JOIN bench USING (h)
+    GROUP BY corpus_doc_id, bench_doc_id
+    HAVING COUNT(DISTINCT corp.h) >= 3
+    """,
+)
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination screen: corpus documents sharing ≥3 distinct 5-gram
+    shingles with any held-out benchmark document (doc_id < 50 stands in
+    for the benchmark set). Equi-join on the portable shingle hash — never
+    all-pairs; at 100 TB, cap hot shingles first (drop n-grams whose
+    document frequency exceeds a threshold — stop-phrases contaminate
+    nothing but dominate the join) and the bench side broadcasts."""
+    from ..functions.hashing import portable_hash64
+    from ..operators.fuzzy_dedup import word_shingles
+
+    d = table_scan(spark, sf_dir, "documents")
+    sh5 = word_shingles("text", 5)
+    hashed = d.select(
+        "doc_id",
+        F.explode(F.transform(sh5, lambda s: portable_hash64(s))).alias("h"),
+    ).distinct()
+    bench = hashed.filter(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("bench_doc_id"), "h"
+    )
+    corp = hashed.filter(F.col("doc_id") >= 50).select(
+        F.col("doc_id").alias("corpus_doc_id"), "h"
+    )
+    return (
+        corp.join(F.broadcast(bench), "h")
+        .groupBy("corpus_doc_id", "bench_doc_id")
+        .agg(F.countDistinct("h").alias("shared_5grams"))
+        .filter(F.col("shared_5grams") >= 3)
+    )
+
+
+@register(
+    "doc_lang_id_accuracy",
+    """
+    WITH p AS ({lang_pred})
+    SELECT d.lang, p.lang_pred, COUNT(*) AS cnt
+    FROM documents d JOIN p USING (doc_id)
+    GROUP BY d.lang, p.lang_pred
+    """.replace("{lang_pred}", _lang_sql()),
+)
+def q_doc_lang_id_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-evaluation join: the heuristic language-ID prediction against
+    the corpus's ground-truth `lang` column as a confusion matrix — the
+    accuracy-tracking query a production pipeline runs per batch. (The
+    testdata includes a `zh` class the marker heuristic cannot predict —
+    visible as zh→und/en rows.)"""
+    d = table_scan(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "lang", lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "source_quota_sample",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                                 1, 15)) AS BIGINT), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 10
+    """,
+)
+def q_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota sampling (data-mixing): up to 10 documents per
+    source, chosen by portable-hash order so the quota set is deterministic
+    and engine-reproducible — rebalancing over-represented sources is the
+    standard pre-training mixing step. One window sort per source
+    partition."""
+    from ..functions.hashing import portable_hash64
+
+    d = table_scan(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(portable_hash64("doc_id"), "doc_id")
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
