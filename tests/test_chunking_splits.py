@@ -64,3 +64,53 @@ def test_portable_hash_nonnegative(spark):
     df = spark.createDataFrame([(i,) for i in range(500)], "id long")
     mn = df.select(F.min(portable_hash64("id")).alias("m")).collect()[0].m
     assert mn >= 0
+
+
+def test_chunking_reconstruction_property(spark):
+    """Property: for ANY token count, concatenating chunk heads (first
+    `step` tokens of each chunk) plus the final chunk's tail reconstructs
+    the document exactly, and every chunk except the last has chunk_tokens
+    tokens."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(n=st.integers(min_value=1, max_value=400))
+    def check(n):
+        words = [f"t{i}" for i in range(n)]
+        df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+        rows = sorted(
+            chunk_documents(df, chunk_tokens=64, overlap=16).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+        toks = [r.chunk_text.split(" ") for r in rows]
+        for body in toks[:-1]:
+            assert len(body) == 64
+        rebuilt = [w for body in toks[:-1] for w in body[:48]] + toks[-1]
+        assert rebuilt == words
+
+    check()
+
+
+def test_rolling_fingerprint_is_order_sensitive(spark):
+    """The rolling fingerprint must distinguish permuted token orders that
+    a set/bag fingerprint cannot."""
+    from breweries_data_engineering_case_spark.plans.registry import QUERIES
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha")],
+        "doc_id long, text string",
+    )
+    # reuse the registry query's expression path via a local copy
+    from breweries_data_engineering_case_spark.functions.hashing import portable_hash64
+
+    P, B = 1_000_000_007, 1_000_003
+    toks = F.split(F.trim("text"), r"\s+")
+    th = F.transform(toks, lambda t: F.pmod(portable_hash64(t), F.lit(P)))
+    base = df.select("doc_id", th.alias("__th"))
+    rolled = F.aggregate(
+        F.expr("slice(__th, 2, size(__th) - 1)"),
+        F.element_at("__th", 1),
+        lambda a, b: F.pmod(a * F.lit(B) + b, F.lit(P)),
+    )
+    fps = {r.doc_id: r.fp for r in base.select("doc_id", rolled.alias("fp")).collect()}
+    assert fps[1] != fps[2]
