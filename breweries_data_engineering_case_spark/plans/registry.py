@@ -3417,6 +3417,57 @@ def q_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_stateful_tracker",
+    """
+    SELECT user_id, COUNT(*) AS event_cnt,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+             AS value_sum,
+           MAX(value) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_streaming_stateful_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM stateful streaming operator (applyInPandasWithState
+    per-user tracker, streaming/stateful.py) proven equal to its
+    declarative batch twin: run over the staged events with AvailableNow,
+    keep each user's LAST update-mode emission, compare against the plain
+    groupBy oracle. count/max are order-exact; the float running sum is
+    rounded to 2 decimals on both sides (accumulation-order error ~1e-10,
+    five orders below the rounding step, so the round is stable)."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    staging = Path(tempfile.gettempdir()) / "bdec_stream_events" / key
+    if not (staging / "_SUCCESS").exists():
+        table_scan(spark, sf_dir, "events").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(str(staging))
+    from ..streaming.events import stream_events
+    from ..streaming.stateful import user_activity_tracker
+
+    tracked = user_activity_tracker(stream_events(spark, str(staging)))
+    qname = f"bdec_stateful_{key}"
+    q = (
+        tracked.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emissions = spark.table(qname)
+    w = Window.partitionBy("user_id").orderBy(F.desc("event_cnt"))
+    return (
+        emissions.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "event_cnt",
+            F.round("value_sum", 2).alias("value_sum"),
+            "max_value",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
