@@ -3468,6 +3468,70 @@ def q_streaming_stateful_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_stream_stream_join",
+    """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    """,
+)
+def q_streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join — attribution (each purchase joined to the
+    same user's clicks within the preceding hour), state buffered on BOTH
+    sides. The watermark plus the event-time range condition is what lets
+    Spark evict state: a click older than watermark - 1 h can never match a
+    future purchase, so the buffers stay bounded however long the streams
+    run. AvailableNow + memory sink, checked against the batch self-join
+    oracle (ids only in the output — never raw ns timestamps)."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    staging = Path(tempfile.gettempdir()) / "bdec_stream_events" / key
+    if not (staging / "_SUCCESS").exists():
+        table_scan(spark, sf_dir, "events").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(str(staging))
+    from ..streaming.events import stream_events
+
+    purchases = (
+        stream_events(spark, str(staging))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        stream_events(spark, str(staging))
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "click_id")
+    qname = f"bdec_ss_join_{key}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
