@@ -3532,6 +3532,149 @@ def q_streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.table(qname)
 
 
+@register(
+    "dq_cross_field_check",
+    """
+    SELECT source,
+           COUNT(*) AS doc_cnt,
+           CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_chars_violations,
+           CAST(SUM(CASE WHEN lang NOT IN ('en','es','de','fr','zh') THEN 1
+                         ELSE 0 END) AS BIGINT) AS lang_domain_violations
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_dq_cross_field_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-field data-quality audit (the distributed analog of the
+    reference's declarative soda checks, soda/checks/*.yml): per-source
+    violation counts for a denormalized-field invariant (n_chars must equal
+    length(text)) and a domain constraint on lang — one grouped pass, all
+    constraints as CASE aggregates, so adding a rule never adds a scan."""
+    d = table_scan(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("doc_cnt"),
+        F.sum(
+            F.when(F.col("n_chars") != F.length("text"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_chars_violations"),
+        F.sum(
+            F.when(~F.col("lang").isin("en", "es", "de", "fr", "zh"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("lang_domain_violations"),
+    )
+
+
+@register(
+    "schema_evolution_union",
+    """
+    SELECT doc_id, source, lang, NULL AS n_chars FROM documents
+    WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, source, NULL, n_chars FROM documents
+    WHERE doc_id % 2 = 1
+    """,
+)
+def q_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two table 'versions' with different column
+    sets combined via unionByName(allowMissingColumns=True) — absent columns
+    null-fill instead of erroring, the standard pattern for reading a lake
+    table across schema versions. Oracle unions explicit NULL projections."""
+    d = table_scan(spark, sf_dir, "documents")
+    v1 = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "source", "lang")
+    v2 = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "source", "n_chars")
+    return v1.unionByName(v2, allowMissingColumns=True)
+
+
+@register(
+    "events_gap_fill",
+    """
+    WITH hourly AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, COUNT(*) AS cnt
+      FROM events GROUP BY 1
+    ),
+    bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM hourly),
+    spine AS (
+      SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+    )
+    SELECT spine.h AS hour, COALESCE(hourly.cnt, 0) AS cnt
+    FROM spine LEFT JOIN hourly ON spine.h = hourly.h
+    """,
+)
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a dense hourly spine (sequence over the
+    observed min/max, generated DISTRIBUTED via explode — never a driver
+    loop) left-joined to the hourly aggregate, empty buckets zero-filled.
+    The spine side is one row until explode, so the join broadcasts the
+    aggregate, not the fact table."""
+    e = table_scan(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    spine = (
+        hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour")
+        )
+    )
+    return (
+        spine.join(hourly, spine["hour"] == hourly["h"], "left")
+        .select("hour", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+    )
+
+
+@register(
+    "events_sessionize_by_gap",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTES
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS session_seq
+      FROM g
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           COUNT(*) AS session_events
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def q_events_sessionize_by_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization as pure window algebra: a new-session flag
+    (LAG gap > 30 min) cumulatively summed into a per-user session sequence
+    number, then aggregated per session. Same one-sort-per-user shape as
+    F.session_window but yields stable ORDINAL session ids — the form
+    downstream joins want. Tie-break includes event_id so equal timestamps
+    sessionize deterministically."""
+    e = table_scan(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.unix_timestamp("ts")
+    gap = ts_s - F.lag(ts_s).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > 30 * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    s = e.select(
+        "user_id",
+        "event_id",
+        F.sum(new_session)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("session_seq"),
+    )
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("session_events")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
