@@ -3675,6 +3675,21 @@ def q_events_sessionize_by_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("orc_scan", "SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def q_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source round-trip (columnar format #2): nation landed as ORC once
+    per sf_dir, read back with pushdown/pruning semantics identical to the
+    parquet path — the same declarative plan works across storage formats.
+    Oracle checks against the parquet original."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    staging = Path(tempfile.gettempdir()) / "bdec_orc_nation" / key
+    if not (staging / "_SUCCESS").exists():
+        table_scan(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        ).write.mode("overwrite").orc(str(staging))
+    return spark.read.orc(str(staging))
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
