@@ -3690,6 +3690,19 @@ def q_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(str(staging))
 
 
+@register("multimodal_frame_sample")  # synthetic assets → rows-only
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling work list: each video asset expands to one row
+    per frame timestamp (sequence+explode — the decode fan-out is planned
+    by Catalyst, not a driver loop). Deterministic synthetic assets →
+    rows-only; the per-asset frame counts are asserted against duration in
+    tests/test_multimodal.py."""
+    from ..operators.multimodal import frame_sample_plan, synthetic_assets
+
+    assets = synthetic_assets(spark, n=64)
+    return frame_sample_plan(assets, every_ms=1000).orderBy("asset_id", "frame_ts_ms")
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
