@@ -82,3 +82,35 @@ def test_sorted_layout_file_ranges_disjoint(spark, sf_dir, tmp_path):
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         # range-partitioned: next file starts at or after the previous end
         assert lo2 >= hi1, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+
+def test_csv_malformed_row_modes(spark, tmp_path):
+    """CSV source behavior under corruption: PERMISSIVE null-fills the bad
+    row (pipeline keeps moving, badness observable), DROPMALFORMED removes
+    it, FAILFAST raises — the three contract options for dirty feeds."""
+    p = tmp_path / "dirty.csv"
+    p.write_text("id,name,score\n1,alpha,10\nnot_an_int,beta\n3,gamma,30\n")
+    schema = "id bigint, name string, score bigint"
+
+    permissive = spark.read.schema(schema).option("header", True).csv(str(p))
+    rows = {r.id: r for r in permissive.collect()}
+    assert len(rows) == 3 and rows[None].score is None  # bad row null-filled
+
+    dropped = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "DROPMALFORMED")
+        .csv(str(p))
+    )
+    assert {r.id for r in dropped.collect()} == {1, 3}
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="FAILFAST|Malformed|BadRecord"):
+        (
+            spark.read.schema(schema)
+            .option("header", True)
+            .option("mode", "FAILFAST")
+            .csv(str(p))
+            .collect()
+        )
