@@ -3209,14 +3209,17 @@ def q_events_range_frame_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame window (trailing 1-hour per-user aggregate) — a VALUE
     range over event time, not a row count: every event aggregates all of
     the same user's events within the preceding hour, however many there
-    are. Spark expresses time ranges as rangeBetween over epoch seconds
-    (one sort per user partition serves both aggregates). Distinct surface
-    from the rows-frame `window_running_agg`."""
+    are. Spark expresses time ranges as rangeBetween over epoch MICROS —
+    whole-second epochs (unix_timestamp) truncate, so an event 3599.5 s
+    back lands inside the seconds-window but outside the oracle's exact
+    INTERVAL hour; invisible at sf0.01, caught by the sf0.1 sweep. One sort
+    per user partition serves both aggregates. Distinct surface from the
+    rows-frame `window_running_agg`."""
     e = table_scan(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts").alias("__ts_s"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return e.select(
         "event_id",
