@@ -3660,10 +3660,12 @@ def q_events_sessionize_by_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessionize deterministically."""
     e = table_scan(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ts_s = F.unix_timestamp("ts")
-    gap = ts_s - F.lag(ts_s).over(w)
+    # epoch MICROS, not seconds: the 30-min cut must use the same precision
+    # as the oracle's exact INTERVAL arithmetic (sub-second gaps exist)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = ts_us - F.lag(ts_us).over(w)
     new_session = F.when(
-        gap.isNull() | (gap > 30 * 60), F.lit(1)
+        gap.isNull() | (gap > 30 * 60 * 1_000_000), F.lit(1)
     ).otherwise(F.lit(0))
     s = e.select(
         "user_id",
