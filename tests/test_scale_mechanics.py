@@ -114,3 +114,25 @@ def test_csv_malformed_row_modes(spark, tmp_path):
             .csv(str(p))
             .collect()
         )
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    """The HLL++ sketch (rows-only in the driver) anchored to the exact
+    count: relative error must stay inside the configured rsd's ~3-sigma."""
+    from breweries_data_engineering_case_spark.plans import registry
+
+    approx = {
+        r.event_type: r.approx_users
+        for r in registry.QUERIES["approx_distinct_users"](spark, sf_dir).collect()
+    }
+    e = table_scan(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r.u
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("u"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k in exact:
+        rel = abs(approx[k] - exact[k]) / max(exact[k], 1)
+        assert rel < 0.15, f"{k}: approx {approx[k]} vs exact {exact[k]}"
