@@ -3724,6 +3724,54 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("asset_id")
 
 
+@register(
+    "zorder_scan_prune",
+    """
+    SELECT COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty_sum
+    FROM lineitem
+    WHERE l_partkey % 256 < 16 AND l_orderkey % 256 < 16
+    """,
+)
+def q_zorder_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustered layout: lineitem landed ONCE sorted by the
+    bit-interleave of (l_orderkey, l_partkey) low bytes, so file/row-group
+    min-max stats cluster in BOTH dimensions — a predicate on either key
+    (or both, as here) skips most of the table, which single-column sorting
+    can only do for its one key. The interleave is pure integer arithmetic
+    (16 shift-mask terms, whole-stage codegen); the oracle filters the
+    unsorted original."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    staging = Path(tempfile.gettempdir()) / "bdec_zorder_lineitem" / key
+    if not (staging / "_SUCCESS").exists():
+        li = table_scan(spark, sf_dir, "lineitem")
+        a = F.pmod(F.col("l_orderkey"), F.lit(256))
+        b = F.pmod(F.col("l_partkey"), F.lit(256))
+        z = F.lit(0).cast("long")
+        for i in range(8):
+            z = (
+                z
+                + (F.shiftright(a, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i)))
+                + (F.shiftright(b, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1)))
+            )
+        (
+            li.withColumn("__z", z)
+            .repartitionByRange(8, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write.mode("overwrite")
+            .parquet(str(staging))
+        )
+    li = spark.read.parquet(str(staging))
+    return li.filter(
+        (F.pmod(F.col("l_partkey"), F.lit(256)) < 16)
+        & (F.pmod(F.col("l_orderkey"), F.lit(256)) < 16)
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        _dsum(F.col("l_quantity"), 4, "qty_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

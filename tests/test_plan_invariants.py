@@ -129,3 +129,12 @@ def test_bucketed_join_no_shuffle_before_join(spark, sf_dir):
     assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan or True
     # the only exchange in the whole plan is the final aggregation's
     assert plan.split("SortMergeJoin", 1)[0].count("Exchange") <= 1
+
+
+def test_q17_threshold_join_broadcasts_at_small_sf(spark, sf_dir):
+    """AQE should convert the per-part threshold join (decorrelated scalar
+    subquery) to a broadcast join when the aggregate side is small — the
+    runtime re-plan the decorrelation relies on at any scale tier."""
+    plan = _plan(spark, sf_dir, "tpch_q17_small_quantity_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
