@@ -37,6 +37,7 @@ PANDAS_OK = {
     "grouped_zscore_pandas",  # the applyInPandas twin, by definition
     "multimodal_feature_extract",
     "multimodal_real_codec_extract",
+    "multimodal_resize",  # nearest-neighbor numpy kernel over mapInPandas
 }
 
 PANDAS_NODES = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
