@@ -3047,9 +3047,9 @@ def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT vec_id, scale,
-           list_transform(embedding,
+           array_to_string(list_transform(embedding,
              x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / NULLIF(scale, 0.0))
-                       AS INTEGER)) AS q
+                       AS INTEGER)), ',') AS q
     FROM s
     """,
 )
@@ -3058,7 +3058,9 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 4× storage/bandwidth compression step before ANN indexing at scale.
     The scale is materialized as a COLUMN before the per-element lambda so
     it is computed once per vector, not once per element (the higher-order-
-    function O(n²) trap); floor keeps rounding engine-portable."""
+    function O(n²) trap); floor keeps rounding engine-portable. The int8
+    vector is emitted as a comma-joined string so the driver's value-hash
+    (which cannot hash array columns) covers every element."""
     emb = table_scan(spark, sf_dir, "embeddings")
     scaled = emb.select(
         "vec_id",
@@ -3073,7 +3075,7 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             x.cast("double") * F.lit(127.0) / F.nullif(F.col("scale"), F.lit(0.0))
         ).cast("int"),
     )
-    return scaled.select("vec_id", "scale", q.alias("q"))
+    return scaled.select("vec_id", "scale", F.array_join(q, ",").alias("q"))
 
 
 @register(
@@ -3782,69 +3784,54 @@ def q_zorder_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 # green CORRECTNESS_r01 row rotate out, queries with no row yet (r01 tail),
 # a failed/changed row, or new this round rotate in.
 _WINDOW_PRIORITY: list[str] = [
-    # SURVEY §2 parity ops with zero driver evidence in r01 (S1/S5/S6/S7)
+    # --- round 3 window ---
+    # Zero driver evidence after r02 (registered outside both prior
+    # 50-entry windows) — the NOTES.md rotation list:
+    "math_bucketing",
+    "approx_distinct_users",
+    "grouped_zscore_pandas",
+    "doc_levenshtein_pairs",
+    "unpivot_measures",
+    "multimodal_feature_extract",
+    "agg_cube",
+    "events_json_extract",
+    "null_safe_equality",
+    "multimodal_real_codec_extract",
+    "cdc_merge_upsert",
+    "bucketed_join_zero_shuffle",
+    "events_range_frame_avg",
+    "key_skew_profile",
+    "chunk_dedup_exact",
+    "benchmark_contamination",
+    "doc_lang_id_accuracy",
+    "source_quota_sample",
+    "streaming_stateful_tracker",
+    "streaming_stream_stream_join",
+    "dq_cross_field_check",
+    "schema_evolution_union",
+    "events_gap_fill",
+    "events_sessionize_by_gap",
+    "orc_scan",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "zorder_scan_prune",
+    # r01-green but changed in r02 (MinHash rework) — need a fresh row:
+    "doc_dedup_minhash_lsh",
+    "doc_dedup_keep_list",
+    "doc_minhash_signature",
+    # changed this round (array output → joined string for driver hash):
+    "embedding_quantize_int8",
+    # hedge: CORRECTNESS_r02.json was never delivered to the repo, so the
+    # r02 window may not have been recorded. Re-seat the contract-critical
+    # SURVEY §2 parity ops (S1/S5/S6/S7) and the r01 fail/vacuous fixes:
     "rest_paginated_ingest",
     "partitioned_parquet_write",
     "idempotent_date_overwrite",
     "sql_view_catalog",
-    # failed (oracle type fix), vacuous, or output-changed since r01
     "agg_sum_regroup",
-    "grouping_sets_hierarchy",
     "embedding_near_dup",
     "embedding_near_dup_exact",
-    # r01 tail (registered after the 50-entry window → no row yet).
-    # Deferred to round 3 for slot budget (each has an r01 row, a pytest
-    # anchor, or is a trivial variant of an in-window query):
-    # doc_dedup_minhash_lsh / doc_dedup_keep_list / doc_minhash_signature
-    # (rows-only, tests/test_minhash_ground_truth.py), grouped_zscore_pandas
-    # (rows-only twin of oracle grouped_zscore), approx_distinct_users,
-    # multimodal_feature_extract / multimodal_real_codec_extract
-    # (tests/test_multimodal.py), agg_cube (variant of agg_rollup),
-    # math_bucketing / unpivot_measures / null_safe_equality /
-    # events_json_extract / doc_levenshtein_pairs (covered by
-    # tests/test_oracle_parity.py locally).
-    "tpch_q4_order_priority_check",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_share",
-    "events_asof_join",
-    "order_price_percentiles",
-    "multi_distinct_agg",
-    "string_functions",
-    "date_functions",
-    "part_brand_stats",
-    "supplier_nation_rollup",
-    "streaming_tumbling_window",
-    "grouped_zscore",
-    "doc_pii_scrub",
-    "vocab_term_freq",
-    "window_ntile_quartiles",
-    "agg_rollup",
-    "explode_unnest",
-    # new this round (all oracle-checked unless noted)
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q13_customer_distribution",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_pushdown",
-    "tpch_q22_dormant_customers",
-    "range_join_value_bands",
-    "window_rank_distribution",
-    "csv_scan",
-    "streaming_dedup_watermark",
-    "doc_simhash_near_dup",
-    "join_salted_skew",
-    "doc_chunking",
-    "dataset_split_hash",
-    "doc_filter_pipeline",
-    "doc_token_count_bpe",
-    "doc_rolling_fingerprint",
-    "sorted_scan_prune",
-    "stratified_sample_hash",
-    "events_time_rollup",
-    "embedding_quantize_int8",
+    # new this round — appended as they are built (keep total ≤ 50):
 ]
 
 
