@@ -3775,6 +3775,591 @@ def q_zorder_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round 3: TPC-H completion (q2/q9/q11/q12/q15/q16/q20/q21 shapes) + LLM
+# pipeline additions. The testdata has no partsupp table and lineitem lacks
+# shipmode/commit/receipt dates, so the starred queries are *adapted*: the
+# join topology, subquery shape, and physical strategy match the TPC-H
+# original, with cost/lateness proxies derived from available columns (each
+# docstring states the substitution).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS supply_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), eu AS (
+      SELECT s_suppkey, s_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT p_partkey, p_name, s_name, supply_cost
+    FROM part, ps, eu
+    WHERE p_partkey = l_partkey AND l_suppkey = s_suppkey
+      AND p_size <= 15 AND p_type = 'STANDARD'
+      AND supply_cost = (SELECT MIN(ps2.supply_cost)
+                         FROM ps ps2 JOIN eu eu2 ON ps2.l_suppkey = eu2.s_suppkey
+                         WHERE ps2.l_partkey = ps.l_partkey)
+    ORDER BY supply_cost, p_partkey, s_name
+    LIMIT 100
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style min-cost supplier (adapted: no partsupp table, so
+    supply cost := the supplier's average sell price of the part from
+    lineitem). The oracle states the classic correlated-MIN subquery; the
+    Spark plan is the decorrelated form every engine rewrites it to — a
+    window MIN over the region-filtered (part, supplier) aggregate, which
+    reuses the groupBy partitioning for the window (no extra shuffle) and
+    broadcasts the supplier/nation/region dim chain."""
+    li = table_scan(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("supply_cost")
+    )
+    s = table_scan(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = table_scan(spark, sf_dir, "nation")
+    r = table_scan(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_name")
+    )
+    j = ps.join(F.broadcast(eu), ps["l_suppkey"] == eu["s_suppkey"])
+    w = Window.partitionBy("l_partkey")
+    best = j.withColumn("__min_cost", F.min("supply_cost").over(w)).filter(
+        F.col("supply_cost") == F.col("__min_cost")
+    )
+    p = table_scan(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_name")
+    return (
+        best.join(F.broadcast(p), best["l_partkey"] == p["p_partkey"])
+        .select("p_partkey", "p_name", "s_name", "supply_cost")
+        .orderBy("supply_cost", "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    """
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         - CAST(0.6 AS DOUBLE) * p_retailprice * l_quantity
+                    AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, o_year
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style product profit by (supplier nation, order year)
+    (adapted: no partsupp, so unit cost := 0.6 × p_retailprice). Five-way
+    join where only lineitem⋈orders is fact-fact (sort-merge on orderkey);
+    part/supplier/nation broadcast. The p_name LIKE filter prunes the part
+    build side before the hash table is built."""
+    li = table_scan(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    p = table_scan(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = table_scan(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = table_scan(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = table_scan(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(_dsum(profit, 4, "sum_profit"))
+    )
+
+
+@register(
+    "tpch_q11_important_parts",
+    """
+    WITH v AS (
+      SELECT l_partkey AS p_key,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                  AS DOUBLE) AS part_value
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY l_partkey
+    ), t AS (
+      SELECT CAST(SUM(CAST(part_value AS DECIMAL(18,4))) AS DOUBLE)
+             * CAST(0.001 AS DOUBLE) AS thr
+      FROM v
+    )
+    SELECT p_key, part_value
+    FROM v, t
+    WHERE part_value > thr
+    ORDER BY part_value DESC, p_key
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style important-stock scan (adapted: part value := Asian
+    suppliers' lineitem revenue instead of partsupp inventory value). The
+    HAVING-vs-global-scalar shape: one grouped pass builds per-part values,
+    a single-row global total is broadcast back as the threshold — the
+    second 'pass' reuses the first aggregate, no rescan of lineitem."""
+    li = table_scan(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = table_scan(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table_scan(spark, sf_dir, "nation")
+    r = table_scan(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asian = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    v = (
+        li.join(F.broadcast(asian), li["l_suppkey"] == asian["s_suppkey"])
+        .groupBy(F.col("l_partkey").alias("p_key"))
+        .agg(_dsum(rev, 4, "part_value"))
+    )
+    t = v.agg(
+        (
+            F.sum(F.col("part_value").cast("decimal(18,4)")).cast("double")
+            * F.lit(0.001)
+        ).alias("thr")
+    )
+    return (
+        v.join(F.broadcast(t))
+        .filter(F.col("part_value") > F.col("thr"))
+        .select("p_key", "part_value")
+        .orderBy(F.desc("part_value"), "p_key")
+    )
+
+
+@register(
+    "tpch_q12_ship_priority_classes",
+    """
+    SELECT l_returnflag AS ship_class,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_cnt,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_cnt
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY ship_class
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style shipping/priority cross-tab (adapted: no l_shipmode
+    column, so the class axis is l_returnflag). The signature Q12 shape —
+    fact-fact join feeding two complementary conditional counts in one
+    grouped pass (no second scan, no self-join)."""
+    li = table_scan(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    ).select("l_orderkey", "l_returnflag")
+    o = table_scan(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        shuffle_join(li, o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_cnt"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_cnt"),
+        )
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                  AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: quarterly revenue view + scalar-subquery MAX.
+    The revenue aggregate is computed once and reused for both the max and
+    the final filter (Spark: single grouped DataFrame referenced twice; the
+    1-row max is broadcast). Revenue is exact-decimal so the equality join
+    against MAX is bit-deterministic cross-engine."""
+    li = table_scan(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    rev = li.groupBy("l_suppkey").agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    s = table_scan(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q16_supplier_part_cnt",
+    """
+    WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM pairs JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 15, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style supplier count per part attribute (adapted: the
+    part↔supplier relation is the DISTINCT (l_partkey, l_suppkey) pairs
+    from lineitem instead of partsupp; the NOT-IN complaint set is the
+    negative-balance suppliers). Shape parity: anti-join for NOT IN (a
+    broadcast of the tiny excluded set), distinct-pair dedup BEFORE the
+    part join shrinks the probe side, COUNT(DISTINCT) grouped on part
+    attributes."""
+    pairs = (
+        table_scan(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    bad = table_scan(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    p = table_scan(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 15, 23, 36, 45, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        pairs.join(F.broadcast(bad), pairs["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "tpch_q20_excess_shipments",
+    """
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'small%')
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,4)))
+               > CAST(350 AS DECIMAL(18,4)))
+    ORDER BY s_suppkey
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style excess-shipment suppliers (adapted: 'shipped more
+    than 350 units of small-named parts in 1996' replaces the partsupp
+    available-quantity correlate). Nested-IN shape: inner IN is a broadcast
+    semi-join on the filtered part keys, the HAVING aggregate produces the
+    supplier keyset, and the outer IN is another semi-join into the
+    dim-chain-filtered supplier scan."""
+    p = table_scan(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select(
+        "p_partkey"
+    )
+    li = table_scan(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    heavy = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"], "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("__qty"))
+        .filter(F.col("__qty") > F.lit(350).cast("decimal(18,4)"))
+        .select("l_suppkey")
+    )
+    s = table_scan(spark, sf_dir, "supplier")
+    n = table_scan(spark, sf_dir, "nation")
+    r = table_scan(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .join(F.broadcast(heavy), s["s_suppkey"] == heavy["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q21_last_shipping_supplier",
+    """
+    WITH l1 AS (
+      SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+    ),
+    multi AS (
+      SELECT l_orderkey
+      FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+      GROUP BY l_orderkey HAVING COUNT(*) >= 2
+    ),
+    late AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM l1
+      WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    ),
+    solo AS (
+      SELECT l_orderkey FROM late GROUP BY l_orderkey HAVING COUNT(*) = 1
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 60 DAY
+      AND l1.l_orderkey IN (SELECT l_orderkey FROM multi)
+      AND l1.l_orderkey IN (SELECT l_orderkey FROM solo)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style suppliers-who-kept-orders-waiting (adapted: no
+    commit/receipt dates, so 'late' := shipped >60 days after the order
+    date). The EXISTS/NOT-EXISTS pair decorrelates to two semi-joins
+    against tiny aggregated keysets: multi-supplier orders (EXISTS another
+    supplier) and single-late-supplier orders (NOT EXISTS another late
+    one) — Spark never runs a per-row subquery, and both keysets broadcast."""
+    o = table_scan(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = table_scan(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    l1 = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate"
+    )
+    is_late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    multi = (
+        li.select("l_orderkey", "l_suppkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("l_orderkey")
+    )
+    late = l1.filter(is_late).select("l_orderkey", "l_suppkey").distinct()
+    solo = (
+        late.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") == 1)
+        .select("l_orderkey")
+    )
+    s = table_scan(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        l1.filter(is_late)
+        .join(F.broadcast(multi), "l_orderkey", "left_semi")
+        .join(F.broadcast(solo), "l_orderkey", "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+@register(
+    "doc_gopher_quality",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), wc AS (
+      SELECT doc_id, word, COUNT(*) AS c
+      FROM w WHERE word <> '' GROUP BY doc_id, word
+    )
+    SELECT doc_id,
+      CAST(SUM(c) AS BIGINT) AS n_words,
+      CAST(SUM(c * length(word)) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+        AS mean_word_len,
+      CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+      CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_word_frac,
+      CAST(SUM(CASE WHEN word IN ('a', 'the') THEN c ELSE 0 END) AS DOUBLE)
+        / CAST(SUM(c) AS DOUBLE) AS stopword_frac,
+      CAST(SUM(c) BETWEEN 20 AND 100000
+           AND CAST(SUM(c * length(word)) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+               BETWEEN 2.0 AND 10.0
+           AND CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) <= 0.2
+           AND CAST(SUM(CASE WHEN word IN ('a', 'the') THEN c ELSE 0 END)
+                    AS DOUBLE) / CAST(SUM(c) AS DOUBLE) >= 0.005
+           AS BOOLEAN) AS keep
+    FROM wc GROUP BY doc_id
+    """,
+)
+def q_doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality signals (Rae et al. 2021 §A1.1, adapted
+    to the single-line corpus): word count, mean word length, distinct-word
+    count, top-word dominance, stopword fraction, and a composite keep flag
+    with Gopher-ish thresholds. One explode + two grouped passes, all
+    JVM-side; ratios are int/int double divisions (bit-deterministic
+    cross-engine, no float-sum ordering involved). At 100 TB the word-level
+    intermediate is the big shuffle — it partial-aggregates on
+    (doc_id, word) map-side, and the second pass groups the already-skinny
+    per-word counts."""
+    docs = table_scan(spark, sf_dir, "documents").select("doc_id", "text")
+    w = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    wc = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    n_words = F.sum("c")
+    len_sum = F.sum(F.col("c") * F.length("word"))
+    stop_c = F.sum(F.when(F.col("word").isin("a", "the"), F.col("c")).otherwise(0))
+    g = wc.groupBy("doc_id").agg(
+        n_words.alias("n_words"),
+        len_sum.alias("__len_sum"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.max("c").alias("__max_c"),
+        stop_c.alias("__stop_c"),
+    )
+    mean_word_len = F.col("__len_sum").cast("double") / F.col("n_words").cast("double")
+    top_word_frac = F.col("__max_c").cast("double") / F.col("n_words").cast("double")
+    stopword_frac = F.col("__stop_c").cast("double") / F.col("n_words").cast("double")
+    keep = (
+        F.col("n_words").between(20, 100000)
+        & mean_word_len.between(2.0, 10.0)
+        & (top_word_frac <= 0.2)
+        & (stopword_frac >= 0.005)
+    )
+    return g.select(
+        "doc_id",
+        "n_words",
+        mean_word_len.alias("mean_word_len"),
+        "n_distinct_words",
+        top_word_frac.alias("top_word_frac"),
+        stopword_frac.alias("stopword_frac"),
+        keep.alias("keep"),
+    )
+
+
+@register(
+    "source_mixture_weights",
+    """
+    WITH s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ), t AS (
+      SELECT CAST(SUM(CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(18,9)))
+                  AS DOUBLE) AS z
+      FROM s
+    )
+    SELECT source, n_docs,
+           sqrt(CAST(n_docs AS DOUBLE)) / z AS weight,
+           CAST(FLOOR(CAST(1000000 AS DOUBLE)
+                      * sqrt(CAST(n_docs AS DOUBLE)) / z) AS BIGINT) AS quota_docs
+    FROM s, t
+    ORDER BY source
+    """,
+)
+def q_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture reweighting: per-source doc counts → temperature-
+    damped sampling weights (w ∝ n^0.5 — sqrt because IEEE sqrt is
+    correctly rounded and therefore engine-portable, unlike pow(x, 0.7))
+    → normalized share and an integer doc quota for a 1M-doc budget. The
+    normalizer sums the per-source sqrt through the exact-decimal idiom so
+    the division is bit-deterministic. Per-source stats are a tiny grouped
+    pass; the 1-row normalizer broadcasts back."""
+    docs = table_scan(spark, sf_dir, "documents").select("source")
+    s = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    sq = F.sqrt(F.col("n_docs").cast("double"))
+    t = s.agg(F.sum(sq.cast("decimal(18,9)")).cast("double").alias("z"))
+    return (
+        s.join(F.broadcast(t))
+        .select(
+            "source",
+            "n_docs",
+            (sq / F.col("z")).alias("weight"),
+            F.floor(F.lit(1000000).cast("double") * sq / F.col("z"))
+            .cast("long")
+            .alias("quota_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "events_running_total",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_value
+    FROM events
+    """,
+)
+def q_events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running total over event time — the cumulative-metric window
+    (ROWS frame, unlike the value-RANGE frame of events_range_frame_avg).
+    Exact-decimal accumulation makes every prefix sum bit-deterministic;
+    event_id breaks timestamp ties so both engines accumulate in the same
+    order. One shuffle on user_id, one sort per partition."""
+    e = table_scan(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias(
+            "running_value"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
 # The driver correctness-checks the FIRST 50 registry entries per round
@@ -3821,6 +4406,18 @@ _WINDOW_PRIORITY: list[str] = [
     "doc_minhash_signature",
     # changed this round (array output → joined string for driver hash):
     "embedding_quantize_int8",
+    # new this round: TPC-H completion + LLM-pipeline additions
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_parts",
+    "tpch_q12_ship_priority_classes",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_cnt",
+    "tpch_q20_excess_shipments",
+    "tpch_q21_last_shipping_supplier",
+    "doc_gopher_quality",
+    "source_mixture_weights",
+    "events_running_total",
     # hedge: CORRECTNESS_r02.json was never delivered to the repo, so the
     # r02 window may not have been recorded. Re-seat the contract-critical
     # SURVEY §2 parity ops (S1/S5/S6/S7) and the r01 fail/vacuous fixes:

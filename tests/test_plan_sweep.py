@@ -27,6 +27,8 @@ BNLJ_OK = {
     "tpch_q22_dormant_customers",  # single-row scalar subquery broadcast
     "key_skew_profile",  # single-row totals broadcast
     "range_join_value_bands",  # 4-row band dim broadcast
+    "tpch_q11_important_parts",  # single-row global-threshold broadcast
+    "source_mixture_weights",  # single-row normalizer broadcast
 }
 
 #: queries that explicitly run vectorized pandas (Arrow) stages
