@@ -138,3 +138,66 @@ def test_q17_threshold_join_broadcasts_at_small_sf(spark, sf_dir):
     plan = _plan(spark, sf_dir, "tpch_q17_small_quantity_revenue")
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+# --- round 3 queries ---
+
+
+def test_q15_scans_lineitem_once(spark, sf_dir):
+    """The scalar-MAX must come from a window over the aggregated revenue,
+    not a second aggregate branch — a naive rev.agg(max)+join re-executes
+    the shared lineage and scans lineitem twice (exchange reuse does not
+    fire across the extra agg)."""
+    plan = _plan(spark, sf_dir, "tpch_q15_top_supplier")
+    assert plan.count("Scan parquet") == 2  # lineitem once + supplier once
+    assert "Window" in plan
+
+
+def test_q11_persists_shared_aggregate(spark, sf_dir):
+    """The per-part value aggregate is referenced twice (threshold + final
+    filter); it must come from cache, not two lineitem scans."""
+    plan = _plan(spark, sf_dir, "tpch_q11_important_parts")
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_q21_decorrelates_to_semi_joins(spark, sf_dir):
+    """EXISTS/NOT-EXISTS must become two broadcast semi joins against tiny
+    aggregated keysets — never per-row subqueries or products."""
+    plan = _plan(spark, sf_dir, "tpch_q21_last_shipping_supplier")
+    assert plan.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q16_not_in_becomes_anti_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q16_supplier_part_cnt")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q9_broadcasts_all_dims(spark, sf_dir):
+    """part/supplier/nation all broadcast; only lineitem⋈orders may
+    shuffle."""
+    plan = _plan(spark, sf_dir, "tpch_q9_product_profit")
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q12_single_pass_conditional_agg(spark, sf_dir):
+    """Both priority classes come from one grouped pass over one join —
+    exactly two scans (lineitem, orders), partial+final aggregation."""
+    plan = _plan(spark, sf_dir, "tpch_q12_ship_priority_classes")
+    assert plan.count("Scan parquet") == 2
+    assert "partial" in plan
+
+
+def test_bigram_rarity_caches_doc_counts(spark, sf_dir):
+    """The per-doc bigram counts feed both the model build and the scoring
+    join; the explode must not run twice."""
+    plan = _plan(spark, sf_dir, "doc_bigram_rarity")
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_pack_sequences_one_scan_one_window(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "doc_pack_sequences")
+    assert plan.count("Scan parquet") == 1
+    assert "Window" in plan
