@@ -4508,6 +4508,95 @@ def q_events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_funnel_match",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-03'
+    ), s1 AS (
+      SELECT user_id, MIN(us) AS t1_us FROM e
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(us) AS t2_us FROM e JOIN s1 USING (user_id)
+      WHERE event_type = 'click' AND us > t1_us GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(us) AS t3_us FROM e JOIN s2 USING (user_id)
+      WHERE event_type = 'purchase' AND us > t2_us GROUP BY e.user_id
+    )
+    SELECT s1.user_id, t1_us, t2_us, t3_us, t3_us IS NOT NULL AS completed
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    """,
+)
+def q_events_funnel_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel matching (view → click → purchase), the
+    MATCH_RECOGNIZE-class sequence operator Spark lacks natively. The
+    oracle states the textbook correlated form — three join-back-and-
+    re-aggregate passes. The Spark plan is a SINGLE window pass: sort each
+    user's events once, then chain prefix conditional minimums
+    (run1 = earliest view so far; a click qualifies iff it is later than
+    run1; run2 = earliest qualifying click so far; a purchase qualifies
+    iff later than run2) — provably equivalent to the correlated form
+    because prefix-min ≥ global-min and time order = us order. One shuffle
+    on user_id instead of three fact-fact joins; at 100 TB the funnel
+    never rescans events and state per user is three longs."""
+    e = table_scan(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.lit("2024-01-01").cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit("2024-01-03").cast("timestamp_ntz"))
+    ).select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us")
+    run1 = F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(w)
+    q2 = F.when(
+        (F.col("event_type") == "click") & (F.col("us") > run1), F.col("us")
+    )
+    stage = e.withColumn("__q2", q2)
+    run2 = F.min("__q2").over(w)
+    q3 = F.when(
+        (F.col("event_type") == "purchase") & (F.col("us") > run2), F.col("us")
+    )
+    g = (
+        stage.withColumn("__q3", q3)
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias("t1_us"),
+            F.min("__q2").alias("t2_us"),
+            F.min("__q3").alias("t3_us"),
+        )
+        .filter(F.col("t1_us").isNotNull())
+    )
+    return g.select(
+        "user_id", "t1_us", "t2_us", "t3_us",
+        F.col("t3_us").isNotNull().alias("completed"),
+    )
+
+
+@register("approx_order_percentiles")  # sketch values are engine-specific → rows-only
+def q_approx_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (KLL-style quantile sketch) of order value
+    per priority — the 100 TB path: exact percentiles sort every group,
+    the sketch is a fixed-size mergeable summary (map-side partial merge,
+    tiny shuffle). Sketch outputs are engine-specific ⇒ rows-only; error
+    vs the exact percentile is asserted in tests/test_sketch_anchors.py."""
+    o = table_scan(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.approx_percentile(
+                "o_totalprice", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000)
+            ).alias("pcts")
+        )
+        .select(
+            "o_orderpriority",
+            F.col("pcts")[0].alias("p50_approx"),
+            F.col("pcts")[1].alias("p95_approx"),
+        )
+    )
+
+
+@register(
     "events_running_total",
     """
     SELECT event_id, user_id,
@@ -4616,6 +4705,8 @@ _WINDOW_PRIORITY: list[str] = [
     "embedding_semantic_dedup",
     "doc_pack_sequences",
     "events_variant_extract",
+    "events_funnel_match",
+    "approx_order_percentiles",
 ]
 
 

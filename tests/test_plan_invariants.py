@@ -201,3 +201,13 @@ def test_pack_sequences_one_scan_one_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "doc_pack_sequences")
     assert plan.count("Scan parquet") == 1
     assert "Window" in plan
+
+
+def test_funnel_single_scan_single_shuffle(spark, sf_dir):
+    """The windowed funnel must be one events scan + one user_id shuffle:
+    both prefix-min windows share one sort, and the final per-user agg
+    reuses the window's partitioning (no second Exchange)."""
+    plan = _plan(spark, sf_dir, "events_funnel_match")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 1
+    assert plan.count("Sort ") == 1

@@ -1,0 +1,36 @@
+"""Accuracy anchors for sketch-based approximate queries: the sketch output
+must stay within its error bound of the exact answer computed on the same
+data — turning rows-only driver checks into bounded ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from breweries_data_engineering_case_spark.plans import registry
+from breweries_data_engineering_case_spark.sources.readers import table_scan
+
+
+def test_approx_percentiles_within_bound(spark, sf_dir):
+    got = {
+        r["o_orderpriority"]: (r["p50_approx"], r["p95_approx"])
+        for r in registry.QUERIES["approx_order_percentiles"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: (r["p50"], r["p95"])
+        for r in table_scan(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+            F.percentile("o_totalprice", F.lit(0.95)).alias("p95"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, (a50, a95) in got.items():
+        e50, e95 = exact[k]
+        # accuracy=10000 → rank error <= n/10000; translate to a loose value
+        # tolerance: 2% of the group's value range
+        rng = max(abs(e95), 1.0) * 0.02
+        assert abs(a50 - e50) <= rng, f"{k}: p50 {a50} vs exact {e50}"
+        assert abs(a95 - e95) <= rng, f"{k}: p95 {a95} vs exact {e95}"
