@@ -4628,6 +4628,399 @@ def q_events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_retention_cohorts",
+    """
+    WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+    f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id)
+    SELECT cohort_day,
+           CAST(date_diff('day', cohort_day, day) // 7 AS BIGINT) AS week_offset,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM e JOIN f USING (user_id)
+    GROUP BY cohort_day, week_offset
+    """,
+)
+def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the product-analytics staple: users grouped
+    by first-seen day, activity counted per week offset. Two grouped passes:
+    per-user first day (partial-agg min), then a fact⋈cohort join that
+    broadcasts the skinny per-user table and one distinct-count shuffle on
+    (cohort_day, week_offset). At 100 TB the per-user min table is the only
+    state (|users| ≪ |events|); no window, no global sort."""
+    e = table_scan(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        e.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.floor(F.datediff("day", "cohort_day") / F.lit(7))
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+@register(
+    "orders_abc_pareto",
+    """
+    WITH r AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rd
+      FROM orders GROUP BY o_custkey
+    ), c AS (
+      SELECT o_custkey, rd,
+             SUM(rd) OVER (ORDER BY rd DESC, o_custkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(rd) OVER () AS total
+      FROM r
+    )
+    SELECT o_custkey, CAST(rd AS DOUBLE) AS revenue,
+           CASE WHEN cum * 5 <= total * 4 THEN 'A'
+                WHEN cum * 20 <= total * 19 THEN 'B'
+                ELSE 'C' END AS pareto_class
+    FROM c
+    """,
+)
+def q_orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification: customers bucketed by cumulative revenue
+    share (A = first 80%, B = to 95%, C = tail). The running share needs a
+    total order, but over the AGGREGATED per-customer table (|keys| ≪
+    |orders|), never the fact table; at 100 TB the window input is the
+    ~1.5M-row key table, and the class boundary test is decimal
+    cross-multiplication (cum·5 ≤ total·4) — no float division anywhere, so
+    the A/B boundary can't flip between engines."""
+    o = table_scan(spark, sf_dir, "orders")
+    r = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rd")
+    )
+    wo = Window.orderBy(F.desc("rd"), "o_custkey")
+    cum = F.sum("rd").over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = F.sum("rd").over(
+        Window.orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    c = r.select("o_custkey", "rd", cum.alias("cum"), total.alias("total"))
+    cls = (
+        F.when(F.col("cum") * 5 <= F.col("total") * 4, F.lit("A"))
+        .when(F.col("cum") * 20 <= F.col("total") * 19, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return c.select(
+        "o_custkey",
+        F.col("rd").cast("double").alias("revenue"),
+        cls.alias("pareto_class"),
+    )
+
+
+@register(
+    "events_value_mad_outliers",
+    """
+    WITH m AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), d AS (
+      SELECT e.event_type, med, abs(value - med) AS dev
+      FROM events e JOIN m USING (event_type)
+    ), md AS (
+      SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY event_type
+    )
+    SELECT d.event_type, MIN(d.med) AS med, MIN(md.mad) AS mad,
+           COUNT(CASE WHEN d.dev > 3 * md.mad THEN 1 END) AS n_outliers
+    FROM d JOIN md USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def q_events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — the
+    rank-based alternative to z-scores (grouped_zscore_*) that a heavy-tailed
+    metric needs. Three grouped passes (median → MAD → conditional count);
+    the per-type medians ride broadcast joins, and the deviation intermediate
+    is persisted so events is scanned once. `F.percentile` and DuckDB
+    quantile_cont are bitwise-identical (NOTES rule); |v−med| and 3·mad are
+    single IEEE ops, so the strict > boundary agrees cross-engine."""
+    e = table_scan(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    d = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
+    )
+    d = d.persist()
+    mad = d.groupBy("event_type").agg(F.percentile("dev", F.lit(0.5)).alias("mad"))
+    out = (
+        d.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.count(
+                F.when(F.col("dev") > F.lit(3.0) * F.col("mad"), F.lit(1))
+            ).alias("n_outliers"),
+        )
+    )
+    return out
+
+
+@register(
+    "market_basket_pairs",
+    """
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+    FROM d a JOIN d b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b
+    ORDER BY support DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing in the same order,
+    top-20 by support. The self-join is keyed on l_orderkey — one shuffle,
+    both sides co-partitioned, per-order fan-out bounded by basket size
+    squared (~49 for TPC-H's ≤7-line orders), so it scales linearly in
+    orders, NOT as an all-pairs over parts. Full (support, part_a, part_b)
+    ordering makes the limit-20 cut deterministic."""
+    li = table_scan(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    a = d.alias("a")
+    b = d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@register(
+    "doc_shared_span_flags",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS w
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(
+               array_to_string(list_slice(w, i + 1, i + 8), ' ')), 1, 15))
+             AS BIGINT) AS h
+      FROM d, UNNEST(range(len(w) - 7)) AS u(i)
+      WHERE len(w) >= 8
+    ), sh AS (
+      SELECT h, COUNT(DISTINCT doc_id) AS nd FROM s GROUP BY h
+    )
+    SELECT s.doc_id, COUNT(*) AS n_spans,
+           COUNT(CASE WHEN sh.nd >= 2 THEN 1 END) AS n_shared_spans,
+           CAST(COUNT(CASE WHEN sh.nd >= 2 THEN 1 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS shared_frac
+    FROM s JOIN sh USING (h)
+    GROUP BY s.doc_id
+    """,
+)
+def q_doc_shared_span_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring contamination signal (the scalable
+    stand-in for suffix-array dedup, cf. Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better"): every 8-word rolling window
+    is hashed; a span appearing in ≥2 distinct docs marks copied text, and
+    each doc reports its shared-span fraction. Span hashes are md5-portable.
+    Plan: one explode (n_words spans/doc), one (hash → distinct-doc-count)
+    partial agg, one hash-keyed join back — the span table is persisted so
+    the explode runs once. At 100 TB the hash agg is the big shuffle and it
+    map-side combines; nothing is quadratic in docs."""
+    from ..functions.hashing import portable_hash64
+
+    d = table_scan(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("w")
+    )
+    d = d.withColumn("__n", F.size("w")).filter(F.col("__n") >= 8)
+    spans = F.transform(
+        F.sequence(F.lit(1), F.col("__n") - 7),
+        lambda i: F.concat_ws(" ", F.slice("w", i, F.lit(8))),
+    )
+    s = d.select(
+        "doc_id", F.explode(spans).alias("__span")
+    ).select("doc_id", portable_hash64("__span").alias("h"))
+    s = s.persist()
+    sh = s.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    shared = F.count(F.when(F.col("nd") >= 2, F.lit(1)))
+    return (
+        s.join(sh, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            shared.alias("n_shared_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_shared_spans",
+            (
+                F.col("n_shared_spans").cast("double")
+                / F.col("n_spans").cast("double")
+            ).alias("shared_frac"),
+        )
+    )
+
+
+@register(
+    "dataset_shuffle_deterministic",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5('shuf42:' || CAST(doc_id AS VARCHAR)),
+                                      1, 15)) AS BIGINT) AS hv
+      FROM documents
+    )
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY hv, doc_id) AS shuffle_pos,
+           CAST((ROW_NUMBER() OVER (ORDER BY hv, doc_id) - 1) % 8 AS BIGINT)
+             AS shard
+    FROM h
+    """,
+)
+def q_dataset_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic global shuffle — reproducible training-data
+    ordering without rand(): sort key = portable hash of (seed, doc_id), so
+    any engine (and any re-run) produces the same permutation and the same
+    8-way shard assignment. The explicit row_number here is for the driver
+    check; at 100 TB you drop it and let the range-partitioned sort on the
+    hash BE the shuffle (total order across output files, no single-partition
+    window), with shard = hash % n_shards assigned map-side."""
+    from ..functions.hashing import portable_hash64
+
+    d = table_scan(spark, sf_dir, "documents").select(
+        "doc_id",
+        portable_hash64(
+            F.concat(F.lit("shuf42:"), F.col("doc_id").cast("string"))
+        ).alias("hv"),
+    )
+    w = Window.orderBy("hv", "doc_id")
+    pos = F.row_number().over(w)
+    return d.select(
+        "doc_id",
+        pos.alias("shuffle_pos"),
+        ((pos - F.lit(1)) % F.lit(8)).cast("long").alias("shard"),
+    )
+
+
+@register(
+    "lineitem_corr_qty_price",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(24,4))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(24,4))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           ((n * sxy) - (sx * sy))
+             / (sqrt((n * sxx) - (sx * sx)) * sqrt((n * syy) - (sy * sy)))
+             AS corr_qty_price
+    FROM s
+    """,
+)
+def q_lineitem_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group, built from exact-decimal moment sums
+    instead of the built-in corr() — because both engines' native corr
+    accumulate doubles in partition order (non-deterministic across engines
+    AND across partitionings). Here the five moments are exact decimals; the
+    final formula is a fixed tree of IEEE double ops, identical on both
+    sides, so the result is bit-reproducible. One grouped pass, map-side
+    partial agg — the same cost as a SUM."""
+    li = table_scan(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    p = F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q.cast("decimal(18,4)")).cast("double").alias("sx"),
+        F.sum(p.cast("decimal(18,4)")).cast("double").alias("sy"),
+        F.sum((q * q).cast("decimal(18,4)")).cast("double").alias("sxx"),
+        F.sum((p * p).cast("decimal(24,4)")).cast("double").alias("syy"),
+        F.sum((q * p).cast("decimal(24,4)")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    corr = ((n * sxy) - (sx * sy)) / (
+        F.sqrt((n * sxx) - (sx * sx)) * F.sqrt((n * syy) - (sy * sy))
+    )
+    return s.select("l_returnflag", corr.alias("corr_qty_price"))
+
+
+@register(
+    "events_scd2_intervals",
+    """
+    WITH sg AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS attr
+      FROM events WHERE event_type = 'signup'
+    ), chg AS (
+      SELECT user_id, event_id, us, attr,
+             LAG(attr) OVER (PARTITION BY user_id ORDER BY us, event_id)
+               AS prev_attr
+      FROM sg
+    ), kept AS (
+      SELECT user_id, event_id, us, attr FROM chg
+      WHERE prev_attr IS NULL OR attr <> prev_attr
+    )
+    SELECT user_id, attr, us AS valid_from_us,
+           LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+             AS valid_to_us,
+           LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+             AS is_current
+    FROM kept
+    """,
+)
+def q_events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from a change-event stream:
+    consecutive duplicate attribute values collapse (lag), each surviving
+    change opens an interval closed by the next change (lead), latest row
+    flagged current. This is the warehouse dimension-maintenance pattern the
+    reference's overwrite-only silver stage cannot express. One shuffle on
+    user_id shared by both window passes; event_id breaks timestamp ties so
+    lag/lead agree cross-engine. Epoch-micros out (never raw ns timestamps)."""
+    e = table_scan(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    sg = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("attr"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    kept = (
+        sg.withColumn("__prev", F.lag("attr").over(w))
+        .filter(F.col("__prev").isNull() | (F.col("attr") != F.col("__prev")))
+        .drop("__prev")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("us", "event_id")
+    nxt = F.lead("us").over(w2)
+    return kept.select(
+        "user_id",
+        "attr",
+        F.col("us").alias("valid_from_us"),
+        nxt.alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
@@ -4707,6 +5100,14 @@ _WINDOW_PRIORITY: list[str] = [
     "events_variant_extract",
     "events_funnel_match",
     "approx_order_percentiles",
+    "events_retention_cohorts",
+    "orders_abc_pareto",
+    "events_value_mad_outliers",
+    "market_basket_pairs",
+    "doc_shared_span_flags",
+    "dataset_shuffle_deterministic",
+    "lineitem_corr_qty_price",
+    "events_scd2_intervals",
 ]
 
 
