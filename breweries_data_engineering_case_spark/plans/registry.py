@@ -4782,25 +4782,32 @@ def q_events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: part pairs appearing in the same order,
-    top-20 by support. The self-join is keyed on l_orderkey — one shuffle,
-    both sides co-partitioned, per-order fan-out bounded by basket size
-    squared (~49 for TPC-H's ≤7-line orders), so it scales linearly in
-    orders, NOT as an all-pairs over parts. Full (support, part_a, part_b)
-    ordering makes the limit-20 cut deterministic."""
+    top-20 by support. NOT a self-join: baskets are collected per order
+    (one shuffle, collect_set dedups) and the ordered pairs are generated
+    ARRAY-SIDE with nested higher-order transforms — per-order fan-out
+    bounded by basket size squared (~21 pairs for TPC-H's ≤7-line orders),
+    zero extra exchanges, and the pair count partial-aggregates map-side. A
+    join-based phrasing (the oracle's) scans lineitem twice and shuffles
+    three times. Full (support, part_a, part_b) ordering makes the limit-20
+    cut deterministic."""
     li = table_scan(spark, sf_dir, "lineitem")
-    d = li.select("l_orderkey", "l_partkey").distinct()
-    a = d.alias("a")
-    b = d.alias("b")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+    )
+    pairs = F.flatten(
+        F.transform(
+            "ps",
+            lambda x: F.transform(
+                F.filter("ps", lambda y: y > x),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        baskets.select(F.explode(pairs).alias("pr"))
+        .select("pr.part_a", "pr.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("support"))
         .orderBy(F.desc("support"), "part_a", "part_b")
@@ -5021,6 +5028,164 @@ def q_events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bpe_top_merges",
+    """
+    WITH w AS (
+      SELECT UNNEST(string_split_regex(TRIM(text), '\\s+')) AS word
+      FROM documents
+    ), p AS (
+      SELECT substr(word, i + 1, 2) AS pair
+      FROM w, UNNEST(range(length(word) - 1)) AS u(i)
+      WHERE length(word) >= 2
+    )
+    SELECT pair, COUNT(*) AS cnt
+    FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20
+    """,
+)
+def q_bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counting step of BPE tokenizer training (Sennrich et al. 2016):
+    most frequent adjacent symbol pairs across the corpus — the candidate
+    merge table a distributed tokenizer trainer recomputes every merge
+    round. Two explodes (word, then in-word position) that stay JVM-side;
+    the pair count partial-aggregates map-side, so at 100 TB the shuffle
+    carries only (distinct pair, count) — vocabulary-sized, not
+    corpus-sized."""
+    d = table_scan(spark, sf_dir, "documents")
+    w = d.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
+    ).filter(F.length("word") >= 2)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length("word") - 1),
+        lambda i: F.substr("word", i, F.lit(2)),
+    )
+    return (
+        w.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(20)
+    )
+
+
+_HARD_NEG_ORACLE = """
+    WITH p AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             q.label = v.label AS same_label,
+             UNNEST(q.embedding) AS qe, UNNEST(v.embedding) AS ve,
+             UNNEST(range(len(q.embedding))) AS i
+      FROM embeddings q, embeddings v
+      WHERE q.vec_id < 30 AND v.vec_id <> q.vec_id
+    ), d AS (
+      SELECT query_id, neighbor_id, same_label,
+             SUM(CAST(qe AS DOUBLE) * CAST(ve AS DOUBLE) ORDER BY i) AS dot,
+             SUM(CAST(qe AS DOUBLE) * CAST(qe AS DOUBLE) ORDER BY i) AS qn,
+             SUM(CAST(ve AS DOUBLE) * CAST(ve AS DOUBLE) ORDER BY i) AS vn
+      FROM p GROUP BY query_id, neighbor_id, same_label
+    ), s AS (
+      SELECT query_id, neighbor_id, same_label,
+             dot / (sqrt(qn) * sqrt(vn)) AS score,
+             ROW_NUMBER() OVER (PARTITION BY query_id, same_label
+                                ORDER BY dot / (sqrt(qn) * sqrt(vn)) DESC,
+                                         neighbor_id) AS rn
+      FROM d
+    )
+    SELECT query_id, neighbor_id, same_label, score FROM s WHERE rn = 1
+"""
+
+
+@register("hard_negative_mining", _HARD_NEG_ORACLE)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining for embedding training: per anchor, the most
+    similar SAME-label vector (positive) and the most similar DIFFERENT-label
+    vector (hard negative) — the pair construction behind triplet/InfoNCE
+    fine-tuning. Same execution shape as `ann_cosine_topk` (anchors
+    broadcast, corpus streamed, window top-1 per (anchor, same_label)); at
+    scale the corpus never shuffles and the LSH/IVF variants bound the
+    candidate set. Cosine folds element-wise in index order ⇒ bit-identical
+    to the oracle."""
+    from ..functions.vectors import cosine
+
+    emb = table_scan(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qvec"),
+        F.col("label").alias("__qlabel"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("__cvec"),
+        F.col("label").alias("__clabel"),
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        (F.col("__qlabel") == F.col("__clabel")).alias("same_label"),
+        cosine("__qvec", "__cvec").alias("score"),
+    )
+    w = Window.partitionBy("query_id", "same_label").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("query_id", "neighbor_id", "same_label", "score")
+    )
+
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderpriority",
+]
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
+           COUNT(CASE WHEN {c} IS NULL THEN 1 END) AS n_nulls,
+           COUNT(DISTINCT {c}) AS n_distinct
+    FROM orders
+    """
+    for c in _PROFILE_COLS
+)
+
+
+@register("table_profile_summary", _PROFILE_ORACLE)
+def q_table_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profiling (the ANALYZE/data-catalog primitive): one
+    pass over the table computing per-column null counts and exact distinct
+    counts, emitted long-form (column_name, n_rows, n_nulls, n_distinct).
+    The N distinct aggregates share a single scan via Spark's Expand (one
+    pass, N× row replication map-side — still one shuffle); at 100 TB swap
+    approx_count_distinct in for the exact count to keep the expand cheap.
+    The wide→long pivot is an inline array of structs, no extra scan."""
+    o = table_scan(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(
+            F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(f"__nulls_{c}")
+        )
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__nd_{c}"))
+    g = o.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"__nulls_{c}").alias("n_nulls"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return g.select(F.inline(rows))
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
@@ -5108,6 +5273,9 @@ _WINDOW_PRIORITY: list[str] = [
     "dataset_shuffle_deterministic",
     "lineitem_corr_qty_price",
     "events_scd2_intervals",
+    "bpe_top_merges",
+    "hard_negative_mining",
+    "table_profile_summary",
 ]
 
 

@@ -211,3 +211,63 @@ def test_funnel_single_scan_single_shuffle(spark, sf_dir):
     assert plan.count("Scan parquet") == 1
     assert plan.count("Exchange") == 1
     assert plan.count("Sort ") == 1
+
+
+def test_market_basket_array_side_pairs(spark, sf_dir):
+    """Basket pairs must be generated array-side: one lineitem scan, one
+    basket shuffle + one count shuffle — never a fact self-join (2 scans,
+    4 exchanges) and never a cartesian product."""
+    plan = _plan(spark, sf_dir, "market_basket_pairs")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_single_shuffle_shared_windows(spark, sf_dir):
+    """Both SCD2 window passes (lag-dedup, lead-close) must share ONE
+    user_id exchange and a single events scan."""
+    plan = _plan(spark, sf_dir, "events_scd2_intervals")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 2
+
+
+def test_profile_single_scan_expand(spark, sf_dir):
+    """The N-column profile must compute all distinct aggregates in ONE scan
+    via Expand — not one scan per column."""
+    plan = _plan(spark, sf_dir, "table_profile_summary")
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
+
+
+def test_bpe_merges_single_shuffle_partial_agg(spark, sf_dir):
+    """Pair counting must partial-aggregate map-side: the only exchange
+    carries (pair, partial_count), vocabulary-sized."""
+    plan = _plan(spark, sf_dir, "bpe_top_merges")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_hard_negative_mining_streams_corpus(spark, sf_dir):
+    """The anchor side must broadcast (BroadcastNestedLoopJoin); the corpus
+    must not shuffle before scoring."""
+    plan = _plan(spark, sf_dir, "hard_negative_mining")
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_mad_outliers_broadcasts_and_caches(spark, sf_dir):
+    """Per-type median/MAD tables ride broadcast joins; the deviation
+    intermediate is cached so events parquet is not re-scanned for the
+    third pass."""
+    plan = _plan(spark, sf_dir, "events_value_mad_outliers")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "InMemoryTableScan" in plan
+
+
+def test_shared_span_explode_runs_once(spark, sf_dir):
+    """The span explode feeds both the hash-frequency agg and the join-back
+    from cache — one materialization of the exploded span table."""
+    plan = _plan(spark, sf_dir, "doc_shared_span_flags")
+    assert plan.count("InMemoryTableScan") >= 2
