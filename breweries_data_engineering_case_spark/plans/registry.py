@@ -5186,6 +5186,75 @@ def q_table_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(F.inline(rows))
 
 
+@register(
+    "doc_dedup_incremental",
+    """
+    WITH hist AS (
+      SELECT DISTINCT md5(TRIM(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents WHERE doc_id % 2 = 0
+    ), batch AS (
+      SELECT doc_id, md5(TRIM(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT fp, MIN(doc_id) AS keep_doc_id
+    FROM batch WHERE fp NOT IN (SELECT fp FROM hist)
+    GROUP BY fp
+    """,
+)
+def q_doc_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production flow exact dedup actually runs in:
+    a NEW batch is deduped against the fingerprint index of the ALREADY
+    INGESTED corpus (anti join), then within itself (keep-min groupBy). The
+    even/odd doc_id split stands in for history vs. arriving batch. At
+    100 TB the history side is a skinny persisted fingerprint table, the
+    anti join shuffles only fingerprints (or broadcasts, batch ≪ history
+    index), and re-running the batch is idempotent — nothing survives twice.
+    Cites reference silver-stage overwrite (app/tasks/silver.py:61-71) which
+    re-processes the full corpus instead."""
+    d = table_scan(spark, sf_dir, "documents")
+    hist = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .select(fingerprint("text").alias("fp"))
+        .distinct()
+    )
+    batch = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", fingerprint("text").alias("fp")
+    )
+    return (
+        batch.join(hist, "fp", "left_anti")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+@register("events_dau_hll_mergeable")  # HLL sketch binaries are engine-specific
+def q_events_dau_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches — the pre-aggregation pattern exact
+    COUNT(DISTINCT) cannot give you at 100 TB: per-DAY HyperLogLog sketches
+    (Datasketches HLL, `hll_sketch_agg`) are built once in a partial-agg
+    pass, persisted small, then UNION-MERGED (`hll_union_agg`) into weekly
+    uniques WITHOUT touching raw events again — re-aggregation over sketch
+    state, the property approx_count_distinct lacks (its estimate is final,
+    not mergeable). Sketch binaries differ per engine ⇒ rows-only driver
+    check; tests/test_sketch_anchors.py bounds the estimate against the
+    exact count."""
+    e = table_scan(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = e.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    week = F.floor(
+        F.datediff("day", F.lit("2024-01-01").cast("date")) / F.lit(7)
+    ).cast("long")
+    return (
+        daily.select(week.alias("week"), "sk")
+        .groupBy("week")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_weekly_users")
+        )
+        .orderBy("week")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
@@ -5276,6 +5345,8 @@ _WINDOW_PRIORITY: list[str] = [
     "bpe_top_merges",
     "hard_negative_mining",
     "table_profile_summary",
+    "doc_dedup_incremental",
+    "events_dau_hll_mergeable",
 ]
 
 

@@ -34,3 +34,30 @@ def test_approx_percentiles_within_bound(spark, sf_dir):
         rng = max(abs(e95), 1.0) * 0.02
         assert abs(a50 - e50) <= rng, f"{k}: p50 {a50} vs exact {e50}"
         assert abs(a95 - e95) <= rng, f"{k}: p95 {a95} vs exact {e95}"
+
+
+def test_hll_weekly_users_within_bound(spark, sf_dir):
+    got = {
+        r["week"]: r["approx_weekly_users"]
+        for r in registry.QUERIES["events_dau_hll_mergeable"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["week"]: r["n"]
+        for r in table_scan(spark, sf_dir, "events")
+        .select(
+            F.floor(
+                F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+                / F.lit(7)
+            )
+            .cast("long")
+            .alias("week"),
+            "user_id",
+        )
+        .groupBy("week")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for wk, est in got.items():
+        # default lgConfigK=12 → relative error ~1.6%; allow 5%
+        assert abs(est - exact[wk]) <= max(2, 0.05 * exact[wk]), (wk, est, exact[wk])
