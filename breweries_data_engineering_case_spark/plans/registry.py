@@ -5265,7 +5265,71 @@ def q_events_dau_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
 # green CORRECTNESS_r01 row rotate out, queries with no row yet (r01 tail),
 # a failed/changed row, or new this round rotate in.
 _WINDOW_PRIORITY: list[str] = [
-    # --- round 3 window ---
+    # --- round 4 window ---
+    # CORRECTNESS_r02 was never delivered, so every name that only rotated
+    # through the intended r02 window still has ZERO driver evidence. After
+    # r01+r03, exactly 59 registered queries have no recorded row; this
+    # window takes the 50 highest-value ones (SQL surface + SURVEY-adjacent
+    # first). Deferred to round 5 (strongest local pytest anchors):
+    # approx_order_percentiles, embedding_semantic_dedup,
+    # events_dau_hll_mergeable, bpe_top_merges, hard_negative_mining,
+    # dataset_shuffle_deterministic, doc_pack_sequences,
+    # events_variant_extract, table_profile_summary — plus everything new
+    # in round 4.
+    "tpch_q4_order_priority_check",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_share",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_pushdown",
+    "tpch_q22_dormant_customers",
+    "string_functions",
+    "date_functions",
+    "multi_distinct_agg",
+    "order_price_percentiles",
+    "part_brand_stats",
+    "supplier_nation_rollup",
+    "agg_rollup",
+    "explode_unnest",
+    "window_ntile_quartiles",
+    "window_rank_distribution",
+    "grouped_zscore",
+    "csv_scan",
+    "sorted_scan_prune",
+    "range_join_value_bands",
+    "join_salted_skew",
+    "events_asof_join",
+    "events_time_rollup",
+    "streaming_tumbling_window",
+    "streaming_dedup_watermark",
+    "doc_pii_scrub",
+    "vocab_term_freq",
+    "doc_simhash_near_dup",
+    "doc_chunking",
+    "dataset_split_hash",
+    "doc_filter_pipeline",
+    "doc_token_count_bpe",
+    "doc_rolling_fingerprint",
+    "stratified_sample_hash",
+    "market_basket_pairs",
+    "orders_abc_pareto",
+    "events_retention_cohorts",
+    "events_running_total",
+    "events_scd2_intervals",
+    "events_value_mad_outliers",
+    "events_funnel_match",
+    "lineitem_corr_qty_price",
+    "doc_shared_span_flags",
+    "doc_dedup_incremental",
+]
+
+_WINDOW_PRIORITY_R3: list[str] = [
+    # --- round 3 window (kept for the rotation ledger; superseded) ---
     # Zero driver evidence after r02 (registered outside both prior
     # 50-entry windows) — the NOTES.md rotation list:
     "math_bucketing",
