@@ -5256,6 +5256,508 @@ def q_events_dau_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-4 additions: repetition / tf-idf / RFM / growth accounting /
+# Benford DQ / interval-overlap join / containment dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_repetition_topngram",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM t WHERE len(toks) >= 2
+    ),
+    c AS (SELECT doc_id, bigram, COUNT(*) AS cnt FROM b GROUP BY doc_id, bigram),
+    r AS (
+      SELECT doc_id, bigram, cnt,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bigram) AS rn,
+             SUM(cnt) OVER (PARTITION BY doc_id) AS total
+      FROM c
+    )
+    SELECT doc_id, bigram AS top_bigram, CAST(cnt AS BIGINT) AS top_cnt,
+           CAST(total AS BIGINT) AS total_bigrams,
+           CAST(cnt * 5 > total AS INT) AS repetitive
+    FROM r WHERE rn = 1
+    """,
+)
+def q_doc_repetition_topngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: per-document top word-bigram mass.
+    Docs whose single most frequent bigram covers >20 % of all bigrams are
+    boilerplate/spam candidates (the "top n-gram fraction" filter of the
+    Gopher rules; duplicate-LINE fractions need newline structure this corpus
+    lacks). The bigram list is built array-side (transform over an index
+    sequence — one pass, no re-tokenize per n-gram), then explode → partial
+    count → one window over the per-doc COUNTED table (≪ token fan-out).
+    The 20 % flag is integer cross-multiplication (cnt·5 > total), so the
+    boundary cannot flip between engines."""
+    d = table_scan(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+    big = (
+        toks.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 2),
+                    lambda i: F.concat(
+                        F.col("toks")[i], F.lit(" "), F.col("toks")[i + 1]
+                    ),
+                )
+            ).alias("bigram"),
+        )
+    )
+    c = big.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    wd = Window.partitionBy("doc_id")
+    r = c.select(
+        "doc_id",
+        "bigram",
+        "cnt",
+        F.row_number()
+        .over(wd.orderBy(F.desc("cnt"), "bigram"))
+        .alias("rn"),
+        F.sum("cnt").over(wd).alias("total"),
+    )
+    return r.filter(F.col("rn") == 1).select(
+        "doc_id",
+        F.col("bigram").alias("top_bigram"),
+        F.col("cnt").alias("top_cnt"),
+        F.col("total").alias("total_bigrams"),
+        (F.col("cnt") * 5 > F.col("total")).cast("int").alias("repetitive"),
+    )
+
+
+@register(
+    "doc_tfidf_top_terms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\s+')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    s AS (
+      SELECT doc_id, token, tf, df,
+             CAST(tf * n_docs AS DOUBLE) / df AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    ),
+    r AS (
+      SELECT doc_id, token, tf, df, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, token) AS term_rank
+      FROM s
+    )
+    SELECT doc_id, token, tf, df, tfidf, CAST(term_rank AS INT) AS term_rank
+    FROM r WHERE term_rank <= 3
+    """,
+)
+def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf terms per document (keyword extraction / index features).
+    Uses the linear idf surrogate tf·N/df: one exact-integer product then ONE
+    correctly-rounded IEEE division — bitwise-portable across engines, unlike
+    log-based idf (ln/log2 differ in the last ulp; see doc_bigram_rarity).
+    Shape: token explode → (doc,token) partial-count → token-keyed df
+    aggregate joined back (shuffle on token, both sides already aggregated),
+    scalar doc count broadcast, one window over the scored (doc,token) table.
+    Ties rank lexicographically — fully deterministic output."""
+    d = table_scan(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    s = (
+        tf.join(df_t, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias(
+                "tfidf"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    return (
+        s.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= 3)
+        .select("doc_id", "token", "tf", "df", "tfidf", "term_rank")
+    )
+
+
+@register(
+    "orders_rfm_segments",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             MAX(CAST(o_orderdate AS DATE)) AS last_day,
+             COUNT(*) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS md
+      FROM orders GROUP BY o_custkey
+    ),
+    anchored AS (
+      SELECT o_custkey, frequency, md,
+             CAST(date_diff('day', last_day, MAX(last_day) OVER ()) AS INT)
+               AS recency_days
+      FROM per_cust
+    ),
+    scored AS (
+      SELECT o_custkey, recency_days, frequency, md,
+             CAST(ntile(4) OVER (ORDER BY recency_days, o_custkey) AS INT) AS r_q,
+             CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS INT) AS f_q,
+             CAST(ntile(4) OVER (ORDER BY md DESC, o_custkey) AS INT) AS m_q
+      FROM anchored
+    )
+    SELECT o_custkey, recency_days, frequency, CAST(md AS DOUBLE) AS monetary,
+           r_q, f_q, m_q,
+           CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR) || CAST(m_q AS VARCHAR)
+             AS segment
+    FROM scored
+    """,
+)
+def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary quartiles) —
+    the classic CRM scoring table. One grouped pass collapses the fact table
+    to per-customer stats; all three NTILE windows then run over that KEY
+    table (|customers| ≪ |orders| — same single-sort-over-aggregate
+    justification as orders_abc_pareto; at larger key counts swap NTILE for
+    approx-quantile cutoffs). Recency anchors to the corpus max order date
+    (deterministic from data, no wall clock). Monetary sums are exact
+    decimals; every NTILE order includes o_custkey so quartile boundaries
+    are tie-stable."""
+    o = table_scan(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("md"),
+    )
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    anchored = per_cust.select(
+        "o_custkey",
+        "frequency",
+        "md",
+        F.datediff(F.max("last_day").over(w_all), F.col("last_day"))
+        .cast("int")
+        .alias("recency_days"),
+    )
+    scored = anchored.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "md",
+        F.ntile(4).over(Window.orderBy("recency_days", "o_custkey")).alias("r_q"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("frequency"), "o_custkey"))
+        .alias("f_q"),
+        F.ntile(4).over(Window.orderBy(F.desc("md"), "o_custkey")).alias("m_q"),
+    )
+    return scored.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        F.col("md").cast("double").alias("monetary"),
+        "r_q",
+        "f_q",
+        "m_q",
+        F.concat(
+            F.col("r_q").cast("string"),
+            F.col("f_q").cast("string"),
+            F.col("m_q").cast("string"),
+        ).alias("segment"),
+    )
+
+
+@register(
+    "events_user_lifecycle",
+    """
+    WITH wk AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events
+    ),
+    lagged AS (
+      SELECT user_id, week,
+             LAG(week)  OVER (PARTITION BY user_id ORDER BY week) AS prev_week,
+             LEAD(week) OVER (PARTITION BY user_id ORDER BY week) AS next_week
+      FROM wk
+    ),
+    act AS (
+      SELECT week,
+             CASE WHEN prev_week IS NULL THEN 'new'
+                  WHEN week = prev_week + 7 THEN 'retained'
+                  ELSE 'resurrected' END AS status,
+             user_id
+      FROM lagged
+    ),
+    churn AS (
+      SELECT week + 7 AS week, 'churned' AS status, user_id
+      FROM lagged
+      WHERE next_week IS NULL OR next_week > week + 7
+    )
+    SELECT week, status, COUNT(*) AS users
+    FROM (SELECT * FROM act UNION ALL SELECT * FROM churn)
+    GROUP BY week, status
+    """,
+)
+def q_events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting: each active (user, week) is classified
+    new / retained / resurrected via LAG over the user's distinct activity
+    weeks, and a churn row lands in the first inactive week via LEAD (a user
+    whose last activity is the corpus tail churns one week after it —
+    deterministic, no wall clock). All window work runs over the DISTINCT
+    (user, week) table — one shuffle to build it, then per-user partitions;
+    the raw event fan-in never reaches a window. The weekly new+retained+
+    resurrected−churned telescope is the standard DAU/WAU accounting
+    identity product teams track."""
+    e = table_scan(spark, sf_dir, "events")
+    wk = e.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("week")
+    lagged = wk.select(
+        "user_id",
+        "week",
+        F.lag("week").over(w).alias("prev_week"),
+        F.lead("week").over(w).alias("next_week"),
+    )
+    act = lagged.select(
+        "week",
+        F.when(F.col("prev_week").isNull(), F.lit("new"))
+        .when(F.col("week") == F.date_add("prev_week", 7), F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+        .alias("status"),
+        "user_id",
+    )
+    churn = lagged.filter(
+        F.col("next_week").isNull()
+        | (F.col("next_week") > F.date_add("week", 7))
+    ).select(
+        F.date_add("week", 7).alias("week"),
+        F.lit("churned").alias("status"),
+        "user_id",
+    )
+    return (
+        act.unionByName(churn)
+        .groupBy("week", "status")
+        .agg(F.count(F.lit(1)).alias("users"))
+    )
+
+
+@register(
+    "dq_benford_first_digit",
+    """
+    WITH cents AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM orders
+    ),
+    d AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit FROM cents
+    )
+    SELECT digit, COUNT(*) AS cnt,
+           COUNT(*) * 1000 // SUM(COUNT(*)) OVER () AS per_mille
+    FROM d GROUP BY digit
+    """,
+)
+def q_dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit over order totals — the
+    fraud/data-quality screen for 'organic' numeric distributions. The first
+    digit is taken from the INTEGER cents value (decimal-exact ×100, then
+    int→string, which is exact in both engines — never stringify a raw
+    double), and the per-mille share is integer floor-division so no
+    float comparison exists anywhere. One partial-agg pass over the scan +
+    a 9-row window."""
+    o = table_scan(spark, sf_dir, "orders")
+    cents = o.select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("c")
+    )
+    d = cents.select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    agg = d.groupBy("digit").agg(F.count(F.lit(1)).alias("cnt"))
+    total = F.sum("cnt").over(
+        Window.orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    return agg.select(
+        "digit", "cnt", F.expr("cnt * 1000").cast("long").alias("_num"), total.alias("_den")
+    ).select(
+        "digit",
+        "cnt",
+        (F.col("_num") / F.col("_den")).cast("long").alias("per_mille"),
+    )
+
+
+@register(
+    "events_interval_overlap_join",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 21600000000
+                  OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+      FROM events WHERE user_id < 30
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, us,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id) AS seq
+      FROM g
+    ),
+    sess AS (
+      SELECT user_id, seq, MIN(us) AS s_us, MAX(us) AS e_us
+      FROM s GROUP BY user_id, seq
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           COUNT(*) AS overlap_sessions
+    FROM sess a JOIN sess b
+      ON a.user_id < b.user_id AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+    GROUP BY user_a, user_b
+    """,
+)
+def q_events_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: which users' activity sessions (6 h gap
+    sessionization) overlap in time, and how often. The naive form is an
+    inequality self-join (the oracle runs exactly that); the Spark plan
+    instead EXPLODES each session into the calendar days it covers and
+    EQUI-joins on the day bucket before applying the precise overlap
+    predicate — candidate pairs are bounded by per-day co-activity, the join
+    parallelizes on the bucket key, and no BroadcastNestedLoop/cartesian
+    appears at any scale (plan-asserted in tests). Day-spanning sessions are
+    counted once via distinct session-pair ids. All time math is integer
+    MICROSECONDS (events carry sub-second precision; see NOTES.md)."""
+    e = table_scan(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 6 * 3600 * 1_000_000), 1).otherwise(0)
+    s = e.select(
+        "user_id",
+        us.alias("us"),
+        F.sum(new_sess)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("seq"),
+    )
+    sess = s.groupBy("user_id", "seq").agg(
+        F.min("us").alias("s_us"), F.max("us").alias("e_us")
+    )
+    # day-bucket explosion: micros → days since epoch (integer division)
+    day = lambda c: (F.col(c) / F.lit(86_400_000_000)).cast("long")  # noqa: E731
+    buckets = sess.select(
+        "user_id",
+        "seq",
+        "s_us",
+        "e_us",
+        F.explode(F.sequence(day("s_us"), day("e_us"))).alias("bucket"),
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.s_us") <= F.col("b.e_us"))
+            & (F.col("b.s_us") <= F.col("a.e_us")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("a.seq").alias("seq_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("b.seq").alias("seq_b"),
+        )
+        .distinct()
+    )
+    return pairs.groupBy("user_a", "user_b").agg(
+        F.count(F.lit(1)).alias("overlap_sessions")
+    )
+
+
+@register(
+    "doc_containment_pairs",
+    r"""
+    WITH t AS (
+      SELECT doc_id, UNNEST(list_distinct(string_split_regex(TRIM(text), '\s+')))
+               AS token
+      FROM documents WHERE doc_id < 120
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n_tok FROM t GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter_cnt
+      FROM t a JOIN t b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, inter_cnt,
+           sa.n_tok AS n_a, sb.n_tok AS n_b,
+           CAST(inter_cnt AS DOUBLE) / least(sa.n_tok, sb.n_tok) AS containment
+    FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE inter_cnt * 2 >= least(sa.n_tok, sb.n_tok)
+    """,
+)
+def q_doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-containment similarity pairs: C(A,B) = |A∩B| / min(|A|,|B|) —
+    the asymmetric-duplicate signal Jaccard misses (a short doc fully
+    embedded in a long one scores low Jaccard but containment ≈ 1). The
+    intersection comes from an INVERTED-INDEX equi-join on token (never
+    all-pairs: candidate pairs exist only where a token co-occurs), partial-
+    counted before the pair shuffle. The ≥0.5 threshold is integer
+    cross-multiplication; the emitted containment value is one exact-rounded
+    IEEE division. Bounded to doc_id < 120 as the exact-verify primitive —
+    at 100 TB the same plan runs behind MinHash-LSH candidate pruning
+    (doc_dedup_minhash_lsh)."""
+    d = table_scan(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    t = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+        ).alias("token"),
+    )
+    sz = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    a, b = t.alias("a"), t.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter_cnt"))
+    )
+    sa = sz.select(F.col("doc_id").alias("id_a"), F.col("n_tok").alias("n_a"))
+    sb = sz.select(F.col("doc_id").alias("id_b"), F.col("n_tok").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .filter(F.col("inter_cnt") * 2 >= F.least("n_a", "n_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "inter_cnt",
+            "n_a",
+            "n_b",
+            (F.col("inter_cnt").cast("double") / F.least("n_a", "n_b")).alias(
+                "containment"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
 # The driver correctness-checks the FIRST 50 registry entries per round
