@@ -29,6 +29,8 @@ BNLJ_OK = {
     "range_join_value_bands",  # 4-row band dim broadcast
     "tpch_q11_important_parts",  # single-row global-threshold broadcast
     "source_mixture_weights",  # single-row normalizer broadcast
+    "hard_negative_mining",  # ≤30 anchor vectors broadcast, corpus streamed
+    "doc_tfidf_top_terms",  # single-row corpus doc-count broadcast
 }
 
 #: queries that explicitly run vectorized pandas (Arrow) stages
