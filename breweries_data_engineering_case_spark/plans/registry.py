@@ -5757,6 +5757,546 @@ def q_doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dq_referential_orphans",
+    """
+    WITH li AS (
+      SELECT 'lineitem.l_orderkey->orders' AS edge,
+             COUNT(*) AS child_rows,
+             COUNT(*) FILTER (WHERE l_orderkey IS NULL) AS null_keys,
+             COUNT(*) FILTER (WHERE l_orderkey IS NOT NULL
+                              AND o_orderkey IS NULL) AS orphan_rows
+      FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+    ),
+    oc AS (
+      SELECT 'orders.o_custkey->customer' AS edge,
+             COUNT(*) AS child_rows,
+             COUNT(*) FILTER (WHERE o_custkey IS NULL) AS null_keys,
+             COUNT(*) FILTER (WHERE o_custkey IS NOT NULL
+                              AND c_custkey IS NULL) AS orphan_rows
+      FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    ),
+    cn AS (
+      SELECT 'customer.c_nationkey->nation' AS edge,
+             COUNT(*) AS child_rows,
+             COUNT(*) FILTER (WHERE c_nationkey IS NULL) AS null_keys,
+             COUNT(*) FILTER (WHERE c_nationkey IS NOT NULL
+                              AND n_nationkey IS NULL) AS orphan_rows
+      FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+    )
+    SELECT edge, child_rows, null_keys, orphan_rows FROM li
+    UNION ALL SELECT edge, child_rows, null_keys, orphan_rows FROM oc
+    UNION ALL SELECT edge, child_rows, null_keys, orphan_rows FROM cn
+    """,
+)
+def q_dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: one row per foreign-key edge with child
+    row count, NULL-key count, and orphan count (non-null key with no parent).
+    Each edge is a LEFT join against the DISTINCT parent-key projection —
+    the parent side collapses to its key column before the join, so the
+    customer/nation probes broadcast and even the orders side ships only one
+    skinny long column into the fact join. A conformance gate every
+    warehouse load should run before publishing (the reference's Soda checks
+    express row-level nullness; this is the cross-table completion of that
+    idea)."""
+    li = table_scan(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = table_scan(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table_scan(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table_scan(spark, sf_dir, "nation").select("n_nationkey")
+
+    def audit(child: DataFrame, key: str, parent: DataFrame, pkey: str, edge: str,
+              bcast: bool) -> DataFrame:
+        pk = parent.select(pkey).distinct()
+        joined = child.join(
+            F.broadcast(pk) if bcast else pk,
+            child[key] == pk[pkey],
+            "left",
+        )
+        return joined.agg(
+            F.lit(edge).alias("edge"),
+            F.count(F.lit(1)).alias("child_rows"),
+            F.count(F.when(F.col(key).isNull(), 1)).alias("null_keys"),
+            F.count(
+                F.when(F.col(key).isNotNull() & F.col(pkey).isNull(), 1)
+            ).alias("orphan_rows"),
+        )
+
+    return (
+        audit(li, "l_orderkey", o, "o_orderkey", "lineitem.l_orderkey->orders",
+              bcast=False)
+        .unionByName(
+            audit(o, "o_custkey", c, "c_custkey", "orders.o_custkey->customer",
+                  bcast=True)
+        )
+        .unionByName(
+            audit(c, "c_nationkey", n, "n_nationkey",
+                  "customer.c_nationkey->nation", bcast=True)
+        )
+    )
+
+
+@register(
+    "events_count_min_sketch",
+    """
+    WITH ex AS (
+      SELECT user_id, COUNT(*) AS exact_cnt FROM events GROUP BY user_id
+    ),
+    cells AS (
+      SELECT user_id, exact_cnt, i,
+             CAST(concat('0x', substr(md5(CAST(i AS VARCHAR) || ':'
+                    || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 256
+               AS bucket
+      FROM ex, UNNEST(range(4)) AS u(i)
+    ),
+    sketch AS (
+      SELECT i, bucket, SUM(exact_cnt) AS cell_total
+      FROM cells GROUP BY i, bucket
+    ),
+    est AS (
+      SELECT c.user_id, MIN(s.cell_total) AS cms_est
+      FROM cells c JOIN sketch s ON c.i = s.i AND c.bucket = s.bucket
+      GROUP BY c.user_id
+    )
+    SELECT ex.user_id, ex.exact_cnt, CAST(e.cms_est AS BIGINT) AS cms_est,
+           CAST(e.cms_est - ex.exact_cnt AS BIGINT) AS overcount
+    FROM ex JOIN est e ON ex.user_id = e.user_id
+    """,
+)
+def q_events_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (d=4 rows × w=256 buckets) over per-user event
+    frequencies, with the estimate replayed against the exact count —
+    `overcount` is the sketch's collision error, provably ≥ 0. The sketch is
+    built from the PRE-AGGREGATED (user, count) table, not the raw event
+    stream: hash cells depend only on the key, so partial-agg first means the
+    4× hash fan-out touches |users| rows, not |events| (at 100 TB that is
+    the difference between a broadcast-sized sketch build and a full-corpus
+    reshuffle). Cell totals are a (4×256)-row table that merges across
+    shards by plain SUM — the mergeability that makes CMS the standard
+    distributed heavy-hitter sketch. Hashes are the engine-portable md5
+    prefix (functions/hashing.py), so DuckDB rebuilds the identical sketch
+    bit-for-bit."""
+    from ..functions.hashing import portable_hash64
+
+    e = table_scan(spark, sf_dir, "events")
+    ex = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    cells = ex.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i")
+    ).select(
+        "user_id",
+        "exact_cnt",
+        "i",
+        F.pmod(
+            portable_hash64(
+                F.concat(F.col("i").cast("string"), F.lit(":"),
+                         F.col("user_id").cast("string"))
+            ),
+            F.lit(256),
+        ).alias("bucket"),
+    )
+    sketch = cells.groupBy("i", "bucket").agg(
+        F.sum("exact_cnt").alias("cell_total")
+    )
+    est = (
+        cells.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("cell_total").alias("cms_est"))
+    )
+    return ex.join(est, "user_id").select(
+        "user_id",
+        "exact_cnt",
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
+    )
+
+
+@register(
+    "doc_feature_hashing",
+    r"""
+    WITH tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM (SELECT doc_id,
+                   UNNEST(string_split_regex(TRIM(text), '\s+')) AS token
+            FROM documents)
+      GROUP BY doc_id, token
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) % 1024
+               AS bucket,
+             CASE WHEN CAST(concat('0x', substr(md5('s:' || token), 1, 15))
+                        AS BIGINT) % 2 = 1
+                  THEN tf ELSE -tf END AS signed_tf
+      FROM tf
+    )
+    SELECT doc_id, bucket, CAST(SUM(signed_tf) AS BIGINT) AS weight
+    FROM hashed GROUP BY doc_id, bucket
+    HAVING SUM(signed_tf) <> 0
+    """,
+)
+def q_doc_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed hashing-trick bag-of-words (Weinberger et al. feature hashing):
+    each token folds into one of 1024 buckets with a ±1 sign drawn from an
+    independent hash, so collisions cancel in expectation and the sparse
+    vector is unbiased. Output is the sparse COO form (doc_id, bucket,
+    weight) — the fixed-width featurization that needs NO vocabulary build,
+    no global state, and therefore no second pass over 100 TB: every
+    partition featurizes independently and the groupBy is a plain partial
+    agg on (doc, bucket). Weights are integer term-count sums — exact in
+    both engines; zero-weight cells (full cancellation) are dropped to keep
+    the vector sparse."""
+    from ..functions.hashing import portable_hash64
+
+    d = table_scan(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    hashed = tf.select(
+        "doc_id",
+        F.pmod(portable_hash64("token"), F.lit(1024)).alias("bucket"),
+        F.when(
+            F.pmod(portable_hash64(F.concat(F.lit("s:"), F.col("token"))), F.lit(2))
+            == 1,
+            F.col("tf"),
+        )
+        .otherwise(-F.col("tf"))
+        .alias("signed_tf"),
+    )
+    return (
+        hashed.groupBy("doc_id", "bucket")
+        .agg(F.sum("signed_tf").cast("long").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )
+
+
+@register(
+    "doc_bloom_probe",
+    r"""
+    WITH member AS (
+      SELECT DISTINCT UNNEST(string_split_regex(TRIM(p_name), '\s+')) AS token
+      FROM part
+    ),
+    bits AS (
+      SELECT DISTINCT k,
+             CAST(concat('0x', substr(md5(CAST(k AS VARCHAR) || '#' || token),
+                                      1, 15)) AS BIGINT) % 4096 AS pos
+      FROM member, UNNEST(range(3)) AS u(k)
+    ),
+    probe AS (
+      SELECT DISTINCT UNNEST(string_split_regex(TRIM(text), '\s+')) AS token
+      FROM documents
+    ),
+    ppos AS (
+      SELECT token, k,
+             CAST(concat('0x', substr(md5(CAST(k AS VARCHAR) || '#' || token),
+                                      1, 15)) AS BIGINT) % 4096 AS pos
+      FROM probe, UNNEST(range(3)) AS u(k)
+    ),
+    hits AS (
+      SELECT p.token, COUNT(b.pos) AS set_bits
+      FROM ppos p LEFT JOIN bits b ON p.k = b.k AND p.pos = b.pos
+      GROUP BY p.token
+    ),
+    verdict AS (
+      SELECT h.token,
+             CAST(h.set_bits = 3 AS INT) AS bloom_hit,
+             CAST(m.token IS NOT NULL AS INT) AS exact_hit
+      FROM hits h LEFT JOIN member m ON h.token = m.token
+    )
+    SELECT COUNT(*) AS probes,
+           CAST(SUM(bloom_hit) AS BIGINT) AS bloom_hits,
+           CAST(SUM(exact_hit) AS BIGINT) AS exact_hits,
+           CAST(SUM(CASE WHEN bloom_hit = 1 AND exact_hit = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS false_positives
+    FROM verdict
+    """,
+)
+def q_doc_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership probe with MEASURED false-positive rate: the
+    part-name vocabulary builds an m=4096-bit / k=3 filter, every distinct
+    document token probes it, and each bloom verdict is replayed against
+    exact membership — `false_positives` is the filter's actual FP count
+    (bloom_hits ≥ exact_hits always; no false negatives by construction).
+    The filter is represented relationally as its SET-BIT table (k, pos) —
+    ≤ 12 288 rows regardless of corpus size — broadcast to the probe side as
+    an equi-join; a probe token is a member iff all k positions match
+    (COUNT = k). This is the shape of a distributed bloom join: build once
+    map-side, broadcast the bitset, prune the big side before any shuffle.
+    Portable md5-prefix hashing means DuckDB constructs the identical filter,
+    so the FP count itself is oracle-checked."""
+    from ..functions.hashing import portable_hash64
+
+    def tok(df: DataFrame, col: str) -> DataFrame:
+        return df.select(
+            F.explode_outer(F.split(F.trim(F.col(col)), r"\s+")).alias("token")
+        ).distinct()
+
+    def positions(df: DataFrame) -> DataFrame:
+        ks = F.sequence(F.lit(0), F.lit(2))
+        return df.select(
+            "token", F.explode(ks).alias("k")
+        ).select(
+            "token",
+            "k",
+            F.pmod(
+                portable_hash64(
+                    F.concat(F.col("k").cast("string"), F.lit("#"), F.col("token"))
+                ),
+                F.lit(4096),
+            ).alias("pos"),
+        )
+
+    member = tok(table_scan(spark, sf_dir, "part"), "p_name")
+    bits = positions(member).select("k", "pos").distinct()
+    probe = tok(table_scan(spark, sf_dir, "documents"), "text")
+    ppos = positions(probe)
+    hits = (
+        ppos.join(F.broadcast(bits), ["k", "pos"], "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("set_bits"))
+    )
+    all_probe = probe.join(
+        hits.filter(F.col("set_bits") == 3).select("token").withColumn(
+            "bloom_hit", F.lit(1)
+        ),
+        "token",
+        "left",
+    ).join(
+        member.withColumn("exact_hit", F.lit(1)), "token", "left"
+    )
+    return all_probe.agg(
+        F.count(F.lit(1)).alias("probes"),
+        F.sum(F.coalesce(F.col("bloom_hit"), F.lit(0))).cast("long").alias(
+            "bloom_hits"
+        ),
+        F.sum(F.coalesce(F.col("exact_hit"), F.lit(0))).cast("long").alias(
+            "exact_hits"
+        ),
+        F.sum(
+            F.when(
+                F.col("bloom_hit").isNotNull() & F.col("exact_hit").isNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("false_positives"),
+    )
+
+
+@register(
+    "events_longest_streak",
+    """
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    isl AS (
+      SELECT user_id, day,
+             date_diff('day', DATE '1970-01-01', day)
+               - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      FROM ud
+    ),
+    runs AS (
+      SELECT user_id, grp, COUNT(*) AS len, MIN(day) AS start_day
+      FROM isl GROUP BY user_id, grp
+    ),
+    best AS (
+      SELECT user_id, len, start_day,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY len DESC, start_day) AS rn
+      FROM runs
+    )
+    SELECT user_id, CAST(len AS BIGINT) AS best_streak,
+           start_day AS streak_start
+    FROM best WHERE rn = 1
+    """,
+)
+def q_events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the gaps-and-
+    islands idiom: on the DISTINCT (user, day) grid, `epoch_day − row_number`
+    is constant exactly within a consecutive run, so one window + one groupBy
+    finds every streak without self-joins or iteration. All window work runs
+    over the distinct day grid (≤ |users|×|days| rows, partitioned by user),
+    never the raw event fan-in. Ties (two equal-length streaks) break to the
+    earliest start date — fully deterministic."""
+    e = table_scan(spark, sf_dir, "events")
+    ud = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = ud.select(
+        "user_id",
+        "day",
+        (
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("grp"),
+    )
+    runs = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"), F.min("day").alias("start_day")
+    )
+    wb = Window.partitionBy("user_id").orderBy(F.desc("len"), "start_day")
+    return (
+        runs.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("len").alias("best_streak"),
+            F.col("start_day").alias("streak_start"),
+        )
+    )
+
+
+_PAGERANK_ITER = """
+    s{k} AS (
+      SELECT e.dst AS node, SUM(r.pr // r.deg) AS s
+      FROM edges e JOIN r{p} r ON e.src = r.node GROUP BY e.dst
+    ),
+    r{k} AS (
+      SELECT n.node, n.deg, n.base,
+             CAST((15 * n.base + 85 * COALESCE(s{k}.s, 0)) // 100 AS BIGINT)
+               AS pr
+      FROM nodes n LEFT JOIN s{k} ON n.node = s{k}.node
+    )"""
+
+
+@register(
+    "graph_pagerank_bipartite",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+      SELECT src, dst FROM pairs
+      UNION ALL SELECT dst AS src, src AS dst FROM pairs
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+    nodes AS (
+      SELECT node, deg,
+             CAST(1000000000000 // (COUNT(*) OVER ()) AS BIGINT) AS base
+      FROM deg
+    ),
+    r0 AS (SELECT node, deg, base, base AS pr FROM nodes),"""
+    + _PAGERANK_ITER.format(k=1, p=0) + ","
+    + _PAGERANK_ITER.format(k=2, p=1) + ","
+    + _PAGERANK_ITER.format(k=3, p=2) + """
+    SELECT node, pr FROM r3
+    """,
+)
+def q_graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (3 iterations, damping 0.85) over the
+    customer↔supplier co-transaction graph — the canonical ITERATIVE
+    algorithm a SQL engine can't express without recursion. Spark runs the
+    textbook loop (contribution = rank÷degree, scatter along edges, gather
+    by SUM, damp); the oracle unrolls the same three iterations as chained
+    CTEs. Every quantity is INTEGER: ranks live on a 10^12 fixed-point
+    scale and all divisions are floor (`div`/`//`), so both engines agree
+    bit-for-bit — float PageRank would diverge in summation order. Scale
+    shape: edges and the node table persist across iterations (scanned 3×,
+    computed once); each iteration is one shuffle join on the edge key + one
+    partial-agg gather — the same plan per round regardless of graph size;
+    rank state never touches the driver."""
+    o = table_scan(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table_scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    nodes = (
+        deg.select(
+            F.col("src").alias("node"),
+            "deg",
+            F.expr("CAST(1000000000000 AS BIGINT)")
+            .alias("_scale"),
+        )
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+        .selectExpr("node", "deg", "_scale div n AS base")
+        .persist()
+    )
+    r = nodes.withColumn("pr", F.col("base"))
+    for _ in range(3):
+        contrib = r.selectExpr("node AS src", "pr div deg AS c")
+        inc = (
+            edges.join(contrib, "src")
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        r = (
+            nodes.join(inc, nodes["node"] == inc["dst"], "left")
+            .selectExpr(
+                "node",
+                "deg",
+                "base",
+                "CAST((15 * base + 85 * COALESCE(s, 0)) div 100 AS BIGINT) AS pr",
+            )
+        )
+    return r.select("node", "pr")
+
+
+@register(
+    "python_datasource_scan",
+    """
+    WITH items AS (
+      SELECT CAST(i AS BIGINT) AS item_id, CAST(i // 200 AS INT) AS page
+      FROM UNNEST(range(1600)) AS t(i)
+    ),
+    f AS (SELECT * FROM items WHERE page <= 3),
+    feat AS (
+      SELECT page, item_id,
+             CASE CAST(concat('0x', substr(md5('feed:'
+                    || CAST(item_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4
+               WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
+               WHEN 2 THEN 'gamma' ELSE 'delta' END AS category,
+             CAST(concat('0x', substr(md5('amt:'
+                    || CAST(item_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
+               AS amount
+      FROM f
+    )
+    SELECT category, COUNT(*) AS items,
+           CAST(SUM(amount) AS BIGINT) AS total_amount
+    FROM feat GROUP BY category
+    """,
+)
+def q_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan through a CUSTOM Python DataSource (Spark 4 DSv2 API,
+    sources/python_datasource.py): the synthetic paginated feed is read
+    page-per-InputPartition (executor-parallel, not a driver loop — contrast
+    sources/rest.py, which ports the reference's imperative pagination from
+    app/tasks/extract.py:29-77), and the `page <= 3` predicate is PUSHED
+    into the connector (`pushFilters`), pruning 4 of 8 page partitions
+    before any task launches. Feed content is md5-portable-hash generated,
+    so the oracle regenerates the identical rows from a bare integer range —
+    the connector's output is fully value-checked, not just row-counted."""
+    from ..sources.python_datasource import register_feed_source
+
+    register_feed_source(spark)
+    feed = (
+        spark.read.format("synthetic_feed")
+        .option("pages", 8)
+        .option("rows_per_page", 200)
+        .load()
+    )
+    return (
+        feed.filter(F.col("page") <= 3)
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("items"),
+            F.sum("amount").cast("long").alias("total_amount"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

@@ -1,0 +1,34 @@
+"""PageRank invariants: mass conservation (up to floor loss), positivity,
+and degree-monotonic ordering on the bipartite co-transaction graph."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from breweries_data_engineering_case_spark.plans import registry
+
+
+def test_pagerank_mass_and_positivity(spark, sf_dir):
+    r = registry.queries()["graph_pagerank_bipartite"](spark, sf_dir)
+    agg = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pr").alias("mass"),
+        F.min("pr").alias("lo"),
+    ).collect()[0]
+    scale = 1_000_000_000_000
+    # every node keeps at least the damped base share, so pr > 0
+    assert agg.lo > 0
+    # floor division only ever loses mass: total stays within n*iters of SCALE
+    # (each of the 3 iterations floors at most 1 unit per node per step)
+    assert agg.mass <= scale
+    assert agg.mass >= scale - 6 * agg.n * 100  # generous floor-loss bound
+
+
+def test_pagerank_supplier_hubs_outrank_leaf_customers(spark, sf_dir):
+    """Suppliers touch many customers (high in-degree) so the top of the
+    ranking must be supplier nodes and the minimum must be a customer."""
+    r = registry.queries()["graph_pagerank_bipartite"](spark, sf_dir)
+    top = r.orderBy(F.desc("pr"), "node").limit(5).collect()
+    assert all(row.node.startswith("s") for row in top)
+    bottom = r.orderBy("pr", "node").limit(1).collect()[0]
+    assert bottom.node.startswith("c")
