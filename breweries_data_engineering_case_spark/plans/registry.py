@@ -6297,6 +6297,229 @@ def q_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_transform_with_state",
+    """
+    SELECT user_id, event_type, COUNT(*) AS event_cnt
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def q_streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user per-event-type running counts as an arbitrary-stateful
+    streaming op, proven equal to the batch GROUP BY twin: AvailableNow over
+    the staged events, keep each (user, type)'s LAST update-mode emission
+    (= max count — counts only grow). The accumulation is order-insensitive,
+    so micro-batch slicing can't change the result. Two implementations
+    with one emissions contract (streaming/stateful.py): Spark 4's
+    transformWithStateInPandas with typed MapState when its Python worker
+    can run (needs protobuf + the RocksDB state store — set per-query), else
+    the applyInPandasWithState fallback (`user_type_counter_fallback`) —
+    THIS container lacks protobuf, so the fallback is the executed path
+    here; the TWS processor is plan-built and covered by a skip-gated
+    pytest."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    staging = Path(tempfile.gettempdir()) / "bdec_stream_events" / key
+    if not (staging / "_SUCCESS").exists():
+        table_scan(spark, sf_dir, "events").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(str(staging))
+    from ..streaming.events import stream_events
+    from ..streaming.stateful import (
+        tws_available,
+        user_type_counter,
+        user_type_counter_fallback,
+    )
+
+    qname = f"bdec_tws_{key}"
+    src = stream_events(spark, str(staging))
+    if tws_available():
+        prev = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            q = (
+                user_type_counter(src)
+                .writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            if prev is None:
+                spark.conf.unset(
+                    "spark.sql.streaming.stateStore.providerClass"
+                )
+            else:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev
+                )
+    else:
+        q = (
+            user_type_counter_fallback(src)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    emissions = spark.table(qname)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("event_cnt")
+    )
+    return (
+        emissions.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "event_type", "event_cnt")
+    )
+
+
+@register(
+    "orders_price_trend_ols",
+    """
+    WITH pts AS (
+      SELECT n_name,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+    ),
+    m AS (
+      SELECT n_name, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM pts GROUP BY n_name
+    ),
+    s AS (
+      SELECT n_name, n,
+             CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+             CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den
+      FROM m
+    )
+    SELECT n_name, CAST(n AS BIGINT) AS n_orders,
+           CAST(CASE WHEN num < 0 THEN -((-num * 1000000) // den)
+                     ELSE (num * 1000000) // den END AS BIGINT)
+             AS slope_micro_cents_per_day
+    FROM s
+    """,
+)
+def q_orders_price_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation closed-form OLS trend of order value over time — grouped
+    linear regression WITHOUT any ML library or iterative solver: slope =
+    (nΣxy − ΣxΣy) / (nΣxx − (Σx)²) from one partial-agg pass of integer
+    moments (x = epoch day, y = exact cents). Moment products run in
+    DECIMAL(38,0) (they overflow int64: nΣxy ~ 10¹⁹ at sf0.01, far worse at
+    100 TB; DuckDB's HUGEINT is the oracle twin). The slope is emitted in
+    integer micro-cents/day via sign-split floor division, so engines agree
+    bit-for-bit with no float anywhere. One shuffle (the groupBy); the
+    nation/customer dims broadcast onto the fact scan."""
+    o = table_scan(spark, sf_dir, "orders")
+    c = table_scan(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table_scan(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pts = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(
+            "n_name",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            )
+            .cast("long")
+            .alias("x"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    m = pts.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    s = m.selectExpr(
+        "n_name",
+        "n",
+        "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"
+        " AS num",
+        "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"
+        " AS den",
+    )
+    return s.selectExpr(
+        "n_name",
+        "CAST(n AS BIGINT) AS n_orders",
+        "CAST(CASE WHEN num < 0 THEN -((-num * 1000000) div den)"
+        "          ELSE (num * 1000000) div den END AS BIGINT)"
+        " AS slope_micro_cents_per_day",
+    )
+
+
+@register(
+    "orders_target_encoding",
+    """
+    WITH c AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    g AS (
+      SELECT o_orderpriority, COUNT(*) AS grp_n,
+             SUM(cents) AS grp_cents
+      FROM c GROUP BY o_orderpriority
+    )
+    SELECT o_orderkey, c.o_orderpriority,
+           CAST((CAST(grp_cents AS HUGEINT) - cents) * 1000
+                // (grp_n - 1) AS BIGINT) AS loo_mean_millicents
+    FROM c JOIN g ON c.o_orderpriority = g.o_orderpriority
+    WHERE grp_n > 1
+    """,
+)
+def q_orders_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the categorical-feature encoding that
+    avoids self-leakage: each row's encoded value is the mean target of its
+    group EXCLUDING the row itself, loo = (Σgroup − y_row)/(n−1). Plain
+    per-group means leak the row's own label into its feature; LOO is the
+    standard fix and needs NO self-join — one grouped partial agg produces
+    (n, Σ) per category, broadcast back onto the fact scan, and each row
+    finishes the arithmetic locally. Emitted in integer millicents by floor
+    division (all terms positive), bit-exact across engines. At 100 TB this
+    is one map-side aggregate + one broadcast hash join — no shuffle of the
+    fact table at all."""
+    o = table_scan(spark, sf_dir, "orders")
+    c = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    g = c.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("grp_n"),
+        F.sum("cents").alias("grp_cents"),
+    )
+    return (
+        c.join(F.broadcast(g), "o_orderpriority")
+        .filter(F.col("grp_n") > 1)
+        .selectExpr(
+            "o_orderkey",
+            "o_orderpriority",
+            "CAST((CAST(grp_cents AS DECIMAL(38,0)) - cents) * 1000"
+            " div (grp_n - 1) AS BIGINT) AS loo_mean_millicents",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

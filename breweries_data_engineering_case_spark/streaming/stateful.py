@@ -21,8 +21,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -83,6 +85,144 @@ def user_activity_tracker(events: DataFrame) -> DataFrame:
             _track,
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 transformWithStateInPandas — the successor arbitrary-state API
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+TYPE_COUNT_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("event_cnt", LongType()),
+    ]
+)
+
+
+class TypeCountProcessor(StatefulProcessor):
+    """Per-user event-type counters held in MapState (event_type → count).
+
+    transformWithStateInPandas is Spark 4's replacement for
+    applyInPandasWithState: state is TYPED and COMPOSABLE (ValueState /
+    ListState / MapState per processor, each schema'd and independently
+    checkpointed) instead of one opaque tuple. The map accumulation is
+    ORDER-INSENSITIVE (pure counts), so the result is independent of
+    micro-batch partitioning — what makes an exact batch-twin oracle
+    possible (contrast order-sensitive transition counting, which would
+    depend on file arrival order)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._counts = handle.getMapState(
+            "type_counts", "event_type string", "cnt bigint"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        batch: dict[str, int] = {}
+        for pdf in rows:
+            for t, c in pdf["event_type"].value_counts().items():
+                batch[t] = batch.get(t, 0) + int(c)
+        out_types: list[str] = []
+        out_cnts: list[int] = []
+        for t, c in sorted(batch.items()):
+            prev = (
+                self._counts.getValue((t,))[0]
+                if self._counts.containsKey((t,))
+                else 0
+            )
+            total = prev + c
+            self._counts.updateValue((t,), (total,))
+            out_types.append(t)
+            out_cnts.append(total)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out_types),
+                "event_type": out_types,
+                "event_cnt": out_cnts,
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_type_counter(events: DataFrame) -> DataFrame:
+    """Per-(user, event_type) running counts via transformWithStateInPandas."""
+    return (
+        events.select("user_id", "event_type")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            TypeCountProcessor(),
+            outputStructType=TYPE_COUNT_OUTPUT,
+            outputMode="update",
+            timeMode="none",
+        )
+    )
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs protobuf on the Python side
+    (pyspark.sql.streaming.proto) — probe instead of crashing mid-stream."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+_TC_STATE = StructType(
+    [
+        StructField("types", ArrayType(StringType())),
+        StructField("cnts", ArrayType(LongType())),
+    ]
+)
+
+
+def _track_types(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    counts: dict[str, int] = {}
+    if state.exists:
+        types, cnts = state.get
+        counts = dict(zip(types, cnts))
+    for pdf in batches:
+        for t, c in pdf["event_type"].value_counts().items():
+            counts[t] = counts.get(t, 0) + int(c)
+    items = sorted(counts.items())
+    state.update(([t for t, _ in items], [c for _, c in items]))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(items),
+            "event_type": [t for t, _ in items],
+            "event_cnt": [c for _, c in items],
+        }
+    )
+
+
+def user_type_counter_fallback(events: DataFrame) -> DataFrame:
+    """Same per-(user, type) running counts on the applyInPandasWithState
+    API — the execution path when protobuf (required by the TWS Python
+    worker) is absent. Identical emissions contract: update-mode, counts
+    only grow, last emission per key is the total."""
+    return (
+        events.select("user_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _track_types,
+            outputStructType=TYPE_COUNT_OUTPUT,
+            stateStructType=_TC_STATE,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
