@@ -6520,6 +6520,140 @@ def q_orders_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "graph_reachability_bfs",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+      SELECT src, dst FROM pairs
+      UNION ALL SELECT dst AS src, src AS dst FROM pairs
+    ),
+    seeds AS (
+      SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node
+      FROM customer WHERE c_custkey < 5
+    ),
+    walk(node, d) AS (
+      SELECT node, 0 FROM seeds
+      UNION
+      SELECT e.dst, w.d + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.d < 3
+    )
+    SELECT node, CAST(MIN(d) AS INT) AS dist FROM walk GROUP BY node
+    """,
+)
+def q_graph_reachability_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS (≤3 hops) from seed customers over the
+    customer↔supplier graph, returning each reachable node's minimum hop
+    distance — transitive reachability, the class SQL needs WITH RECURSIVE
+    for (the oracle uses exactly that) and Spark expresses as an iterative
+    FRONTIER loop: join the frontier to the edge list, subtract
+    already-visited nodes, advance. The visited-set subtraction keeps each
+    level's frontier ≤ |V| rows no matter how many paths exist (the naive
+    path-enumeration blowup — k^depth — never materializes), and BFS order
+    makes first-visit depth = min distance, so no per-node MIN re-agg is
+    needed. Per level: one shuffle join on the edge key + one anti join;
+    edges persist across levels."""
+    o = table_scan(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table_scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    seeds = (
+        table_scan(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 5)
+        .select(F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node"))
+    )
+    reached = seeds.withColumn("dist", F.lit(0))
+    frontier = seeds
+    for depth in range(1, 4):
+        nxt = (
+            edges.join(frontier, edges["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = nxt.join(
+            reached.select("node"), "node", "left_anti"
+        ).withColumn("dist", F.lit(depth))
+        reached = reached.unionByName(new).persist()
+        frontier = new.select("node")
+    return reached
+
+
+@register(
+    "orders_dow_seasonality",
+    """
+    WITH c AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    dow AS (
+      SELECT ((dayofweek(day) + 6) % 7) AS dow_iso,
+             COUNT(*) AS n_dow, SUM(cents) AS cents_dow
+      FROM c GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_dow) AS n_all, SUM(cents_dow) AS cents_all FROM dow)
+    SELECT dow_iso, CAST(n_dow AS BIGINT) AS n_orders,
+           CAST(cents_dow AS BIGINT) AS cents,
+           CAST(CAST(cents_dow AS HUGEINT) * n_all * 1000
+                // (CAST(cents_all AS HUGEINT) * n_dow) AS BIGINT)
+             AS seasonal_index_permille
+    FROM dow CROSS JOIN tot
+    """,
+)
+def q_orders_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile: per-weekday mean order value as a
+    per-mille index against the overall mean (1000 = no seasonality).
+    The index is pure integer cross-multiplication —
+    (Σdow · n_all · 1000) // (Σall · n_dow) — so the mean-of-means ratio
+    needs no float division anywhere. Weekdays are normalized to ISO
+    (0 = Monday): Spark and DuckDB disagree on dayofweek origin (Sun=1 vs
+    Sun=0 — NOTES.md), so both sides map through an explicit affine shift.
+    One 7-row aggregate over the scan; the totals join is a 1-row window."""
+    o = table_scan(spark, sf_dir, "orders")
+    c = o.select(
+        F.col("o_orderdate").cast("date").alias("day"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    dow = c.groupBy(
+        ((F.dayofweek("day") + 5) % 7).alias("dow_iso")
+    ).agg(
+        F.count(F.lit(1)).alias("n_dow"),
+        F.sum("cents").alias("cents_dow"),
+    )
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        dow.withColumn("n_all", F.sum("n_dow").over(w_all))
+        .withColumn("cents_all", F.sum("cents_dow").over(w_all))
+        .selectExpr(
+            "dow_iso",
+            "n_dow AS n_orders",
+            "cents_dow AS cents",
+            "CAST(CAST(cents_dow AS DECIMAL(38,0)) * n_all * 1000"
+            " div (CAST(cents_all AS DECIMAL(38,0)) * n_dow) AS BIGINT)"
+            " AS seasonal_index_permille",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
