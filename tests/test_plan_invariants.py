@@ -271,3 +271,61 @@ def test_shared_span_explode_runs_once(spark, sf_dir):
     from cache — one materialization of the exploded span table."""
     plan = _plan(spark, sf_dir, "doc_shared_span_flags")
     assert plan.count("InMemoryTableScan") >= 2
+
+
+# --- round 4 additions ---
+
+
+def test_interval_overlap_is_equi_bucket_join(spark, sf_dir):
+    """The session-overlap join must ride the day-bucket EQUI key — never a
+    nested-loop over all session pairs."""
+    plan = _plan(spark, sf_dir, "events_interval_overlap_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_containment_pairs_inverted_index_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "doc_containment_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_target_encoding_broadcasts_group_stats(spark, sf_dir):
+    """LOO encoding must be one grouped agg + a broadcast join back — the
+    fact table itself must not shuffle."""
+    plan = _plan(spark, sf_dir, "orders_target_encoding")
+    assert "BroadcastHashJoin" in plan
+    # exactly one real exchange (for the 5-row priority aggregate); the
+    # broadcast side shows as BroadcastExchange, not Exchange hashpartitioning
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_ols_trend_single_shuffle_partial_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "orders_price_trend_ols")
+    assert plan.count("BroadcastHashJoin") >= 2  # customer + nation dims
+    assert "partial_count" in plan or "partial" in plan  # map-side combine
+
+
+def test_cms_sketch_no_join_for_salt_fanout(spark, sf_dir):
+    """The 4× salt fan-out must be a generator (explode over a literal
+    array), not a join against a salt table."""
+    plan = _plan(spark, sf_dir, "events_count_min_sketch")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan
+
+
+def test_pagerank_no_cartesian_no_python(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "graph_pagerank_bipartite")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_rfm_windows_run_over_key_table(spark, sf_dir):
+    """All three NTILE sorts must consume the per-customer AGGREGATE, not
+    the orders fact — exactly one fact-table exchange in the plan."""
+    plan = _plan(spark, sf_dir, "orders_rfm_segments")
+    assert "partial" in plan  # per-customer agg is map-side combined
+    assert "CartesianProduct" not in plan
