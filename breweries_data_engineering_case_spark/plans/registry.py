@@ -1853,12 +1853,29 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sinks + ingestion as driver-checkable queries (SURVEY §2.1 S1/S5/S6)
 # ---------------------------------------------------------------------------
 
-@register("rest_paginated_ingest")  # driver-side HTTP loop → rows-only check
+@register(
+    "rest_paginated_ingest",
+    """
+    WITH g AS (SELECT CAST(x AS INT) AS n FROM UNNEST(range(10)) AS t(x))
+    SELECT CAST(n AS VARCHAR) AS id,
+           'Brewery ' || CAST(n AS VARCHAR) AS name,
+           CASE WHEN (n % 4) % 2 = 0 THEN 'micro' ELSE 'brewpub' END
+             AS brewery_type,
+           'United States' AS country,
+           CASE WHEN (n // 4) % 2 = 0 THEN 'California' ELSE 'Texas' END
+             AS state
+    FROM g ORDER BY id
+    """,
+)
 def q_rest_paginated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1/S2 — paginated REST ingestion exercised offline: a deterministic
     fake fetcher yields 3 pages of brewery records; pages land as bronze
     JSON-array files (uuid-keyed) and are read back with the explicit raw
-    schema (app/tasks/extract.py:29-77, app/io/storage.py:14-30)."""
+    schema (app/tasks/extract.py:29-77, app/io/storage.py:14-30). The page
+    content is a pure function of (page, index), so the oracle REGENERATES
+    the expected records from an integer range — the whole fetch → bronze
+    JSON write → glob read-back loop is value-checked, not just
+    row-counted."""
     import shutil
 
     from ..schemas import BREWERY_RAW_SCHEMA
@@ -6651,6 +6668,131 @@ def q_orders_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (CAST(cents_all AS DECIMAL(38,0)) * n_dow) AS BIGINT)"
             " AS seasonal_index_permille",
         )
+    )
+
+
+@register(
+    "orders_weighted_sample",
+    """
+    WITH w AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS weight,
+             CAST(concat('0x', substr(md5('ws:' || CAST(o_orderkey AS VARCHAR)),
+                                      1, 15)) AS BIGINT) + 1 AS u
+      FROM orders
+    ),
+    p AS (
+      SELECT o_orderkey, weight,
+             CAST(CAST(weight AS HUGEINT) * 1152921504606846976 AS DOUBLE)
+               / CAST(u AS DOUBLE) AS priority
+      FROM w
+    )
+    SELECT o_orderkey, weight, priority
+    FROM p ORDER BY priority DESC, o_orderkey LIMIT 100
+    """,
+)
+def q_orders_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted priority sampling (Duffield-Lund-Thorup): each row draws a
+    deterministic pseudo-uniform u from the portable hash and competes with
+    priority = weight/u; the global top-k is a weighted-without-replacement
+    sample whose inclusion probability is proportional to weight — the
+    standard one-pass distributed weighted sampler (each partition keeps a
+    local top-k; only k rows per partition reach the final ordering).
+    Hash-seeded, so the "random" sample is reproducible across runs,
+    engines, and partitionings. The priority is (exact-decimal weight ×
+    2^60) → one correctly-rounded cast + one correctly-rounded division —
+    deterministic in IEEE, hence oracle-checkable; ties (impossible unless
+    hashes collide) break on the key."""
+    from ..functions.hashing import portable_hash64
+
+    o = table_scan(spark, sf_dir, "orders")
+    w = o.select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("weight"),
+        (
+            portable_hash64(
+                F.concat(F.lit("ws:"), F.col("o_orderkey").cast("string"))
+            )
+            + 1
+        ).alias("u"),
+    )
+    p = w.select(
+        "o_orderkey",
+        "weight",
+        (
+            (F.col("weight").cast("decimal(38,0)") * F.lit(1152921504606846976))
+            .cast("double")
+            / F.col("u").cast("double")
+        ).alias("priority"),
+    )
+    return p.orderBy(F.desc("priority"), "o_orderkey").limit(100)
+
+
+@register(
+    "events_rate_spike",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS cnt
+      FROM events GROUP BY event_type, hr
+    ),
+    base AS (
+      SELECT event_type, hr, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY hr
+                            ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+               AS trail_cnt,
+             COUNT(*) OVER (PARTITION BY event_type ORDER BY hr
+                            ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+               AS trail_hrs
+      FROM hourly
+    )
+    SELECT event_type, CAST(hr AS DATE) AS day,
+           CAST(EXTRACT(hour FROM hr) AS INT) AS hour,
+           CAST(cnt AS BIGINT) AS cnt,
+           CAST(trail_cnt AS BIGINT) AS trail_cnt,
+           CAST(trail_hrs AS BIGINT) AS trail_hrs
+    FROM base
+    WHERE trail_hrs >= 6 AND cnt * trail_hrs > 2 * trail_cnt
+    """,
+)
+def q_events_rate_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly rate-spike detector: flag any (type, hour) whose event count
+    exceeds 2× its own trailing-24-hour average — the monitoring primitive
+    behind ops alerting and bot/abuse screens. The trailing baseline is a
+    ROWS window over the HOURLY aggregate (≤ |types|×|hours| rows — the raw
+    event fan-in is collapsed by one partial-agg pass first, so the window
+    state at 100 TB is thousands of rows, not billions). The 2× threshold
+    is integer cross-multiplication (cnt·hrs > 2·trail), no division;
+    warm-up hours (< 6 trailing points) are suppressed. Output emits
+    date + hour INTEGERS, never the raw ns timestamp (NOTES.md)."""
+    e = table_scan(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wt = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-24, -1)
+    )
+    base = hourly.select(
+        "event_type",
+        "hr",
+        "cnt",
+        F.sum("cnt").over(wt).alias("trail_cnt"),
+        F.count(F.lit(1)).over(wt).alias("trail_hrs"),
+    )
+    return base.filter(
+        (F.col("trail_hrs") >= 6)
+        & (F.col("cnt") * F.col("trail_hrs") > 2 * F.col("trail_cnt"))
+    ).select(
+        "event_type",
+        F.col("hr").cast("date").alias("day"),
+        F.hour("hr").alias("hour"),
+        "cnt",
+        "trail_cnt",
+        "trail_hrs",
     )
 
 
