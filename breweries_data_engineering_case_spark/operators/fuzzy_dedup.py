@@ -254,7 +254,17 @@ def simhash(
     hash array per bit); near-identical documents land on equal or
     near-equal values (Hamming distance ≈ edit distance)."""
     toks = tokens(text_col)
-    hashes = F.transform(toks, _md5_token_hash)
+    # Materialize the md5 token-hash array as a BOUND COLUMN before the
+    # per-bit folds: each of the 32 vote aggregates references the array,
+    # and if they capture the raw `transform(split(...), md5...)` EXPRESSION
+    # the hashing subtree is duplicated 32× in the plan (md5 per token per
+    # bit — measured ~3× slower at sf0.1). Folding over an attribute makes
+    # the hashing run once per row. (Same gotcha as chunking.py; NOTES.md.)
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(toks, _md5_token_hash).alias("__hashes"),
+    )
+    hashes = F.col("__hashes")
     packed = F.lit(0).cast("long")
     for i in range(bits):
         # bit i of (positive) h as modulo arithmetic — F.shiftright cannot
@@ -271,7 +281,7 @@ def simhash(
         packed = packed + F.when(vote > 0, F.lit(1 << i).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-    return df.select(F.col(id_col).alias("id"), packed.alias("simhash"))
+    return hashed.select("id", packed.alias("simhash"))
 
 
 def simhash_near_dup_pairs(

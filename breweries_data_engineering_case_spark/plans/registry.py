@@ -6754,19 +6754,21 @@ def q_orders_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(trail_cnt AS BIGINT) AS trail_cnt,
            CAST(trail_hrs AS BIGINT) AS trail_hrs
     FROM base
-    WHERE trail_hrs >= 6 AND cnt * trail_hrs > 2 * trail_cnt
+    WHERE trail_hrs >= 6 AND 2 * cnt * trail_hrs > 3 * trail_cnt
     """,
 )
 def q_events_rate_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly rate-spike detector: flag any (type, hour) whose event count
-    exceeds 2× its own trailing-24-hour average — the monitoring primitive
-    behind ops alerting and bot/abuse screens. The trailing baseline is a
-    ROWS window over the HOURLY aggregate (≤ |types|×|hours| rows — the raw
-    event fan-in is collapsed by one partial-agg pass first, so the window
-    state at 100 TB is thousands of rows, not billions). The 2× threshold
-    is integer cross-multiplication (cnt·hrs > 2·trail), no division;
-    warm-up hours (< 6 trailing points) are suppressed. Output emits
-    date + hour INTEGERS, never the raw ns timestamp (NOTES.md)."""
+    exceeds 1.5× its own trailing-24-hour average — the monitoring
+    primitive behind ops alerting and bot/abuse screens. The trailing
+    baseline is a ROWS window over the HOURLY aggregate (≤ |types|×|hours|
+    rows — the raw event fan-in is collapsed by one partial-agg pass first,
+    so the window state at 100 TB is thousands of rows, not billions). The
+    1.5× threshold is integer cross-multiplication (2·cnt·hrs > 3·trail),
+    no division, and fires at every testdata SF (560 rows at sf0.01, 31 at
+    sf0.1 — the denser corpus is smoother); warm-up hours (< 6 trailing
+    points) are suppressed. Output emits date + hour INTEGERS, never the
+    raw ns timestamp (NOTES.md)."""
     e = table_scan(spark, sf_dir, "events")
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
@@ -6785,7 +6787,7 @@ def q_events_rate_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return base.filter(
         (F.col("trail_hrs") >= 6)
-        & (F.col("cnt") * F.col("trail_hrs") > 2 * F.col("trail_cnt"))
+        & (2 * F.col("cnt") * F.col("trail_hrs") > 3 * F.col("trail_cnt"))
     ).select(
         "event_type",
         F.col("hr").cast("date").alias("day"),
