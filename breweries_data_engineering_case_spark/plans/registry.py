@@ -6798,6 +6798,76 @@ def q_events_rate_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_scd2_lookup",
+    """
+    WITH sg AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS attr
+      FROM events WHERE event_type = 'signup'
+    ), chg AS (
+      SELECT user_id, event_id, us, attr,
+             LAG(attr) OVER (PARTITION BY user_id ORDER BY us, event_id)
+               AS prev_attr
+      FROM sg
+    ), kept AS (
+      SELECT user_id, event_id, us, attr FROM chg
+      WHERE prev_attr IS NULL OR attr <> prev_attr
+    ), dim AS (
+      SELECT user_id, attr, us AS valid_from_us,
+             LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+               AS valid_to_us
+      FROM kept
+    ), px AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CAST(value AS DECIMAL(18,4)) AS v
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT d.attr, COUNT(*) AS purchases,
+           CAST(SUM(p.v) AS DOUBLE) AS total_value
+    FROM px p JOIN dim d
+      ON p.user_id = d.user_id
+     AND p.us >= d.valid_from_us
+     AND (d.valid_to_us IS NULL OR p.us < d.valid_to_us)
+    GROUP BY d.attr
+    """,
+)
+def q_events_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup: every purchase joins the SCD2
+    attribute version that was VALID AT ITS EVENT TIME (half-open
+    [from, to) containment; NULL to = current) — the star-schema pattern
+    that makes historical reports reproducible instead of reflecting
+    today's dimension. The join is EQUI on user_id with the interval
+    predicate evaluated inside each hash-join match (per user there are
+    only a handful of versions), so no range-join machinery or nested loop
+    appears — at 100 TB this is a plain shuffled hash join on the user key
+    with the dim side orders of magnitude smaller. Purchases before the
+    user's first signup version have no valid row and drop out (inner
+    join). Value sums use the exact-decimal idiom (NOTES.md)."""
+    dim = q_events_scd2_intervals(spark, sf_dir).select(
+        F.col("user_id").alias("d_user"),
+        "attr",
+        "valid_from_us",
+        "valid_to_us",
+    )
+    e = table_scan(spark, sf_dir, "events")
+    px = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    joined = px.join(
+        dim,
+        (px["user_id"] == dim["d_user"])
+        & (px["us"] >= dim["valid_from_us"])
+        & (dim["valid_to_us"].isNull() | (px["us"] < dim["valid_to_us"])),
+    )
+    return joined.groupBy("attr").agg(
+        F.count(F.lit(1)).alias("purchases"),
+        F.sum("v").cast("double").alias("total_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
