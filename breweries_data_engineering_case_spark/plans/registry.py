@@ -6868,6 +6868,210 @@ def q_events_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "orders_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT o_orderkey AS k,
+             md5(CAST(o_orderstatus AS VARCHAR) || '|'
+                 || CAST(CASE WHEN o_orderkey % 50 = 0
+                              THEN CAST(o_totalprice AS DECIMAL(18,2)) + 1
+                              ELSE CAST(o_totalprice AS DECIMAL(18,2)) END
+                         AS VARCHAR)
+                 || '|' || o_orderpriority) AS h
+      FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+    ),
+    new AS (
+      SELECT o_orderkey AS k,
+             md5(CAST(o_orderstatus AS VARCHAR) || '|'
+                 || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+                 || '|' || o_orderpriority) AS h
+      FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+    ),
+    d AS (
+      SELECT COALESCE(o.k, n.k) AS k,
+             CASE WHEN o.k IS NULL THEN 'added'
+                  WHEN n.k IS NULL THEN 'removed'
+                  WHEN o.h <> n.h THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM old o FULL OUTER JOIN new n ON o.k = n.k
+    )
+    SELECT status, COUNT(*) AS cnt FROM d GROUP BY status
+    """,
+)
+def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset diff between two snapshots (the data-regression tool: what
+    changed between yesterday's load and today's?): FULL OUTER join on the
+    key, row CONTENT compared by a canonical md5 over the normalized
+    column rendering — so the comparison ships one 32-char hash per row,
+    not the whole row, and any column-count schema works. Classification is
+    added / removed / changed / unchanged with one aggregate on top. The
+    snapshots are simulated deterministically from data: old = pre-1998
+    slice with a planted +1-dollar mutation on every 50th key (→ 'changed'),
+    new = 1996-onward slice (orders span 1995-2001) — the overlap
+    exercises all four statuses. At 100 TB both sides hash-partition on the key and the join is
+    one co-partitioned shuffle; the md5 rendering must cast floats through
+    exact decimals or false 'changed' rows appear (same determinism rule as
+    the oracles, NOTES.md)."""
+    o = table_scan(spark, sf_dir, "orders")
+
+    def snap(df: DataFrame, mutate: bool) -> DataFrame:
+        price = F.col("o_totalprice").cast("decimal(18,2)")
+        if mutate:
+            price = F.when(
+                F.col("o_orderkey") % 50 == 0, price + 1
+            ).otherwise(price)
+        return df.select(
+            F.col("o_orderkey").alias("k"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderstatus"),
+                    price.cast("string"),
+                    F.col("o_orderpriority"),
+                )
+            ).alias("h"),
+        )
+
+    old = snap(
+        o.filter(F.col("o_orderdate").cast("date") < F.lit("1998-01-01")),
+        mutate=True,
+    )
+    new = snap(
+        o.filter(F.col("o_orderdate").cast("date") >= F.lit("1996-01-01")),
+        mutate=False,
+    )
+    d = old.withColumnRenamed("k", "ok").withColumnRenamed("h", "oh").join(
+        new, F.col("ok") == F.col("k"), "full_outer"
+    )
+    status = (
+        F.when(F.col("ok").isNull(), F.lit("added"))
+        .when(F.col("k").isNull(), F.lit("removed"))
+        .when(F.col("oh") != F.col("h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return d.select(status.alias("status")).groupBy("status").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+_POWER_ITER = """
+    t{k} AS (
+      SELECT i, CAST(SUM(CAST(ROUND(x * v * 1e12) AS BIGINT)) AS DOUBLE)
+               / 1e12 AS t
+      FROM el JOIN v{p} USING (j) GROUP BY i
+    ),
+    s{k} AS (
+      SELECT j, CAST(SUM(CAST(ROUND(t{k}.t * el.x * 1e12) AS BIGINT))
+                     AS DOUBLE) / 1e12 AS s
+      FROM el JOIN t{k} USING (i) GROUP BY j
+    ),
+    u{k} AS (
+      SELECT j, s / (SELECT MAX(ABS(s)) FROM s{k}) AS u FROM s{k}
+    ),
+    n{k} AS (
+      SELECT SQRT(CAST(SUM(CAST(ROUND(u * u * 1e15) AS BIGINT)) AS DOUBLE)
+                  / 1e15) AS nrm
+      FROM u{k}
+    ),
+    v{k} AS (SELECT j, u / nrm AS v FROM u{k} CROSS JOIN n{k})"""
+
+
+@register(
+    "embedding_top_pc_power_iter",
+    """
+    WITH el AS (
+      SELECT vec_id AS i, CAST(u.j AS INT) AS j,
+             CAST(embedding[u.j + 1] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(range(64)) AS u(j)
+    ),
+    v0 AS (SELECT CAST(j AS INT) AS j, CAST(0.125 AS DOUBLE) AS v
+           FROM UNNEST(range(64)) AS t(j)),"""
+    + _POWER_ITER.format(k=1, p=0) + ","
+    + _POWER_ITER.format(k=2, p=1) + """
+    SELECT j, v AS component FROM v2
+    """,
+)
+def q_embedding_top_pc_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED POWER-ITERATION kernel (2 unrolled steps of
+    v ← normalize(Xᵀ(Xv)) from the exact uniform start 1/√64 = 0.125) over
+    the embedding matrix: the linear-algebra primitive behind PCA
+    whitening, spectral embedding-outlier pruning, and drift checks — done
+    with NO ML library and no driver-side matrix. (Convergence to the top
+    eigenvector needs ~1/(1−λ₂/λ₁) steps; the synthetic embeddings are
+    near-isotropic (λ₂/λ₁ ≈ 0.98), so 2 steps demonstrate the KERNEL —
+    tests/test_power_iteration.py replays the same 2 steps in numpy and
+    matches to 1e-9; production would loop until the Rayleigh quotient
+    stabilizes, same plan per step.) Shape: the
+    matrix lives EXPLODED as (row, dim, value); each iteration is two
+    partial-agg shuffles (Xv: group by row; Xᵀt: group by dim) and a 64-row
+    broadcast of the current vector — at 100 TB the vector state is still
+    64 rows and nothing quadratic ever materializes. Determinism: every
+    per-element product is one IEEE double op and every REDUCTION runs in
+    12-decimal FIXED POINT — round to an integer, sum BIGINTs (exact,
+    order-independent), convert back (int64→double is correctly rounded in
+    both engines, the 10^k rescales are exactly-representable divisors, and
+    the pre-normalization divides by the exact order-free MAX|s| so the
+    norm quantization is always relative to [-1, 1] components) — so Spark
+    and DuckDB agree bit-for-bit on an iterative float algorithm. High-scale DECIMAL sums do NOT work here: DuckDB's
+    int128-decimal→double conversion double-rounds and drifts a ulp
+    (measured); int64 fixed point is the portable reduction. Headroom:
+    |term|·10^12 ≲ 10^15 per element and n ≲ 10^3 per partial — at larger
+    n shrink the fixed-point scale or tree-aggregate."""
+    emb = table_scan(spark, sf_dir, "embeddings")
+    el = emb.select(
+        F.col("vec_id").alias("i"),
+        F.posexplode("embedding"),
+    ).select(
+        "i", F.col("pos").alias("j"), F.col("col").cast("double").alias("x")
+    )
+    el = el.persist()
+
+    def fx_sum(col, scale):
+        """Fixed-point exact sum: round(col·scale) → BIGINT → Σ → double/scale."""
+        return (
+            F.sum(F.round(col * F.lit(float(scale))).cast("long"))
+            .cast("double")
+            / F.lit(float(scale))
+        )
+
+    v = None  # v0 is the constant 0.125; fold it into the first Xv pass
+    for _k in range(2):
+        if v is None:
+            xv = el.select("i", (F.col("x") * F.lit(0.125)).alias("p"))
+        else:
+            xv = el.join(F.broadcast(v), "j").select(
+                "i", (F.col("x") * F.col("v")).alias("p")
+            )
+        t = xv.groupBy("i").agg(fx_sum(F.col("p"), 10**12).alias("t"))
+        s = (
+            el.join(t, "i")
+            .select("j", (F.col("t") * F.col("x")).alias("c"))
+            .groupBy("j")
+            .agg(fx_sum(F.col("c"), 10**12).alias("s"))
+        )
+        # scale-free normalization: divide by the exact (order-free) max
+        # |s| first so the fixed-point norm quantization is always relative
+        # to components in [-1, 1] — a constant prescale would crush
+        # precision whenever s is small.
+        w_all = Window.orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        u = s.select(
+            "j",
+            (F.col("s") / F.max(F.abs(F.col("s"))).over(w_all)).alias("u"),
+        )
+        nrm = F.sqrt(
+            F.sum(
+                F.round(F.col("u") * F.col("u") * F.lit(1e15)).cast("long")
+            ).over(w_all)
+            .cast("double")
+            / F.lit(1e15)
+        )
+        v = u.select("j", (F.col("u") / nrm).alias("v"))
+    return v.select("j", F.col("v").alias("component"))
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
