@@ -7072,6 +7072,100 @@ def q_embedding_top_pc_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame
     return v.select("j", F.col("v").alias("component"))
 
 
+@register(
+    "market_basket_rules",
+    """
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM d),
+    item AS (SELECT l_partkey, COUNT(*) AS cnt FROM d GROUP BY l_partkey),
+    pair AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS support
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY part_a, part_b
+    ),
+    scored AS (
+      SELECT part_a, part_b, support,
+             ia.cnt AS cnt_a, ib.cnt AS cnt_b,
+             CAST(support * 1000 // ia.cnt AS BIGINT) AS conf_permille,
+             CAST(CAST(support AS HUGEINT) * n_baskets * 1000
+                  // (CAST(ia.cnt AS HUGEINT) * ib.cnt) AS BIGINT)
+               AS lift_permille
+      FROM pair
+      JOIN item ia ON ia.l_partkey = part_a
+      JOIN item ib ON ib.l_partkey = part_b
+      CROSS JOIN n
+    )
+    SELECT part_a, part_b, support, cnt_a, cnt_b, conf_permille,
+           lift_permille
+    FROM scored
+    WHERE support >= 3
+    ORDER BY lift_permille DESC, part_a, part_b
+    LIMIT 25
+    """,
+)
+def q_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules on top of the basket pair counts: confidence
+    P(b|a) and lift P(ab)/(P(a)P(b)) — the metrics that separate 'bought
+    together often' (support) from 'bought together MORE THAN CHANCE'
+    (lift > 1000‰). Both are integer floor cross-multiplications (support·
+    N·1000 // (cnt_a·cnt_b) runs in DECIMAL(38)/HUGEINT to dodge int64
+    overflow at real basket counts), so no float ratio anywhere. Shape:
+    one distinct-pair aggregate (the same inverted self-join as
+    market_basket_pairs), two broadcast joins against the skinny per-item
+    count table, a 1-row basket total, then a global top-k by lift
+    (TakeOrderedAndProject — per-partition heaps, no full sort). The
+    support ≥ 3 floor kills the noise pairs a real rules miner prunes with
+    min-support."""
+    d = (
+        table_scan(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .persist()
+    )
+    item = d.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    a, b = d.alias("a"), d.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b"))
+    nb = d.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    scored = (
+        pair.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(nb))
+        .selectExpr(
+            "part_a",
+            "part_b",
+            "support",
+            "cnt_a",
+            "cnt_b",
+            "CAST(support * 1000 div cnt_a AS BIGINT) AS conf_permille",
+            "CAST(CAST(support AS DECIMAL(38,0)) * n_baskets * 1000"
+            " div (CAST(cnt_a AS DECIMAL(38,0)) * cnt_b) AS BIGINT)"
+            " AS lift_permille",
+        )
+    )
+    return (
+        scored.filter(F.col("support") >= 3)
+        .orderBy(F.desc("lift_permille"), "part_a", "part_b")
+        .limit(25)
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

@@ -31,6 +31,7 @@ BNLJ_OK = {
     "source_mixture_weights",  # single-row normalizer broadcast
     "hard_negative_mining",  # ≤30 anchor vectors broadcast, corpus streamed
     "doc_tfidf_top_terms",  # single-row corpus doc-count broadcast
+    "market_basket_rules",  # single-row basket-total broadcast
 }
 
 #: queries that explicitly run vectorized pandas (Arrow) stages
