@@ -7166,6 +7166,55 @@ def q_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "binary_file_scan",
+    """
+    WITH g AS (SELECT CAST(x AS INT) AS i FROM UNNEST(range(5)) AS t(x)),
+    blobs AS (
+      SELECT 'blob-' || CAST(i AS VARCHAR) || '.bin' AS fname,
+             repeat('blob-' || CAST(i AS VARCHAR) || ':'
+                    || md5('seed:' || CAST(i AS VARCHAR)), i + 1) AS content
+      FROM g
+    )
+    SELECT fname, CAST(length(content) AS BIGINT) AS byte_len,
+           md5(content) AS content_md5
+    FROM blobs ORDER BY fname
+    """,
+)
+def q_binary_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file binary ingestion via Spark's `binaryFile` source — the
+    scan that feeds multimodal pipelines (images/audio land as one row per
+    FILE with path, length, and raw bytes, then decode runs as Arrow
+    batches downstream — operators/multimodal.py). Five deterministic
+    blobs are staged once and read back; the query emits basename, byte
+    length, and content md5, so the oracle regenerates the exact bytes
+    from their ASCII recipe and the whole write→scan→hash loop is
+    value-checked. At 100 TB the binaryFile source parallelizes per file
+    (maxPartitionBytes-capped) and pushes path-glob + length filters into
+    the listing — never reading payloads it can drop."""
+    import hashlib as _hl
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    staging = Path(tempfile.gettempdir()) / "bdec_binary_files" / key
+    if not (staging / ".done").exists():
+        staging.mkdir(parents=True, exist_ok=True)
+        for i in range(5):
+            body = (
+                f"blob-{i}:" + _hl.md5(f"seed:{i}".encode()).hexdigest()
+            ) * (i + 1)
+            (staging / f"blob-{i}.bin").write_bytes(body.encode())
+        (staging / ".done").write_text("ok")
+    raw = spark.read.format("binaryFile").load(str(staging / "*.bin"))
+    return (
+        raw.select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("fname"),
+            F.col("length").alias("byte_len"),
+            F.md5(F.col("content")).alias("content_md5"),
+        )
+        .orderBy("fname")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
