@@ -329,3 +329,39 @@ def test_rfm_windows_run_over_key_table(spark, sf_dir):
     plan = _plan(spark, sf_dir, "orders_rfm_segments")
     assert "partial" in plan  # per-customer agg is map-side combined
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Spark's runtime row-level filtering: a selective dim-side predicate
+    materializes a bloom filter that is PUSHED into the fact scan
+    (might_contain on the join key) before the shuffle — at 100 TB this is
+    the difference between shuffling the whole fact table and shuffling
+    only rows that can possibly join. Thresholds are tuned down because
+    the test corpus is tiny by production standards."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).groupBy().count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
