@@ -7215,6 +7215,60 @@ def q_binary_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_value_winsorize",
+    """
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.01) AS p01,
+             quantile_cont(value, 0.99) AS p99
+      FROM events GROUP BY event_type
+    ),
+    c AS (
+      SELECT e.event_type,
+             least(greatest(e.value, b.p01), b.p99) AS v,
+             CAST(e.value < b.p01 OR e.value > b.p99 AS INT) AS clipped
+      FROM events e JOIN b USING (event_type)
+    )
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(clipped) AS BIGINT) AS n_clipped,
+           CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS winsorized_sum
+    FROM c GROUP BY event_type
+    """,
+)
+def q_events_value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (clip to the in-group [p1, p99] band) — the robust
+    pre-processing step that stops tail outliers from dominating training
+    statistics, as a two-pass grouped plan: exact per-type percentiles
+    (one partial-agg pass; `F.percentile` ≡ DuckDB `quantile_cont`
+    bitwise, NOTES.md), broadcast back onto the scan, clip with
+    least/greatest, re-aggregate with the exact-decimal sum idiom. At
+    100 TB swap the exact percentile for `approx_percentile` (mergeable
+    KLL sketch — approx_order_percentiles shows that path) and the rest
+    of the plan is unchanged."""
+    e = table_scan(spark, sf_dir, "events").select("event_type", "value")
+    b = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.01)).alias("p01"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+    )
+    c = e.join(F.broadcast(b), "event_type").select(
+        "event_type",
+        F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99")).alias(
+            "v"
+        ),
+        ((F.col("value") < F.col("p01")) | (F.col("value") > F.col("p99")))
+        .cast("int")
+        .alias("clipped"),
+    )
+    return c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("clipped").cast("long").alias("n_clipped"),
+        F.sum(F.col("v").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("winsorized_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
