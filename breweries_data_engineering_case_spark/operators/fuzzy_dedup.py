@@ -15,9 +15,13 @@ Four families, each a standard large-scale training-data dedup technique:
 - **N-gram Jaccard** (`ngram_jaccard_pairs`): exact set-similarity join for
   modest candidate sets (or verification of LSH candidates).
 
-Determinism: MinHash uses xxhash64 (Spark-internal — no SQL oracle;
-rows-only driver check). SimHash and Jaccard are built from md5/set algebra
-that DuckDB reproduces exactly, so they ARE oracle-checked.
+Determinism: the production MinHash path uses xxhash64 (Spark-internal —
+rows-only driver check, anchored by ground-truth recall tests); the
+``portable=True`` base swaps that one call for the md5-prefix hash, making
+the identical downstream arithmetic DuckDB-replicable (registry
+``doc_minhash_portable_sig`` is value-checked bit-for-bit). SimHash and
+Jaccard are built from md5/set algebra that DuckDB reproduces exactly, so
+they ARE oracle-checked.
 """
 
 from __future__ import annotations
@@ -78,17 +82,30 @@ def _mh_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
 _MH_B = 1_000_003
 
 
-def shingle_hashes(c: Column | str, n: int = 3) -> Column:
+def shingle_hashes(c: Column | str, n: int = 3, portable: bool = False) -> Column:
     """Distinct n-gram shingle hashes WITHOUT materializing shingle strings.
 
-    Each token is xxhash64-hashed once; an n-gram's hash is the polynomial
+    Each token is hashed once; an n-gram's hash is the polynomial
     roll h = ((h1·B + h2)·B + h3) mod p over n shifted copies of the token-
     hash array (same zip_with-over-slice shape as ``word_shingles``). This
     replaces |shingles| string concats + string hashes per doc with |tokens|
     string hashes + pure long arithmetic — measured ~2× cheaper on the
     MinHash signature pipeline, identical LSH semantics (hash collisions are
-    what MinHash tolerates by construction)."""
-    th = F.transform(tokens(c), lambda t: F.pmod(F.xxhash64(t), F.lit(_MH_P)))
+    what MinHash tolerates by construction).
+
+    ``portable=False`` (default) uses Spark-internal xxhash64 — the fast
+    production path. ``portable=True`` swaps the ONE non-portable step for
+    the md5-prefix hash (functions/hashing.py): everything downstream is
+    modular arithmetic both engines share, so the whole MinHash pipeline
+    becomes DuckDB-replicable bit-for-bit (registry
+    ``doc_minhash_portable_sig``) at the cost of md5 vs xxhash per token."""
+    if portable:
+        from ..functions.hashing import portable_hash64
+
+        base = lambda t: F.pmod(portable_hash64(t), F.lit(_MH_P))  # noqa: E731
+    else:
+        base = lambda t: F.pmod(F.xxhash64(t), F.lit(_MH_P))  # noqa: E731
+    th = F.transform(tokens(c), base)
     if n == 1:
         return F.array_distinct(th)
     sz = F.size(th)
@@ -127,12 +144,14 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 64,
     shingle_n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, sig: array<bigint>) — sig[i] = min over shingles of the i-th
     universal hash of the shingle. Docs with no shingles produce no row
     (explode of an empty array)."""
     based = df.select(
-        F.col(id_col).alias("id"), shingle_hashes(text_col, shingle_n).alias("__h")
+        F.col(id_col).alias("id"),
+        shingle_hashes(text_col, shingle_n, portable=portable).alias("__h"),
     )
     mins = _minhash_cols(based, "id", num_hashes)
     return mins.select(

@@ -7269,6 +7269,59 @@ def q_events_value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_portable_oracle(num_hashes: int = 16) -> str:
+    """Full-SQL replication of the portable-base MinHash pipeline: the
+    universal-hash coefficients come from the SAME seeded generator the
+    Spark operator uses, interpolated into the oracle text."""
+    from ..operators.fuzzy_dedup import _MH_B, _MH_P, _mh_coeffs
+
+    vals = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_mh_coeffs(num_hashes)))
+    return rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(TRIM(text), '\s+'),
+                            tok -> CAST(concat('0x', substr(md5(tok), 1, 15))
+                                        AS BIGINT) % {_MH_P}) AS th
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             ((th[i + 1] * {_MH_B} + th[i + 2]) % {_MH_P} * {_MH_B}
+              + th[i + 3]) % {_MH_P} AS s
+      FROM t, UNNEST(range(GREATEST(len(th) - 2, 0))) AS u(i)
+    ),
+    c(i, a, b) AS (VALUES {vals}),
+    sig AS (
+      SELECT doc_id, c.i, MIN((sh.s * c.a + c.b) % {_MH_P}) AS m
+      FROM sh CROSS JOIN c GROUP BY doc_id, c.i
+    )
+    SELECT doc_id, string_agg(CAST(m AS VARCHAR), '-' ORDER BY i) AS sig
+    FROM sig GROUP BY doc_id
+    """
+
+
+@register("doc_minhash_portable_sig", _minhash_portable_oracle(16))
+def q_doc_minhash_portable_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures on the PORTABLE hash base, value-checked end to
+    end: token md5-prefix hash → rolling 3-gram shingle hash → 16 seeded
+    universal min-hashes, with the DuckDB oracle re-running the identical
+    arithmetic (the universal-hash coefficients are interpolated from the
+    same seeded generator into the SQL). This anchors the whole MinHash
+    family — the production path (doc_minhash_signature /
+    doc_dedup_minhash_lsh) keeps Spark-internal xxhash64 for speed and
+    differs ONLY in that one base-hash call, so a value-exact check here
+    plus the ground-truth recall tests there covers both. Signature emitted
+    as a '-'-joined string (the driver value-hash can't hash arrays)."""
+    from ..operators.fuzzy_dedup import minhash_signatures
+
+    d = table_scan(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, num_hashes=16, shingle_n=3, portable=True)
+    return sig.select(
+        F.col("id").alias("doc_id"),
+        F.array_join(F.col("sig"), "-").alias("sig"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
