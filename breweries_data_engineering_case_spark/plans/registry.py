@@ -7322,6 +7322,180 @@ def q_doc_minhash_portable_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_portable_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    """Full-SQL oracle for the END-TO-END portable dedup decision:
+    signatures → banded LSH candidates → exact integer Jaccard verify →
+    transitive closure (WITH RECURSIVE) → min-id keep list."""
+    from ..operators.fuzzy_dedup import _MH_B, _MH_P, _mh_coeffs
+
+    vals = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(_mh_coeffs(num_hashes))
+    )
+    rpb = num_hashes // bands
+    bh = "m0"
+    for r in range(1, rpb):
+        bh = f"({bh} * {_MH_B} + m{r}) % {_MH_P}"
+    mcols = ", ".join(
+        f"MAX(CASE WHEN i % {rpb} = {r} THEN m END) AS m{r}" for r in range(rpb)
+    )
+    return rf"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(TRIM(text), '\s+'),
+                            tok -> CAST(concat('0x', substr(md5(tok), 1, 15))
+                                        AS BIGINT) % {_MH_P}) AS th
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             ((th[i + 1] * {_MH_B} + th[i + 2]) % {_MH_P} * {_MH_B}
+              + th[i + 3]) % {_MH_P} AS s
+      FROM t, UNNEST(range(GREATEST(len(th) - 2, 0))) AS u(i)
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    c(i, a, b) AS (VALUES {vals}),
+    sig AS (
+      SELECT doc_id, c.i, MIN((sh.s * c.a + c.b) % {_MH_P}) AS m
+      FROM sh CROSS JOIN c GROUP BY doc_id, c.i
+    ),
+    bandm AS (
+      SELECT doc_id, i // {rpb} AS b, {mcols}
+      FROM sig GROUP BY doc_id, i // {rpb}
+    ),
+    band AS (SELECT doc_id, b, {bh} AS bh FROM bandm),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM band x JOIN band y
+        ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS icnt
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+      GROUP BY c.id_a, c.id_b
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sz za ON za.doc_id = id_a
+      JOIN sz zb ON zb.doc_id = id_b
+      WHERE icnt * 10 >= (za.n + zb.n - icnt) * 7
+    ),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    )
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS component,
+           a = LEAST(a, MIN(b)) AS is_kept
+    FROM reach GROUP BY a
+    """
+
+
+@register("doc_dedup_portable_pipeline", _dedup_portable_oracle(16, 4))
+def q_doc_dedup_portable_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END dedup DECISION, value-checked bit-for-bit: portable
+    MinHash signatures → banded LSH (4 bands × 4 rows, polynomial band
+    hash — no Spark-internal hashing anywhere) → exact-integer Jaccard
+    verify (inter·10 ≥ union·7, no float boundary) → connected components
+    (min-label + pointer jumping) → keep-the-min-id list. The oracle
+    replays every stage in SQL, closing the component step with a
+    WITH RECURSIVE transitive closure — so the thing that actually deletes
+    documents at 100 TB (the keep list) is what's checked, not just an
+    intermediate. The production path (doc_dedup_minhash_lsh /
+    doc_dedup_keep_list, 48-hash xxhash64) differs only in hash base and
+    band count; its recall is anchored separately in
+    tests/test_minhash_ground_truth.py. Closure note: the oracle's
+    recursive closure is O(cluster²) per component — exact-verify keeps
+    clusters tiny; Spark's pointer-jumping loop is the form that scales."""
+    from ..operators.components import connected_components
+    from ..operators.fuzzy_dedup import (
+        _MH_B,
+        _MH_P,
+        minhash_signatures,
+        shingle_hashes,
+    )
+
+    d = table_scan(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, num_hashes=16, shingle_n=3, portable=True)
+    bands, rpb = 4, 4
+
+    def band_hash(b: int):
+        h = sig["sig"][b * rpb]
+        for r in range(1, rpb):
+            h = (h * F.lit(_MH_B) + sig["sig"][b * rpb + r]) % F.lit(_MH_P)
+        return h
+
+    banded = (
+        sig.select(
+            F.col("id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("b"), band_hash(b).alias("bh")
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("e"),
+        )
+        .select("id", "e.b", "e.bh")
+        .persist()
+    )
+    x, y = banded.alias("x"), banded.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+        .persist()
+    )
+    shs = d.select(
+        F.col("doc_id").alias("id"),
+        shingle_hashes("text", 3, portable=True).alias("sh"),
+    )
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .unionByName(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sub = shs.join(F.broadcast(cand_ids), "id", "left_semi")
+    a = sub.select(F.col("id").alias("id_a"), F.col("sh").alias("__sa"))
+    b = sub.select(F.col("id").alias("id_b"), F.col("sh").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    union = F.size("__sa") + F.size("__sb") - inter
+    pairs = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(inter * 10 >= union * 7)
+        .select("id_a", "id_b")
+        .persist()
+    )
+    verts = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    comp = connected_components(
+        verts, pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
+    )
+    return comp.select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.col("component")).alias("is_kept"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
