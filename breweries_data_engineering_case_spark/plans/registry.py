@@ -7496,6 +7496,65 @@ def q_doc_dedup_portable_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "events_stickiness_dau_wau",
+    """
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+    contrib AS (
+      SELECT DISTINCT user_id, day + CAST(i AS INT) AS wd
+      FROM ud, UNNEST(range(7)) AS u(i)
+    ),
+    wau AS (
+      SELECT c.wd AS day, COUNT(DISTINCT c.user_id) AS wau
+      FROM contrib c JOIN dau d ON c.wd = d.day
+      GROUP BY c.wd
+    )
+    SELECT d.day, d.dau, CAST(w.wau AS BIGINT) AS wau,
+           CAST(d.dau * 1000 // w.wau AS BIGINT) AS stickiness_permille
+    FROM dau d JOIN wau w ON d.day = w.day
+    """,
+)
+def q_events_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — EXACT trailing-7-day distinct users via
+    the CONTRIBUTION-EXPLODE pattern: each active (user, day) fans out to
+    the ≤7 window-end days it contributes to, and a plain distinct-count
+    per window-end day gives the exact sliding distinct — turning an
+    un-mergeable sliding COUNT(DISTINCT) into two ordinary partial-agg
+    shuffles (no per-day re-scan, no window over raw events, no sketch
+    error; the 7× fan-out runs over the DISTINCT user-day grid, not the
+    event stream). This is the exact-answer complement to
+    events_dau_hll_mergeable's sketch path; stickiness is integer
+    per-mille floor division."""
+    e = table_scan(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct().persist()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add("day", 6))
+        ).alias("wd"),
+    ).distinct()
+    wau = (
+        contrib.join(
+            F.broadcast(dau.select(F.col("day").alias("wd"))), "wd"
+        )
+        .groupBy("wd")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    return (
+        dau.join(wau, dau["day"] == wau["wd"])
+        .selectExpr(
+            "day",
+            "dau",
+            "CAST(wau AS BIGINT) AS wau",
+            "CAST(dau * 1000 div wau AS BIGINT) AS stickiness_permille",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
