@@ -4040,25 +4040,25 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 top supplier: quarterly revenue view + scalar-subquery MAX.
-    A naive `rev.agg(max)` + join re-executes the whole revenue aggregate
-    (Spark re-runs shared lineage; exchange reuse doesn't fire across the
-    extra agg — verified on the executed plan), i.e. TWO lineitem scans.
-    Instead the MAX is a window over the *aggregated* rev — an empty
-    partition spec funnels only the per-supplier rows (dim-table
-    cardinality, kilobytes) through one task, and lineitem is scanned
-    exactly once. Revenue is exact-decimal so the equality against MAX is
-    bit-deterministic cross-engine."""
+    The per-supplier revenue table is persisted once, the scalar MAX rides a
+    broadcast single-row cross join (the q11/q22 idiom) — every rev
+    partition filters against the broadcast scalar in place, so no
+    single-task global window anywhere and lineitem is scanned exactly once
+    (the persist is what stops `rev.agg(max)` from re-running the shared
+    lineage; exchange reuse alone doesn't fire across the extra agg —
+    verified on the executed plan). Revenue is exact-decimal so the
+    equality against MAX is bit-deterministic cross-engine."""
     li = table_scan(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
     ).select("l_suppkey", "l_extendedprice", "l_discount")
     rev = li.groupBy("l_suppkey").agg(
         _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "total_revenue")
-    )
+    ).persist()
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
     s = table_scan(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    w = Window.partitionBy()
     return (
-        rev.withColumn("__mx", F.max("total_revenue").over(w))
+        rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("__mx"))
         .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
         .select("s_suppkey", "s_name", "total_revenue")
@@ -4704,26 +4704,29 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC / Pareto classification: customers bucketed by cumulative revenue
-    share (A = first 80%, B = to 95%, C = tail). The running share needs a
-    total order, but over the AGGREGATED per-customer table (|keys| ≪
+    share (A = first 80%, B = to 95%, C = tail). The grand total rides a
+    broadcast single-row cross join over the persisted per-customer
+    aggregate (the q11/q22 idiom — a global window for the total would
+    funnel every key through one task TWICE). The running share still needs
+    a total order, but over the AGGREGATED per-customer table (|keys| ≪
     |orders|), never the fact table; at 100 TB the window input is the
-    ~1.5M-row key table, and the class boundary test is decimal
-    cross-multiplication (cum·5 ≤ total·4) — no float division anywhere, so
-    the A/B boundary can't flip between engines."""
+    ~1.5M-row key table — and past that, the cumsum generalizes to the
+    two-phase pattern (per-partition prefix sums + broadcast partition
+    offsets). The class boundary test is decimal cross-multiplication
+    (cum·5 ≤ total·4) — no float division anywhere, so the A/B boundary
+    can't flip between engines."""
     o = table_scan(spark, sf_dir, "orders")
     r = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rd")
-    )
+    ).persist()
+    tot = r.agg(F.sum("rd").alias("total"))
     wo = Window.orderBy(F.desc("rd"), "o_custkey")
     cum = F.sum("rd").over(
         wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    total = F.sum("rd").over(
-        Window.orderBy(F.lit(1)).rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
-        )
+    c = r.crossJoin(F.broadcast(tot)).select(
+        "o_custkey", "rd", cum.alias("cum"), "total"
     )
-    c = r.select("o_custkey", "rd", cum.alias("cum"), total.alias("total"))
     cls = (
         F.when(F.col("cum") * 5 <= F.col("total") * 4, F.lit("A"))
         .when(F.col("cum") * 20 <= F.col("total") * 19, F.lit("B"))
@@ -4921,10 +4924,15 @@ def q_dataset_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFra
     """Seeded deterministic global shuffle — reproducible training-data
     ordering without rand(): sort key = portable hash of (seed, doc_id), so
     any engine (and any re-run) produces the same permutation and the same
-    8-way shard assignment. The explicit row_number here is for the driver
-    check; at 100 TB you drop it and let the range-partitioned sort on the
-    hash BE the shuffle (total order across output files, no single-partition
-    window), with shard = hash % n_shards assigned map-side."""
+    8-way shard assignment. Global positions are assigned with the TWO-PHASE
+    pattern (the distributed zipWithIndex): range-partition on the sort key,
+    rank locally within each partition, then add per-partition offsets
+    computed from the ≤-shuffle-partition-count row-count table — the only
+    global window runs over THAT tiny table, so no data-sized input ever
+    funnels through one task (contrast a naive
+    `row_number() OVER (ORDER BY hv)`). The result is identical regardless
+    of range boundaries because partitions are ordered and non-overlapping;
+    persist pins one boundary sampling across the two phases."""
     from ..functions.hashing import portable_hash64
 
     d = table_scan(spark, sf_dir, "documents").select(
@@ -4933,9 +4941,27 @@ def q_dataset_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFra
             F.concat(F.lit("shuf42:"), F.col("doc_id").cast("string"))
         ).alias("hv"),
     )
-    w = Window.orderBy("hv", "doc_id")
-    pos = F.row_number().over(w)
-    return d.select(
+    ranged = (
+        d.repartitionByRange(16, "hv", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    local = ranged.withColumn(
+        "rn_local",
+        F.row_number().over(Window.partitionBy("pid").orderBy("hv", "doc_id")),
+    )
+    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    offsets = counts.select(
+        "pid",
+        F.coalesce(
+            F.sum("cnt").over(
+                Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("offset"),
+    )
+    pos = F.col("rn_local") + F.col("offset")
+    return local.join(F.broadcast(offsets), "pid").select(
         "doc_id",
         pos.alias("shuffle_pos"),
         ((pos - F.lit(1)) % F.lit(8)).cast("long").alias("shard"),
@@ -5444,29 +5470,31 @@ def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation (recency / frequency / monetary quartiles) —
     the classic CRM scoring table. One grouped pass collapses the fact table
-    to per-customer stats; all three NTILE windows then run over that KEY
-    table (|customers| ≪ |orders| — same single-sort-over-aggregate
-    justification as orders_abc_pareto; at larger key counts swap NTILE for
-    approx-quantile cutoffs). Recency anchors to the corpus max order date
-    (deterministic from data, no wall clock). Monetary sums are exact
-    decimals; every NTILE order includes o_custkey so quartile boundaries
-    are tie-stable."""
+    to per-customer stats (persisted — it feeds both the anchor scalar and
+    the scoring pass); the corpus-max anchor date is a scalar agg broadcast
+    back via a single-row cross join (the q11/q22 idiom — NOT a global
+    window, which would funnel the whole per-customer table through one
+    task). The three NTILE windows run over that KEY table (|customers| ≪
+    |orders| — same single-sort-over-aggregate justification as
+    orders_abc_pareto; at larger key counts swap NTILE for approx-quantile
+    cutoffs, as the exact-quantile whitelist in test_plan_sweep notes).
+    Recency anchors to the corpus max order date (deterministic from data,
+    no wall clock). Monetary sums are exact decimals; every NTILE order
+    includes o_custkey so quartile boundaries are tie-stable."""
     o = table_scan(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("md"),
-    )
-    w_all = Window.orderBy(F.lit(1)).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    anchored = per_cust.select(
+    ).persist()
+    anchor = per_cust.agg(F.max("last_day").alias("_anchor"))
+    anchored = per_cust.crossJoin(F.broadcast(anchor)).select(
         "o_custkey",
         "frequency",
         "md",
-        F.datediff(F.max("last_day").over(w_all), F.col("last_day"))
-        .cast("int")
-        .alias("recency_days"),
+        F.datediff(F.col("_anchor"), F.col("last_day")).cast("int").alias(
+            "recency_days"
+        ),
     )
     scored = anchored.select(
         "o_custkey",
@@ -5611,10 +5639,10 @@ def q_dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         "digit", "cnt", F.expr("cnt * 1000").cast("long").alias("_num"), total.alias("_den")
-    ).select(
+    ).selectExpr(
         "digit",
         "cnt",
-        (F.col("_num") / F.col("_den")).cast("long").alias("per_mille"),
+        "_num div _den AS per_mille",
     )
 
 
@@ -5670,8 +5698,10 @@ def q_events_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFram
     sess = s.groupBy("user_id", "seq").agg(
         F.min("us").alias("s_us"), F.max("us").alias("e_us")
     )
-    # day-bucket explosion: micros → days since epoch (integer division)
-    day = lambda c: (F.col(c) / F.lit(86_400_000_000)).cast("long")  # noqa: E731
+    # day-bucket explosion: micros → days since epoch. Integral `div`, not
+    # double division + cast: double-divide truncates toward zero, which
+    # mis-buckets pre-1970 (negative-micros) timestamps and can lose pairs.
+    day = lambda c: F.expr(f"{c} div 86400000000")  # noqa: E731
     buckets = sess.select(
         "user_id",
         "seq",
@@ -6048,8 +6078,11 @@ def q_doc_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.hashing import portable_hash64
 
     def tok(df: DataFrame, col: str) -> DataFrame:
+        # plain explode, not explode_outer: a NULL text would emit a NULL
+        # token row that the oracle's UNNEST (which skips NULL lists)
+        # never produces, skewing the probes count.
         return df.select(
-            F.explode_outer(F.split(F.trim(F.col(col)), r"\s+")).alias("token")
+            F.explode(F.split(F.trim(F.col(col)), r"\s+")).alias("token")
         ).distinct()
 
     def positions(df: DataFrame) -> DataFrame:
@@ -6209,10 +6242,12 @@ def q_graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTEs. Every quantity is INTEGER: ranks live on a 10^12 fixed-point
     scale and all divisions are floor (`div`/`//`), so both engines agree
     bit-for-bit — float PageRank would diverge in summation order. Scale
-    shape: edges and the node table persist across iterations (scanned 3×,
-    computed once); each iteration is one shuffle join on the edge key + one
-    partial-agg gather — the same plan per round regardless of graph size;
-    rank state never touches the driver."""
+    shape: edges, degrees and the node table persist across iterations
+    (scanned 3×, computed once); the node count reaches every row as a
+    broadcast single-row cross join (not a global window — that would
+    funnel ALL graph nodes through one task); each iteration is one shuffle
+    join on the edge key + one partial-agg gather — the same plan per round
+    regardless of graph size; rank state never touches the driver."""
     o = table_scan(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = table_scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
@@ -6226,19 +6261,14 @@ def q_graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    w_all = Window.orderBy(F.lit(1)).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n"))
     nodes = (
-        deg.select(
-            F.col("src").alias("node"),
-            "deg",
-            F.expr("CAST(1000000000000 AS BIGINT)")
-            .alias("_scale"),
+        deg.select(F.col("src").alias("node"), "deg")
+        .crossJoin(F.broadcast(n_nodes))
+        .selectExpr(
+            "node", "deg", "CAST(1000000000000 AS BIGINT) div n AS base"
         )
-        .withColumn("n", F.count(F.lit(1)).over(w_all))
-        .selectExpr("node", "deg", "_scale div n AS base")
         .persist()
     )
     r = nodes.withColumn("pr", F.col("base"))

@@ -144,13 +144,16 @@ def test_q17_threshold_join_broadcasts_at_small_sf(spark, sf_dir):
 
 
 def test_q15_scans_lineitem_once(spark, sf_dir):
-    """The scalar-MAX must come from a window over the aggregated revenue,
-    not a second aggregate branch — a naive rev.agg(max)+join re-executes
-    the shared lineage and scans lineitem twice (exchange reuse does not
-    fire across the extra agg)."""
+    """The scalar MAX rides a broadcast single-row join over the PERSISTED
+    per-supplier revenue table: both references read rev from cache (one
+    lineitem scan, at cache fill), and no single-partition global window
+    appears — a bare rev.agg(max)+join would re-execute the shared lineage
+    (exchange reuse does not fire across the extra agg), while a global
+    window would funnel all suppliers through one task."""
     plan = _plan(spark, sf_dir, "tpch_q15_top_supplier")
-    assert plan.count("Scan parquet") == 2  # lineitem once + supplier once
-    assert "Window" in plan
+    assert plan.count("InMemoryTableScan") >= 2  # rev cached, read twice
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan  # the scalar MAX reaches rev broadcast
 
 
 def test_q11_persists_shared_aggregate(spark, sf_dir):

@@ -9,11 +9,19 @@ invariants a single bad edit could silently break:
    vectorized-Python path.
 4. `BroadcastNestedLoopJoin` (non-equi or all-pairs joins) only where the
    build side is bounded by construction.
+5. NO single-partition (empty-partitionBy) Window except over inputs whose
+   cardinality is bounded by construction (dim-sized aggregates) or where
+   global total order IS the semantics (exact quantiles / cumulative sums
+   over key tables, documented per query). Scalar broadcasts must use
+   `crossJoin(F.broadcast(agg))`, never `Window.partitionBy()` — a global
+   window funnels the whole input through ONE task at scale.
 
 Any query newly joining these lists must justify itself here.
 """
 
 from __future__ import annotations
+
+import re
 
 from breweries_data_engineering_case_spark.plans import registry
 
@@ -32,7 +40,38 @@ BNLJ_OK = {
     "hard_negative_mining",  # ≤30 anchor vectors broadcast, corpus streamed
     "doc_tfidf_top_terms",  # single-row corpus doc-count broadcast
     "market_basket_rules",  # single-row basket-total broadcast
+    "tpch_q15_top_supplier",  # single-row MAX-revenue scalar broadcast
+    "orders_rfm_segments",  # single-row anchor-date scalar broadcast
+    "graph_pagerank_bipartite",  # single-row node-count scalar broadcast
+    "orders_abc_pareto",  # single-row grand-total scalar broadcast
 }
+
+#: queries allowed a single-partition (global) Window. Each must justify the
+#: bounded cardinality of the window INPUT, or the inherently-global
+#: semantics, here:
+GLOBAL_WINDOW_OK = {
+    "dq_benford_first_digit",  # window over the 9-row digit aggregate
+    "orders_dow_seasonality",  # window over the 7-row day-of-week aggregate
+    "embedding_top_pc_power_iter",  # windows over dim-sized (~128-row) vecs
+    "orders_rfm_segments",  # exact-NTILE exercise over the per-customer KEY
+    #   table (scale path: percentile_approx cutoffs — see docstring)
+    "orders_abc_pareto",  # cumulative revenue share REQUIRES a total order
+    #   over the key table (scale path: two-phase prefix sums)
+    "window_ntile_quartiles",  # exact global quartiles over orders — the
+    #   documented exact-quantile exercise (approx twin: percentile cutoffs)
+    "doc_pack_sequences",  # global greedy packing cumsum — order IS the
+    #   semantics; scale path packs per source-shard
+    "dataset_shuffle_deterministic",  # two-phase row numbering: the ONLY
+    #   global window runs over the ≤16-row per-partition count table
+    #   (offsets phase of the distributed zipWithIndex)
+}
+
+#: a Window whose child (through an optional Sort / WindowGroupLimit) is a
+#: single-partition exchange = every input row through one task
+_GLOBAL_WINDOW_RE = re.compile(
+    r"Window [^\n]*\n(?:[\s:|]*\+- (?:Sort|WindowGroupLimit)[^\n]*\n)*"
+    r"[\s:|]*\+- Exchange SinglePartition"
+)
 
 #: queries that explicitly run vectorized pandas (Arrow) stages
 PANDAS_OK = {
@@ -61,4 +100,6 @@ def test_every_query_plan_obeys_global_invariants(spark, sf_dir):
             violations.append(f"{name}: unexpected BroadcastNestedLoopJoin")
         if any(n in plan for n in PANDAS_NODES) and name not in PANDAS_OK:
             violations.append(f"{name}: unexpected pandas/Arrow node")
+        if _GLOBAL_WINDOW_RE.search(plan) and name not in GLOBAL_WINDOW_OK:
+            violations.append(f"{name}: single-partition global Window")
     assert not violations, "\n".join(violations)

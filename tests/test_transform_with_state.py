@@ -9,6 +9,7 @@ query `streaming_transform_with_state`).
 
 from __future__ import annotations
 
+import hashlib
 import tempfile
 from pathlib import Path
 
@@ -26,7 +27,11 @@ from breweries_data_engineering_case_spark.streaming.stateful import (
 
 
 def _staged(spark, sf_dir: str) -> str:
-    staging = Path(tempfile.gettempdir()) / "bdec_tws_test"
+    # key the staging dir by sf_dir (as q_streaming_transform_with_state
+    # does): a fixed path would replay stale data if the corpus or scale
+    # factor changes between runs while _batch_counts reads the new one.
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    staging = Path(tempfile.gettempdir()) / f"bdec_tws_test_{key}"
     if not (staging / "_SUCCESS").exists():
         table_scan(spark, sf_dir, "events").repartition(3).write.mode(
             "overwrite"
