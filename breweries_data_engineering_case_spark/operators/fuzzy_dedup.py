@@ -17,11 +17,14 @@ Four families, each a standard large-scale training-data dedup technique:
 
 Determinism: the production MinHash path uses xxhash64 (Spark-internal —
 rows-only driver check, anchored by ground-truth recall tests); the
-``portable=True`` base swaps that one call for the md5-prefix hash, making
-the identical downstream arithmetic DuckDB-replicable (registry
-``doc_minhash_portable_sig`` is value-checked bit-for-bit). SimHash and
-Jaccard are built from md5/set algebra that DuckDB reproduces exactly, so
-they ARE oracle-checked.
+``portable=True`` base swaps that call (plus the band hash in
+``minhash_lsh_pairs``) for md5-prefix / polynomial-mod arithmetic, making
+the identical downstream pipeline DuckDB-replicable: registry
+``doc_minhash_portable_sig`` value-checks the signatures,
+``doc_minhash_portable_lsh_pairs`` the banded join + Jaccard verify, and
+``doc_dedup_portable_pipeline`` the end-to-end keep list — bit-for-bit.
+SimHash and Jaccard are built from md5/set algebra that DuckDB reproduces
+exactly, so they ARE oracle-checked.
 """
 
 from __future__ import annotations
@@ -167,6 +170,7 @@ def minhash_lsh_pairs(
     bands: int = 12,
     shingle_n: int = 3,
     threshold: float = 0.7,
+    portable: bool = False,
 ) -> DataFrame:
     """Verified near-dup pairs (id_a < id_b, jaccard >= threshold).
 
@@ -176,23 +180,36 @@ def minhash_lsh_pairs(
     12 bands × 4: P(candidate | j=0.7) = 1-(1-0.7⁴)¹² ≈ 0.96, measured
     identical output to 64/16 on the test corpus at ~25% less signature
     cost; recall vs exact Jaccard asserted in tests/test_minhash_ground_truth.py.
+
+    ``portable=True`` runs the SAME pipeline (identical join shape and
+    verify stage) on the engine-portable base: md5-prefix token hashes and a
+    polynomial band hash (mod-P roll over the band's min-hashes) instead of
+    xxhash64 — every stage through the final verified pairs is then
+    DuckDB-replicable (registry ``doc_minhash_portable_lsh_pairs``), which
+    oracle-checks the banded-join logic the production path shares.
     """
     rows_per_band = num_hashes // bands
     sh = word_shingles(text_col, shingle_n)
     based = df.select(
-        F.col(id_col).alias("id"), shingle_hashes(text_col, shingle_n).alias("__h")
+        F.col(id_col).alias("id"),
+        shingle_hashes(text_col, shingle_n, portable=portable).alias("__h"),
     )
     with_sig = _minhash_cols(based, "id", num_hashes)
+
+    def _band_hash(b: int) -> Column:
+        cols = [F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if portable:
+            bh = cols[0]
+            for c in cols[1:]:
+                bh = F.pmod(bh * F.lit(_MH_B) + c, F.lit(_MH_P))
+            return bh
+        return F.xxhash64(F.concat_ws(",", *[c.cast("string") for c in cols]))
+
     band_arr = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",", *[F.col(f"m{b * rows_per_band + r}").cast("string")
-                               for r in range(rows_per_band)]
-                    )
-                ).alias("band_hash"),
+                _band_hash(b).alias("band_hash"),
             )
             for b in range(bands)
         ]

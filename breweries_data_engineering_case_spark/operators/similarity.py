@@ -32,6 +32,131 @@ def _rand_planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def portable_planes_int(dim: int, n_planes: int, tag: str = "annlsh") -> list[list[int]]:
+    """Integer hyperplane weights derived from the md5-prefix 60-bit hash —
+    the Python replica of ``functions/hashing.portable_hash64`` (same
+    ``CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT)`` stream), so ANY
+    engine regenerates the identical planes from the tag alone:
+    ``w[b][j] = h(f"{tag}:{b}:{j}") % 2001 - 1000`` ∈ [-1000, 1000].
+    Uniform symmetric weights give unbiased sign projections (the LSH
+    guarantee needs symmetry around 0, not gaussianity)."""
+    import hashlib
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    return [
+        [h(f"{tag}:{b}:{j}") % 2001 - 1000 for j in range(dim)]
+        for b in range(n_planes)
+    ]
+
+
+def quantize_embedding(vec_col, scale: int = 1_000_000):
+    """array<float> → array<bigint> fixed-point: ROUND(x·scale) → BIGINT,
+    the NOTES.md engine-portable exact-reduction idiom (int64→anything is
+    correctly rounded everywhere; the ROUND itself agrees between Spark's
+    HALF_UP and DuckDB's round-half-away on doubles)."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(
+        c, lambda x: F.round(x.cast("double") * F.lit(float(scale))).cast("long")
+    )
+
+
+def int_hyperplane_bits(qvec_col, planes: list[list[int]]):
+    """Sign bits of EXACT integer projections of a quantized (array<bigint>)
+    embedding onto integer hyperplanes, packed into one BIGINT. Integer
+    addition is associative — the numpy matmul's summation order cannot
+    change the result (unlike the float path in
+    functions/vectors.hyperplane_bits), so the bucket assignment is
+    bit-replicable by any engine that sums the same integers.
+    Arrow-batched pandas UDF: one (batch × dim) @ (dim × planes) int64
+    matmul per batch. Overflow-safe by construction: |qx|·|w|·dim must fit
+    int64 — callers keep scale·max|x|·1000·dim ≪ 2^63."""
+    from pyspark.sql.functions import pandas_udf
+
+    if len(planes) > 62:
+        raise ValueError(f"at most 62 bits fit a signed long, got {len(planes)}")
+    mat = np.asarray(planes, dtype=np.int64).T.copy()  # (dim, n_planes)
+    weights = np.int64(1) << np.arange(len(planes), dtype=np.int64)
+
+    @pandas_udf("long")
+    def _sig(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype="int64")
+        X = np.stack(col.to_numpy()).astype(np.int64)  # (n, dim) exact
+        bits = (X @ mat) >= 0
+        return pd.Series(bits.astype(np.int64) @ weights)
+
+    c = F.col(qvec_col) if isinstance(qvec_col, str) else qvec_col
+    return _sig(c)
+
+
+def cosine_topk_lsh_portable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits_per_band: int = 4,
+    n_bands: int = 8,
+    tag: str = "annlsh",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """``cosine_topk_lsh`` with ENGINE-PORTABLE bucketing: integer
+    fixed-point projections onto md5-seeded integer hyperplanes instead of
+    float gaussian ones. Every bucket assignment (and therefore the exact
+    candidate set, scores, and ranks) is replicable in plain SQL — the
+    registry query's DuckDB oracle regenerates the planes from the tag and
+    replays the whole pipeline, making this approximate-ANN path fully
+    value-checkable, not just row-counted. Same join shape as the
+    non-portable twin: corpus signatures in one map pass, candidates from
+    a broadcast equi-join on (band_idx, band_sig), exact cosine re-score."""
+    total_bits = bits_per_band * n_bands
+    planes = portable_planes_int(dim, total_bits, tag)
+
+    def with_bands(df: DataFrame, idc: str, vecc: str, out_id: str, out_vec: str) -> DataFrame:
+        # materialize the UDF signature as a bound column FIRST: the n_bands
+        # struct references below would otherwise re-evaluate the UDF per
+        # band (NOTES.md expression-capture gotcha)
+        based = df.select(
+            F.col(idc).alias(out_id),
+            F.col(vecc).alias(out_vec),
+            int_hyperplane_bits(quantize_embedding(vecc), planes).alias("__sig"),
+        )
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    (F.shiftright(F.col("__sig"), b * bits_per_band)
+                     % (1 << bits_per_band)).alias("band_sig"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+        return based.select(out_id, out_vec, F.explode(bands).alias("b")).select(
+            out_id, out_vec, "b.band_idx", "b.band_sig"
+        )
+
+    cb = with_bands(corpus, id_col, vec_col, "neighbor_id", "__cvec")
+    qb = with_bands(queries, id_col, vec_col, "query_id", "__qvec")
+    cand = cb.join(F.broadcast(qb), on=["band_idx", "band_sig"]).select(
+        "query_id", "neighbor_id", "__qvec", "__cvec"
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+    cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine("__qvec", "__cvec").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -803,14 +803,81 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries_df, k=10)
 
 
-@register("ann_cosine_topk_lsh")  # approximate → rows-only driver check
+_ANN_LSH_ORACLE = """
+    WITH planes AS (
+      SELECT b, j,
+             CAST(concat('0x', substr(md5('annlsh:' || CAST(b AS VARCHAR)
+                  || ':' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 2001 - 1000 AS w
+      FROM UNNEST(range(32)) AS tb(b), UNNEST(range(64)) AS tj(j)
+    ),
+    e AS (
+      SELECT vec_id, i AS j,
+             CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS qx
+      FROM (SELECT vec_id, UNNEST(embedding) AS x,
+                   UNNEST(range(len(embedding))) AS i FROM embeddings)
+    ),
+    proj AS (
+      SELECT e.vec_id, p.b AS bit, SUM(e.qx * p.w) AS s
+      FROM e JOIN planes p ON e.j = p.j
+      GROUP BY e.vec_id, p.b
+    ),
+    band AS (
+      SELECT vec_id, CAST(bit // 4 AS INT) AS band_idx,
+             CAST(SUM(CASE WHEN s >= 0 THEN
+                  CASE CAST(bit % 4 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 2
+                       WHEN 2 THEN 4 ELSE 8 END ELSE 0 END) AS BIGINT)
+               AS band_sig
+      FROM proj GROUP BY vec_id, bit // 4
+    ),
+    cand AS (
+      SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+      FROM band qb JOIN band cb
+        ON qb.band_idx = cb.band_idx AND qb.band_sig = cb.band_sig
+      WHERE qb.vec_id < 5 AND cb.vec_id <> qb.vec_id
+    ),
+    p AS (
+      SELECT c.query_id, c.neighbor_id,
+             UNNEST(q.embedding) AS qe, UNNEST(v.embedding) AS ve,
+             UNNEST(range(len(q.embedding))) AS i
+      FROM cand c JOIN embeddings q ON q.vec_id = c.query_id
+                  JOIN embeddings v ON v.vec_id = c.neighbor_id
+    ),
+    d AS (
+      SELECT query_id, neighbor_id,
+             SUM(CAST(qe AS DOUBLE) * CAST(ve AS DOUBLE) ORDER BY i) AS dot,
+             SUM(CAST(qe AS DOUBLE) * CAST(qe AS DOUBLE) ORDER BY i) AS qn,
+             SUM(CAST(ve AS DOUBLE) * CAST(ve AS DOUBLE) ORDER BY i) AS vn
+      FROM p GROUP BY query_id, neighbor_id
+    ),
+    s AS (
+      SELECT query_id, neighbor_id, dot / (sqrt(qn) * sqrt(vn)) AS score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dot / (sqrt(qn) * sqrt(vn)) DESC,
+                                         neighbor_id) AS rank
+      FROM d
+    )
+    SELECT query_id, neighbor_id, score, CAST(rank AS INT) AS rank
+    FROM s WHERE rank <= 10
+"""
+
+
+@register("ann_cosine_topk_lsh", _ANN_LSH_ORACLE)
 def q_ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (random hyperplanes, 4 bands × 8 bits): the scale
-    path — candidates only from matching buckets, then exact re-score.
-    Approximate recall ⇒ no SQL oracle (rows-only check)."""
+    """LSH-bucketed ANN (8 bands × 4 sign bits), now on the PORTABLE
+    integer-hyperplane base — fully value-checked, not rows-only: planes are
+    md5-seeded integers, embeddings are int64 fixed-point quantized, so the
+    projection sums are exact integers (order-independent) and the oracle
+    regenerates the identical buckets, candidate set, scores and ranks in
+    SQL. Candidates only from matching buckets, then exact cosine re-score
+    (index-ordered double fold, bitwise cross-engine). The gaussian-plane
+    twin (operators/similarity.cosine_topk_lsh) stays as the generic API;
+    recall for both is anchored in tests/test_ann_recall.py."""
+    from ..operators.similarity import cosine_topk_lsh_portable
+
     emb = table_scan(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
-    return cosine_topk_lsh(emb, queries_df, k=10)
+    return cosine_topk_lsh_portable(emb, queries_df, k=10)
 
 
 @register("ann_cosine_topk_ivf")  # approximate (nprobe<k lists) → rows-only
@@ -2974,14 +3041,95 @@ def q_sorted_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_real_codec_extract")  # numpy/wave decode → rows-only
+def _regen_real_assets(n: int):
+    """Re-derive the synthetic real-codec assets from their RECIPE (the spec
+    in operators/multimodal.synthetic_real_assets' docstring), without
+    calling that module — even ids are P5 gradient PGMs (px = (x+y+i) mod
+    256), odd ids 16-bit mono 440 Hz WAV bursts. Used to freeze golden
+    expected outputs into the multimodal oracles below."""
+    import io as _io
+    import wave as _wave
+
+    import numpy as _np
+
+    out = []
+    for i in range(n):
+        if i % 2 == 0:
+            w, h = 8 + (i % 4), 6
+            header = f"P5\n{w} {h}\n255\n".encode()
+            px = bytes(((x + y + i) % 256) for y in range(h) for x in range(w))
+            out.append((i, "image", header + px, w, h, None))
+        else:
+            rate, dur_s = 8000, 0.05
+            nfr = int(rate * dur_s)
+            t = _np.arange(nfr) / rate
+            samples = _np.round(
+                3000 * _np.sin(2 * _np.pi * 440 * t + i)
+            ).astype("<i2")
+            buf = _io.BytesIO()
+            with _wave.open(buf, "wb") as wv:
+                wv.setnchannels(1)
+                wv.setsampwidth(2)
+                wv.setframerate(rate)
+                wv.writeframes(samples.tobytes())
+            out.append((i, "audio", buf.getvalue(), None, None, samples))
+    return out
+
+
+def _multimodal_extract_oracle(n: int = 64) -> str:
+    """Golden-value oracle for the real-codec extract: expected features are
+    recomputed here from the asset recipe (netpbm stats over the gradient
+    formula, WAV amplitude stats over the regenerated samples) and frozen
+    into a VALUES table. The decode MATH is additionally pinned by the
+    closed-form asserts in tests/test_multimodal.py; what this oracle
+    value-checks per round is the whole Spark path — parquet round-trip of
+    binary payloads, Arrow batching, mapInPandas execution — against the
+    frozen expectation."""
+    import hashlib as _hl
+
+    import numpy as _np
+
+    rows = []
+    for i, mt, payload, w, h, samples in _regen_real_assets(n):
+        sha, blen = _hl.sha256(payload).hexdigest(), len(payload)
+        if mt == "image":
+            px = _np.frombuffer(
+                payload, dtype=_np.uint8, count=w * h, offset=len(payload) - w * h
+            ).reshape(h, w, 1).astype(_np.float64) / 255
+            feats = [px.mean(), px.std(), px.min(), px.max(), px[..., 0].mean()]
+        else:
+            rate = 8000
+            x = samples.astype(_np.float64) / 32768.0
+            feats = [
+                len(x) / rate,
+                _np.abs(x).mean(),
+                _np.sqrt((x**2).mean()),
+                _np.abs(x).max(),
+                1.0,
+            ]
+        head = ",".join(f"{float(v):.4f}" for v in feats)
+        rows.append(f"({i}, '{mt}', '{sha}', {blen}, 5, '{head}')")
+    vals = ",\n      ".join(rows)
+    return f"""
+    SELECT * FROM (VALUES
+      {vals})
+      AS t(asset_id, media_type, payload_sha256, payload_bytes,
+           feature_dim, feature_head)
+    ORDER BY asset_id
+    """
+
+
+@register("multimodal_real_codec_extract", _multimodal_extract_oracle(64))
 def q_multimodal_real_codec_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The REAL-codec multimodal path end-to-end through storage: a real
-    encoded asset table (PGM images + WAV audio payloads) is landed as
-    parquet once, scanned back as binary columns, and decoded with actual
-    codecs (numpy netpbm parse, stdlib wave PCM) inside Arrow-batched
-    mapInPandas. Deterministic features (fixed payloads) → rows-only check;
-    closed-form feature values asserted in tests/test_multimodal.py."""
+    """The REAL-codec multimodal path end-to-end through storage, now VALUE
+    oracle-checked (upgraded from rows-only): a real encoded asset table
+    (PGM images + WAV audio payloads) is landed as parquet once, scanned
+    back as binary columns, and decoded with actual codecs (numpy netpbm
+    parse, stdlib wave PCM) inside Arrow-batched mapInPandas. The oracle
+    freezes golden features regenerated from the asset recipe, so payload
+    sha256, byte length, and every formatted feature are hash-compared;
+    closed-form decode math is separately asserted in
+    tests/test_multimodal.py."""
     from ..operators.multimodal import extract_features, synthetic_real_assets
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
@@ -3728,13 +3876,46 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(assets, every_ms=1000).orderBy("asset_id", "frame_ts_ms")
 
 
-@register("multimodal_resize")  # numpy nearest-neighbor → rows-only
+def _multimodal_resize_oracle(n: int = 32, tw: int = 8, th: int = 8) -> str:
+    """Golden-value oracle for the netpbm nearest-neighbor resize: expected
+    8×8 thumbnails are recomputed here INDEPENDENTLY of
+    operators/multimodal.resize_images — pure integer index math
+    (ys = y·h//th, xs = x·w//tw) over the recipe's gradient pixels, then
+    sha256 of the re-encoded P5 bytes — and frozen into a VALUES table, so
+    the driver hash-checks the exact output payload of every image."""
+    import hashlib as _hl
+
+    rows = []
+    for i, mt, payload, w, h, _ in _regen_real_assets(n):
+        if mt != "image":
+            continue
+        px = payload[len(payload) - w * h :]
+        small = bytes(
+            px[(y * h // th) * w + (x * w // tw)]
+            for y in range(th)
+            for x in range(tw)
+        )
+        out = f"P5\n{tw} {th}\n255\n".encode() + small
+        rows.append(f"({i}, {tw}, {th}, '{_hl.sha256(out).hexdigest()}')")
+    vals = ",\n      ".join(rows)
+    return f"""
+    SELECT * FROM (VALUES
+      {vals})
+      AS t(asset_id, width, height, payload_sha256)
+    ORDER BY asset_id
+    """
+
+
+@register("multimodal_resize", _multimodal_resize_oracle(32))
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real image resize (nearest-neighbor netpbm downsample to 8×8) over
-    Arrow-batched mapInPandas — the thumbnail/normalize stage. Deterministic
-    synthetic payloads → rows-only; exact pixel subsampling is asserted in
-    tests/test_multimodal.py. Payload sha projected instead of raw bytes so
-    the driver's value hash is stable and compact."""
+    Arrow-batched mapInPandas — the thumbnail/normalize stage. Now VALUE
+    oracle-checked (upgraded from rows-only): the oracle independently
+    recomputes each expected thumbnail from the asset recipe with pure
+    integer index math and freezes its sha256, so the exact output bytes
+    are hash-compared per round (exact pixel subsampling also asserted in
+    tests/test_multimodal.py). Payload sha projected instead of raw bytes
+    so the driver's value hash is stable and compact."""
     from ..operators.multimodal import resize_images, synthetic_real_assets
 
     assets = synthetic_real_assets(spark, n=32)
@@ -7524,6 +7705,97 @@ def q_doc_dedup_portable_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
         "component",
         (F.col("doc_id") == F.col("component")).alias("is_kept"),
     )
+
+
+def _lsh_pairs_portable_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    """Full-SQL oracle for the PRODUCTION minhash_lsh_pairs pipeline on the
+    portable base: signatures → polynomial band hash → banded candidate
+    join → exact string-shingle Jaccard verify → threshold filter. Ends at
+    the verified-pairs stage (the shape doc_dedup_minhash_lsh runs), with
+    the verify on 3-word STRING shingles exactly as the Spark operator's
+    word_shingles-based jaccard()."""
+    from ..operators.fuzzy_dedup import _MH_B, _MH_P, _mh_coeffs
+
+    vals = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(_mh_coeffs(num_hashes))
+    )
+    rpb = num_hashes // bands
+    bh = "m0"
+    for r in range(1, rpb):
+        bh = f"({bh} * {_MH_B} + m{r}) % {_MH_P}"
+    mcols = ", ".join(
+        f"MAX(CASE WHEN i % {rpb} = {r} THEN m END) AS m{r}" for r in range(rpb)
+    )
+    return rf"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks,
+             list_transform(string_split_regex(TRIM(text), '\s+'),
+                            tok -> CAST(concat('0x', substr(md5(tok), 1, 15))
+                                        AS BIGINT) % {_MH_P}) AS th
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             ((th[i + 1] * {_MH_B} + th[i + 2]) % {_MH_P} * {_MH_B}
+              + th[i + 3]) % {_MH_P} AS s
+      FROM t, UNNEST(range(GREATEST(len(th) - 2, 0))) AS u(i)
+    ),
+    strsh AS (
+      SELECT DISTINCT doc_id,
+             toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] AS g
+      FROM t, UNNEST(range(GREATEST(len(toks) - 2, 0))) AS u(i)
+    ),
+    ssz AS (SELECT doc_id, COUNT(*) AS n FROM strsh GROUP BY doc_id),
+    c(i, a, b) AS (VALUES {vals}),
+    sig AS (
+      SELECT doc_id, c.i, MIN((sh.s * c.a + c.b) % {_MH_P}) AS m
+      FROM sh CROSS JOIN c GROUP BY doc_id, c.i
+    ),
+    bandm AS (
+      SELECT doc_id, i // {rpb} AS b, {mcols}
+      FROM sig GROUP BY doc_id, i // {rpb}
+    ),
+    band AS (SELECT doc_id, b, {bh} AS bh FROM bandm),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM band x JOIN band y
+        ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS icnt
+      FROM cand c
+      JOIN strsh sa ON sa.doc_id = c.id_a
+      JOIN strsh sb ON sb.doc_id = c.id_b AND sb.g = sa.g
+      GROUP BY c.id_a, c.id_b
+    ),
+    j AS (
+      SELECT i.id_a, i.id_b,
+             CAST(i.icnt AS DOUBLE) / (za.n + zb.n - i.icnt) AS jaccard
+      FROM inter i
+      JOIN ssz za ON za.doc_id = i.id_a
+      JOIN ssz zb ON zb.doc_id = i.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.7
+    """
+
+
+@register("doc_minhash_portable_lsh_pairs", _lsh_pairs_portable_oracle(16, 4))
+def q_doc_minhash_portable_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION MinHash-LSH pair pipeline (operators/fuzzy_dedup.
+    minhash_lsh_pairs — the exact function doc_dedup_minhash_lsh runs) on
+    the portable base, value-checked end to end: md5-prefix token hashes,
+    polynomial band hash, banded candidate self-join, and the SAME
+    string-shingle Jaccard verify stage, so the banded-join + verify logic
+    the production (xxhash64, 48/12) query shares is oracle-checked here
+    while the production entry keeps the fast hash (its recall is anchored
+    in tests/test_minhash_ground_truth.py). 16 hashes / 4 bands matches
+    doc_minhash_portable_sig's geometry; threshold 0.7 matches production."""
+    from ..operators.fuzzy_dedup import minhash_lsh_pairs
+
+    d = table_scan(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, num_hashes=16, bands=4, shingle_n=3, threshold=0.7, portable=True
+    ).select("id_a", "id_b", "jaccard")
 
 
 @register(

@@ -11,6 +11,7 @@ from breweries_data_engineering_case_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_ivf,
     cosine_topk_lsh,
+    cosine_topk_lsh_portable,
 )
 from breweries_data_engineering_case_spark.sources.readers import table_scan
 
@@ -43,6 +44,12 @@ def test_ivf_and_lsh_recall(spark, sf_dir):
     assert r_ivf >= 0.5, f"IVF recall {r_ivf:.2f}"
     # 8 bands × 4 bits: measured 0.73 on the seed-42 embeddings
     assert r_lsh >= 0.5, f"LSH recall {r_lsh:.2f}"
+
+    # portable integer-plane twin (the oracle-checked registry path) must
+    # hold comparable recall — measured 0.66 at sf0.01
+    lshp = _topk_sets(cosine_topk_lsh_portable(emb, q, k=10))
+    r_lshp = _recall(lshp, exact)
+    assert r_lshp >= 0.5, f"portable LSH recall {r_lshp:.2f}"
     # every returned neighbor must be a real scored vector (no phantom ids)
     all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
     assert all(n in all_ids for s in ivf.values() for n in s)
