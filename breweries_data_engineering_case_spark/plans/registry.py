@@ -6389,8 +6389,7 @@ _PAGERANK_ITER = """
     )"""
 
 
-@register(
-    "graph_pagerank_bipartite",
+_PAGERANK_ORACLE = (
     """
     WITH pairs AS (
       SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
@@ -6412,23 +6411,14 @@ _PAGERANK_ITER = """
     + _PAGERANK_ITER.format(k=2, p=1) + ","
     + _PAGERANK_ITER.format(k=3, p=2) + """
     SELECT node, pr FROM r3
-    """,
+    """
 )
-def q_graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Integer-exact PageRank (3 iterations, damping 0.85) over the
-    customer↔supplier co-transaction graph — the canonical ITERATIVE
-    algorithm a SQL engine can't express without recursion. Spark runs the
-    textbook loop (contribution = rank÷degree, scatter along edges, gather
-    by SUM, damp); the oracle unrolls the same three iterations as chained
-    CTEs. Every quantity is INTEGER: ranks live on a 10^12 fixed-point
-    scale and all divisions are floor (`div`/`//`), so both engines agree
-    bit-for-bit — float PageRank would diverge in summation order. Scale
-    shape: edges, degrees and the node table persist across iterations
-    (scanned 3×, computed once); the node count reaches every row as a
-    broadcast single-row cross join (not a global window — that would
-    funnel ALL graph nodes through one task); each iteration is one shuffle
-    join on the edge key + one partial-agg gather — the same plan per round
-    regardless of graph size; rank state never touches the driver."""
+
+
+def _pagerank_graph(spark: SparkSession, sf_dir: str):
+    """(edges, nodes) for the customer↔supplier co-transaction graph:
+    bidirectional edge list, per-node degree, integer base rank — all
+    persisted, since every PageRank iteration re-reads them."""
     o = table_scan(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = table_scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
@@ -6452,11 +6442,69 @@ def q_graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    return edges, nodes
+
+
+@register("graph_pagerank_bipartite", _PAGERANK_ORACLE)
+def q_graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (3 iterations, damping 0.85) over the
+    customer↔supplier co-transaction graph — the canonical ITERATIVE
+    algorithm a SQL engine can't express without recursion. Spark runs the
+    textbook loop (contribution = rank÷degree, scatter along edges, gather
+    by SUM, damp); the oracle unrolls the same three iterations as chained
+    CTEs. Every quantity is INTEGER: ranks live on a 10^12 fixed-point
+    scale and all divisions are floor (`div`/`//`), so both engines agree
+    bit-for-bit — float PageRank would diverge in summation order. Scale
+    shape: edges, degrees and the node table persist across iterations
+    (scanned 3×, computed once); the node count reaches every row as a
+    broadcast single-row cross join (not a global window — that would
+    funnel ALL graph nodes through one task); each iteration is one shuffle
+    join on the edge key + one partial-agg gather — the same plan per round
+    regardless of graph size; rank state never touches the driver."""
+    edges, nodes = _pagerank_graph(spark, sf_dir)
     r = nodes.withColumn("pr", F.col("base"))
     for _ in range(3):
         contrib = r.selectExpr("node AS src", "pr div deg AS c")
         inc = (
             edges.join(contrib, "src")
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        r = (
+            nodes.join(inc, nodes["node"] == inc["dst"], "left")
+            .selectExpr(
+                "node",
+                "deg",
+                "base",
+                "CAST((15 * base + 85 * COALESCE(s, 0)) div 100 AS BIGINT) AS pr",
+            )
+        )
+    return r.select("node", "pr")
+
+
+@register("graph_pagerank_salted", _PAGERANK_ORACLE)
+def q_graph_pagerank_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank with a SKEW-SALTED gather — identical integer ranks
+    (checked against the same unrolled-CTE oracle as
+    graph_pagerank_bipartite), different physical join. Real graphs are
+    power-law: hub nodes (here, suppliers on many orders) own huge edge
+    lists, so the per-iteration shuffle join on `src` funnels each hub's
+    edges through one task. The gather instead rides operators/joins.
+    salted_join: edge rows get hash%8 salts, the (node, contribution) side
+    is replicated 8× — each hub's edge list spreads over 8 tasks, and the
+    downstream dst-side partial aggregation is skew-immune already.
+    Integer contribution sums are associative, so salting cannot change a
+    single rank bit — exactly the property that makes the salted plan safe
+    to swap in at 100× where AQE skew-split alone isn't enough (it can't
+    split the BUILD side of the per-iteration join)."""
+    from ..operators.joins import salted_join
+
+    edges, nodes = _pagerank_graph(spark, sf_dir)
+    r = nodes.withColumn("pr", F.col("base"))
+    for _ in range(3):
+        contrib = r.selectExpr("node AS src", "pr div deg AS c")
+        inc = (
+            salted_join(edges, contrib, "src", salt_buckets=8)
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
@@ -7867,7 +7915,83 @@ def q_events_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 # green CORRECTNESS_r01 row rotate out, queries with no row yet (r01 tail),
 # a failed/changed row, or new this round rotate in.
 _WINDOW_PRIORITY: list[str] = [
-    # --- round 4 window ---
+    # --- round 5 window ---
+    # After r01+r03+r04 (all green), exactly 39 registered queries have no
+    # recorded driver row: the 29 round-4 additions + the 9 names round 4
+    # deferred + events_stickiness_dau_wau. This window seats ALL of them,
+    # plus: rest_paginated_ingest FIRST (the one SURVEY §2 key whose
+    # r4-upgraded full-value oracle has no driver row — VERDICT r4's #1
+    # ask), the queries whose plans changed this round (broadcast-scalar
+    # rewrites: orders_abc_pareto, tpch_q15_top_supplier; oracle upgrades:
+    # multimodal_real_codec_extract, multimodal_resize — their recorded
+    # rows predate the change), and the 2 queries new in round 5
+    # (doc_minhash_portable_lsh_pairs, graph_pagerank_salted). The 3
+    # remaining slots re-confirm the oldest r1-only §2 cornerstones.
+    # (orders_rfm_segments, graph_pagerank_bipartite, ann_cosine_topk_lsh,
+    # dq_benford_first_digit, events_interval_overlap_join, doc_bloom_probe,
+    # dataset_shuffle_deterministic — also changed/upgraded this round —
+    # are already inside the 39.)
+    "rest_paginated_ingest",
+    # 29 round-4 additions (no driver row yet):
+    "doc_repetition_topngram",
+    "doc_tfidf_top_terms",
+    "orders_rfm_segments",
+    "events_user_lifecycle",
+    "dq_benford_first_digit",
+    "events_interval_overlap_join",
+    "doc_containment_pairs",
+    "dq_referential_orphans",
+    "events_count_min_sketch",
+    "doc_feature_hashing",
+    "doc_bloom_probe",
+    "events_longest_streak",
+    "graph_pagerank_bipartite",
+    "python_datasource_scan",
+    "streaming_transform_with_state",
+    "orders_price_trend_ols",
+    "orders_target_encoding",
+    "graph_reachability_bfs",
+    "orders_dow_seasonality",
+    "orders_weighted_sample",
+    "events_rate_spike",
+    "events_scd2_lookup",
+    "orders_snapshot_diff",
+    "embedding_top_pc_power_iter",
+    "market_basket_rules",
+    "binary_file_scan",
+    "events_value_winsorize",
+    "doc_minhash_portable_sig",
+    "doc_dedup_portable_pipeline",
+    "events_stickiness_dau_wau",
+    # 9 names deferred from round 4 (no driver row yet):
+    "approx_order_percentiles",
+    "embedding_semantic_dedup",
+    "events_dau_hll_mergeable",
+    "bpe_top_merges",
+    "hard_negative_mining",
+    "dataset_shuffle_deterministic",
+    "doc_pack_sequences",
+    "events_variant_extract",
+    "table_profile_summary",
+    # ann LSH: upgraded rows-only → portable full oracle this round:
+    "ann_cosine_topk_lsh",
+    # plans rewritten this round (broadcast scalars) — fresh rows needed:
+    "orders_abc_pareto",
+    "tpch_q15_top_supplier",
+    # oracles upgraded rows-only → golden-value this round:
+    "multimodal_real_codec_extract",
+    "multimodal_resize",
+    # new in round 5:
+    "doc_minhash_portable_lsh_pairs",
+    "graph_pagerank_salted",
+    # padding: oldest r1-only §2 cornerstones, re-confirmed:
+    "silver_clean_contract",
+    "gold_counts_hierarchy",
+    "window_dedup_rownum",
+]
+
+_WINDOW_PRIORITY_R4: list[str] = [
+    # --- round 4 window (kept for the rotation ledger; superseded) ---
     # CORRECTNESS_r02 was never delivered, so every name that only rotated
     # through the intended r02 window still has ZERO driver evidence. After
     # r01+r03, exactly 59 registered queries have no recorded row; this

@@ -24,6 +24,23 @@ def test_pagerank_mass_and_positivity(spark, sf_dir):
     assert agg.mass >= scale - 6 * agg.n * 100  # generous floor-loss bound
 
 
+def test_salted_pagerank_identical_ranks(spark, sf_dir):
+    """The skew-salted gather must produce bit-identical integer ranks
+    (integer sums are associative — salting only changes physical routing)
+    while actually joining on the salt key."""
+    base = {
+        (r.node, r.pr)
+        for r in registry.queries()["graph_pagerank_bipartite"](
+            spark, sf_dir
+        ).collect()
+    }
+    salted_df = registry.queries()["graph_pagerank_salted"](spark, sf_dir)
+    salted = {(r.node, r.pr) for r in salted_df.collect()}
+    assert salted == base
+    plan = salted_df._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan  # the gather really is salted
+
+
 def test_pagerank_supplier_hubs_outrank_leaf_customers(spark, sf_dir):
     """Suppliers touch many customers (high in-degree) so the top of the
     ranking must be supplier nodes and the minimum must be a customer."""

@@ -43,6 +43,7 @@ BNLJ_OK = {
     "tpch_q15_top_supplier",  # single-row MAX-revenue scalar broadcast
     "orders_rfm_segments",  # single-row anchor-date scalar broadcast
     "graph_pagerank_bipartite",  # single-row node-count scalar broadcast
+    "graph_pagerank_salted",  # same node-count scalar broadcast, salted gather
     "orders_abc_pareto",  # single-row grand-total scalar broadcast
 }
 
