@@ -429,27 +429,45 @@ def embedding_near_dup_pairs(
     bits_per_band: int = 7,
     n_bands: int = 8,
     seed: int = 7,
+    portable: bool = False,
+    tag: str = "embnd",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
 
     LSH candidate generation (band match) followed by exact cosine verify —
     the standard near-dup sweep shape for 100 TB embedding stores: the
     all-pairs O(N²) never materializes, only bucket-local pairs do.
+
+    ``portable=True`` swaps gaussian planes for md5-seeded INTEGER planes
+    over int64 fixed-point embeddings (see ``cosine_topk_lsh_portable``) —
+    exact integer projections make the bucket assignment, and therefore the
+    full verified-pair output, SQL-replicable (registry
+    ``embedding_near_dup`` is value-checked against a DuckDB replay).
     """
     total_bits = bits_per_band * n_bands
-    planes = _rand_planes(dim, total_bits, seed)
-    sig = hyperplane_bits(vec_col, planes)
+    if portable:
+        sig = int_hyperplane_bits(
+            quantize_embedding(vec_col), portable_planes_int(dim, total_bits, tag)
+        )
+    else:
+        sig = hyperplane_bits(vec_col, _rand_planes(dim, total_bits, seed))
+    # materialize the UDF signature as a bound column before the n_bands
+    # references below (expression capture would re-run the UDF per band)
+    based = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), sig.alias("__sig")
+    )
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
-                (F.shiftright(sig, b * bits_per_band) % (1 << bits_per_band)).alias("band_sig"),
+                (F.shiftright(F.col("__sig"), b * bits_per_band)
+                 % (1 << bits_per_band)).alias("band_sig"),
             )
             for b in range(n_bands)
         ]
     )
-    tagged = corpus.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), F.explode(bands).alias("b")
+    tagged = based.select(
+        "id", "vec", F.explode(bands).alias("b")
     ).select("id", "vec", "b.band_idx", "b.band_sig")
 
     left = tagged.alias("l")

@@ -803,13 +803,19 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries_df, k=10)
 
 
-_ANN_LSH_ORACLE = """
-    WITH planes AS (
+def _lsh_band_cte(tag: str, total_bits: int, bits_per_band: int, dim: int = 64) -> str:
+    """Shared CTE text replicating the portable integer-hyperplane LSH
+    bucketing (operators/similarity.int_hyperplane_bits over
+    quantize_embedding): md5-seeded integer planes, int64 fixed-point
+    projections, per-band sign-bit packing. Expects the `embeddings` view;
+    yields a `band (vec_id, band_idx, band_sig)` CTE."""
+    arms = " ".join(f"WHEN {r} THEN {1 << r}" for r in range(bits_per_band))
+    return f"""planes AS (
       SELECT b, j,
-             CAST(concat('0x', substr(md5('annlsh:' || CAST(b AS VARCHAR)
+             CAST(concat('0x', substr(md5('{tag}:' || CAST(b AS VARCHAR)
                   || ':' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT)
                % 2001 - 1000 AS w
-      FROM UNNEST(range(32)) AS tb(b), UNNEST(range(64)) AS tj(j)
+      FROM UNNEST(range({total_bits})) AS tb(b), UNNEST(range({dim})) AS tj(j)
     ),
     e AS (
       SELECT vec_id, i AS j,
@@ -823,13 +829,16 @@ _ANN_LSH_ORACLE = """
       GROUP BY e.vec_id, p.b
     ),
     band AS (
-      SELECT vec_id, CAST(bit // 4 AS INT) AS band_idx,
+      SELECT vec_id, CAST(bit // {bits_per_band} AS INT) AS band_idx,
              CAST(SUM(CASE WHEN s >= 0 THEN
-                  CASE CAST(bit % 4 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 2
-                       WHEN 2 THEN 4 ELSE 8 END ELSE 0 END) AS BIGINT)
-               AS band_sig
-      FROM proj GROUP BY vec_id, bit // 4
-    ),
+                  CASE CAST(bit % {bits_per_band} AS INT) {arms} ELSE 0 END
+                  ELSE 0 END) AS BIGINT) AS band_sig
+      FROM proj GROUP BY vec_id, bit // {bits_per_band}
+    )"""
+
+
+_ANN_LSH_ORACLE = """
+    WITH """ + _lsh_band_cte("annlsh", 32, 4) + """,
     cand AS (
       SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
       FROM band qb JOIN band cb
@@ -890,17 +899,47 @@ def q_ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(emb, queries_df, k=10, n_centroids=16, nprobe=4)
 
 
-@register("embedding_near_dup")  # LSH candidates (recall<1) → rows-only check
+_NEAR_DUP_LSH_ORACLE = """
+    WITH """ + _lsh_band_cte("embnd", 32, 4) + """,
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM band a JOIN band b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+           AND a.vec_id < b.vec_id
+    ),
+    p AS (
+      SELECT c.id_a, c.id_b,
+             UNNEST(x.embedding) AS xa, UNNEST(y.embedding) AS xb,
+             UNNEST(range(len(x.embedding))) AS i
+      FROM cand c JOIN embeddings x ON x.vec_id = c.id_a
+                  JOIN embeddings y ON y.vec_id = c.id_b
+    ),
+    d AS (
+      SELECT id_a, id_b,
+             SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE) ORDER BY i) AS dot,
+             SUM(CAST(xa AS DOUBLE) * CAST(xa AS DOUBLE) ORDER BY i) AS na,
+             SUM(CAST(xb AS DOUBLE) * CAST(xb AS DOUBLE) ORDER BY i) AS nb
+      FROM p GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, dot / (sqrt(na) * sqrt(nb)) AS score
+    FROM d WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
+"""
+
+
+@register("embedding_near_dup", _NEAR_DUP_LSH_ORACLE)
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH candidates + exact
-    verify; O(N²) never materializes. Threshold 0.4 sits inside the test
-    corpus's actual similarity regime (max pairwise cosine ≈ 0.51 — the
-    synthetic embeddings carry no planted dups), so the check is non-vacuous;
-    precision is 1.0 by construction (every pair is exactly re-scored) and
-    recall vs the exact twin is asserted in tests/test_ann_recall.py.
-    Production threshold (0.9+) is exercised with planted near-dups there."""
+    verify; O(N²) never materializes. Now on the PORTABLE integer-plane
+    base with a full value oracle (upgraded from rows-only): the DuckDB
+    replay regenerates the exact buckets, candidate pairs, and verified
+    scores. Threshold 0.4 sits inside the test corpus's actual similarity
+    regime (max pairwise cosine ≈ 0.51 — the synthetic embeddings carry no
+    planted dups), so the check is non-vacuous; precision is 1.0 by
+    construction (every pair is exactly re-scored) and recall vs the exact
+    twin is asserted in tests/test_ann_recall.py. Production threshold
+    (0.9+) is exercised with planted near-dups there."""
     emb = table_scan(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.4, bits_per_band=4)
+    return embedding_near_dup_pairs(emb, threshold=0.4, bits_per_band=4, portable=True)
 
 
 _NEAR_DUP_EXACT_ORACLE = """
@@ -1864,11 +1903,42 @@ def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.unpivot("o_orderkey", ["o_totalprice", "o_custkey"], "measure", "value")
 
 
-@register("multimodal_feature_extract")  # synthetic binary assets → rows-only
+def _multimodal_fake_oracle(n: int = 128) -> str:
+    """Golden-value oracle for the fake-codec extract: the synthetic-asset
+    recipe (payload = md5(str(i)) digest ×4) and the fake feature formula
+    (first 8 sha256 digest bytes / 255) are re-derived here with hashlib
+    alone — independent of operators/multimodal — and frozen into a VALUES
+    table. (A pure-SQL twin is blocked on DuckDB's sha256() accepting only
+    VARCHAR, not the binary payload.)"""
+    import hashlib as _hl
+
+    rows = []
+    for i in range(n):
+        payload = _hl.md5(str(i).encode()).digest() * 4
+        mt = ("image", "audio", "video")[i % 3]
+        digest = _hl.sha256(payload).digest()
+        head = ",".join(f"{b / 255.0:.4f}" for b in digest[:8])
+        rows.append(
+            f"({i}, '{mt}', '{_hl.sha256(payload).hexdigest()}', "
+            f"{len(payload)}, 8, '{head}')"
+        )
+    vals = ",\n      ".join(rows)
+    return f"""
+    SELECT * FROM (VALUES
+      {vals})
+      AS t(asset_id, media_type, payload_sha256, payload_bytes,
+           feature_dim, feature_head)
+    ORDER BY asset_id
+    """
+
+
+@register("multimodal_feature_extract", _multimodal_fake_oracle(128))
 def q_multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary multimodal
     payloads (deterministic fake codec; real codec is a drop-in). Exercises
-    the schema contract + batch plumbing end-to-end."""
+    the schema contract + batch plumbing end-to-end; now VALUE
+    oracle-checked (upgraded from rows-only) against golden features
+    re-derived from the recipe with hashlib alone."""
     from ..operators.multimodal import extract_features, synthetic_assets
 
     return extract_features(synthetic_assets(spark, n=128))
@@ -3863,13 +3933,26 @@ def q_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(str(staging))
 
 
-@register("multimodal_frame_sample")  # synthetic assets → rows-only
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH v AS (
+      SELECT CAST(i AS BIGINT) AS asset_id, 1000 * i AS dur
+      FROM UNNEST(range(64)) AS t(i)
+      WHERE i % 3 = 2 AND i > 0
+    )
+    SELECT asset_id, CAST(1000 * j AS BIGINT) AS frame_ts_ms
+    FROM v, UNNEST(range(dur // 1000 + 1)) AS u(j)
+    ORDER BY asset_id, frame_ts_ms
+    """,
+)
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling work list: each video asset expands to one row
     per frame timestamp (sequence+explode — the decode fan-out is planned
-    by Catalyst, not a driver loop). Deterministic synthetic assets →
-    rows-only; the per-asset frame counts are asserted against duration in
-    tests/test_multimodal.py."""
+    by Catalyst, not a driver loop). Full value oracle (upgraded from
+    rows-only): the synthetic-asset recipe makes every video's duration
+    1000·i ms, so plain SQL regenerates the exact fan-out; per-asset frame
+    counts also asserted against duration in tests/test_multimodal.py."""
     from ..operators.multimodal import frame_sample_plan, synthetic_assets
 
     assets = synthetic_assets(spark, n=64)
@@ -7926,7 +8009,10 @@ _WINDOW_PRIORITY: list[str] = [
     # multimodal_real_codec_extract, multimodal_resize — their recorded
     # rows predate the change), and the 2 queries new in round 5
     # (doc_minhash_portable_lsh_pairs, graph_pagerank_salted). The 3
-    # remaining slots re-confirm the oldest r1-only §2 cornerstones.
+    # remaining slots take the late-batch rows-only → oracle upgrades
+    # (embedding_near_dup portable planes, multimodal fake-codec golden
+    # oracle, frame-sample SQL oracle) — fresh value rows beat
+    # re-confirming r1 greens.
     # (orders_rfm_segments, graph_pagerank_bipartite, ann_cosine_topk_lsh,
     # dq_benford_first_digit, events_interval_overlap_join, doc_bloom_probe,
     # dataset_shuffle_deterministic — also changed/upgraded this round —
@@ -7984,10 +8070,10 @@ _WINDOW_PRIORITY: list[str] = [
     # new in round 5:
     "doc_minhash_portable_lsh_pairs",
     "graph_pagerank_salted",
-    # padding: oldest r1-only §2 cornerstones, re-confirmed:
-    "silver_clean_contract",
-    "gold_counts_hierarchy",
-    "window_dedup_rownum",
+    # also upgraded rows-only → full oracle in round 5 (late batch):
+    "embedding_near_dup",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
 ]
 
 _WINDOW_PRIORITY_R4: list[str] = [

@@ -120,3 +120,16 @@ def test_embedding_near_dup_recall_vs_exact(spark, sf_dir):
     if exact:
         recall = len(approx & exact) / len(exact)
         assert recall >= 0.5, f"near-dup recall {recall:.2f}"
+
+    # portable integer-plane twin (the oracle-checked registry path):
+    # measured recall 0.83 at sf0.01, precision 1.0 by construction
+    port = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.4, bits_per_band=4, portable=True
+        ).collect()
+    }
+    assert port <= exact, f"portable false positives: {port - exact}"
+    if exact:
+        recall_p = len(port & exact) / len(exact)
+        assert recall_p >= 0.5, f"portable near-dup recall {recall_p:.2f}"
