@@ -7988,6 +7988,229 @@ def q_events_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "graph_triangle_count",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      WHERE a.l_suppkey < 60 AND b.l_suppkey < 60
+    ),
+    und AS (
+      SELECT u AS node, v AS other FROM pairs
+      UNION ALL SELECT v AS node, u AS other FROM pairs
+    ),
+    deg AS (SELECT node, COUNT(*) AS d FROM und GROUP BY node),
+    arcs AS (
+      SELECT CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.u ELSE p.v END AS x,
+             CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.v ELSE p.u END AS y,
+             CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN dv.d ELSE du.d END AS dy
+      FROM pairs p
+      JOIN deg du ON du.node = p.u
+      JOIN deg dv ON dv.node = p.v
+    ),
+    tri AS (
+      SELECT w1.x AS a, w1.y AS b, w2.y AS c
+      FROM arcs w1 JOIN arcs w2
+        ON w1.x = w2.x AND (w1.dy, w1.y) < (w2.dy, w2.y)
+      JOIN arcs e ON e.x = w1.y AND e.y = w2.y
+    ),
+    pern AS (
+      SELECT node, COUNT(*) AS triangles
+      FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+      GROUP BY node
+    )
+    SELECT node, triangles FROM pern
+    """,
+)
+def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts via DEGREE-ORIENTED wedge join — the
+    canonical distributed triangle algorithm: orient every undirected edge
+    from its lower-(degree, id) endpoint to the higher one, build wedges
+    from each node's out-arcs, close them against the arc set. Orientation
+    caps out-degree at O(√m) on any graph, so the wedge shuffle is
+    Σ outdeg² ≪ Σ deg² — the naive (unoriented) wedge join explodes on hub
+    nodes, the oriented one is skew-immune by construction; each triangle
+    is produced exactly once (its (deg,id)-minimal vertex is the only one
+    with out-arcs to both others). Graph = supplier co-supply (same order),
+    bounded to suppkey < 60 as the exact primitive — the plan is
+    data-size-independent. All-integer, fully oracle-checked."""
+    li = (
+        table_scan(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") < 60)
+        .select("l_orderkey", "l_suppkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+        .distinct()
+        .persist()
+    )
+    und = pairs.selectExpr("u AS node").unionByName(pairs.selectExpr("v AS node"))
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.selectExpr("node AS u", "d AS du")
+    dv = deg.selectExpr("node AS v", "d AS dv")
+    lt = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    arcs = (
+        pairs.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            F.when(lt, F.col("u")).otherwise(F.col("v")).alias("x"),
+            F.when(lt, F.col("v")).otherwise(F.col("u")).alias("y"),
+            F.when(lt, F.col("dv")).otherwise(F.col("du")).alias("dy"),
+        )
+        .persist()
+    )
+    w1, w2 = arcs.alias("w1"), arcs.alias("w2")
+    wlt = (F.col("w1.dy") < F.col("w2.dy")) | (
+        (F.col("w1.dy") == F.col("w2.dy")) & (F.col("w1.y") < F.col("w2.y"))
+    )
+    wedges = w1.join(w2, (F.col("w1.x") == F.col("w2.x")) & wlt).select(
+        F.col("w1.x").alias("a"),
+        F.col("w1.y").alias("b"),
+        F.col("w2.y").alias("c"),
+    )
+    e = arcs.selectExpr("x AS b", "y AS c")
+    tri = wedges.join(e, ["b", "c"]).persist()
+    nodes3 = (
+        tri.selectExpr("a AS node")
+        .unionByName(tri.selectExpr("b AS node"))
+        .unionByName(tri.selectExpr("c AS node"))
+    )
+    return nodes3.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
+
+
+@register(
+    "doc_prefix_filter_pairs",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(string_split_regex(TRIM(text), '\s+')))
+               AS token
+      FROM documents WHERE doc_id < 150
+    ),
+    df AS (SELECT token, COUNT(*) AS df FROM t GROUP BY token),
+    ranked AS (
+      SELECT t.doc_id, t.token,
+             ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                ORDER BY df.df, t.token) AS rn,
+             COUNT(*) OVER (PARTITION BY t.doc_id) AS sz
+      FROM t JOIN df USING (token)
+    ),
+    pref AS (
+      SELECT doc_id, token FROM ranked
+      WHERE rn <= sz - ((3 * sz + 4) // 5) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM pref a JOIN pref b
+        ON a.token = b.token AND a.doc_id < b.doc_id
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS icnt
+      FROM cand c
+      JOIN t ta ON ta.doc_id = c.id_a
+      JOIN t tb ON tb.doc_id = c.id_b AND tb.token = ta.token
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(i.icnt AS DOUBLE) / (za.n + zb.n - i.icnt) AS jaccard
+    FROM inter i
+    JOIN sz za ON za.doc_id = i.id_a
+    JOIN sz zb ON zb.doc_id = i.id_b
+    WHERE i.icnt * 5 >= (za.n + zb.n - i.icnt) * 3
+    """,
+)
+def q_doc_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity join via PREFIX FILTERING (PPJoin-family) — the exact,
+    hash-free alternative to MinHash-LSH for candidate generation: order
+    each document's distinct tokens by global rarity (df, then token), keep
+    only the first |X| - ceil(0.6·|X|) + 1 tokens as the PREFIX, and join
+    prefixes on token. Guarantee: any pair with Jaccard ≥ 0.6 must share a
+    prefix token under a common global order (pigeonhole on the overlap
+    bound), so RECALL IS EXACTLY 1 — the output equals the exact-Jaccard
+    join, and the whole operator is oracle-checkable (unlike probabilistic
+    LSH). Scale shape: the candidate join touches only prefix tokens
+    (rarest-first ordering makes prefixes low-df, so bucket fan-out is
+    bounded by rare-token frequency — the inverted-index join never pivots
+    on stopwords); verify re-joins full token sets only for candidates.
+    The 0.6 threshold is exact integer cross-multiplication; ceil via
+    integer arithmetic ((3·sz + 4) div 5) — no float anywhere before the
+    final reported division. Bounded to doc_id < 150 as the exact
+    primitive (this synthetic corpus is template-generated, so ≥0.6
+    token-set similarity is ubiquitous — unbounded output is quadratic in
+    corpus size by construction, not an algorithm property)."""
+    d = table_scan(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    t = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+        ).alias("token"),
+    ).persist()
+    dfreq = t.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "token")
+    ranked = (
+        t.join(dfreq, "token")
+        .select(
+            "doc_id",
+            "token",
+            F.row_number().over(wdoc).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("sz"),
+        )
+    )
+    pref = ranked.filter(
+        F.col("rn") <= F.col("sz") - F.expr("(3 * sz + 4) div 5") + 1
+    ).select("doc_id", "token")
+    pa, pb = pref.alias("pa"), pref.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.token") == F.col("pb.token"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("id_a"), F.col("pb.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sz = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ta = t.selectExpr("doc_id AS id_a", "token")
+    tb = t.selectExpr("doc_id AS id_b", "token")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("icnt"))
+    )
+    za = sz.selectExpr("doc_id AS id_a", "n AS na")
+    zb = sz.selectExpr("doc_id AS id_b", "n AS nb")
+    return (
+        inter.join(F.broadcast(za), "id_a")
+        .join(F.broadcast(zb), "id_b")
+        .filter(
+            F.col("icnt") * 5 >= (F.col("na") + F.col("nb") - F.col("icnt")) * 3
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("icnt").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("icnt"))
+            ).alias("jaccard"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
