@@ -1738,6 +1738,74 @@ def q_streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_session_window",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM ordered
+    )
+    SELECT user_id,
+           CAST(date_trunc('second', MIN(ts)) AS TIMESTAMP) AS session_start,
+           COUNT(*) AS event_cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization executed through STRUCTURED STREAMING
+    (readStream → session_window aggregation, merging state across
+    micro-batches → complete-mode memory sink, AvailableNow), checked
+    against the same gaps-and-islands batch oracle as
+    events_session_window — proving the streaming session-merge state
+    machine converges to the exact batch result even when a user's session
+    spans micro-batch boundaries. Complete mode keeps session state
+    unbounded (right for a finite replay); the production continuous shape
+    adds a watermark + append mode so closed sessions flush and state is
+    GC'd — same aggregation, different output trigger."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    staging = Path(tempfile.gettempdir()) / "bdec_stream_events" / key
+    if not (staging / "_SUCCESS").exists():
+        table_scan(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(
+            str(staging)
+        )
+    from ..streaming.events import stream_events
+
+    stream = stream_events(spark, str(staging))
+    agg = (
+        stream.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("event_cnt"), _dsum(F.col("value"), 4, "value_sum"))
+        .select(
+            "user_id",
+            F.date_trunc("second", F.col("w.start"))
+            .cast("timestamp_ntz")
+            .alias("session_start"),
+            "event_cnt",
+            "value_sum",
+        )
+    )
+    qname = f"bdec_stream_sess_{key}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
+@register(
     "grouped_zscore",
     """
     WITH stats AS (
@@ -7985,6 +8053,64 @@ def q_events_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(wau AS BIGINT) AS wau",
             "CAST(dau * 1000 div wau AS BIGINT) AS stickiness_permille",
         )
+    )
+
+
+@register(
+    "doc_udtf_sentence_split",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, '.') AS parts
+      FROM documents WHERE doc_id < 200
+    ),
+    s AS (
+      SELECT doc_id, CAST(i AS INT) AS sent_idx,
+             TRIM(parts[i + 1], ' ' || chr(9) || chr(10) || chr(13))
+               AS sentence
+      FROM t, UNNEST(range(len(parts))) AS u(i)
+    )
+    SELECT doc_id, sent_idx, sentence,
+           CAST(len(string_split_regex(sentence, '\s+')) AS INT) AS n_words
+    FROM s WHERE sentence <> ''
+    """,
+)
+def q_doc_udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document → sentence fan-out through a SPARK 4 PYTHON UDTF (table
+    function) applied with LATERAL — the third modern Python-extension
+    surface after the custom DataSource (python_datasource_scan) and
+    transformWithStateInPandas: a UDTF yields a RELATION per input row,
+    letting arbitrary Python expansion logic (here a sentence splitter
+    with per-sentence stats) compose inside SQL instead of a driver loop.
+    ``useArrow=True`` batches rows through Arrow (ArrowEvalPythonUDTF —
+    whitelisted in the plan sweep; the row-at-a-time BatchEvalPythonUDTF
+    variant is exactly what the sweep exists to keep out). Deterministic
+    split semantics (literal '.', explicit strip charset) are replayed
+    exactly by the SQL oracle; sent_idx preserves pre-filter positions so
+    empty segments leave index gaps identically in both engines. Bounded
+    to doc_id < 200; at scale the same plan maps over the full corpus —
+    the UDTF runs executor-side, one Arrow batch per task."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx: int, sentence: string, n_words: int", useArrow=True)
+    class SplitSentences:
+        def eval(self, text):  # noqa: ANN001 - UDTF contract
+            import re
+
+            if text is None:
+                return
+            for i, raw in enumerate(re.split(r"\.", text)):
+                p = raw.strip(" \t\n\r")
+                if p:
+                    yield (i, p, len(p.split()))
+
+    spark.udtf.register("bdec_split_sentences", SplitSentences)
+    d = table_scan(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d.createOrReplaceTempView("bdec_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence, s.n_words
+        FROM bdec_udtf_docs d, LATERAL bdec_split_sentences(d.text) s
+        """
     )
 
 

@@ -84,6 +84,7 @@ PANDAS_OK = {
     "multimodal_feature_extract",
     "multimodal_real_codec_extract",
     "multimodal_resize",  # nearest-neighbor numpy kernel over mapInPandas
+    "doc_udtf_sentence_split",  # Arrow-batched Python UDTF (ArrowEvalPythonUDTF)
 }
 
 PANDAS_NODES = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
