@@ -8057,6 +8057,67 @@ def q_events_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_price_histogram_equidepth",
+    """
+    WITH c AS (
+      SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.50) AS q2,
+             quantile_cont(o_totalprice, 0.75) AS q3
+      FROM orders
+    ),
+    b AS (
+      SELECT CASE WHEN o_totalprice <= q1 THEN 0
+                  WHEN o_totalprice <= q2 THEN 1
+                  WHEN o_totalprice <= q3 THEN 2
+                  ELSE 3 END AS bucket,
+             o_totalprice
+      FROM orders, c
+    )
+    SELECT bucket, COUNT(*) AS cnt,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS price_sum
+    FROM b GROUP BY bucket
+    """,
+)
+def q_orders_price_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quartile) histogram — the data-profiling shape optimizers
+    and skew diagnostics are built on: exact quartile cutoffs in ONE
+    partial-agg pass (`F.percentile` ≡ DuckDB quantile_cont bitwise,
+    NOTES.md), broadcast back over the scan as a single-row cross join,
+    bucket assignment as a flat CASE, then per-bucket count/min/max/
+    decimal-sum. Two scans total, no sort of the data, no window. At
+    100 TB swap the exact percentile for `approx_percentile` (mergeable
+    sketch) and the plan is otherwise unchanged — the cutoff row stays a
+    broadcast scalar either way; boundary comparisons are against the
+    bitwise-identical cutoff doubles, so bucket membership cannot flip
+    between engines."""
+    o = table_scan(spark, sf_dir, "orders").select("o_totalprice")
+    c = o.agg(
+        F.percentile("o_totalprice", 0.25).alias("q1"),
+        F.percentile("o_totalprice", 0.50).alias("q2"),
+        F.percentile("o_totalprice", 0.75).alias("q3"),
+    )
+    bucket = (
+        F.when(F.col("o_totalprice") <= F.col("q1"), 0)
+        .when(F.col("o_totalprice") <= F.col("q2"), 1)
+        .when(F.col("o_totalprice") <= F.col("q3"), 2)
+        .otherwise(3)
+    )
+    return (
+        o.crossJoin(F.broadcast(c))
+        .select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            _dsum(F.col("o_totalprice"), 4, "price_sum"),
+        )
+    )
+
+
+@register(
     "doc_udtf_sentence_split",
     r"""
     WITH t AS (

@@ -45,6 +45,7 @@ BNLJ_OK = {
     "graph_pagerank_bipartite",  # single-row node-count scalar broadcast
     "graph_pagerank_salted",  # same node-count scalar broadcast, salted gather
     "orders_abc_pareto",  # single-row grand-total scalar broadcast
+    "orders_price_histogram_equidepth",  # single-row quartile-cutoff broadcast
 }
 
 #: queries allowed a single-partition (global) Window. Each must justify the
