@@ -494,3 +494,57 @@ def embedding_near_dup_pairs(
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
+
+
+def semantic_dedup_portable(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    cluster_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    tag: str = "semdd",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) with an engine-portable coarse
+    quantizer: where ``semantic_dedup`` clusters with float k-means
+    (Python-seeded — not SQL-replicable, hence its rows-only registry
+    check), this twin derives the cluster id from the ``cluster_bits``-bit
+    sign signature of EXACT integer hyperplane projections (md5-seeded
+    integer planes over int64 fixed-point embeddings, the
+    ``cosine_topk_lsh_portable`` machinery). Same keep-min decision rule,
+    same cluster-local pair join (cost Σ n_c², never corpus-wide O(N²)),
+    but every stage — cluster assignment, candidate pairs, the
+    index-ordered double cosine fold — is bitwise replicable in ANSI SQL,
+    so the registry query carries a full value oracle.
+
+    At 100 TB the signature is one Arrow-batched matmul pass at ingest; the
+    corpus is then hash-partitioned by cluster and the self-join shuffles
+    nothing that is not already co-located. Returns (id, cluster, keep).
+    """
+    sig = int_hyperplane_bits(
+        quantize_embedding(vec_col), portable_planes_int(dim, cluster_bits, tag)
+    )
+    a = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), sig.alias("cluster")
+    )
+    left, right = a.alias("l"), a.alias("r")
+    dropped = (
+        left.join(
+            right,
+            on=[
+                F.col("l.cluster") == F.col("r.cluster"),
+                F.col("l.id") > F.col("r.id"),
+            ],
+        )
+        .select(F.col("l.id").alias("id"), cosine("l.vec", "r.vec").alias("__score"))
+        .filter(F.col("__score") >= threshold)
+        .select("id")
+        .distinct()
+    )
+    return (
+        a.select("id", "cluster")
+        .join(dropped.withColumn("__dup", F.lit(True)), on="id", how="left")
+        .select(
+            "id", "cluster", F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep")
+        )
+    )

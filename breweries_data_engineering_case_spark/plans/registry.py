@@ -1840,19 +1840,62 @@ def q_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("grouped_zscore_pandas")  # numpy accumulation order → rows-only
+@register(
+    "grouped_zscore_pandas",
+    """
+    WITH q AS (
+      SELECT event_id, event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s1,
+             CAST(SUM(v * v) AS BIGINT) AS s2
+      FROM q GROUP BY event_type
+    )
+    SELECT event_id, q.event_type,
+           CASE WHEN n * s2 - s1 * s1 > 0
+                THEN CAST(v * n - s1 AS DOUBLE)
+                     / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
+                ELSE CAST(0 AS DOUBLE) END AS zscore
+    FROM q JOIN s USING (event_type)
+    """,
+)
 def q_grouped_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same normalization as a grouped-map applyInPandas — the pattern
-    for per-group logic that genuinely needs imperative pandas/numpy (model
+    for per-group logic that genuinely needs imperative pandas (model
     scoring, per-group fitting). Each group arrives as one Arrow-backed
-    pandas DataFrame. Float accumulation order is numpy's ⇒ rows-only."""
+    pandas DataFrame. UPGRADED rows-only → full oracle: values are
+    quantized JVM-side (decimal(18,2)·100 → int64 cents, the portable
+    fixed-point idiom) and the group pass accumulates PYTHON INTS (exact,
+    order-independent — unlike numpy double summation, which made the old
+    twin rows-only). The z-score is the all-integer identity
+    (v·n − s1) / √(n·s2 − s1²): numerator < 2^53 (exact double),
+    denominator is one correctly-rounded int→double conversion + sqrt —
+    both bitwise cross-engine — so even the emitted doubles hash-match.
+    Bounds: v ≤ 5.7e4 (value ≤ 570.21·100), so n·s2 stays inside int64
+    through ~10⁹ rows per group."""
     import pandas as pd
 
-    e = table_scan(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    e = table_scan(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("v"),
+    )
 
     def norm(pdf: pd.DataFrame) -> pd.DataFrame:
-        std = pdf["value"].std(ddof=0)
-        z = (pdf["value"] - pdf["value"].mean()) / (std if std else 1.0)
+        import math
+
+        v = [int(x) for x in pdf["v"]]
+        n = len(v)
+        s1 = sum(v)
+        s2 = sum(x * x for x in v)
+        var = n * s2 - s1 * s1
+        if var > 0:
+            denom = math.sqrt(float(var))
+            z = [float(x * n - s1) / denom for x in v]
+        else:
+            z = [0.0] * n
         return pd.DataFrame(
             {"event_id": pdf["event_id"], "event_type": pdf["event_type"], "zscore": z}
         )
@@ -8396,6 +8439,271 @@ def q_doc_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round-5 late batch: mergeable exact sketches, sequence models, training-pair
+# generation, distributed-ML kernels, portable SemDeDup
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_bitmap_distinct",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_events_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct-count via Spark 3.5+ bitmap aggregates —
+    the deterministic sibling of events_dau_hll_mergeable: per
+    (event_type, day, bucket) roaring-style bitmaps are built map-side
+    (``bitmap_construct_agg``), OR-merged across days
+    (``bitmap_or_agg``), and popcounted (``bitmap_count``). The daily
+    partials are the 100-TB shape: an incremental pipeline persists them
+    and re-merges any date range without touching raw events, and the
+    merge is associative + idempotent (re-delivered days don't double
+    count — unlike SUM of daily COUNT(DISTINCT)). The bucket split keys
+    each bitmap to a 32k-bit segment so no single value dominates; the
+    shuffle carries one bitmap per (type, day, bucket), never raw ids.
+    Oracle = plain COUNT(DISTINCT): the bitmap path must reproduce the
+    exact answer, not an estimate."""
+    e = table_scan(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "day", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    merged = daily.groupBy("event_type", "bucket").agg(
+        F.expr("bitmap_or_agg(bm)").alias("bm")
+    )
+    return merged.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("distinct_users")
+    )
+
+
+@register(
+    "events_markov_transitions",
+    """
+    WITH t AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    c AS (
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+      FROM t WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+    ),
+    tot AS (
+      SELECT from_type, CAST(SUM(n_transitions) AS BIGINT) AS total
+      FROM c GROUP BY from_type
+    )
+    SELECT c.from_type, c.to_type, c.n_transitions,
+           CAST(c.n_transitions * 1000 // tot.total AS BIGINT) AS per_mille
+    FROM c JOIN tot USING (from_type)
+    """,
+)
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    (the session-model / next-event-prediction feature): LEAD over
+    (user_id, ts, event_id) pairs each event with its successor, counts
+    collapse to the |types|² transition matrix, and probabilities are
+    emitted as integer per-mille (floor division on both engines — the
+    ADVICE r4 `div`/`//` idiom; counts are non-negative so floor ≡ trunc).
+    Scale: the window partitions by user (millions of independent
+    partitions), the matrix is dim-sized, and the row-total join is a
+    broadcast. Tiebreak on event_id makes the sequence a total order."""
+    e = table_scan(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        e.select("user_id", "event_id", "ts", "event_type")
+        .withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = t.groupBy(
+        F.col("event_type").alias("from_type"), F.col("to_type")
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    totals = counts.groupBy("from_type").agg(F.sum("n_transitions").alias("total"))
+    return (
+        counts.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.expr("n_transitions * 1000 div total").alias("per_mille"),
+        )
+    )
+
+
+@register(
+    "vocab_skipgram_pairs",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    p AS (
+      SELECT w[i] AS center, w[i + k] AS context
+      FROM d, UNNEST(range(1, len(w))) AS t(i), UNNEST([1, 2]) AS kk(k)
+      WHERE i + k <= len(w) AND w[i] <> '' AND w[i + k] <> ''
+    ),
+    c AS (
+      SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM p GROUP BY center, context
+    )
+    SELECT center, context, n_pairs
+    FROM c ORDER BY n_pairs DESC, center, context LIMIT 50
+    """,
+)
+def q_vocab_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) pair extraction — the word2vec /
+    contrastive-pretraining training-pair generator: forward co-occurrence
+    pairs at offsets 1 and 2, counted corpus-wide, top-50 by frequency
+    with a total-order tiebreak. Pairs come from arrays_zip of shifted
+    slices (the doc_bigram_rarity idiom) — no positions self-join, no
+    per-token shuffle; the only shuffle is the (center, context) count,
+    which partial-aggregates map-side, and the top-50 is a distributed
+    TakeOrdered, not a single-partition sort."""
+    docs = table_scan(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    n = F.size("w")
+    off1 = F.arrays_zip(
+        F.slice("w", 1, n - 1).alias("center"),
+        F.slice(F.col("w"), F.lit(2), n - 1).alias("context"),
+    )
+    len2 = F.greatest(n - 2, F.lit(0))
+    off2 = F.arrays_zip(
+        F.slice(F.col("w"), F.lit(1), len2).alias("center"),
+        F.slice(F.col("w"), F.lit(3), len2).alias("context"),
+    )
+    pairs = (
+        docs.select(F.explode(F.concat(off1, off2)).alias("p"))
+        .select(F.col("p.center").alias("center"), F.col("p.context").alias("context"))
+        .filter((F.col("center") != "") & (F.col("context") != ""))
+    )
+    counts = pairs.groupBy("center", "context").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    return counts.orderBy(F.desc("n_pairs"), "center", "context").limit(50)
+
+
+@register(
+    "kmeans_lloyd_step_int",
+    """
+    WITH e AS (
+      SELECT vec_id, i, CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS qx
+      FROM (SELECT vec_id, UNNEST(embedding) AS x,
+                   UNNEST(range(len(embedding))) AS i FROM embeddings)
+    ),
+    c AS (SELECT vec_id AS cid, i, qx AS cx FROM e WHERE vec_id < 8),
+    d AS (
+      SELECT e.vec_id, c.cid,
+             CAST(SUM((e.qx - c.cx) * (e.qx - c.cx)) AS BIGINT) AS dist
+      FROM e JOIN c ON e.i = c.i GROUP BY e.vec_id, c.cid
+    ),
+    a AS (
+      SELECT vec_id, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      FROM d
+    )
+    SELECT a.cid AS cluster, CAST(e.i AS INT) AS i,
+           CAST(SUM(e.qx) AS BIGINT) AS comp_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM a JOIN e ON e.vec_id = a.vec_id
+    WHERE a.rn = 1
+    GROUP BY a.cid, e.i
+    """,
+)
+def q_kmeans_lloyd_step_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Lloyd iteration of k-means in int64 fixed point — the
+    distributed-ML kernel under ann_cosine_topk_ivf's float quantizer,
+    made bitwise oracle-checkable: embeddings quantize to int64
+    (ROUND(x·10⁶), the NOTES portable-reduction idiom), the 8 seed
+    centroids (vec_id < 8) broadcast, squared-L2 distances fold as exact
+    integers JVM-side (zip_with + aggregate — no UDF), argmin tiebreaks
+    on centroid id via min(struct(dist, cid)), and the update step emits
+    exactly what a distributed k-means shuffles: per-(cluster, dim)
+    partial SUMs + member counts — the merge-ready partial aggregate (the
+    mean is sum/count downstream; emitting sums avoids the floor-vs-trunc
+    division divergence on negative components). Overflow-audited:
+    |qx| ≤ 5.8e5 ⇒ dist ≤ 64·(1.2e6)² ≈ 8.6e13; comp_sum grows with
+    members·5.8e5 (int64-safe past 10¹² rows per cluster)."""
+    emb = table_scan(spark, sf_dir, "embeddings")
+    from ..operators.similarity import quantize_embedding
+
+    q = emb.select("vec_id", quantize_embedding("embedding").alias("qv"))
+    cents = q.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    )
+    diff = F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b))
+    dist = F.aggregate(diff, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    scored = q.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "qv", "cid", dist.alias("dist")
+    )
+    best = (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cid", "qv")).alias("m"))
+        .select(F.col("m.cid").alias("cluster"), F.col("m.qv").alias("qv"))
+    )
+    return (
+        best.select("cluster", F.posexplode("qv").alias("i", "qx"))
+        .groupBy("cluster", "i")
+        .agg(
+            F.sum("qx").alias("comp_sum"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+
+
+_SEMDD_PORTABLE_ORACLE = """
+    WITH """ + _lsh_band_cte("semdd", 4, 4) + """,
+    cl AS (SELECT vec_id AS id, band_sig AS cluster FROM band),
+    pr AS (
+      SELECT l.id AS id, r.id AS rid
+      FROM cl l JOIN cl r ON l.cluster = r.cluster AND l.id > r.id
+    ),
+    p AS (
+      SELECT pr.id, pr.rid,
+             UNNEST(x.embedding) AS xa, UNNEST(y.embedding) AS xb,
+             UNNEST(range(len(x.embedding))) AS i
+      FROM pr JOIN embeddings x ON x.vec_id = pr.id
+              JOIN embeddings y ON y.vec_id = pr.rid
+    ),
+    d AS (
+      SELECT id, rid,
+             SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE) ORDER BY i) AS dot,
+             SUM(CAST(xa AS DOUBLE) * CAST(xa AS DOUBLE) ORDER BY i) AS na,
+             SUM(CAST(xb AS DOUBLE) * CAST(xb AS DOUBLE) ORDER BY i) AS nb
+      FROM p GROUP BY id, rid
+    ),
+    dr AS (
+      SELECT DISTINCT id FROM d
+      WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
+    )
+    SELECT cl.id, cl.cluster, dr.id IS NULL AS keep
+    FROM cl LEFT JOIN dr ON cl.id = dr.id
+"""
+
+
+@register("embedding_semantic_dedup_portable", _SEMDD_PORTABLE_ORACLE)
+def q_embedding_semantic_dedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the portable integer-plane coarse quantizer — the
+    oracle-checkable twin of embedding_semantic_dedup (whose float k-means
+    is Python-seeded, hence rows-only): 16 clusters from the 4-bit exact
+    integer projection signature, keep-min within cluster at cosine ≥ 0.4
+    (index-ordered double fold, bitwise cross-engine). The whole decision
+    pipeline — cluster assignment, candidate pairs, verify, keep flags —
+    is value-checked against the DuckDB replay, closing the same
+    trust-the-pytest gap the portable MinHash pipeline closed for text
+    dedup. Emits ALL vectors with keep flags so the row is never
+    vacuous."""
+    from ..operators.similarity import semantic_dedup_portable
+
+    emb = table_scan(spark, sf_dir, "embeddings")
+    return semantic_dedup_portable(emb, threshold=0.4, cluster_bits=4)
 
 
 # ---------------------------------------------------------------------------

@@ -46,6 +46,7 @@ BNLJ_OK = {
     "graph_pagerank_salted",  # same node-count scalar broadcast, salted gather
     "orders_abc_pareto",  # single-row grand-total scalar broadcast
     "orders_price_histogram_equidepth",  # single-row quartile-cutoff broadcast
+    "kmeans_lloyd_step_int",  # 8-row centroid table broadcast, corpus streamed
 }
 
 #: queries allowed a single-partition (global) Window. Each must justify the
@@ -86,6 +87,7 @@ PANDAS_OK = {
     "multimodal_real_codec_extract",
     "multimodal_resize",  # nearest-neighbor numpy kernel over mapInPandas
     "doc_udtf_sentence_split",  # Arrow-batched Python UDTF (ArrowEvalPythonUDTF)
+    "embedding_semantic_dedup_portable",  # integer hyperplane-sign UDF
 }
 
 PANDAS_NODES = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")

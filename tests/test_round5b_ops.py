@@ -1,0 +1,185 @@
+"""Independent ground-truth twins for the round-5 late-batch operators —
+each check recomputes the answer with a DIFFERENT algorithm (driver-side
+Python/numpy over the tiny sf0.001 corpus), so a bug in the distributed
+path cannot hide in both implementations:
+
+- bitmap exact distinct vs a plain count_distinct aggregate;
+- Markov transitions vs a pure-Python per-user sequence walk;
+- integer Lloyd step vs a numpy argmin/bincount replay;
+- portable SemDeDup vs an exact all-pairs keep-min replay, plus a
+  planted-duplicate recovery check;
+- skip-gram pairs vs a Python token-window count;
+- fixed-point pandas z-score vs the expression-only grouped_zscore.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from breweries_data_engineering_case_spark.plans import registry
+from breweries_data_engineering_case_spark.sources.readers import table_scan
+
+
+def test_bitmap_distinct_equals_count_distinct(spark, sf_dir):
+    got = {
+        (r.event_type, r.distinct_users)
+        for r in registry.queries()["events_bitmap_distinct"](spark, sf_dir).collect()
+    }
+    want = {
+        (r.event_type, r.d)
+        for r in table_scan(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("d"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_markov_transitions_match_python_walk(spark, sf_dir):
+    rows = (
+        table_scan(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    seqs = defaultdict(list)
+    for r in rows:
+        seqs[r.user_id].append((r.ts, r.event_id, r.event_type))
+    counts: Counter = Counter()
+    for s in seqs.values():
+        s.sort()
+        for (_, _, a), (_, _, b) in zip(s, s[1:]):
+            counts[(a, b)] += 1
+    totals: Counter = Counter()
+    for (a, _), n in counts.items():
+        totals[a] += n
+    want = {
+        (a, b, n, n * 1000 // totals[a]) for (a, b), n in counts.items()
+    }
+    got = {
+        (r.from_type, r.to_type, r.n_transitions, r.per_mille)
+        for r in registry.queries()["events_markov_transitions"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want
+
+
+def test_kmeans_lloyd_step_matches_numpy(spark, sf_dir):
+    rows = table_scan(spark, sf_dir, "embeddings").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    Q = np.round(X * 1_000_000).astype(np.int64)
+    C = Q[np.argsort(ids)][:0]  # placeholder, rebuilt below
+    order = np.argsort(ids)
+    ids, Q = ids[order], Q[order]
+    C = Q[ids < 8]
+    # exact integer squared distances; argmin with centroid-id tiebreak is
+    # numpy's first-minimum (centroids are id-ordered)
+    d = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    assign = d.argmin(axis=1)
+    want = {}
+    for c in range(C.shape[0]):
+        members = Q[assign == c]
+        if len(members):
+            s = members.sum(axis=0)
+            for i in range(Q.shape[1]):
+                want[(c, i)] = (int(s[i]), len(members))
+    got = {
+        (r.cluster, r.i): (r.comp_sum, r.n_members)
+        for r in registry.queries()["kmeans_lloyd_step_int"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_semantic_dedup_portable_keep_min_exact_replay(spark, sf_dir):
+    out = registry.queries()["embedding_semantic_dedup_portable"](
+        spark, sf_dir
+    ).collect()
+    cluster = {r.id: r.cluster for r in out}
+    keep = {r.id: r.keep for r in out}
+    rows = table_scan(spark, sf_dir, "embeddings").collect()
+    V = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    for i in V:
+        dup = any(
+            cluster[j] == cluster[i] and j < i and cos(V[i], V[j]) >= 0.4
+            for j in V
+        )
+        assert keep[i] == (not dup), f"vec {i}: keep={keep[i]} but exact dup={dup}"
+
+
+def test_semantic_dedup_portable_drops_planted_duplicate(spark, sf_dir):
+    from breweries_data_engineering_case_spark.operators.similarity import (
+        semantic_dedup_portable,
+    )
+
+    emb = table_scan(spark, sf_dir, "embeddings")
+    donor = emb.filter(F.col("vec_id") == 3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    planted = emb.unionByName(donor)
+    out = semantic_dedup_portable(planted, threshold=0.4, cluster_bits=4)
+    flags = {r.id: r.keep for r in out.collect()}
+    assert flags[1_000_003] is False  # identical vector, lower-id donor wins
+    assert flags[3] is True or any(
+        v for k, v in flags.items() if k < 3
+    )  # donor only dropped if it has its own lower-id near-dup
+
+
+def test_skipgram_pairs_match_python_window_count(spark, sf_dir):
+    texts = [
+        r.text
+        for r in table_scan(spark, sf_dir, "documents").select("text").collect()
+    ]
+    counts: Counter = Counter()
+    for t in texts:
+        w = t.split(" ")
+        for i, center in enumerate(w):
+            for k in (1, 2):
+                if i + k < len(w) and center and w[i + k]:
+                    counts[(center, w[i + k])] += 1
+    want = sorted(
+        ((n, a, b) for (a, b), n in counts.items()),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:50]
+    got = [
+        (r.n_pairs, r.center, r.context)
+        for r in registry.queries()["vocab_skipgram_pairs"](spark, sf_dir).collect()
+    ]
+    assert sorted(got, key=lambda t: (-t[0], t[1], t[2])) == want
+
+
+def test_pandas_zscore_agrees_with_expression_twin(spark, sf_dir):
+    """The fixed-point pandas z and the decimal-expression z quantize at
+    different scales (1e2 vs 1e4) so they are not bitwise equal — but they
+    normalize the same data, so they must agree to ~1e-4 everywhere."""
+    a = {
+        r.event_id: r.zscore
+        for r in registry.queries()["grouped_zscore_pandas"](spark, sf_dir).collect()
+    }
+    b = {
+        r.event_id: r.zscore
+        for r in registry.queries()["grouped_zscore"](spark, sf_dir).collect()
+    }
+    assert a.keys() == b.keys()
+    worst = max(abs(a[k] - b[k]) for k in a)
+    assert worst < 1e-3, f"max |Δz| = {worst}"
+
+
+def test_pandas_zscore_group_moments(spark, sf_dir):
+    df = registry.queries()["grouped_zscore_pandas"](spark, sf_dir)
+    stats = (
+        df.groupBy("event_type")
+        .agg(F.avg("zscore").alias("m"), F.stddev_pop("zscore").alias("s"))
+        .collect()
+    )
+    for r in stats:
+        assert abs(r.m) < 1e-9
+        assert math.isclose(r.s, 1.0, rel_tol=1e-6)
