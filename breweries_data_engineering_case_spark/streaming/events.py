@@ -137,9 +137,16 @@ def maintain_rollup_foreach_batch(
 
     def upsert_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        partial = batch.groupBy(
-            F.to_date(ts_col).alias("day")
-        ).agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("value_sum"))
+        # value partials accumulate as DECIMAL(18,4) sums: decimal addition
+        # is exact and associative, so the maintained total is independent
+        # of micro-batch boundaries AND bitwise-equal to the one-shot batch
+        # rollup (float accumulation would drift with batch order). The
+        # running total is re-narrowed to decimal(28,4) after each merge so
+        # the stored schema stays stable across arbitrarily many batches.
+        partial = batch.groupBy(F.to_date(ts_col).alias("day")).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("value_sum"),
+        )
         try:
             current = spark.read.parquet(rollup_path)
             have = True
@@ -156,8 +163,13 @@ def maintain_rollup_foreach_batch(
                     ),
                     (
                         F.col("p.value_sum")
-                        + F.coalesce(F.col("c.value_sum"), F.lit(0.0))
-                    ).alias("value_sum"),
+                        + F.coalesce(
+                            F.col("c.value_sum"),
+                            F.lit(0).cast("decimal(28,4)"),
+                        )
+                    )
+                    .cast("decimal(28,4)")
+                    .alias("value_sum"),
                     F.lit(False).alias("_deleted"),
                 )
             )

@@ -86,14 +86,16 @@ def test_foreach_batch_rollup_matches_batch(spark, events_dir, tmp_path):
     maintain_rollup_foreach_batch(stream, rollup, ckpt)
 
     got = {
-        r.day: (r.cnt, round(r.value_sum, 6))
-        for r in spark.read.parquet(rollup).collect()
+        r.day: (r.cnt, r.value_sum) for r in spark.read.parquet(rollup).collect()
     }
+    # decimal accumulation is exact and associative ⇒ the incrementally
+    # maintained totals must equal the one-shot decimal rollup EXACTLY,
+    # regardless of how the stream was micro-batched
     batch = spark.read.parquet(src).groupBy(F.to_date("ts").alias("day")).agg(
-        F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("value_sum")
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("decimal(28,4)")
+        .alias("value_sum"),
     )
-    want = {r.day: (r.cnt, round(r.value_sum, 6)) for r in batch.collect()}
-    assert got.keys() == want.keys()
-    for day in want:
-        assert got[day][0] == want[day][0], day
-        assert abs(got[day][1] - want[day][1]) < 1e-4, day
+    want = {r.day: (r.cnt, r.value_sum) for r in batch.collect()}
+    assert got == want
