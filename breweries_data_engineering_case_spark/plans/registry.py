@@ -8747,6 +8747,147 @@ def q_streaming_foreachbatch_rollup(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@register(
+    "graph_connected_components",
+    """
+    WITH RECURSIVE li AS (
+      SELECT l_orderkey AS o, l_partkey AS p FROM lineitem WHERE l_partkey < 200
+    ),
+    e0 AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    ),
+    e AS (
+      SELECT u, v FROM e0
+      WHERE CAST(concat('0x', substr(md5(
+              CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)), 1, 15))
+            AS BIGINT) % 10 = 0
+    ),
+    v AS (SELECT DISTINCT p AS node FROM li),
+    sym AS (SELECT u AS a, v AS b FROM e UNION SELECT v AS a, u AS b FROM e),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    )
+    SELECT v.node, CAST(LEAST(v.node, COALESCE(MIN(r.b), v.node)) AS BIGINT)
+             AS component
+    FROM v LEFT JOIN reach r ON r.a = v.node
+    GROUP BY v.node
+    """,
+)
+def q_graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone weakly-connected components (the operator the portable
+    dedup pipeline embeds, surfaced as its own graph query): vertices are
+    parts (< 200), edges are order co-purchase pairs hash-sampled 1-in-10
+    (graph sparsification — the co-purchase projection is near-complete,
+    and the portable_hash64 edge sample keeps the structure non-trivial:
+    ~100 components at sf0.01 — while staying bitwise SQL-replicable).
+    Min-label propagation with pointer jumping converges in O(log n)
+    rounds (operators/components.py); the oracle is the WITH RECURSIVE
+    transitive closure, feasible because sampled components stay small.
+    At 100 TB the iterative path is the only viable one — closure blows up
+    quadratically per component, label propagation shuffles only
+    (edges + labels) per round."""
+    from ..functions.hashing import portable_hash64
+    from ..operators.components import connected_components
+
+    li = (
+        table_scan(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < 200)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    key = F.concat(
+        F.col("u").cast("string"), F.lit(":"), F.col("v").cast("string")
+    )
+    edges = e0.filter(F.pmod(portable_hash64(key), F.lit(10)) == 0)
+    vertices = li.select(F.col("p").alias("node")).distinct()
+    return connected_components(
+        vertices, edges, id_col="node", src_col="u", dst_col="v"
+    )
+
+
+@register(
+    "events_cogroup_purchase_attribution",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    u AS (SELECT DISTINCT user_id FROM e),
+    c AS (SELECT user_id, COUNT(*) AS n_clicks
+          FROM e WHERE event_type = 'click' GROUP BY user_id),
+    p AS (SELECT user_id, COUNT(*) AS n_purchases, MIN(us) AS first_p
+          FROM e WHERE event_type = 'purchase' GROUP BY user_id),
+    cb AS (SELECT e.user_id, COUNT(*) AS cnt
+           FROM e JOIN p ON e.user_id = p.user_id
+           WHERE e.event_type = 'click' AND e.us < p.first_p
+           GROUP BY e.user_id)
+    SELECT u.user_id,
+           CAST(COALESCE(c.n_clicks, 0) AS BIGINT) AS n_clicks,
+           CAST(COALESCE(p.n_purchases, 0) AS BIGINT) AS n_purchases,
+           CAST(COALESCE(cb.cnt, 0) AS BIGINT) AS clicks_before_first_purchase
+    FROM u
+    LEFT JOIN c ON u.user_id = c.user_id
+    LEFT JOIN p ON u.user_id = p.user_id
+    LEFT JOIN cb ON u.user_id = cb.user_id
+    """,
+)
+def q_events_cogroup_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped pandas join — the LAST modern Python-on-Spark surface
+    (after mapInPandas, applyInPandas, applyInPandasWithState, the UDTF and
+    the DataSource): ``groupBy(k).cogroup(other.groupBy(k)).applyInPandas``
+    hands each user's clicks AND purchases to one Python function as two
+    aligned pandas frames — the shape for per-key logic spanning two tables
+    (feature/label alignment, per-entity model scoring). Here it computes
+    click→purchase attribution (clicks strictly before the first purchase)
+    in pure int64 microsecond arithmetic, so the output is exact and the
+    DuckDB relational replay value-checks the whole path. Scale: cogroup is
+    one co-partitioned shuffle of both sides — same cost as the equi-join
+    it replaces, state-free."""
+    import pandas as pd
+
+    e = (
+        table_scan(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "us")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "us")
+
+    def attrib(key: tuple, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        n_c, n_p = len(left), len(right)
+        before = int((left["us"] < int(right["us"].min())).sum()) if n_p else 0
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_clicks": [n_c],
+                "n_purchases": [n_p],
+                "clicks_before_first_purchase": [before],
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            attrib,
+            schema="user_id long, n_clicks long, n_purchases long, "
+            "clicks_before_first_purchase long",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

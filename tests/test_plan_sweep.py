@@ -88,9 +88,15 @@ PANDAS_OK = {
     "multimodal_resize",  # nearest-neighbor numpy kernel over mapInPandas
     "doc_udtf_sentence_split",  # Arrow-batched Python UDTF (ArrowEvalPythonUDTF)
     "embedding_semantic_dedup_portable",  # integer hyperplane-sign UDF
+    "events_cogroup_purchase_attribution",  # cogrouped applyInPandas, by definition
 }
 
-PANDAS_NODES = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+PANDAS_NODES = (
+    "ArrowEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "FlatMapCoGroupsInPandas",
+)
 
 
 def test_every_query_plan_obeys_global_invariants(spark, sf_dir):

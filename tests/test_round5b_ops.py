@@ -183,3 +183,94 @@ def test_pandas_zscore_group_moments(spark, sf_dir):
     for r in stats:
         assert abs(r.m) < 1e-9
         assert math.isclose(r.s, 1.0, rel_tol=1e-6)
+
+
+def test_connected_components_match_union_find(spark, sf_dir):
+    """Registry components (iterative label propagation) vs a driver-side
+    union-find over the same sampled edge list — different algorithm, same
+    partition."""
+    from breweries_data_engineering_case_spark.functions.hashing import (
+        portable_hash64,
+    )
+
+    li = (
+        table_scan(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < 200)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    key = F.concat(F.col("u").cast("string"), F.lit(":"), F.col("v").cast("string"))
+    edges = [
+        (r.u, r.v)
+        for r in e0.filter(F.pmod(portable_hash64(key), F.lit(10)) == 0).collect()
+    ]
+    nodes = [r.node for r in li.select(F.col("p").alias("node")).distinct().collect()]
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    want = {n: find(n) for n in nodes}
+    got = {
+        r.node: r.component
+        for r in registry.queries()["graph_connected_components"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want
+
+
+def test_cogroup_attribution_matches_relational_twin(spark, sf_dir):
+    e = (
+        table_scan(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+    )
+    rows = e.collect()
+    clicks = defaultdict(list)
+    purch = defaultdict(list)
+    for r in rows:
+        (clicks if r.event_type == "click" else purch)[r.user_id].append(r.us)
+    want = {}
+    for uid in set(clicks) | set(purch):
+        fp = min(purch[uid]) if purch[uid] else None
+        want[uid] = (
+            len(clicks[uid]),
+            len(purch[uid]),
+            sum(1 for t in clicks[uid] if fp is not None and t < fp),
+        )
+    got = {
+        r.user_id: (r.n_clicks, r.n_purchases, r.clicks_before_first_purchase)
+        for r in registry.queries()["events_cogroup_purchase_attribution"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want
+
+
+def test_aqe_converts_q17_agg_join_to_broadcast(spark, sf_dir):
+    """The per-part avg-quantity aggregate joined back to lineitem in q17 is
+    tiny at any SF — AQE must convert that shuffle join to broadcast at
+    runtime (the runtime re-plan the 100-TB path depends on when static
+    stats are missing)."""
+    df = registry.queries()["tpch_q17_small_quantity_revenue"](spark, sf_dir)
+    df.collect()  # AQE final plan exists only after execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
