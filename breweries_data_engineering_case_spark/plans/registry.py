@@ -8888,6 +8888,89 @@ def q_events_cogroup_purchase_attribution(spark: SparkSession, sf_dir: str) -> D
     )
 
 
+@register(
+    "array_functions",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(w, x -> length(x) > 5)) AS BIGINT) AS n_long,
+           CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+             AS total_chars,
+           array_to_string(
+             list_slice(list_sort(list_distinct(list_filter(w, x -> x <> ''))),
+                        1, 5), ',') AS first5_sorted,
+           len(list_filter(w, x -> x = 'the')) > 0 AS has_the
+    FROM d
+    """,
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function parity surface (the sibling of
+    string_functions / date_functions): transform + filter + aggregate
+    (fold) + exists + distinct/sort/slice/join, all JVM-side lambda
+    expressions inside whole-stage codegen — the idioms every
+    token-array pipeline composes. distinct-then-sort canonicalizes the
+    engine-specific distinct ordering on both sides."""
+    d = table_scan(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    wlen = F.transform("w", lambda x: F.length(x))
+    nonblank = F.filter("w", lambda x: x != "")
+    return d.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        F.size(F.filter("w", lambda x: F.length(x) > 5)).cast("long").alias("n_long"),
+        F.aggregate(wlen, F.lit(0), lambda acc, x: acc + x)
+        .cast("long")
+        .alias("total_chars"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct(nonblank)), 1, 5), ","
+        ).alias("first5_sorted"),
+        F.exists("w", lambda x: x == F.lit("the")).alias("has_the"),
+    )
+
+
+@register(
+    "vocab_posting_lists",
+    """
+    WITH t AS (
+      SELECT DISTINCT doc_id, token
+      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+            FROM documents WHERE doc_id < 40)
+      WHERE token <> ''
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+    FROM t GROUP BY token
+    """,
+)
+def q_vocab_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build — the search/retrieval-side structure a corpus
+    store materializes next to the vocabulary: token → sorted posting list
+    of containing docs, over one 40-doc index segment (production builds
+    per-segment postings exactly like this and merges; whole-corpus lists
+    for head tokens would be delta-encoded, not strings). Shape: explode →
+    (token, doc) distinct → one groupBy; collect_list is safe because the
+    segment bounds the list length by construction. The numeric sort
+    before stringification makes the list canonical cross-engine."""
+    t = (
+        table_scan(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    return t.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("postings"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
