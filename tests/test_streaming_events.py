@@ -99,3 +99,52 @@ def test_foreach_batch_rollup_matches_batch(spark, events_dir, tmp_path):
     )
     want = {r.day: (r.cnt, r.value_sum) for r in batch.collect()}
     assert got == want
+
+
+def test_foreach_batch_rollup_resumes_incrementally(spark, events_dir, tmp_path):
+    """Restart semantics: a second run over the SAME checkpoint must process
+    ONLY newly-arrived files, and the maintained snapshot must equal the
+    batch rollup of everything seen across both runs — the incremental
+    production mode (each registry invocation instead replays fresh)."""
+    from breweries_data_engineering_case_spark.streaming.events import (
+        maintain_rollup_foreach_batch,
+    )
+
+    src = str(tmp_path / "in")
+    rollup = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    full = spark.read.parquet(str(events_dir / "in"))
+    first = full.filter(F.col("user_id") % 2 == 0)
+    second = full.filter(F.col("user_id") % 2 == 1)
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+
+    def run():
+        stream = (
+            spark.readStream.schema(full.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        maintain_rollup_foreach_batch(stream, rollup, ckpt)
+
+    run()
+    snap1 = {r.day: (r.cnt, r.value_sum) for r in spark.read.parquet(rollup).collect()}
+    # drop the new files in and resume from the same checkpoint
+    second.coalesce(1).write.mode("append").parquet(src)
+    run()
+    snap2 = {r.day: (r.cnt, r.value_sum) for r in spark.read.parquet(rollup).collect()}
+
+    def rollup_of(df):
+        return {
+            r.day: (r.cnt, r.value_sum)
+            for r in df.groupBy(F.to_date("ts").alias("day"))
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.col("value").cast("decimal(18,4)"))
+                .cast("decimal(28,4)")
+                .alias("value_sum"),
+            )
+            .collect()
+        }
+
+    assert snap1 == rollup_of(first)
+    assert snap2 == rollup_of(full)
