@@ -893,7 +893,9 @@ def q_ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN: k-means coarse quantizer (deterministic init, 3
     Lloyd iterations), corpus probed only in the query's 4 nearest of 16
-    inverted lists. Recall vs exact asserted in unit tests."""
+    inverted lists. Recall vs exact asserted in unit tests; the Lloyd
+    update kernel itself is oracle-checked bitwise in
+    ``kmeans_lloyd_step_int`` (int64 fixed point)."""
     emb = table_scan(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
     return cosine_topk_ivf(emb, queries_df, k=10, n_centroids=16, nprobe=4)
@@ -1513,7 +1515,8 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct — the 100 TB path for cardinality
     (exact distinct shuffles every key; HLL ships a 1.5 KB sketch). Sketch
     values are engine-specific ⇒ rows-only check; accuracy asserted in unit
-    tests against the exact count."""
+    tests against the exact count, and ``events_bitmap_distinct`` is the
+    fully-oracle-checked EXACT mergeable twin of the same aggregation."""
     e = table_scan(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
@@ -4737,7 +4740,8 @@ def q_embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Emits ALL vectors with a keep flag so the driver row is never vacuous;
     planted-duplicate recovery is asserted in tests/test_semantic_dedup.py.
     The k-means quantizer is Python-seeded (not SQL-expressible) → rows-only
-    check."""
+    check; ``embedding_semantic_dedup_portable`` runs the same keep-min
+    decision on an integer-plane quantizer with a FULL value oracle."""
     emb = table_scan(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, threshold=0.4, n_centroids=16).orderBy("id")
 
@@ -5655,7 +5659,9 @@ def q_events_dau_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     state, the property approx_count_distinct lacks (its estimate is final,
     not mergeable). Sketch binaries differ per engine ⇒ rows-only driver
     check; tests/test_sketch_anchors.py bounds the estimate against the
-    exact count."""
+    exact count, and ``events_bitmap_distinct`` oracle-checks the same
+    build-daily-partials → OR-merge → count pipeline EXACTLY with bitmap
+    aggregates (the deterministic sibling of this sketch)."""
     e = table_scan(spark, sf_dir, "events").select(
         F.to_date("ts").alias("day"), "user_id"
     )
@@ -8968,6 +8974,73 @@ def q_vocab_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ",",
         ).alias("postings"),
+    )
+
+
+@register(
+    "events_distribution_drift",
+    """
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) AS us FROM events
+    ),
+    b AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM e),
+    s AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN us * 2 <= lo + hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_first,
+             CAST(SUM(CASE WHEN us * 2 <= lo + hi THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_second
+      FROM e, b GROUP BY event_type
+    ),
+    t AS (
+      SELECT CAST(SUM(n_first) AS BIGINT) AS t_first,
+             CAST(SUM(n_second) AS BIGINT) AS t_second
+      FROM s
+    )
+    SELECT event_type, n_first, n_second,
+           CAST(n_first * 1000 // t_first AS BIGINT) AS pm_first,
+           CAST(n_second * 1000 // t_second AS BIGINT) AS pm_second,
+           CAST(ABS(n_first * 1000 // t_first - n_second * 1000 // t_second)
+                AS BIGINT) AS drift_pm
+    FROM s, t
+    """,
+)
+def q_events_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift screen (the train/serve skew check a data-quality
+    gate runs between two snapshots): event-type composition of the first
+    time-half vs the second, as integer per-mille shares plus their
+    absolute difference (the per-class term of total-variation distance).
+    PSI/KL need log — not bitwise-portable — so the emitted statistic is
+    pure integer arithmetic: midpoint test by cross-multiplication
+    (us·2 ≤ lo+hi, no division), shares by the floor-div idiom. Shape: one
+    pass → per-(type, side) counts; the time bounds and side totals are
+    single-row broadcasts (never a global window)."""
+    e = table_scan(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    bounds = e.agg(F.min("us").alias("lo"), F.max("us").alias("hi"))
+    tagged = e.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        (F.col("us") * 2 <= F.col("lo") + F.col("hi")).alias("is_first"),
+    )
+    s = tagged.groupBy("event_type").agg(
+        F.sum(F.when(F.col("is_first"), 1).otherwise(0)).alias("n_first"),
+        F.sum(F.when(F.col("is_first"), 0).otherwise(1)).alias("n_second"),
+    )
+    totals = s.agg(
+        F.sum("n_first").alias("t_first"), F.sum("n_second").alias("t_second")
+    )
+    return (
+        s.crossJoin(F.broadcast(totals))
+        .selectExpr(
+            "event_type",
+            "n_first",
+            "n_second",
+            "n_first * 1000 div t_first AS pm_first",
+            "n_second * 1000 div t_second AS pm_second",
+            "abs(n_first * 1000 div t_first - n_second * 1000 div t_second)"
+            " AS drift_pm",
+        )
     )
 
 

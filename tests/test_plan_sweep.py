@@ -47,6 +47,7 @@ BNLJ_OK = {
     "orders_abc_pareto",  # single-row grand-total scalar broadcast
     "orders_price_histogram_equidepth",  # single-row quartile-cutoff broadcast
     "kmeans_lloyd_step_int",  # 8-row centroid table broadcast, corpus streamed
+    "events_distribution_drift",  # single-row bounds + totals broadcasts
 }
 
 #: queries allowed a single-partition (global) Window. Each must justify the
