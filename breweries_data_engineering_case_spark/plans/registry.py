@@ -9044,6 +9044,49 @@ def q_events_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_token_stats_arrow",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def q_doc_token_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the zero-copy sibling of mapInPandas (RecordBatch in,
+    RecordBatch out; no pandas materialization), completing the Python
+    execution-surface matrix: pandas UDF, mapInPandas, applyInPandas,
+    cogrouped applyInPandas, applyInPandasWithState /
+    transformWithStateInPandas, Python UDTF, Python DataSource, and now
+    raw Arrow. The kernel stays entirely in pyarrow.compute (vectorized C,
+    never Python-per-row): split → list_value_length for token counts,
+    utf8_length for characters — exact integers, so the relational oracle
+    value-checks the Arrow path bitwise. This is the shape for
+    tokenizer-adjacent passes where even pandas conversion overhead
+    matters at 100 TB batch sizes."""
+    import pyarrow as pa
+
+    d = table_scan(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stats(batches):
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            t = batch.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.list_value_length(pc.split_pattern(t, " ")),
+                            pa.int64()),
+                    pc.cast(pc.utf8_length(t), pa.int64()),
+                ],
+                ["doc_id", "n_tokens", "n_chars"],
+            )
+
+    return d.mapInArrow(stats, schema="doc_id long, n_tokens long, n_chars long")
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

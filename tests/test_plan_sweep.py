@@ -90,11 +90,13 @@ PANDAS_OK = {
     "doc_udtf_sentence_split",  # Arrow-batched Python UDTF (ArrowEvalPythonUDTF)
     "embedding_semantic_dedup_portable",  # integer hyperplane-sign UDF
     "events_cogroup_purchase_attribution",  # cogrouped applyInPandas, by definition
+    "doc_token_stats_arrow",  # mapInArrow pyarrow.compute kernel, by definition
 }
 
 PANDAS_NODES = (
     "ArrowEvalPython",
     "MapInPandas",
+    "MapInArrow",
     "FlatMapGroupsInPandas",
     "FlatMapCoGroupsInPandas",
 )
