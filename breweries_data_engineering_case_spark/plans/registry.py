@@ -9087,6 +9087,40 @@ def q_doc_token_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInArrow(stats, schema="doc_id long, n_tokens long, n_chars long")
 
 
+@register(
+    "join_hint_shuffle_hash",
+    """
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy HINT control — the optimizer-override surface a tuned
+    100-TB job uses when it knows better than the stats: SHUFFLE_HASH
+    forces a hash join (build the smaller post-shuffle side in memory, no
+    sort of either side) where the planner would default to sort-merge for
+    two large inputs. Results are hint-invariant (the oracle is the plain
+    join); tests/test_plan_invariants assert the physical plan actually
+    honored the hint (ShuffledHashJoin, no SortMergeJoin). The same syntax
+    carries MERGE / BROADCAST / SHUFFLE_REPLICATE_NL."""
+    o = table_scan(spark, sf_dir, "orders")
+    c = table_scan(spark, sf_dir, "customer").hint("shuffle_hash")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

@@ -368,3 +368,14 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_shuffle_hash_hint_honored(spark, sf_dir):
+    """join_hint_shuffle_hash must actually produce a ShuffledHashJoin (the
+    hint's whole point) — never a sort-merge."""
+    from breweries_data_engineering_case_spark.plans import registry
+
+    df = registry.queries()["join_hint_shuffle_hash"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
