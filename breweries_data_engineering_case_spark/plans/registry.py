@@ -9121,6 +9121,108 @@ def q_join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "kmeans_lloyd_converge_int",
+    """
+    WITH e AS (
+      SELECT vec_id, i, CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS qx
+      FROM (SELECT vec_id, UNNEST(embedding) AS x,
+                   UNNEST(range(len(embedding))) AS i FROM embeddings)
+    ),
+    c0 AS (SELECT vec_id AS cid, i, qx AS cx FROM e WHERE vec_id < 8),
+    d1 AS (
+      SELECT e.vec_id, c0.cid,
+             CAST(SUM((e.qx - c0.cx) * (e.qx - c0.cx)) AS BIGINT) AS dist
+      FROM e JOIN c0 ON e.i = c0.i GROUP BY e.vec_id, c0.cid
+    ),
+    a1 AS (
+      SELECT vec_id, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      FROM d1
+    ),
+    s1 AS (
+      SELECT a1.cid AS cluster, e.i, CAST(SUM(e.qx) AS BIGINT) AS s,
+             COUNT(*) AS n
+      FROM a1 JOIN e ON e.vec_id = a1.vec_id
+      WHERE a1.rn = 1 GROUP BY a1.cid, e.i
+    ),
+    c1 AS (SELECT cluster AS cid, i, CAST(s // n AS BIGINT) AS cx FROM s1),
+    d2 AS (
+      SELECT e.vec_id, c1.cid,
+             CAST(SUM((e.qx - c1.cx) * (e.qx - c1.cx)) AS BIGINT) AS dist
+      FROM e JOIN c1 ON e.i = c1.i GROUP BY e.vec_id, c1.cid
+    ),
+    a2 AS (
+      SELECT vec_id, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      FROM d2
+    )
+    SELECT a2.cid AS cluster, CAST(e.i AS INT) AS i,
+           CAST(SUM(e.qx) AS BIGINT) AS comp_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM a2 JOIN e ON e.vec_id = a2.vec_id
+    WHERE a2.rn = 1
+    GROUP BY a2.cid, e.i
+    """,
+)
+def q_kmeans_lloyd_converge_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO Lloyd iterations with an actual centroid UPDATE between them —
+    the convergent distributed-k-means loop (assign → update → reassign),
+    still bitwise oracle-checkable end to end: the iteration-1 partial
+    sums/counts become iteration-2 centroids via integer division, which
+    truncates identically in Spark (`div`) and DuckDB (`//`, verified on
+    negatives — both are trunc-toward-zero, NOT Python floor), so the
+    updated centroids, the second assignment, and the final partials all
+    replay exactly in SQL. Shape per iteration: quantized corpus (persisted
+    once, scanned per iteration — the PageRank iteration discipline) ×
+    broadcast 8-row centroid table, integer distance folds JVM-side,
+    min(struct) argmin; the only shuffles are the dim-sized partial-sum
+    groupBys. Clusters emptied by an iteration drop out of the centroid
+    table on both sides identically."""
+    emb = table_scan(spark, sf_dir, "embeddings")
+    from ..operators.similarity import quantize_embedding
+
+    q0 = emb.select("vec_id", quantize_embedding("embedding").alias("qv")).persist()
+
+    def assign(cents: DataFrame) -> DataFrame:
+        diff = F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b))
+        dist = F.aggregate(diff, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        scored = q0.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "qv", "cid", dist.alias("dist")
+        )
+        return (
+            scored.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cid", "qv")).alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cluster"), F.col("m.qv").alias("qv"))
+        )
+
+    c0 = q0.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    )
+    a1 = assign(c0)
+    s1 = (
+        a1.select("cluster", F.posexplode("qv").alias("i", "qx"))
+        .groupBy("cluster", "i")
+        .agg(F.sum("qx").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    c1 = (
+        s1.selectExpr("cluster AS cid", "i", "s div n AS comp")
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "comp"))),
+                lambda x: x["comp"],
+            ).alias("cv")
+        )
+    )
+    a2 = assign(c1)
+    return (
+        a2.select("cluster", F.posexplode("qv").alias("i", "qx"))
+        .groupBy("cluster", "i")
+        .agg(F.sum("qx").alias("comp_sum"), F.count(F.lit(1)).alias("n_members"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

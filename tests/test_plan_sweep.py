@@ -48,6 +48,7 @@ BNLJ_OK = {
     "orders_price_histogram_equidepth",  # single-row quartile-cutoff broadcast
     "kmeans_lloyd_step_int",  # 8-row centroid table broadcast, corpus streamed
     "events_distribution_drift",  # single-row bounds + totals broadcasts
+    "kmeans_lloyd_converge_int",  # ≤8-row centroid tables broadcast twice
 }
 
 #: queries allowed a single-partition (global) Window. Each must justify the

@@ -274,3 +274,51 @@ def test_aqe_converts_q17_agg_join_to_broadcast(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_kmeans_two_iterations_match_numpy(spark, sf_dir):
+    """Two-iteration Lloyd vs a numpy replay — including the centroid
+    update, where division must TRUNCATE toward zero (Spark div / DuckDB
+    //), not floor like numpy's //."""
+    rows = table_scan(spark, sf_dir, "embeddings").collect()
+    order = np.argsort([r.vec_id for r in rows])
+    ids = np.array([r.vec_id for r in rows])[order]
+    X = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])[order]
+    Q = np.round(X * 1_000_000).astype(np.int64)
+
+    def assign(C):
+        d = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return d.argmin(axis=1)  # first-minimum = smallest centroid index
+
+    def trunc_div(s, n):
+        return s // n if s >= 0 else -((-s) // n)
+
+    C0 = Q[ids < 8]
+    a1 = assign(C0)
+    live = sorted(set(a1.tolist()))
+    C1 = np.stack(
+        [
+            np.array(
+                [
+                    trunc_div(int(Q[a1 == c][:, i].sum()), int((a1 == c).sum()))
+                    for i in range(Q.shape[1])
+                ],
+                dtype=np.int64,
+            )
+            for c in live
+        ]
+    )
+    a2 = assign(C1)
+    want = {}
+    for pos, c in enumerate(live):
+        members = Q[a2 == pos]
+        for i in range(Q.shape[1]):
+            if len(members):
+                want[(c, i)] = (int(members[:, i].sum()), len(members))
+    got = {
+        (r.cluster, r.i): (r.comp_sum, r.n_members)
+        for r in registry.queries()["kmeans_lloyd_converge_int"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want
