@@ -945,23 +945,24 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NEAR_DUP_EXACT_ORACLE = """
-    WITH p AS (
+    WITH d AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             UNNEST(a.embedding) AS xa, UNNEST(b.embedding) AS xb,
-             UNNEST(range(len(a.embedding))) AS i
+             list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[])) AS dot,
+             list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                              CAST(a.embedding AS DOUBLE[])) AS na,
+             list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[])) AS nb
       FROM embeddings a, embeddings b
       WHERE a.vec_id < b.vec_id
-    ),
-    d AS (
-      SELECT id_a, id_b,
-             SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE) ORDER BY i) AS dot,
-             SUM(CAST(xa AS DOUBLE) * CAST(xa AS DOUBLE) ORDER BY i) AS na,
-             SUM(CAST(xb AS DOUBLE) * CAST(xb AS DOUBLE) ORDER BY i) AS nb
-      FROM p GROUP BY id_a, id_b
     )
     SELECT id_a, id_b, dot / (sqrt(na) * sqrt(nb)) AS score
     FROM d WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
 """
+# list_dot_product over DOUBLE[] folds in index order — verified bitwise
+# identical to the explicit SUM(.. ORDER BY i) formulation on all 1225
+# sf0.01 test pairs — and avoids the 128M-row UNNEST explosion that made
+# the old oracle OOM DuckDB at sf0.1.
 
 
 @register("embedding_near_dup_exact", _NEAR_DUP_EXACT_ORACLE)
