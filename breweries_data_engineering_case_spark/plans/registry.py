@@ -9224,6 +9224,79 @@ def q_kmeans_lloyd_converge_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "orders_weighted_median",
+    """
+    WITH w AS (
+      SELECT o.o_orderpriority, o.o_orderkey, o.o_totalprice,
+             CAST(COUNT(l.l_orderkey) AS BIGINT) AS wt
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderpriority, o.o_orderkey, o.o_totalprice
+    ),
+    r AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice, wt,
+             SUM(wt) OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice, o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS running,
+             SUM(wt) OVER (PARTITION BY o_orderpriority) AS total_wt
+      FROM w
+    ),
+    m AS (
+      SELECT o_orderpriority, o_totalprice, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn2
+      FROM r WHERE running * 2 >= total_wt
+    )
+    SELECT o_orderpriority, o_totalprice AS weighted_median_price,
+           CAST(o_orderkey AS BIGINT) AS median_orderkey
+    FROM m WHERE rn2 = 1
+    """,
+)
+def q_orders_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group WEIGHTED median (weight = lineitem count per order): the
+    quantile generalization percentile_cont can't express — the first
+    order, in (price, orderkey) total order, whose cumulative weight
+    crosses half the group total. All comparisons are integer
+    (2·running ≥ total — no division), so the crossing row is exact. The
+    running sum partitions by priority (5 parallel partitions, never a
+    global window); the crossing row is picked by min(struct), not a
+    second sort. At 100 TB the same shape runs per group; a single-group
+    global weighted median would use the two-phase prefix-sum pattern
+    (per-partition sums + broadcast offsets) documented in
+    dataset_shuffle_deterministic."""
+    o = table_scan(spark, sf_dir, "orders")
+    li = table_scan(spark, sf_dir, "lineitem").select("l_orderkey")
+    w = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority", "o_orderkey", "o_totalprice")
+        .agg(F.count(F.lit(1)).alias("wt"))
+    )
+    win = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("o_orderpriority")
+    r = w.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.sum("wt").over(win).alias("running"),
+        F.sum("wt").over(tot).alias("total_wt"),
+    )
+    return (
+        r.filter(F.col("running") * 2 >= F.col("total_wt"))
+        .groupBy("o_orderpriority")
+        .agg(F.min(F.struct("o_totalprice", "o_orderkey")).alias("m"))
+        .select(
+            "o_orderpriority",
+            F.col("m.o_totalprice").alias("weighted_median_price"),
+            F.col("m.o_orderkey").alias("median_orderkey"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

@@ -322,3 +322,36 @@ def test_kmeans_two_iterations_match_numpy(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_weighted_median_matches_python_scan(spark, sf_dir):
+    o = {
+        (r.o_orderkey): (r.o_orderpriority, r.o_totalprice)
+        for r in table_scan(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .collect()
+    }
+    wt = Counter(
+        r.l_orderkey
+        for r in table_scan(spark, sf_dir, "lineitem").select("l_orderkey").collect()
+        if r.l_orderkey in o
+    )
+    groups = defaultdict(list)
+    for k, n in wt.items():
+        prio, price = o[k]
+        groups[prio].append((price, k, n))
+    want = {}
+    for prio, rows in groups.items():
+        rows.sort()
+        total = sum(n for _, _, n in rows)
+        run = 0
+        for price, k, n in rows:
+            run += n
+            if 2 * run >= total:
+                want[prio] = (price, k)
+                break
+    got = {
+        r.o_orderpriority: (r.weighted_median_price, r.median_orderkey)
+        for r in registry.queries()["orders_weighted_median"](spark, sf_dir).collect()
+    }
+    assert got == want
