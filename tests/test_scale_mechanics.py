@@ -136,3 +136,33 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
     for k in exact:
         rel = abs(approx[k] - exact[k]) / max(exact[k], 1)
         assert rel < 0.15, f"{k}: approx {approx[k]} vs exact {exact[k]}"
+
+
+def test_observe_metrics_piggyback_on_one_pass(spark, sf_dir):
+    """df.observe() — pipeline instrumentation WITHOUT a second scan: the
+    quality counters a 100-TB job wants (rows seen, nulls dropped, value
+    bounds) accumulate during the action itself instead of re-running the
+    plan. Observed metrics must equal a separately-computed aggregate."""
+    from pyspark.sql import Observation
+
+    e = table_scan(spark, sf_dir, "events")
+    obs = Observation("events_quality")
+    observed = e.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("v_sum"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+    )
+    out = observed.groupBy("event_type").count().collect()  # the real action
+    got = obs.get
+    want = e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("v_sum"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+    ).collect()[0]
+    assert got["n_rows"] == want.n_rows
+    assert got["v_sum"] == want.v_sum
+    assert got["v_min"] == want.v_min and got["v_max"] == want.v_max
+    assert len(out) > 0
