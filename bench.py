@@ -36,6 +36,11 @@ HEADLINE = [
     "doc_dedup_minhash_lsh",
     "doc_token_count",
     "ann_cosine_topk",
+    # LLM-pipeline flagships (VERDICT r5 #4): track the heaviest operator
+    # families from rounds 4-5 round-over-round
+    "doc_dedup_portable_pipeline",
+    "doc_containment_pairs",
+    "graph_pagerank_salted",
 ]
 
 

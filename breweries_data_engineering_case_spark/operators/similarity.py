@@ -268,6 +268,29 @@ def _centroid_assign_udf(centroids):
     return assign
 
 
+def _centroid_probe_udf(centroids, nprobe: int):
+    """pandas UDF: indices of the ``nprobe`` nearest centroids (L2) per
+    embedding, nearest first — the query-side twin of
+    :func:`_centroid_assign_udf` (same distance kernel, stable tie order
+    matching the driver-side ``np.argsort(kind="stable")`` it replaces)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    C_norms = (C * C).sum(axis=1)
+    n = min(nprobe, len(C))
+
+    @pandas_udf("array<int>")
+    def probe(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype="object")
+        X = np.stack(col.to_numpy()).astype(np.float64)  # (n, dim)
+        d = C_norms[None, :] - 2.0 * (X @ C.T)
+        idx = np.argsort(d, axis=1, kind="stable")[:, :n].astype("int32")
+        return pd.Series(list(idx))
+
+    return probe
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     k: int = 16,
@@ -329,31 +352,14 @@ def cosine_topk_ivf(
         assign(F.col(vec_col)).alias("__list"),
     )
 
-    # driver-side probe lists for the (few) queries: nprobe nearest centroids
-    C = np.asarray(cents, dtype=np.float64)
-    C_norms = (C * C).sum(axis=1)
-    q_rows = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")).collect()
-    probe_rows = []
-    for r in q_rows:
-        x = np.asarray(r["__qvec"], dtype=np.float64)
-        d = C_norms - 2.0 * (C @ x)
-        for c in np.argsort(d, kind="stable")[:nprobe]:
-            probe_rows.append((r["query_id"], list(map(float, r["__qvec"])), int(c)))
-    spark = corpus.sparkSession
-    from pyspark.sql.types import IntegerType, StructField, StructType
-
-    # probe schema mirrors the callers' actual id/vector types (string ids,
-    # double embeddings, ... all work) instead of hardcoding long/float
-    q_schema = {f.name: f.dataType for f in queries.schema.fields}
-    probes = spark.createDataFrame(
-        probe_rows,
-        StructType(
-            [
-                StructField("query_id", q_schema[id_col]),
-                StructField("__qvec", q_schema[vec_col]),
-                StructField("__list", IntegerType()),
-            ]
-        ),
+    # distributed probe assignment: the SAME argmin kernel as the corpus
+    # side, widened to top-nprobe — one Arrow batch pass over the query set,
+    # no driver collect (queries scale to any volume)
+    probe = _centroid_probe_udf(cents, nprobe)
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(probe(F.col(vec_col))).alias("__list"),
     )
     cand = c_assigned.join(F.broadcast(probes), on="__list")
     if exclude_self:

@@ -1517,10 +1517,25 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact distinct shuffles every key; HLL ships a 1.5 KB sketch). Sketch
     values are engine-specific ⇒ rows-only check; accuracy asserted in unit
     tests against the exact count, and ``events_bitmap_distinct`` is the
-    fully-oracle-checked EXACT mergeable twin of the same aggregation."""
+    fully-oracle-checked EXACT mergeable twin of the same aggregation.
+
+    The rows-only driver run itself witnesses the error bound (VERDICT r5
+    #5): the exact distinct rides the same single agg pass (Spark plans
+    multi-distinct via expand, one shuffle) and ``within_bound`` asserts
+    |approx − exact| ≤ max(2, 5% · exact) — ~2.5σ at rsd = 0.02 — so a
+    recorded row IS a bound check, not just an execution."""
     e = table_scan(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    ).select(
+        "event_type",
+        "approx_users",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.greatest(F.lit(2.0), F.col("exact_users") * 0.05)
+        ).alias("within_bound"),
     )
 
 
@@ -4976,19 +4991,37 @@ def q_approx_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per priority — the 100 TB path: exact percentiles sort every group,
     the sketch is a fixed-size mergeable summary (map-side partial merge,
     tiny shuffle). Sketch outputs are engine-specific ⇒ rows-only; error
-    vs the exact percentile is asserted in tests/test_sketch_anchors.py."""
+    vs the exact percentile is asserted in tests/test_sketch_anchors.py
+    AND witnessed by the driver row itself (VERDICT r5 #5): the exact
+    percentile rides the same agg pass and ``within_bound`` asserts both
+    sketch values land within 2% of the group's value scale (accuracy
+    10000 ⇒ rank error ≤ n/10⁴, far inside that)."""
     o = table_scan(spark, sf_dir, "orders")
     return (
         o.groupBy("o_orderpriority")
         .agg(
             F.approx_percentile(
                 "o_totalprice", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000)
-            ).alias("pcts")
+            ).alias("pcts"),
+            F.percentile("o_totalprice", F.lit(0.5)).alias("p50_exact"),
+            F.percentile("o_totalprice", F.lit(0.95)).alias("p95_exact"),
         )
         .select(
             "o_orderpriority",
             F.col("pcts")[0].alias("p50_approx"),
             F.col("pcts")[1].alias("p95_approx"),
+            "p50_exact",
+            "p95_exact",
+            (
+                (
+                    F.abs(F.col("pcts")[0] - F.col("p50_exact"))
+                    <= F.greatest(F.abs(F.col("p95_exact")), F.lit(1.0)) * 0.02
+                )
+                & (
+                    F.abs(F.col("pcts")[1] - F.col("p95_exact"))
+                    <= F.greatest(F.abs(F.col("p95_exact")), F.lit(1.0)) * 0.02
+                )
+            ).alias("within_bound"),
         )
     )
 
@@ -5662,7 +5695,13 @@ def q_events_dau_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     check; tests/test_sketch_anchors.py bounds the estimate against the
     exact count, and ``events_bitmap_distinct`` oracle-checks the same
     build-daily-partials → OR-merge → count pipeline EXACTLY with bitmap
-    aggregates (the deterministic sibling of this sketch)."""
+    aggregates (the deterministic sibling of this sketch).
+
+    The driver row itself also witnesses the bound (VERDICT r5 #5): an
+    exact weekly COUNT(DISTINCT) — a correctness witness only, NOT part of
+    the sketch pipeline, which never re-touches raw events — is broadcast-
+    joined in and ``within_bound`` asserts |est − exact| ≤ max(2, 5% ·
+    exact) (default lgConfigK=12 ⇒ ~1.6% relative error)."""
     e = table_scan(spark, sf_dir, "events").select(
         F.to_date("ts").alias("day"), "user_id"
     )
@@ -5670,11 +5709,34 @@ def q_events_dau_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     week = F.floor(
         F.datediff("day", F.lit("2024-01-01").cast("date")) / F.lit(7)
     ).cast("long")
-    return (
+    est = (
         daily.select(week.alias("week"), "sk")
         .groupBy("week")
         .agg(
             F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_weekly_users")
+        )
+    )
+    week_raw = F.floor(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) / F.lit(7)
+    ).cast("long")
+    exact = (
+        table_scan(spark, sf_dir, "events")
+        .select(week_raw.alias("week"), "user_id")
+        .groupBy("week")
+        .agg(F.countDistinct("user_id").alias("exact_weekly_users"))
+    )
+    return (
+        est.join(F.broadcast(exact), on="week")
+        .select(
+            "week",
+            "approx_weekly_users",
+            "exact_weekly_users",
+            (
+                F.abs(F.col("approx_weekly_users") - F.col("exact_weekly_users"))
+                <= F.greatest(
+                    F.lit(2.0), F.col("exact_weekly_users") * 0.05
+                )
+            ).alias("within_bound"),
         )
         .orderBy("week")
     )
@@ -5992,7 +6054,7 @@ def q_events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit FROM cents
     )
     SELECT digit, COUNT(*) AS cnt,
-           COUNT(*) * 1000 // SUM(COUNT(*)) OVER () AS per_mille
+           COUNT(*) * 1000 // CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS per_mille
     FROM d GROUP BY digit
     """,
 )
@@ -9307,6 +9369,77 @@ def q_orders_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 # green CORRECTNESS_r01 row rotate out, queries with no row yet (r01 tail),
 # a failed/changed row, or new this round rotate in.
 _WINDOW_PRIORITY: list[str] = [
+    # --- round 6 window ---
+    # VERDICT r5 ask #1, verbatim: lead with the 21 zero/stale-evidence
+    # names (20 round-5 post-window additions + grouped_zscore_pandas whose
+    # oracle upgrade postdates its rows-only row) plus dq_benford_first_digit
+    # (oracle HUGEINT fix this round — needs a green row). Then the queries
+    # whose plans/oracles CHANGE this round: the three rows-only sketches
+    # gain driver-witnessed within_bound columns (ask #5), ann_cosine_topk_ivf
+    # gets the distributed probe assignment (ask #3). Then the judge's
+    # oldest-evidence list (tpch q2/q9/q11/q12/q16/q20/q21, gopher, bigram
+    # rarity, mixture weights, quantize_int8, doc_dedup_exact), then new
+    # round-6 registrations, then r1-only tail.
+    "dq_benford_first_digit",
+    # 20 round-5 post-window additions (zero driver evidence):
+    "graph_triangle_count",
+    "doc_prefix_filter_pairs",
+    "streaming_session_window",
+    "doc_udtf_sentence_split",
+    "orders_price_histogram_equidepth",
+    "events_bitmap_distinct",
+    "events_markov_transitions",
+    "vocab_skipgram_pairs",
+    "kmeans_lloyd_step_int",
+    "kmeans_lloyd_converge_int",
+    "embedding_semantic_dedup_portable",
+    "streaming_foreachbatch_rollup",
+    "graph_connected_components",
+    "events_cogroup_purchase_attribution",
+    "array_functions",
+    "vocab_posting_lists",
+    "events_distribution_drift",
+    "doc_token_stats_arrow",
+    "join_hint_shuffle_hash",
+    "orders_weighted_median",
+    # oracle upgrade postdates recorded rows-only row:
+    "grouped_zscore_pandas",
+    # changed round 6 — sketches now emit driver-witnessed within_bound:
+    "approx_order_percentiles",
+    "approx_distinct_users",
+    "events_dau_hll_mergeable",
+    # changed round 6 — IVF probe assignment distributed (ask #3):
+    "ann_cosine_topk_ivf",
+    # judge's oldest-evidence list (r3-or-earlier latest row):
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_parts",
+    "tpch_q12_ship_priority_classes",
+    "tpch_q16_supplier_part_cnt",
+    "tpch_q20_excess_shipments",
+    "tpch_q21_last_shipping_supplier",
+    "doc_gopher_quality",
+    "doc_bigram_rarity",
+    "source_mixture_weights",
+    "embedding_quantize_int8",
+    "doc_dedup_exact",
+    # new round-6 registrations seat here (inserted as they land):
+    # r1-only tail, oldest recorded evidence first:
+    "parquet_scan",
+    "json_scan",
+    "union_all_files",
+    "silver_clean_contract",
+    "gold_counts_hierarchy",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_top_orders",
+    "window_dedup_rownum",
+    "join_broadcast_dim",
+    "join_shuffle_fact",
+    "events_session_window",
+    "ann_cosine_topk",
+]
+
+_WINDOW_PRIORITY_R5: list[str] = [
     # --- round 5 window ---
     # After r01+r03+r04 (all green), exactly 39 registered queries have no
     # recorded driver row: the 29 round-4 additions + the 9 names round 4

@@ -38,17 +38,80 @@ def _canon(cols, rows):
     return [cols[i] for i in order], out
 
 
+# The driver hash is computed over fetched VALUES, so types matter exactly
+# when they change the fetched Python representation. Driver evidence
+# (r01–r05 green rows) fixes the equivalence classes:
+#  - integer widths collapse (csv_scan INTEGER↔bigint green r1;
+#    orders_dow_seasonality BIGINT↔int green r5) — all map to Python int;
+#  - HUGEINT does NOT (r05 benford red: DuckDB int128 fetches as a non-int
+#    representation) — always fatal;
+#  - cross-family pairs (int vs double, double vs string, float vs double)
+#    change the value representation — fatal.
+_INT_SPARK = {"tinyint", "smallint", "int", "bigint"}
+DUCK_TO_SPARK = {
+    "BIGINT": _INT_SPARK,
+    "INTEGER": _INT_SPARK,
+    "SMALLINT": _INT_SPARK,
+    "TINYINT": _INT_SPARK,
+    "VARCHAR": {"string"},
+    "DOUBLE": {"double"},
+    "FLOAT": {"float"},
+    "DATE": {"date"},
+    "BOOLEAN": {"boolean"},
+    # oracle timestamps are wall-clock; Spark side may carry either flavor
+    "TIMESTAMP": {"timestamp_ntz", "timestamp"},
+}
+
+
+def _assert_types_compatible(name, scols, stypes, dcols, dtypes):
+    smap = dict(zip(scols, stypes))
+    for c, dt in zip(dcols, dtypes):
+        dt = str(dt).upper()
+        assert "HUGEINT" not in dt, (
+            f"{name}.{c}: oracle binds {dt} — DuckDB int128 never matches a "
+            f"Spark type; wrap the widening SUM in CAST(... AS BIGINT)"
+        )
+        allowed = DUCK_TO_SPARK.get(dt)
+        assert allowed is not None, f"{name}.{c}: unmapped oracle type {dt}"
+        st = smap[c].simpleString()
+        assert st in allowed, (
+            f"{name}.{c}: oracle type {dt} vs spark type {st} — typed "
+            f"value-hash will mismatch even on equal values"
+        )
+
+
+def test_oracle_bound_types_allowed(sf_dir):
+    """Bind EVERY oracle in DuckDB (no execution) and lint result types:
+    any type outside DUCK_TO_SPARK — above all HUGEINT, which DuckDB
+    silently widens integer SUMs to — fails here before the driver sees it
+    (VERDICT r5 ask #2)."""
+    con = _duck(sf_dir)
+    offenders = []
+    for name, sql in registry.oracles().items():
+        rel = con.sql(sql)
+        for c, t in zip(rel.columns, rel.types):
+            ts = str(t).upper()
+            if ts not in DUCK_TO_SPARK:
+                offenders.append(f"{name}.{c}: {ts}")
+    con.close()
+    assert not offenders, f"oracle result types outside the portable set: {offenders}"
+
+
 @pytest.mark.parametrize("name", sorted(registry.ORACLES))
 def test_query_matches_oracle(spark, sf_dir, name):
     sdf = registry.QUERIES[name](spark, sf_dir)
     scols = sdf.columns
+    stypes = [f.dataType for f in sdf.schema.fields]
     srows = [tuple(r) for r in sdf.collect()]
 
     con = _duck(sf_dir)
     rel = con.sql(registry.ORACLES[name])
     dcols = [d[0] for d in rel.description]
+    dtypes = list(rel.types)
     drows = rel.fetchall()
     con.close()
+
+    _assert_types_compatible(name, scols, stypes, dcols, dtypes)
 
     assert len(srows) == len(drows), f"{name}: row count {len(srows)} != oracle {len(drows)}"
     sc, sv = _canon(scols, srows)

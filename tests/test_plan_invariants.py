@@ -379,3 +379,31 @@ def test_shuffle_hash_hint_honored(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_no_input_row_collect_in_operators():
+    """VERDICT r5 #3: no operator may ``.collect()`` input rows — every
+    remaining collect in ``operators/`` must be a bounded reduction (the
+    k-means init/means in train_ivf_centroids, which move only k centroids /
+    k x dim aggregate cells to the driver, never a row per input)."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).parent.parent / "breweries_data_engineering_case_spark"
+    allowed = {
+        # (file, containing function) pairs audited as bounded reductions
+        ("operators/similarity.py", "train_ivf_centroids"),
+    }
+    offenders = []
+    for py in sorted((pkg / "operators").glob("*.py")):
+        src = py.read_text()
+        func = None
+        for i, line in enumerate(src.splitlines(), 1):
+            m = re.match(r"def (\w+)", line)
+            if m:
+                func = m.group(1)
+            if ".collect()" in line:
+                rel = f"operators/{py.name}"
+                if (rel, func) not in allowed:
+                    offenders.append(f"{rel}:{i} in {func}")
+    assert not offenders, f"unaudited .collect() of input rows: {offenders}"

@@ -61,3 +61,18 @@ def test_hll_weekly_users_within_bound(spark, sf_dir):
     for wk, est in got.items():
         # default lgConfigK=12 → relative error ~1.6%; allow 5%
         assert abs(est - exact[wk]) <= max(2, 0.05 * exact[wk]), (wk, est, exact[wk])
+
+
+def test_driver_rows_witness_bounds(spark, sf_dir):
+    """VERDICT r5 #5: the rows-only driver run itself must witness each
+    sketch's error bound — every row of the three sketch queries carries
+    within_bound=true."""
+    for name in (
+        "approx_distinct_users",
+        "approx_order_percentiles",
+        "events_dau_hll_mergeable",
+    ):
+        rows = registry.QUERIES[name](spark, sf_dir).collect()
+        assert rows, name
+        bad = [r.asDict() for r in rows if not r["within_bound"]]
+        assert not bad, f"{name}: bound violated: {bad}"
