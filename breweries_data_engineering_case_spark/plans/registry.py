@@ -9360,6 +9360,606 @@ def q_orders_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-6 additions: recursive SQL, _metadata audit, XML source, corrupt-row
+# quarantine, pigeonhole heavy hitters, exact KS drift, URL canonicalization,
+# dynamic partition pruning
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sql_recursive_subtree_rollup",
+    """
+    WITH RECURSIVE up(node, anc) AS (
+      SELECT c_custkey, c_custkey FROM customer
+      UNION ALL
+      SELECT node, anc // 2 FROM up WHERE anc > 1
+    ),
+    cents AS (
+      SELECT c_custkey AS node,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM customer
+    )
+    SELECT u.anc AS ancestor,
+           CAST(COUNT(*) AS BIGINT) AS subtree_nodes,
+           CAST(SUM(c.c) AS BIGINT) AS subtree_cents
+    FROM up u JOIN cents c ON c.node = u.node
+    GROUP BY u.anc
+    """,
+)
+def q_sql_recursive_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE subtree rollup — Spark 4's WITH RECURSIVE surface
+    (UNION ALL form; Spark rejects recursive UNION), run through
+    ``spark.sql`` over a temp view. The implicit forest ``parent(k) = k
+    DIV 2`` gives every customer a ⌈log₂ N⌉-deep ancestor chain; the
+    recursion enumerates (node, ancestor) pairs and the final aggregate
+    rolls exact account-balance cents up to every ancestor — the
+    bill-of-materials/org-chart aggregation plain SQL cannot express.
+    Depth is data-bounded at ~log₂(custkey) levels (≈18 at SF 1), far
+    under Spark's default 100-level recursion limit; each level is one
+    join-free projection, so the plan scales as O(N log N) rows shuffled
+    once at the final GROUP BY. Oracle: the identical recursion in DuckDB
+    (`//` = Spark's `DIV`)."""
+    table_scan(spark, sf_dir, "customer").createOrReplaceTempView(
+        "bdec_r6_customer"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE up(node, anc) AS (
+          SELECT c_custkey, c_custkey FROM bdec_r6_customer
+          UNION ALL
+          SELECT node, anc DIV 2 FROM up WHERE anc > 1
+        ),
+        cents AS (
+          SELECT c_custkey AS node,
+                 CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+          FROM bdec_r6_customer
+        )
+        SELECT u.anc AS ancestor,
+               COUNT(*) AS subtree_nodes,
+               SUM(c.c) AS subtree_cents
+        FROM up u JOIN cents c ON c.node = u.node
+        GROUP BY u.anc
+        """
+    )
+
+
+@register(
+    "parquet_meta_partition_audit",
+    """
+    SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS row_cnt,
+           TRUE AS path_ok
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q_parquet_meta_partition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden ``_metadata`` file-metadata column over a hive-partitioned
+    parquet layout: nation is landed once per sf_dir partitioned by
+    n_regionkey, read back, and audited — rows are grouped by the partition
+    value EXTRACTED FROM THE PHYSICAL FILE PATH (``_metadata.file_path``),
+    and ``path_ok`` asserts the path-derived key equals the logical
+    partition column for every row. This is the partition-layout audit a
+    lakehouse runs after a backfill (files landed in the wrong directory
+    show up as path_ok=false or a count drift); ``_metadata`` is evaluated
+    scan-side from the file listing, so the audit adds no extra I/O beyond
+    the scan itself."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    staging = Path(tempfile.gettempdir()) / "bdec_meta_nation" / key
+    if not (staging / "_SUCCESS").exists():
+        table_scan(spark, sf_dir, "nation").write.mode("overwrite").partitionBy(
+            "n_regionkey"
+        ).parquet(str(staging))
+    df = spark.read.parquet(str(staging))
+    meta = df.select(
+        F.col("n_regionkey").cast("long").alias("rk_col"),
+        F.regexp_extract(
+            F.col("_metadata.file_path"), r"n_regionkey=(\d+)", 1
+        )
+        .cast("long")
+        .alias("rk_path"),
+    )
+    return meta.groupBy(F.col("rk_path").alias("n_regionkey")).agg(
+        F.count(F.lit(1)).alias("row_cnt"),
+        F.bool_and(F.col("rk_path") == F.col("rk_col")).alias("path_ok"),
+    )
+
+
+@register("xml_scan", "SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def q_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML source (merged into Spark 4 from spark-xml): nation is
+    landed as XML once per sf_dir (rowTag elements), read back with an
+    explicit schema — schema inference over XML costs a full extra pass and
+    is banned at scale, same rule as csv_scan. The oracle checks the
+    round-trip against the parquet original."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    staging = Path(tempfile.gettempdir()) / "bdec_xml_nation" / key
+    if not (staging / "_SUCCESS").exists():
+        table_scan(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        ).write.mode("overwrite").format("xml").option("rowTag", "nation").save(
+            str(staging)
+        )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema("n_nationkey bigint, n_name string, n_regionkey bigint")
+        .load(str(staging))
+    )
+
+
+@register(
+    "json_corrupt_quarantine",
+    """
+    SELECT event_type, FALSE AS quarantined, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events WHERE event_id % 97 <> 0 GROUP BY event_type
+    UNION ALL
+    SELECT CAST(NULL AS VARCHAR), TRUE, CAST(COUNT(*) AS BIGINT)
+    FROM events WHERE event_id % 97 = 0
+    """,
+)
+def q_json_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record quarantine — the schema-drift safety net of every
+    JSON ingest: events are landed as JSON lines with every 97th record
+    deterministically mangled into invalid JSON, then read back PERMISSIVE
+    with ``columnNameOfCorruptRecord`` so bad rows survive as raw text in
+    ``_corrupt`` instead of killing the job (FAILFAST) or vanishing
+    (DROPMALFORMED). Output splits counts by (event_type, quarantined);
+    the oracle recomputes both populations from the plant rule, so the
+    driver check proves no record was lost OR misclassified. Parsing is
+    JVM-side Jackson; the quarantine branch is a column predicate, not a
+    Python pass."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    staging = Path(tempfile.gettempdir()) / "bdec_json_corrupt" / key
+    if not (staging / "_SUCCESS").exists():
+        ev = table_scan(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type"
+        )
+        line = F.to_json(F.struct("event_id", "user_id", "event_type"))
+        ev.select(
+            F.when(
+                F.col("event_id") % 97 == 0, F.concat(F.lit("{corrupt!"), line)
+            )
+            .otherwise(line)
+            .alias("value")
+        ).write.mode("overwrite").text(str(staging))
+    df = (
+        spark.read.schema(
+            "event_id long, user_id long, event_type string, _corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(str(staging))
+    )
+    return df.groupBy(
+        "event_type", F.col("_corrupt").isNotNull().alias("quarantined")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "vocab_heavy_hitters_pigeonhole",
+    r"""
+    WITH t AS (
+      SELECT UNNEST(string_split_regex(TRIM(text), '\s+')) AS tok
+      FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM t)
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(COUNT(*) * 1000 // (SELECT n FROM tot) AS BIGINT) AS per_mille
+    FROM t GROUP BY tok
+    HAVING COUNT(*) * 50 >= (SELECT n FROM tot)
+    """,
+)
+def q_vocab_heavy_hitters_pigeonhole(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (tokens with ≥ 1/50 corpus share) via two-phase
+    pigeonhole pruning — the distributed frequent-items shape that never
+    shuffles the long tail: phase 1 counts tokens WITHIN each input
+    partition (map-side only, grouped on ``spark_partition_id``) and keeps
+    candidates whose local count ≥ n/(50·P). By pigeonhole, any token with
+    global count ≥ n/50 spread over P partitions must clear that local bar
+    somewhere, so the candidate set provably contains every true hitter —
+    recall is exactly 1, unlike sketch-based frequent-items. Phase 2
+    exactly recounts ONLY candidates (broadcast semi-join drops the tail
+    before the shuffle) and applies the global threshold, which also makes
+    the output independent of the physical partitioning. At 100 TB the
+    shuffle carries |candidates| ≪ |vocabulary| keys; the tail — the bulk
+    of any Zipfian vocabulary — dies map-side."""
+    docs = table_scan(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    ).persist()
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    p_cnt = toks.rdd.getNumPartitions()  # partition COUNT (metadata), no data
+    local = toks.groupBy(F.spark_partition_id().alias("pid"), "tok").agg(
+        F.count(F.lit(1)).alias("lc")
+    )
+    cand = (
+        local.crossJoin(F.broadcast(total))
+        .filter(F.col("lc") * 50 * p_cnt >= F.col("n"))
+        .select("tok")
+        .distinct()
+    )
+    return (
+        toks.join(F.broadcast(cand), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * 50 >= F.col("n"))
+        .selectExpr("tok", "cnt", "cnt * 1000 div n AS per_mille")
+    )
+
+
+@register(
+    "events_ks_drift",
+    """
+    WITH e AS (
+      SELECT event_type, value,
+             CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 1 ELSE 0 END AS is_b
+      FROM events
+    ),
+    pv AS (
+      SELECT event_type, value,
+             SUM(1 - is_b) AS a, SUM(is_b) AS b
+      FROM e GROUP BY event_type, value
+    ),
+    c AS (
+      SELECT event_type, value,
+             CAST(SUM(a) OVER w AS BIGINT) AS cum_a,
+             CAST(SUM(b) OVER w AS BIGINT) AS cum_b
+      FROM pv
+      WINDOW w AS (PARTITION BY event_type ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    t AS (
+      SELECT event_type, CAST(SUM(a) AS BIGINT) AS n_a,
+             CAST(SUM(b) AS BIGINT) AS n_b
+      FROM pv GROUP BY event_type
+    )
+    SELECT c.event_type, t.n_a, t.n_b,
+           CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS ks_num,
+           CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) * 1000
+                // (n_a * n_b) AS BIGINT) AS ks_permille
+    FROM c JOIN t ON c.event_type = t.event_type
+    GROUP BY c.event_type, t.n_a, t.n_b
+    """,
+)
+def q_events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift statistic per event_type
+    between the first 15 days and the rest of the month — the
+    distribution-shift monitor for a feature/score column (the sibling of
+    events_distribution_drift's TVD, but over the FULL CDF, not bucketed).
+    D = max|F₁(x) − F₂(x)| is computed without a single float division:
+    per distinct value the two cumulative counts are cross-multiplied by
+    the opposite sample size, so ``ks_num = max|cumA·n_b − cumB·n_a|`` is
+    an exact integer in both engines and the reported per-mille is integer
+    floor-division. One shuffle groups (type, value); the CDF walk is a
+    per-type ordered window; sample totals ride a broadcast join."""
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    e = table_scan(spark, sf_dir, "events").select(
+        "event_type", "value", (F.col("ts") >= cut).cast("long").alias("is_b")
+    )
+    pv = e.groupBy("event_type", "value").agg(
+        F.sum(F.lit(1) - F.col("is_b")).alias("a"),
+        F.sum("is_b").alias("b"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = pv.select(
+        "event_type",
+        F.sum("a").over(w).alias("cum_a"),
+        F.sum("b").over(w).alias("cum_b"),
+    )
+    t = pv.groupBy("event_type").agg(
+        F.sum("a").alias("n_a"), F.sum("b").alias("n_b")
+    )
+    gap = F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+    return (
+        c.join(F.broadcast(t), "event_type")
+        .groupBy("event_type", "n_a", "n_b")
+        .agg(F.max(gap).alias("ks_num"))
+        .selectExpr(
+            "event_type",
+            "n_a",
+            "n_b",
+            "ks_num",
+            "ks_num * 1000 div (n_a * n_b) AS ks_permille",
+        )
+    )
+
+
+@register(
+    "url_canonical_dedup",
+    """
+    SELECT source || '.example.com/' || lang || '/doc-'
+             || CAST(doc_id % 50 AS VARCHAR) AS canonical_url,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS dup_cnt
+    FROM documents GROUP BY 1
+    """,
+)
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the first pass of every web-crawl
+    pipeline: synthesize each document's source URL (deterministically from
+    its columns), canonicalize it by KEEPING host+path and DROPPING the
+    query string (tracking params like utm_* must not distinguish pages),
+    and keep the lowest doc_id per canonical URL. Canonicalization uses
+    Spark's JVM ``parse_url(HOST)`` / ``parse_url(PATH)`` — no regex in
+    the hot path, no Python. The oracle derives the canonical form
+    independently from the raw columns, so the driver check verifies the
+    parser actually stripped exactly the query string."""
+    d = table_scan(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("?utm_source="),
+        F.col("source"),
+    )
+    canon = F.concat(
+        F.parse_url(url, F.lit("HOST")), F.parse_url(url, F.lit("PATH"))
+    )
+    return (
+        d.select(F.col("doc_id"), canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("dup_cnt"),
+        )
+    )
+
+
+@register(
+    "dpp_partitioned_fact_join",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+           CAST(COUNT(*) AS BIGINT) AS order_cnt,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders
+    WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1996-03' AND '1996-06'
+    GROUP BY 1
+    """,
+)
+def q_dpp_partitioned_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: orders are landed once per sf_dir as
+    parquet partitioned by order month, then joined to a month dimension
+    that is filtered at runtime. Because the join key is the fact's
+    PARTITION column and the dim side broadcasts, Catalyst injects a
+    dynamic pruning subquery into the fact scan — only the 4 matching
+    month directories are read, never the full fact table. This is THE
+    mechanism that makes star-schema queries touch 1/100th of a 100 TB
+    fact; tests/test_plan_invariants.py asserts the
+    ``dynamicpruningexpression`` is present in the executed plan. The dim
+    is derived from the unpartitioned orders table (a different source
+    than the fact), as in a real date-dimension join."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    staging = Path(tempfile.gettempdir()) / "bdec_dpp_orders" / key
+    if not (staging / "_SUCCESS").exists():
+        table_scan(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        ).write.mode("overwrite").partitionBy("o_month").parquet(str(staging))
+    fact = spark.read.parquet(str(staging))
+    dim = (
+        table_scan(spark, sf_dir, "orders")
+        .select(F.date_format("o_orderdate", "yyyy-MM").alias("o_month"))
+        .distinct()
+        .filter(F.col("o_month").between("1996-03", "1996-06"))
+    )
+    cents = F.col("o_totalprice").cast("decimal(18,2)") * 100
+    return (
+        fact.join(F.broadcast(dim), "o_month")
+        .groupBy("o_month")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            F.sum(cents.cast("long")).alias("cents"),
+        )
+    )
+
+
+@register(
+    "python_datasource_stream",
+    """
+    WITH items AS (
+      SELECT CAST(i AS BIGINT) AS item_id FROM UNNEST(range(1600)) AS t(i)
+    ),
+    feat AS (
+      SELECT item_id,
+             CASE CAST(concat('0x', substr(md5('feed:'
+                    || CAST(item_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4
+               WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
+               WHEN 2 THEN 'gamma' ELSE 'delta' END AS category,
+             CAST(concat('0x', substr(md5('amt:'
+                    || CAST(item_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
+               AS amount
+      FROM items
+    )
+    SELECT category, COUNT(*) AS items,
+           CAST(SUM(amount) AS BIGINT) AS total_amount
+    FROM feat GROUP BY category
+    """,
+)
+def q_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING custom Python DataSource (Spark 4 ``streamReader`` API,
+    sources/python_datasource.py: FeedStreamReader) — the streaming sibling
+    of python_datasource_scan and the last Python-connector surface:
+    offsets advance 2 feed pages per micro-batch (8 pages → 4 micro-batches,
+    driven to exhaustion with ``processAllAvailable``), and each batch's
+    offset range fans out as one InputPartition per page so EXECUTORS read
+    the pages in parallel — the distributed reader, not the driver-side
+    SimpleDataSourceStreamReader. The complete-mode aggregation proves
+    state carries across micro-batch boundaries; the feed is md5-portable,
+    so the oracle regenerates every streamed row from a bare integer range
+    and the final aggregate is fully value-checked."""
+    import tempfile as _tf
+
+    from ..sources.python_datasource import register_feed_stream_source
+
+    register_feed_stream_source(spark)
+    feed = (
+        spark.readStream.format("synthetic_feed_stream")
+        .option("pages", 8)
+        .option("rows_per_page", 200)
+        .option("pages_per_batch", 2)
+        .load()
+    )
+    agg = feed.groupBy("category").agg(
+        F.count(F.lit(1)).alias("items"),
+        F.sum("amount").cast("long").alias("total_amount"),
+    )
+    qname = "bdec_feed_stream_out"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", _tf.mkdtemp(prefix="bdec_feed_stream_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    # snapshot the memory sink so the returned frame is static
+    out = spark.table(qname).collect()
+    return spark.createDataFrame(
+        out, "category string, items long, total_amount long"
+    )
+
+
+@register(
+    "map_functions",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS cnt
+      FROM events WHERE user_id < 40 GROUP BY 1, 2
+    )
+    SELECT user_id,
+           string_agg(event_type || ':' || CAST(cnt AS VARCHAR),
+                      ',' ORDER BY event_type) AS all_counts,
+           COALESCE(string_agg(
+             CASE WHEN cnt >= 3
+                  THEN event_type || ':' || CAST(cnt * 2 AS VARCHAR) END,
+             ',' ORDER BY event_type), '') AS kept_doubled,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_types
+    FROM c GROUP BY user_id
+    """,
+)
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType higher-order surface — the complex-type family the array-HOF
+    query (array_functions) does not touch: per-user event-type count maps
+    built with ``map_from_entries`` over sorted entries (deterministic key
+    order), then ``map_filter`` (keep counts ≥ 3), ``transform_values``
+    (doubling), ``map_keys`` + ``element_at`` for canonical
+    stringification. All lambdas are JVM codegen; maps never leave the
+    executor as maps (the emitted canonical string is engine-portable,
+    since neither engine hashes map columns deterministically). Each map op
+    runs on a BOUND column (chained selects), never a captured expression —
+    the per-element re-evaluation trap in NOTES.md."""
+    e = table_scan(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    cnts = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    m = cnts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("m")
+    )
+    filt = m.select(
+        "user_id", "m", F.map_filter("m", lambda k, v: v >= 3).alias("kept")
+    )
+    doubled = filt.select(
+        "user_id",
+        "m",
+        "kept",
+        F.transform_values("kept", lambda k, v: v * 2).alias("kept2"),
+    )
+
+    def canon(mp: str):
+        col = F.col(mp)
+        return F.array_join(
+            F.transform(
+                F.map_keys(col),
+                lambda k: F.concat(
+                    k, F.lit(":"), F.element_at(col, k).cast("string")
+                ),
+            ),
+            ",",
+        )
+
+    return doubled.select(
+        "user_id",
+        canon("m").alias("all_counts"),
+        canon("kept2").alias("kept_doubled"),
+        F.size("m").cast("long").alias("n_types"),
+        F.size("kept").cast("long").alias("kept_types"),
+    )
+
+
+@register(
+    "grouped_stats_arrow",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS min_cents,
+           CAST(MAX(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS max_cents,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_grouped_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped ``applyInArrow`` (Spark 4) — the zero-copy grouped-Python
+    surface completing the execution matrix next to applyInPandas
+    (grouped_zscore_pandas), cogrouped applyInPandas, mapInArrow
+    (doc_token_stats_arrow) and the Arrow UDTF: each order-priority group
+    arrives as ONE pyarrow.Table and per-group stats are computed with
+    pyarrow.compute kernels (no pandas conversion, no Python-object
+    round-trip). Integer cents make every stat exact in both engines. The
+    semantics are deliberately a plain aggregate so the oracle fully
+    value-checks the Arrow path; a real workload would use this shape for
+    per-group logic SQL can't express (per-entity model scoring, custom
+    sketch merges)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    o = table_scan(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+
+    def stats(table: "pa.Table") -> "pa.Table":
+        c = table.column("cents")
+        return pa.table(
+            {
+                "o_orderpriority": [table.column("o_orderpriority")[0].as_py()],
+                "n": pa.array([table.num_rows], type=pa.int64()),
+                "min_cents": pa.array([pc.min(c).as_py()], type=pa.int64()),
+                "max_cents": pa.array([pc.max(c).as_py()], type=pa.int64()),
+                "sum_cents": pa.array([pc.sum(c).as_py()], type=pa.int64()),
+            }
+        )
+
+    return o.groupBy("o_orderpriority").applyInArrow(
+        stats,
+        schema="o_orderpriority string, n long, min_cents long, "
+        "max_cents long, sum_cents long",
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
 # The driver correctness-checks the FIRST 50 registry entries per round
@@ -9423,20 +10023,20 @@ _WINDOW_PRIORITY: list[str] = [
     "source_mixture_weights",
     "embedding_quantize_int8",
     "doc_dedup_exact",
-    # new round-6 registrations seat here (inserted as they land):
-    # r1-only tail, oldest recorded evidence first:
-    "parquet_scan",
-    "json_scan",
-    "union_all_files",
+    # new round-6 registrations (zero evidence by definition):
+    "sql_recursive_subtree_rollup",
+    "parquet_meta_partition_audit",
+    "xml_scan",
+    "json_corrupt_quarantine",
+    "vocab_heavy_hitters_pigeonhole",
+    "events_ks_drift",
+    "url_canonical_dedup",
+    "dpp_partitioned_fact_join",
+    "python_datasource_stream",
+    "map_functions",
+    "grouped_stats_arrow",
+    # r1-only tail, SURVEY §2 anchor:
     "silver_clean_contract",
-    "gold_counts_hierarchy",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_top_orders",
-    "window_dedup_rownum",
-    "join_broadcast_dim",
-    "join_shuffle_fact",
-    "events_session_window",
-    "ann_cosine_topk",
 ]
 
 _WINDOW_PRIORITY_R5: list[str] = [

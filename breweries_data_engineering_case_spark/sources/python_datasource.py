@@ -26,6 +26,7 @@ from typing import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -124,3 +125,61 @@ def register_feed_source(spark) -> None:
     session-build conf (driver sessions are vanilla — see NOTES.md)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(FeedDataSource)
+
+
+class FeedStreamReader(DataSourceStreamReader):
+    """Distributed streaming reader over the same md5-portable feed.
+
+    Offsets advance ``pages_per_batch`` pages per micro-batch until the
+    feed is exhausted; ``partitions(start, end)`` fans the offset range out
+    as one InputPartition per page, so every micro-batch's rows are read BY
+    EXECUTORS in parallel (the distributed ``streamReader`` API, not the
+    driver-side ``SimpleDataSourceStreamReader``). Row content is identical
+    to the batch FeedReader, so a SQL oracle regenerates the full stream."""
+
+    def __init__(self, options: dict):
+        self.n_pages = int(options.get("pages", 8))
+        self.rows_per_page = int(options.get("rows_per_page", 200))
+        self.pages_per_batch = int(options.get("pages_per_batch", 2))
+        self._current = 0
+
+    def initialOffset(self) -> dict:
+        return {"page": 0}
+
+    def latestOffset(self) -> dict:
+        self._current = min(self._current + self.pages_per_batch, self.n_pages)
+        return {"page": self._current}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        return [
+            _PagePartition(p, self.rows_per_page)
+            for p in range(start["page"], end["page"])
+        ]
+
+    def read(self, partition: _PagePartition) -> Iterator[tuple]:
+        base = partition.page * partition.rows_per_page
+        for i in range(partition.rows_per_page):
+            item_id = base + i
+            cat = CATEGORIES[_h(f"feed:{item_id}") % 4]
+            amount = _h(f"amt:{item_id}") % 10000
+            yield (partition.page, item_id, cat, amount)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class FeedStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_feed_stream"
+
+    def schema(self) -> StructType:
+        return FeedDataSource(options={}).schema()
+
+    def streamReader(self, schema: StructType) -> FeedStreamReader:
+        return FeedStreamReader(self.options)
+
+
+def register_feed_stream_source(spark) -> None:
+    """Idempotently register the synthetic_feed_stream source."""
+    spark.dataSource.register(FeedStreamDataSource)

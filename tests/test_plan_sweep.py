@@ -49,6 +49,8 @@ BNLJ_OK = {
     "kmeans_lloyd_step_int",  # 8-row centroid table broadcast, corpus streamed
     "events_distribution_drift",  # single-row bounds + totals broadcasts
     "kmeans_lloyd_converge_int",  # ≤8-row centroid tables broadcast twice
+    "vocab_heavy_hitters_pigeonhole",  # single-row corpus-total broadcast
+    #   (twice: candidate threshold + final threshold)
 }
 
 #: queries allowed a single-partition (global) Window. Each must justify the
@@ -92,6 +94,7 @@ PANDAS_OK = {
     "embedding_semantic_dedup_portable",  # integer hyperplane-sign UDF
     "events_cogroup_purchase_attribution",  # cogrouped applyInPandas, by definition
     "doc_token_stats_arrow",  # mapInArrow pyarrow.compute kernel, by definition
+    "grouped_stats_arrow",  # grouped applyInArrow pyarrow.compute kernel, by definition
 }
 
 PANDAS_NODES = (
@@ -100,6 +103,7 @@ PANDAS_NODES = (
     "MapInArrow",
     "FlatMapGroupsInPandas",
     "FlatMapCoGroupsInPandas",
+    "FlatMapGroupsInArrow",
 )
 
 

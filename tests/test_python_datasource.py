@@ -82,3 +82,67 @@ def test_residual_filter_still_applied_after_pushdown(spark):
         if CATEGORIES[_h(f"feed:{i}") % 4] == "alpha"
     }
     assert got == want and got
+
+
+def test_stream_reader_multi_batch_distributed(spark):
+    """The streaming feed source must advance through MULTIPLE micro-batches
+    (pages_per_batch < pages) and read each batch via executor partitions;
+    the complete-mode aggregate over all batches equals the batch source's
+    unfiltered aggregate."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from breweries_data_engineering_case_spark.sources.python_datasource import (
+        register_feed_source,
+        register_feed_stream_source,
+    )
+
+    register_feed_stream_source(spark)
+    feed = (
+        spark.readStream.format("synthetic_feed_stream")
+        .option("pages", 8)
+        .option("rows_per_page", 200)
+        .option("pages_per_batch", 2)
+        .load()
+    )
+    agg = feed.groupBy("category").agg(
+        F.count(F.lit(1)).alias("items"),
+        F.sum("amount").cast("long").alias("total_amount"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_feed_stream_mb")
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .start()
+    )
+    q.processAllAvailable()
+    n_data_batches = sum(
+        1 for p in q.recentProgress if p["numInputRows"] > 0
+    )
+    rows_in = sum(p["numInputRows"] for p in q.recentProgress)
+    q.stop()
+    got = {
+        (r["category"], r["items"], r["total_amount"])
+        for r in spark.table("t_feed_stream_mb").collect()
+    }
+    assert n_data_batches >= 4, f"expected >=4 data micro-batches, saw {n_data_batches}"
+    assert rows_in == 1600
+
+    register_feed_source(spark)
+    batch = (
+        spark.read.format("synthetic_feed")
+        .option("pages", 8)
+        .option("rows_per_page", 200)
+        .load()
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("items"),
+            F.sum("amount").cast("long").alias("total_amount"),
+        )
+    )
+    want = {
+        (r["category"], r["items"], r["total_amount"]) for r in batch.collect()
+    }
+    assert got == want
