@@ -9959,6 +9959,80 @@ def q_grouped_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_arrow_udf_cents",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS cents_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def q_events_arrow_udf_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar ``@arrow_udf`` (Spark 4.1) — the Arrow-native scalar UDF
+    surface (pyarrow.Array in/out per batch, no pandas Series conversion;
+    sibling of pandas_udf the way mapInArrow is the sibling of
+    mapInPandas). The kernel quantizes the double ``value`` to exact cents
+    with ``pyarrow.compute`` (×100 → round — the test values carry two
+    decimals, so the nearest integer is the true cents value in every
+    engine; the oracle's DECIMAL(18,2) cast rounds the same rational to
+    the same integer). Downstream SUM is exact int64, so the whole Arrow
+    path is full-value-checked. The kernel lives in
+    functions/arrow_kernels.py — a module WITHOUT ``from __future__
+    import annotations``, which would stringify the pyarrow signature
+    arrow_udf dispatches on."""
+    from ..functions.arrow_kernels import to_cents
+
+    e = table_scan(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(to_cents(F.col("value"))).alias("cents_sum"),
+    )
+
+
+@register(
+    "agg_functions_modern",
+    """
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           arg_max(n_name, n_nationkey) AS max_key_nation,
+           arg_min(n_name, n_nationkey) AS min_key_nation,
+           CAST(COUNT(*) FILTER (WHERE n_nationkey % 2 = 0) AS BIGINT)
+             AS even_keys,
+           bool_or(n_nationkey > 20) AS has_high_key
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_agg_functions_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern aggregate surface added in Spark 4.x: ``listagg ... WITHIN
+    GROUP (ORDER BY ...)`` (deterministic ordered concatenation — the ANSI
+    form, not a collect_list+array_join workaround), ``max_by``/``min_by``
+    (DuckDB arg_max/arg_min) over unique keys, ``count_if``, and
+    ``bool_or`` — each the idiomatic one-pass form of a pattern that
+    otherwise costs a self-join or a window. Grouped per region over the
+    nation dim (keys unique ⇒ every aggregate deterministic). mode() is
+    deliberately absent: its tie-break order differs between engines."""
+    n = table_scan(spark, sf_dir, "nation")
+    r = table_scan(spark, sf_dir, "region")
+    j = n.join(
+        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+    ).createOrReplaceTempView("bdec_r6_nation_region")
+    return n.sparkSession.sql(
+        """
+        SELECT r_name,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+               max_by(n_name, n_nationkey) AS max_key_nation,
+               min_by(n_name, n_nationkey) AS min_key_nation,
+               count_if(n_nationkey % 2 = 0) AS even_keys,
+               bool_or(n_nationkey > 20) AS has_high_key
+        FROM bdec_r6_nation_region
+        GROUP BY r_name
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
@@ -10035,8 +10109,9 @@ _WINDOW_PRIORITY: list[str] = [
     "python_datasource_stream",
     "map_functions",
     "grouped_stats_arrow",
-    # r1-only tail, SURVEY §2 anchor:
-    "silver_clean_contract",
+    "events_arrow_udf_cents",
+    # window is exactly 50; r6 names past the cutoff rotate into r7:
+    # agg_functions_modern (plus any r6 name whose row fails to record)
 ]
 
 _WINDOW_PRIORITY_R5: list[str] = [

@@ -95,6 +95,7 @@ PANDAS_OK = {
     "events_cogroup_purchase_attribution",  # cogrouped applyInPandas, by definition
     "doc_token_stats_arrow",  # mapInArrow pyarrow.compute kernel, by definition
     "grouped_stats_arrow",  # grouped applyInArrow pyarrow.compute kernel, by definition
+    "events_arrow_udf_cents",  # scalar @arrow_udf kernel, by definition
 }
 
 PANDAS_NODES = (
