@@ -10033,6 +10033,114 @@ def q_agg_functions_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kcore_oracle(k: int = 2, unroll: int = 8) -> str:
+    """Compose the unrolled k-core peel oracle (one degree-filter step per
+    CTE pair; mechanical, so generated — the registered oracle is still a
+    fixed string). Mirrors the CC/PageRank unrolled-CTE oracle style."""
+    base = """
+    WITH li AS (
+      SELECT l_orderkey AS o, l_partkey AS p FROM lineitem WHERE l_partkey < 200
+    ),
+    e0 AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    ),
+    e AS (
+      SELECT u, v FROM e0
+      WHERE CAST(concat('0x', substr(md5(
+              CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)), 1, 15))
+            AS BIGINT) % 10 = 0
+    ),
+    sym0 AS MATERIALIZED (
+      SELECT u AS a, v AS b FROM e UNION SELECT v AS a, u AS b FROM e)
+    """
+    # every symN is referenced three times by level N+1; AS MATERIALIZED
+    # stops DuckDB from inlining (3^unroll plan copies = thousands of
+    # lineitem re-scans, which exhausts file handles)
+    steps = []
+    prev = "sym0"
+    for i in range(1, unroll + 1):
+        steps.append(
+            f"k{i} AS MATERIALIZED (SELECT a FROM {prev} GROUP BY a "
+            f"HAVING COUNT(*) >= {k}), "
+            f"sym{i} AS MATERIALIZED (SELECT s.a, s.b FROM {prev} s "
+            f"JOIN k{i} x ON s.a = x.a JOIN k{i} y ON s.b = y.a)"
+        )
+        prev = f"sym{i}"
+    return (
+        base
+        + ", "
+        + ", ".join(steps)
+        + f" SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS core_degree"
+        f" FROM {prev} GROUP BY a"
+    )
+
+
+@register("graph_kcore_decomposition", _kcore_oracle())
+def q_graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core decomposition by iterative degree peeling — the third
+    iterative-graph exemplar next to label-propagation CC and fixed-point
+    PageRank: repeatedly delete nodes of degree < k until none remain
+    (k-cores drive graph-based dedup cluster trimming and community
+    mining; the peel order is also the degeneracy order). Eight peel
+    rounds are unrolled — the fixpoint is reached much earlier at test
+    scale (asserted in tests/test_round6_ops.py) and extra rounds are
+    no-ops on the converged edge set, so the unroll count only bounds,
+    never changes, the result. Per round: one degree aggregate + two semi
+    joins (edges shuffled on their endpoint keys); the surviving edge set
+    shrinks monotonically, so the per-round cost DECREASES — the classic
+    distributed peel. Same hash-sampled co-purchase graph as
+    graph_connected_components; oracle is the identical peel unrolled in
+    SQL."""
+    from ..functions.hashing import portable_hash64
+
+    li = (
+        table_scan(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < 200)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    key = F.concat(
+        F.col("u").cast("string"), F.lit(":"), F.col("v").cast("string")
+    )
+    edges = e0.filter(F.pmod(portable_hash64(key), F.lit(10)) == 0)
+    # each peel round references `core` three times (degree agg + two semi
+    # joins); without truncation the logical plan grows 3^rounds and the
+    # analyzer OOMs — eager localCheckpoint per round, same pattern as
+    # operators/components.py
+    core = (
+        edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionByName(edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(8):
+        keep = (
+            core.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= 2)
+            .select("a")
+        )
+        # the sampled graph is small and shrinks every round — collapse to
+        # 8 partitions before materializing so each checkpoint writes 8
+        # block files, not shuffle-partition-many (at real scale the peel
+        # would AQE-coalesce the same way)
+        core = (
+            core.join(keep, "a", "left_semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+            .select("a", "b")
+            .repartition(8, "a")
+            .localCheckpoint(eager=True)
+        )
+    return core.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("core_degree")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

