@@ -10016,10 +10016,10 @@ def q_agg_functions_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
     deliberately absent: its tie-break order differs between engines."""
     n = table_scan(spark, sf_dir, "nation")
     r = table_scan(spark, sf_dir, "region")
-    j = n.join(
+    n.join(
         F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
     ).createOrReplaceTempView("bdec_r6_nation_region")
-    return n.sparkSession.sql(
+    return spark.sql(
         """
         SELECT r_name,
                listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
