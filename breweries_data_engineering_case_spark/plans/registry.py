@@ -10141,6 +10141,170 @@ def q_graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_PORTABLE_ORACLE = """
+    WITH e AS (
+      SELECT vec_id, i, CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS qx
+      FROM (SELECT vec_id, UNNEST(embedding) AS x,
+                   UNNEST(range(len(embedding))) AS i FROM embeddings)
+    ),
+    c0 AS (SELECT vec_id AS cid, i, qx AS cx FROM e WHERE vec_id < 8),
+    d1 AS (
+      SELECT e.vec_id, c0.cid,
+             CAST(SUM((e.qx - c0.cx) * (e.qx - c0.cx)) AS BIGINT) AS dist
+      FROM e JOIN c0 ON e.i = c0.i GROUP BY e.vec_id, c0.cid
+    ),
+    a1 AS (
+      SELECT vec_id, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      FROM d1
+    ),
+    s1 AS (
+      SELECT a1.cid AS cluster, e.i, CAST(SUM(e.qx) AS BIGINT) AS s,
+             COUNT(*) AS n
+      FROM a1 JOIN e ON e.vec_id = a1.vec_id
+      WHERE a1.rn = 1 GROUP BY a1.cid, e.i
+    ),
+    c1 AS (SELECT cluster AS cid, i, CAST(s // n AS BIGINT) AS cx FROM s1),
+    d2 AS (
+      SELECT e.vec_id, c1.cid,
+             CAST(SUM((e.qx - c1.cx) * (e.qx - c1.cx)) AS BIGINT) AS dist
+      FROM e JOIN c1 ON e.i = c1.i GROUP BY e.vec_id, c1.cid
+    ),
+    members AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d2) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d2 WHERE vec_id < 5) WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT DISTINCT p.vec_id AS query_id, m.vec_id AS neighbor_id
+      FROM probe p JOIN members m ON m.cid = p.cid
+      WHERE m.vec_id <> p.vec_id
+    ),
+    pairs AS (
+      SELECT c.query_id, c.neighbor_id,
+             UNNEST(x.embedding) AS xa, UNNEST(y.embedding) AS xb,
+             UNNEST(range(len(x.embedding))) AS i
+      FROM cand c JOIN embeddings x ON x.vec_id = c.query_id
+                  JOIN embeddings y ON y.vec_id = c.neighbor_id
+    ),
+    sc AS (
+      SELECT query_id, neighbor_id,
+             SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE) ORDER BY i) AS dot,
+             SUM(CAST(xa AS DOUBLE) * CAST(xa AS DOUBLE) ORDER BY i) AS na,
+             SUM(CAST(xb AS DOUBLE) * CAST(xb AS DOUBLE) ORDER BY i) AS nb
+      FROM pairs GROUP BY query_id, neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             dot / (sqrt(na) * sqrt(nb)) AS score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, neighbor_id)
+               AS rank
+      FROM sc
+    )
+    SELECT query_id, neighbor_id, score, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+"""
+
+
+@register("ann_cosine_topk_ivf_portable", _IVF_PORTABLE_ORACLE)
+def q_ann_cosine_topk_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN on the PORTABLE integer coarse quantizer — the fully
+    oracle-checked twin of ``ann_cosine_topk_ivf``, closing the last
+    rows-only family the same way the MinHash/SemDeDup portables did:
+    centroids come from one exact int64 Lloyd update (the bitwise-checked
+    kernel of kmeans_lloyd_converge_int: deterministic init on vec_id<8,
+    integer distance folds, trunc-consistent `div` mean), so the inverted
+    lists, the queries' top-2 probe lists, the candidate set, and the
+    exact re-scored ranks (index-ordered double fold) all replay in plain
+    SQL. Shape is the production IVF shape: corpus assigned once (scan ×
+    broadcast 8-row centroid table), queries probe nprobe/k of the lists,
+    candidates only from probed lists; recall vs the exact baseline is
+    asserted in tests/test_ann_recall.py (measured 0.90 at sf0.01 with
+    nprobe=2 of 8 lists)."""
+    from ..functions.vectors import cosine
+    from ..operators.similarity import quantize_embedding
+
+    emb = table_scan(spark, sf_dir, "embeddings")
+    q0 = emb.select(
+        "vec_id", "embedding", quantize_embedding("embedding").alias("qv")
+    ).persist()
+
+    def distances(cents: DataFrame) -> DataFrame:
+        diff = F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b))
+        dist = F.aggregate(diff, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        return q0.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "embedding", "qv", "cid", dist.alias("dist")
+        )
+
+    c0 = q0.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    )
+    a1 = (
+        distances(c0)
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cid", "qv")).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cluster"), F.col("m.qv").alias("qv"))
+    )
+    c1 = (
+        a1.select("cluster", F.posexplode("qv").alias("i", "qx"))
+        .groupBy("cluster", "i")
+        .agg(F.sum("qx").alias("s"), F.count(F.lit(1)).alias("n"))
+        .selectExpr("cluster AS cid", "i", "s div n AS comp")
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "comp"))),
+                lambda x: x["comp"],
+            ).alias("cv")
+        )
+    )
+    d2 = distances(c1).persist()
+    members = (
+        d2.groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cid", "embedding")).alias("m"))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("m.cid").alias("cid"),
+            F.col("m.embedding").alias("__cvec"),
+        )
+    )
+    wq = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    probes = (
+        d2.filter(F.col("vec_id") < 5)
+        .select(
+            "vec_id", "cid", "embedding", F.row_number().over(wq).alias("rn")
+        )
+        .filter(F.col("rn") <= 2)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "cid",
+            F.col("embedding").alias("__qvec"),
+        )
+    )
+    cand = (
+        members.join(F.broadcast(probes), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine("__qvec", "__cvec").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

@@ -133,3 +133,17 @@ def test_embedding_near_dup_recall_vs_exact(spark, sf_dir):
     if exact:
         recall_p = len(port & exact) / len(exact)
         assert recall_p >= 0.5, f"portable near-dup recall {recall_p:.2f}"
+
+
+def test_ivf_portable_recall(spark, sf_dir):
+    """The fully-oracle-checked integer-quantizer IVF twin must hold
+    useful recall vs the exact baseline (8 lists from one integer Lloyd
+    update, nprobe=2)."""
+    from breweries_data_engineering_case_spark.plans import registry
+
+    emb = table_scan(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = _topk_sets(cosine_topk(emb, q, k=10))
+    port = _topk_sets(registry.QUERIES["ann_cosine_topk_ivf_portable"](spark, sf_dir))
+    r = _recall(port, exact)
+    assert r >= 0.4, f"portable IVF recall {r:.2f}"
