@@ -51,6 +51,8 @@ BNLJ_OK = {
     "kmeans_lloyd_converge_int",  # ≤8-row centroid tables broadcast twice
     "vocab_heavy_hitters_pigeonhole",  # single-row corpus-total broadcast
     #   (twice: candidate threshold + final threshold)
+    "ann_cosine_topk_ivf_portable",  # ≤8-row centroid tables broadcast
+    #   (same shape as the kmeans_lloyd_* queries it reuses)
 }
 
 #: queries allowed a single-partition (global) Window. Each must justify the
