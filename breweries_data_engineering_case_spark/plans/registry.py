@@ -10305,6 +10305,60 @@ def q_ann_cosine_topk_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register(
+    "streaming_file_sink_exactly_once",
+    """
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+    """,
+)
+def q_streaming_file_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed parquet FILE sink — the remaining streaming sink
+    surface next to the memory sink and foreachBatch: events stream in
+    one-file micro-batches (maxFilesPerTrigger=1, AvailableNow) through a
+    map-only cleaning projection into an append-mode parquet sink. Unlike
+    the other streaming queries, sink AND checkpoint are PERSISTENT per
+    sf_dir: a re-invocation restarts the query over the same checkpoint,
+    finds no unprocessed files, and appends nothing — the file-sink
+    transaction log (_spark_metadata) plus the source checkpoint give
+    exactly-once delivery across restarts, which is precisely what the
+    oracle equality witnesses (a duplicated batch would double counts).
+    The aggregate runs over the SINK's files, so the driver check also
+    proves the sink wrote every row exactly once."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    staging = Path(tempfile.gettempdir()) / "bdec_stream_events" / key
+    if not (staging / "_SUCCESS").exists():
+        table_scan(spark, sf_dir, "events").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(str(staging))
+    from ..streaming.events import EVENTS_STREAM_SCHEMA
+
+    run_dir = Path(tempfile.gettempdir()) / "bdec_filesink" / key
+    sink, ckpt = run_dir / "out", run_dir / "ckpt"
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(staging))
+    )
+    cleaned = stream.select(
+        "event_id", "event_type", F.to_date("ts").alias("day")
+    )
+    q = (
+        cleaned.writeStream.format("parquet")
+        .option("path", str(sink))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(str(sink))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
