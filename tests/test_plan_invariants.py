@@ -407,3 +407,41 @@ def test_no_input_row_collect_in_operators():
                 if (rel, func) not in allowed:
                     offenders.append(f"{rel}:{i} in {func}")
     assert not offenders, f"unaudited .collect() of input rows: {offenders}"
+
+
+def test_url_dedup_prunes_document_columns(spark, sf_dir):
+    """url_canonical_dedup touches only (doc_id, lang, source) — the text
+    column (the wide one) must be pruned from the parquet scan."""
+    from breweries_data_engineering_case_spark.plans import registry
+
+    df = registry.queries()["url_canonical_dedup"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan and all("text" not in ln for ln in scan), scan
+
+
+def test_ks_drift_single_events_scan_shape(spark, sf_dir):
+    """events_ks_drift reads only (event_type, value, ts) and computes the
+    CDF with partitioned windows — never a single-partition sort."""
+    from breweries_data_engineering_case_spark.plans import registry
+
+    df = registry.queries()["events_ks_drift"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans and all(
+        "props" not in ln and "event_id" not in ln for ln in scans
+    ), scans
+    # the CDF windows are per-event_type (never single-partition); that
+    # invariant is enforced repo-wide by test_plan_sweep.py
+
+
+def test_recursive_rollup_prunes_customer_columns(spark, sf_dir):
+    """The recursive rollup needs only (c_custkey, c_acctbal)."""
+    from breweries_data_engineering_case_spark.plans import registry
+
+    df = registry.queries()["sql_recursive_subtree_rollup"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans and all(
+        "c_name" not in ln and "c_address" not in ln for ln in scans
+    ), scans
