@@ -10359,6 +10359,75 @@ def q_streaming_file_sink_exactly_once(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+@register(
+    "events_asof_forward_tolerance",
+    """
+    WITH c AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'click' AND user_id < 30
+    ),
+    p AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase' AND user_id < 30
+    ),
+    u AS (
+      SELECT user_id AS k, epoch_us(ts) AS us, 0 AS tag,
+             event_id AS pl, CAST(NULL AS BIGINT) AS le
+      FROM p
+      UNION ALL
+      SELECT user_id, epoch_us(ts), 1, CAST(NULL AS BIGINT), event_id
+      FROM c
+    ),
+    w AS (
+      SELECT k, us, tag, le,
+             LAST_VALUE(pl IGNORE NULLS) OVER win AS m_pl,
+             LAST_VALUE(CASE WHEN tag = 0 THEN us END IGNORE NULLS)
+               OVER win AS m_us
+      FROM u
+      WINDOW win AS (PARTITION BY k
+                     ORDER BY us DESC, tag ASC, COALESCE(pl, -1) DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT le AS click_id, k AS user_id,
+           CASE WHEN m_us - us <= 7200000000 THEN m_pl END
+             AS next_purchase_id
+    FROM w WHERE tag = 1
+    """,
+)
+def q_events_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with a tolerance — pandas
+    ``merge_asof(direction='forward', tolerance=...)`` semantics, the
+    mirror of the backward point-in-time join: each click is attributed
+    the EARLIEST purchase by the same user at-or-after it, but only within
+    2 hours (outside the window ⇒ NULL, an unconverted click). Same
+    union + running-carry rewrite (operators/asof.py: asof_join_forward):
+    one shuffle on user_id over |clicks|+|purchases| rows — never a range
+    cross-join, so cost is an equi-join's regardless of how many
+    purchases follow each click. The oracle replays the identical
+    reversed-scan window; order keys are COALESCE'd non-null because the
+    engines disagree on default null placement."""
+    from ..operators.asof import asof_join_forward
+
+    e = table_scan(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join_forward(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload="event_id",
+        left_cols=["click_id"],
+        payload_out="next_purchase_id",
+        tolerance_us=2 * 3600 * 1_000_000,
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
