@@ -1,0 +1,69 @@
+"""Driver-evidence ledger: which registry query has which round's latest
+driver row, and what the next window rotation should lead with.
+
+Usage: python tools/evidence_ledger.py
+Prints, per evidence class (zero-evidence first, then oldest-first), the
+query names — the exact input the next round's `_WINDOW_PRIORITY` needs.
+Pure metadata: reads CORRECTNESS_r*.json and the registry names via a
+regex (no Spark session).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def registry_names() -> list[str]:
+    src = (
+        ROOT
+        / "breweries_data_engineering_case_spark"
+        / "plans"
+        / "registry.py"
+    ).read_text()
+    names = re.findall(r'^@register\(\s*\n?\s*"([a-z0-9_]+)"', src, re.M)
+    names += re.findall(r'@register\("([a-z0-9_]+)"', src)
+    return list(dict.fromkeys(names))
+
+
+def latest_evidence() -> dict[str, tuple[str, bool]]:
+    """name -> (round, green) using the newest round that mentions it."""
+    out: dict[str, tuple[str, bool]] = {}
+    for f in sorted(ROOT.glob("CORRECTNESS_r*.json")):
+        rnd = f.stem.split("_r")[1]
+        for name, row in json.loads(f.read_text()).items():
+            green = bool(row.get("hash_match")) or (
+                row.get("err") == "no_oracle" and row.get("spark_rows", 0) >= 0
+            )
+            out[name] = (rnd, green)
+    return out
+
+
+def main() -> None:
+    names = registry_names()
+    ev = latest_evidence()
+    zero = [n for n in names if n not in ev]
+    red = [n for n in names if n in ev and not ev[n][1]]
+    by_round: dict[str, list[str]] = {}
+    for n in names:
+        if n in ev and ev[n][1]:
+            by_round.setdefault(ev[n][0], []).append(n)
+    print(f"registry: {len(names)} queries; evidence rows for {len(ev)}")
+    print(f"\nZERO EVIDENCE ({len(zero)}):")
+    for n in zero:
+        print(f"  {n}")
+    print(f"\nRED AT LATEST CHECK ({len(red)}):")
+    for n in red:
+        print(f"  {n} (r{ev[n][0]})")
+    print("\nGREEN, oldest evidence first:")
+    for rnd in sorted(by_round):
+        print(f"  r{rnd}: {len(by_round[rnd])} queries")
+        for n in by_round[rnd]:
+            print(f"    {n}")
+
+
+if __name__ == "__main__":
+    main()
