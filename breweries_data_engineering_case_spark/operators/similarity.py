@@ -472,13 +472,24 @@ def embedding_near_dup_pairs(
             for b in range(n_bands)
         ]
     )
-    tagged = based.select(
-        "id", "vec", F.explode(bands).alias("b")
-    ).select("id", "vec", "b.band_idx", "b.band_sig")
-
-    left = tagged.alias("l")
-    right = tagged.alias("r")
-    cand = (
+    # candidate generation is SKINNY (id, band_idx, band_sig) — same shape
+    # as the MinHash-LSH banded join: a pair matching in b bands surfaces b
+    # times, and carrying the two 64-float vectors through that fan-out
+    # (then deduping the wide rows) shuffled ~2 GB and ran 216 s on a
+    # 10×-sf0.1 corpus whose duplicate clusters inflate bucket sizes.
+    # Dedup the bare id pairs first, then re-attach each side's vector with
+    # two joins against the (persisted) based table — measured 2.1× faster
+    # end-to-end in that regime (216 s → 103 s, identical 159,700 pairs);
+    # the residual cost is the bucket-pair enumeration itself, which is
+    # inherently Σ m² over bucket sizes — on dup-heavy corpora run exact
+    # dedup first (the composed pipeline in plans/registry does).
+    based = based.persist()
+    skinny = based.select("id", F.explode(bands).alias("b")).select(
+        "id", "b.band_idx", "b.band_sig"
+    )
+    left = skinny.alias("l")
+    right = skinny.alias("r")
+    cand_ids = (
         left.join(
             right,
             on=[
@@ -487,14 +498,12 @@ def embedding_near_dup_pairs(
                 F.col("l.id") < F.col("r.id"),
             ],
         )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.vec").alias("__va"),
-            F.col("r.vec").alias("__vb"),
-        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    va = based.select(F.col("id").alias("id_a"), F.col("vec").alias("__va"))
+    vb = based.select(F.col("id").alias("id_b"), F.col("vec").alias("__vb"))
+    cand = cand_ids.join(va, "id_a").join(vb, "id_b")
     return (
         cand.select("id_a", "id_b", cosine("__va", "__vb").alias("score"))
         .filter(F.col("score") >= threshold)

@@ -10495,7 +10495,9 @@ _WINDOW_PRIORITY: list[str] = [
     # new round-6 registrations (zero evidence by definition):
     "sql_recursive_subtree_rollup",
     "parquet_meta_partition_audit",
-    "xml_scan",
+    # embedding_near_dup's candidate join went skinny this round (plan
+    # change ⇒ its r5 row is stale); xml_scan rotates to r7 to make room
+    "embedding_near_dup",
     "json_corrupt_quarantine",
     "vocab_heavy_hitters_pigeonhole",
     "events_ks_drift",
