@@ -1,0 +1,103 @@
+"""10× scale stress harness (~SF 1): build an offset-key union of the
+sf0.1 tables in /tmp/bdec_sf1, then time representative heavy operators.
+
+Usage: python tools/stress_sf1.py [query ...]
+With no args runs the standard batch. Results are wall-clock + row counts
+only (no oracle at this scale — correctness is the driver's sf0.01 gate;
+this harness exists to catch plans that stop scaling, like the
+embedding_near_dup wide-carry join it caught in round 6).
+
+Builder notes: keys are offset by copy_index * 10_000_000 so FK structure
+holds WITHIN each copy (customer/supplier/part are copied, not scaled, so
+cross-copy FKs dangle — avoid stress queries that join them for copies >0).
+The default 1 GiB local-mode heap GC-thrashes 6M-row shuffles; 24g is set.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/bdec_sf1"
+
+STANDARD_BATCH = [
+    "tpch_q1_pricing_summary",
+    "events_ks_drift",
+    "vocab_heavy_hitters_pigeonhole",
+    "doc_dedup_minhash_lsh",
+    "doc_dedup_portable_pipeline",
+    "embedding_near_dup",
+    "dataset_shuffle_deterministic",
+    "graph_pagerank_salted",
+    "doc_simhash_near_dup",
+    "market_basket_rules",
+    "orders_target_encoding",
+    "window_dedup_rownum",
+    "streaming_foreachbatch_rollup",
+    "streaming_session_window",
+    "streaming_dedup_watermark",
+]
+
+
+def build(spark) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(DST, exist_ok=True)
+    for t in ["region", "nation", "customer", "supplier", "part"]:
+        if not os.path.exists(f"{DST}/{t}.parquet"):
+            shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+    scaled = {
+        "orders": ["o_orderkey", "o_custkey"],
+        "lineitem": ["l_orderkey", "l_suppkey", "l_partkey"],
+        "events": ["event_id", "user_id"],
+        "documents": ["doc_id"],
+        "embeddings": ["vec_id"],
+    }
+    for table, id_cols in scaled.items():
+        out = f"{DST}/{table}.parquet"
+        if os.path.exists(out):
+            continue
+        df = spark.read.parquet(f"{SRC}/{table}.parquet")
+        u = None
+        for i in range(10):
+            d = df
+            for c in id_cols:
+                d = d.withColumn(c, F.col(c) + F.lit(i * 10_000_000))
+            u = d if u is None else u.unionByName(d)
+        u.repartition(16).write.mode("overwrite").parquet(out)
+        print(f"built {table}: {spark.read.parquet(out).count()} rows")
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from breweries_data_engineering_case_spark.plans import registry
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.shuffle.partitions", "64")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    build(spark)
+    names = sys.argv[1:] or STANDARD_BATCH
+    for name in names:
+        t0 = time.perf_counter()
+        try:
+            n = registry.QUERIES[name](spark, DST).count()
+            print(f"{name}: {time.perf_counter() - t0:.1f}s rows={n}")
+        except Exception as ex:  # keep the batch going; report the failure
+            print(f"{name}: ERROR {str(ex)[:200]}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
