@@ -10428,6 +10428,65 @@ def q_events_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@register(
+    "doc_idf_score_hotsalted",
+    r"""
+    WITH t AS (
+      SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\s+')) AS tok
+      FROM documents
+    ),
+    df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+    nd AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+           CAST(SUM((SELECT n FROM nd) * 1000 // df.df) AS BIGINT)
+             AS rarity_score
+    FROM t JOIN df ON t.tok = df.tok
+    GROUP BY t.doc_id
+    """,
+)
+def q_doc_idf_score_hotsalted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-document-frequency scoring through a HOT-KEY-ONLY salted
+    join (operators/joins.hot_key_salted_join) — the skew fix full salting
+    overpays for: the token→stats join is Zipf-skewed (a few stopword-like
+    tokens own most probe rows), so only tokens with ≥ 1/50 of the token
+    mass are salted over 8 buckets while the long tail joins un-replicated.
+    Build-side expansion is cold + hot×8 instead of all×8 (asserted in
+    tests/test_round6_ops.py), and the result is identical to a plain
+    join — which is exactly what the oracle checks. The per-doc score is
+    an integer inverse-frequency sum (n_docs·1000 div df per token), so
+    no float leaves the plan. At 100 TB the hot set comes from a sample
+    or sketch; any superset of the truly-hot keys stays correct."""
+    from ..operators.joins import hot_key_salted_join
+
+    docs = table_scan(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    ).persist()
+    n_docs = docs.agg(F.count(F.lit(1)).alias("nd"))
+    dfreq = (
+        toks.groupBy("tok")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .selectExpr("tok", "nd * 1000 div df AS w")
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    hot = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * 50 >= F.col("n"))
+        .select("tok")
+    )
+    return (
+        hot_key_salted_join(toks, dfreq, "tok", salt_buckets=8, hot_keys=hot)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("w").alias("rarity_score"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

@@ -154,3 +154,53 @@ def test_kcore_unroll_reaches_fixpoint(spark, sf_dir):
     # more: no node may fall under degree 2 (fixpoint witness). The edge
     # set is recoverable because core_degree counts symmetric edges.
     assert sum(rows.values()) % 2 == 0  # symmetric edge endpoints pair up
+
+
+def test_hot_key_salting_expands_only_hot_keys(spark, sf_dir):
+    """hot_key_salted_join must replicate build rows ONLY for hot keys:
+    expansion = cold + hot * salt_buckets, and the hot set must be a
+    proper, non-empty subset (otherwise the demo degenerates to full or
+    zero salting)."""
+    from breweries_data_engineering_case_spark.operators.joins import (
+        hot_key_salted_join,
+    )
+
+    docs = table_scan(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    n = toks.count()
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    hot = counts.filter(F.col("cnt") * 50 >= n).select("tok")
+    n_keys = counts.count()
+    n_hot = hot.count()
+    assert 0 < n_hot < n_keys, (n_hot, n_keys)
+
+    build = counts.select("tok", F.col("cnt").alias("payload"))
+    # replicate the operator's build-side expansion and count it
+    hot_marked = hot.withColumn("__hot", F.lit(True))
+    expanded = (
+        build.join(F.broadcast(hot_marked), "tok", "left")
+        .withColumn(
+            "__salt",
+            F.explode(
+                F.when(
+                    F.col("__hot"), F.sequence(F.lit(0), F.lit(7))
+                ).otherwise(F.array(F.lit(0)))
+            ),
+        )
+    )
+    assert expanded.count() == (n_keys - n_hot) + n_hot * 8
+
+    # and the join result is identical to the plain join
+    plain = {
+        (r["doc_id"], r["tok"], r["payload"])
+        for r in toks.join(build, "tok").collect()
+    }
+    salted = {
+        (r["doc_id"], r["tok"], r["payload"])
+        for r in hot_key_salted_join(
+            toks, build, "tok", salt_buckets=8, hot_keys=hot
+        ).collect()
+    }
+    assert plain == salted
