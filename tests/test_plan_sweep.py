@@ -53,6 +53,8 @@ BNLJ_OK = {
     #   (twice: candidate threshold + final threshold)
     "ann_cosine_topk_ivf_portable",  # ≤8-row centroid tables broadcast
     #   (same shape as the kmeans_lloyd_* queries it reuses)
+    "doc_idf_score_hotsalted",  # single-row doc-count + token-total
+    #   broadcasts (the hot-key set itself rides broadcast HASH joins)
 }
 
 #: queries allowed a single-partition (global) Window. Each must justify the
