@@ -10487,6 +10487,51 @@ def q_doc_idf_score_hotsalted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "parquet_sized_files_write",
+    """
+    WITH t AS (SELECT COUNT(*) AS total FROM orders)
+    SELECT CAST(CEIL(total / 5000.0) AS BIGINT) AS n_files,
+           CAST(total AS BIGINT) AS total_rows,
+           CAST(LEAST(total, 5000) AS BIGINT) AS max_file_rows,
+           CAST(total - (CEIL(total / 5000.0) - 1) * 5000 AS BIGINT)
+             AS last_file_rows
+    FROM t
+    """,
+)
+def q_parquet_sized_files_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-size governance — the small-files/large-files control every
+    100 TB lakehouse write needs: orders are landed once per sf_dir with
+    ``maxRecordsPerFile=5000`` from a single writer task, so the layout is
+    deterministic (⌈total/5000⌉ sequential chunks). The AUDIT reads the
+    landing back and derives the file statistics from the
+    ``_metadata.file_name`` hidden column — per-file row counts, file
+    count, and the short last chunk — and the oracle recomputes all of
+    them from arithmetic over COUNT(*) alone, so the driver check proves
+    the writer actually honored the record cap. (In production the cap
+    pairs with AQE advisory partition sizes; one task is used here only to
+    pin determinism.)"""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    staging = Path(tempfile.gettempdir()) / "bdec_sized_orders" / key
+    if not (staging / "_SUCCESS").exists():
+        table_scan(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        ).repartition(1).sortWithinPartitions("o_orderkey").write.mode(
+            "overwrite"
+        ).option("maxRecordsPerFile", 5000).parquet(str(staging))
+    per_file = (
+        spark.read.parquet(str(staging))
+        .groupBy(F.col("_metadata.file_name").alias("f"))
+        .agg(F.count(F.lit(1)).alias("rows"))
+    )
+    return per_file.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("rows").alias("total_rows"),
+        F.max("rows").alias("max_file_rows"),
+        F.min("rows").alias("last_file_rows"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
