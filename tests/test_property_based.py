@@ -81,3 +81,88 @@ def test_try_double_never_errors(spark, values):
                 # Spark accepts a few forms Python also accepts; if Python
                 # parses it, Spark should have too (modulo inf/nan keywords)
                 assert not parseable or v.strip().lower() in {"nan", "inf", "-inf", "infinity", "-infinity", "+inf", "+infinity"}, v
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(-50, 50)),
+        min_size=4,
+        max_size=60,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(-50, 50)),
+        min_size=4,
+        max_size=60,
+    ),
+)
+def test_hot_key_salted_join_equals_plain_join(spark, probe_rows, build_rows):
+    """hot_key_salted_join ≡ plain inner join on ARBITRARY skew: any key
+    set may be declared hot (salting must never change results), including
+    empty and all-hot extremes derived from the generated distribution."""
+    from pyspark.sql import functions as F
+
+    from breweries_data_engineering_case_spark.operators.joins import (
+        hot_key_salted_join,
+    )
+
+    probe = spark.createDataFrame(
+        [(k, v) for k, v in probe_rows], "k int, pv int"
+    )
+    build = (
+        spark.createDataFrame([(k, v) for k, v in build_rows], "k int, bv int")
+        .groupBy("k")
+        .agg(F.sum("bv").alias("bv"))  # unique build keys
+    )
+    plain = sorted(
+        (r["k"], r["pv"], r["bv"]) for r in probe.join(build, "k").collect()
+    )
+    # hot set: keys with >= 2 probe rows (may be empty or everything)
+    hot = (
+        probe.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("k")
+    )
+    salted = sorted(
+        (r["k"], r["pv"], r["bv"])
+        for r in hot_key_salted_join(
+            probe, build, "k", salt_buckets=4, hot_keys=hot
+        ).collect()
+    )
+    assert salted == plain
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.integers(-100, 100), min_size=1, max_size=40),
+    st.lists(st.integers(-100, 100), min_size=1, max_size=40),
+)
+def test_ks_gap_bounds_and_symmetry(spark, a_vals, b_vals):
+    """The integer KS kernel on arbitrary samples: 0 <= ks_num <= n_a*n_b,
+    and swapping the two samples leaves ks_num unchanged (|F1-F2| is
+    symmetric)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def ks(a, b):
+        rows = [(v, 0) for v in a] + [(v, 1) for v in b]
+        df = spark.createDataFrame(rows, "value long, is_b int")
+        pv = df.groupBy("value").agg(
+            F.sum(F.lit(1) - F.col("is_b")).alias("a"),
+            F.sum("is_b").alias("b"),
+        )
+        w = (
+            Window.orderBy("value")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        c = pv.select(
+            F.sum("a").over(w).alias("ca"), F.sum("b").over(w).alias("cb")
+        )
+        gap = F.abs(F.col("ca") * len(b) - F.col("cb") * len(a))
+        return c.agg(F.max(gap).alias("g")).collect()[0]["g"]
+
+    g1 = ks(a_vals, b_vals)
+    g2 = ks(b_vals, a_vals)
+    assert g1 == g2
+    assert 0 <= g1 <= len(a_vals) * len(b_vals)
