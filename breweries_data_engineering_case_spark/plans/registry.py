@@ -10532,6 +10532,67 @@ def q_parquet_sized_files_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "gdpr_delete_propagation",
+    """
+    WITH del AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 53 = 0
+    ),
+    kept AS (
+      SELECT e.* FROM events e
+      WHERE e.user_id NOT IN (SELECT user_id FROM del)
+    )
+    SELECT CAST((SELECT COUNT(*) FROM kept) AS BIGINT) AS kept_events,
+           CAST((SELECT COUNT(*) FROM events)
+                - (SELECT COUNT(*) FROM kept) AS BIGINT) AS purged_events,
+           CAST((SELECT COUNT(DISTINCT user_id) FROM kept) AS BIGINT)
+             AS kept_users,
+           CAST((SELECT COUNT(*) FROM del) AS BIGINT) AS deleted_users,
+           CAST((SELECT COUNT(*) FROM kept k
+                 WHERE k.user_id IN (SELECT user_id FROM del)) AS BIGINT)
+             AS residue
+    """,
+)
+def q_gdpr_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten purge — the compliance op every lakehouse
+    needs: a deterministic deletion list (users with ``user_id % 53 = 0``
+    stands in for the real request table) is anti-joined out of the fact
+    table, and the output is the AUDIT record the DPO actually files:
+    kept/purged row counts, surviving distinct users, deletion-list size,
+    and — witnessed IN the same plan, not assumed — ``residue``: a
+    semi-join recount of deleted users still present, which must be 0.
+    The purge is a broadcast anti join (deletion lists are small); at
+    100 TB the same plan rewrites files partition-by-partition and the
+    residue query is the post-purge verification pass."""
+    e = table_scan(spark, sf_dir, "events")
+    dels = (
+        e.filter(F.col("user_id") % 53 == 0).select("user_id").distinct()
+    )
+    kept = e.join(F.broadcast(dels), "user_id", "left_anti").persist()
+    residue = kept.join(F.broadcast(dels), "user_id", "left_semi")
+    totals = e.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        kept.agg(
+            F.count(F.lit(1)).alias("kept_events"),
+            F.count_distinct("user_id").alias("kept_users"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(
+            F.broadcast(dels.agg(F.count(F.lit(1)).alias("deleted_users")))
+        )
+        .crossJoin(
+            F.broadcast(residue.agg(F.count(F.lit(1)).alias("residue")))
+        )
+        .select(
+            "kept_events",
+            (F.col("total") - F.col("kept_events")).alias("purged_events"),
+            "kept_users",
+            "deleted_users",
+            "residue",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

@@ -55,6 +55,7 @@ BNLJ_OK = {
     #   (same shape as the kmeans_lloyd_* queries it reuses)
     "doc_idf_score_hotsalted",  # single-row doc-count + token-total
     #   broadcasts (the hot-key set itself rides broadcast HASH joins)
+    "gdpr_delete_propagation",  # three single-row audit-count broadcasts
 }
 
 #: queries allowed a single-partition (global) Window. Each must justify the
