@@ -10603,6 +10603,71 @@ def q_gdpr_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # green CORRECTNESS_r01 row rotate out, queries with no row yet (r01 tail),
 # a failed/changed row, or new this round rotate in.
 _WINDOW_PRIORITY: list[str] = [
+    # --- round 7 window ---
+    # CORRECTNESS_r06.json was never delivered to the repo (same as r02), so
+    # every r6-window / late-r6 name is still zero-evidence per
+    # tools/evidence_ledger.py (40 names), dq_benford_first_digit is still
+    # red-at-latest (its HUGEINT oracle fix landed r6 but has no recorded
+    # row), and the 6 queries whose plans/oracles changed in r6 still carry
+    # stale rows. Seat: benford first, the 40 zero-evidence names, the 6
+    # stale-changed, then oldest-r1 fills. Round-7 additions displace the
+    # fills (and stale-changed from the end) as they land.
+    "dq_benford_first_digit",
+    # 40 zero-evidence names (ledger order):
+    "streaming_session_window",
+    "orders_price_histogram_equidepth",
+    "doc_udtf_sentence_split",
+    "graph_triangle_count",
+    "doc_prefix_filter_pairs",
+    "events_bitmap_distinct",
+    "events_markov_transitions",
+    "vocab_skipgram_pairs",
+    "kmeans_lloyd_step_int",
+    "embedding_semantic_dedup_portable",
+    "streaming_foreachbatch_rollup",
+    "graph_connected_components",
+    "events_cogroup_purchase_attribution",
+    "array_functions",
+    "vocab_posting_lists",
+    "events_distribution_drift",
+    "doc_token_stats_arrow",
+    "join_hint_shuffle_hash",
+    "kmeans_lloyd_converge_int",
+    "orders_weighted_median",
+    "sql_recursive_subtree_rollup",
+    "parquet_meta_partition_audit",
+    "xml_scan",
+    "json_corrupt_quarantine",
+    "vocab_heavy_hitters_pigeonhole",
+    "events_ks_drift",
+    "url_canonical_dedup",
+    "dpp_partitioned_fact_join",
+    "python_datasource_stream",
+    "map_functions",
+    "grouped_stats_arrow",
+    "events_arrow_udf_cents",
+    "agg_functions_modern",
+    "graph_kcore_decomposition",
+    "ann_cosine_topk_ivf_portable",
+    "streaming_file_sink_exactly_once",
+    "events_asof_forward_tolerance",
+    "doc_idf_score_hotsalted",
+    "parquet_sized_files_write",
+    "gdpr_delete_propagation",
+    # changed in r6, recorded rows stale (no r06 record):
+    "grouped_zscore_pandas",
+    "approx_order_percentiles",
+    "approx_distinct_users",
+    "events_dau_hll_mergeable",
+    "ann_cosine_topk_ivf",
+    "embedding_near_dup",
+    # oldest-r1 fills (displaced by round-7 additions as they land):
+    "parquet_scan",
+    "json_scan",
+    "union_all_files",
+]
+
+_WINDOW_PRIORITY_R6: list[str] = [
     # --- round 6 window ---
     # VERDICT r5 ask #1, verbatim: lead with the 21 zero/stale-evidence
     # names (20 round-5 post-window additions + grouped_zscore_pandas whose

@@ -1,0 +1,110 @@
+"""Driver-replica correctness gate.
+
+Replicates what the per-round driver does: run every registry query on a
+*vanilla* SparkSession and its oracle SQL in DuckDB over the same parquet
+tables, then compare row count, column set, and normalized values.
+
+Usage:
+    python tools/replica.py                       # full gate at sf0.01
+    python tools/replica.py --sf /root/testdata/sf0.1
+    python tools/replica.py --window 50           # first N registry entries
+    python tools/replica.py name1 name2 ...       # just these queries
+    python tools/replica.py --start 100           # resume from index 100
+"""
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+from pyspark.sql import SparkSession
+
+sys.path.insert(0, ".")
+import __spark_entry__ as e  # noqa: E402
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else f"{v:.10g}"
+    return str(v)
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf = "/root/testdata/sf0.01"
+    window = None
+    start = 0
+    names: list[str] = []
+    it = iter(args)
+    for a in it:
+        if a == "--sf":
+            sf = next(it)
+        elif a == "--window":
+            window = int(next(it))
+        elif a == "--start":
+            start = int(next(it))
+        else:
+            names.append(a)
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    todo = list(qs) if not names else names
+    if window is not None:
+        todo = todo[:window]
+    todo = todo[start:]
+
+    fails: list[str] = []
+    for idx, name in enumerate(todo, start=start):
+        fn = qs[name]
+        sql = oracles.get(name)
+        try:
+            sdf = fn(spark, sf)
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as ex:  # noqa: BLE001
+            print(f"[{idx}] {name}: SPARK ERROR {type(ex).__name__}: {ex}", flush=True)
+            fails.append(name)
+            continue
+        if sql is None:
+            print(f"[{idx}] {name}: rows-only, {len(srows)} rows", flush=True)
+            continue
+        try:
+            rel = con.sql(sql)
+            dcols = [d[0] for d in rel.description]
+            drows = rel.fetchall()
+        except Exception as ex:  # noqa: BLE001
+            print(f"[{idx}] {name}: ORACLE ERROR {type(ex).__name__}: {ex}", flush=True)
+            fails.append(name)
+            continue
+        ok = len(srows) == len(drows) and sorted(sdf.columns) == sorted(dcols)
+        why = "" if ok else f" (rows {len(srows)} vs {len(drows)}, cols {sorted(sdf.columns)} vs {sorted(dcols)})"
+        if ok:
+            si = sorted(range(len(sdf.columns)), key=lambda i: sdf.columns[i])
+            di = sorted(range(len(dcols)), key=lambda i: dcols[i])
+            ok = sorted(tuple(norm(r[i]) for i in si) for r in srows) == sorted(
+                tuple(norm(r[i]) for i in di) for r in drows
+            )
+            if not ok:
+                why = " (values)"
+        print(f"[{idx}] {name}: {'MATCH' if ok else 'MISMATCH' + why}", flush=True)
+        if not ok:
+            fails.append(name)
+    print("FAILURES:", fails or "none")
+    spark.stop()
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
