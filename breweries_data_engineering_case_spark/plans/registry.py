@@ -10809,6 +10809,428 @@ def q_sql_lateral_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round 7: analytics operators — imputation, experimentation, model eval,
+# sequence mining, entity resolution
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_locf_impute",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) // COUNT(*) AS avg_cents
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi
+               FROM (SELECT date_trunc('hour', ts) AS h FROM events)),
+    spine AS (
+      SELECT t.event_type, g.hour
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                    AS hour FROM bounds) g
+    )
+    SELECT s.event_type, s.hour,
+           last_value(hl.avg_cents IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_cents,
+           CASE WHEN hl.avg_cents IS NULL THEN 1 ELSE 0 END AS is_imputed
+    FROM spine s LEFT JOIN hourly hl
+      ON hl.event_type = s.event_type AND hl.h = s.hour
+    """,
+)
+def q_events_locf_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward imputation over a dense hourly
+    spine — the feature-store repair step for sparse sensor/metric series:
+    per (event_type, hour) the exact integer average value-in-cents is
+    observed where events exist, and empty hours carry the most recent
+    observation forward (``F.last(..., ignorenulls=True)`` over a
+    per-series window; leading gaps legitimately stay NULL). The spine is
+    generated distributed (explode of a sequence, the `events_gap_fill`
+    idiom) and crossed with the dim-sized type list — the 100 TB shape
+    partitions the LOCF window by series id, millions of independent
+    partitions, never a global order. Average is floor(sum_cents / n):
+    exact integers on both engines."""
+    e = table_scan(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    hourly = (
+        e.select("event_type", F.date_trunc("hour", "ts").alias("h"), cents.alias("c"))
+        .groupBy("event_type", "h")
+        .agg(F.expr("sum(c) div count(*)").alias("avg_cents"))
+    )
+    spine_hours = (
+        hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+                "hour"
+            )
+        )
+    )
+    types = e.select("event_type").distinct()
+    spine = spine_hours.crossJoin(F.broadcast(types))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = spine.join(
+        hourly,
+        (spine["event_type"] == hourly["event_type"]) & (spine["hour"] == hourly["h"]),
+        "left",
+    ).select(spine["event_type"], "hour", "avg_cents")
+    return joined.select(
+        "event_type",
+        "hour",
+        F.last("avg_cents", ignorenulls=True).over(w).alias("filled_cents"),
+        F.when(F.col("avg_cents").isNull(), 1).otherwise(0).alias("is_imputed"),
+    )
+
+
+@register(
+    "events_ab_proportion_test",
+    """
+    WITH u AS (SELECT DISTINCT user_id, user_id % 2 AS variant FROM events),
+    tot AS (
+      SELECT CAST(COUNT(*) FILTER (variant = 0) AS BIGINT) AS n0,
+             CAST(COUNT(*) FILTER (variant = 1) AS BIGINT) AS n1
+      FROM u
+    ),
+    per_user AS (
+      SELECT event_type, user_id, user_id % 2 AS variant
+      FROM events GROUP BY event_type, user_id
+      HAVING COUNT(*) >= 14
+    ),
+    conv AS (
+      SELECT event_type,
+             CAST(COUNT(*) FILTER (variant = 0) AS BIGINT) AS c0,
+             CAST(COUNT(*) FILTER (variant = 1) AS BIGINT) AS c1
+      FROM per_user GROUP BY event_type
+    )
+    SELECT event_type, n0, n1, c0, c1,
+           c0 * 1000 // n0 AS p0_permille,
+           c1 * 1000 // n1 AS p1_permille,
+           CASE WHEN c0 + c1 > 0 AND c0 + c1 < n0 + n1
+                 AND 1000000 * CAST(n0 + n1 AS HUGEINT)
+                     * CAST(c1 * n0 - c0 * n1 AS HUGEINT)
+                     * CAST(c1 * n0 - c0 * n1 AS HUGEINT)
+                  >= 3841459 * CAST(n0 AS HUGEINT) * CAST(n1 AS HUGEINT)
+                     * CAST(c0 + c1 AS HUGEINT)
+                     * CAST(n0 + n1 - c0 - c1 AS HUGEINT)
+                THEN 1 ELSE 0 END AS significant
+    FROM conv CROSS JOIN tot
+    """,
+)
+def q_events_ab_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test per conversion metric — the experimentation
+    readout: users hash-split into variants (``user_id % 2`` stands in for
+    the assignment table), per metric a user CONVERTS on
+    event_type t when they log >= 14 events of t (a real per-user
+    aggregate, not mere presence), and the variant conversion counts
+    are compared, and significance at 95 % is decided WITHOUT a float
+    division or sqrt: z² ≥ 3.841459 is cross-multiplied into the exact
+    integer inequality 10⁶·N·(c₁n₀−c₀n₁)² ≥ 3841459·n₀n₁·C·(N−C),
+    evaluated in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so it cannot
+    overflow at any SF. Two distinct-aggregations and one single-row
+    broadcast — no shuffle beyond the groupBys."""
+    e = table_scan(spark, sf_dir, "events")
+    u = e.select("user_id", (F.col("user_id") % 2).alias("variant")).distinct()
+    tot = u.agg(
+        F.count(F.when(F.col("variant") == 0, 1)).alias("n0"),
+        F.count(F.when(F.col("variant") == 1, 1)).alias("n1"),
+    )
+    per_user = (
+        e.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") >= 14)
+        .select("event_type", (F.col("user_id") % 2).alias("variant"))
+    )
+    conv = per_user.groupBy("event_type").agg(
+        F.count(F.when(F.col("variant") == 0, 1)).alias("c0"),
+        F.count(F.when(F.col("variant") == 1, 1)).alias("c1"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    n0, n1 = F.col("n0"), F.col("n1")
+    c0, c1 = F.col("c0"), F.col("c1")
+    d = d38(c1 * n0 - c0 * n1)
+    lhs = F.lit(1000000).cast("decimal(38,0)") * d38(n0 + n1) * d * d
+    rhs = (
+        F.lit(3841459).cast("decimal(38,0)")
+        * d38(n0)
+        * d38(n1)
+        * d38(c0 + c1)
+        * d38(n0 + n1 - c0 - c1)
+    )
+    return conv.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n0",
+        "n1",
+        "c0",
+        "c1",
+        F.expr("c0 * 1000 div n0").alias("p0_permille"),
+        F.expr("c1 * 1000 div n1").alias("p1_permille"),
+        F.when(
+            (c0 + c1 > 0) & (c0 + c1 < n0 + n1) & (lhs >= rhs), 1
+        ).otherwise(0).alias("significant"),
+    )
+
+
+@register(
+    "orders_decile_lift",
+    """
+    WITH o AS (
+      SELECT o_totalprice AS p,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS pos
+      FROM orders
+    ),
+    c AS (
+      SELECT quantile_cont(p, 0.1) AS c1, quantile_cont(p, 0.2) AS c2,
+             quantile_cont(p, 0.3) AS c3, quantile_cont(p, 0.4) AS c4,
+             quantile_cont(p, 0.5) AS c5, quantile_cont(p, 0.6) AS c6,
+             quantile_cont(p, 0.7) AS c7, quantile_cont(p, 0.8) AS c8,
+             quantile_cont(p, 0.9) AS c9
+      FROM o
+    ),
+    b AS (
+      SELECT 11 - (CASE WHEN p <= c1 THEN 1 WHEN p <= c2 THEN 2
+                        WHEN p <= c3 THEN 3 WHEN p <= c4 THEN 4
+                        WHEN p <= c5 THEN 5 WHEN p <= c6 THEN 6
+                        WHEN p <= c7 THEN 7 WHEN p <= c8 THEN 8
+                        WHEN p <= c9 THEN 9 ELSE 10 END) AS decile,
+             pos
+      FROM o CROSS JOIN c
+    ),
+    g AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pos) AS BIGINT) AS pos
+      FROM b GROUP BY decile
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total_n,
+                 CAST(SUM(pos) AS BIGINT) AS total_pos FROM g)
+    SELECT a.decile, a.n, a.pos,
+           a.pos * 1000 // a.n AS rate_permille,
+           CAST(SUM(b2.n) AS BIGINT) AS cum_n,
+           CAST(SUM(b2.pos) AS BIGINT) AS cum_pos,
+           CAST(SUM(b2.pos) AS BIGINT) * t.total_n * 1000
+             // (CAST(SUM(b2.n) AS BIGINT) * t.total_pos) AS lift_permille
+    FROM g a JOIN g b2 ON b2.decile <= a.decile CROSS JOIN t
+    GROUP BY a.decile, a.n, a.pos, t.total_n, t.total_pos
+    """,
+)
+def q_orders_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table — the model-evaluation shape for every ranking
+    score (here o_totalprice ranks orders, `1-URGENT` priority is the
+    positive label): exact decile cutoffs in one pass (`F.percentile` ≡
+    quantile_cont bitwise), flat CASE bucketing against the broadcast
+    cutoff row (the equi-depth-histogram idiom — no global sort, no
+    NTILE), then cumulative capture and lift per decile in exact integer
+    per-mille. The cumulative pass is a triangular join of the TEN-row
+    bucket aggregate with itself — at any SF it is 55 rows, so the
+    all-pairs shape is bounded by construction; totals ride a single-row
+    broadcast. Value-based bucketing (not row-number) keeps membership
+    bitwise-identical across engines under ties."""
+    o = table_scan(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("p"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("pos"),
+    )
+    cuts = o.agg(
+        *[F.percentile("p", i / 10).alias(f"c{i}") for i in range(1, 10)]
+    )
+    asc = F.when(F.col("p") <= F.col("c1"), 1)
+    for i in range(2, 10):
+        asc = asc.when(F.col("p") <= F.col(f"c{i}"), i)
+    asc = asc.otherwise(10)
+    g = (
+        o.crossJoin(F.broadcast(cuts))
+        .select((F.lit(11) - asc).alias("decile"), "pos")
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("pos").alias("pos"))
+    )
+    t = g.agg(
+        F.sum("n").alias("total_n"), F.sum("pos").alias("total_pos")
+    )
+    a = g.alias("a")
+    b = g.select(
+        F.col("decile").alias("d2"), F.col("n").alias("n2"), F.col("pos").alias("p2")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("d2") <= F.col("a.decile"))
+        .crossJoin(F.broadcast(t))
+        .groupBy("a.decile", "a.n", "a.pos", "total_n", "total_pos")
+        .agg(F.sum("n2").alias("cum_n"), F.sum("p2").alias("cum_pos"))
+        .select(
+            "decile",
+            "n",
+            "pos",
+            F.expr("pos * 1000 div n").alias("rate_permille"),
+            "cum_n",
+            "cum_pos",
+            F.expr(
+                "cum_pos * total_n * 1000 div (cum_n * total_pos)"
+            ).alias("lift_permille"),
+        )
+    )
+
+
+@register(
+    "events_top_paths",
+    """
+    WITH s AS (
+      SELECT event_type AS t1,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT t1 || '>' || t2 || '>' || t3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM s WHERE t3 IS NOT NULL
+    GROUP BY 1 ORDER BY n_paths DESC, path LIMIT 20
+    """,
+)
+def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event paths — frequent 3-step behavioral sequence mining (the
+    clickstream sibling of `events_markov_transitions`' 1-step matrix and
+    `events_funnel_match`'s FIXED pattern: here every observed 3-path is
+    counted and ranked). Two LEADs over the per-user total order (ts,
+    event_id) build each path in one window pass — no self-joins on the
+    event table; the path count partial-aggregates map-side and the
+    top-20 is a distributed TakeOrdered with a total-order tiebreak on
+    the path string. Windows partition by user — millions of independent
+    partitions at 100 TB, never a global sort."""
+    e = table_scan(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    return (
+        s.select(F.concat_ws(">", "t1", "t2", "t3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "path")
+        .limit(20)
+    )
+
+
+@register(
+    "entity_resolution_fuzzy",
+    """
+    WITH RECURSIVE rec AS (
+      SELECT p_partkey AS rec_id,
+             CASE WHEN p_partkey % 4 = 0 THEN p_name
+                  WHEN p_partkey % 4 = 1
+                    THEN substr(p_name, 1, length(p_name) - 1)
+                  WHEN p_partkey % 4 = 2
+                    THEN p_name || substr(p_name, length(p_name), 1)
+                  ELSE substr(p_name, 1, length(p_name) - 1) || 'x'
+             END AS name
+      FROM part
+    ),
+    names AS (
+      SELECT name, CAST(MIN(rec_id) AS BIGINT) AS name_id,
+             CAST(COUNT(*) AS BIGINT) AS n_records
+      FROM rec GROUP BY name
+    ),
+    e AS (
+      SELECT a.name_id AS u, b.name_id AS v
+      FROM names a JOIN names b
+        ON substr(a.name, 1, 2) = substr(b.name, 1, 2)
+       AND a.name_id < b.name_id
+       AND abs(length(a.name) - length(b.name)) <= 1
+       AND levenshtein(a.name, b.name) <= 1
+    ),
+    sym AS (SELECT u AS a, v AS b FROM e UNION SELECT v, u FROM e),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    lab AS (
+      SELECT n.name, n.name_id, n.n_records,
+             LEAST(n.name_id, COALESCE(MIN(r.b), n.name_id)) AS component
+      FROM names n LEFT JOIN reach r ON r.a = n.name_id
+      GROUP BY n.name, n.name_id, n.n_records
+    )
+    SELECT CAST(component AS BIGINT) AS entity_id,
+           MIN(name) AS canonical_name,
+           CAST(COUNT(*) AS BIGINT) AS n_spellings,
+           CAST(SUM(n_records) AS BIGINT) AS n_records
+    FROM lab GROUP BY component
+    """,
+)
+def q_entity_resolution_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution — blocked edit-distance record linkage, the
+    master-data dedup every ingest of names/merchants/addresses needs.
+    Records carry deterministically dirtied part names (exact / last char
+    dropped / doubled / typo'd — all ≤ 1 edit). The SCALE-CRITICAL move:
+    records collapse to DISTINCT spellings FIRST (canonicalize-then-match
+    — the candidate universe becomes |distinct strings|, not |records|),
+    then spellings meet only inside (2-char-prefix) blocks with a length
+    band as join residual — an equi-join, never all-pairs — and survive
+    on JVM ``levenshtein ≤ 1``. Transitive matches (drop-last ↔ exact ↔
+    doubled are pairwise 2 edits apart) are closed by the reusable
+    min-label-propagation `connected_components` operator
+    (operators/components.py); each entity reports its canonical
+    spelling, spelling count, and record count. Oracle: identical
+    blocking + DuckDB levenshtein + WITH RECURSIVE closure."""
+    from ..operators.components import connected_components
+
+    p = table_scan(spark, sf_dir, "part")
+    rec = p.select(
+        F.col("p_partkey").alias("rec_id"),
+        F.expr(
+            "CASE WHEN p_partkey % 4 = 0 THEN p_name "
+            "WHEN p_partkey % 4 = 1 THEN substring(p_name, 1, length(p_name) - 1) "
+            "WHEN p_partkey % 4 = 2 THEN p_name || substring(p_name, length(p_name), 1) "
+            "ELSE substring(p_name, 1, length(p_name) - 1) || 'x' END"
+        ).alias("name"),
+    )
+    names = rec.groupBy("name").agg(
+        F.min("rec_id").alias("name_id"), F.count(F.lit(1)).alias("n_records")
+    )
+    a = names.select(
+        F.col("name").alias("name_a"),
+        F.col("name_id").alias("u"),
+        F.substring("name", 1, 2).alias("blk"),
+    )
+    b = names.select(
+        F.col("name").alias("name_b"),
+        F.col("name_id").alias("v"),
+        F.substring("name", 1, 2).alias("blk"),
+    )
+    edges = (
+        a.join(b, "blk")
+        .filter(
+            (F.col("u") < F.col("v"))
+            & (F.abs(F.length("name_a") - F.length("name_b")) <= 1)
+            & (F.levenshtein("name_a", "name_b") <= 1)
+        )
+        .select("u", "v")
+    )
+    vertices = names.select(F.col("name_id").alias("node"))
+    comp = connected_components(
+        vertices, edges, id_col="node", src_col="u", dst_col="v"
+    )
+    return (
+        names.join(comp, names["name_id"] == comp["node"])
+        .groupBy("component")
+        .agg(
+            F.min("name").alias("canonical_name"),
+            F.count(F.lit(1)).alias("n_spellings"),
+            F.sum("n_records").alias("n_records"),
+        )
+        .select(
+            F.col("component").alias("entity_id"),
+            "canonical_name",
+            "n_spellings",
+            "n_records",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
 # The driver correctness-checks the FIRST 50 registry entries per round

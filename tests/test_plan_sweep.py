@@ -56,6 +56,10 @@ BNLJ_OK = {
     "doc_idf_score_hotsalted",  # single-row doc-count + token-total
     #   broadcasts (the hot-key set itself rides broadcast HASH joins)
     "gdpr_delete_propagation",  # three single-row audit-count broadcasts
+    "events_locf_impute",  # dim-sized event-type list crossed with the spine
+    "events_ab_proportion_test",  # single-row variant-totals broadcast
+    "orders_decile_lift",  # single-row cutoffs + totals broadcasts and the
+    #   triangular join of the TEN-row decile aggregate with itself
 }
 
 #: queries allowed a single-partition (global) Window. Each must justify the
