@@ -31,7 +31,7 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+from pyspark.sql.types import IntegerType, LongType, StringType, StructField, StructType
 
 from ..functions.cleaning import stamp_date
 from ..functions.text import LANG_MARKERS, fingerprint, lang_id, quality_score, token_count
@@ -11228,6 +11228,189 @@ def q_entity_resolution_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_records",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round 7: systems surface — Python DataSource write path, left-outer
+# stream-stream join
+# ---------------------------------------------------------------------------
+
+@register(
+    "python_datasource_write",
+    """
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def q_python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource WRITE path (Spark 4 DSv2) — completes the
+    connector matrix (batch read with pushFilters, distributed streaming
+    read, now a writable sink): documents flow through
+    ``df.write.format("jsonl_audit_sink")`` into a two-phase-commit JSONL
+    sink (executors stage uniquely-named files, the driver publishes
+    part-N names + a _SUCCESS manifest only after all tasks succeed —
+    sources/python_datasource.py:JsonlSinkWriter). The returned aggregate
+    runs over the FILES READ BACK from the sink, so the oracle equality
+    over the original table proves the writer committed every row exactly
+    once — a lost task file or double-published stage would break the
+    counts. Write parallelism is the upstream partitioning (4 tasks here,
+    N at scale); the commit is O(files) driver metadata, the data path
+    never funnels through the driver."""
+    from ..sources.python_datasource import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    out = Path(tempfile.gettempdir()) / "bdec_jsonl_sink" / key
+    out.mkdir(parents=True, exist_ok=True)
+    (
+        table_scan(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+        .repartition(4, "doc_id")
+        .write.format("jsonl_audit_sink")
+        .mode("overwrite")
+        .save(str(out))
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .json(str(out / "part-*.jsonl"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "streaming_stream_stream_left_outer",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click')
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id
+    FROM p LEFT JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    """,
+)
+def q_streaming_stream_stream_left_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEFT OUTER stream-stream join — the state-EVICTION surface the
+    inner join never exercises: an unmatched purchase is emitted (with
+    NULL click) only once the watermark proves no future click can match
+    it, and Spark flushes those rows using the watermark derived from the
+    PREVIOUS batch. Two mechanics make the output deterministic and equal
+    to the plain batch left join, which is exactly what the oracle
+    witnesses:
+
+    - **Sentinel ticks.** Two far-future purchase+click pairs are staged
+      as their own files AFTER the real data (mtime-ordered,
+      ``maxFilesPerTrigger=1`` keeps each in its own micro-batch), so the
+      last real-data watermark plus one tick covers every real purchase
+      and the final tick's batch flushes them all. Sentinels carry
+      negative ids and are dropped AFTER the sink — filtering them inside
+      the query would be pushed below the EventTimeWatermark node on the
+      purchase branch and the sentinel would never advance the watermark
+      (measured; Catalyst pushes non-event-time predicates through the
+      watermark operator).
+    - **One source, self-joined.** Both sides derive from the SAME
+      readStream: with two separate sources the per-batch file pairing is
+      not synchronized, and under the MIN multipleWatermarkPolicy the
+      lagging side pins the join's eviction frontier (also measured).
+
+    State stays bounded however long the stream runs: a click older than
+    watermark − 1 h can never match and is dropped."""
+    from ..streaming.events import EVENTS_STREAM_SCHEMA
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    run_dir = Path(tempfile.gettempdir()) / "bdec_ss_lo_v3" / key
+    in_dir = run_dir / "in"
+    if not (run_dir / "staged.done").exists():
+        # ONE file => ALL real data lands in micro-batch 0, before any
+        # watermark has advanced: with per-file batches and out-of-order
+        # staging, later real files would arrive below the sentinel-raised
+        # watermark and be dropped as late (measured: 1016 of 1981 rows).
+        # Replaying history through a file stream is harness staging; a
+        # production stream ingests in arrival order and never re-batches
+        # its own past.
+        table_scan(spark, sf_dir, "events").repartition(1).write.mode(
+            "overwrite"
+        ).parquet(str(in_dir))
+        import time as _time
+
+        for tick, stamp in (
+            (1, "2024-02-15 12:00:00"),
+            (2, "2024-03-15 12:00:00"),
+        ):
+            _time.sleep(1.2)  # strictly increasing mtimes order the batches
+            spark.createDataFrame(
+                [
+                    (-tick, stamp, -1, "purchase", 0.0, "{}"),
+                    (-100 - tick, stamp, -2, "click", 0.0, "{}"),
+                ],
+                "event_id long, ts_s string, user_id long, event_type string,"
+                " value double, props string",
+            ).select(
+                "event_id",
+                F.col("ts_s").cast("timestamp").alias("ts"),
+                "user_id",
+                "event_type",
+                "value",
+                "props",
+            ).repartition(1).write.mode("append").parquet(str(in_dir))
+        (run_dir / "staged.done").touch()
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    ).select("purchase_id", "click_id")
+    qname = f"bdec_ss_lo_{key}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).filter(F.col("purchase_id") >= 0)
 
 
 # ---------------------------------------------------------------------------
