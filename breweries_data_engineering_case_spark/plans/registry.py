@@ -11474,17 +11474,21 @@ _WINDOW_PRIORITY: list[str] = [
     "doc_idf_score_hotsalted",
     "parquet_sized_files_write",
     "gdpr_delete_propagation",
-    # changed in r6, recorded rows stale (no r06 record):
-    "grouped_zscore_pandas",
-    "approx_order_percentiles",
-    "approx_distinct_users",
-    "events_dau_hll_mergeable",
-    "ann_cosine_topk_ivf",
-    "embedding_near_dup",
-    # oldest-r1 fills (displaced by round-7 additions as they land):
-    "parquet_scan",
-    "json_scan",
-    "union_all_files",
+    # round-7 additions (zero evidence by definition; the 6 r6-changed
+    # stale names — grouped_zscore_pandas, the three within_bound
+    # sketches, ann_cosine_topk_ivf, embedding_near_dup — and the last 3
+    # r7 additions (sql_parameterized_filter, string_collation_group,
+    # sql_lateral_correlated) rotate to r8; all are green in the local
+    # replica):
+    "entity_resolution_fuzzy",
+    "streaming_stream_stream_left_outer",
+    "python_datasource_write",
+    "events_locf_impute",
+    "events_ab_proportion_test",
+    "orders_decile_lift",
+    "events_top_paths",
+    "unpivot_metrics",
+    "sql_pipe_syntax",
 ]
 
 _WINDOW_PRIORITY_R6: list[str] = [
