@@ -11414,6 +11414,236 @@ def q_streaming_stream_stream_left_outer(
 
 
 # ---------------------------------------------------------------------------
+# round 7 (late batch): EWMA smoothing, item-item similarity, observed
+# metrics
+# ---------------------------------------------------------------------------
+
+#: EWMA weights for alpha = 1/4 over an 8-point trailing window, scaled by
+#: 4^7 so every term is an exact integer: w_k = 3^k * 4^(7-k), k = lag.
+_EWMA_W = [3**k * 4 ** (7 - k) for k in range(8)]
+
+
+@register(
+    "events_ewma_smooth",
+    f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) // COUNT(*) AS avg_cents
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, hour, avg_cents,
+             {", ".join(f"lag(avg_cents, {k}) OVER w AS x{k}" for k in range(1, 8))}
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+    )
+    SELECT event_type, hour, avg_cents,
+           ({" + ".join(f"COALESCE(x{k} * {w}, 0)" for k, w in list(enumerate(_EWMA_W))[1:])}
+            + avg_cents * {_EWMA_W[0]})
+           // ({" + ".join(f"CASE WHEN x{k} IS NULL THEN 0 ELSE {w} END" for k, w in list(enumerate(_EWMA_W))[1:])}
+               + {_EWMA_W[0]}) AS ewma_cents
+    FROM lagged
+    """,
+)
+def q_events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average — THE streaming smoother, in
+    exact integers: per (event_type, hour) the trailing-8 EWMA with
+    α = 1/4 is a weighted sum with weights 3ᵏ·4⁷⁻ᵏ (the geometric decay
+    (3/4)ᵏ scaled integer-exact by 4⁷), truncated at 8 lags where the
+    residual weight is < 10 %. Leading hours renormalize over the weights
+    actually present, so the series has no warm-up bias. Eight flat LAG
+    terms over one per-series window — a single shuffle on the dim-sized
+    series key, every expression whole-stage-codegen'd, no Python, no
+    float: floor division of two exact int64 sums is bit-identical on
+    both engines. (Full-history EWMA needs pow(), which is NOT
+    cross-engine portable — NOTES.md; the truncated-window form is how a
+    production scorer bounds state anyway.)"""
+    e = table_scan(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    hourly = (
+        e.select("event_type", F.date_trunc("hour", "ts").alias("hour"), cents.alias("c"))
+        .groupBy("event_type", "hour")
+        .agg(F.expr("sum(c) div count(*)").alias("avg_cents"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    lagged = hourly.select(
+        "event_type",
+        "hour",
+        "avg_cents",
+        *[F.lag("avg_cents", k).over(w).alias(f"x{k}") for k in range(1, 8)],
+    )
+    num_sql = " + ".join(
+        [f"avg_cents * {_EWMA_W[0]}"]
+        + [f"COALESCE(x{k} * {w}, 0)" for k, w in list(enumerate(_EWMA_W))[1:]]
+    )
+    den_sql = " + ".join(
+        [str(_EWMA_W[0])]
+        + [
+            f"CASE WHEN x{k} IS NULL THEN 0 ELSE {w} END"
+            for k, w in list(enumerate(_EWMA_W))[1:]
+        ]
+    )
+    return lagged.selectExpr(
+        "event_type",
+        "hour",
+        "avg_cents",
+        f"({num_sql}) div ({den_sql}) AS ewma_cents",
+    )
+
+
+@register(
+    "part_similarity_topk",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    co AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(COUNT(*) AS BIGINT) AS co
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    deg AS (SELECT l_partkey AS p, CAST(COUNT(*) AS BIGINT) AS d
+            FROM li GROUP BY 1),
+    sym AS (
+      SELECT pa AS part, pb AS rec, co FROM co WHERE co >= 2
+      UNION ALL
+      SELECT pb AS part, pa AS rec, co FROM co WHERE co >= 2
+    ),
+    scored AS (
+      SELECT s.part, s.rec, s.co,
+             s.co * s.co * 1000000 // (da.d * db.d) AS cos2_ppm
+      FROM sym s JOIN deg da ON da.p = s.part JOIN deg db ON db.p = s.rec
+    )
+    SELECT part, rec, co, cos2_ppm
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY part ORDER BY cos2_ppm DESC, co DESC, rec
+      ) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def q_part_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering — "customers who bought X also
+    bought": co-purchase cosine² similarity with top-3 recommendations
+    per part. Co-occurrence pairs are generated ARRAY-SIDE from per-order
+    baskets (the `market_basket_pairs` idiom — bounded fan-out, no
+    lineitem self-join); degrees come from one explode; the ranking score
+    co²·10⁶ div (dₐ·d_b) is cosine-squared in exact integer ppm (sqrt
+    would be portable, but integer cross-multiplication makes ORDER
+    ties bit-deterministic, which a float cosine cannot). Support floor
+    co ≥ 2 prunes noise pairs before the degree join. The top-3 window
+    partitions by part — millions of independent partitions at scale.
+    Oracle: join-based pair generation, same integer score."""
+    li = table_scan(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+    )
+    pairs = F.flatten(
+        F.transform(
+            "ps",
+            lambda x: F.transform(
+                F.filter("ps", lambda y: y > x),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+    co = (
+        baskets.select(F.explode(pairs).alias("pr"))
+        .select("pr.pa", "pr.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= 2)
+    )
+    deg = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy(F.col("l_partkey").alias("p"))
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    sym = co.select(
+        F.col("pa").alias("part"), F.col("pb").alias("rec"), "co"
+    ).unionByName(
+        co.select(F.col("pb").alias("part"), F.col("pa").alias("rec"), "co")
+    )
+    scored = (
+        sym.join(deg.withColumnsRenamed({"p": "part", "d": "da"}), "part")
+        .join(deg.withColumnsRenamed({"p": "rec", "d": "db"}), "rec")
+        .selectExpr(
+            "part", "rec", "co", "co * co * 1000000 div (da * db) AS cos2_ppm"
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("part").orderBy(
+            F.desc("cos2_ppm"), F.desc("co"), "rec"
+        )
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") <= 3)
+        .select("part", "rec", "co", "cos2_ppm")
+    )
+
+
+def observed_events_clean(spark: SparkSession, sf_dir: str, observation=None):
+    """Shared pipeline for `events_observe_audit`: the audit metrics ride
+    the SAME job as the cleaning pass via ``observe`` (CollectMetrics) —
+    zero extra scans. ``observation`` may be a ``pyspark.sql.Observation``
+    (tests read the metrics back) or None (a named observe node for
+    listeners)."""
+    e = table_scan(spark, sf_dir, "events")
+    metrics = [
+        F.count(F.lit(1)).alias("rows_in"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_error"),
+        F.count(F.when(F.col("value") < 0, 1)).alias("n_negative"),
+    ]
+    observed = (
+        e.observe(observation, *metrics)
+        if observation is not None
+        else e.observe("bdec_events_audit", *metrics)
+    )
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    return (
+        observed.filter(
+            (F.col("event_type") != "error") & (F.col("value") >= 0)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).alias("cents"),
+        )
+    )
+
+
+@register(
+    "events_observe_audit",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS cents
+    FROM events
+    WHERE event_type <> 'error' AND value >= 0
+    GROUP BY event_type
+    """,
+)
+def q_events_observe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight pipeline observability — ``DataFrame.observe``
+    (CollectMetrics): the quarantine pass counts its input rows, error
+    rows, and negative values IN THE SAME JOB as the cleaning aggregate,
+    so data-quality telemetry costs zero extra scans (the reference runs
+    Soda checks as separate queries over the landed table —
+    soda/checks/*.yml; observe is the streaming-safe in-plan equivalent).
+    The returned aggregate is oracle-checked; the observed metrics
+    themselves are asserted against recomputed truth in
+    tests/test_round7_ops.py via the Observation API."""
+    return observed_events_clean(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
 # The driver correctness-checks the FIRST 50 registry entries per round

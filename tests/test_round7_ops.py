@@ -115,3 +115,71 @@ def test_ab_test_inequality_matches_float_ztest(spark, sf_dir):
         p0, p1, p = c0 / n0, c1 / n1, C / N
         z2 = (p1 - p0) ** 2 / (p * (1 - p) * (1 / n0 + 1 / n1))
         assert r.significant == (1 if z2 >= 3.841459 else 0)
+
+
+def test_observe_metrics_ride_the_cleaning_job(spark, sf_dir):
+    from pyspark.sql import Observation
+
+    from breweries_data_engineering_case_spark.plans.registry import (
+        observed_events_clean,
+        table_scan,
+    )
+
+    obs = Observation()
+    result = observed_events_clean(spark, sf_dir, observation=obs)
+    result.collect()  # one job: aggregate + metrics
+    e = table_scan(spark, sf_dir, "events")
+    truth = {
+        "rows_in": e.count(),
+        "n_error": e.filter(F.col("event_type") == "error").count(),
+        "n_negative": e.filter(F.col("value") < 0).count(),
+    }
+    assert obs.get == truth
+    assert truth["rows_in"] > 0
+
+
+def test_part_similarity_symmetric_and_ranked(spark, sf_dir):
+    rows = registry.QUERIES["part_similarity_topk"](spark, sf_dir).collect()
+    assert rows, "support floor must leave pairs at this SF"
+    by_part: dict[int, list] = {}
+    for r in rows:
+        by_part.setdefault(r.part, []).append(r)
+    for part, recs in by_part.items():
+        assert len(recs) <= 3
+        scores = [r.cos2_ppm for r in recs]
+        assert scores == sorted(scores, reverse=True)
+        for r in recs:
+            assert r.co >= 2 and r.part != r.rec
+
+
+def test_ewma_hand_computed_on_planted_series(spark):
+    # plant a 3-point series and check the renormalized truncated EWMA
+    import datetime as dt
+
+    from breweries_data_engineering_case_spark.plans.registry import _EWMA_W
+
+    vals = [100, 200, 400]
+    rows = [
+        (i, dt.datetime(2024, 1, 1, i), 7, "click", float(v), "{}")
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string"
+    )
+    import tempfile
+    from pathlib import Path
+
+    d = Path(tempfile.mkdtemp()) / "events.parquet"
+    df.coalesce(1).write.mode("overwrite").parquet(str(d))
+    out = {
+        r.hour.hour: r.ewma_cents
+        for r in registry.QUERIES["events_ewma_smooth"](
+            spark, str(d.parent)
+        ).collect()
+    }
+    cents = [v * 100 for v in vals]
+    for t in range(3):
+        num = sum(_EWMA_W[k] * cents[t - k] for k in range(t + 1))
+        den = sum(_EWMA_W[k] for k in range(t + 1))
+        assert out[t] == num // den
