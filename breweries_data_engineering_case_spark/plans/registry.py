@@ -11643,6 +11643,123 @@ def q_events_observe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return observed_events_clean(spark, sf_dir)
 
 
+@register(
+    "grouped_agg_pandas_udf",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)
+                         * CAST(l_quantity AS BIGINT)) AS HUGEINT)
+                // CAST(SUM(CAST(l_quantity AS BIGINT)) AS HUGEINT)
+                AS BIGINT) AS wmean_cents
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF — the last cell of the grouped-Python
+    matrix (applyInPandas ✓, applyInArrow ✓, cogroup ✓, scalar arrow_udf
+    ✓; here the Series→scalar AGGREGATE form that drops into a normal
+    ``groupBy().agg`` next to JVM aggregates): quantity-weighted mean
+    price per returnflag in exact int64 (cents·qty sums stay < 2⁶³ to
+    SF ≈ 100; floor division matches the HUGEINT oracle bit-for-bit).
+    The plan's AggregateInPandas node receives Arrow batches per group —
+    partial aggregation is NOT available to Python aggs (the whole group
+    ships), which is exactly why the sweep tracks this node type and the
+    docstring of every user of it must justify group sizes; returnflag
+    has 3 dim-sized groups."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _wmean(cents, qty):
+        return int(cents.mul(qty).sum() // qty.sum())
+
+    # real type objects, not strings: `from __future__ import annotations`
+    # would stringify inline hints and pandas_udf cannot infer GROUPED_AGG
+    _wmean.__annotations__ = {"cents": pd.Series, "qty": pd.Series, "return": int}
+    wmean_cents = pandas_udf(_wmean, "long")
+
+    def _n(qty):
+        return len(qty)
+
+    # pandas aggregates cannot mix with JVM aggregates in one agg()
+    # (INVALID_PANDAS_UDF_PLACEMENT) — the row count is a pandas agg too
+    _n.__annotations__ = {"qty": pd.Series, "return": int}
+    n_rows = pandas_udf(_n, "long")
+
+    li = table_scan(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return li.groupBy("l_returnflag").agg(
+        n_rows("qty").alias("n_lines"),
+        wmean_cents("cents", "qty").alias("wmean_cents"),
+    )
+
+
+@register(
+    "udtf_analyze_kv_columns",
+    """
+    SELECT event_type AS t,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS cents
+    FROM events GROUP BY event_type
+    """,
+)
+def q_udtf_analyze_kv_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF — ``analyze()`` computes the OUTPUT SCHEMA
+    from a constant argument at plan time (the Spark 4 API that lets one
+    table function serve any key set, the way a real telemetry KV
+    exploder must): events are serialized to a k=v;k=v line, the UDTF is
+    asked for columns 't,v' via LATERAL, and the extracted columns
+    re-aggregate to the per-type cents totals the oracle computes from
+    the raw table — a full round-trip proof that the dynamic schema and
+    the extraction agree. ``useArrow=True`` keeps it ArrowEvalPythonUDTF
+    (the row-at-a-time variant is sweep-banned); the static-schema twin
+    is doc_udtf_sentence_split."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf(useArrow=True)
+    class KVExpand:
+        @staticmethod
+        def analyze(kv: AnalyzeArgument, keys: AnalyzeArgument) -> AnalyzeResult:
+            wanted = [k.strip() for k in keys.value.split(",")]
+            return AnalyzeResult(
+                StructType([StructField(k, StringType()) for k in wanted])
+            )
+
+        def eval(self, kv: str, keys: str):
+            wanted = [k.strip() for k in keys.split(",")]
+            d = dict(p.split("=", 1) for p in kv.split(";") if "=" in p)
+            yield tuple(d.get(k) for k in wanted)
+
+    spark.udtf.register("bdec_kv_expand", KVExpand)
+    e = table_scan(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    e.select(
+        F.concat(
+            F.lit("t="),
+            F.col("event_type"),
+            F.lit(";u="),
+            F.col("user_id").cast("string"),
+            F.lit(";v="),
+            cents.cast("string"),
+        ).alias("kv")
+    ).createOrReplaceTempView("bdec_r7_kv_events")
+    return spark.sql(
+        """
+        SELECT x.t, COUNT(*) AS n, SUM(CAST(x.v AS BIGINT)) AS cents
+        FROM bdec_r7_kv_events, LATERAL bdec_kv_expand(kv, 't,v') x
+        GROUP BY x.t
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

@@ -105,9 +105,13 @@ PANDAS_OK = {
     "doc_token_stats_arrow",  # mapInArrow pyarrow.compute kernel, by definition
     "grouped_stats_arrow",  # grouped applyInArrow pyarrow.compute kernel, by definition
     "events_arrow_udf_cents",  # scalar @arrow_udf kernel, by definition
+    "grouped_agg_pandas_udf",  # GROUPED_AGG pandas UDF (AggregateInPandas)
+    #   over 3 dim-sized returnflag groups, by definition
+    "udtf_analyze_kv_columns",  # Arrow UDTF with analyze(), by definition
 }
 
 PANDAS_NODES = (
+    "AggregateInPandas",
     "ArrowEvalPython",
     "MapInPandas",
     "MapInArrow",
