@@ -10854,10 +10854,14 @@ def q_events_locf_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers on both engines."""
     e = table_scan(spark, sf_dir, "events")
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    # persist-once: the hourly aggregate feeds the spine bounds, the type
+    # dim, AND the left join — lazily persisting it collapses three full
+    # event scans into one
     hourly = (
         e.select("event_type", F.date_trunc("hour", "ts").alias("h"), cents.alias("c"))
         .groupBy("event_type", "h")
         .agg(F.expr("sum(c) div count(*)").alias("avg_cents"))
+        .persist()
     )
     spine_hours = (
         hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
@@ -10867,18 +10871,24 @@ def q_events_locf_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    types = e.select("event_type").distinct()
-    spine = spine_hours.crossJoin(F.broadcast(types))
+    types = hourly.select("event_type").distinct()
+    spine = spine_hours.crossJoin(F.broadcast(types)).alias("sp")
     w = (
         Window.partitionBy("event_type")
         .orderBy("hour")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    hl = hourly.alias("hl")
     joined = spine.join(
-        hourly,
-        (spine["event_type"] == hourly["event_type"]) & (spine["hour"] == hourly["h"]),
+        hl,
+        (F.col("sp.event_type") == F.col("hl.event_type"))
+        & (F.col("sp.hour") == F.col("hl.h")),
         "left",
-    ).select(spine["event_type"], "hour", "avg_cents")
+    ).select(
+        F.col("sp.event_type").alias("event_type"),
+        F.col("sp.hour").alias("hour"),
+        F.col("hl.avg_cents").alias("avg_cents"),
+    )
     return joined.select(
         "event_type",
         "hour",
@@ -10934,16 +10944,23 @@ def q_events_ab_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     overflow at any SF. Two distinct-aggregations and one single-row
     broadcast — no shuffle beyond the groupBys."""
     e = table_scan(spark, sf_dir, "events")
-    u = e.select("user_id", (F.col("user_id") % 2).alias("variant")).distinct()
+    # persist-once: the (type, user) count table feeds both the variant
+    # totals (via its distinct users) and the conversion counts — one
+    # event scan instead of two
+    base = (
+        e.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .persist()
+    )
+    u = base.select(
+        "user_id", (F.col("user_id") % 2).alias("variant")
+    ).distinct()
     tot = u.agg(
         F.count(F.when(F.col("variant") == 0, 1)).alias("n0"),
         F.count(F.when(F.col("variant") == 1, 1)).alias("n1"),
     )
-    per_user = (
-        e.groupBy("event_type", "user_id")
-        .agg(F.count(F.lit(1)).alias("k"))
-        .filter(F.col("k") >= 14)
-        .select("event_type", (F.col("user_id") % 2).alias("variant"))
+    per_user = base.filter(F.col("k") >= 14).select(
+        "event_type", (F.col("user_id") % 2).alias("variant")
     )
     conv = per_user.groupBy("event_type").agg(
         F.count(F.when(F.col("variant") == 0, 1)).alias("c0"),
@@ -11537,10 +11554,15 @@ def q_part_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions by part — millions of independent partitions at scale.
     Oracle: join-based pair generation, same integer score."""
     li = table_scan(spark, sf_dir, "lineitem")
+    # persist-once: baskets feed BOTH the pair counts and the degrees, and
+    # co feeds both directions of the symmetric edge list — without the
+    # lazy persists Spark recomputes each subtree per consumer (4 lineitem
+    # scans measured; 1 after)
     baskets = (
         li.select("l_orderkey", "l_partkey")
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .persist()
     )
     pairs = F.flatten(
         F.transform(
@@ -11557,11 +11579,11 @@ def q_part_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("co"))
         .filter(F.col("co") >= 2)
+        .persist()
     )
     deg = (
-        li.select("l_orderkey", "l_partkey")
-        .distinct()
-        .groupBy(F.col("l_partkey").alias("p"))
+        baskets.select(F.explode("ps").alias("p"))
+        .groupBy("p")
         .agg(F.count(F.lit(1)).alias("d"))
     )
     sym = co.select(
