@@ -11782,6 +11782,106 @@ def q_udtf_analyze_kv_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_matryoshka_recall",
+    """
+    WITH temb AS (
+      SELECT vec_id, list_slice(embedding, 1, 16) AS embedding
+      FROM embeddings
+    ),
+    pf AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             UNNEST(q.embedding) AS qe, UNNEST(v.embedding) AS ve,
+             UNNEST(range(len(q.embedding))) AS i
+      FROM embeddings q, embeddings v
+      WHERE q.vec_id < 5 AND v.vec_id <> q.vec_id
+    ),
+    df_ AS (
+      SELECT query_id, neighbor_id,
+             SUM(CAST(qe AS DOUBLE) * CAST(ve AS DOUBLE) ORDER BY i) AS dot,
+             SUM(CAST(qe AS DOUBLE) * CAST(qe AS DOUBLE) ORDER BY i) AS qn,
+             SUM(CAST(ve AS DOUBLE) * CAST(ve AS DOUBLE) ORDER BY i) AS vn
+      FROM pf GROUP BY query_id, neighbor_id
+    ),
+    f AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dot / (sqrt(qn) * sqrt(vn)) DESC,
+                                           neighbor_id) AS rank
+        FROM df_
+      ) WHERE rank <= 5
+    ),
+    pt AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             UNNEST(q.embedding) AS qe, UNNEST(v.embedding) AS ve,
+             UNNEST(range(len(q.embedding))) AS i
+      FROM temb q, temb v
+      WHERE q.vec_id < 5 AND v.vec_id <> q.vec_id
+    ),
+    dt AS (
+      SELECT query_id, neighbor_id,
+             SUM(CAST(qe AS DOUBLE) * CAST(ve AS DOUBLE) ORDER BY i) AS dot,
+             SUM(CAST(qe AS DOUBLE) * CAST(qe AS DOUBLE) ORDER BY i) AS qn,
+             SUM(CAST(ve AS DOUBLE) * CAST(ve AS DOUBLE) ORDER BY i) AS vn
+      FROM pt GROUP BY query_id, neighbor_id
+    ),
+    t AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dot / (sqrt(qn) * sqrt(vn)) DESC,
+                                           neighbor_id) AS rank
+        FROM dt
+      ) WHERE rank <= 5
+    )
+    SELECT f.query_id,
+           CAST(COUNT(t.neighbor_id) AS BIGINT) AS hits_at_5,
+           CAST(COUNT(t.neighbor_id) * 1000 // 5 AS BIGINT) AS recall_permille
+    FROM f LEFT JOIN t
+      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id
+    """,
+)
+def q_embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation (Matryoshka) ablation — the evaluation every
+    embedding-serving team runs before shipping truncated vectors: exact
+    cosine top-5 on the FULL 64-dim corpus vs the same search on the
+    first-16-dim prefix, reported as per-query recall@5 in integer
+    per-mille. Both searches reuse the deterministic `cosine_topk`
+    operator (index-ordered double folds, neighbor_id tiebreaks — the
+    `ann_cosine_topk` machinery), so the recall table is bitwise
+    reproducible; the truncated side is `F.slice(embedding, 1, 16)` ≡
+    DuckDB `list_slice`. Exact search is quadratic BY SPECIFICATION (it
+    is the ground-truth harness; the serving path is the LSH/IVF family);
+    queries broadcast, corpus streams."""
+    emb = table_scan(spark, sf_dir, "embeddings")
+    full = cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5).select(
+        "query_id", "neighbor_id"
+    )
+    temb = emb.select(
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    trunc = cosine_topk(temb, temb.filter(F.col("vec_id") < 5), k=5).select(
+        F.col("query_id").alias("q2"), F.col("neighbor_id").alias("n2")
+    )
+    return (
+        full.join(
+            trunc,
+            (full["query_id"] == trunc["q2"])
+            & (full["neighbor_id"] == trunc["n2"]),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("n2").alias("hits_at_5"))
+        .selectExpr(
+            "query_id",
+            "hits_at_5",
+            "hits_at_5 * 1000 div 5 AS recall_permille",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

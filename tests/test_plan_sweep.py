@@ -29,6 +29,8 @@ from breweries_data_engineering_case_spark.plans import registry
 #: (broadcast) side — the documented exact baselines and scalar broadcasts
 BNLJ_OK = {
     "ann_cosine_topk",  # exact baseline: ≤50 query vectors broadcast
+    "embedding_matryoshka_recall",  # two exact ground-truth searches,
+    #   5-query broadcast each (the ablation harness, not the serving path)
     "embedding_near_dup_exact",  # exact all-pairs ground-truth twin
     "doc_ngram_jaccard_pairs",  # exact verification primitive, bounded ids
     "doc_levenshtein_pairs",  # bounded-subset edit-distance join
