@@ -11041,7 +11041,9 @@ def q_orders_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile_cont bitwise), flat CASE bucketing against the broadcast
     cutoff row (the equi-depth-histogram idiom — no global sort, no
     NTILE), then cumulative capture and lift per decile in exact integer
-    per-mille. The cumulative pass is a triangular join of the TEN-row
+    per-mille. At 100 TB swap `F.percentile` for `approx_percentile`
+    (mergeable sketch — exact percentile buffers every value through one
+    merger) and the plan is otherwise unchanged. The cumulative pass is a triangular join of the TEN-row
     bucket aggregate with itself — at any SF it is 55 rows, so the
     all-pairs shape is bounded by construction; totals ride a single-row
     broadcast. Value-based bucketing (not row-number) keeps membership
