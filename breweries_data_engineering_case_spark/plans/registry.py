@@ -11884,6 +11884,169 @@ def q_embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "sql_scripting_variables",
+    """
+    WITH c AS (
+      SELECT o_orderpriority,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    thr AS (SELECT CAST(SUM(cents) AS BIGINT) // COUNT(*) AS t FROM c)
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_above,
+           t AS threshold_cents
+    FROM c CROSS JOIN thr WHERE cents > t
+    GROUP BY o_orderpriority, t
+    """,
+)
+def q_sql_scripting_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 BEGIN…END, SQL/PSM-style) with a local
+    variable — the procedural-SQL surface migrations from warehouse
+    stored procedures need: the script computes the corpus-wide average
+    order value into a DECLAREd variable with one statement, then uses it
+    as a scalar predicate in the next. The variable binds as a literal at
+    the second statement's analysis, so the filter still pushes down —
+    procedurality costs nothing in the plan (this is the scripted twin of
+    `tpch_q11_important_parts`' scalar-broadcast shape; the script's SET
+    runs the aggregate as its own tiny job first). Threshold is exact
+    integer cents (decimal per-row cast, floor-div average) so both
+    engines cut identically."""
+    table_scan(spark, sf_dir, "orders").createOrReplaceTempView(
+        "bdec_r7_orders_script"
+    )
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE thr BIGINT DEFAULT 0;
+          SET thr = (
+            SELECT SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                            AS BIGINT)) DIV COUNT(*)
+            FROM bdec_r7_orders_script
+          );
+          SELECT o_orderpriority,
+                 COUNT(*) AS n_above,
+                 thr AS threshold_cents
+          FROM bdec_r7_orders_script
+          WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  > thr
+          GROUP BY o_orderpriority;
+        END
+        """
+    )
+
+
+_CASCADE_ORACLE = _SIMHASH_CTE.replace("WITH tok", "WITH RECURSIVE tok") + """
+    , s1 AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    s2 AS (
+      SELECT MIN(d.doc_id) AS doc_id
+      FROM documents d JOIN s1 ON s1.doc_id = d.doc_id
+      GROUP BY d.source || '.example.com/' || d.lang || '/doc-'
+               || CAST(d.doc_id % 50 AS VARCHAR)
+    ),
+    e AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM sh a JOIN s2 sa ON sa.doc_id = a.doc_id
+           JOIN sh b ON a.doc_id < b.doc_id
+           JOIN s2 sb ON sb.doc_id = b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ),
+    sym AS (SELECT u AS a, b FROM (SELECT u, v AS b FROM e)
+            UNION SELECT v, u FROM e),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    lab AS (
+      SELECT s2.doc_id,
+             LEAST(s2.doc_id, COALESCE(MIN(r.b), s2.doc_id)) AS component
+      FROM s2 LEFT JOIN reach r ON r.a = s2.doc_id
+      GROUP BY s2.doc_id
+    ),
+    s3 AS (SELECT MIN(doc_id) AS doc_id FROM lab GROUP BY component)
+    SELECT * FROM (
+      SELECT 1 AS stage, 'input' AS name,
+             CAST(COUNT(*) AS BIGINT) AS survivors FROM documents
+      UNION ALL
+      SELECT 2, 'exact', CAST(COUNT(*) AS BIGINT) FROM s1
+      UNION ALL
+      SELECT 3, 'url', CAST(COUNT(*) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT 4, 'near_dup', CAST(COUNT(*) AS BIGINT) FROM s3
+    )
+"""
+
+
+@register("dedup_cascade_funnel", _CASCADE_ORACLE)
+def q_dedup_cascade_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE production dedup pipeline, composed end-to-end with its
+    attrition funnel: exact content dedup (md5 keep-min) → canonical-URL
+    dedup (JVM parse_url host+path, tracking params dropped) → SimHash
+    near-dup clustering (banded-Hamming pairs, transitive closure via
+    `connected_components`, keep-min per cluster). Each stage runs ONLY on
+    the previous stage's survivors (cheap-to-expensive ordering is what
+    makes a 100 TB dedup affordable — near-dup never sees rows exact/URL
+    already killed), and the emitted funnel row per stage is the
+    attrition report every data-curation run ships. Survivor frames are
+    lazily persisted: each feeds both its stage count and the next stage.
+    Oracle: the identical cascade with the shared SimHash CTE and a
+    WITH RECURSIVE closure."""
+    from ..operators.components import connected_components
+
+    d = table_scan(spark, sf_dir, "documents").persist()
+    s1 = (
+        d.groupBy(F.md5("text").alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s1d = d.join(s1, "doc_id", "left_semi").persist()
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("?utm_source="),
+        F.col("source"),
+    )
+    canon = F.concat(
+        F.parse_url(url, F.lit("HOST")), F.parse_url(url, F.lit("PATH"))
+    )
+    s2 = (
+        s1d.select("doc_id", canon.alias("curl"))
+        .groupBy("curl")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s2d = d.join(s2, "doc_id", "left_semi").persist()
+    pairs = simhash_near_dup_pairs(s2d, bits=32, bands=4, max_hamming=3)
+    comp = connected_components(
+        s2d.select(F.col("doc_id").alias("node")),
+        pairs.select("id_a", "id_b"),
+        id_col="node",
+        src_col="id_a",
+        dst_col="id_b",
+    )
+    s3 = comp.groupBy("component").agg(F.min("node").alias("doc_id"))
+
+    def stage(n: int, name: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(F.count(F.lit(1)).alias("survivors")).select(
+            F.lit(n).alias("stage"), F.lit(name).alias("name"), "survivors"
+        )
+
+    return (
+        stage(1, "input", d)
+        .unionByName(stage(2, "exact", s1d))
+        .unionByName(stage(3, "url", s2d))
+        .unionByName(stage(4, "near_dup", s3))
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
