@@ -11997,7 +11997,11 @@ def q_dedup_cascade_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE closure."""
     from ..operators.components import connected_components
 
-    d = table_scan(spark, sf_dir, "documents").persist()
+    d = (
+        table_scan(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang", "source")  # prune before persist
+        .persist()
+    )
     s1 = (
         d.groupBy(F.md5("text").alias("fp"))
         .agg(F.min("doc_id").alias("doc_id"))

@@ -41,6 +41,12 @@ STANDARD_BATCH = [
     "streaming_foreachbatch_rollup",
     "streaming_session_window",
     "streaming_dedup_watermark",
+    # round-7 heavies
+    "part_similarity_topk",
+    "dedup_cascade_funnel",
+    "orders_decile_lift",
+    "udtf_analyze_kv_columns",
+    "entity_resolution_fuzzy",
 ]
 
 
