@@ -166,3 +166,112 @@ def test_ks_gap_bounds_and_symmetry(spark, a_vals, b_vals):
     g2 = ks(b_vals, a_vals)
     assert g1 == g2
     assert 0 <= g1 <= len(a_vals) * len(b_vals)
+
+
+# -- round 7: EWMA kernel vs a python reference -----------------------------
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=719),  # hour slot (may repeat)
+            st.integers(min_value=0, max_value=10_000),  # value cents
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_ewma_matches_python_reference_on_generated_series(spark, slots):
+    """The trailing-8 renormalized EWMA must equal a direct python
+    evaluation over ANY hourly series, including sparse hours and
+    duplicate slots (which collapse into per-hour integer averages
+    first)."""
+    import datetime as dt
+    import tempfile
+    from pathlib import Path
+
+    from breweries_data_engineering_case_spark.plans import registry
+    from breweries_data_engineering_case_spark.plans.registry import _EWMA_W
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            base + dt.timedelta(hours=h),
+            1,
+            "click",
+            c / 100.0,
+            "{}",
+        )
+        for i, (h, c) in enumerate(slots)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = Path(tempfile.mkdtemp()) / "events.parquet"
+    df.coalesce(1).write.mode("overwrite").parquet(str(d))
+    out = {
+        r.hour: (r.avg_cents, r.ewma_cents)
+        for r in registry.QUERIES["events_ewma_smooth"](spark, str(d.parent)).collect()
+    }
+    # python reference: per-hour floor averages, then trailing-8 weighted
+    per_hour: dict[int, list[int]] = {}
+    for h, c in slots:
+        per_hour.setdefault(h, []).append(c)
+    series = sorted((h, sum(v) // len(v)) for h, v in per_hour.items())
+    for t, (h, avg) in enumerate(series):
+        num = den = 0
+        for k in range(min(t + 1, 8)):
+            num += _EWMA_W[k] * series[t - k][1]
+            den += _EWMA_W[k]
+        got_avg, got_ewma = out[base + dt.timedelta(hours=h)]
+        assert got_avg == avg
+        assert got_ewma == num // den, (h, series)
+
+
+# -- round 7: entity-resolution variant generator always blocks together ----
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.text(
+        alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+        min_size=3,
+        max_size=20,
+    ),
+    st.integers(min_value=0, max_value=3),
+)
+def test_er_variants_stay_in_block_and_within_one_edit(name, mod):
+    """Every dirty variant the ER query synthesizes must (a) share the
+    2-char blocking prefix with the base, (b) stay within the +-1 length
+    band, and (c) be <= 1 Levenshtein edit from the base — the exact
+    conditions the blocked join uses, so recall of the planted duplicates
+    is 1 by construction."""
+
+    def variant(n: str, m: int) -> str:
+        if m == 0:
+            return n
+        if m == 1:
+            return n[:-1]
+        if m == 2:
+            return n + n[-1]
+        return n[:-1] + "x"
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    v = variant(name, mod)
+    assert v[:2] == name[:2]
+    assert abs(len(v) - len(name)) <= 1
+    assert lev(v, name) <= 1
