@@ -12051,6 +12051,118 @@ def q_dedup_cascade_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "map_functions_extended",
+    """
+    WITH c AS (
+      SELECT user_id,
+             CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+                  THEN 'h1' ELSE 'h2' END AS half,
+             event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events WHERE user_id < 40 GROUP BY 1, 2, 3
+    ),
+    tot AS (
+      SELECT user_id, event_type, CAST(SUM(cnt) AS BIGINT) AS total
+      FROM c GROUP BY user_id, event_type
+    )
+    SELECT t.user_id,
+           (SELECT string_agg(upper(event_type) || ':'
+                              || CAST(total AS VARCHAR), ','
+                              ORDER BY upper(event_type) || ':'
+                                       || CAST(total AS VARCHAR))
+            FROM tot t2 WHERE t2.user_id = t.user_id) AS merged_upper,
+           (SELECT string_agg(half || '_' || event_type || ':'
+                              || CAST(cnt AS VARCHAR), ','
+                              ORDER BY half || '_' || event_type || ':'
+                                       || CAST(cnt AS VARCHAR))
+            FROM c c2 WHERE c2.user_id = t.user_id) AS halves,
+           CAST(COUNT(*) AS BIGINT) AS n_types
+    FROM tot t GROUP BY t.user_id
+    """,
+)
+def q_map_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMAINING MapType higher-order functions (`map_functions`
+    covers map_from_entries / map_filter / transform_values / map_keys /
+    element_at): per-user first-half vs second-half event-count maps are
+    merged with ``map_zip_with`` (union of key sets, null-padded sides
+    coalesced), re-keyed with ``transform_keys`` (upper-cased), and
+    namespaced+combined with ``map_concat`` over disjoint prefixed keys.
+    Outputs canonicalize as LEXICOGRAPHICALLY SORTED entry strings
+    (array_sort over map_entries renderings) — map key ORDER is
+    construction-dependent and engine-specific, so sorting the rendered
+    entries is the only portable serialization; all lambdas are JVM
+    codegen."""
+    e = table_scan(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    half = F.when(F.to_date("ts") <= F.lit("2024-01-15").cast("date"), "h1").otherwise(
+        "h2"
+    )
+    cnts = (
+        e.select("user_id", half.alias("half"), "event_type")
+        .groupBy("user_id", "half", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+    def half_map(tag: str):
+        return F.map_from_entries(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("half") == tag, F.struct("event_type", "cnt")
+                    )
+                )
+            )
+        )
+
+    # collect_list drops the NULLs the when() emits for the other half
+    maps = cnts.groupBy("user_id").agg(
+        half_map("h1").alias("m1"), half_map("h2").alias("m2")
+    )
+    merged = maps.select(
+        "user_id",
+        "m1",
+        "m2",
+        F.map_zip_with(
+            "m1",
+            "m2",
+            lambda k, v1, v2: F.coalesce(v1, F.lit(0)) + F.coalesce(v2, F.lit(0)),
+        ).alias("mm"),
+    )
+    upperized = merged.select(
+        "user_id",
+        "m1",
+        "m2",
+        F.transform_keys("mm", lambda k, v: F.upper(k)).alias("mu"),
+    )
+    combined = upperized.select(
+        "user_id",
+        "mu",
+        F.map_concat(
+            F.transform_keys("m1", lambda k, v: F.concat(F.lit("h1_"), k)),
+            F.transform_keys("m2", lambda k, v: F.concat(F.lit("h2_"), k)),
+        ).alias("mc"),
+    )
+
+    def canon(mp: str):
+        return F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.map_entries(F.col(mp)),
+                    lambda kv: F.concat(
+                        kv["key"], F.lit(":"), kv["value"].cast("string")
+                    ),
+                )
+            ),
+            ",",
+        )
+
+    return combined.select(
+        "user_id",
+        canon("mu").alias("merged_upper"),
+        canon("mc").alias("halves"),
+        F.size("mu").cast("long").alias("n_types"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
