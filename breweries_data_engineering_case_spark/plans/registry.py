@@ -12163,6 +12163,100 @@ def q_map_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "orders_price_range_frame",
+    """
+    WITH c AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey, cents,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_band_peers,
+           CAST(SUM(cents) OVER w AS BIGINT) AS band_cents
+    FROM c
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY cents
+                 RANGE BETWEEN 1000000 PRECEDING AND 1000000 FOLLOWING)
+    """,
+)
+def q_orders_price_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-based RANGE window frame over a NUMERIC order key — the frame
+    family `events_range_frame_avg` exercises over time, here over money:
+    for every order, how many of the same customer's orders fall within
+    ±10,000.00 of its price, and their exact cents total. RANGE frames
+    need no tiebreak to be deterministic (the frame is defined by VALUES,
+    so peers with equal cents share identical frames — row-frame results
+    would depend on tie order). Windows partition by customer — millions
+    of independent partitions at scale; exact integer cents keep the
+    frame boundary comparisons and sums bit-identical across engines."""
+    c = table_scan(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("cents")
+        .rangeBetween(-1000000, 1000000)
+    )
+    return c.select(
+        "o_orderkey",
+        "o_custkey",
+        "cents",
+        F.count(F.lit(1)).over(w).alias("n_band_peers"),
+        F.sum("cents").over(w).alias("band_cents"),
+    )
+
+
+@register(
+    "try_arithmetic_functions",
+    """
+    WITH c AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE 100.0 / CAST(o_orderkey % 7 AS DOUBLE) END AS d,
+             CASE WHEN o_orderkey > 1000 THEN NULL
+                  ELSE 9223372036854774807 + o_orderkey END AS a
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) - COUNT(d) AS BIGINT) AS n_div_null,
+           CAST(SUM(CAST(d AS DECIMAL(18,6))) AS DOUBLE) AS div_sum,
+           CAST(COUNT(*) - COUNT(a) AS BIGINT) AS n_add_overflow
+    FROM c GROUP BY o_orderpriority
+    """,
+)
+def q_try_arithmetic_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic (`try_divide` / `try_add`, the ANSI-mode
+    escape hatches): division by zero and int64 overflow return NULL
+    instead of failing the job — the semantics a 100 TB pipeline needs so
+    one poisoned row cannot kill a stage. Division-by-zero cells are
+    `o_orderkey % 7 = 0`; overflow cells add the orderkey to
+    (MAX_LONG − 1000), so keys above 1000 overflow and the rest land just
+    under the ceiling — both outcomes counted per priority, with the
+    surviving quotients summed through the exact-decimal idiom. The
+    oracle replays both NULL rules with explicit CASE guards (DuckDB has
+    no try_* family; its `//0` raises like ANSI Spark would)."""
+    o = table_scan(spark, sf_dir, "orders")
+    c = o.select(
+        "o_orderpriority",
+        F.try_divide(
+            F.lit(100.0), (F.col("o_orderkey") % 7).cast("double")
+        ).alias("d"),
+        F.try_add(F.lit(9223372036854774807), F.col("o_orderkey")).alias("a"),
+    )
+    return c.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.count("d")).alias("n_div_null"),
+        F.sum(F.col("d").cast("decimal(18,6)")).cast("double").alias("div_sum"),
+        (F.count(F.lit(1)) - F.count("a")).alias("n_add_overflow"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
