@@ -12257,6 +12257,95 @@ def q_try_arithmetic_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SSSP_ORACLE_HEAD = """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      FROM lineitem WHERE l_partkey < 200
+    ),
+    e0 AS (
+      SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS co
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+    ),
+    e AS (
+      SELECT u, v, GREATEST(1, 1000 // co) AS w FROM e0
+      UNION ALL
+      SELECT v, u, GREATEST(1, 1000 // co) AS w FROM e0
+    ),
+    s AS (SELECT MIN(p) AS src FROM li),
+    d0 AS (SELECT src AS node, CAST(0 AS BIGINT) AS dist FROM s)
+"""
+
+
+def _sssp_oracle(rounds: int) -> str:
+    ctes = [_SSSP_ORACLE_HEAD]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f""",
+    d{k} AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d{k - 1}
+        UNION ALL
+        SELECT e.v AS node, d.dist + e.w AS dist
+        FROM d{k - 1} d JOIN e ON e.u = d.node
+      ) GROUP BY node
+    )"""
+        )
+    return "".join(ctes) + f"""
+    SELECT node, CAST(dist AS BIGINT) AS dist FROM d{rounds}
+    """
+
+
+@register("graph_sssp_bellman_ford", _sssp_oracle(4))
+def q_graph_sssp_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths, 4-round distributed
+    Bellman-Ford — the missing graph primitive next to PageRank / BFS /
+    components / k-core / triangles: co-purchase edges weighted by
+    closeness (1000 div co, floor 1 — heavier co-purchase = shorter), and
+    each round relaxes EVERY edge against the current distance table
+    (one shuffle join + one min-regroup; eager localCheckpoint per round
+    truncates the lineage that otherwise doubles per iteration — the
+    k-core lesson). Four rounds bound the answer to 4-hop-optimal
+    distances, which is the production shape anyway: unbounded
+    Bellman-Ford is O(V) rounds, but real similarity/logistics graphs cap
+    hops. Exact integer weights make every relaxation bit-portable;
+    oracle = the identical four unrolled relaxations."""
+    li = (
+        table_scan(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < 200)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("co"))
+        .select(
+            "u", "v", F.greatest(F.lit(1), F.expr("1000 div co")).alias("w")
+        )
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    ).persist()
+    src = li.agg(F.min("p").alias("src"))
+    dist = src.select(
+        F.col("src").alias("node"), F.lit(0).cast("long").alias("dist")
+    ).localCheckpoint(eager=True)
+    for _ in range(4):
+        relaxed = (
+            edges.join(dist, edges["u"] == dist["node"])
+            .select(F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
