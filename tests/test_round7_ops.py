@@ -183,3 +183,47 @@ def test_ewma_hand_computed_on_planted_series(spark):
         num = sum(_EWMA_W[k] * cents[t - k] for k in range(t + 1))
         den = sum(_EWMA_W[k] for k in range(t + 1))
         assert out[t] == num // den
+
+
+def test_dedup_cascade_funnel_is_monotone(spark, sf_dir):
+    rows = {
+        r.stage: r.survivors
+        for r in registry.QUERIES["dedup_cascade_funnel"](spark, sf_dir).collect()
+    }
+    assert list(rows) and set(rows) == {1, 2, 3, 4}
+    assert rows[1] >= rows[2] >= rows[3] >= rows[4] > 0
+
+
+def test_sssp_source_zero_and_edge_relaxation_bound(spark, sf_dir):
+    dist = {
+        r.node: r.dist
+        for r in registry.QUERIES["graph_sssp_bellman_ford"](
+            spark, sf_dir
+        ).collect()
+    }
+    src = min(dist, key=lambda n: dist[n])
+    assert dist[src] == 0
+    # triangle inequality against every direct edge among settled nodes
+    li = (
+        registry.table_scan(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < 200)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    from collections import defaultdict
+
+    basket = defaultdict(set)
+    for r in li:
+        basket[r.l_orderkey].add(r.l_partkey)
+    co = defaultdict(int)
+    for parts in basket.values():
+        ps = sorted(parts)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1 :]:
+                co[(u, v)] += 1
+    for (u, v), c in co.items():
+        w = max(1, 1000 // c)
+        if u in dist and v in dist:
+            assert dist[v] <= dist[u] + w
+            assert dist[u] <= dist[v] + w
