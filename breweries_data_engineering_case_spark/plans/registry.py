@@ -12346,6 +12346,216 @@ def q_graph_sssp_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist
 
 
+#: Poisson(1) CDF thresholds in parts-per-million — the multiplicity table
+#: of the distributed (Poisson) bootstrap: a 60-bit hash uniform in [0, 1e6)
+#: maps to how many times a row appears in replicate b.
+_POISSON1_PPM = (367879, 735758, 919698, 981011, 996340)
+
+
+@register(
+    "orders_poisson_bootstrap_median",
+    f"""
+    WITH x AS (
+      SELECT o_orderpriority AS prio, o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    r AS (
+      SELECT x.*, b.b,
+             CAST(concat('0x', substr(md5(
+               CAST(k AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)), 1, 15))
+               AS BIGINT) % 1000000 AS u
+      FROM x, (SELECT UNNEST(range(8)) AS b) b
+    ),
+    m AS (
+      SELECT prio, b, cents,
+             CASE WHEN u < {_POISSON1_PPM[0]} THEN 0
+                  WHEN u < {_POISSON1_PPM[1]} THEN 1
+                  WHEN u < {_POISSON1_PPM[2]} THEN 2
+                  WHEN u < {_POISSON1_PPM[3]} THEN 3
+                  WHEN u < {_POISSON1_PPM[4]} THEN 4
+                  ELSE 5 END AS w
+      FROM r
+    ),
+    c AS (
+      SELECT prio, b, cents, w,
+             SUM(w) OVER (PARTITION BY prio, b ORDER BY cents, w
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cumw,
+             SUM(w) OVER (PARTITION BY prio, b) AS totw
+      FROM m WHERE w > 0
+    )
+    SELECT prio AS o_orderpriority, b AS replicate,
+           CAST(MIN(totw) AS BIGINT) AS n_eff,
+           CAST(MIN(CASE WHEN cumw * 2 >= totw THEN cents END) AS BIGINT)
+             AS median_cents
+    FROM c GROUP BY prio, b
+    """,
+)
+def q_orders_poisson_bootstrap_median(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distributed (Poisson) bootstrap — uncertainty quantification for a
+    robust statistic WITHOUT sampling-with-replacement's central
+    coordination: each row's multiplicity in replicate b is the
+    Poisson(1) quantile of a portable 60-bit hash of (key, b), which is
+    the classical Poisson approximation to the multinomial bootstrap and
+    needs one deterministic map pass — no shuffle to "draw" a resample.
+    Eight replicates × per-priority WEIGHTED medians (the integer
+    cumulative-weight crossing of `orders_weighted_median`) give the
+    spread a CI is built from. Partitions are (priority, replicate) —
+    40 here, rows×8 fan-out is flat map-side work; at 100 TB swap the
+    exact crossing for a mergeable quantile sketch per replicate and the
+    shape is unchanged. Every multiplicity, cumulative weight, and median
+    is an exact integer — bitwise across engines."""
+    from ..functions.hashing import portable_hash64
+
+    x = table_scan(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    r = x.select(
+        "prio",
+        "k",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("b"),
+    ).select(
+        "prio",
+        "b",
+        "cents",
+        (
+            portable_hash64(
+                F.concat(F.col("k").cast("string"), F.lit(":"), F.col("b").cast("string"))
+            )
+            % 1000000
+        ).alias("u"),
+    )
+    w = F.when(F.col("u") < _POISSON1_PPM[0], 0)
+    for i, t in enumerate(_POISSON1_PPM[1:], start=1):
+        w = w.when(F.col("u") < t, i)
+    w = w.otherwise(5)
+    m = r.select("prio", "b", "cents", w.alias("w")).filter(F.col("w") > 0)
+    cw = (
+        Window.partitionBy("prio", "b")
+        .orderBy("cents", "w")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tw = Window.partitionBy("prio", "b")
+    c = m.select(
+        "prio",
+        "b",
+        "cents",
+        F.sum("w").over(cw).alias("cumw"),
+        F.sum("w").over(tw).alias("totw"),
+    )
+    return (
+        c.groupBy(F.col("prio").alias("o_orderpriority"), F.col("b").alias("replicate"))
+        .agg(
+            F.min("totw").alias("n_eff"),
+            F.min(
+                F.when(F.col("cumw") * 2 >= F.col("totw"), F.col("cents"))
+            ).alias("median_cents"),
+        )
+    )
+
+
+@register(
+    "events_cusum_drift",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) // COUNT(*) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT event_type,
+             CAST(SUM(x) AS BIGINT) // COUNT(*) AS k
+      FROM hourly WHERE hour < TIMESTAMP '2024-01-08 00:00:00'
+      GROUP BY event_type
+    ),
+    p AS (
+      SELECT h.event_type, h.hour, h.x, b.k,
+             CAST(SUM(h.x - b.k - b.k // 10) OVER (
+               PARTITION BY h.event_type ORDER BY h.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS pref
+      FROM hourly h JOIN base b ON b.event_type = h.event_type
+    ),
+    s AS (
+      SELECT event_type, hour, x, k, pref,
+             CAST(pref - LEAST(0, MIN(pref) OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             AS BIGINT) AS cusum
+      FROM p
+    )
+    SELECT event_type, hour, x, cusum,
+           CASE WHEN cusum > 4 * k THEN 1 ELSE 0 END AS alarm
+    FROM s
+    """,
+)
+def q_events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detector over hourly value series — the
+    sequential drift monitor (Page's cumulative sum) that SQL/DataFrames
+    "can't" express because S_t = max(0, S_{t-1} + x_t − k) is a
+    recursion (run with the standard +k/10 slack so in-control noise
+    decays instead of random-walking into the threshold): it CAN, via the
+    prefix identity
+    S_t = P_t − min(0, min_{j≤t} P_j) with P the running sum of (x − k) —
+    two stacked per-series windows, no recursion, no UDF, exact integers
+    end-to-end. The reference level k is each series' first-week mean
+    (broadcast dim join); the alarm fires when the accumulated positive
+    drift exceeds 4k. Windows partition by series — millions of
+    independent series at scale, one shuffle total."""
+    e = table_scan(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    hourly = (
+        e.select("event_type", F.date_trunc("hour", "ts").alias("hour"), cents.alias("c"))
+        .groupBy("event_type", "hour")
+        .agg(F.expr("sum(c) div count(*)").alias("x"))
+        .persist()
+    )
+    cut = F.lit("2024-01-08 00:00:00").cast("timestamp_ntz")
+    base = (
+        hourly.filter(F.col("hour") < cut)
+        .groupBy("event_type")
+        .agg(F.expr("sum(x) div count(*)").alias("k"))
+    )
+    ordered = Window.partitionBy("event_type").orderBy("hour")
+    running = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p = hourly.join(F.broadcast(base), "event_type").select(
+        "event_type",
+        "hour",
+        "x",
+        "k",
+        F.sum(
+            F.col("x") - F.col("k") - F.expr("k div 10")
+        ).over(running).alias("pref"),
+    )
+    s = p.select(
+        "event_type",
+        "hour",
+        "x",
+        "k",
+        (
+            F.col("pref")
+            - F.least(F.lit(0).cast("long"), F.min("pref").over(running))
+        ).alias("cusum"),
+    )
+    return s.select(
+        "event_type",
+        "hour",
+        "x",
+        "cusum",
+        F.when(F.col("cusum") > 4 * F.col("k"), 1).otherwise(0).alias("alarm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
