@@ -78,6 +78,32 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
+    # host-speed stamp: this box is a shared VM and neighbor contention is
+    # invisible to loadavg (measured: the same commit benches 18.7 s or
+    # 41.7 s depending on the minute — NOTES.md). Two machine-bound
+    # microkernels let any reader normalize totals across sessions.
+    import numpy as np
+
+    def _best3(fn):
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 4)
+
+    rng = np.random.default_rng(7)
+    a = rng.random((1200, 1200))
+    matmul_sec = _best3(lambda: (a @ a).sum())
+
+    def _pyloop():
+        s = 0
+        for i in range(3_000_000):
+            s += i * i
+
+    pyloop_sec = _best3(_pyloop)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -87,6 +113,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "host_calibration": {
+                    "numpy_matmul_sec": matmul_sec,
+                    "pyloop_sec": pyloop_sec,
+                },
             }
         )
     )
