@@ -12556,6 +12556,86 @@ def q_events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_mannwhitney_drift",
+    """
+    WITH e AS (
+      SELECT event_type, value,
+             CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 0 ELSE 1 END AS late
+      FROM events
+    ),
+    pv AS (
+      SELECT event_type, value,
+             CAST(SUM(CASE WHEN late = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(late) AS BIGINT) AS b
+      FROM e GROUP BY event_type, value
+    ),
+    c AS (
+      SELECT event_type, a, b,
+             CAST(SUM(b) OVER (PARTITION BY event_type ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_b
+      FROM pv
+    )
+    SELECT event_type,
+           CAST(SUM(a) AS BIGINT) AS n_a,
+           CAST(SUM(b) AS BIGINT) AS n_b,
+           CAST(SUM(a * (2 * (cum_b - b) + b)) AS BIGINT) AS u2x,
+           CAST((CAST(SUM(a * (2 * (cum_b - b) + b)) AS BIGINT)
+                 - CAST(SUM(a) AS BIGINT) * CAST(SUM(b) AS BIGINT)) * 1000
+                // (CAST(SUM(a) AS BIGINT) * CAST(SUM(b) AS BIGINT))
+             AS BIGINT) AS rank_biserial_permille
+    FROM c GROUP BY event_type
+    """,
+)
+def q_events_mannwhitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum drift test per series — the nonparametric
+    LOCATION-shift monitor completing the statistics family (KS = max CDF
+    gap, z-test = proportions, bootstrap = CI, CUSUM = sequential): for
+    each event_type, first-half vs second-half values are compared via
+    U = #{(a,b): a > b} + ½·ties, computed WITHOUT ranking a single row —
+    per distinct value the early/late counts cross-multiply against the
+    running late-count (U·2 stays an exact integer through the ½-tie
+    term), so the only shuffle is the (type, value) group and the CDF
+    walk is a per-series window, exactly the `events_ks_drift` shape. The
+    emitted effect size is the rank-biserial correlation in integer
+    per-mille: 0 = no shift, ±1000 = total separation."""
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    e = table_scan(spark, sf_dir, "events").select(
+        "event_type", "value", (F.col("ts") >= cut).cast("long").alias("late")
+    )
+    pv = e.groupBy("event_type", "value").agg(
+        F.sum(F.lit(1) - F.col("late")).alias("a"),
+        F.sum("late").alias("b"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = pv.select(
+        "event_type", "a", "b", F.sum("b").over(w).alias("cum_b")
+    )
+    term = F.col("a") * (2 * (F.col("cum_b") - F.col("b")) + F.col("b"))
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.sum("a").alias("n_a"),
+            F.sum("b").alias("n_b"),
+            F.sum(term).alias("u2x"),
+        )
+        .selectExpr(
+            "event_type",
+            "n_a",
+            "n_b",
+            "u2x",
+            "(u2x - n_a * n_b) * 1000 div (n_a * n_b)"
+            " AS rank_biserial_permille",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
