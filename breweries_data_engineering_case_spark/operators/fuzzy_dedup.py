@@ -162,34 +162,23 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
+def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 48,
     bands: int = 12,
     shingle_n: int = 3,
-    threshold: float = 0.7,
     portable: bool = False,
 ) -> DataFrame:
-    """Verified near-dup pairs (id_a < id_b, jaccard >= threshold).
+    """Candidate pair stage of MinHash-LSH (id_a < id_b, deduped, persisted).
 
-    bands×rows = num_hashes; candidate pairs come from any band collision,
-    then exact shingle-set Jaccard verifies (no false positives; false
-    negatives bounded by the (1-t^r)^b LSH curve). Defaults 48 hashes /
-    12 bands × 4: P(candidate | j=0.7) = 1-(1-0.7⁴)¹² ≈ 0.96, measured
-    identical output to 64/16 on the test corpus at ~25% less signature
-    cost; recall vs exact Jaccard asserted in tests/test_minhash_ground_truth.py.
-
-    ``portable=True`` runs the SAME pipeline (identical join shape and
-    verify stage) on the engine-portable base: md5-prefix token hashes and a
-    polynomial band hash (mod-P roll over the band's min-hashes) instead of
-    xxhash64 — every stage through the final verified pairs is then
-    DuckDB-replicable (registry ``doc_minhash_portable_lsh_pairs``), which
-    oracle-checks the banded-join logic the production path shares.
+    The banded-signature self-join WITHOUT the exact-Jaccard verify —
+    exposed separately so the candidate set itself can be evaluated
+    (precision/recall vs exact ground truth, registry
+    ``doc_lsh_candidate_eval``) and reused by ``minhash_lsh_pairs``.
     """
     rows_per_band = num_hashes // bands
-    sh = word_shingles(text_col, shingle_n)
     based = df.select(
         F.col(id_col).alias("id"),
         shingle_hashes(text_col, shingle_n, portable=portable).alias("__h"),
@@ -243,12 +232,51 @@ def minhash_lsh_pairs(
         )
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        # candidates are referenced three times below (pair list + two id
-        # fetches); without materialization, Spark recomputes the whole
-        # signature + band-join pipeline per reference. persist() computes
-        # it once; the pair set is tiny (output scale), so caching it is
-        # free at any corpus size.
+        # candidates are typically referenced several times downstream
+        # (pair list + two id fetches in the verify stage); without
+        # materialization, Spark recomputes the whole signature + band-join
+        # pipeline per reference. persist() computes it once; the pair set
+        # is tiny (output scale), so caching it is free at any corpus size.
         .persist()
+    )
+    return cand
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 48,
+    bands: int = 12,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    portable: bool = False,
+) -> DataFrame:
+    """Verified near-dup pairs (id_a < id_b, jaccard >= threshold).
+
+    bands×rows = num_hashes; candidate pairs come from any band collision,
+    then exact shingle-set Jaccard verifies (no false positives; false
+    negatives bounded by the (1-t^r)^b LSH curve). Defaults 48 hashes /
+    12 bands × 4: P(candidate | j=0.7) = 1-(1-0.7⁴)¹² ≈ 0.96, measured
+    identical output to 64/16 on the test corpus at ~25% less signature
+    cost; recall vs exact Jaccard asserted in tests/test_minhash_ground_truth.py.
+
+    ``portable=True`` runs the SAME pipeline (identical join shape and
+    verify stage) on the engine-portable base: md5-prefix token hashes and a
+    polynomial band hash (mod-P roll over the band's min-hashes) instead of
+    xxhash64 — every stage through the final verified pairs is then
+    DuckDB-replicable (registry ``doc_minhash_portable_lsh_pairs``), which
+    oracle-checks the banded-join logic the production path shares.
+    """
+    sh = word_shingles(text_col, shingle_n)
+    cand = minhash_lsh_candidates(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        portable=portable,
     )
     # verify: shingle sets are recomputed ONLY for candidate ids (semi-join
     # first, shingle expression after) — never a second full-corpus pass

@@ -12636,6 +12636,999 @@ def q_events_mannwhitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "graph_label_propagation",
+    """
+    WITH li AS (
+      SELECT l_orderkey AS o, l_partkey AS p FROM lineitem WHERE l_partkey < 200
+    ),
+    e0 AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    ),
+    e AS (
+      SELECT u, v FROM e0
+      WHERE CAST(concat('0x', substr(md5(
+              CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)), 1, 15))
+            AS BIGINT) % 10 = 0
+    ),
+    v AS (SELECT DISTINCT p AS node FROM li),
+    sym AS (SELECT u AS a, v AS b FROM e UNION SELECT v AS a, u AS b FROM e),
+    l0 AS (SELECT node, node AS label FROM v),
+    n1 AS (SELECT s.a, l.label, COUNT(*) AS c
+           FROM sym s JOIN l0 l ON s.b = l.node GROUP BY s.a, l.label),
+    p1 AS (SELECT a, label,
+                  ROW_NUMBER() OVER (PARTITION BY a ORDER BY c DESC, label) AS rn
+           FROM n1),
+    l1 AS (SELECT l0.node, COALESCE(p.label, l0.label) AS label
+           FROM l0 LEFT JOIN (SELECT a, label FROM p1 WHERE rn = 1) p
+             ON p.a = l0.node),
+    n2 AS (SELECT s.a, l.label, COUNT(*) AS c
+           FROM sym s JOIN l1 l ON s.b = l.node GROUP BY s.a, l.label),
+    p2 AS (SELECT a, label,
+                  ROW_NUMBER() OVER (PARTITION BY a ORDER BY c DESC, label) AS rn
+           FROM n2),
+    l2 AS (SELECT l1.node, COALESCE(p.label, l1.label) AS label
+           FROM l1 LEFT JOIN (SELECT a, label FROM p2 WHERE rn = 1) p
+             ON p.a = l1.node),
+    n3 AS (SELECT s.a, l.label, COUNT(*) AS c
+           FROM sym s JOIN l2 l ON s.b = l.node GROUP BY s.a, l.label),
+    p3 AS (SELECT a, label,
+                  ROW_NUMBER() OVER (PARTITION BY a ORDER BY c DESC, label) AS rn
+           FROM n3),
+    l3 AS (SELECT l2.node, COALESCE(p.label, l2.label) AS label
+           FROM l2 LEFT JOIN (SELECT a, label FROM p3 WHERE rn = 1) p
+             ON p.a = l2.node)
+    SELECT node, CAST(label AS BIGINT) AS label FROM l3
+    """,
+)
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (LPA, Raghavan
+    et al. 2007) — the lightweight community algorithm next to the
+    min-label connected-components operator: 3 fixed synchronous rounds on
+    the same sampled co-purchase graph as graph_connected_components, each
+    round re-labelling every node with the MODE of its neighbours' labels
+    (tie-break: smallest label; isolated nodes keep their label).
+    Synchronous update + total-order tie-break makes LPA — normally
+    nondeterministic — bitwise reproducible, so the unrolled-CTE oracle
+    value-checks all 3 rounds. Scale shape per round: one edge⋈label join
+    partitioned on node id + one (node, label) count + one per-node argmax
+    window partitioned by node — no global window, no closure blow-up;
+    labels and edges are the only shuffled payloads (3 rounds ≈ the
+    PageRank iteration cost)."""
+    from ..functions.hashing import portable_hash64
+
+    li = (
+        table_scan(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < 200)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    key = F.concat(
+        F.col("u").cast("string"), F.lit(":"), F.col("v").cast("string")
+    )
+    edges = e0.filter(F.pmod(portable_hash64(key), F.lit(10)) == 0)
+    sym = edges.select(F.col("u").alias("a2"), F.col("v").alias("b2")).unionByName(
+        edges.select(F.col("v").alias("a2"), F.col("u").alias("b2"))
+    ).distinct()
+    labels = li.select(F.col("p").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(3):
+        nb = sym.join(
+            labels.select(F.col("node").alias("b2"), "label"), "b2"
+        ).select(F.col("a2"), "label")
+        cnt = nb.groupBy("a2", "label").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("a2").orderBy(F.desc("c"), "label")
+        pick = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("a2").alias("node"), F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(pick, "node", "left")
+            .select(
+                "node", F.coalesce("new_label", "label").alias("label")
+            )
+        )
+    return labels
+
+
+@register(
+    "vocab_pmi_collocations",
+    """
+    WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
+    tok AS (SELECT UNNEST(w) AS t FROM d),
+    uni AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n
+            FROM tok WHERE t <> '' GROUP BY t),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tt FROM uni),
+    p AS (
+      SELECT w[i] AS center, w[i + 1] AS context
+      FROM d, UNNEST(range(1, len(w))) AS u(i)
+      WHERE w[i] <> '' AND w[i + 1] <> ''
+    ),
+    pc AS (SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n_xy
+           FROM p GROUP BY center, context),
+    pt AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS pp FROM pc),
+    s AS (
+      SELECT pc.center, pc.context, pc.n_xy,
+             CAST((CAST(pc.n_xy AS HUGEINT) * tt * tt * 1000000)
+                  // (CAST(pp AS HUGEINT) * ux.n * uy.n) AS BIGINT)
+               AS pmi_ratio_ppm
+      FROM pc
+      CROSS JOIN tot CROSS JOIN pt
+      JOIN uni ux ON ux.t = pc.center
+      JOIN uni uy ON uy.t = pc.context
+      WHERE pc.n_xy >= 3
+    )
+    SELECT center, context, n_xy AS n_pairs, pmi_ratio_ppm
+    FROM s ORDER BY pmi_ratio_ppm DESC, center, context LIMIT 50
+    """,
+)
+def q_vocab_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation extraction — the classic corpus-statistics pass that
+    finds multi-word expressions worth merging into single tokens before
+    tokenizer training (Mikolov et al. 2013 phrase detection). PMI =
+    log[p(x,y) / (p(x)p(y))]; log is monotone, so the score is emitted as
+    the exact INTEGER ratio n_xy·T² ·10⁶ / (P·n_x·n_y) in DECIMAL(38,0)
+    (DuckDB HUGEINT twin) — no float anywhere, bitwise cross-engine, with
+    min-support n_xy ≥ 3 (the standard PMI low-frequency guard). Shape:
+    two count shuffles (unigrams, bigrams) that partial-agg map-side, two
+    vocab-keyed joins to attach marginals, two broadcast scalars (T, P) via
+    crossJoin(broadcast(agg)) — never a global window — and a distributed
+    TakeOrdered top-50. At 100 TB the vocab joins shuffle only (token,
+    count) pairs: payload-free."""
+    docs = table_scan(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("w")
+    )
+    toks = docs.select(F.explode("w").alias("t")).filter(F.col("t") != "")
+    uni = toks.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    tot = uni.agg(F.sum("n").alias("tt"))
+    n = F.size("w")
+    off1 = F.arrays_zip(
+        F.slice("w", 1, n - 1).alias("center"),
+        F.slice(F.col("w"), F.lit(2), n - 1).alias("context"),
+    )
+    pairs = (
+        docs.select(F.explode(off1).alias("pr"))
+        .select(F.col("pr.center").alias("center"), F.col("pr.context").alias("context"))
+        .filter((F.col("center") != "") & (F.col("context") != ""))
+    )
+    pc = pairs.groupBy("center", "context").agg(F.count(F.lit(1)).alias("n_xy"))
+    pt = pc.agg(F.sum("n_xy").alias("pp"))
+    s = (
+        pc.filter(F.col("n_xy") >= 3)
+        .join(uni.select(F.col("t").alias("center"), F.col("n").alias("nx")), "center")
+        .join(uni.select(F.col("t").alias("context"), F.col("n").alias("ny")), "context")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(pt))
+        .selectExpr(
+            "center",
+            "context",
+            "n_xy AS n_pairs",
+            "CAST((CAST(n_xy AS DECIMAL(38,0)) * tt * tt * 1000000)"
+            " div (CAST(pp AS DECIMAL(38,0)) * nx * ny) AS BIGINT)"
+            " AS pmi_ratio_ppm",
+        )
+    )
+    return s.orderBy(F.desc("pmi_ratio_ppm"), "center", "context").limit(50)
+
+
+@register(
+    "events_autocorr_daily",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    lags AS (SELECT UNNEST([1, 2, 3]) AS lag),
+    pr AS (
+      SELECT a.event_type, l.lag, a.cnt AS x, b.cnt AS y
+      FROM daily a
+      CROSS JOIN lags l
+      JOIN daily b ON b.event_type = a.event_type
+                  AND b.day = a.day + CAST(l.lag AS INT)
+    ),
+    m AS (
+      SELECT event_type, lag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(x * y) AS BIGINT) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(x * x) AS BIGINT) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(y * y) AS BIGINT) AS DOUBLE) AS syy
+      FROM pr GROUP BY event_type, lag
+    )
+    SELECT event_type, CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN ((n * sxx) - (sx * sx)) <= 0
+                  OR ((n * syy) - (sy * sy)) <= 0 THEN NULL
+                ELSE ((n * sxy) - (sx * sy))
+                     / (sqrt((n * sxx) - (sx * sx))
+                        * sqrt((n * syy) - (sy * sy))) END AS acf
+    FROM m
+    """,
+)
+def q_events_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily event-count series at lags
+    1–3 per event type — the seasonality/self-similarity diagnostic that
+    complements the drift family (KS / CUSUM / Mann-Whitney detect SHIFTS;
+    ACF detects PERIODICITY). Lag pairs come from an equi-join of the tiny
+    daily aggregate to itself on day+lag (NOT a window over raw events —
+    the 30-row-per-type series is the only thing shuffled); the Pearson
+    formula runs on exact BIGINT moments cast to double, one fixed IEEE
+    tree on both engines (the lineitem_corr idiom), with a zero-variance
+    guard emitting NULL. Moments are exact below ~3·10⁶ events/day/type
+    per 30-day window; beyond that cast the products to DECIMAL before
+    summing."""
+    e = table_scan(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    al = daily.select(
+        "event_type",
+        "day",
+        F.col("cnt").alias("x"),
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("lag"),
+    )
+    bside = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("day").alias("day2"),
+        F.col("cnt").alias("y"),
+    )
+    pr = al.join(
+        bside,
+        (F.col("et2") == F.col("event_type"))
+        & (F.col("day2") == F.date_add(F.col("day"), F.col("lag"))),
+    )
+    m = pr.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    vx = (n * sxx) - (sx * sx)
+    vy = (n * syy) - (sy * sy)
+    acf = F.when((vx <= 0) | (vy <= 0), F.lit(None).cast("double")).otherwise(
+        ((n * sxy) - (sx * sy)) / (F.sqrt(vx) * F.sqrt(vy))
+    )
+    return m.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        n.cast("long").alias("n_pairs"),
+        acf.alias("acf"),
+    )
+
+
+@register(
+    "orders_cohort_ltv",
+    """
+    WITH o AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+    ),
+    f AS (SELECT o_custkey, MIN(d) AS fd FROM o GROUP BY o_custkey),
+    fc AS (SELECT o_custkey,
+                  CAST(YEAR(fd) * 12 + MONTH(fd) - 1 AS BIGINT) AS cm
+           FROM f),
+    sizes AS (SELECT cm, CAST(COUNT(*) AS BIGINT) AS n_customers
+              FROM fc GROUP BY cm),
+    j AS (
+      SELECT fc.cm,
+             CAST(YEAR(o.d) * 12 + MONTH(o.d) - 1 AS BIGINT) - fc.cm AS off,
+             o.cents
+      FROM o JOIN fc ON o.o_custkey = fc.o_custkey
+    ),
+    g AS (SELECT cm, off, CAST(SUM(cents) AS BIGINT) AS rev_cents
+          FROM j GROUP BY cm, off),
+    c AS (
+      SELECT cm, off, rev_cents,
+             CAST(SUM(rev_cents) OVER (
+               PARTITION BY cm ORDER BY off
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_rev_cents
+      FROM g
+    )
+    SELECT MAKE_DATE(CAST(cm // 12 AS INT), CAST(cm % 12 + 1 AS INT), 1)
+             AS cohort_month,
+           CAST(off AS INT) AS month_offset,
+           sizes.n_customers, rev_cents, cum_rev_cents,
+           CAST(cum_rev_cents // sizes.n_customers AS BIGINT)
+             AS cum_ltv_cents_per_customer
+    FROM c JOIN sizes USING (cm)
+    """,
+)
+def q_orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve — the revenue twin of
+    events_retention_cohorts: customers cohorted by first-order month, then
+    per (cohort, month-offset) revenue and its cumulative sum, plus
+    cumulative LTV per cohort customer. Exact integer cents end to end
+    (decimal-cast price → cents, floor-div per-customer). Shape: one
+    groupBy for first orders, one fact⋈cohort join partitioned on custkey,
+    one (cohort, offset) roll-up, and the running total is a window
+    partitioned BY COHORT over ≤ a few hundred offset rows — never a
+    single-partition window; cohort sizes broadcast."""
+    o = table_scan(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    f = o.groupBy("o_custkey").agg(F.min("d").alias("fd"))
+    fc = f.select(
+        "o_custkey",
+        (F.year("fd") * 12 + F.month("fd") - 1).cast("long").alias("cm"),
+    )
+    sizes = fc.groupBy("cm").agg(F.count(F.lit(1)).alias("n_customers"))
+    j = o.join(fc, "o_custkey").select(
+        "cm",
+        ((F.year("d") * 12 + F.month("d") - 1).cast("long") - F.col("cm")).alias(
+            "off"
+        ),
+        "cents",
+    )
+    g = j.groupBy("cm", "off").agg(F.sum("cents").alias("rev_cents"))
+    w = (
+        Window.partitionBy("cm")
+        .orderBy("off")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = g.withColumn("cum_rev_cents", F.sum("rev_cents").over(w))
+    return (
+        c.join(F.broadcast(sizes), "cm")
+        .select(
+            F.make_date(
+                (F.col("cm") / 12).cast("int"),
+                (F.col("cm") % 12 + 1).cast("int"),
+                F.lit(1),
+            ).alias("cohort_month"),
+            F.col("off").cast("int").alias("month_offset"),
+            "n_customers",
+            "rev_cents",
+            "cum_rev_cents",
+            F.expr("cum_rev_cents div n_customers").alias(
+                "cum_ltv_cents_per_customer"
+            ),
+        )
+    )
+
+
+@register(
+    "lineitem_ols_two_factor",
+    """
+    WITH b AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_quantity) AS BIGINT) AS x1,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS x2,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM lineitem
+    ),
+    m AS (
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+             CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+             CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+             CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+             CAST(SUM(x2 * y) AS BIGINT) AS s2y
+      FROM b GROUP BY l_returnflag
+    ),
+    s AS (
+      SELECT l_returnflag, n,
+             CAST(s11 AS HUGEINT) * s22 - CAST(s12 AS HUGEINT) * s12 AS det,
+             CAST(s1y AS HUGEINT) * s22 - CAST(s2y AS HUGEINT) * s12 AS b1n,
+             CAST(s2y AS HUGEINT) * s11 - CAST(s1y AS HUGEINT) * s12 AS b2n
+      FROM m
+    )
+    SELECT l_returnflag, n AS n_rows,
+           CAST(CASE WHEN b1n < 0 THEN -((-b1n * 1000000) // det)
+                     ELSE (b1n * 1000000) // det END AS BIGINT)
+             AS beta_qty_microcents,
+           CAST(CASE WHEN b2n < 0 THEN -((-b2n * 1000000) // det)
+                     ELSE (b2n * 1000000) // det END AS BIGINT)
+             AS beta_disc_microcents
+    FROM s
+    """,
+)
+def q_lineitem_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-predictor least squares via NORMAL EQUATIONS — multivariate
+    regression (price ~ quantity + discount, no intercept) as one
+    partial-agg pass of five integer moments plus a closed-form 2×2 Cramer
+    solve, per return-flag group. The moments are exact BIGINTs (quantity
+    and discount·100 are integer-valued, price is exact cents); the Cramer
+    products run in DECIMAL(38,0) (DuckDB HUGEINT twin) with sign-split
+    floor division emitting micro-cents — no float anywhere, bitwise
+    cross-engine. This is the distributed-ML shape for linear models: the
+    Gram matrix X'X and X'y fold map-side, the solve is O(k³) on k·(k+1)/2
+    scalars — nothing but the moments ever shuffles. Beyond ~10¹² rows the
+    ·10⁶-scaled Cramer numerators approach DECIMAL(38) — center the
+    features or solve in float128 off-cluster at that point."""
+    li = table_scan(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("y"),
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    s = m.selectExpr(
+        "l_returnflag",
+        "n",
+        "CAST(s11 AS DECIMAL(38,0)) * s22 - CAST(s12 AS DECIMAL(38,0)) * s12"
+        " AS det",
+        "CAST(s1y AS DECIMAL(38,0)) * s22 - CAST(s2y AS DECIMAL(38,0)) * s12"
+        " AS b1n",
+        "CAST(s2y AS DECIMAL(38,0)) * s11 - CAST(s1y AS DECIMAL(38,0)) * s12"
+        " AS b2n",
+    )
+    return s.selectExpr(
+        "l_returnflag",
+        "n AS n_rows",
+        "CAST(CASE WHEN b1n < 0 THEN -((-b1n * 1000000) div det)"
+        "          ELSE (b1n * 1000000) div det END AS BIGINT)"
+        " AS beta_qty_microcents",
+        "CAST(CASE WHEN b2n < 0 THEN -((-b2n * 1000000) div det)"
+        "          ELSE (b2n * 1000000) div det END AS BIGINT)"
+        " AS beta_disc_microcents",
+    )
+
+
+def _lsh_eval_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    """DuckDB twin of doc_lsh_candidate_eval: the portable LSH candidate
+    stage (same geometry as _lsh_pairs_portable_oracle) PLUS the exact
+    3-shingle Jaccard ground truth, reduced to candidate-set
+    precision/recall counts."""
+    from ..operators.fuzzy_dedup import _MH_B, _MH_P, _mh_coeffs
+
+    vals = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(_mh_coeffs(num_hashes))
+    )
+    rpb = num_hashes // bands
+    bh = "m0"
+    for r in range(1, rpb):
+        bh = f"({bh} * {_MH_B} + m{r}) % {_MH_P}"
+    mcols = ", ".join(
+        f"MAX(CASE WHEN i % {rpb} = {r} THEN m END) AS m{r}" for r in range(rpb)
+    )
+    return rf"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks,
+             list_transform(string_split_regex(TRIM(text), '\s+'),
+                            tok -> CAST(concat('0x', substr(md5(tok), 1, 15))
+                                        AS BIGINT) % {_MH_P}) AS th
+      FROM documents WHERE doc_id < 400
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             ((th[i + 1] * {_MH_B} + th[i + 2]) % {_MH_P} * {_MH_B}
+              + th[i + 3]) % {_MH_P} AS s
+      FROM t, UNNEST(range(GREATEST(len(th) - 2, 0))) AS u(i)
+    ),
+    strsh AS (
+      SELECT DISTINCT doc_id,
+             toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] AS g
+      FROM t, UNNEST(range(GREATEST(len(toks) - 2, 0))) AS u(i)
+    ),
+    ssz AS (SELECT doc_id, COUNT(*) AS n FROM strsh GROUP BY doc_id),
+    c(i, a, b) AS (VALUES {vals}),
+    sig AS (
+      SELECT doc_id, c.i, MIN((sh.s * c.a + c.b) % {_MH_P}) AS m
+      FROM sh CROSS JOIN c GROUP BY doc_id, c.i
+    ),
+    bandm AS (
+      SELECT doc_id, i // {rpb} AS b, {mcols}
+      FROM sig GROUP BY doc_id, i // {rpb}
+    ),
+    band AS (SELECT doc_id, b, {bh} AS bh FROM bandm),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM band x JOIN band y
+        ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id
+    ),
+    inter AS (
+      SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, COUNT(*) AS icnt
+      FROM strsh sa JOIN strsh sb ON sb.g = sa.g AND sa.doc_id < sb.doc_id
+      GROUP BY sa.doc_id, sb.doc_id
+    ),
+    truth AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i
+      JOIN ssz za ON za.doc_id = i.id_a
+      JOIN ssz zb ON zb.doc_id = i.id_b
+      WHERE CAST(i.icnt AS DOUBLE) / (za.n + zb.n - i.icnt) >= 0.7
+    ),
+    counts AS (
+      SELECT (SELECT COUNT(*) FROM cand) AS n_cand,
+             (SELECT COUNT(*) FROM truth) AS n_truth,
+             (SELECT COUNT(*) FROM cand c2
+              JOIN truth t2 ON c2.id_a = t2.id_a AND c2.id_b = t2.id_b)
+               AS n_hit
+    )
+    SELECT CAST(n_cand AS BIGINT) AS n_candidates,
+           CAST(n_truth AS BIGINT) AS n_truth_pairs,
+           CAST(n_hit AS BIGINT) AS n_hits,
+           CAST(CASE WHEN n_cand = 0 THEN NULL
+                     ELSE n_hit * 1000 // n_cand END AS BIGINT)
+             AS precision_permille,
+           CAST(CASE WHEN n_truth = 0 THEN NULL
+                     ELSE n_hit * 1000 // n_truth END AS BIGINT)
+             AS recall_permille
+    FROM counts
+    """
+
+
+@register("doc_lsh_candidate_eval", _lsh_eval_oracle(16, 4))
+def q_doc_lsh_candidate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-set QUALITY evaluation of MinHash-LSH — the measurement
+    every production dedup pipeline needs before trusting its banded
+    geometry: candidate precision (how much verify work is wasted) and
+    candidate recall (what the (1−tʳ)ᵇ curve actually delivered) against
+    the EXACT 3-shingle Jaccard ≥ 0.7 ground truth, on a fixed 400-doc
+    probe slice so the O(n²) truth stays bounded at any SF. Uses the
+    production candidate stage (operators/fuzzy_dedup.minhash_lsh_candidates,
+    portable base, 16/4 geometry) and the O(n²) exact join as ground
+    truth; the comparison is a full-outer pair join reduced to five
+    integers — all BIGINT, bitwise cross-engine. The counts themselves are
+    data-dependent, which is exactly the point: the oracle recomputes both
+    sides independently."""
+    from ..operators.fuzzy_dedup import minhash_lsh_candidates, ngram_jaccard_pairs
+
+    sub = table_scan(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    cand = minhash_lsh_candidates(
+        sub, num_hashes=16, bands=4, shingle_n=3, portable=True
+    ).withColumn("c", F.lit(1))
+    truth = (
+        ngram_jaccard_pairs(sub, shingle_n=3, threshold=0.7)
+        .select("id_a", "id_b")
+        .withColumn("t", F.lit(1))
+    )
+    j = cand.join(truth, ["id_a", "id_b"], "full_outer")
+    agg = j.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("n_cand"),
+        F.coalesce(F.sum("t"), F.lit(0)).alias("n_truth"),
+        F.coalesce(
+            F.sum(F.coalesce(F.col("c"), F.lit(0)) * F.coalesce(F.col("t"), F.lit(0))),
+            F.lit(0),
+        ).alias("n_hit"),
+    )
+    return agg.selectExpr(
+        "n_cand AS n_candidates",
+        "n_truth AS n_truth_pairs",
+        "n_hit AS n_hits",
+        "CAST(CASE WHEN n_cand = 0 THEN NULL"
+        "          ELSE n_hit * 1000 div n_cand END AS BIGINT)"
+        " AS precision_permille",
+        "CAST(CASE WHEN n_truth = 0 THEN NULL"
+        "          ELSE n_hit * 1000 div n_truth END AS BIGINT)"
+        " AS recall_permille",
+    )
+
+
+@register(
+    "events_kmv_distinct_sketch",
+    """
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hv
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, hv,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h
+    ),
+    per AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hashes,
+             MAX(CASE WHEN rn = 64 THEN hv END) AS kth
+      FROM ranked WHERE rn <= 64 GROUP BY event_type
+    ),
+    uh AS (SELECT DISTINCT hv FROM h),
+    uranked AS (
+      SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn FROM uh
+    ),
+    uper AS (
+      SELECT '__union__' AS event_type, CAST(COUNT(*) AS BIGINT) AS n_hashes,
+             MAX(CASE WHEN rn = 64 THEN hv END) AS kth
+      FROM uranked WHERE rn <= 64
+    ),
+    ex AS (
+      SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY event_type
+      UNION ALL
+      SELECT '__union__', CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+    ),
+    est AS (
+      SELECT s.event_type, ex.exact_distinct,
+             CAST(CASE WHEN s.n_hashes < 64 THEN s.n_hashes
+                       ELSE (CAST(63 AS HUGEINT) * 1152921504606846976) // s.kth
+                  END AS BIGINT) AS est_distinct
+      FROM (SELECT * FROM per UNION ALL SELECT * FROM uper) s
+      JOIN ex ON ex.event_type = s.event_type
+    )
+    SELECT event_type AS scope, est_distinct, exact_distinct,
+           ABS(est_distinct - exact_distinct) * 4 <= exact_distinct
+             AS within_bound
+    FROM est
+    """,
+)
+def q_events_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct sketch — the MERGEABLE
+    distinct counter that, unlike HLL, is engine-portable and therefore
+    fully oracle-checkable: keep the k=64 smallest 60-bit md5 hashes per
+    group; estimate = (k−1)·M / h₍ₖ₎ (Bar-Yossef et al. 2002), exact
+    pass-through when a group holds < k hashes. The union scope is the
+    sketch MERGE: pool the per-group bottom-k sets, re-take the bottom-k —
+    the property that lets 1000 executors sketch independently and combine
+    in O(k). Every value is an exact integer (the ·M product in
+    DECIMAL(38)/HUGEINT), and the emitted within_bound column (25 %,
+    ≈ 2σ at k=64) makes the row itself witness the accuracy claim. Scale:
+    per-group bottom-k folds as a window over the DISTINCT (type, hash)
+    grid; the union bottom-k is a distributed TakeOrdered(64), never a
+    global window."""
+    from ..functions.hashing import portable_hash64
+
+    e = table_scan(spark, sf_dir, "events")
+    M = 1152921504606846976  # 2^60: md5-prefix hash range
+    K = 64
+    h = e.select(
+        "event_type", portable_hash64(F.col("user_id")).alias("hv")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    per = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hashes"),
+            F.max(F.when(F.col("rn") == K, F.col("hv"))).alias("kth"),
+        )
+    )
+    uh = h.select("hv").distinct().orderBy("hv").limit(K)
+    uper = uh.agg(
+        F.count(F.lit(1)).alias("n_hashes"),
+        F.max("hv").alias("kth"),
+    ).select(
+        F.lit("__union__").alias("event_type"),
+        "n_hashes",
+        # kth is only meaningful when the pool filled all K slots
+        F.when(F.col("n_hashes") == K, F.col("kth")).alias("kth"),
+    )
+    ex = (
+        e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+        .unionByName(
+            e.agg(F.countDistinct("user_id").alias("exact_distinct")).select(
+                F.lit("__union__").alias("event_type"), "exact_distinct"
+            )
+        )
+    )
+    s = per.unionByName(uper).join(ex, "event_type")
+    return s.selectExpr(
+        "event_type AS scope",
+        f"CAST(CASE WHEN n_hashes < {K} THEN n_hashes"
+        f"          ELSE (CAST({K - 1} AS DECIMAL(38,0)) * {M}) div kth"
+        "      END AS BIGINT) AS est_distinct",
+        "exact_distinct",
+    ).selectExpr(
+        "scope",
+        "est_distinct",
+        "exact_distinct",
+        "ABS(est_distinct - exact_distinct) * 4 <= exact_distinct"
+        " AS within_bound",
+    )
+
+
+@register(
+    "graph_degree_assortativity",
+    """
+    WITH li AS (
+      SELECT l_orderkey AS o, l_partkey AS p FROM lineitem WHERE l_partkey < 200
+    ),
+    e0 AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    ),
+    e AS (
+      SELECT u, v FROM e0
+      WHERE CAST(concat('0x', substr(md5(
+              CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)), 1, 15))
+            AS BIGINT) % 10 = 0
+    ),
+    sym AS (SELECT u AS a, v AS b FROM e UNION SELECT v AS a, u AS b FROM e),
+    deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM sym GROUP BY a),
+    pr AS (
+      SELECT da.d AS x, db.d AS y
+      FROM sym s JOIN deg da ON da.node = s.a JOIN deg db ON db.node = s.b
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(x * y) AS BIGINT) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(x * x) AS BIGINT) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(y * y) AS BIGINT) AS DOUBLE) AS syy
+      FROM pr
+    )
+    SELECT CAST(n AS BIGINT) AS n_directed_edges,
+           CASE WHEN ((n * sxx) - (sx * sx)) <= 0
+                  OR ((n * syy) - (sy * sy)) <= 0 THEN NULL
+                ELSE ((n * sxy) - (sx * sy))
+                     / (sqrt((n * sxx) - (sx * sx))
+                        * sqrt((n * syy) - (sy * sy))) END AS assortativity
+    FROM m
+    """,
+)
+def q_graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) — do hubs attach to hubs? The
+    Pearson correlation of endpoint degrees over every directed edge of
+    the sampled co-purchase graph (both directions, so the measure is
+    symmetric). Completes the graph-statistics family (components,
+    triangles, k-core, PageRank) with the mixing-pattern diagnostic.
+    Degrees come from one edge-list count; the edge⋈degree joins shuffle
+    only (node, degree) pairs; the five moments are exact BIGINTs folded
+    map-side, and the final Pearson is one fixed IEEE double tree (the
+    lineitem_corr idiom) with a zero-variance NULL guard."""
+    from ..functions.hashing import portable_hash64
+
+    li = (
+        table_scan(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < 200)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    key = F.concat(
+        F.col("u").cast("string"), F.lit(":"), F.col("v").cast("string")
+    )
+    edges = e0.filter(F.pmod(portable_hash64(key), F.lit(10)) == 0)
+    sym = edges.select(F.col("u").alias("a2"), F.col("v").alias("b2")).unionByName(
+        edges.select(F.col("v").alias("a2"), F.col("u").alias("b2"))
+    ).distinct()
+    deg = sym.groupBy(F.col("a2").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    pr = (
+        sym.join(deg.select(F.col("node").alias("a2"), F.col("d").alias("x")), "a2")
+        .join(deg.select(F.col("node").alias("b2"), F.col("d").alias("y")), "b2")
+    )
+    m = pr.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    vx = (n * sxx) - (sx * sx)
+    vy = (n * syy) - (sy * sy)
+    r = F.when((vx <= 0) | (vy <= 0), F.lit(None).cast("double")).otherwise(
+        ((n * sxy) - (sx * sy)) / (F.sqrt(vx) * F.sqrt(vy))
+    )
+    return m.select(
+        n.cast("long").alias("n_directed_edges"), r.alias("assortativity")
+    )
+
+
+@register(
+    "doc_readability_flesch",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN TRIM(text) = '' THEN 0
+                  ELSE len(string_split_regex(TRIM(text), '\\s+')) END AS words,
+             length(regexp_replace(regexp_replace(text, '[.!?]+', '#', 'g'),
+                                   '[^#]', '', 'g')) AS sentences,
+             length(regexp_replace(regexp_replace(lower(text), '[aeiouy]+',
+                                                  '#', 'g'),
+                                   '[^#]', '', 'g')) AS syllables
+      FROM documents
+    )
+    SELECT doc_id, CAST(words AS BIGINT) AS words,
+           CAST(GREATEST(sentences, 1) AS BIGINT) AS sentences,
+           CAST(syllables AS BIGINT) AS syllables,
+           CASE WHEN words = 0 THEN NULL
+                ELSE 206.835
+                     - 1.015 * (CAST(words AS DOUBLE)
+                                / GREATEST(sentences, 1))
+                     - 84.6 * (CAST(syllables AS DOUBLE) / words) END
+             AS flesch
+    FROM s
+    """,
+)
+def q_doc_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease score — the classic readability quality signal
+    (CCNet/Gopher-class corpus filters gate on it): 206.835 − 1.015·
+    (words/sentences) − 84.6·(syllables/words), with sentences counted as
+    [.!?]+ runs and syllables approximated by vowel-group runs (the
+    standard heuristic). Pure per-row JVM regex + one fixed double
+    expression — no UDF, no aggregation, embarrassingly parallel at any
+    scale; zero-word docs emit NULL and zero-sentence docs clamp to 1
+    (both engines replay the same guards)."""
+    d = table_scan(spark, sf_dir, "documents")
+    words = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    sentences = F.length(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), r"[.!?]+", "#"), r"[^#]", ""
+        )
+    )
+    syllables = F.length(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[aeiouy]+", "#"),
+            r"[^#]",
+            "",
+        )
+    )
+    s = d.select(
+        "doc_id",
+        words.cast("long").alias("words"),
+        F.greatest(sentences, F.lit(1)).cast("long").alias("sentences"),
+        syllables.cast("long").alias("syllables"),
+    )
+    flesch = F.when(F.col("words") == 0, F.lit(None).cast("double")).otherwise(
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("words").cast("double") / F.col("sentences"))
+        - F.lit(84.6) * (F.col("syllables").cast("double") / F.col("words"))
+    )
+    return s.select("doc_id", "words", "sentences", "syllables", flesch.alias("flesch"))
+
+
+@register(
+    "embedding_gram_matrix_int",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(i AS INT) AS i,
+             CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS qx
+      FROM (SELECT vec_id, UNNEST(embedding[1:16]) AS x,
+                   UNNEST(range(16)) AS i FROM embeddings)
+    )
+    SELECT a.i, b.i AS j, CAST(SUM(a.qx * b.qx) AS BIGINT) AS gram
+    FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
+    GROUP BY a.i, b.i
+    """,
+)
+def q_embedding_gram_matrix_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix X'X over the 16-dim embedding prefix — THE
+    building block of distributed PCA / covariance / closed-form least
+    squares (the matrix the power-iteration query implicitly multiplies
+    by): 136 upper-triangle cells in exact int64 fixed point (·10⁶
+    quantization, the kmeans idiom). The Spark plan is the shape that
+    matters at 100 TB: each row expands to its 136 cell-products JVM-side
+    via nested transform() + flatten (NO self-join, NO per-row Python),
+    then one 136-key partial-agg shuffle — total network traffic is
+    O(cells × partitions), independent of row count. The oracle replays it
+    as a positional self-join, which is fine for DuckDB but would be the
+    wrong Spark plan (it shuffles the whole exploded table). Products
+    overflow int64 only past ~10¹⁸ cell mass — recenter or decimal-sum
+    beyond ~10⁹ rows."""
+    e = table_scan(spark, sf_dir, "embeddings")
+    cells = e.selectExpr(
+        # Spark array subscripts are 0-based (DuckDB's are 1-based); the
+        # quantized components are computed once into q, then paired.
+        "explode(flatten(transform(sequence(0, 15), i -> "
+        "  transform(sequence(i, 15), j -> named_struct("
+        "    'i', i, 'j', j, 'p', "
+        "    CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)"
+        "    * CAST(ROUND(CAST(embedding[j] AS DOUBLE) * 1000000) AS BIGINT)"
+        "  ))))) AS c"
+    )
+    return (
+        cells.select("c.i", "c.j", "c.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("gram"))
+    )
+
+
+@register(
+    "sql_group_by_all",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
+def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (Spark 3.4+/4 modern SQL sugar, same
+    dialect as DuckDB — the oracle IS the identical statement): every
+    non-aggregate select item becomes a grouping key, every output column
+    an order key. Resolves at analysis time to a plain hash aggregate +
+    sort — zero plan difference from spelling the columns out, so
+    pushdown, partial agg, and AQE all behave identically; the decimal-sum
+    idiom keeps the double exact cross-engine."""
+    li = table_scan(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_gba")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        FROM li_gba
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+@register(
+    "dataset_kfold_split",
+    """
+    WITH f AS (
+      SELECT CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 5 AS INT) AS fold,
+             lang
+      FROM documents
+    ),
+    g AS (SELECT fold, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM f GROUP BY fold, lang),
+    t AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS lang_total FROM g
+          GROUP BY lang)
+    SELECT g.fold, g.lang, g.n_docs,
+           CAST(g.n_docs * 1000 // t.lang_total AS BIGINT) AS share_permille
+    FROM g JOIN t ON t.lang = g.lang
+    """,
+)
+def q_dataset_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation assignment (k=5) by portable hash —
+    completes the dataset-split family (train/val/test, stratified, quota,
+    mixture) with the CV shape: fold membership is a pure function of the
+    row key (md5-prefix % 5), so every engine, every rerun, and every
+    downstream job recomputes the same folds with zero stored state. The
+    per-(fold, language) counts + per-mille share audit the balance a
+    hash split promises (~200‰ per fold). One count shuffle + one
+    broadcast-sized marginals join."""
+    from ..functions.hashing import portable_hash64
+
+    d = table_scan(spark, sf_dir, "documents")
+    f = d.select(
+        F.pmod(portable_hash64(F.col("doc_id")), F.lit(5)).cast("int").alias("fold"),
+        "lang",
+    )
+    g = f.groupBy("fold", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    t = g.groupBy("lang").agg(F.sum("n_docs").alias("lang_total"))
+    return (
+        g.join(F.broadcast(t), "lang")
+        .selectExpr(
+            "fold",
+            "lang",
+            "n_docs",
+            "n_docs * 1000 div lang_total AS share_permille",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

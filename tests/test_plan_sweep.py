@@ -58,6 +58,11 @@ BNLJ_OK = {
     "doc_idf_score_hotsalted",  # single-row doc-count + token-total
     #   broadcasts (the hot-key set itself rides broadcast HASH joins)
     "gdpr_delete_propagation",  # three single-row audit-count broadcasts
+    "vocab_pmi_collocations",  # two single-row normalizer broadcasts
+    #   (token total T, pair total P)
+    "doc_lsh_candidate_eval",  # exact O(n²) ground-truth join on the
+    #   bounded 400-doc probe slice (the evaluation harness, not the
+    #   serving path — candidates themselves ride the banded equi-join)
     "events_locf_impute",  # dim-sized event-type list crossed with the spine
     "events_ab_proportion_test",  # single-row variant-totals broadcast
     "orders_decile_lift",  # single-row cutoffs + totals broadcasts and the
