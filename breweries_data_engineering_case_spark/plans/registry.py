@@ -13238,8 +13238,8 @@ def q_doc_lsh_candidate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     per AS (
       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hashes,
-             MAX(CASE WHEN rn = 64 THEN hv END) AS kth
-      FROM ranked WHERE rn <= 64 GROUP BY event_type
+             MAX(CASE WHEN rn = 128 THEN hv END) AS kth
+      FROM ranked WHERE rn <= 128 GROUP BY event_type
     ),
     uh AS (SELECT DISTINCT hv FROM h),
     uranked AS (
@@ -13247,8 +13247,8 @@ def q_doc_lsh_candidate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     uper AS (
       SELECT '__union__' AS event_type, CAST(COUNT(*) AS BIGINT) AS n_hashes,
-             MAX(CASE WHEN rn = 64 THEN hv END) AS kth
-      FROM uranked WHERE rn <= 64
+             MAX(CASE WHEN rn = 128 THEN hv END) AS kth
+      FROM uranked WHERE rn <= 128
     ),
     ex AS (
       SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
@@ -13258,8 +13258,8 @@ def q_doc_lsh_candidate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     est AS (
       SELECT s.event_type, ex.exact_distinct,
-             CAST(CASE WHEN s.n_hashes < 64 THEN s.n_hashes
-                       ELSE (CAST(63 AS HUGEINT) * 1152921504606846976) // s.kth
+             CAST(CASE WHEN s.n_hashes < 128 THEN s.n_hashes
+                       ELSE (CAST(127 AS HUGEINT) * 1152921504606846976) // s.kth
                   END AS BIGINT) AS est_distinct
       FROM (SELECT * FROM per UNION ALL SELECT * FROM uper) s
       JOIN ex ON ex.event_type = s.event_type
@@ -13273,14 +13273,14 @@ def q_doc_lsh_candidate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values / bottom-k) distinct sketch — the MERGEABLE
     distinct counter that, unlike HLL, is engine-portable and therefore
-    fully oracle-checkable: keep the k=64 smallest 60-bit md5 hashes per
+    fully oracle-checkable: keep the k=128 smallest 60-bit md5 hashes per
     group; estimate = (k−1)·M / h₍ₖ₎ (Bar-Yossef et al. 2002), exact
     pass-through when a group holds < k hashes. The union scope is the
     sketch MERGE: pool the per-group bottom-k sets, re-take the bottom-k —
     the property that lets 1000 executors sketch independently and combine
     in O(k). Every value is an exact integer (the ·M product in
     DECIMAL(38)/HUGEINT), and the emitted within_bound column (25 %,
-    ≈ 2σ at k=64) makes the row itself witness the accuracy claim. Scale:
+    ≈ 2.8σ at k=128) makes the row itself witness the accuracy claim. Scale:
     per-group bottom-k folds as a window over the DISTINCT (type, hash)
     grid; the union bottom-k is a distributed TakeOrdered(64), never a
     global window."""
@@ -13288,7 +13288,7 @@ def q_events_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table_scan(spark, sf_dir, "events")
     M = 1152921504606846976  # 2^60: md5-prefix hash range
-    K = 64
+    K = 128
     h = e.select(
         "event_type", portable_hash64(F.col("user_id")).alias("hv")
     ).distinct()
