@@ -1,0 +1,240 @@
+"""Round-7 continuation tests: independent cross-checks (numpy / pure
+Python) for the operators whose oracle parity alone doesn't prove the
+MATH is right — parity proves both engines compute the same thing, these
+prove it's the *correct* thing."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from breweries_data_engineering_case_spark.plans import registry
+from breweries_data_engineering_case_spark.sources.readers import table_scan
+
+
+class TestLabelPropagation:
+    def test_labels_stay_within_components(self, spark, sf_dir):
+        """Labels only travel along edges, so any two nodes sharing an LPA
+        label must be in the same weakly-connected component."""
+        lpa = {
+            r["node"]: r["label"]
+            for r in registry.QUERIES["graph_label_propagation"](
+                spark, sf_dir
+            ).collect()
+        }
+        cc = {
+            r["node"]: r["component"]
+            for r in registry.QUERIES["graph_connected_components"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert set(lpa) == set(cc)
+        label_to_comp: dict[int, int] = {}
+        for node, label in lpa.items():
+            comp = cc[node]
+            assert label_to_comp.setdefault(label, comp) == comp
+        # labels are node ids (the init state), never invented values
+        assert set(lpa.values()) <= set(lpa.keys())
+
+
+class TestKmvSketch:
+    def test_exact_passthrough_and_bound(self, spark, sf_dir):
+        rows = registry.QUERIES["events_kmv_distinct_sketch"](
+            spark, sf_dir
+        ).collect()
+        assert any(r["scope"] == "__union__" for r in rows)
+        for r in rows:
+            # sf0.001 has far fewer than k=128 users: exact path everywhere
+            assert r["est_distinct"] == r["exact_distinct"]
+            assert r["within_bound"] is True
+
+    def test_estimator_formula_from_hashes(self, spark, sf_dir):
+        """Recompute (k-1)*M // h_k from the raw portable hashes with a
+        tiny k where the estimate branch triggers even at sf0.001."""
+        from breweries_data_engineering_case_spark.functions.hashing import (
+            portable_hash64,
+        )
+
+        e = table_scan(spark, sf_dir, "events")
+        hashes = sorted(
+            r["hv"]
+            for r in e.select(portable_hash64(F.col("user_id")).alias("hv"))
+            .distinct()
+            .collect()
+        )
+        k = 8
+        assert len(hashes) > k
+        est = (k - 1) * (1 << 60) // hashes[k - 1]
+        exact = len(hashes)
+        # KMV at k=8 is crude (sigma ~ 40%) but must be the right order
+        assert 0.2 * exact < est < 5 * exact
+
+
+class TestOlsTwoFactor:
+    def test_matches_numpy_lstsq(self, spark, sf_dir):
+        li = table_scan(spark, sf_dir, "lineitem").select(
+            "l_returnflag",
+            F.round("l_quantity").cast("long").alias("x1"),
+            F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("y"),
+        )
+        pdf = li.toPandas()
+        got = {
+            r["l_returnflag"]: (r["beta_qty_microcents"], r["beta_disc_microcents"])
+            for r in registry.QUERIES["lineitem_ols_two_factor"](
+                spark, sf_dir
+            ).collect()
+        }
+        for flag, grp in pdf.groupby("l_returnflag"):
+            X = grp[["x1", "x2"]].to_numpy(dtype=np.float64)
+            y = grp["y"].to_numpy(dtype=np.float64)
+            beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+            b1, b2 = got[flag]
+            # integer micro-cents vs float solve: agree to ~1e-3 relative
+            assert math.isclose(b1 / 1e6, beta[0], rel_tol=1e-3, abs_tol=1e-2)
+            assert math.isclose(b2 / 1e6, beta[1], rel_tol=1e-3, abs_tol=1e-2)
+
+
+class TestAutocorr:
+    def test_matches_numpy_corrcoef(self, spark, sf_dir):
+        daily = (
+            table_scan(spark, sf_dir, "events")
+            .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        series: dict[str, dict] = {}
+        for r in daily:
+            series.setdefault(r["event_type"], {})[r["day"]] = r["cnt"]
+        got = {
+            (r["event_type"], r["lag"]): (r["n_pairs"], r["acf"])
+            for r in registry.QUERIES["events_autocorr_daily"](
+                spark, sf_dir
+            ).collect()
+        }
+        from datetime import timedelta
+
+        for et, by_day in series.items():
+            for lag in (1, 2, 3):
+                xs, ys = [], []
+                for d, c in by_day.items():
+                    d2 = d + timedelta(days=lag)
+                    if d2 in by_day:
+                        xs.append(c)
+                        ys.append(by_day[d2])
+                if (et, lag) not in got:
+                    assert len(xs) == 0
+                    continue
+                n_pairs, acf = got[(et, lag)]
+                assert n_pairs == len(xs)
+                if acf is not None and len(xs) > 1:
+                    ref = np.corrcoef(xs, ys)[0, 1]
+                    assert math.isclose(acf, ref, rel_tol=1e-9, abs_tol=1e-9)
+
+
+class TestGramMatrix:
+    def test_matches_numpy_xtx(self, spark, sf_dir):
+        emb = table_scan(spark, sf_dir, "embeddings").select("embedding").collect()
+        Q = np.array(
+            [
+                [round(float(x) * 1_000_000) for x in r["embedding"][:16]]
+                for r in emb
+            ],
+            dtype=np.int64,
+        )
+        ref = Q.T @ Q
+        got = registry.QUERIES["embedding_gram_matrix_int"](spark, sf_dir).collect()
+        assert len(got) == 16 * 17 // 2
+        for r in got:
+            assert r["gram"] == ref[r["i"], r["j"]], (r["i"], r["j"])
+
+
+class TestFlesch:
+    def test_recomputes_one_doc(self, spark, sf_dir):
+        import re
+
+        doc = (
+            table_scan(spark, sf_dir, "documents")
+            .filter(F.length("text") > 20)
+            .orderBy("doc_id")
+            .limit(1)
+            .collect()[0]
+        )
+        row = (
+            registry.QUERIES["doc_readability_flesch"](spark, sf_dir)
+            .filter(F.col("doc_id") == doc["doc_id"])
+            .collect()[0]
+        )
+        text = doc["text"]
+        words = len(re.split(r"\s+", text.strip())) if text.strip() else 0
+        sentences = max(len(re.findall(r"[.!?]+", text)), 1)
+        syllables = len(re.findall(r"[aeiouy]+", text.lower()))
+        assert row["words"] == words
+        assert row["sentences"] == sentences
+        assert row["syllables"] == syllables
+        if words:
+            ref = 206.835 - 1.015 * (words / sentences) - 84.6 * (syllables / words)
+            assert math.isclose(row["flesch"], ref, rel_tol=1e-12)
+
+
+class TestCohortLtv:
+    def test_cumulative_monotone_and_offsets_anchor(self, spark, sf_dir):
+        rows = registry.QUERIES["orders_cohort_ltv"](spark, sf_dir).collect()
+        by_cohort: dict = {}
+        for r in rows:
+            by_cohort.setdefault(r["cohort_month"], []).append(r)
+        for cohort, rs in by_cohort.items():
+            rs.sort(key=lambda r: r["month_offset"])
+            # every cohort starts at offset 0 (the first order defines it)
+            assert rs[0]["month_offset"] == 0
+            cum = 0
+            for r in rs:
+                cum += r["rev_cents"]
+                assert r["cum_rev_cents"] == cum
+                assert (
+                    r["cum_ltv_cents_per_customer"]
+                    == cum // r["n_customers"]
+                )
+
+
+class TestLshCandidateEval:
+    def test_metric_identities(self, spark, sf_dir):
+        r = registry.QUERIES["doc_lsh_candidate_eval"](spark, sf_dir).collect()[0]
+        assert r["n_hits"] <= min(r["n_candidates"], r["n_truth_pairs"])
+        if r["n_candidates"]:
+            assert r["precision_permille"] == r["n_hits"] * 1000 // r["n_candidates"]
+        if r["n_truth_pairs"]:
+            assert r["recall_permille"] == r["n_hits"] * 1000 // r["n_truth_pairs"]
+
+
+class TestPmi:
+    def test_top_pair_matches_bruteforce(self, spark, sf_dir):
+        docs = table_scan(spark, sf_dir, "documents").select("text").collect()
+        from collections import Counter
+
+        uni: Counter = Counter()
+        pairs: Counter = Counter()
+        for r in docs:
+            w = r["text"].split(" ")
+            toks = [t for t in w if t != ""]
+            uni.update(toks)
+            for a, b in zip(w, w[1:]):
+                if a != "" and b != "":
+                    pairs[(a, b)] += 1
+        T = sum(uni.values())
+        P = sum(pairs.values())
+        scores = {
+            (a, b): n * T * T * 1_000_000 // (P * uni[a] * uni[b])
+            for (a, b), n in pairs.items()
+            if n >= 3
+        }
+        got = registry.QUERIES["vocab_pmi_collocations"](spark, sf_dir).collect()
+        assert got, "collocation list must not be empty"
+        best = max(scores.values())
+        assert got[0]["pmi_ratio_ppm"] == best
+        for r in got:
+            assert scores[(r["center"], r["context"])] == r["pmi_ratio_ppm"]
