@@ -13629,6 +13629,229 @@ def q_dataset_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_bm25_topk",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\s+')) AS token
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+           FROM toks GROUP BY doc_id),
+    corpus AS (SELECT CAST(SUM(dl) AS BIGINT) AS s,
+                      CAST(COUNT(*) AS BIGINT) AS n FROM dl),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE token IN ('spark', 'join', 'window')
+      GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    term AS (
+      SELECT tf.doc_id, tf.token,
+             CAST((CAST(22 AS HUGEINT) * tf.tf * c.s * (2 * c.n - 2 * df.df + 1)
+                   * 1000000)
+                  // (CAST(10 AS HUGEINT) * tf.tf * c.s + 3 * c.s
+                      + 9 * dl.dl * c.n)
+                  // (2 * df.df + 1) AS BIGINT) AS term_score_micro
+      FROM tf
+      JOIN df USING (token)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN corpus c
+    ),
+    scored AS (
+      SELECT doc_id, CAST(SUM(term_score_micro) AS BIGINT) AS bm25_micro,
+             CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+      FROM term GROUP BY doc_id
+    )
+    SELECT doc_id, bm25_micro, n_terms_hit
+    FROM scored ORDER BY bm25_micro DESC, doc_id LIMIT 20
+    """,
+)
+def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking (Robertson/Sparck Jones) for a fixed 3-term query,
+    top-20 — the lexical-retrieval scorer, made EXACT and log-free so both
+    engines agree bitwise: with k1=6/5 and b=3/4 the tf saturation term
+    tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl)) reduces to the integer fraction
+    22·tf·S / (10·tf·S + 3S + 9·dl·N) (S = corpus tokens, N = docs,
+    avgdl = S/N), and the idf uses the rational Robertson core
+    (2N−2df+1)/(2df+1) instead of its log — log differs in the last ulp
+    across libm implementations (the doc_bigram_rarity lesson), a rational
+    score doesn't. Per-term scores floor to micro units in
+    HUGEINT/DECIMAL(38), then sum — identical floor-then-sum on both
+    engines. Shape: the token scan prunes to the query terms BEFORE any
+    shuffle (predicate on the exploded stream), doc lengths fold
+    map-side, df is a 3-row broadcast, corpus totals a 1-row broadcast;
+    top-20 is a distributed TakeOrdered."""
+    d = table_scan(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.sum("dl").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    tf = (
+        toks.filter(F.col("token").isin("spark", "join", "window"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    term = (
+        tf.join(F.broadcast(df_t), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .selectExpr(
+            "doc_id",
+            "CAST((CAST(22 AS DECIMAL(38,0)) * tf * s * (2 * n - 2 * df + 1)"
+            "      * 1000000)"
+            "     div (CAST(10 AS DECIMAL(38,0)) * tf * s + 3 * s + 9 * dl * n)"
+            "     div (2 * df + 1) AS BIGINT) AS term_score_micro",
+        )
+    )
+    scored = term.groupBy("doc_id").agg(
+        F.sum("term_score_micro").alias("bm25_micro"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
+    return scored.orderBy(F.desc("bm25_micro"), "doc_id").limit(20)
+
+
+@register(
+    "hybrid_search_rrf",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\s+')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE token IN ('spark', 'join', 'window')
+      GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    lexscore AS (
+      SELECT tf.doc_id,
+             CAST(SUM((tf.tf * n_docs * 1000000) // df.df) AS BIGINT) AS lex
+      FROM tf JOIN df USING (token) CROSS JOIN n
+      GROUP BY tf.doc_id
+    ),
+    lextop AS (
+      SELECT doc_id, lex FROM lexscore ORDER BY lex DESC, doc_id LIMIT 50
+    ),
+    lexrank AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY lex DESC, doc_id) AS r FROM lextop
+    ),
+    q AS (
+      SELECT i, CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS qc
+      FROM (SELECT UNNEST(embedding) AS x, UNNEST(range(len(embedding))) AS i
+            FROM embeddings WHERE vec_id = 0)
+    ),
+    comp AS (
+      SELECT vec_id, i,
+             CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS xc
+      FROM (SELECT vec_id, UNNEST(embedding) AS x,
+                   UNNEST(range(len(embedding))) AS i
+            FROM embeddings WHERE vec_id <> 0)
+    ),
+    dots AS (
+      SELECT comp.vec_id AS doc_id, CAST(SUM(comp.xc * q.qc) AS BIGINT) AS dot
+      FROM comp JOIN q ON q.i = comp.i GROUP BY comp.vec_id
+    ),
+    vectop AS (
+      SELECT doc_id, dot FROM dots ORDER BY dot DESC, doc_id LIMIT 50
+    ),
+    vecrank AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY dot DESC, doc_id) AS r FROM vectop
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             CAST(COALESCE(1000000000 // (60 + l.r), 0)
+                  + COALESCE(1000000000 // (60 + v.r), 0) AS BIGINT) AS rrf_nano,
+             CAST(l.r AS BIGINT) AS lex_rank, CAST(v.r AS BIGINT) AS vec_rank
+      FROM lexrank l FULL OUTER JOIN vecrank v ON v.doc_id = l.doc_id
+    )
+    SELECT doc_id, rrf_nano, lex_rank, vec_rank
+    FROM fused ORDER BY rrf_nano DESC, doc_id LIMIT 10
+    """,
+)
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009) —
+    the standard way RAG stacks merge a lexical ranking with a vector
+    ranking without score calibration: RRF(d) = Σ 1/(60 + rank_m(d)) over
+    the modalities that retrieved d. The lexical leg ranks by the integer
+    linear-idf sum (tf·N·10⁶/df per query term); the vector leg by the
+    exact int64 quantized dot product against the vec_id-0 probe; both
+    take top-50 via distributed TakeOrdered FIRST, so the rank windows run
+    over 50 pre-bounded rows (O(k) through one task — not a global window
+    over the corpus), then fuse on a full-outer join with 1/(60+r) floored
+    to nano units. Missing-from-one-list docs get that leg's contribution
+    as 0, per standard RRF-over-union. At 100 TB each leg is the already-
+    proven retrieval shape (BM25 scan / ANN); fusion touches only 2×50
+    rows."""
+    d = table_scan(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    tf = (
+        toks.filter(F.col("token").isin("spark", "join", "window"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    lexscore = (
+        tf.join(F.broadcast(df_t), "token")
+        .crossJoin(F.broadcast(n))
+        .selectExpr("doc_id", "(tf * n_docs * 1000000) div df AS part")
+        .groupBy("doc_id")
+        .agg(F.sum("part").alias("lex"))
+    )
+    lextop = lexscore.orderBy(F.desc("lex"), "doc_id").limit(50)
+    lexrank = lextop.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("lex"), "doc_id"))
+        .alias("lr"),
+    )
+    emb = table_scan(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select(
+        F.expr(
+            "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000)"
+            " AS BIGINT))"
+        ).alias("qv")
+    )
+    dots = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qvec))
+        .selectExpr(
+            "vec_id AS doc_id",
+            "aggregate(zip_with(embedding, qv, (x, q) -> "
+            "  CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT) * q),"
+            "  CAST(0 AS BIGINT), (acc, v) -> acc + v) AS dot",
+        )
+    )
+    vectop = dots.orderBy(F.desc("dot"), "doc_id").limit(50)
+    vecrank = vectop.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("dot"), "doc_id"))
+        .alias("vr"),
+    )
+    fused = (
+        lexrank.join(vecrank, "doc_id", "full_outer")
+        .selectExpr(
+            "doc_id",
+            "COALESCE(1000000000 div (60 + lr), 0)"
+            " + COALESCE(1000000000 div (60 + vr), 0) AS rrf_nano",
+            "CAST(lr AS BIGINT) AS lex_rank",
+            "CAST(vr AS BIGINT) AS vec_rank",
+        )
+    )
+    return fused.orderBy(F.desc("rrf_nano"), "doc_id").limit(10)
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

@@ -60,6 +60,8 @@ BNLJ_OK = {
     "gdpr_delete_propagation",  # three single-row audit-count broadcasts
     "vocab_pmi_collocations",  # two single-row normalizer broadcasts
     #   (token total T, pair total P)
+    "doc_bm25_topk",  # single-row corpus-totals (S, N) broadcast
+    "hybrid_search_rrf",  # 1-row probe-vector + 1-row doc-count broadcasts
     "doc_lsh_candidate_eval",  # exact O(n²) ground-truth join on the
     #   bounded 400-doc probe slice (the evaluation harness, not the
     #   serving path — candidates themselves ride the banded equi-join)
@@ -73,6 +75,8 @@ BNLJ_OK = {
 #: bounded cardinality of the window INPUT, or the inherently-global
 #: semantics, here:
 GLOBAL_WINDOW_OK = {
+    "hybrid_search_rrf",  # rank windows over the 50-row post-TakeOrdered
+    #   per-modality top lists — O(k) rows through one task by design
     "dq_benford_first_digit",  # window over the 9-row digit aggregate
     "orders_dow_seasonality",  # window over the 7-row day-of-week aggregate
     "embedding_top_pc_power_iter",  # windows over dim-sized (~128-row) vecs

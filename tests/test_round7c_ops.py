@@ -211,6 +211,58 @@ class TestLshCandidateEval:
             assert r["recall_permille"] == r["n_hits"] * 1000 // r["n_truth_pairs"]
 
 
+class TestBm25:
+    def test_matches_bruteforce(self, spark, sf_dir):
+        import re
+        from collections import Counter
+        from fractions import Fraction
+
+        docs = table_scan(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        ).collect()
+        terms = ("spark", "join", "window")
+        dl, tfs = {}, {}
+        for r in docs:
+            toks = re.split(r"\s+", r["text"].strip()) if r["text"].strip() else []
+            dl[r["doc_id"]] = len(toks)
+            c = Counter(t for t in toks if t in terms)
+            if c:
+                tfs[r["doc_id"]] = c
+        S, N = sum(dl.values()), len(dl)
+        df = Counter(t for c in tfs.values() for t in c)
+        scores = {}
+        for did, c in tfs.items():
+            s = 0
+            for t, tf in c.items():
+                # exact rational BM25 with k1=6/5, b=3/4, rational idf core
+                frac = (
+                    Fraction(22 * tf * S, 10 * tf * S + 3 * S + 9 * dl[did] * N)
+                    * 1_000_000
+                )
+                s += int(frac * (2 * N - 2 * df[t] + 1)) // (2 * df[t] + 1)
+            scores[did] = s
+        got = registry.QUERIES["doc_bm25_topk"](spark, sf_dir).collect()
+        ref = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[: len(got)]
+        assert [(r["doc_id"], r["bm25_micro"]) for r in got] == ref
+
+
+class TestHybridRrf:
+    def test_rrf_identity(self, spark, sf_dir):
+        rows = registry.QUERIES["hybrid_search_rrf"](spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            expect = 0
+            if r["lex_rank"] is not None:
+                expect += 1_000_000_000 // (60 + r["lex_rank"])
+            if r["vec_rank"] is not None:
+                expect += 1_000_000_000 // (60 + r["vec_rank"])
+            assert r["rrf_nano"] == expect
+            assert r["lex_rank"] is not None or r["vec_rank"] is not None
+        # descending fused order with doc_id tiebreak
+        key = [(-r["rrf_nano"], r["doc_id"]) for r in rows]
+        assert key == sorted(key)
+
+
 class TestPmi:
     def test_top_pair_matches_bruteforce(self, spark, sf_dir):
         docs = table_scan(spark, sf_dir, "documents").select("text").collect()
