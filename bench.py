@@ -41,6 +41,9 @@ HEADLINE = [
     "doc_dedup_portable_pipeline",
     "doc_containment_pairs",
     "graph_pagerank_salted",
+    # round-7 flagship families: lexical retrieval + corpus statistics
+    "doc_bm25_topk",
+    "vocab_pmi_collocations",
 ]
 
 
