@@ -13852,6 +13852,237 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.desc("rrf_nano"), "doc_id").limit(10)
 
 
+@register(
+    "events_seasonal_naive_backtest",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    ev AS (
+      SELECT a.event_type, a.cnt AS actual, b.cnt AS fc,
+             ABS(a.cnt - b.cnt) * 1000 // a.cnt AS ape_permille
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.day = a.day - 7
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_eval_days,
+           CAST(CAST(SUM(ape_permille) AS BIGINT) // COUNT(*) AS BIGINT)
+             AS mape_permille
+    FROM ev GROUP BY event_type
+    """,
+)
+def q_events_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest — the baseline every real forecast
+    has to beat, evaluated the way production backtests run: predict each
+    day with the value 7 days earlier (weekly seasonality), score MAPE per
+    series. Exact integers throughout (per-day APE floors to per-mille,
+    MAPE is the floored mean of floors — both engines replay the same
+    rounding). Shape: one daily roll-up shuffle, then a self-equi-join of
+    the tiny per-type series on day−7 — the fact stream is aggregated
+    BEFORE any join, so the backtest costs O(series), not O(events)."""
+    e = table_scan(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    b = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("day").alias("day2"),
+        F.col("cnt").alias("fc"),
+    )
+    ev = daily.join(
+        b,
+        (F.col("et2") == F.col("event_type"))
+        & (F.col("day2") == F.date_sub(F.col("day"), 7)),
+    ).selectExpr(
+        "event_type", "(ABS(cnt - fc) * 1000) div cnt AS ape_permille"
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_eval_days"),
+        F.expr("SUM(ape_permille) div COUNT(*)").alias("mape_permille"),
+    )
+
+
+def _holt_coeffs() -> tuple[int, list[int]]:
+    """Exact one-step-ahead Holt (double-exponential) forecast as an
+    integer convolution over the trailing 8 points: with α=β=1/2 and init
+    l₁=x₁, b₁=0 the recursion is linear with dyadic-rational weights, so
+    the h=1 forecast is Σ cₖ·xₖ / D with D = 2¹⁴. Returned coeffs are
+    ordered OLDEST-first (x₁..x₈) and sum to exactly D."""
+    from fractions import Fraction as Fr
+    from math import lcm
+
+    n = 8
+    L = [Fr(0)] * n
+    B = [Fr(0)] * n
+    L[0] = Fr(1)
+    for t in range(1, n):
+        xt = [Fr(0)] * n
+        xt[t] = Fr(1)
+        newL = [Fr(1, 2) * xt[i] + Fr(1, 2) * (L[i] + B[i]) for i in range(n)]
+        newB = [Fr(1, 2) * (newL[i] - L[i]) + Fr(1, 2) * B[i] for i in range(n)]
+        L, B = newL, newB
+    f = [L[i] + B[i] for i in range(n)]
+    d = lcm(*[c.denominator for c in f])
+    return d, [int(c * d) for c in f]
+
+
+def _holt_oracle() -> str:
+    d, cs = _holt_coeffs()
+    # rn = 1 is the NEWEST day, so rn k pairs with coefficient x_{9-k}
+    terms = " + ".join(
+        f"SUM(CASE WHEN rn = {k} THEN cnt ELSE 0 END) * ({cs[8 - k]})"
+        for k in range(1, 9)
+    )
+    return f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    r AS (
+      SELECT event_type, cnt,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day DESC)
+               AS rn
+      FROM daily
+    ),
+    s AS (
+      SELECT event_type, CAST({terms} AS BIGINT) AS num
+      FROM r WHERE rn <= 8
+      GROUP BY event_type HAVING COUNT(*) = 8
+    )
+    SELECT event_type,
+           CAST(CASE WHEN num < 0 THEN -((-num * 1000000) // {d})
+                     ELSE (num * 1000000) // {d} END AS BIGINT)
+             AS forecast_micro
+    FROM s
+    """
+
+
+@register("events_holt_forecast", _holt_oracle())
+def q_events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend (double exponential smoothing) one-step forecast
+    per event series — made EXACT by unrolling: any linear recursive
+    filter over a bounded window is a fixed convolution, so with α=β=1/2
+    the 8-day Holt forecast is Σ cₖxₖ/2¹⁴ with integer cₖ (computed once
+    from the recursion with Fraction arithmetic — `_holt_coeffs`, summing
+    to exactly 2¹⁴), emitted in sign-split floored micro units. No
+    stateful scan, no float: the "recursion" costs one 8-row-per-series
+    conditional aggregate after the daily roll-up, embarrassingly parallel
+    across series. Series shorter than 8 days are dropped (HAVING n=8),
+    identically on both engines."""
+    d, cs = _holt_coeffs()
+    e = table_scan(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("day"))
+    r = daily.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 8)
+    num = None
+    for k in range(1, 9):
+        term = F.sum(
+            F.when(F.col("rn") == k, F.col("cnt")).otherwise(F.lit(0))
+        ) * F.lit(cs[8 - k])
+        num = term if num is None else num + term
+    s = (
+        r.groupBy("event_type")
+        .agg(num.alias("num"), F.count(F.lit(1)).alias("n_days"))
+        .filter(F.col("n_days") == 8)
+    )
+    return s.selectExpr(
+        "event_type",
+        f"CAST(CASE WHEN num < 0 THEN -((-num * 1000000) div {d})"
+        f"          ELSE (num * 1000000) div {d} END AS BIGINT)"
+        " AS forecast_micro",
+    )
+
+
+@register(
+    "customer_segment_nation_chi2",
+    """
+    WITH o AS (
+      SELECT c_mktsegment AS seg, n_name AS nat,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY c_mktsegment, n_name
+    ),
+    r AS (SELECT seg, CAST(SUM(obs) AS BIGINT) AS row_tot FROM o GROUP BY seg),
+    c AS (SELECT nat, CAST(SUM(obs) AS BIGINT) AS col_tot FROM o GROUP BY nat),
+    t AS (SELECT CAST(SUM(obs) AS BIGINT) AS grand FROM o),
+    cell AS (
+      SELECT o.seg, o.nat,
+             CAST((CAST(o.obs AS HUGEINT) * grand - CAST(row_tot AS HUGEINT)
+                   * col_tot)
+                  * (CAST(o.obs AS HUGEINT) * grand - CAST(row_tot AS HUGEINT)
+                     * col_tot)
+                  * 1000000
+                  // (CAST(grand AS HUGEINT) * row_tot * col_tot) AS BIGINT)
+               AS cell_ppm
+      FROM o JOIN r USING (seg) JOIN c USING (nat) CROSS JOIN t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST((SELECT COUNT(*) FROM r) - 1 AS BIGINT)
+             * CAST((SELECT COUNT(*) FROM c) - 1 AS BIGINT) AS dof,
+           CAST(SUM(cell_ppm) AS BIGINT) AS chi2_ppm
+    FROM cell
+    """,
+)
+def q_customer_segment_nation_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence (market segment × nation) — the
+    categorical complement of the numeric drift family (KS / CUSUM /
+    Mann-Whitney / rank-biserial all compare distributions of NUMBERS;
+    χ² compares CONTINGENCY). Per cell, (O·T − R·C)²/(T·R·C) equals
+    T·(O−E)²/E exactly, so the whole statistic is an integer-rational fold
+    in HUGEINT/DECIMAL(38), floored per cell to ppm then summed —
+    identical on both engines, no float, no expected-count division. One
+    grouped count (the contingency table is tiny after aggregation), two
+    marginal re-aggregations of IT (not the fact table), broadcast-joined
+    back; emitted with cell count and degrees of freedom."""
+    cust = table_scan(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_nationkey"
+    )
+    nat = table_scan(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = (
+        cust.join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"), F.col("n_name").alias("nat")
+        )
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    r = o.groupBy("seg").agg(F.sum("obs").alias("row_tot"))
+    c = o.groupBy("nat").agg(F.sum("obs").alias("col_tot"))
+    t = o.agg(F.sum("obs").alias("grand"))
+    cell = (
+        o.join(F.broadcast(r), "seg")
+        .join(F.broadcast(c), "nat")
+        .crossJoin(F.broadcast(t))
+        .selectExpr(
+            "CAST((CAST(obs AS DECIMAL(38,0)) * grand"
+            "      - CAST(row_tot AS DECIMAL(38,0)) * col_tot)"
+            "     * (CAST(obs AS DECIMAL(38,0)) * grand"
+            "        - CAST(row_tot AS DECIMAL(38,0)) * col_tot)"
+            "     * 1000000"
+            "     div (CAST(grand AS DECIMAL(38,0)) * row_tot * col_tot)"
+            "     AS BIGINT) AS cell_ppm"
+        )
+    )
+    dims = r.agg(F.count(F.lit(1)).alias("n_rows_dim")).crossJoin(
+        c.agg(F.count(F.lit(1)).alias("n_cols_dim"))
+    )
+    return (
+        cell.agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("cell_ppm").alias("chi2_ppm"),
+        )
+        .crossJoin(F.broadcast(dims))
+        .selectExpr(
+            "n_cells",
+            "CAST((n_rows_dim - 1) * (n_cols_dim - 1) AS BIGINT) AS dof",
+            "chi2_ppm",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

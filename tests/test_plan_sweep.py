@@ -62,6 +62,7 @@ BNLJ_OK = {
     #   (token total T, pair total P)
     "doc_bm25_topk",  # single-row corpus-totals (S, N) broadcast
     "hybrid_search_rrf",  # 1-row probe-vector + 1-row doc-count broadcasts
+    "customer_segment_nation_chi2",  # 1-row grand-total + 1-row dof broadcasts
     "doc_lsh_candidate_eval",  # exact O(n²) ground-truth join on the
     #   bounded 400-doc probe slice (the evaluation harness, not the
     #   serving path — candidates themselves ride the banded equi-join)

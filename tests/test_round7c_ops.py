@@ -263,6 +263,98 @@ class TestHybridRrf:
         assert key == sorted(key)
 
 
+class TestForecastFamily:
+    def _daily(self, spark, sf_dir):
+        rows = (
+            table_scan(spark, sf_dir, "events")
+            .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        series: dict[str, dict] = {}
+        for r in rows:
+            series.setdefault(r["event_type"], {})[r["day"]] = r["cnt"]
+        return series
+
+    def test_seasonal_naive_matches_python(self, spark, sf_dir):
+        from datetime import timedelta
+
+        series = self._daily(spark, sf_dir)
+        got = {
+            r["event_type"]: (r["n_eval_days"], r["mape_permille"])
+            for r in registry.QUERIES["events_seasonal_naive_backtest"](
+                spark, sf_dir
+            ).collect()
+        }
+        for et, by_day in series.items():
+            apes = [
+                abs(c - by_day[d - timedelta(days=7)]) * 1000 // c
+                for d, c in by_day.items()
+                if d - timedelta(days=7) in by_day
+            ]
+            if not apes:
+                assert et not in got
+                continue
+            assert got[et] == (len(apes), sum(apes) // len(apes))
+
+    def test_holt_matches_fraction_recursion(self, spark, sf_dir):
+        from fractions import Fraction as Fr
+
+        series = self._daily(spark, sf_dir)
+        got = {
+            r["event_type"]: r["forecast_micro"]
+            for r in registry.QUERIES["events_holt_forecast"](
+                spark, sf_dir
+            ).collect()
+        }
+        for et, by_day in series.items():
+            xs = [c for _, c in sorted(by_day.items())][-8:]
+            if len(xs) < 8:
+                assert et not in got
+                continue
+            level, trend = Fr(xs[0]), Fr(0)
+            for x in xs[1:]:
+                new_level = Fr(1, 2) * x + Fr(1, 2) * (level + trend)
+                trend = Fr(1, 2) * (new_level - level) + Fr(1, 2) * trend
+                level = new_level
+            fc = (level + trend) * 1_000_000
+            expect = int(fc) if fc >= 0 else -int(-fc)  # sign-split floor
+            assert got[et] == expect, et
+
+
+class TestChi2Independence:
+    def test_matches_float_chi2(self, spark, sf_dir):
+        r = registry.QUERIES["customer_segment_nation_chi2"](
+            spark, sf_dir
+        ).collect()[0]
+        obs = (
+            table_scan(spark, sf_dir, "customer")
+            .join(
+                table_scan(spark, sf_dir, "nation"),
+                F.col("c_nationkey") == F.col("n_nationkey"),
+            )
+            .groupBy("c_mktsegment", "n_name")
+            .agg(F.count(F.lit(1)).alias("o"))
+            .collect()
+        )
+        rows: dict = {}
+        cols: dict = {}
+        total = 0
+        for x in obs:
+            rows[x["c_mktsegment"]] = rows.get(x["c_mktsegment"], 0) + x["o"]
+            cols[x["n_name"]] = cols.get(x["n_name"], 0) + x["o"]
+            total += x["o"]
+        chi2 = sum(
+            (x["o"] - rows[x["c_mktsegment"]] * cols[x["n_name"]] / total) ** 2
+            / (rows[x["c_mktsegment"]] * cols[x["n_name"]] / total)
+            for x in obs
+        )
+        assert r["n_cells"] == len(obs)
+        assert r["dof"] == (len(rows) - 1) * (len(cols) - 1)
+        # per-cell ppm floors lose < n_cells ppm total
+        assert abs(r["chi2_ppm"] / 1e6 - chi2) < len(obs) / 1e6 + 1e-6
+
+
 class TestPmi:
     def test_top_pair_matches_bruteforce(self, spark, sf_dir):
         docs = table_scan(spark, sf_dir, "documents").select("text").collect()
