@@ -257,6 +257,121 @@ def synthetic_real_assets(spark, n: int = 32) -> DataFrame:
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 
+def synthetic_near_dup_images(spark, n: int = 48) -> DataFrame:
+    """PGM asset table with PLANTED near-duplicates: every group of 3
+    consecutive ids shares a 16×12 base gradient (seeded by the group id);
+    variants 1 and 2 invert a handful of pixels, so within-group dHashes
+    differ by a few bits while cross-group hashes are far apart."""
+    w, h = 16, 12
+    rows = []
+    for i in range(n):
+        g, v = divmod(i, 3)
+        px = bytearray(((x * 3 + y * 5 + g * 17) % 256) for y in range(h) for x in range(w))
+        for k in range(2 * v):
+            pos = (g * 7 + k * 13) % (w * h)
+            px[pos] = (px[pos] + 128) % 256
+        header = f"P5\n{w} {h}\n255\n".encode()
+        rows.append((i, "image", bytearray(header + bytes(px)), w, h, None))
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), nullable=False),
+        StructField("dhash", LongType(), nullable=False),
+    ]
+)
+
+
+def dhash56(gray: "np.ndarray") -> int:
+    """56-bit difference hash of a grayscale image: nearest-neighbor sample
+    onto an 8×8 grid, compare horizontally adjacent cells (7 bits × 8
+    rows). Pure integer ops — bit-identical anywhere."""
+    h, w = gray.shape
+    grid = [
+        [int(gray[y * h // 8, x * w // 8]) for x in range(8)] for y in range(8)
+    ]
+    out = 0
+    for y in range(8):
+        for x in range(7):
+            if grid[y][x + 1] > grid[y][x]:
+                out |= 1 << (y * 7 + x)
+    return out
+
+
+def image_dhash(assets: DataFrame) -> DataFrame:
+    """Perceptual dHash per image asset — the image-dedup fingerprint, as
+    an Arrow-batched mapInPandas stage (decode + hash happen C-side per
+    batch). Non-image or undecodable payloads are dropped (loudly distinct
+    from hash=0)."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for _, row in pdf.iterrows():
+                p = bytes(row["payload"]) if row["payload"] is not None else b""
+                if row["media_type"] != "image" or p[:2] != b"P5":
+                    continue
+                # P5 header: magic, width, height, maxval, one whitespace
+                parts = p.split(maxsplit=3)
+                w, h = int(parts[1]), int(parts[2])
+                raw = parts[3].split(b"\n", 1)[1] if b"\n" in parts[3] else parts[3]
+                gray = np.frombuffer(raw, dtype=np.uint8, count=w * h).reshape(h, w)
+                ids.append(int(row["asset_id"]))
+                hashes.append(dhash56(gray))
+            yield pd.DataFrame({"asset_id": ids, "dhash": hashes})
+
+    return assets.mapInPandas(process, DHASH_SCHEMA)
+
+
+def dhash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 7) -> DataFrame:
+    """Banded Hamming near-dup join over 56-bit dHashes: 8 bands × 7 bits.
+    By pigeonhole, any pair within ``max_hamming`` ≤ 7 bit flips leaves at
+    least one band untouched — recall is exactly 1 (the simhash argument);
+    candidates verify with one xor+bit_count. Never all-pairs: the
+    self-join runs on (band_idx, band_val) buckets."""
+    bands = hashes.select(
+        "asset_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_idx"),
+                        F.shiftright(F.col("dhash"), 7 * j)
+                        .bitwiseAND(F.lit(0x7F))
+                        .alias("band_val"),
+                    )
+                    for j in range(8)
+                ]
+            )
+        ).alias("b"),
+    ).select("asset_id", "dhash", "b.band_idx", "b.band_val")
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = (
+        l.join(
+            r,
+            on=[
+                F.col("l.band_idx") == F.col("r.band_idx"),
+                F.col("l.band_val") == F.col("r.band_val"),
+                F.col("l.asset_id") < F.col("r.asset_id"),
+            ],
+        )
+        .select(
+            F.col("l.asset_id").alias("id_a"),
+            F.col("r.asset_id").alias("id_b"),
+            F.col("l.dhash").alias("ha"),
+            F.col("r.dhash").alias("hb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
 RESIZED_SCHEMA = StructType(
     [
         StructField("asset_id", LongType(), nullable=False),

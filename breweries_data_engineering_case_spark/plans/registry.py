@@ -14083,6 +14083,229 @@ def q_customer_segment_nation_chi2(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _dhash_golden_oracle(n: int = 48) -> str:
+    """Golden-value oracle for the image dHash near-dup pipeline: the
+    synthetic PGM recipe AND the 56-bit dHash are re-derived here with
+    pure-Python integers (independent of operators/multimodal), frozen
+    into a VALUES table; the pair join + Hamming verify replay in SQL as
+    an all-pairs xor/bit_count (fine at oracle scale — the Spark path is
+    the banded bucket join)."""
+    w, h = 16, 12
+    rows = []
+    for i in range(n):
+        g, v = divmod(i, 3)
+        px = [(x * 3 + y * 5 + g * 17) % 256 for y in range(h) for x in range(w)]
+        for k in range(2 * v):
+            pos = (g * 7 + k * 13) % (w * h)
+            px[pos] = (px[pos] + 128) % 256
+        out = 0
+        for y in range(8):
+            for x in range(7):
+                a = px[(y * h // 8) * w + (x * w // 8)]
+                b = px[(y * h // 8) * w + ((x + 1) * w // 8)]
+                if b > a:
+                    out |= 1 << (y * 7 + x)
+        rows.append(f"({i}, {out})")
+    vals = ", ".join(rows)
+    return f"""
+    WITH hv(id, hsh) AS (VALUES {vals}),
+    p AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             bit_count(xor(CAST(a.hsh AS BIGINT), CAST(b.hsh AS BIGINT)))
+               AS hamming
+      FROM hv a JOIN hv b ON a.id < b.id
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(hamming AS INT) AS hamming
+    FROM p WHERE hamming <= 7
+    """
+
+
+@register("multimodal_image_dhash_near_dup", _dhash_golden_oracle(48))
+def q_multimodal_image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup — dHash + banded Hamming join, the IMAGE
+    analog of SimHash text near-dup: decode the PGM payloads and compute a
+    56-bit difference hash in one Arrow-batched mapInPandas stage (8×8
+    nearest-neighbor grid, 7×8 adjacent-cell comparisons — pure integer,
+    bit-identical anywhere), then find pairs within Hamming ≤ 7 via 8
+    bands × 7 bits: pigeonhole guarantees recall exactly 1 (≤ 7 flips
+    can't touch all 8 bands), candidates verify with one xor+bit_count.
+    The asset set plants near-duplicate groups (3 variants per base
+    image), so the output exercises both hit and miss paths. Scale shape:
+    hash once per image (embarrassingly parallel), self-join on skinny
+    (band, value) buckets — never all-pairs over payloads; the oracle
+    re-derives recipe + hash with pure Python and replays the join in
+    SQL."""
+    from ..operators.multimodal import (
+        dhash_near_dup_pairs,
+        image_dhash,
+        synthetic_near_dup_images,
+    )
+
+    assets = synthetic_near_dup_images(spark, 48)
+    hashes = image_dhash(assets)
+    return dhash_near_dup_pairs(hashes, max_hamming=7).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+@register(
+    "part_skyline_pareto",
+    """
+    WITH p AS (
+      SELECT p_partkey, p_brand, p_size,
+             CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS price_cents
+      FROM part
+    ),
+    w AS (
+      SELECT p_partkey, p_brand, p_size, price_cents,
+             MIN(price_cents) OVER (
+               PARTITION BY p_brand ORDER BY p_size
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1,
+             MIN(price_cents) OVER (PARTITION BY p_brand, p_size) AS m2
+      FROM p
+    )
+    SELECT p_partkey, p_brand, CAST(p_size AS INT) AS p_size, price_cents
+    FROM w
+    WHERE price_cents = m2 AND (m1 IS NULL OR price_cents < m1)
+    """,
+)
+def q_part_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-optimal set) per brand, minimizing (size, price) —
+    the multi-criteria shortlist operator (Börzsönyi et al. 2001), solved
+    WITHOUT the quadratic dominance join: for 2 criteria, sort by size and
+    a row survives iff its price is the minimum of its size group AND
+    strictly below every smaller size's minimum — two windows, one
+    value-RANGE framed (strictly-preceding sizes), one per-(brand, size).
+    O(n log n) per brand, fully partitioned; equal-in-both-dims rows all
+    survive (dominance requires strict improvement), exact integer cents.
+    At 100 TB this is the shape that works: the dominance join blows up
+    quadratically, the sorted sweep shuffles each brand once."""
+    p = table_scan(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    w1 = (
+        Window.partitionBy("p_brand")
+        .orderBy("p_size")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w2 = Window.partitionBy("p_brand", "p_size")
+    w = p.select(
+        "p_partkey",
+        "p_brand",
+        F.col("p_size").cast("int").alias("p_size"),
+        "price_cents",
+        F.min("price_cents").over(w1).alias("m1"),
+        F.min("price_cents").over(w2).alias("m2"),
+    )
+    return w.filter(
+        (F.col("price_cents") == F.col("m2"))
+        & (F.col("m1").isNull() | (F.col("price_cents") < F.col("m1")))
+    ).select("p_partkey", "p_brand", "p_size", "price_cents")
+
+
+@register(
+    "orders_runs_test_randomness",
+    """
+    WITH daily AS (
+      SELECT CAST(YEAR(CAST(o_orderdate AS DATE)) AS INT) AS yr,
+             CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT yr, day, cents,
+             cents - LAG(cents) OVER (PARTITION BY yr ORDER BY day) AS diff
+      FROM daily
+    ),
+    s AS (
+      SELECT yr, day, CASE WHEN diff > 0 THEN 1 ELSE 0 END AS s
+      FROM d WHERE diff IS NOT NULL AND diff <> 0
+    ),
+    r AS (
+      SELECT yr, s,
+             CASE WHEN LAG(s) OVER (PARTITION BY yr ORDER BY day) IS NULL
+                    OR LAG(s) OVER (PARTITION BY yr ORDER BY day) <> s
+                  THEN 1 ELSE 0 END AS new_run
+      FROM s
+    ),
+    m AS (
+      SELECT yr, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(s) AS BIGINT) AS n1,
+             CAST(COUNT(*) - SUM(s) AS BIGINT) AS n2,
+             CAST(SUM(new_run) AS BIGINT) AS runs
+      FROM r GROUP BY yr
+    )
+    SELECT yr, n AS n_obs, n1 AS n_up, n2 AS n_down, runs AS n_runs,
+           CAST(CASE
+             WHEN n1 = 0 OR n2 = 0 OR 2 * n1 * n2 <= n OR n <= 1 THEN NULL
+             ELSE (CAST(runs * n - 2 * n1 * n2 - n AS HUGEINT)
+                   * (runs * n - 2 * n1 * n2 - n) * (n - 1) * 1000000)
+                  // (CAST(2 AS HUGEINT) * n1 * n2 * (2 * n1 * n2 - n))
+           END AS BIGINT) AS z2_ppm
+    FROM m
+    """,
+)
+def q_orders_runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test per year — is the daily-revenue up/down
+    sequence random, or trending/mean-reverting? Counts runs of
+    consecutive ups/downs (ties dropped, per the classic test) and emits
+    the squared z-statistic as an EXACT integer rational: with
+    μ = 2n₁n₂/n + 1 and σ² = 2n₁n₂(2n₁n₂−n)/(n²(n−1)), z² reduces to
+    (Rn − 2n₁n₂ − n)²·(n−1) / (2n₁n₂(2n₁n₂−n)) — no float, no sqrt,
+    HUGEINT/DECIMAL(38) products, NULL-guarded degenerate cases.
+    Completes the randomness/drift family (KS, CUSUM, Mann-Whitney, χ²,
+    ACF) with the sequence-order test. All windows partition by year over
+    the pre-aggregated daily series — O(days), not O(orders)."""
+    o = table_scan(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.year(F.col("o_orderdate").cast("date")).cast("int").alias("yr"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        ).alias("cents")
+    )
+    wd = Window.partitionBy("yr").orderBy("day")
+    d = daily.withColumn("diff", F.col("cents") - F.lag("cents").over(wd))
+    s = d.filter(F.col("diff").isNotNull() & (F.col("diff") != 0)).select(
+        "yr", "day", F.when(F.col("diff") > 0, 1).otherwise(0).alias("s")
+    )
+    r = s.withColumn(
+        "new_run",
+        F.when(
+            F.lag("s").over(wd).isNull() | (F.lag("s").over(wd) != F.col("s")),
+            1,
+        ).otherwise(0),
+    )
+    m = r.groupBy("yr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("s").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("s")).alias("n2"),
+        F.sum("new_run").alias("runs"),
+    )
+    return m.selectExpr(
+        "yr",
+        "n AS n_obs",
+        "n1 AS n_up",
+        "n2 AS n_down",
+        "runs AS n_runs",
+        "CAST(CASE"
+        "  WHEN n1 = 0 OR n2 = 0 OR 2 * n1 * n2 <= n OR n <= 1 THEN NULL"
+        "  ELSE (CAST(runs * n - 2 * n1 * n2 - n AS DECIMAL(38,0))"
+        "        * (runs * n - 2 * n1 * n2 - n) * (n - 1) * 1000000)"
+        "       div (CAST(2 AS DECIMAL(38,0)) * n1 * n2 * (2 * n1 * n2 - n))"
+        " END AS BIGINT) AS z2_ppm",
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

@@ -120,6 +120,8 @@ PANDAS_OK = {
     "grouped_agg_pandas_udf",  # GROUPED_AGG pandas UDF (AggregateInPandas)
     #   over 3 dim-sized returnflag groups, by definition
     "udtf_analyze_kv_columns",  # Arrow UDTF with analyze(), by definition
+    "multimodal_image_dhash_near_dup",  # PGM decode + dHash over
+    #   mapInPandas, by definition (the join side is JVM banded)
 }
 
 PANDAS_NODES = (

@@ -355,6 +355,133 @@ class TestChi2Independence:
         assert abs(r["chi2_ppm"] / 1e6 - chi2) < len(obs) / 1e6 + 1e-6
 
 
+class TestImageDhash:
+    def test_banded_join_matches_bruteforce(self, spark):
+        """The banded bucket join must equal brute-force all-pairs Hamming
+        <= 7 (pigeonhole recall 1), and planted same-group variants must
+        land closer than the cross-group median."""
+        from breweries_data_engineering_case_spark.operators.multimodal import (
+            dhash56,
+            dhash_near_dup_pairs,
+            image_dhash,
+            synthetic_near_dup_images,
+        )
+
+        assets = synthetic_near_dup_images(spark, 48)
+        hashes = image_dhash(assets)
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in dhash_near_dup_pairs(hashes, 7).collect()
+        }
+        hv = {r["asset_id"]: r["dhash"] for r in hashes.collect()}
+        assert len(hv) == 48
+        brute = {
+            (a, b): bin(hv[a] ^ hv[b]).count("1")
+            for a in hv
+            for b in hv
+            if a < b and bin(hv[a] ^ hv[b]).count("1") <= 7
+        }
+        assert got == brute
+        # recompute one hash from the recipe, independent of the operator
+        w, h, g = 16, 12, 5
+        px = np.array(
+            [(x * 3 + y * 5 + g * 17) % 256 for y in range(h) for x in range(w)],
+            dtype=np.uint8,
+        ).reshape(h, w)
+        assert hv[g * 3] == dhash56(px)
+
+
+class TestSkyline:
+    def test_dominance_exact(self, spark, sf_dir):
+        parts = (
+            table_scan(spark, sf_dir, "part")
+            .selectExpr(
+                "p_partkey",
+                "p_brand",
+                "p_size",
+                "CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                " AS cents",
+            )
+            .collect()
+        )
+        got = {
+            r["p_partkey"]
+            for r in registry.QUERIES["part_skyline_pareto"](
+                spark, sf_dir
+            ).collect()
+        }
+        by_brand: dict = {}
+        for p in parts:
+            by_brand.setdefault(p["p_brand"], []).append(p)
+        expect = set()
+        for rows in by_brand.values():
+            for p in rows:
+                dominated = any(
+                    q["p_size"] <= p["p_size"]
+                    and q["cents"] <= p["cents"]
+                    and (q["p_size"] < p["p_size"] or q["cents"] < p["cents"])
+                    for q in rows
+                )
+                if not dominated:
+                    expect.add(p["p_partkey"])
+        assert got == expect
+
+
+class TestRunsTest:
+    def test_matches_fraction_z2(self, spark, sf_dir):
+        from fractions import Fraction as Fr
+
+        daily = (
+            table_scan(spark, sf_dir, "orders")
+            .groupBy(
+                F.year(F.col("o_orderdate").cast("date")).alias("yr"),
+                F.col("o_orderdate").cast("date").alias("day"),
+            )
+            .agg(
+                F.sum(
+                    (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                        "long"
+                    )
+                ).alias("cents")
+            )
+            .collect()
+        )
+        series: dict = {}
+        for r in daily:
+            series.setdefault(r["yr"], []).append((r["day"], r["cents"]))
+        got = {
+            r["yr"]: r
+            for r in registry.QUERIES["orders_runs_test_randomness"](
+                spark, sf_dir
+            ).collect()
+        }
+        for yr, pts in series.items():
+            pts.sort()
+            signs = []
+            for (_, a), (_, b) in zip(pts, pts[1:]):
+                if b != a:
+                    signs.append(1 if b > a else 0)
+            if not signs:
+                assert yr not in got
+                continue
+            n, n1 = len(signs), sum(signs)
+            n2 = n - n1
+            runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+            row = got[yr]
+            assert (row["n_obs"], row["n_up"], row["n_down"], row["n_runs"]) == (
+                n,
+                n1,
+                n2,
+                runs,
+            )
+            if n1 and n2 and 2 * n1 * n2 > n and n > 1:
+                num = runs * n - 2 * n1 * n2 - n
+                z2 = Fr(num * num * (n - 1), 2 * n1 * n2 * (2 * n1 * n2 - n))
+                assert row["z2_ppm"] == int(z2 * 1_000_000)
+            else:
+                assert row["z2_ppm"] is None
+
+
 class TestPmi:
     def test_top_pair_matches_bruteforce(self, spark, sf_dir):
         docs = table_scan(spark, sf_dir, "documents").select("text").collect()
