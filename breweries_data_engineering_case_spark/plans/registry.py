@@ -14306,6 +14306,226 @@ def q_orders_runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "vocab_char_coverage",
+    """
+    WITH ch AS (
+      SELECT UNNEST(string_split(text, '')) AS c FROM documents
+    ),
+    cnt AS (
+      SELECT c, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ch WHERE c <> '' GROUP BY c
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM cnt),
+    r AS (
+      SELECT c, n,
+             CAST(ROW_NUMBER() OVER (ORDER BY n DESC, c) AS INT) AS rnk,
+             CAST(SUM(n) OVER (ORDER BY n DESC, c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_n
+      FROM cnt
+    )
+    SELECT c AS ch, n, rnk,
+           CAST(cum_n * 1000000 // t AS BIGINT) AS cum_coverage_ppm
+    FROM r CROSS JOIN tot
+    """,
+)
+def q_vocab_char_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-coverage curve — the statistic behind SentencePiece's
+    character_coverage knob (how many code points does it take to cover
+    99.95 % of the corpus?): per-character counts ranked by frequency with
+    cumulative coverage in exact ppm. The char explode is the only
+    corpus-sized stage (one partial-agg count shuffle); the ranking
+    windows run over the per-CHARACTER aggregate — the alphabet, dozens of
+    rows at any corpus size — so the 'global' window is O(|charset|), not
+    O(corpus). Total-order tiebreak (count desc, char) keeps the curve
+    deterministic."""
+    d = table_scan(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(F.split("text", "")).alias("c"))
+        .filter(F.col("c") != "")
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cnt.agg(F.sum("n").alias("t"))
+    w = Window.orderBy(F.desc("n"), "c")
+    r = cnt.select(
+        "c",
+        "n",
+        F.row_number().over(w).cast("int").alias("rnk"),
+        F.sum("n")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_n"),
+    )
+    return r.crossJoin(F.broadcast(tot)).selectExpr(
+        "c AS ch", "n", "rnk", "(cum_n * 1000000) div t AS cum_coverage_ppm"
+    )
+
+
+@register(
+    "source_mixture_temperature",
+    """
+    WITH s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+      GROUP BY source
+    ),
+    q AS (
+      SELECT source, n_docs,
+             CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+               AS s_i
+      FROM s
+    ),
+    t AS (SELECT CAST(SUM(s_i) AS BIGINT) AS st,
+                 CAST(SUM(n_docs) AS BIGINT) AS nt FROM q)
+    SELECT source, n_docs,
+           CAST(n_docs * 1000000 // nt AS BIGINT) AS raw_share_ppm,
+           CAST(s_i * 1000000 // st AS BIGINT) AS temp_weight_ppm
+    FROM q CROSS JOIN t
+    """,
+)
+def q_source_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixture weights (τ=2 ⇒ p ∝ n^½) — the
+    standard up-weighting of low-resource sources in multilingual /
+    multi-source pretraining (mT5's temperature sampling), next to the
+    fixed-weight source_mixture_weights. Made cross-engine exact WITHOUT
+    trusting float summation: √n is a single correctly-rounded IEEE op,
+    floored to integer micro units per source; every sum and division
+    after that is integer. Both shares emitted in ppm so the flattening
+    (raw vs temperature) is visible in one row. One tiny group count —
+    the totals broadcast."""
+    d = table_scan(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    q = s.select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000000)
+        .cast("long")
+        .alias("s_i"),
+    )
+    t = q.agg(F.sum("s_i").alias("st"), F.sum("n_docs").alias("nt"))
+    return q.crossJoin(F.broadcast(t)).selectExpr(
+        "source",
+        "n_docs",
+        "(n_docs * 1000000) div nt AS raw_share_ppm",
+        "(s_i * 1000000) div st AS temp_weight_ppm",
+    )
+
+
+@register(
+    "graph_neighbor_mean_features",
+    """
+    WITH li AS (
+      SELECT l_orderkey AS o, l_partkey AS p FROM lineitem WHERE l_partkey < 200
+    ),
+    e0 AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    ),
+    e AS (
+      SELECT u, v FROM e0
+      WHERE CAST(concat('0x', substr(md5(
+              CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)), 1, 15))
+            AS BIGINT) % 10 = 0
+    ),
+    sym AS (SELECT u AS a, v AS b FROM e UNION SELECT v AS a, u AS b FROM e),
+    f AS (
+      SELECT p_partkey AS node, CAST(p_size AS BIGINT) AS size,
+             CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM part WHERE p_partkey < 200
+    ),
+    h1 AS (
+      SELECT s.a AS node, CAST(COUNT(*) AS BIGINT) AS deg,
+             CAST(CAST(SUM(f.size) AS BIGINT) // COUNT(*) AS BIGINT)
+               AS h1_size,
+             CAST(CAST(SUM(f.cents) AS BIGINT) // COUNT(*) AS BIGINT)
+               AS h1_cents
+      FROM sym s JOIN f ON f.node = s.b GROUP BY s.a
+    ),
+    h2 AS (
+      SELECT s.a AS node,
+             CAST(CAST(SUM(h1.h1_size) AS BIGINT) // COUNT(*) AS BIGINT)
+               AS h2_size,
+             CAST(CAST(SUM(h1.h1_cents) AS BIGINT) // COUNT(*) AS BIGINT)
+               AS h2_cents
+      FROM sym s JOIN h1 ON h1.node = s.b GROUP BY s.a
+    )
+    SELECT h1.node, h1.deg, h1.h1_size, h1.h1_cents, h2.h2_size, h2.h2_cents
+    FROM h1 JOIN h2 ON h2.node = h1.node
+    """,
+)
+def q_graph_neighbor_mean_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of neighborhood mean aggregation — the GraphSAGE /
+    message-passing primitive that turns a graph + node features into
+    GNN training data, on the sampled co-purchase graph with part
+    features (size, price cents): layer 1 averages raw neighbor features,
+    layer 2 averages the neighbors' LAYER-1 features (information from
+    2 hops). Exact integer floors (sum // degree, replayed identically)
+    — no float. Per round the cost is ONE edge⋈feature equi-join
+    partitioned on node id + one grouped partial agg: exactly the
+    per-round shape of PageRank/LPA, shuffling only (node, feature)
+    pairs — the scale-viable alternative to materializing 2-hop
+    neighborhoods (which squares)."""
+    from ..functions.hashing import portable_hash64
+
+    li = (
+        table_scan(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < 200)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    key = F.concat(
+        F.col("u").cast("string"), F.lit(":"), F.col("v").cast("string")
+    )
+    edges = e0.filter(F.pmod(portable_hash64(key), F.lit(10)) == 0)
+    sym = edges.select(F.col("u").alias("a2"), F.col("v").alias("b2")).unionByName(
+        edges.select(F.col("v").alias("a2"), F.col("u").alias("b2"))
+    ).distinct()
+    f = (
+        table_scan(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 200)
+        .select(
+            F.col("p_partkey").alias("node"),
+            F.col("p_size").cast("long").alias("size"),
+            (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    h1 = (
+        sym.join(f.select(F.col("node").alias("b2"), "size", "cents"), "b2")
+        .groupBy(F.col("a2").alias("node"))
+        .agg(
+            F.count(F.lit(1)).alias("deg"),
+            F.expr("SUM(size) div COUNT(*)").alias("h1_size"),
+            F.expr("SUM(cents) div COUNT(*)").alias("h1_cents"),
+        )
+    )
+    h2 = (
+        sym.join(
+            h1.select(
+                F.col("node").alias("b2"),
+                F.col("h1_size").alias("ns"),
+                F.col("h1_cents").alias("nc"),
+            ),
+            "b2",
+        )
+        .groupBy(F.col("a2").alias("node"))
+        .agg(
+            F.expr("SUM(ns) div COUNT(*)").alias("h2_size"),
+            F.expr("SUM(nc) div COUNT(*)").alias("h2_cents"),
+        )
+    )
+    return h1.join(h2, "node").select(
+        "node", "deg", "h1_size", "h1_cents", "h2_size", "h2_cents"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

@@ -63,6 +63,8 @@ BNLJ_OK = {
     "doc_bm25_topk",  # single-row corpus-totals (S, N) broadcast
     "hybrid_search_rrf",  # 1-row probe-vector + 1-row doc-count broadcasts
     "customer_segment_nation_chi2",  # 1-row grand-total + 1-row dof broadcasts
+    "vocab_char_coverage",  # 1-row corpus-char-total broadcast
+    "source_mixture_temperature",  # 1-row totals broadcast
     "doc_lsh_candidate_eval",  # exact O(n²) ground-truth join on the
     #   bounded 400-doc probe slice (the evaluation harness, not the
     #   serving path — candidates themselves ride the banded equi-join)
@@ -78,6 +80,8 @@ BNLJ_OK = {
 GLOBAL_WINDOW_OK = {
     "hybrid_search_rrf",  # rank windows over the 50-row post-TakeOrdered
     #   per-modality top lists — O(k) rows through one task by design
+    "vocab_char_coverage",  # coverage windows over the per-CHARACTER
+    #   aggregate — O(|charset|) rows at any corpus size
     "dq_benford_first_digit",  # window over the 9-row digit aggregate
     "orders_dow_seasonality",  # window over the 7-row day-of-week aggregate
     "embedding_top_pc_power_iter",  # windows over dim-sized (~128-row) vecs

@@ -482,7 +482,123 @@ class TestRunsTest:
                 assert row["z2_ppm"] is None
 
 
-class TestPmi:
+class TestCharCoverage:
+    def test_curve_matches_counter(self, spark, sf_dir):
+        from collections import Counter
+
+        docs = table_scan(spark, sf_dir, "documents").select("text").collect()
+        cnt = Counter()
+        for r in docs:
+            cnt.update(r["text"])
+        rows = registry.QUERIES["vocab_char_coverage"](spark, sf_dir).collect()
+        assert {r["ch"] for r in rows} == set(cnt)
+        total = sum(cnt.values())
+        ordered = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        cum = 0
+        by_rank = {r["rnk"]: r for r in rows}
+        for rank, (ch, n) in enumerate(ordered, start=1):
+            cum += n
+            r = by_rank[rank]
+            assert (r["ch"], r["n"]) == (ch, n)
+            assert r["cum_coverage_ppm"] == cum * 1_000_000 // total
+        assert rows and max(r["cum_coverage_ppm"] for r in rows) == 1_000_000
+
+
+class TestMixtureTemperature:
+    def test_flattens_toward_uniform(self, spark, sf_dir):
+        rows = registry.QUERIES["source_mixture_temperature"](
+            spark, sf_dir
+        ).collect()
+        assert len(rows) >= 2
+        import math as m
+
+        for r in rows:
+            # temperature weight reproduces floor(sqrt(n)*1e6) normalization
+            assert r["temp_weight_ppm"] <= 1_000_000
+        big = max(rows, key=lambda r: r["n_docs"])
+        small = min(rows, key=lambda r: r["n_docs"])
+        if big["n_docs"] > small["n_docs"]:
+            # sqrt sampling compresses the spread between sources
+            assert (
+                big["temp_weight_ppm"] - small["temp_weight_ppm"]
+                < big["raw_share_ppm"] - small["raw_share_ppm"]
+            )
+        # recompute one weight end to end
+        s = {r["source"]: m.floor(m.sqrt(r["n_docs"]) * 1_000_000) for r in rows}
+        st = sum(s.values())
+        for r in rows:
+            assert r["temp_weight_ppm"] == s[r["source"]] * 1_000_000 // st
+
+
+class TestNeighborMeanFeatures:
+    def test_two_hop_recompute(self, spark, sf_dir):
+        import hashlib
+        from collections import defaultdict
+
+        li = (
+            table_scan(spark, sf_dir, "lineitem")
+            .filter(F.col("l_partkey") < 200)
+            .select("l_orderkey", "l_partkey")
+            .collect()
+        )
+        by_order = defaultdict(set)
+        for r in li:
+            by_order[r["l_orderkey"]].add(r["l_partkey"])
+        edges = set()
+        for parts in by_order.values():
+            ps = sorted(parts)
+            for i, u in enumerate(ps):
+                for v in ps[i + 1 :]:
+                    h = int(hashlib.md5(f"{u}:{v}".encode()).hexdigest()[:15], 16)
+                    if h % 10 == 0:
+                        edges.add((u, v))
+        adj = defaultdict(set)
+        for u, v in edges:
+            adj[u].add(v)
+            adj[v].add(u)
+        feats = {
+            r["p_partkey"]: (
+                int(r["p_size"]),
+                int(
+                    __import__("decimal").Decimal(str(r["p_retailprice"]))
+                    .quantize(__import__("decimal").Decimal("0.01"))
+                    * 100
+                ),
+            )
+            for r in table_scan(spark, sf_dir, "part")
+            .filter(F.col("p_partkey") < 200)
+            .collect()
+        }
+        h1 = {}
+        for node, nbrs in adj.items():
+            nb = [feats[b] for b in nbrs if b in feats]
+            d = len(nb)
+            h1[node] = (
+                d,
+                sum(s for s, _ in nb) // d,
+                sum(c for _, c in nb) // d,
+            )
+        expect = {}
+        for node, nbrs in adj.items():
+            nb = [h1[b] for b in nbrs if b in h1]
+            d = len(nb)
+            expect[node] = h1[node] + (
+                sum(s for _, s, _ in nb) // d,
+                sum(c for _, _, c in nb) // d,
+            )
+        got = {
+            r["node"]: (
+                r["deg"],
+                r["h1_size"],
+                r["h1_cents"],
+                r["h2_size"],
+                r["h2_cents"],
+            )
+            for r in registry.QUERIES["graph_neighbor_mean_features"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert got == expect
     def test_top_pair_matches_bruteforce(self, spark, sf_dir):
         docs = table_scan(spark, sf_dir, "documents").select("text").collect()
         from collections import Counter
