@@ -14526,6 +14526,120 @@ def q_graph_neighbor_mean_features(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _audio_fp_golden_oracle(n: int = 36) -> str:
+    """Golden-value oracle for the audio fingerprint dedup: re-derive the
+    WAV recipe and the FFT-peak fingerprint here (stdlib wave + numpy —
+    independent of operators/multimodal), freeze (id, fingerprint) into a
+    VALUES table, replay the bucket pair join in SQL."""
+    import io as _io
+    import wave as _wave
+
+    import numpy as _np
+
+    rate, nfr, frame = 8000, 8192, 1024
+    rows = []
+    for i in range(n):
+        g, v = divmod(i, 3)
+        freq = 300 + 40 * g
+        t = _np.arange(nfr) / rate
+        amp = 2000 + 300 * v
+        samples = _np.round(
+            amp * _np.sin(2 * _np.pi * freq * t + 0.7 * v)
+        ).astype("<i2")
+        buf = _io.BytesIO()
+        with _wave.open(buf, "wb") as wv:
+            wv.setnchannels(1)
+            wv.setsampwidth(2)
+            wv.setframerate(rate)
+            wv.writeframes(samples.tobytes())
+        with _wave.open(_io.BytesIO(buf.getvalue()), "rb") as wv:
+            raw = wv.readframes(wv.getnframes())
+        s = _np.frombuffer(raw, dtype="<i2")
+        fp = 0
+        for f in range(6):
+            seg = s[f * frame : (f + 1) * frame]
+            mag = _np.abs(_np.fft.rfft(seg.astype(_np.float64)))
+            fp = fp * 1024 + int(_np.argmax(mag[1:])) + 1
+        rows.append(f"({i}, {fp})")
+    vals = ", ".join(rows)
+    return f"""
+    WITH fp(id, f) AS (VALUES {vals})
+    SELECT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b,
+           CAST(a.f AS BIGINT) AS fingerprint
+    FROM fp a JOIN fp b ON a.f = b.f AND a.id < b.id
+    """
+
+
+@register("multimodal_audio_fingerprint_dup", _audio_fp_golden_oracle(36))
+def q_multimodal_audio_fingerprint_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio duplicate detection by spectral fingerprint — completing the
+    per-modality dedup matrix (text: SimHash/MinHash; image: dHash;
+    audio: FFT-peak landmarks, the simplified Shazam idea): stdlib-wave
+    decode + per-frame dominant-FFT-bin sequence rolled into one int64,
+    computed in an Arrow-batched mapInPandas stage, then exact-fingerprint
+    pairs via the bucket self-join (the exact-dedup shape — the join runs
+    on the fingerprint column, never on payloads, never all-pairs). The
+    asset set plants 3-variant groups differing only in amplitude/phase —
+    invariants of the fingerprint — so within-group pairs collide and
+    cross-group ones don't. Golden oracle re-derives recipe + FFT
+    fingerprint independently and replays the join in SQL."""
+    from ..operators.multimodal import (
+        audio_fingerprint,
+        fingerprint_dup_pairs,
+        synthetic_audio_set,
+    )
+
+    assets = synthetic_audio_set(spark, 36)
+    return fingerprint_dup_pairs(audio_fingerprint(assets))
+
+
+@register(
+    "lineitem_ordered_concat",
+    """
+    WITH g AS (
+      SELECT l_orderkey,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             array_to_string(list(l_linenumber
+               ORDER BY l_shipdate, l_linenumber), ',') AS lines_ordered,
+             MIN(CAST(l_shipdate AS DATE)) AS first_ship,
+             MAX(CAST(l_shipdate AS DATE)) AS last_ship
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey, n_lines, lines_ordered, first_ship, last_ship
+    FROM g WHERE n_lines >= 4
+    """,
+)
+def q_lineitem_ordered_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary sort / ordered aggregation — the MapReduce-era pattern,
+    Spark-first: per order, the line numbers in ship-date order as an
+    CSV-serialized string (the registry's array convention; the shape
+    that feeds per-entity sequence models and
+    event-log exports). collect_list is order-NONDETERMINISTIC in a
+    distributed shuffle, so the order is imposed by sorting structs of
+    (shipdate, linenumber) AFTER collection — sort_array on the struct is
+    a per-row JVM op, total-ordered by the (date, line) key, making the
+    array bitwise deterministic with no repartition/sortWithinPartitions
+    stage and no single-partition sort. One grouped shuffle; arrays stay
+    bounded by lines-per-order."""
+    li = table_scan(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("sd"),
+    )
+    g = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.expr(
+            "array_join(transform(sort_array(collect_list(struct(sd,"
+            " l_linenumber))), x -> CAST(x.l_linenumber AS STRING)), ',')"
+        ).alias("lines_ordered"),
+        F.min("sd").alias("first_ship"),
+        F.max("sd").alias("last_ship"),
+    )
+    return g.filter(F.col("n_lines") >= 4).select(
+        "l_orderkey", "n_lines", "lines_ordered", "first_ship", "last_ship"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

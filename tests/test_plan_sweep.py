@@ -126,6 +126,8 @@ PANDAS_OK = {
     "udtf_analyze_kv_columns",  # Arrow UDTF with analyze(), by definition
     "multimodal_image_dhash_near_dup",  # PGM decode + dHash over
     #   mapInPandas, by definition (the join side is JVM banded)
+    "multimodal_audio_fingerprint_dup",  # WAV decode + FFT fingerprint
+    #   over mapInPandas, by definition (the pair join is JVM bucket)
 }
 
 PANDAS_NODES = (

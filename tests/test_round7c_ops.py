@@ -599,6 +599,51 @@ class TestNeighborMeanFeatures:
             ).collect()
         }
         assert got == expect
+
+
+class TestAudioFingerprint:
+    def test_planted_groups_fully_recovered(self, spark):
+        rows = registry.QUERIES["multimodal_audio_fingerprint_dup"](
+            spark, "unused"
+        ).collect()
+        got = {(r["id_a"], r["id_b"]) for r in rows}
+        # every within-group pair collides (amplitude/phase invariance)...
+        expect = {
+            (g * 3 + i, g * 3 + j)
+            for g in range(12)
+            for i in range(3)
+            for j in range(i + 1, 3)
+        }
+        assert expect <= got
+        # ...and any extra pair must join two groups whose tones alias to
+        # the same FFT peak sequence — never within-group misses
+        for a, b in got - expect:
+            assert a // 3 != b // 3
+
+
+class TestOrderedConcat:
+    def test_one_order_recomputed(self, spark, sf_dir):
+        rows = registry.QUERIES["lineitem_ordered_concat"](
+            spark, sf_dir
+        ).collect()
+        assert rows
+        r = min(rows, key=lambda x: x["l_orderkey"])
+        li = (
+            table_scan(spark, sf_dir, "lineitem")
+            .filter(F.col("l_orderkey") == r["l_orderkey"])
+            .select("l_linenumber", F.col("l_shipdate").cast("date").alias("d"))
+            .collect()
+        )
+        expect = [
+            ln for _, ln in sorted((x["d"], x["l_linenumber"]) for x in li)
+        ]
+        assert r["lines_ordered"] == ",".join(str(x) for x in expect)
+        assert r["n_lines"] == len(expect) >= 4
+        assert r["first_ship"] == min(x["d"] for x in li)
+        assert r["last_ship"] == max(x["d"] for x in li)
+
+
+class TestPmi:
     def test_top_pair_matches_bruteforce(self, spark, sf_dir):
         docs = table_scan(spark, sf_dir, "documents").select("text").collect()
         from collections import Counter
