@@ -14640,6 +14640,305 @@ def q_lineitem_ordered_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_pq_adc_recall",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(i AS INT) AS i, CAST(i // 8 AS INT) AS sub,
+             CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS qx
+      FROM (SELECT vec_id, UNNEST(embedding) AS x,
+                   UNNEST(range(len(embedding))) AS i FROM embeddings)
+    ),
+    cb AS (SELECT vec_id AS code, i, sub, qx AS cx FROM e WHERE vec_id < 16),
+    corpus AS (SELECT * FROM e WHERE vec_id >= 24),
+    queries AS (SELECT * FROM e WHERE vec_id BETWEEN 16 AND 18),
+    subdist AS (
+      SELECT c.vec_id, c.sub, cb.code,
+             CAST(SUM((c.qx - cb.cx) * (c.qx - cb.cx)) AS BIGINT) AS d
+      FROM corpus c JOIN cb ON cb.i = c.i
+      GROUP BY c.vec_id, c.sub, cb.code
+    ),
+    enc AS (
+      SELECT vec_id, sub, code, d,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                ORDER BY d, code) AS rn
+      FROM subdist
+    ),
+    codes AS (SELECT vec_id, sub, code FROM enc WHERE rn = 1),
+    qsub AS (
+      SELECT q.vec_id AS qid, q.sub, cb.code,
+             CAST(SUM((q.qx - cb.cx) * (q.qx - cb.cx)) AS BIGINT) AS d
+      FROM queries q JOIN cb ON cb.i = q.i
+      GROUP BY q.vec_id, q.sub, cb.code
+    ),
+    adc AS (
+      SELECT qs.qid, c.vec_id, CAST(SUM(qs.d) AS BIGINT) AS dist
+      FROM codes c
+      JOIN qsub qs ON qs.sub = c.sub AND qs.code = c.code
+      GROUP BY qs.qid, c.vec_id
+    ),
+    adctop AS (
+      SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+      FROM adc
+    ),
+    exact AS (
+      SELECT q.vec_id AS qid, c.vec_id,
+             CAST(SUM((q.qx - c.qx) * (q.qx - c.qx)) AS BIGINT) AS dist
+      FROM queries q JOIN corpus c ON c.i = q.i
+      GROUP BY q.vec_id, c.vec_id
+    ),
+    exacttop AS (
+      SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+      FROM exact
+    )
+    SELECT a.qid AS query_id,
+           CAST(COUNT(x.vec_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(x.vec_id) * 100 AS BIGINT) AS recall_permille
+    FROM (SELECT * FROM adctop WHERE rn <= 10) a
+    LEFT JOIN (SELECT * FROM exacttop WHERE rn <= 10) x
+      ON x.qid = a.qid AND x.vec_id = a.vec_id
+    GROUP BY a.qid
+    """,
+)
+def q_embedding_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization with asymmetric distance computation (Jégou et
+    al. 2011) — the memory-compressed ANN path that completes the family
+    (exact / LSH / IVF / matryoshka / now PQ): 64 dims split into 8
+    subspaces, a 16-entry codebook per subspace (deterministically
+    'trained' on the first 16 vectors — the kmeans seeds idiom), corpus
+    vectors encode to 8 codes by exact-int argmin (tiebreak on code id),
+    and query→corpus distance is the ADC sum of query-to-centroid
+    subdistances looked up by code — 8 lookups instead of 64 component
+    ops, and the corpus stores 8 bytes instead of 256. Recall@10 against
+    the exact int64 L2 top-10 is the emitted metric (×100 = permille,
+    exact) — LOW on this corpus by construction: the embeddings are
+    unstructured (near-uniform) and the codebook is 16 raw seeds, so
+    quantization error dominates — the same honest-measurement story as
+    embedding_matryoshka_recall (a real deployment trains the codebook;
+    kmeans_lloyd_converge_int is the drop-in). Shape: encoding is one
+    corpus⋈codebook join grouped per
+    (vector, subspace) — partial-agg, linear; ADC reuses the 8×16
+    query-side table broadcast; top-10s are per-query windows over the
+    scored table. At 100 TB the LUT join IS the PQ scan."""
+    e = table_scan(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                "transform(embedding, x ->"
+                " CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+            )
+        ).alias("i", "qx"),
+    ).select(
+        "vec_id",
+        F.col("i").cast("int").alias("i"),
+        (F.col("i") / 8).cast("int").alias("sub"),
+        "qx",
+    )
+    cb = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("code"), "i", F.col("sub").alias("csub"), F.col("qx").alias("cx")
+    )
+    corpus = e.filter(F.col("vec_id") >= 24)
+    queries = e.filter(F.col("vec_id").between(16, 18))
+    subdist = (
+        corpus.join(F.broadcast(cb), "i")
+        .groupBy("vec_id", "sub", "code")
+        .agg(F.sum((F.col("qx") - F.col("cx")) * (F.col("qx") - F.col("cx"))).alias("d"))
+    )
+    wenc = Window.partitionBy("vec_id", "sub").orderBy("d", "code")
+    codes = (
+        subdist.withColumn("rn", F.row_number().over(wenc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", "code")
+    )
+    qsub = (
+        queries.join(F.broadcast(cb), "i")
+        .groupBy(F.col("vec_id").alias("qid"), "sub", "code")
+        .agg(F.sum((F.col("qx") - F.col("cx")) * (F.col("qx") - F.col("cx"))).alias("d"))
+    )
+    adc = (
+        codes.join(F.broadcast(qsub), ["sub", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("d").alias("dist"))
+    )
+    wtop = Window.partitionBy("qid").orderBy("dist", "vec_id")
+    adctop = (
+        adc.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    qside = queries.select(
+        F.col("vec_id").alias("qid"), F.col("i").alias("qi"), F.col("qx").alias("qqx")
+    )
+    exact = (
+        corpus.join(F.broadcast(qside), F.col("i") == F.col("qi"))
+        .groupBy("qid", "vec_id")
+        .agg(
+            F.sum((F.col("qqx") - F.col("qx")) * (F.col("qqx") - F.col("qx"))).alias(
+                "dist"
+            )
+        )
+    )
+    exacttop = (
+        exact.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= 10)
+        .select(F.col("qid").alias("xqid"), F.col("vec_id").alias("xvid"))
+    )
+    j = adctop.join(
+        exacttop,
+        (F.col("xqid") == F.col("qid")) & (F.col("xvid") == F.col("vec_id")),
+        "left",
+    )
+    return j.groupBy(F.col("qid").alias("query_id")).agg(
+        F.count("xvid").alias("n_hits"),
+        (F.count("xvid") * 100).alias("recall_permille"),
+    )
+
+
+@register(
+    "graph_link_prediction_jaccard",
+    """
+    WITH li AS (
+      SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+      WHERE l_partkey % 13 = 0
+    ),
+    e AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    ),
+    sym AS (SELECT u AS a, v AS b FROM e UNION SELECT v AS a, u AS b FROM e),
+    deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM sym GROUP BY a),
+    wedge AS (
+      SELECT s1.a AS u, s2.a AS w, CAST(COUNT(*) AS BIGINT) AS common
+      FROM sym s1 JOIN sym s2 ON s2.b = s1.b AND s1.a < s2.a
+      GROUP BY s1.a, s2.a
+    ),
+    nonedge AS (
+      SELECT w.u, w.w, w.common
+      FROM wedge w
+      LEFT JOIN e ON e.u = w.u AND e.v = w.w
+      WHERE e.u IS NULL
+    ),
+    scored AS (
+      SELECT n.u, n.w, n.common, du.d AS deg_u, dw.d AS deg_w,
+             CAST(n.common * 1000000
+                  // (du.d + dw.d - n.common) AS BIGINT) AS jaccard_ppm
+      FROM nonedge n
+      JOIN deg du ON du.node = n.u
+      JOIN deg dw ON dw.node = n.w
+    )
+    SELECT u, w, common AS n_common, deg_u, deg_w, jaccard_ppm
+    FROM scored ORDER BY jaccard_ppm DESC, u, w LIMIT 20
+    """,
+)
+def q_graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighborhood Jaccard (Liben-Nowell & Kleinberg
+    2003) — which NON-edges are most likely future edges? The graph keeps
+    every co-purchase edge over the fixed 1-in-13 part slice (a
+    SF-invariant node sample, so the candidate set stays non-trivial at
+    every scale). Candidate pairs come from the wedge join (two edges sharing an endpoint — only pairs
+    with ≥1 common neighbor ever materialize, never all-pairs), existing
+    edges anti-join away, and the score is |N(u)∩N(w)| / |N(u)∪N(w)| in
+    exact integer ppm. The wedge join is the triangle-count shape (cost
+    Σ deg², the graph standard); degrees broadcast back; top-20 is a
+    distributed TakeOrdered with total-order tiebreak."""
+    li = (
+        table_scan(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 13 == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    sym = edges.select(F.col("u").alias("a2"), F.col("v").alias("b2")).unionByName(
+        edges.select(F.col("v").alias("a2"), F.col("u").alias("b2"))
+    ).distinct()
+    deg = sym.groupBy(F.col("a2").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    s1, s2 = sym.alias("s1"), sym.alias("s2")
+    wedge = (
+        s1.join(
+            s2,
+            (F.col("s2.b2") == F.col("s1.b2")) & (F.col("s1.a2") < F.col("s2.a2")),
+        )
+        .groupBy(F.col("s1.a2").alias("u"), F.col("s2.a2").alias("w"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    nonedge = wedge.join(
+        edges.withColumnRenamed("u", "eu").withColumnRenamed("v", "ev"),
+        (F.col("u") == F.col("eu")) & (F.col("w") == F.col("ev")),
+        "left_anti",
+    )
+    scored = (
+        nonedge.join(deg.select(F.col("node").alias("u"), F.col("d").alias("deg_u")), "u")
+        .join(deg.select(F.col("node").alias("w"), F.col("d").alias("deg_w")), "w")
+        .selectExpr(
+            "u",
+            "w",
+            "common AS n_common",
+            "deg_u",
+            "deg_w",
+            "(common * 1000000) div (deg_u + deg_w - common) AS jaccard_ppm",
+        )
+    )
+    return scored.orderBy(F.desc("jaccard_ppm"), "u", "w").limit(20)
+
+
+@register(
+    "events_poisson_anomaly_days",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    lam AS (
+      SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, d.day, d.cnt,
+           CAST(l.total * 1000 // l.n_days AS BIGINT) AS lambda_permille,
+           (1000 * d.cnt - l.total * 1000 // l.n_days)
+             * (1000 * d.cnt - l.total * 1000 // l.n_days)
+             > 9000 * (l.total * 1000 // l.n_days) AS is_anomaly
+    FROM daily d JOIN lam l ON l.event_type = d.event_type
+    """,
+)
+def q_events_poisson_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson rate anomaly flags — under a Poisson(λ) null, a day is
+    anomalous when (x−λ)²/λ > 9 (|z| > 3 in the normal approximation).
+    λ is the per-series daily mean held in exact per-mille, and the
+    threshold check cross-multiplies into a pure integer inequality
+    (1000x − λₚ)² > 9000·λₚ — no division, no float, no sqrt; every day
+    emitted with its flag so downstream alerting is a filter. One daily
+    roll-up + one per-series mean broadcast back onto the (tiny)
+    aggregate — O(series·days) after the single corpus-sized count."""
+    e = table_scan(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    lam = daily.groupBy("event_type").agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_days")
+    )
+    return (
+        daily.join(F.broadcast(lam), "event_type")
+        .selectExpr(
+            "event_type",
+            "day",
+            "cnt",
+            "(total * 1000) div n_days AS lambda_permille",
+            "(1000 * cnt - (total * 1000) div n_days)"
+            " * (1000 * cnt - (total * 1000) div n_days)"
+            " > 9000 * ((total * 1000) div n_days) AS is_anomaly",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

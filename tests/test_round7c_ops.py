@@ -643,6 +643,119 @@ class TestOrderedConcat:
         assert r["last_ship"] == max(x["d"] for x in li)
 
 
+class TestPqAdc:
+    def test_matches_numpy_pq(self, spark, sf_dir):
+        emb = table_scan(spark, sf_dir, "embeddings").orderBy("vec_id").collect()
+        Q = {
+            r["vec_id"]: np.array(
+                [round(float(x) * 1_000_000) for x in r["embedding"]],
+                dtype=np.int64,
+            )
+            for r in emb
+        }
+        cb = {c: Q[c] for c in Q if c < 16}
+        corpus = {v: Q[v] for v in Q if v >= 24}
+        queries = {v: Q[v] for v in Q if 16 <= v <= 18}
+        # encode corpus: per subspace argmin over codebook (tiebreak code)
+        codes = {}
+        for v, x in corpus.items():
+            codes[v] = [
+                min(
+                    range(16),
+                    key=lambda c, s=s: (
+                        int(((x[s * 8 : s * 8 + 8] - cb[c][s * 8 : s * 8 + 8]) ** 2).sum()),
+                        c,
+                    ),
+                )
+                for s in range(8)
+            ]
+        got = {
+            r["query_id"]: (r["n_hits"], r["recall_permille"])
+            for r in registry.QUERIES["embedding_pq_adc_recall"](
+                spark, sf_dir
+            ).collect()
+        }
+        for qid, q in queries.items():
+            adc = {
+                v: sum(
+                    int(
+                        (
+                            (q[s * 8 : s * 8 + 8] - cb[codes[v][s]][s * 8 : s * 8 + 8])
+                            ** 2
+                        ).sum()
+                    )
+                    for s in range(8)
+                )
+                for v in corpus
+            }
+            exact = {v: int(((q - x) ** 2).sum()) for v, x in corpus.items()}
+            top = lambda d: {
+                v for v, _ in sorted(d.items(), key=lambda kv: (kv[1], kv[0]))[:10]
+            }
+            hits = len(top(adc) & top(exact))
+            assert got[qid] == (hits, hits * 100)
+
+
+class TestLinkPrediction:
+    def test_scores_bruteforce(self, spark, sf_dir):
+        from collections import defaultdict
+
+        li = (
+            table_scan(spark, sf_dir, "lineitem")
+            .filter(F.col("l_partkey") % 13 == 0)
+            .select("l_orderkey", "l_partkey")
+            .collect()
+        )
+        by_order = defaultdict(set)
+        for r in li:
+            by_order[r["l_orderkey"]].add(r["l_partkey"])
+        edges = set()
+        for parts in by_order.values():
+            ps = sorted(parts)
+            for i, u in enumerate(ps):
+                for v in ps[i + 1 :]:
+                    edges.add((u, v))
+        adj = defaultdict(set)
+        for u, v in edges:
+            adj[u].add(v)
+            adj[v].add(u)
+        scores = {}
+        for u in adj:
+            for w in adj:
+                if u < w and (u, w) not in edges:
+                    common = len(adj[u] & adj[w])
+                    if common:
+                        scores[(u, w)] = (
+                            common * 1_000_000 // (len(adj[u]) + len(adj[w]) - common)
+                        )
+        got = registry.QUERIES["graph_link_prediction_jaccard"](
+            spark, sf_dir
+        ).collect()
+        ref = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[: len(got)]
+        assert [((r["u"], r["w"]), r["jaccard_ppm"]) for r in got] == ref
+
+
+class TestPoissonAnomaly:
+    def test_flags_recomputed(self, spark, sf_dir):
+        rows = registry.QUERIES["events_poisson_anomaly_days"](
+            spark, sf_dir
+        ).collect()
+        assert rows
+        from collections import defaultdict
+
+        totals = defaultdict(lambda: [0, 0])
+        for r in rows:
+            totals[r["event_type"]][0] += r["cnt"]
+            totals[r["event_type"]][1] += 1
+        for r in rows:
+            tot, nd = totals[r["event_type"]]
+            lam = tot * 1000 // nd
+            assert r["lambda_permille"] == lam
+            assert r["is_anomaly"] == (
+                (1000 * r["cnt"] - lam) ** 2 > 9000 * lam
+            )
+
+
 class TestPmi:
     def test_top_pair_matches_bruteforce(self, spark, sf_dir):
         docs = table_scan(spark, sf_dir, "documents").select("text").collect()
