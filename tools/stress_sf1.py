@@ -47,6 +47,14 @@ STANDARD_BATCH = [
     "orders_decile_lift",
     "udtf_analyze_kv_columns",
     "entity_resolution_fuzzy",
+    # round-7 continuation heavies: token-stream fan-outs, per-order
+    # collect+sort arrays, the wedge join, the char explode
+    "vocab_pmi_collocations",
+    "doc_bm25_topk",
+    "lineitem_ordered_concat",
+    "graph_link_prediction_jaccard",
+    "vocab_char_coverage",
+    "orders_cohort_ltv",
 ]
 
 
