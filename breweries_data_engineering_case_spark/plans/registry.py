@@ -14939,6 +14939,216 @@ def q_events_poisson_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_RAKE_STOP = "('a', 'the', 'and', 'of', 'to', 'is', 'in')"
+
+
+@register(
+    "doc_rake_keywords",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, t.w AS w, CAST(t.i AS BIGINT) AS pos
+      FROM documents,
+           LATERAL (SELECT UNNEST(string_split(text, ' ')) AS w,
+                           UNNEST(range(len(string_split(text, ' ')))) AS i)
+             AS t
+      WHERE t.w <> ''
+    ),
+    nonstop AS (
+      SELECT doc_id, w, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS island
+      FROM tok WHERE w NOT IN {_RAKE_STOP}
+    ),
+    phr AS (
+      SELECT doc_id, island,
+             string_agg(w, ' ' ORDER BY pos) AS phrase,
+             CAST(COUNT(*) AS BIGINT) AS plen
+      FROM nonstop GROUP BY doc_id, island
+    ),
+    ws AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(plen) AS BIGINT) AS deg
+      FROM nonstop n JOIN phr USING (doc_id, island)
+      GROUP BY w
+    ),
+    pw AS (
+      SELECT p.phrase, u.w
+      FROM (SELECT DISTINCT phrase FROM phr) p,
+           LATERAL (SELECT UNNEST(string_split(p.phrase, ' ')) AS w) u
+    ),
+    ps AS (
+      SELECT pw.phrase,
+             CAST(SUM((ws.deg * 1000000) // ws.freq) AS BIGINT) AS score_ppm
+      FROM pw JOIN ws ON ws.w = pw.w
+      GROUP BY pw.phrase
+    ),
+    occ AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+            FROM phr GROUP BY phrase)
+    SELECT ps.phrase, occ.n_occurrences, ps.score_ppm
+    FROM ps JOIN occ USING (phrase)
+    ORDER BY ps.score_ppm DESC, ps.phrase LIMIT 20
+    """,
+)
+def q_doc_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) — unsupervised keyphrase
+    mining, the classic corpus-labeling pass: candidate phrases are maximal
+    stopword-free token runs (found with the gaps-and-islands identity
+    pos − row_number, a per-doc window — no UDF, no regex backtracking),
+    word degree/frequency aggregate corpus-wide, and a phrase scores as
+    the sum of its words' deg/freq ratios — held exact as floored ppm
+    integers (identical floor-then-sum on both engines). Shape: one
+    explode + per-doc island window, one (doc, island) phrase roll-up, one
+    corpus-wide word-stats shuffle, one phrase⋈word-score join — all
+    partial-agg friendly; top-20 is a distributed TakeOrdered with
+    total-order tiebreak."""
+    stop = ["a", "the", "and", "of", "to", "is", "in"]
+    d = table_scan(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+        .filter(F.col("w") != "")
+        .select("doc_id", "w", F.col("pos").cast("long").alias("pos"))
+    )
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+    nonstop = tok.filter(~F.col("w").isin(stop)).withColumn(
+        "island", F.col("pos") - F.row_number().over(wnd)
+    )
+    phr = nonstop.groupBy("doc_id", "island").agg(
+        F.expr(
+            "array_join(transform(sort_array(collect_list(struct(pos, w))),"
+            " x -> x.w), ' ')"
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    ws = (
+        nonstop.join(phr, ["doc_id", "island"])
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg"))
+    )
+    pw = (
+        phr.select("phrase")
+        .distinct()
+        .select("phrase", F.explode(F.split("phrase", " ")).alias("w"))
+    )
+    ps = (
+        pw.join(ws, "w")
+        .groupBy("phrase")
+        .agg(F.expr("SUM((deg * 1000000) div freq)").alias("score_ppm"))
+    )
+    occ = phr.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    return (
+        ps.join(occ, "phrase")
+        .select("phrase", "n_occurrences", "score_ppm")
+        .orderBy(F.desc("score_ppm"), "phrase")
+        .limit(20)
+    )
+
+
+@register(
+    "lineitem_exact_median_two_pass",
+    """
+    WITH c AS (
+      SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM lineitem
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+    r AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn FROM c)
+    SELECT n.n AS n_rows, r.cents AS median_cents
+    FROM r CROSS JOIN n WHERE r.rn = (n.n + 1) // 2
+    """,
+)
+def q_lineitem_exact_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median (lower median, k = ⌈n/2⌉-th smallest) by
+    distributed two-pass selection — the scale-correct alternative to both
+    a full global sort (what the oracle's naive ORDER BY/OFFSET does) and
+    an approximate sketch: pass 1 bins all values into 1024 range buckets
+    (one partial-agg count shuffle, no data movement) and walks the
+    ~1 KB cumulative histogram to find the bucket holding rank k; pass 2
+    sorts ONLY that bucket's slice (expected n/1024 rows, a TakeOrdered
+    of the remaining offset) and picks the residual rank. Total cost: two
+    scans + one tiny sort, O(n/buckets) memory on one task — the
+    classic BigQuery/Presto exact-percentile strategy. Bucket bounds come
+    from the pass-1 min/max broadcast; every step is integer cents."""
+    li = table_scan(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    stats = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+    )
+    # pass 1: 1024-bucket histogram (bucket width ≥ 1 cent)
+    binned = (
+        li.crossJoin(F.broadcast(stats))
+        .selectExpr(
+            "cents",
+            "n",
+            "LEAST(CAST((cents - lo) * 1024 div GREATEST(hi - lo + 1, 1)"
+            " AS INT), 1023) AS b",
+        )
+    )
+    hist = binned.groupBy("b").agg(F.count(F.lit(1)).alias("cnt"))
+    rows = sorted(
+        (r["b"], r["cnt"]) for r in hist.collect()
+    )  # ≤1024 rows: the one driver-side step, O(buckets) not O(n)
+    n = stats.collect()[0]["n"]
+    k = (n + 1) // 2
+    cum = 0
+    target_b, before = 0, 0
+    for bb, cnt in rows:
+        if cum + cnt >= k:
+            target_b, before = bb, cum
+            break
+        cum += cnt
+    # pass 2: sort only the target bucket's slice
+    resid = k - before
+    picked = (
+        binned.filter(F.col("b") == target_b)
+        .select("cents")
+        .orderBy("cents")
+        .limit(resid)
+        .agg(F.max("cents").alias("median_cents"))
+    )
+    return picked.selectExpr(f"CAST({n} AS BIGINT) AS n_rows", "median_cents")
+
+
+@register(
+    "sql_identifier_clause",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IDENTIFIER() clause (Spark 3.4+) — parameterizing TABLE and
+    COLUMN names safely, completing the parameterized-SQL surface
+    (sql_parameterized_filter binds VALUES; this binds IDENTIFIERS):
+    `IDENTIFIER(:tbl)` / `IDENTIFIER(:grp)` resolve at analysis time from
+    named parameters, so no string concatenation (no SQL injection) and
+    the resolved plan is byte-identical to the literal query — pushdown,
+    partial agg, and AQE unaffected. The oracle replays the RESOLVED
+    query (DuckDB has no IDENTIFIER clause — resolution happens before
+    any engine-visible semantics)."""
+    li = table_scan(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_ident")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:grp),
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(IDENTIFIER(:qty) AS DECIMAL(18,4))) AS DOUBLE)
+                 AS sum_qty
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:grp)
+        """,
+        args={"tbl": "li_ident", "grp": "l_returnflag", "qty": "l_quantity"},
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

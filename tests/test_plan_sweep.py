@@ -65,6 +65,7 @@ BNLJ_OK = {
     "customer_segment_nation_chi2",  # 1-row grand-total + 1-row dof broadcasts
     "vocab_char_coverage",  # 1-row corpus-char-total broadcast
     "source_mixture_temperature",  # 1-row totals broadcast
+    "lineitem_exact_median_two_pass",  # 1-row (n, lo, hi) stats broadcast
     "doc_lsh_candidate_eval",  # exact O(n²) ground-truth join on the
     #   bounded 400-doc probe slice (the evaluation harness, not the
     #   serving path — candidates themselves ride the banded equi-join)

@@ -756,6 +756,61 @@ class TestPoissonAnomaly:
             )
 
 
+class TestRake:
+    def test_matches_bruteforce(self, spark, sf_dir):
+        from collections import Counter, defaultdict
+
+        stop = {"a", "the", "and", "of", "to", "is", "in"}
+        docs = table_scan(spark, sf_dir, "documents").select("text").collect()
+        freq: Counter = Counter()
+        deg: Counter = Counter()
+        occ: Counter = Counter()
+        for r in docs:
+            toks = [t for t in r["text"].split(" ") if t != ""]
+            phrase: list[str] = []
+            phrases = []
+            for t in toks + ["the"]:  # sentinel flush
+                if t in stop:
+                    if phrase:
+                        phrases.append(phrase)
+                    phrase = []
+                else:
+                    phrase.append(t)
+            for p in phrases:
+                occ[" ".join(p)] += 1
+                for w in p:
+                    freq[w] += 1
+                    deg[w] += len(p)
+        scores = {
+            ph: sum(deg[w] * 1_000_000 // freq[w] for w in ph.split(" "))
+            for ph in occ
+        }
+        got = registry.QUERIES["doc_rake_keywords"](spark, sf_dir).collect()
+        ref = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[: len(got)]
+        assert [(r["phrase"], r["score_ppm"]) for r in got] == ref
+        for r in got:
+            assert r["n_occurrences"] == occ[r["phrase"]]
+
+
+class TestTwoPassMedian:
+    def test_matches_sorted_median(self, spark, sf_dir):
+        cents = sorted(
+            r["cents"]
+            for r in table_scan(spark, sf_dir, "lineitem")
+            .selectExpr(
+                "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                " AS cents"
+            )
+            .collect()
+        )
+        r = registry.QUERIES["lineitem_exact_median_two_pass"](
+            spark, sf_dir
+        ).collect()[0]
+        n = len(cents)
+        assert r["n_rows"] == n
+        assert r["median_cents"] == cents[(n + 1) // 2 - 1]
+
+
 class TestPmi:
     def test_top_pair_matches_bruteforce(self, spark, sf_dir):
         docs = table_scan(spark, sf_dir, "documents").select("text").collect()
