@@ -15149,6 +15149,139 @@ def q_sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_type_gini_impurity",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id, event_type
+    ),
+    u AS (
+      SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS total,
+             CAST(SUM(cnt * cnt) AS BIGINT) AS sq,
+             CAST(COUNT(*) AS BIGINT) AS n_types
+      FROM c GROUP BY user_id
+    )
+    SELECT user_id, total AS n_events, n_types,
+           CAST((total * total - sq) * 1000000
+                // (total * total) AS BIGINT) AS gini_ppm
+    FROM u
+    """,
+)
+def q_events_type_gini_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity per user as Gini impurity 1 − Σpᵢ² — the
+    log-free diversity index (Shannon entropy needs ln, which differs in
+    the last ulp across libm implementations; Gini is a pure rational):
+    (T² − Σc²)·10⁶ / T² as one floored integer per user, 0 =
+    single-behavior, →10⁶·(1−1/k) = maximally mixed over k types. Two
+    stacked partial-agg shuffles on the same user key (the second
+    re-aggregates the first — AQE coalesces them), no join, no float."""
+    e = table_scan(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    u = c.groupBy("user_id").agg(
+        F.sum("cnt").alias("total"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sq"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    return u.selectExpr(
+        "user_id",
+        "total AS n_events",
+        "n_types",
+        "((total * total - sq) * 1000000) div (total * total) AS gini_ppm",
+    )
+
+
+@register(
+    "lineitem_daily_vwap",
+    """
+    WITH b AS (
+      SELECT CAST(l_shipdate AS DATE) AS day,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             CAST(ROUND(l_quantity) AS BIGINT) AS qty
+      FROM lineitem
+    )
+    SELECT day, CAST(SUM(qty) AS BIGINT) AS total_qty,
+           CAST(SUM(cents * qty) AS BIGINT) AS notional_cents,
+           CAST(CAST(SUM(cents * qty) AS HUGEINT) * 1
+                // SUM(qty) AS BIGINT) AS vwap_cents
+    FROM b GROUP BY day
+    """,
+)
+def q_lineitem_daily_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily volume-weighted average price — the canonical weighted-mean
+    aggregation (finance VWAP / weighted unit economics): Σ(price·qty) /
+    Σqty per day in exact integer cents (floored), one partial-agg
+    shuffle on the day key. Products stay int64 to ~10¹³ rows/day; the
+    division runs in HUGEINT/DECIMAL(38) so the numerator can't clip
+    first."""
+    li = table_scan(spark, sf_dir, "lineitem").select(
+        F.col("l_shipdate").cast("date").alias("day"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.round("l_quantity").cast("long").alias("qty"),
+    )
+    return li.groupBy("day").agg(
+        F.sum("qty").alias("total_qty"),
+        F.sum(F.col("cents") * F.col("qty")).alias("notional_cents"),
+        F.expr(
+            "CAST(CAST(SUM(cents * qty) AS DECIMAL(38,0)) * 1"
+            " div SUM(qty) AS BIGINT)"
+        ).alias("vwap_cents"),
+    )
+
+
+@register(
+    "events_burstiness_fano",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cnt) AS BIGINT) AS sx,
+             CAST(SUM(cnt * cnt) AS BIGINT) AS sxx
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days, sx AS n_events,
+           CAST(CASE WHEN n <= 1 OR sx = 0 THEN NULL
+                ELSE (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+                     * 1000000 // (CAST(n AS HUGEINT) - 1) // sx
+           END AS BIGINT) AS fano_ppm
+    FROM m
+    """,
+)
+def q_events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness via the Fano factor — sample variance over mean of the
+    daily count series per type, the dispersion diagnostic that pairs with
+    events_poisson_anomaly_days (Fano ≈ 10⁶ ppm ⇒ Poisson-consistent,
+    ≫ ⇒ bursty/overdispersed, ≪ ⇒ regular): var/mean = (nΣx² − (Σx)²) /
+    ((n−1)·Σx) as one HUGEINT/DECIMAL(38) rational floored to ppm — the
+    integer-moment idiom, no float, degenerate series NULL-guarded. One
+    daily roll-up + one per-series moment fold."""
+    e = table_scan(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("sx"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sxx"),
+    )
+    return m.selectExpr(
+        "event_type",
+        "n AS n_days",
+        "sx AS n_events",
+        "CAST(CASE WHEN n <= 1 OR sx = 0 THEN NULL"
+        "     ELSE (CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)"
+        "          * 1000000 div (CAST(n AS DECIMAL(38,0)) - 1) div sx"
+        " END AS BIGINT) AS fano_ppm",
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

@@ -811,6 +811,68 @@ class TestTwoPassMedian:
         assert r["median_cents"] == cents[(n + 1) // 2 - 1]
 
 
+class TestDiversityAndDispersion:
+    def test_gini_recomputed(self, spark, sf_dir):
+        from collections import Counter, defaultdict
+
+        ev = (
+            table_scan(spark, sf_dir, "events")
+            .select("user_id", "event_type")
+            .collect()
+        )
+        per_user: dict = defaultdict(Counter)
+        for r in ev:
+            per_user[r["user_id"]][r["event_type"]] += 1
+        got = {
+            r["user_id"]: r
+            for r in registry.QUERIES["events_type_gini_impurity"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert set(got) == set(per_user)
+        for uid, cnts in per_user.items():
+            t = sum(cnts.values())
+            sq = sum(c * c for c in cnts.values())
+            r = got[uid]
+            assert r["n_events"] == t and r["n_types"] == len(cnts)
+            assert r["gini_ppm"] == (t * t - sq) * 1_000_000 // (t * t)
+
+    def test_vwap_bounds(self, spark, sf_dir):
+        rows = registry.QUERIES["lineitem_daily_vwap"](spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r["vwap_cents"] == r["notional_cents"] // r["total_qty"]
+
+    def test_fano_recomputed(self, spark, sf_dir):
+        from collections import defaultdict
+
+        daily = (
+            table_scan(spark, sf_dir, "events")
+            .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        series = defaultdict(list)
+        for r in daily:
+            series[r["event_type"]].append(r["cnt"])
+        got = {
+            r["event_type"]: r
+            for r in registry.QUERIES["events_burstiness_fano"](
+                spark, sf_dir
+            ).collect()
+        }
+        for et, xs in series.items():
+            n, sx, sxx = len(xs), sum(xs), sum(x * x for x in xs)
+            r = got[et]
+            assert (r["n_days"], r["n_events"]) == (n, sx)
+            if n > 1 and sx:
+                assert r["fano_ppm"] == (n * sxx - sx * sx) * 1_000_000 // (
+                    n - 1
+                ) // sx
+            else:
+                assert r["fano_ppm"] is None
+
+
 class TestPmi:
     def test_top_pair_matches_bruteforce(self, spark, sf_dir):
         docs = table_scan(spark, sf_dir, "documents").select("text").collect()
