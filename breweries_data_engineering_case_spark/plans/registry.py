@@ -15282,6 +15282,192 @@ def q_events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dq_k_anonymity",
+    """
+    WITH g AS (
+      SELECT n_name, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name, c_mktsegment
+    )
+    SELECT n_name, c_mktsegment, n_rows, n_rows >= 5 AS k_anonymous
+    FROM g
+    """,
+)
+def q_dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5) over the quasi-identifier pair
+    (nation, market segment) — the privacy companion to doc_pii_scrub:
+    any equivalence class smaller than k re-identifies its members, so
+    the release decision is per-GROUP, flagged here as a boolean on the
+    grouped counts (suppression/generalization is then a filter/rollup
+    on the flagged classes). One grouped count with the dim broadcast —
+    the audit costs one partial-agg shuffle at any table size."""
+    cust = table_scan(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_nationkey"
+    )
+    nat = table_scan(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    g = (
+        cust.join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .groupBy("n_name", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    return g.select(
+        "n_name", "c_mktsegment", "n_rows", (F.col("n_rows") >= 5).alias("k_anonymous")
+    )
+
+
+@register(
+    "events_cuped_variance_reduction",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM per_user
+    ),
+    s AS (
+      SELECT n, sx, sy,
+             CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS cov_n,
+             CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS varx_n,
+             CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS vary_n
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(CASE WHEN varx_n = 0 THEN NULL
+                     WHEN cov_n < 0 THEN -((-cov_n * 1000000) // varx_n)
+                     ELSE (cov_n * 1000000) // varx_n END AS BIGINT)
+             AS theta_ppm,
+           CAST(CASE WHEN varx_n = 0 OR vary_n = 0 THEN NULL
+                     ELSE (cov_n * cov_n * 1000000) // varx_n // vary_n
+                END AS BIGINT) AS var_reduction_ppm
+    FROM s
+    """,
+)
+def q_events_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Deng et al. 2013) — the industry-standard A/B variance
+    reduction: adjust the experiment metric Y by the pre-period covariate
+    X via θ = cov(X,Y)/var(X); the achievable variance reduction is
+    exactly ρ². Here X = per-user event count in the first half of the
+    window, Y = the second half, and both θ and ρ² are emitted as EXACT
+    integer rationals from one pass of integer moments (HUGEINT /
+    DECIMAL(38) cross-products, sign-split floor for θ, NULL-guarded
+    degenerate variance) — no float, no second scan. Shape: one per-user
+    conditional aggregate (both halves in one pass over the fact
+    stream), one scalar moment fold — the cheapest possible CUPED
+    calibration at any scale."""
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    e = table_scan(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, 1).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("ts") >= cut, 1).otherwise(0)).alias("y"),
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    s = m.selectExpr(
+        "n",
+        "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"
+        " AS cov_n",
+        "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"
+        " AS varx_n",
+        "CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy"
+        " AS vary_n",
+    )
+    return s.selectExpr(
+        "CAST(n AS BIGINT) AS n_users",
+        "CAST(CASE WHEN varx_n = 0 THEN NULL"
+        "          WHEN cov_n < 0 THEN -((-cov_n * 1000000) div varx_n)"
+        "          ELSE (cov_n * 1000000) div varx_n END AS BIGINT)"
+        " AS theta_ppm",
+        "CAST(CASE WHEN varx_n = 0 OR vary_n = 0 THEN NULL"
+        "          ELSE (cov_n * cov_n * 1000000) div varx_n div vary_n"
+        "     END AS BIGINT) AS var_reduction_ppm",
+    )
+
+
+@register(
+    "dataset_token_budget_allocation",
+    """
+    WITH s AS (
+      SELECT source,
+             CAST(SUM(CASE WHEN TRIM(text) = '' THEN 0
+                  ELSE len(string_split_regex(TRIM(text), '\\s+')) END)
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS nt FROM s),
+    base AS (
+      SELECT source, n_tokens,
+             CAST((10000 * n_tokens) // nt AS BIGINT) AS floor_alloc,
+             CAST((10000 * n_tokens) % nt AS BIGINT) AS remainder
+      FROM s CROSS JOIN t
+    ),
+    short AS (
+      SELECT CAST(10000 - SUM(floor_alloc) AS BIGINT) AS shortfall FROM base
+    ),
+    r AS (
+      SELECT source, n_tokens, floor_alloc,
+             CAST(ROW_NUMBER() OVER (ORDER BY remainder DESC, source)
+                  AS BIGINT) AS rk
+      FROM base
+    )
+    SELECT source, n_tokens,
+           CAST(floor_alloc + CASE WHEN rk <= shortfall THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_tokens
+    FROM r CROSS JOIN short
+    """,
+)
+def q_dataset_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget apportionment across sources by the largest-remainder
+    (Hamilton) method — the 'data recipe' solver that turns per-source
+    token counts into an EXACT integer allocation of a fixed training
+    budget (10 000 tokens): floor the proportional shares, then hand the
+    shortfall to the largest fractional remainders with a total-order
+    tiebreak. Σalloc == budget exactly, by construction, on both engines.
+    The only corpus-sized stage is the per-source token count (one
+    partial-agg shuffle); apportionment runs over the handful of source
+    rows (broadcast total + scalar shortfall + one tiny rank window)."""
+    d = table_scan(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.sum(
+            F.when(F.trim(F.col("text")) == "", 0).otherwise(
+                F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            )
+        ).alias("n_tokens")
+    )
+    t = s.agg(F.sum("n_tokens").alias("nt"))
+    base = s.crossJoin(F.broadcast(t)).selectExpr(
+        "source",
+        "n_tokens",
+        "(10000 * n_tokens) div nt AS floor_alloc",
+        "(10000 * n_tokens) % nt AS remainder",
+    )
+    short = base.agg((F.lit(10000) - F.sum("floor_alloc")).alias("shortfall"))
+    w = Window.orderBy(F.desc("remainder"), "source")
+    r = base.withColumn("rk", F.row_number().over(w).cast("long"))
+    return r.crossJoin(F.broadcast(short)).selectExpr(
+        "source",
+        "n_tokens",
+        "floor_alloc + CASE WHEN rk <= shortfall THEN 1 ELSE 0 END"
+        " AS alloc_tokens",
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

@@ -66,6 +66,8 @@ BNLJ_OK = {
     "vocab_char_coverage",  # 1-row corpus-char-total broadcast
     "source_mixture_temperature",  # 1-row totals broadcast
     "lineitem_exact_median_two_pass",  # 1-row (n, lo, hi) stats broadcast
+    "dataset_token_budget_allocation",  # 1-row total + 1-row shortfall
+    #   broadcasts; the rank window runs over the handful of sources
     "doc_lsh_candidate_eval",  # exact O(n²) ground-truth join on the
     #   bounded 400-doc probe slice (the evaluation harness, not the
     #   serving path — candidates themselves ride the banded equi-join)
@@ -83,6 +85,8 @@ GLOBAL_WINDOW_OK = {
     #   per-modality top lists — O(k) rows through one task by design
     "vocab_char_coverage",  # coverage windows over the per-CHARACTER
     #   aggregate — O(|charset|) rows at any corpus size
+    "dataset_token_budget_allocation",  # Hamilton rank window over the
+    #   per-SOURCE aggregate — O(|sources|) rows at any corpus size
     "dq_benford_first_digit",  # window over the 9-row digit aggregate
     "orders_dow_seasonality",  # window over the 7-row day-of-week aggregate
     "embedding_top_pc_power_iter",  # windows over dim-sized (~128-row) vecs

@@ -873,6 +873,60 @@ class TestDiversityAndDispersion:
                 assert r["fano_ppm"] is None
 
 
+class TestKAnonymity:
+    def test_flags_recomputed(self, spark, sf_dir):
+        rows = registry.QUERIES["dq_k_anonymity"](spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r["k_anonymous"] == (r["n_rows"] >= 5)
+        total = sum(r["n_rows"] for r in rows)
+        assert total == table_scan(spark, sf_dir, "customer").count()
+
+
+class TestCuped:
+    def test_theta_and_rho2_fraction(self, spark, sf_dir):
+        from collections import defaultdict
+        from datetime import datetime
+        from fractions import Fraction as Fr
+
+        cut = datetime(2024, 1, 16)
+        ev = table_scan(spark, sf_dir, "events").select("user_id", "ts").collect()
+        xy = defaultdict(lambda: [0, 0])
+        for r in ev:
+            xy[r["user_id"]][0 if r["ts"] < cut else 1] += 1
+        xs = [v[0] for v in xy.values()]
+        ys = [v[1] for v in xy.values()]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        cov_n = n * sxy - sx * sy
+        varx_n = n * sxx - sx * sx
+        vary_n = n * syy - sy * sy
+        r = registry.QUERIES["events_cuped_variance_reduction"](
+            spark, sf_dir
+        ).collect()[0]
+        assert r["n_users"] == n
+        th = Fr(cov_n * 1_000_000, varx_n)
+        expect_theta = int(th) if th >= 0 else -int(-th)
+        assert r["theta_ppm"] == expect_theta
+        assert r["var_reduction_ppm"] == cov_n * cov_n * 1_000_000 // varx_n // vary_n
+        assert 0 <= r["var_reduction_ppm"] <= 1_000_000
+
+
+class TestTokenBudget:
+    def test_hamilton_apportionment_exact(self, spark, sf_dir):
+        rows = registry.QUERIES["dataset_token_budget_allocation"](
+            spark, sf_dir
+        ).collect()
+        assert sum(r["alloc_tokens"] for r in rows) == 10_000
+        total = sum(r["n_tokens"] for r in rows)
+        for r in rows:
+            lo = 10_000 * r["n_tokens"] // total
+            assert r["alloc_tokens"] in (lo, lo + 1)
+
+
 class TestPmi:
     def test_top_pair_matches_bruteforce(self, spark, sf_dir):
         docs = table_scan(spark, sf_dir, "documents").select("text").collect()
