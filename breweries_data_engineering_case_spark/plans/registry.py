@@ -15249,7 +15249,7 @@ def q_lineitem_daily_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, n AS n_days, sx AS n_events,
            CAST(CASE WHEN n <= 1 OR sx = 0 THEN NULL
                 ELSE (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
-                     * 1000000 // (CAST(n AS HUGEINT) - 1) // sx
+                     * 1000000 // ((CAST(n AS HUGEINT) - 1) * sx)
            END AS BIGINT) AS fano_ppm
     FROM m
     """,
@@ -15275,9 +15275,12 @@ def q_events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n AS n_days",
         "sx AS n_events",
+        # combined divisor: floor(floor(X/a)/b) == floor(X/(ab)) for
+        # positive ints, and the single div keeps the intermediate inside
+        # DECIMAL(38) instead of clipping at Spark div's BIGINT result
         "CAST(CASE WHEN n <= 1 OR sx = 0 THEN NULL"
         "     ELSE (CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)"
-        "          * 1000000 div (CAST(n AS DECIMAL(38,0)) - 1) div sx"
+        "          * 1000000 div ((CAST(n AS DECIMAL(38,0)) - 1) * sx)"
         " END AS BIGINT) AS fano_ppm",
     )
 
@@ -15348,7 +15351,7 @@ def q_dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ELSE (cov_n * 1000000) // varx_n END AS BIGINT)
              AS theta_ppm,
            CAST(CASE WHEN varx_n = 0 OR vary_n = 0 THEN NULL
-                     ELSE (cov_n * cov_n * 1000000) // varx_n // vary_n
+                     ELSE (cov_n * cov_n * 1000000) // (varx_n * vary_n)
                 END AS BIGINT) AS var_reduction_ppm
     FROM s
     """,
@@ -15395,7 +15398,7 @@ def q_events_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataF
         "          ELSE (cov_n * 1000000) div varx_n END AS BIGINT)"
         " AS theta_ppm",
         "CAST(CASE WHEN varx_n = 0 OR vary_n = 0 THEN NULL"
-        "          ELSE (cov_n * cov_n * 1000000) div varx_n div vary_n"
+        "          ELSE (cov_n * cov_n * 1000000) div (varx_n * vary_n)"
         "     END AS BIGINT) AS var_reduction_ppm",
     )
 
@@ -15465,6 +15468,183 @@ def q_dataset_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataF
         "n_tokens",
         "floor_alloc + CASE WHEN rk <= shortfall THEN 1 ELSE 0 END"
         " AS alloc_tokens",
+    )
+
+
+@register(
+    "join_runtime_bloom_filter",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+)
+def q_join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning — Spark's dynamic
+    semi-join-reduction (SPARK-32268): when a selective filter sits on the
+    build side of a shuffle join, the optimizer injects a
+    bloom_filter_agg subquery over the filtered keys and a might_contain
+    predicate on the probe side, so most probe rows die AT THE SCAN
+    instead of riding the shuffle — at 100 TB this is the difference
+    between shuffling the whole fact table and shuffling the ~matching
+    slice. Runs on an isolated `spark.newSession()` (shared SparkContext,
+    own SQLConf) so the thresholds that make the demo deterministic at
+    test scale — creation-side cap raised, probe-side scan floor zeroed,
+    broadcast disabled to force the shuffle join that bloom pruning
+    targets — never leak into other queries' plans.
+    tests/test_round7c_ops.py asserts might_contain is in the physical
+    plan; the result itself equals the plain join (bloom has no false
+    negatives), which is what the oracle checks."""
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+    )
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    o = (
+        table_scan(s2, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    li = table_scan(s2, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _dsum(F.col("l_extendedprice"), alias="revenue"),
+    )
+
+
+@register(
+    "events_interarrival_cv",
+    """
+    WITH t AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+    ),
+    g AS (
+      SELECT user_id,
+             (us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id))
+               // 1000000 AS gap_s
+      FROM t
+    ),
+    m AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(gap_s) AS BIGINT) AS sg,
+             CAST(SUM(gap_s * gap_s) AS BIGINT) AS sgg
+      FROM g WHERE gap_s IS NOT NULL
+      GROUP BY user_id HAVING COUNT(*) >= 2
+    )
+    SELECT user_id, n AS n_gaps,
+           CAST(CASE WHEN sg = 0 THEN NULL
+                ELSE (CAST(n AS HUGEINT) * sgg - CAST(sg AS HUGEINT) * sg)
+                     * n * 1000000
+                     // ((CAST(n AS HUGEINT) - 1) * sg * sg)
+           END AS BIGINT) AS cv2_ppm
+    FROM m
+    """,
+)
+def q_events_interarrival_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival coefficient of variation per user — the POINT-PROCESS
+    burstiness measure (CV² ≈ 1 ⇒ Poisson arrivals, ≫1 ⇒ bursty sessions,
+    ≪1 ⇒ metronomic), complementing the count-based Fano factor: gaps in
+    whole seconds from one per-user LAG window, then CV² = var/mean² as
+    the exact rational (nΣg²−(Σg)²)·n / ((n−1)(Σg)²) floored to ppm in
+    HUGEINT/DECIMAL(38). Total-ordered (ts, event_id) so ties can't
+    reorder gaps; users with <2 gaps or zero total gap are dropped/NULL
+    identically on both engines."""
+    e = table_scan(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    g = e.select(
+        "user_id",
+        F.expr("(us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id))"
+               " div 1000000").alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    m = (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("gap_s").alias("sg"),
+            F.sum(F.col("gap_s") * F.col("gap_s")).alias("sgg"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    return m.selectExpr(
+        "user_id",
+        "n AS n_gaps",
+        # single combined divisor: Spark's div yields BIGINT, so a nested
+        # div would overflow on the ~1e19 intermediate; floor(floor(X/a)/b)
+        # == floor(X/(ab)) for positive ints, so one division is exact AND
+        # keeps every value inside DECIMAL(38)/int64
+        "CAST(CASE WHEN sg = 0 THEN NULL"
+        "     ELSE (CAST(n AS DECIMAL(38,0)) * sgg - CAST(sg AS DECIMAL(38,0)) * sg)"
+        "          * n * 1000000"
+        "          div ((CAST(n AS DECIMAL(38,0)) - 1) * sg * sg)"
+        " END AS BIGINT) AS cv2_ppm",
+    )
+
+
+@register(
+    "customer_decay_weighted_value",
+    """
+    WITH o AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+    ),
+    anchor AS (SELECT MAX(d) AS mx FROM o),
+    scored AS (
+      SELECT o.o_custkey, o.cents,
+             LEAST(CAST(date_diff('day', o.d, anchor.mx) AS BIGINT) // 30, 39)
+               AS periods
+      FROM o CROSS JOIN anchor
+    )
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS raw_cents,
+           CAST(SUM(cents // (CAST(1 AS BIGINT) << periods)) AS BIGINT)
+             AS decayed_cents
+    FROM scored GROUP BY o_custkey
+    """,
+)
+def q_customer_decay_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life decay-weighted customer value — recency-weighted LTV with
+    a 30-day half-life, made EXACT by quantizing the exponent: each order
+    contributes cents >> (days_ago // 30), i.e. floor division by 2^p —
+    an integer a float exp() could never replicate cross-engine. Periods
+    cap at 39 (2³⁹ > any cents value ⇒ contribution 0; also keeps the
+    shift inside int64 on both engines — Spark's shiftleft masks the
+    count at 63, so an uncapped period would silently wrap). One scalar
+    anchor broadcast + one per-customer partial agg."""
+    o = table_scan(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    anchor = o.agg(F.max("d").alias("mx"))
+    scored = o.crossJoin(F.broadcast(anchor)).selectExpr(
+        "o_custkey",
+        "cents",
+        "LEAST(CAST(datediff(mx, d) AS BIGINT) div 30, 39) AS periods",
+    )
+    return scored.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("raw_cents"),
+        F.expr("SUM(cents div shiftleft(CAST(1 AS BIGINT), CAST(periods AS INT)))").alias(
+            "decayed_cents"
+        ),
     )
 
 

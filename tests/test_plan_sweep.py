@@ -68,6 +68,7 @@ BNLJ_OK = {
     "lineitem_exact_median_two_pass",  # 1-row (n, lo, hi) stats broadcast
     "dataset_token_budget_allocation",  # 1-row total + 1-row shortfall
     #   broadcasts; the rank window runs over the handful of sources
+    "customer_decay_weighted_value",  # 1-row anchor-date broadcast
     "doc_lsh_candidate_eval",  # exact O(n²) ground-truth join on the
     #   bounded 400-doc probe slice (the evaluation harness, not the
     #   serving path — candidates themselves ride the banded equi-join)

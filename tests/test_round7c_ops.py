@@ -927,6 +927,101 @@ class TestTokenBudget:
             assert r["alloc_tokens"] in (lo, lo + 1)
 
 
+class TestRuntimeBloomFilter:
+    def test_bloom_injected_and_result_exact(self, spark, sf_dir):
+        df = registry.QUERIES["join_runtime_bloom_filter"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+        got = {(r["l_returnflag"]): (r["n_rows"], r["revenue"]) for r in df.collect()}
+        o = table_scan(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = table_scan(spark, sf_dir, "lineitem")
+        ref = {
+            r["l_returnflag"]: (r["n_rows"], r["revenue"])
+            for r in li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("revenue"),
+            )
+            .collect()
+        }
+        assert got == ref
+
+
+class TestInterarrivalCv:
+    def test_fraction_recompute(self, spark, sf_dir):
+        from collections import defaultdict
+
+        ev = (
+            table_scan(spark, sf_dir, "events")
+            .select(
+                "user_id",
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+                "event_id",
+            )
+            .collect()
+        )
+        per = defaultdict(list)
+        for r in ev:
+            per[r["user_id"]].append((r["us"], r["event_id"]))
+        got = {
+            r["user_id"]: (r["n_gaps"], r["cv2_ppm"])
+            for r in registry.QUERIES["events_interarrival_cv"](
+                spark, sf_dir
+            ).collect()
+        }
+        for uid, pts in per.items():
+            pts.sort()
+            gaps = [(b[0] - a[0]) // 1_000_000 for a, b in zip(pts, pts[1:])]
+            if len(gaps) < 2:
+                assert uid not in got
+                continue
+            n, sg = len(gaps), sum(gaps)
+            sgg = sum(g * g for g in gaps)
+            if sg == 0:
+                assert got[uid] == (n, None)
+            else:
+                expect = (n * sgg - sg * sg) * n * 1_000_000 // ((n - 1) * sg * sg)
+                assert got[uid] == (n, expect)
+
+
+class TestDecayValue:
+    def test_one_customer_recomputed(self, spark, sf_dir):
+        rows = registry.QUERIES["customer_decay_weighted_value"](
+            spark, sf_dir
+        ).collect()
+        assert rows
+        orders = (
+            table_scan(spark, sf_dir, "orders")
+            .selectExpr(
+                "o_custkey",
+                "CAST(o_orderdate AS DATE) AS d",
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                " AS cents",
+            )
+            .collect()
+        )
+        anchor = max(r["d"] for r in orders)
+        target = rows[0]["o_custkey"]
+        mine = [r for r in orders if r["o_custkey"] == target]
+        expect_raw = sum(r["cents"] for r in mine)
+        expect_decayed = sum(
+            r["cents"] >> min((anchor - r["d"]).days // 30, 39) for r in mine
+        )
+        r0 = rows[0]
+        assert (r0["n_orders"], r0["raw_cents"], r0["decayed_cents"]) == (
+            len(mine),
+            expect_raw,
+            expect_decayed,
+        )
+        for r in rows:
+            assert r["decayed_cents"] <= r["raw_cents"]
+
+
 class TestPmi:
     def test_top_pair_matches_bruteforce(self, spark, sf_dir):
         docs = table_scan(spark, sf_dir, "documents").select("text").collect()
