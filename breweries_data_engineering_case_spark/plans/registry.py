@@ -15648,6 +15648,182 @@ def q_customer_decay_weighted_value(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@register(
+    "orders_gini_by_nation",
+    """
+    WITH cust AS (
+      SELECT c.c_nationkey, o.o_custkey,
+             CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey, o.o_custkey
+    ),
+    ranked AS (
+      SELECT c_nationkey, cents,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY cents, o_custkey) AS i
+      FROM cust
+    ),
+    m AS (
+      SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS sx,
+             CAST(SUM(i * cents) AS BIGINT) AS six
+      FROM ranked JOIN nation ON n_nationkey = c_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name, n AS n_customers,
+           CAST(CASE WHEN sx = 0 OR n <= 1 THEN NULL
+                ELSE (CAST(2 AS HUGEINT) * six - (CAST(n AS HUGEINT) + 1) * sx)
+                     * 1000000 // (CAST(n AS HUGEINT) * sx)
+           END AS BIGINT) AS gini_ppm
+    FROM m
+    """,
+)
+def q_orders_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of customer revenue per nation — the Lorenz-curve
+    inequality index (0 = equal spend, →10⁶ = one whale), via the
+    rank-sum identity G = (2Σi·xᵢ − (n+1)Σx) / (nΣx) over ascending-sorted
+    per-customer totals: one per-customer roll-up, one rank window
+    PARTITIONED BY NATION (never a global sort), one moment fold — all
+    exact integers, HUGEINT/DECIMAL(38) for the final rational, ties
+    broken on custkey so the rank-weighted sum is deterministic. The
+    business twin of orders_abc_pareto's cumulative-share view."""
+    o = table_scan(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    c = table_scan(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = table_scan(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("cents", "o_custkey")
+    ranked = cust.withColumn("i", F.row_number().over(w))
+    m = (
+        ranked.join(F.broadcast(nat), ranked["c_nationkey"] == nat["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sx"),
+            F.sum(F.col("i") * F.col("cents")).alias("six"),
+        )
+    )
+    return m.selectExpr(
+        "n_name",
+        "n AS n_customers",
+        "CAST(CASE WHEN sx = 0 OR n <= 1 THEN NULL"
+        "     ELSE (CAST(2 AS DECIMAL(38,0)) * six"
+        "           - (CAST(n AS DECIMAL(38,0)) + 1) * sx)"
+        "          * 1000000 div (CAST(n AS DECIMAL(38,0)) * sx)"
+        " END AS BIGINT) AS gini_ppm",
+    )
+
+
+@register(
+    "sql_udf_scalar",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE
+             WHEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  >= 20000000 THEN 3
+             WHEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  >= 10000000 THEN 2
+             ELSE 1 END) AS BIGINT) AS total_tier_points
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_sql_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar UDFs (CREATE TEMPORARY FUNCTION … RETURN expr, Spark
+    3.5+) — reusable business logic WITHOUT leaving the JVM: the function
+    body is inlined into the plan at analysis time, so it costs exactly
+    what the written-out CASE costs (whole-stage codegen, pushdown — zero
+    UDF overhead, unlike Python/pandas UDFs) while keeping one canonical
+    definition. Two functions compose (cents() inside tier_points()), and
+    the oracle replays the INLINED expression — proof the indirection is
+    semantics-free."""
+    s2 = spark.newSession()
+    li = table_scan(s2, sf_dir, "orders")
+    li.createOrReplaceTempView("orders_udf_demo")
+    s2.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION to_cents(p DOUBLE)"
+        " RETURNS BIGINT RETURN CAST(CAST(p AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    )
+    s2.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION tier_points(p DOUBLE)"
+        " RETURNS INT RETURN CASE WHEN to_cents(p) >= 20000000 THEN 3"
+        " WHEN to_cents(p) >= 10000000 THEN 2 ELSE 1 END"
+    )
+    return s2.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(tier_points(o_totalprice)) AS BIGINT)
+                 AS total_tier_points
+        FROM orders_udf_demo GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "lineitem_monthly_yoy_growth",
+    """
+    WITH m AS (
+      SELECT CAST(YEAR(CAST(l_shipdate AS DATE)) AS INT) AS yr,
+             CAST(MONTH(CAST(l_shipdate AS DATE)) AS INT) AS mo,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT cur.yr, cur.mo, cur.cents AS revenue_cents,
+           prev.cents AS prev_year_cents,
+           CAST(CASE
+             WHEN (cur.cents - prev.cents) < 0
+               THEN -((-(cur.cents - prev.cents) * 1000) // prev.cents)
+             ELSE ((cur.cents - prev.cents) * 1000) // prev.cents
+           END AS BIGINT) AS yoy_growth_permille
+    FROM m cur JOIN m prev ON prev.yr = cur.yr - 1 AND prev.mo = cur.mo
+    """,
+)
+def q_lineitem_monthly_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth — the BI staple: monthly
+    roll-up self-joined on (year−1, month), growth in sign-split floored
+    per-mille integer (prev = 0 months simply drop with the inner join —
+    no division guard needed). The fact stream aggregates BEFORE the
+    self-join, so the comparison costs O(months); exact cents
+    throughout."""
+    li = table_scan(spark, sf_dir, "lineitem").select(
+        F.year(F.col("l_shipdate").cast("date")).cast("int").alias("yr"),
+        F.month(F.col("l_shipdate").cast("date")).cast("int").alias("mo"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("c"),
+    )
+    m = li.groupBy("yr", "mo").agg(F.sum("c").alias("cents"))
+    prev = m.select(
+        (F.col("yr") + 1).alias("yr"),
+        F.col("mo"),
+        F.col("cents").alias("prev_year_cents"),
+    )
+    return (
+        m.join(prev, ["yr", "mo"])
+        .selectExpr(
+            "yr",
+            "mo",
+            "cents AS revenue_cents",
+            "prev_year_cents",
+            "CAST(CASE WHEN (cents - prev_year_cents) < 0"
+            "  THEN -((-(cents - prev_year_cents) * 1000) div prev_year_cents)"
+            "  ELSE ((cents - prev_year_cents) * 1000) div prev_year_cents"
+            " END AS BIGINT) AS yoy_growth_permille",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

@@ -1022,6 +1022,78 @@ class TestDecayValue:
             assert r["decayed_cents"] <= r["raw_cents"]
 
 
+class TestGiniByNation:
+    def test_fraction_recompute(self, spark, sf_dir):
+        from collections import defaultdict
+
+        o = (
+            table_scan(spark, sf_dir, "orders")
+            .selectExpr(
+                "o_custkey",
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                " AS cents",
+            )
+            .groupBy("o_custkey")
+            .agg(F.sum("cents").alias("cents"))
+            .collect()
+        )
+        cmap = {
+            r["c_custkey"]: r["c_nationkey"]
+            for r in table_scan(spark, sf_dir, "customer").collect()
+        }
+        nmap = {
+            r["n_nationkey"]: r["n_name"]
+            for r in table_scan(spark, sf_dir, "nation").collect()
+        }
+        per = defaultdict(list)
+        for r in o:
+            per[nmap[cmap[r["o_custkey"]]]].append((r["cents"], r["o_custkey"]))
+        got = {
+            r["n_name"]: (r["n_customers"], r["gini_ppm"])
+            for r in registry.QUERIES["orders_gini_by_nation"](
+                spark, sf_dir
+            ).collect()
+        }
+        for nation, vals in per.items():
+            vals.sort()
+            n = len(vals)
+            sx = sum(c for c, _ in vals)
+            six = sum(i * c for i, (c, _) in enumerate(vals, start=1))
+            if n <= 1 or sx == 0:
+                assert got[nation] == (n, None)
+            else:
+                g = (2 * six - (n + 1) * sx) * 1_000_000 // (n * sx)
+                assert got[nation] == (n, g)
+                assert 0 <= g < 1_000_000
+
+
+class TestSqlUdf:
+    def test_inlined_no_python(self, spark, sf_dir):
+        df = registry.QUERIES["sql_udf_scalar"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+        rows = {r["o_orderpriority"]: r for r in df.collect()}
+        for r in rows.values():
+            # every order contributes 1..3 points
+            assert r["n_orders"] <= r["total_tier_points"] <= 3 * r["n_orders"]
+
+
+class TestYoyGrowth:
+    def test_identity(self, spark, sf_dir):
+        rows = registry.QUERIES["lineitem_monthly_yoy_growth"](
+            spark, sf_dir
+        ).collect()
+        assert rows
+        for r in rows:
+            d = r["revenue_cents"] - r["prev_year_cents"]
+            expect = (
+                -((-d * 1000) // r["prev_year_cents"])
+                if d < 0
+                else (d * 1000) // r["prev_year_cents"]
+            )
+            assert r["yoy_growth_permille"] == expect
+
+
 class TestPmi:
     def test_top_pair_matches_bruteforce(self, spark, sf_dir):
         docs = table_scan(spark, sf_dir, "documents").select("text").collect()
