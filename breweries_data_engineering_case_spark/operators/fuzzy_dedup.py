@@ -102,6 +102,18 @@ def shingle_hashes(c: Column | str, n: int = 3, portable: bool = False) -> Colum
     modular arithmetic both engines share, so the whole MinHash pipeline
     becomes DuckDB-replicable bit-for-bit (registry
     ``doc_minhash_portable_sig``) at the cost of md5 vs xxhash per token."""
+    return F.array_distinct(shingle_hash_sequence(c, n, portable=portable))
+
+
+def shingle_hash_sequence(
+    c: Column | str, n: int = 3, portable: bool = False
+) -> Column:
+    """POSITIONAL n-gram hash sequence — the same polynomial roll as
+    ``shingle_hashes`` but WITHOUT the final distinct, so element i is the
+    hash of the n-gram starting at token i (duplicates preserved). This is
+    what position-sensitive algorithms need (winnowing's window-min runs
+    over the positional sequence; set-based MinHash wants the distinct
+    form)."""
     if portable:
         from ..functions.hashing import portable_hash64
 
@@ -110,7 +122,7 @@ def shingle_hashes(c: Column | str, n: int = 3, portable: bool = False) -> Colum
         base = lambda t: F.pmod(F.xxhash64(t), F.lit(_MH_P))  # noqa: E731
     th = F.transform(tokens(c), base)
     if n == 1:
-        return F.array_distinct(th)
+        return th
     sz = F.size(th)
     acc = th
     for k in range(1, n):
@@ -120,7 +132,7 @@ def shingle_hashes(c: Column | str, n: int = 3, portable: bool = False) -> Colum
             acc, shifted, lambda x, y: F.pmod(x * F.lit(_MH_B) + y, F.lit(_MH_P))
         )
     valid = F.greatest(sz - (n - 1), F.lit(0))
-    return F.array_distinct(F.slice(acc, 1, valid))
+    return F.slice(acc, 1, valid)
 
 
 def _minhash_cols(df: DataFrame, id_out: str, num_hashes: int) -> DataFrame:

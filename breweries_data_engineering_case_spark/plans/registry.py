@@ -15824,6 +15824,304 @@ def q_lineitem_monthly_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "orders_weekday_anova_eta2",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(dayofweek(CAST(o_orderdate AS DATE)) AS INT) AS dow,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS x
+      FROM orders GROUP BY 1, 2
+    ),
+    piv AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS s,
+             CAST(CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS DOUBLE)
+               AS sxx,
+             CAST(CAST(SUM(CASE WHEN dow = 0 THEN x ELSE 0 END) AS BIGINT) AS DOUBLE) AS s0,
+             CAST(SUM(CASE WHEN dow = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0,
+             CAST(CAST(SUM(CASE WHEN dow = 1 THEN x ELSE 0 END) AS BIGINT) AS DOUBLE) AS s1,
+             CAST(SUM(CASE WHEN dow = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+             CAST(CAST(SUM(CASE WHEN dow = 2 THEN x ELSE 0 END) AS BIGINT) AS DOUBLE) AS s2,
+             CAST(SUM(CASE WHEN dow = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+             CAST(CAST(SUM(CASE WHEN dow = 3 THEN x ELSE 0 END) AS BIGINT) AS DOUBLE) AS s3,
+             CAST(SUM(CASE WHEN dow = 3 THEN 1 ELSE 0 END) AS DOUBLE) AS n3,
+             CAST(CAST(SUM(CASE WHEN dow = 4 THEN x ELSE 0 END) AS BIGINT) AS DOUBLE) AS s4,
+             CAST(SUM(CASE WHEN dow = 4 THEN 1 ELSE 0 END) AS DOUBLE) AS n4,
+             CAST(CAST(SUM(CASE WHEN dow = 5 THEN x ELSE 0 END) AS BIGINT) AS DOUBLE) AS s5,
+             CAST(SUM(CASE WHEN dow = 5 THEN 1 ELSE 0 END) AS DOUBLE) AS n5,
+             CAST(CAST(SUM(CASE WHEN dow = 6 THEN x ELSE 0 END) AS BIGINT) AS DOUBLE) AS s6,
+             CAST(SUM(CASE WHEN dow = 6 THEN 1 ELSE 0 END) AS DOUBLE) AS n6
+      FROM daily
+    )
+    SELECT n AS n_days,
+           CASE WHEN (sxx - (s * s) / n) <= 0 THEN NULL
+                ELSE (((CASE WHEN n0 > 0 THEN (s0 * s0) / n0 ELSE 0 END)
+                     + (CASE WHEN n1 > 0 THEN (s1 * s1) / n1 ELSE 0 END)
+                     + (CASE WHEN n2 > 0 THEN (s2 * s2) / n2 ELSE 0 END)
+                     + (CASE WHEN n3 > 0 THEN (s3 * s3) / n3 ELSE 0 END)
+                     + (CASE WHEN n4 > 0 THEN (s4 * s4) / n4 ELSE 0 END)
+                     + (CASE WHEN n5 > 0 THEN (s5 * s5) / n5 ELSE 0 END)
+                     + (CASE WHEN n6 > 0 THEN (s6 * s6) / n6 ELSE 0 END))
+                     - (s * s) / n)
+                     / (sxx - (s * s) / n) END AS eta_squared
+    FROM piv
+    """,
+)
+def q_orders_weekday_anova_eta2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA effect size η² — how much of daily-revenue variance
+    does day-of-week explain? (The 'seasonality strength' a decomposition
+    would report, without the decomposition.) η² = SS_between/SS_total
+    with the 7 weekday groups PIVOTED into one row of exact integer
+    moments, so the between-groups sum is a FIXED expression tree — not a
+    SUM() over group rows whose float addition order an engine could
+    choose — and the final value is one deterministic IEEE double (the
+    lineitem_corr idiom, extended to grouped sums). One daily roll-up +
+    one conditional-aggregate fold; zero-variance NULL guard. DuckDB
+    dayofweek == Spark dayofweek−1, aligned via the 0–6 convention."""
+    o = table_scan(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day"),
+        (F.dayofweek(F.col("o_orderdate").cast("date")) - 1).cast("int").alias("dow"),
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        ).alias("x")
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("s"),
+        # x^2 overflows int64 on real daily revenues: square in DECIMAL(38)
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("double")
+        .alias("sxx"),
+    ]
+    for d in range(7):
+        aggs.append(
+            F.sum(F.when(F.col("dow") == d, F.col("x")).otherwise(0))
+            .cast("double")
+            .alias(f"s{d}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("dow") == d, 1).otherwise(0))
+            .cast("double")
+            .alias(f"n{d}")
+        )
+    piv = daily.agg(*aggs)
+    between = None
+    for d in range(7):
+        term = F.when(
+            F.col(f"n{d}") > 0, (F.col(f"s{d}") * F.col(f"s{d}")) / F.col(f"n{d}")
+        ).otherwise(F.lit(0.0))
+        between = term if between is None else between + term
+    tot = F.col("sxx") - (F.col("s") * F.col("s")) / F.col("n")
+    eta2 = F.when(tot <= 0, F.lit(None).cast("double")).otherwise(
+        (between - (F.col("s") * F.col("s")) / F.col("n")) / tot
+    )
+    return piv.select(F.col("n").alias("n_days"), eta2.alias("eta_squared"))
+
+
+@register(
+    "events_linear_interpolate",
+    """
+    WITH act AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS v
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    bounds AS (
+      SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM act
+      GROUP BY user_id
+    ),
+    spine AS (
+      SELECT b.user_id, CAST(b.lo + CAST(g.i AS INT) AS DATE) AS day
+      FROM bounds b, UNNEST(range(CAST(date_diff('day', b.lo, b.hi)
+                                       AS BIGINT) + 1)) AS g(i)
+    ),
+    j AS (
+      SELECT s.user_id, s.day, a.v,
+             a.v IS NOT NULL AS observed
+      FROM spine s LEFT JOIN act a
+        ON a.user_id = s.user_id AND a.day = s.day
+    ),
+    f AS (
+      SELECT user_id, day, v, observed,
+             LAST_VALUE(CASE WHEN observed THEN day END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS d0,
+             LAST_VALUE(CASE WHEN observed THEN v END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+             FIRST_VALUE(CASE WHEN observed THEN day END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS d1,
+             FIRST_VALUE(CASE WHEN observed THEN v END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1
+      FROM j
+    )
+    SELECT user_id, day, observed,
+           CAST(CASE WHEN observed THEN v * 1000
+                WHEN d0 = d1 THEN v0 * 1000
+                ELSE (v0 * CAST(date_diff('day', day, d1) AS BIGINT)
+                      + v1 * CAST(date_diff('day', d0, day) AS BIGINT)) * 1000
+                     // CAST(date_diff('day', d0, d1) AS BIGINT)
+           END AS BIGINT) AS value_permille
+    FROM f
+    """,
+)
+def q_events_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation onto a dense per-user daily spine — the
+    resampling upgrade over LOCF (events_locf_impute carries the LAST
+    value forward; this draws the line between the bracketing
+    observations): spine from a bounded sequence() explode per user,
+    bracketing points via the two IGNORE NULLS window idioms (last
+    observed ≤ t, first observed ≥ t), then the lerp
+    (v0·(d1−t) + v1·(t−d0)) / (d1−d0) in exact floored per-mille integers
+    — both engines replay the identical rational. Interior gaps only by
+    construction (the spine spans first..last active day), so no edge
+    NULLs; all windows partition by user."""
+    e = table_scan(spark, sf_dir, "events")
+    act = e.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("v"))
+    bounds = act.groupBy("user_id").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = bounds.select(
+        "user_id", F.explode(F.expr("sequence(lo, hi)")).alias("day")
+    )
+    j = spine.join(act, ["user_id", "day"], "left").select(
+        "user_id", "day", "v", F.col("v").isNotNull().alias("observed")
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("observed"), F.col("day"))
+    obs_v = F.when(F.col("observed"), F.col("v"))
+    f = j.select(
+        "user_id",
+        "day",
+        "v",
+        "observed",
+        F.last(obs_day, ignorenulls=True).over(wb).alias("d0"),
+        F.last(obs_v, ignorenulls=True).over(wb).alias("v0"),
+        F.first(obs_day, ignorenulls=True).over(wf).alias("d1"),
+        F.first(obs_v, ignorenulls=True).over(wf).alias("v1"),
+    )
+    return f.selectExpr(
+        "user_id",
+        "day",
+        "observed",
+        "CAST(CASE WHEN observed THEN v * 1000"
+        "     WHEN d0 = d1 THEN v0 * 1000"
+        "     ELSE (v0 * CAST(datediff(d1, day) AS BIGINT)"
+        "           + v1 * CAST(datediff(day, d0) AS BIGINT)) * 1000"
+        "          div CAST(datediff(d1, d0) AS BIGINT)"
+        " END AS BIGINT) AS value_permille",
+    )
+
+
+def _winnow_oracle() -> str:
+    from ..operators.fuzzy_dedup import _MH_B, _MH_P
+
+    return rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(TRIM(text), '\s+'),
+                            tok -> CAST(concat('0x', substr(md5(tok), 1, 15))
+                                        AS BIGINT) % {_MH_P}) AS th
+      FROM documents
+    ),
+    kg AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             ((th[i + 1] * {_MH_B} + th[i + 2]) % {_MH_P} * {_MH_B}
+              + th[i + 3]) % {_MH_P} AS h
+      FROM t, UNNEST(range(GREATEST(len(th) - 2, 0))) AS u(i)
+    ),
+    nkg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nk FROM kg
+            GROUP BY doc_id),
+    winall AS (
+      SELECT doc_id, pos,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM kg
+    ),
+    win AS (
+      SELECT w.doc_id, w.fp
+      FROM winall w JOIN nkg ON nkg.doc_id = w.doc_id
+      WHERE w.pos <= nkg.nk - 4
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM win),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_fps
+      FROM fps a JOIN fps b ON b.fp = a.fp AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, shared_fps
+    FROM pairs WHERE shared_fps >= 3
+    ORDER BY shared_fps DESC, id_a, id_b LIMIT 50
+    """
+
+
+@register("doc_winnowing_fingerprints", _winnow_oracle())
+def q_doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003
+    — the MOSS plagiarism-detection algorithm): from each window of w=4
+    consecutive 3-gram hashes, keep the MINIMUM hash — the provably
+    position-robust selection (any shared substring of ≥ w+k−1 tokens
+    guarantees a shared fingerprint), storing ~2/(w+1) of the k-gram
+    hashes. Pairs then join on the skinny (doc, fingerprint) table and
+    rank by shared-fingerprint count. All stages are the established
+    portable-hash primitives: polynomial 3-gram rolls, a per-doc
+    ROWS-framed window min, a distinct, and a bucket self-join — never
+    payloads, never all-pairs. Complements MinHash (set resemblance) with
+    the SUBSTRING-overlap detector."""
+    from ..operators.fuzzy_dedup import shingle_hash_sequence
+
+    d = table_scan(spark, sf_dir, "documents")
+    kg = d.select(
+        "doc_id",
+        F.posexplode(
+            shingle_hash_sequence("text", 3, portable=True)
+        ).alias("pos", "h"),
+    )
+    nkg = kg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nk"))
+    wwin = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, 3)
+    )
+    win = (
+        kg.join(nkg, "doc_id")
+        .withColumn("fp", F.min("h").over(wwin))
+        .filter(F.col("pos") <= F.col("nk") - 4)
+    )
+    fps = win.select("doc_id", "fp").distinct()
+    a, b = fps.alias("a"), fps.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.fp") == F.col("a.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 3)
+    )
+    return pairs.orderBy(F.desc("shared_fps"), "id_a", "id_b").limit(50)
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

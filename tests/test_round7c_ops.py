@@ -1094,6 +1094,138 @@ class TestYoyGrowth:
             assert r["yoy_growth_permille"] == expect
 
 
+class TestAnovaEta2:
+    def test_matches_float_recompute(self, spark, sf_dir):
+        from collections import defaultdict
+
+        daily = (
+            table_scan(spark, sf_dir, "orders")
+            .groupBy(
+                F.col("o_orderdate").cast("date").alias("day"),
+            )
+            .agg(
+                F.sum(
+                    (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                        "long"
+                    )
+                ).alias("x")
+            )
+            .collect()
+        )
+        groups = defaultdict(list)
+        xs = []
+        for r in daily:
+            # Python weekday(): Mon=0..Sun=6; Spark dayofweek-1: Sun=0..Sat=6
+            dow = (r["day"].weekday() + 1) % 7
+            groups[dow].append(r["x"])
+            xs.append(r["x"])
+        n = len(xs)
+        s = float(sum(xs))
+        sxx = float(sum(x * x for x in xs))
+        between = sum(
+            (float(sum(g)) ** 2) / len(g) for g in groups.values()
+        ) - s * s / n
+        total = sxx - s * s / n
+        r = registry.QUERIES["orders_weekday_anova_eta2"](
+            spark, sf_dir
+        ).collect()[0]
+        assert r["n_days"] == n
+        import math as m
+
+        assert m.isclose(r["eta_squared"], between / total, rel_tol=1e-9)
+        assert 0 <= r["eta_squared"] <= 1
+
+
+class TestLinearInterpolate:
+    def test_one_user_recomputed(self, spark, sf_dir):
+        from collections import defaultdict
+        from datetime import timedelta
+
+        act = (
+            table_scan(spark, sf_dir, "events")
+            .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+            .agg(F.count(F.lit(1)).alias("v"))
+            .collect()
+        )
+        per = defaultdict(dict)
+        for r in act:
+            per[r["user_id"]][r["day"]] = r["v"]
+        got = defaultdict(dict)
+        for r in registry.QUERIES["events_linear_interpolate"](
+            spark, sf_dir
+        ).collect():
+            got[r["user_id"]][r["day"]] = (r["observed"], r["value_permille"])
+        assert set(got) == set(per)
+        for uid, days in per.items():
+            lo, hi = min(days), max(days)
+            n_days = (hi - lo).days + 1
+            assert len(got[uid]) == n_days
+            cur = lo
+            while cur <= hi:
+                obs, vp = got[uid][cur]
+                if cur in days:
+                    assert obs and vp == days[cur] * 1000
+                else:
+                    d0 = max(d for d in days if d < cur)
+                    d1 = min(d for d in days if d > cur)
+                    expect = (
+                        days[d0] * (d1 - cur).days + days[d1] * (cur - d0).days
+                    ) * 1000 // (d1 - d0).days
+                    assert not obs and vp == expect
+                cur += timedelta(days=1)
+
+
+class TestWinnowing:
+    def test_fingerprints_bruteforce(self, spark, sf_dir):
+        import hashlib
+        import re
+        from collections import defaultdict
+
+        P = (1 << 31) - 1
+        B = 1_000_003
+        docs = table_scan(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        ).collect()
+        fps_by_doc: dict = {}
+        for r in docs:
+            toks = (
+                re.split(r"\s+", r["text"].strip()) if r["text"].strip() else []
+            )
+            th = [
+                int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % P
+                for t in toks
+            ]
+            kg = [
+                ((th[i] * B + th[i + 1]) % P * B + th[i + 2]) % P
+                for i in range(len(th) - 2)
+            ]
+            fps = {
+                min(kg[i : i + 4]) for i in range(len(kg) - 3)
+            }
+            if fps:
+                fps_by_doc[r["doc_id"]] = fps
+        pair_counts = defaultdict(int)
+        inv = defaultdict(set)
+        for did, fps in fps_by_doc.items():
+            for fp in fps:
+                inv[fp].add(did)
+        for fp, dids in inv.items():
+            ds = sorted(dids)
+            for i, a in enumerate(ds):
+                for b in ds[i + 1 :]:
+                    pair_counts[(a, b)] += 1
+        ranked = sorted(
+            ((c, a, b) for (a, b), c in pair_counts.items() if c >= 3),
+            key=lambda t: (-t[0], t[1], t[2]),
+        )
+        got = registry.QUERIES["doc_winnowing_fingerprints"](
+            spark, sf_dir
+        ).collect()
+        assert [(r["id_a"], r["id_b"], r["shared_fps"]) for r in got] == [
+            (a, b, c) for c, a, b in ranked[: len(got)]
+        ]
+
+
 class TestPmi:
     def test_top_pair_matches_bruteforce(self, spark, sf_dir):
         docs = table_scan(spark, sf_dir, "documents").select("text").collect()
