@@ -16122,6 +16122,164 @@ def q_doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(F.desc("shared_fps"), "id_a", "id_b").limit(50)
 
 
+@register(
+    "events_ab_power_mde",
+    """
+    WITH a AS (
+      SELECT user_id,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 2 AS arm,
+             CAST(COUNT(*) AS BIGINT) >= 14 AS converted
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    m AS (
+      SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS c
+      FROM a
+    )
+    SELECT n0 AS n_control, n1 AS n_treatment,
+           CAST(c * 1000 // (n0 + n1) AS BIGINT) AS pooled_rate_permille,
+           CASE WHEN n0 = 0 OR n1 = 0 THEN NULL
+                ELSE (1.959963984540054 + 0.8416212335729143)
+                     * sqrt((CAST(c AS DOUBLE) / (n0 + n1))
+                            * (1.0 - CAST(c AS DOUBLE) / (n0 + n1))
+                            * (1.0 / n0 + 1.0 / n1)) END
+             AS mde_abs
+    FROM m
+    """,
+)
+def q_events_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B power analysis — the minimum detectable effect at α=0.05 /
+    power=0.8 for the experiment the registry's z-test would run:
+    MDE = (z₀.₉₇₅ + z₀.₈)·√(p̄(1−p̄)(1/n₀+1/n₁)), with arms assigned by
+    the portable hash (the stable engine-replayable randomization) and
+    conversion defined exactly as in events_ab_proportion_test. The z
+    constants are written as literal doubles and √ is the one correctly-
+    rounded IEEE op, so the whole formula is a fixed deterministic tree
+    over exact integer counts — completing the experimentation kit
+    (design → MDE here, analysis → z-test, sensitivity → CUPED). One
+    per-user aggregate + one scalar fold."""
+    e = table_scan(spark, sf_dir, "events")
+    from ..functions.hashing import portable_hash64
+
+    a = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg((F.count(F.lit(1)) >= 14).alias("converted"))
+        .select(
+            (F.pmod(portable_hash64(F.col("user_id")), F.lit(2))).alias("arm"),
+            "converted",
+        )
+    )
+    m = a.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("converted"), 1).otherwise(0)).alias("c"),
+    )
+    return m.selectExpr(
+        "n0 AS n_control",
+        "n1 AS n_treatment",
+        "(c * 1000) div (n0 + n1) AS pooled_rate_permille",
+        "CASE WHEN n0 = 0 OR n1 = 0 THEN NULL"
+        " ELSE (1.959963984540054D + 0.8416212335729143D)"
+        "      * sqrt((CAST(c AS DOUBLE) / (n0 + n1))"
+        "             * (1.0D - CAST(c AS DOUBLE) / (n0 + n1))"
+        "             * (1.0D / n0 + 1.0D / n1)) END"
+        " AS mde_abs",
+    )
+
+
+@register(
+    "doc_length_log2_histogram",
+    """
+    WITH n AS (
+      SELECT CASE WHEN TRIM(text) = '' THEN 0
+             ELSE len(string_split_regex(TRIM(text), '\\s+')) END AS n_tokens
+      FROM documents
+    )
+    SELECT CAST(CASE WHEN n_tokens = 0 THEN -1
+                ELSE length(bin(n_tokens)) - 1 END AS INT) AS log2_bucket,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM n GROUP BY 1
+    """,
+)
+def q_doc_length_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two document-length histogram — the corpus length
+    distribution every tokenizer/packing decision starts from, with
+    ⌊log₂ n⌋ computed EXACTLY as length(bin(n))−1 (the binary-string
+    length — a pure integer identity both engines share, where a float
+    LOG2 could round 2ᵏ−ε either way at the bucket edges). Empty docs get
+    bucket −1. One map + one ≤64-key partial agg: the histogram shape
+    that scales to any corpus."""
+    d = table_scan(spark, sf_dir, "documents")
+    n = d.select(
+        F.when(F.trim(F.col("text")) == "", 0)
+        .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .alias("n_tokens")
+    )
+    return (
+        n.selectExpr(
+            "n_tokens",
+            "CAST(CASE WHEN n_tokens = 0 THEN -1"
+            " ELSE length(bin(n_tokens)) - 1 END AS INT) AS log2_bucket",
+        )
+        .groupBy("log2_bucket")
+        .agg(
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select("log2_bucket", "min_tokens", "max_tokens", "n_docs")
+    )
+
+
+@register(
+    "set_ops_all_bag_semantics",
+    """
+    SELECT nationkey, kind FROM (
+      SELECT c_nationkey AS nationkey, 'common_multiplicity' AS kind
+      FROM customer
+      INTERSECT ALL
+      SELECT s_nationkey, 'common_multiplicity' FROM supplier
+    )
+    UNION ALL
+    SELECT nationkey, kind FROM (
+      SELECT c_nationkey AS nationkey, 'customer_surplus' AS kind
+      FROM customer
+      EXCEPT ALL
+      SELECT s_nationkey, 'customer_surplus' FROM supplier
+    )
+    """,
+)
+def q_set_ops_all_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — BAG semantics (multiplicity
+    min / multiplicity difference), completing the set-operator family
+    next to the distinct-semantics set_ops_intersect_except: per nation
+    key, INTERSECT ALL keeps min(#customers, #suppliers) copies and
+    EXCEPT ALL keeps the surplus — the relational way to compare
+    multiplicities without ever building count columns by hand. Spark
+    plans both as aggregate+generate (count min / count difference then
+    replicate), one shuffle each — no join."""
+    c = table_scan(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = table_scan(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    common = (
+        c.withColumn("kind", F.lit("common_multiplicity"))
+        .intersectAll(s.withColumn("kind", F.lit("common_multiplicity")))
+    )
+    surplus = (
+        c.withColumn("kind", F.lit("customer_surplus"))
+        .exceptAll(s.withColumn("kind", F.lit("customer_surplus")))
+    )
+    return common.unionByName(surplus)
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

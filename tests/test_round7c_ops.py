@@ -1226,6 +1226,80 @@ class TestWinnowing:
         ]
 
 
+class TestAbPowerMde:
+    def test_formula_recompute(self, spark, sf_dir):
+        import hashlib
+        import math as m
+
+        ev = (
+            table_scan(spark, sf_dir, "events")
+            .filter(F.col("event_type") == "view")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        P = (1 << 60)
+        n0 = n1 = c = 0
+        for r in ev:
+            h = int(hashlib.md5(str(r["user_id"]).encode()).hexdigest()[:15], 16)
+            if h % 2 == 0:
+                n0 += 1
+            else:
+                n1 += 1
+            if r["n"] >= 14:
+                c += 1
+        got = registry.QUERIES["events_ab_power_mde"](spark, sf_dir).collect()[0]
+        assert (got["n_control"], got["n_treatment"]) == (n0, n1)
+        assert got["pooled_rate_permille"] == c * 1000 // (n0 + n1)
+        p = c / (n0 + n1)
+        mde = (1.959963984540054 + 0.8416212335729143) * m.sqrt(
+            p * (1 - p) * (1 / n0 + 1 / n1)
+        )
+        assert m.isclose(got["mde_abs"], mde, rel_tol=1e-12)
+
+
+class TestLog2Histogram:
+    def test_buckets_consistent(self, spark, sf_dir):
+        rows = registry.QUERIES["doc_length_log2_histogram"](
+            spark, sf_dir
+        ).collect()
+        assert rows
+        total = sum(r["n_docs"] for r in rows)
+        assert total == table_scan(spark, sf_dir, "documents").count()
+        for r in rows:
+            b = r["log2_bucket"]
+            if b == -1:
+                assert r["min_tokens"] == r["max_tokens"] == 0
+            else:
+                assert 2**b <= r["min_tokens"] <= r["max_tokens"] < 2 ** (b + 1)
+
+
+class TestSetOpsAll:
+    def test_bag_multiplicities(self, spark, sf_dir):
+        from collections import Counter
+
+        cn = Counter(
+            r["c_nationkey"]
+            for r in table_scan(spark, sf_dir, "customer").collect()
+        )
+        sn = Counter(
+            r["s_nationkey"]
+            for r in table_scan(spark, sf_dir, "supplier").collect()
+        )
+        rows = registry.QUERIES["set_ops_all_bag_semantics"](
+            spark, sf_dir
+        ).collect()
+        common = Counter(
+            r["nationkey"] for r in rows if r["kind"] == "common_multiplicity"
+        )
+        surplus = Counter(
+            r["nationkey"] for r in rows if r["kind"] == "customer_surplus"
+        )
+        for k in set(cn) | set(sn):
+            assert common.get(k, 0) == min(cn.get(k, 0), sn.get(k, 0))
+            assert surplus.get(k, 0) == max(cn.get(k, 0) - sn.get(k, 0), 0)
+
+
 class TestPmi:
     def test_top_pair_matches_bruteforce(self, spark, sf_dir):
         docs = table_scan(spark, sf_dir, "documents").select("text").collect()
