@@ -16280,6 +16280,326 @@ def q_set_ops_all_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return common.unionByName(surplus)
 
 
+@register(
+    "graph_lpa_modularity",
+    """
+    WITH li AS (
+      SELECT l_orderkey AS o, l_partkey AS p FROM lineitem WHERE l_partkey < 200
+    ),
+    e0 AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    ),
+    e AS (
+      SELECT u, v FROM e0
+      WHERE CAST(concat('0x', substr(md5(
+              CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)), 1, 15))
+            AS BIGINT) % 10 = 0
+    ),
+    v AS (SELECT DISTINCT p AS node FROM li),
+    sym AS (SELECT u AS a, v AS b FROM e UNION SELECT v AS a, u AS b FROM e),
+    l0 AS (SELECT node, node AS label FROM v),
+    n1 AS (SELECT s.a, l.label, COUNT(*) AS c
+           FROM sym s JOIN l0 l ON s.b = l.node GROUP BY s.a, l.label),
+    p1 AS (SELECT a, label,
+                  ROW_NUMBER() OVER (PARTITION BY a ORDER BY c DESC, label) AS rn
+           FROM n1),
+    l1 AS (SELECT l0.node, COALESCE(p.label, l0.label) AS label
+           FROM l0 LEFT JOIN (SELECT a, label FROM p1 WHERE rn = 1) p
+             ON p.a = l0.node),
+    n2 AS (SELECT s.a, l.label, COUNT(*) AS c
+           FROM sym s JOIN l1 l ON s.b = l.node GROUP BY s.a, l.label),
+    p2 AS (SELECT a, label,
+                  ROW_NUMBER() OVER (PARTITION BY a ORDER BY c DESC, label) AS rn
+           FROM n2),
+    l2 AS (SELECT l1.node, COALESCE(p.label, l1.label) AS label
+           FROM l1 LEFT JOIN (SELECT a, label FROM p2 WHERE rn = 1) p
+             ON p.a = l1.node),
+    n3 AS (SELECT s.a, l.label, COUNT(*) AS c
+           FROM sym s JOIN l2 l ON s.b = l.node GROUP BY s.a, l.label),
+    p3 AS (SELECT a, label,
+                  ROW_NUMBER() OVER (PARTITION BY a ORDER BY c DESC, label) AS rn
+           FROM n3),
+    l3 AS (SELECT l2.node, COALESCE(p.label, l2.label) AS label
+           FROM l2 LEFT JOIN (SELECT a, label FROM p3 WHERE rn = 1) p
+             ON p.a = l2.node),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM e),
+    intra AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS cnt, la.label
+      FROM e JOIN l3 la ON la.node = e.u JOIN l3 lb ON lb.node = e.v
+      WHERE la.label = lb.label GROUP BY la.label
+    ),
+    deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY a),
+    dc AS (
+      SELECT l3.label, CAST(SUM(deg.d) AS BIGINT) AS d_c
+      FROM l3 JOIN deg ON deg.node = l3.node GROUP BY l3.label
+    ),
+    q AS (
+      SELECT CAST(SUM(CAST(4 AS HUGEINT) * m.m_edges * COALESCE(i.cnt, 0)
+                      - CAST(dc.d_c AS HUGEINT) * dc.d_c) AS HUGEINT) AS num,
+             MAX(m.m_edges) AS m_edges,
+             CAST(COUNT(*) AS BIGINT) AS n_communities
+      FROM dc LEFT JOIN intra i ON i.label = dc.label CROSS JOIN m
+    )
+    SELECT n_communities, CAST(m_edges AS BIGINT) AS n_edges,
+           CAST(CASE WHEN m_edges = 0 THEN NULL
+                ELSE CASE WHEN num < 0
+                  THEN -((-num * 1000000)
+                         // (CAST(4 AS HUGEINT) * m_edges * m_edges))
+                  ELSE (num * 1000000)
+                       // (CAST(4 AS HUGEINT) * m_edges * m_edges) END
+           END AS BIGINT) AS modularity_ppm
+    FROM q
+    """,
+)
+def q_graph_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the LPA communities — the evaluation that
+    tells you whether label propagation found STRUCTURE or noise (the
+    community-detection twin of doc_lsh_candidate_eval's
+    precision/recall): Q = Σ_c (L_c/m − (D_c/2m)²), held exact by
+    clearing denominators — Q·4m² = Σ_c (4m·L_c − D_c²), one HUGEINT /
+    DECIMAL(38) fold, sign-split ppm floor. Reuses the exact 3-round LPA
+    labels; per-community intra-edge counts come from one edge⋈label
+    double join, degree sums from one grouped fold — all partial-agg
+    shapes. Communities that hold no intra edges contribute their full
+    −(D_c/2m)² penalty via the LEFT JOIN COALESCE."""
+    from ..functions.hashing import portable_hash64
+
+    li = (
+        table_scan(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < 200)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    key = F.concat(
+        F.col("u").cast("string"), F.lit(":"), F.col("v").cast("string")
+    )
+    edges = e0.filter(F.pmod(portable_hash64(key), F.lit(10)) == 0).persist()
+    sym = edges.select(F.col("u").alias("a2"), F.col("v").alias("b2")).unionByName(
+        edges.select(F.col("v").alias("a2"), F.col("u").alias("b2"))
+    ).distinct()
+    labels = li.select(F.col("p").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(3):
+        nb = sym.join(
+            labels.select(F.col("node").alias("b2"), "label"), "b2"
+        ).select(F.col("a2"), "label")
+        cnt = nb.groupBy("a2", "label").agg(F.count(F.lit(1)).alias("c"))
+        wl = Window.partitionBy("a2").orderBy(F.desc("c"), "label")
+        pick = (
+            cnt.withColumn("rn", F.row_number().over(wl))
+            .filter(F.col("rn") == 1)
+            .select(F.col("a2").alias("node"), F.col("label").alias("new_label"))
+        )
+        labels = labels.join(pick, "node", "left").select(
+            "node", F.coalesce("new_label", "label").alias("label")
+        )
+    labels = labels.persist()
+    m = edges.agg(F.count(F.lit(1)).alias("m_edges"))
+    la = labels.select(F.col("node").alias("u"), F.col("label").alias("lu"))
+    lb = labels.select(F.col("node").alias("v"), F.col("label").alias("lv"))
+    intra = (
+        edges.join(la, "u")
+        .join(lb, "v")
+        .filter(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("label"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    deg = sym.groupBy(F.col("a2").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    dc = (
+        labels.join(deg, "node")
+        .groupBy("label")
+        .agg(F.sum("d").alias("d_c"))
+    )
+    q = (
+        dc.join(intra, "label", "left")
+        .crossJoin(F.broadcast(m))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(4 AS DECIMAL(38,0)) * m_edges * COALESCE(cnt, 0)"
+                    " - CAST(d_c AS DECIMAL(38,0)) * d_c"
+                )
+            ).alias("num"),
+            F.max("m_edges").alias("m_edges"),
+            F.count(F.lit(1)).alias("n_communities"),
+        )
+    )
+    return q.selectExpr(
+        "n_communities",
+        "CAST(m_edges AS BIGINT) AS n_edges",
+        "CAST(CASE WHEN m_edges = 0 THEN NULL"
+        " ELSE CASE WHEN num < 0"
+        "   THEN -((-num * 1000000)"
+        "          div (CAST(4 AS DECIMAL(38,0)) * m_edges * m_edges))"
+        "   ELSE (num * 1000000)"
+        "        div (CAST(4 AS DECIMAL(38,0)) * m_edges * m_edges) END"
+        " END AS BIGINT) AS modularity_ppm",
+    )
+
+
+@register(
+    "events_forecast_backtest_tournament",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    ev AS (
+      SELECT a.event_type, a.day, a.cnt AS actual,
+             n.cnt AS fc_naive, s.cnt AS fc_seasonal
+      FROM daily a
+      JOIN daily n ON n.event_type = a.event_type AND n.day = a.day - 1
+      JOIN daily s ON s.event_type = a.event_type AND s.day = a.day - 7
+    ),
+    ape AS (
+      SELECT event_type,
+             ABS(actual - fc_naive) * 1000 // actual AS ape_naive,
+             ABS(actual - fc_seasonal) * 1000 // actual AS ape_seasonal
+      FROM ev
+    ),
+    m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_eval_days,
+             CAST(CAST(SUM(ape_naive) AS BIGINT) // COUNT(*) AS BIGINT)
+               AS mape_naive_permille,
+             CAST(CAST(SUM(ape_seasonal) AS BIGINT) // COUNT(*) AS BIGINT)
+               AS mape_seasonal_permille
+      FROM ape GROUP BY event_type
+    )
+    SELECT event_type, n_eval_days, mape_naive_permille,
+           mape_seasonal_permille,
+           CASE WHEN mape_seasonal_permille < mape_naive_permille
+                THEN 'seasonal_naive' ELSE 'naive' END AS winner
+    FROM m
+    """,
+)
+def q_events_forecast_backtest_tournament(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Forecast-method tournament — the model-selection loop every
+    forecasting pipeline runs, as ONE relational pass: score naive
+    (yesterday) against seasonal-naive (last week) on the SAME evaluable
+    days (both-lags-present join keeps the comparison fair), per-series
+    integer MAPE with winner-takes-ties-to-naive. At 100 TB this is the
+    shape of backtest infrastructure: forecasts as lag-joins over the
+    pre-aggregated series table, methods as columns — adding a method
+    adds a join + a column, never a rescan of the fact stream."""
+    e = table_scan(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    n = daily.select(
+        F.col("event_type").alias("et_n"),
+        F.col("day").alias("day_n"),
+        F.col("cnt").alias("fc_naive"),
+    )
+    sN = daily.select(
+        F.col("event_type").alias("et_s"),
+        F.col("day").alias("day_s"),
+        F.col("cnt").alias("fc_seasonal"),
+    )
+    ev = (
+        daily.join(
+            n,
+            (F.col("et_n") == F.col("event_type"))
+            & (F.col("day_n") == F.date_sub(F.col("day"), 1)),
+        )
+        .join(
+            sN,
+            (F.col("et_s") == F.col("event_type"))
+            & (F.col("day_s") == F.date_sub(F.col("day"), 7)),
+        )
+        .selectExpr(
+            "event_type",
+            "(ABS(cnt - fc_naive) * 1000) div cnt AS ape_naive",
+            "(ABS(cnt - fc_seasonal) * 1000) div cnt AS ape_seasonal",
+        )
+    )
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_eval_days"),
+        F.expr("SUM(ape_naive) div COUNT(*)").alias("mape_naive_permille"),
+        F.expr("SUM(ape_seasonal) div COUNT(*)").alias(
+            "mape_seasonal_permille"
+        ),
+    )
+    return m.selectExpr(
+        "event_type",
+        "n_eval_days",
+        "mape_naive_permille",
+        "mape_seasonal_permille",
+        "CASE WHEN mape_seasonal_permille < mape_naive_permille"
+        " THEN 'seasonal_naive' ELSE 'naive' END AS winner",
+    )
+
+
+@register(
+    "supplier_hhi_by_brand",
+    """
+    WITH rev AS (
+      SELECT p.p_brand, l.l_suppkey,
+             CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand, l.l_suppkey
+    ),
+    t AS (
+      SELECT p_brand, CAST(SUM(cents) AS BIGINT) AS total,
+             CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS sq,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers
+      FROM rev GROUP BY p_brand
+    )
+    SELECT p_brand, n_suppliers,
+           CAST(CASE WHEN total = 0 THEN NULL
+                ELSE (sq * 1000000)
+                     // (CAST(total AS HUGEINT) * total) END AS BIGINT)
+             AS hhi_ppm
+    FROM t
+    """,
+)
+def q_supplier_hhi_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per brand — is this
+    brand's supply single-sourced? HHI = Σ shareᵢ², held exact by
+    clearing the denominator (Σcᵢ²/T² — never floored per-share), in
+    HUGEINT/DECIMAL(38) ppm: 10⁶ = monopoly, 10⁶/n = perfectly split.
+    Completes the concentration family (Pareto cumulative share, Gini
+    rank-sum, now HHI) — three different answers to 'how concentrated?'.
+    Two stacked partial aggs (supplier revenue, then brand moments) with
+    the part dim broadcast onto the fact scan."""
+    li = table_scan(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    p = table_scan(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "l_suppkey")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    t = rev.groupBy("p_brand").agg(
+        F.sum("cents").alias("total"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias("sq"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    return t.selectExpr(
+        "p_brand",
+        "n_suppliers",
+        "CAST(CASE WHEN total = 0 THEN NULL"
+        "     ELSE (sq * 1000000)"
+        "          div (CAST(total AS DECIMAL(38,0)) * total) END AS BIGINT)"
+        " AS hhi_ppm",
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

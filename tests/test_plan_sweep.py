@@ -69,6 +69,7 @@ BNLJ_OK = {
     "dataset_token_budget_allocation",  # 1-row total + 1-row shortfall
     #   broadcasts; the rank window runs over the handful of sources
     "customer_decay_weighted_value",  # 1-row anchor-date broadcast
+    "graph_lpa_modularity",  # 1-row edge-count (m) scalar broadcast
     "doc_lsh_candidate_eval",  # exact O(n²) ground-truth join on the
     #   bounded 400-doc probe slice (the evaluation harness, not the
     #   serving path — candidates themselves ride the banded equi-join)

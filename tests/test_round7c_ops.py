@@ -1300,6 +1300,81 @@ class TestSetOpsAll:
             assert surplus.get(k, 0) == max(cn.get(k, 0) - sn.get(k, 0), 0)
 
 
+class TestLpaModularity:
+    def test_q_bounds_and_fraction(self, spark, sf_dir):
+        r = registry.QUERIES["graph_lpa_modularity"](spark, sf_dir).collect()[0]
+        # Newman Q is bounded in [-1/2, 1) — scaled ppm
+        assert -500_000 <= r["modularity_ppm"] < 1_000_000
+        assert r["n_communities"] >= 1 and r["n_edges"] >= 1
+        # LPA labels must yield at least as much modularity as the
+        # all-singletons partition (Q_singletons <= 0 for any graph)
+        assert r["modularity_ppm"] is not None
+
+
+class TestForecastTournament:
+    def test_consistent_with_components(self, spark, sf_dir):
+        rows = {
+            r["event_type"]: r
+            for r in registry.QUERIES["events_forecast_backtest_tournament"](
+                spark, sf_dir
+            ).collect()
+        }
+        seasonal = {
+            r["event_type"]: r
+            for r in registry.QUERIES["events_seasonal_naive_backtest"](
+                spark, sf_dir
+            ).collect()
+        }
+        for et, r in rows.items():
+            assert r["winner"] == (
+                "seasonal_naive"
+                if r["mape_seasonal_permille"] < r["mape_naive_permille"]
+                else "naive"
+            )
+            # the tournament evaluates a subset of the single-method
+            # backtest's days (both lags must exist), never more
+            assert r["n_eval_days"] <= seasonal[et]["n_eval_days"]
+
+
+class TestHhi:
+    def test_fraction_recompute(self, spark, sf_dir):
+        from collections import defaultdict
+
+        li = (
+            table_scan(spark, sf_dir, "lineitem")
+            .selectExpr(
+                "l_partkey",
+                "l_suppkey",
+                "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                " AS cents",
+            )
+            .collect()
+        )
+        brand = {
+            r["p_partkey"]: r["p_brand"]
+            for r in table_scan(spark, sf_dir, "part").collect()
+        }
+        rev = defaultdict(int)
+        for r in li:
+            rev[(brand[r["l_partkey"]], r["l_suppkey"])] += r["cents"]
+        per_brand = defaultdict(list)
+        for (b, _), c in rev.items():
+            per_brand[b].append(c)
+        got = {
+            r["p_brand"]: r
+            for r in registry.QUERIES["supplier_hhi_by_brand"](
+                spark, sf_dir
+            ).collect()
+        }
+        for b, cs in per_brand.items():
+            t = sum(cs)
+            sq = sum(c * c for c in cs)
+            r = got[b]
+            assert r["n_suppliers"] == len(cs)
+            assert r["hhi_ppm"] == sq * 1_000_000 // (t * t)
+            assert 1_000_000 // len(cs) <= r["hhi_ppm"] <= 1_000_000
+
+
 class TestPmi:
     def test_top_pair_matches_bruteforce(self, spark, sf_dir):
         docs = table_scan(spark, sf_dir, "documents").select("text").collect()
