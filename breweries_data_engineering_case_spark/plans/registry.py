@@ -16600,6 +16600,228 @@ def q_supplier_hhi_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "orders_seasonal_decompose_exact",
+    """
+    WITH daily AS (
+      SELECT CAST(YEAR(CAST(o_orderdate AS DATE)) AS INT) AS yr,
+             CAST(o_orderdate AS DATE) AS day,
+             CAST(dayofweek(CAST(o_orderdate AS DATE)) AS INT) AS dow,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS x
+      FROM orders GROUP BY 1, 2, 3
+    ),
+    tr AS (
+      SELECT yr, day, dow, x,
+             CASE WHEN COUNT(*) OVER w = 7
+                  THEN CAST(SUM(x) OVER w AS BIGINT) END AS trend_sum7
+      FROM daily
+      WINDOW w AS (PARTITION BY yr ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT yr, day, dow, x, trend_sum7,
+             7 * x - trend_sum7 AS detrended_x7
+      FROM tr
+    ),
+    seas AS (
+      SELECT yr, dow,
+             CAST(COUNT(detrended_x7) AS BIGINT) AS n_dow,
+             CAST(SUM(detrended_x7) AS BIGINT) AS s_dow
+      FROM det GROUP BY yr, dow
+    )
+    SELECT d.day, d.x AS revenue_cents, d.trend_sum7, d.detrended_x7,
+           CAST(CASE WHEN s.n_dow = 0 OR d.detrended_x7 IS NULL THEN NULL
+                WHEN s.s_dow < 0 THEN -((-s.s_dow) // s.n_dow)
+                ELSE s.s_dow // s.n_dow END AS BIGINT) AS seasonal_x7,
+           CAST(CASE WHEN s.n_dow = 0 OR d.detrended_x7 IS NULL THEN NULL
+                ELSE d.detrended_x7
+                     - (CASE WHEN s.s_dow < 0 THEN -((-s.s_dow) // s.n_dow)
+                             ELSE s.s_dow // s.n_dow END)
+           END AS BIGINT) AS residual_x7
+    FROM det d JOIN seas s ON s.yr = d.yr AND s.dow = d.dow
+    """,
+)
+def q_orders_seasonal_decompose_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition (classical trend + day-of-week
+    seasonal + residual) made EXACT by working in ×7-scaled integers: the
+    trend is the CENTERED 7-day window SUM (complete windows only — edges
+    NULL), detrended = 7x − trend_sum, the seasonal component is the
+    per-(year, weekday) mean of detrended values (sign-split floored
+    once), and the residual closes the identity detrended = seasonal +
+    residual exactly. No float means, no rational denominators — the
+    ×7 scaling clears the only division a moving average needs. Windows
+    partition by year over the daily aggregate; the seasonal means are a
+    7×years-row broadcast back. The decomposition every anomaly/forecast
+    pipeline runs, with bitwise-reproducible components."""
+    o = table_scan(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.year(F.col("o_orderdate").cast("date")).cast("int").alias("yr"),
+        F.col("o_orderdate").cast("date").alias("day"),
+        (F.dayofweek(F.col("o_orderdate").cast("date")) - 1)
+        .cast("int")
+        .alias("dow"),
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        ).alias("x")
+    )
+    w = Window.partitionBy("yr").orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "yr",
+        "day",
+        "dow",
+        "x",
+        F.when(F.count(F.lit(1)).over(w) == 7, F.sum("x").over(w)).alias(
+            "trend_sum7"
+        ),
+    )
+    det = tr.withColumn("detrended_x7", 7 * F.col("x") - F.col("trend_sum7"))
+    seas = det.groupBy("yr", "dow").agg(
+        F.count("detrended_x7").alias("n_dow"),
+        F.sum("detrended_x7").alias("s_dow"),
+    )
+    return (
+        det.join(F.broadcast(seas), ["yr", "dow"])
+        .selectExpr(
+            "day",
+            "x AS revenue_cents",
+            "trend_sum7",
+            "detrended_x7",
+            "CAST(CASE WHEN n_dow = 0 OR detrended_x7 IS NULL THEN NULL"
+            "     WHEN s_dow < 0 THEN -((-s_dow) div n_dow)"
+            "     ELSE s_dow div n_dow END AS BIGINT) AS seasonal_x7",
+            "CAST(CASE WHEN n_dow = 0 OR detrended_x7 IS NULL THEN NULL"
+            "     ELSE detrended_x7"
+            "          - (CASE WHEN s_dow < 0 THEN -((-s_dow) div n_dow)"
+            "                  ELSE s_dow div n_dow END)"
+            " END AS BIGINT) AS residual_x7",
+        )
+    )
+
+
+@register(
+    "doc_span_corruption_plan",
+    """
+    WITH tok AS (
+      SELECT doc_id, t.i AS pos
+      FROM documents,
+           LATERAL (SELECT UNNEST(range(len(string_split_regex(TRIM(text),
+                                                               '\\s+')))) AS i)
+             AS t
+      WHERE TRIM(text) <> ''
+    ),
+    masked AS (
+      SELECT doc_id, pos
+      FROM tok
+      WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                   || CAST(pos AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 15
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS island
+      FROM masked
+    ),
+    spans AS (
+      SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+             CAST(COUNT(*) AS BIGINT) AS span_len
+      FROM isl GROUP BY doc_id, island
+    )
+    SELECT doc_id, span_start, span_len,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY span_start)
+                - 1 AS INT) AS sentinel_id
+    FROM spans
+    """,
+)
+def q_doc_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption plan (Raffel et al. 2020) — the noising
+    schedule for denoising-objective pretraining, computed as DATA rather
+    than inside the training loop: each token position masks with
+    probability 15 % by PORTABLE hash of (doc, position) — so any engine,
+    any rerun, any shard regenerates the identical corruption — and
+    consecutive masked positions merge into spans via the gaps-and-islands
+    identity, numbered per doc as sentinel ids (<extra_id_k>). Shape: one
+    positional explode, one hash filter (6.7× data reduction before any
+    shuffle), per-doc island + sentinel windows. Mean span length and
+    corruption rate are then auditable downstream as plain aggregates."""
+    from ..functions.hashing import portable_hash64
+
+    d = table_scan(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "w"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"))
+    key = F.concat(
+        F.col("doc_id").cast("string"), F.lit(":"), F.col("pos").cast("string")
+    )
+    masked = tok.filter(F.pmod(portable_hash64(key), F.lit(100)) < 15)
+    wi = Window.partitionBy("doc_id").orderBy("pos")
+    isl = masked.withColumn(
+        "island", F.col("pos") - F.row_number().over(wi)
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"), F.count(F.lit(1)).alias("span_len")
+    )
+    ws = Window.partitionBy("doc_id").orderBy("span_start")
+    return spans.select(
+        "doc_id",
+        "span_start",
+        "span_len",
+        (F.row_number().over(ws) - 1).cast("int").alias("sentinel_id"),
+    )
+
+
+@register(
+    "doc_tokenizer_fertility",
+    r"""
+    WITH m AS (
+      SELECT lang,
+             CAST(SUM(CASE WHEN TRIM(text) = '' THEN 0
+                  ELSE len(string_split_regex(TRIM(text), '\s+')) END)
+                  AS BIGINT) AS words,
+             CAST(SUM(len(regexp_extract_all(text, '\w+|[^\w\s]')))
+                  AS BIGINT) AS subtokens
+      FROM documents GROUP BY lang
+    )
+    SELECT lang, words, subtokens,
+           CAST(CASE WHEN words = 0 THEN NULL
+                ELSE subtokens * 1000000 // words END AS BIGINT)
+             AS fertility_ppm
+    FROM m
+    """,
+)
+def q_doc_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — subtokens-per-word, THE metric
+    for how well a tokenization serves each language (fertility ≫ 1 means
+    a language pays more sequence length per word — the classic
+    multilingual-tokenizer equity check): whitespace words vs the BPE-ish
+    pre-tokenization (`\\w+|[^\\w\\s]`) counted in the same pass, ratio in
+    exact floored ppm. Two JVM regex counters + one tiny group-by —
+    O(corpus) map, O(languages) everything else."""
+    d = table_scan(spark, sf_dir, "documents")
+    m = d.groupBy("lang").agg(
+        F.sum(
+            F.when(F.trim(F.col("text")) == "", 0).otherwise(
+                F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            )
+        ).alias("words"),
+        F.sum(
+            F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0))
+        ).alias("subtokens"),
+    )
+    return m.selectExpr(
+        "lang",
+        "words",
+        "subtokens",
+        "CAST(CASE WHEN words = 0 THEN NULL"
+        "     ELSE (subtokens * 1000000) div words END AS BIGINT)"
+        " AS fertility_ppm",
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

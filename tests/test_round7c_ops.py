@@ -1375,6 +1375,78 @@ class TestHhi:
             assert 1_000_000 // len(cs) <= r["hhi_ppm"] <= 1_000_000
 
 
+class TestSeasonalDecompose:
+    def test_identity_holds(self, spark, sf_dir):
+        rows = registry.QUERIES["orders_seasonal_decompose_exact"](
+            spark, sf_dir
+        ).collect()
+        assert rows
+        interior = [r for r in rows if r["trend_sum7"] is not None]
+        assert interior, "complete centered windows must exist"
+        for r in interior:
+            # detrended identity and exact closure of the decomposition
+            assert r["detrended_x7"] == 7 * r["revenue_cents"] - r["trend_sum7"]
+            assert r["detrended_x7"] == r["seasonal_x7"] + r["residual_x7"]
+        for r in rows:
+            if r["trend_sum7"] is None:
+                assert r["detrended_x7"] is None
+
+
+class TestSpanCorruption:
+    def test_plan_recomputed(self, spark, sf_dir):
+        import hashlib
+        import re
+
+        docs = table_scan(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        ).collect()
+        expect = []
+        for d in docs:
+            if not d["text"].strip():
+                continue
+            n = len(re.split(r"\s+", d["text"].strip()))
+            masked = [
+                p
+                for p in range(n)
+                if int(
+                    hashlib.md5(f"{d['doc_id']}:{p}".encode()).hexdigest()[:15],
+                    16,
+                )
+                % 100
+                < 15
+            ]
+            spans = []
+            for p in masked:
+                if spans and spans[-1][0] + spans[-1][1] == p:
+                    spans[-1][1] += 1
+                else:
+                    spans.append([p, 1])
+            for sid, (start, ln) in enumerate(spans):
+                expect.append((d["doc_id"], start, ln, sid))
+        got = sorted(
+            (r["doc_id"], r["span_start"], r["span_len"], r["sentinel_id"])
+            for r in registry.QUERIES["doc_span_corruption_plan"](
+                spark, sf_dir
+            ).collect()
+        )
+        assert got == sorted(expect)
+
+
+class TestTokenizerFertility:
+    def test_ratio_identity(self, spark, sf_dir):
+        rows = registry.QUERIES["doc_tokenizer_fertility"](
+            spark, sf_dir
+        ).collect()
+        assert rows
+        for r in rows:
+            if r["words"]:
+                assert (
+                    r["fertility_ppm"]
+                    == r["subtokens"] * 1_000_000 // r["words"]
+                )
+                assert r["fertility_ppm"] >= 1_000_000  # subtokens ⊇ words
+
+
 class TestPmi:
     def test_top_pair_matches_bruteforce(self, spark, sf_dir):
         docs = table_scan(spark, sf_dir, "documents").select("text").collect()
