@@ -16822,6 +16822,211 @@ def q_doc_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_jaccard_threshold_sweep",
+    r"""
+    WITH s AS (
+      SELECT doc_id, list_distinct(string_split_regex(TRIM(text), '\s+')) AS sh
+      FROM documents WHERE doc_id < 300
+    ),
+    p AS (
+      SELECT CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS icnt,
+             CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT)
+               AS ucnt
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+    ),
+    b AS (
+      SELECT CAST(CASE WHEN ucnt = 0 THEN 0
+                  ELSE (icnt * 10) // ucnt END AS INT) AS bucket
+      FROM p
+    )
+    SELECT bucket AS jaccard_decile, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(COUNT(*)) OVER (ORDER BY bucket DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_pairs_at_or_above
+    FROM b GROUP BY bucket
+    """,
+)
+def q_doc_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold operating curve — before picking jaccard ≥ 0.7 as
+    'duplicate', measure WHAT EACH THRESHOLD WOULD DO: exact token-set
+    Jaccard for all pairs of a fixed 300-doc probe slice, bucketed to
+    deciles (exact integer floor — no float binning), with the
+    descending-cumulative count = pairs a threshold at that decile would
+    flag. The decision-support twin of doc_lsh_candidate_eval (that
+    evaluates the INDEX at one threshold; this evaluates the THRESHOLD).
+    The O(n²) pass is probe-bounded at any SF; the cumulative window runs
+    over ≤11 decile rows."""
+    from ..operators.fuzzy_dedup import jaccard, word_shingles
+
+    sub = (
+        table_scan(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", word_shingles("text", 1).alias("sh"))
+    )
+    a, b = sub.alias("a"), sub.alias("b")
+    p = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
+        F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+        .cast("long")
+        .alias("icnt"),
+        F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+        .cast("long")
+        .alias("ucnt"),
+    )
+    bb = p.selectExpr(
+        "CAST(CASE WHEN ucnt = 0 THEN 0"
+        " ELSE (icnt * 10) div ucnt END AS INT) AS bucket"
+    )
+    g = bb.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_pairs"))
+    w = (
+        Window.orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return g.select(
+        F.col("bucket").alias("jaccard_decile"),
+        "n_pairs",
+        F.sum("n_pairs").over(w).alias("n_pairs_at_or_above"),
+    )
+
+
+@register(
+    "embedding_norm_audit",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                      * CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                  AS HUGEINT) AS norm2
+      FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings)
+      GROUP BY vec_id
+    ),
+    m AS (SELECT CAST(SUM(norm2) // COUNT(*) AS HUGEINT) AS mean_norm2,
+                 CAST(COUNT(*) AS BIGINT) AS n FROM q)
+    SELECT CAST(q.vec_id AS BIGINT) AS vec_id,
+           CAST(q.norm2 AS BIGINT) AS norm2_micro2,
+           CAST(m.mean_norm2 AS BIGINT) AS corpus_mean_norm2,
+           (q.norm2 * 2 < m.mean_norm2 OR q.norm2 > m.mean_norm2 * 2)
+             AS is_outlier
+    FROM q CROSS JOIN m
+    """,
+)
+def q_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality norm audit — the cheapest real check on an
+    embedding column (zero vectors, collapsed encoders, and scale bugs
+    all show up as norm outliers before any ANN index is built): exact
+    int64-quantized squared norms per vector, corpus mean by integer
+    floor, and a cross-multiplied outlier flag (norm² outside [mean/2,
+    2·mean] — no division per row, no float). One map + one scalar
+    broadcast; the flag column makes downstream quarantine a filter."""
+    e = table_scan(spark, sf_dir, "embeddings")
+    q = e.selectExpr(
+        "vec_id",
+        "aggregate(transform(embedding, x ->"
+        "  CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"
+        "  * CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)),"
+        "  CAST(0 AS DECIMAL(38,0)), (acc, v) -> acc + v) AS norm2",
+    )
+    m = q.agg(
+        F.expr("CAST(SUM(norm2) div COUNT(*) AS DECIMAL(38,0))").alias(
+            "mean_norm2"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return q.crossJoin(F.broadcast(m)).selectExpr(
+        "CAST(vec_id AS BIGINT) AS vec_id",
+        "CAST(norm2 AS BIGINT) AS norm2_micro2",
+        "CAST(mean_norm2 AS BIGINT) AS corpus_mean_norm2",
+        "(norm2 * 2 < mean_norm2 OR norm2 > mean_norm2 * 2) AS is_outlier",
+    )
+
+
+@register(
+    "part_trgm_fuzzy_search",
+    """
+    WITH names AS (
+      SELECT p_partkey, p_name, concat('  ', p_name, ' ') AS padded
+      FROM part
+    ),
+    tg AS (
+      SELECT DISTINCT p_partkey, p_name,
+             substr(padded, CAST(i AS INT) + 1, 3) AS tri
+      FROM names, UNNEST(range(length(padded) - 2)) AS u(i)
+    ),
+    qt AS (
+      SELECT DISTINCT substr(concat('  ', 'red widgit', ' '),
+                             CAST(i AS INT) + 1, 3) AS tri
+      FROM UNNEST(range(length(concat('  ', 'red widgit', ' ')) - 2)) AS u(i)
+    ),
+    qn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nq FROM qt),
+    hits AS (
+      SELECT tg.p_partkey, tg.p_name, CAST(COUNT(*) AS BIGINT) AS shared
+      FROM tg JOIN qt ON qt.tri = tg.tri
+      GROUP BY tg.p_partkey, tg.p_name
+    ),
+    sz AS (SELECT p_partkey, CAST(COUNT(*) AS BIGINT) AS nt FROM tg
+           GROUP BY p_partkey),
+    scored AS (
+      SELECT h.p_partkey, h.p_name, h.shared,
+             CAST(h.shared * 1000000 // (sz.nt + qn.nq - h.shared)
+                  AS BIGINT) AS sim_ppm
+      FROM hits h JOIN sz ON sz.p_partkey = h.p_partkey CROSS JOIN qn
+    )
+    SELECT p_partkey, p_name, shared AS shared_trigrams, sim_ppm
+    FROM scored ORDER BY sim_ppm DESC, p_partkey LIMIT 10
+    """,
+)
+def q_part_trgm_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram fuzzy string search (the pg_trgm model) — find parts
+    matching the MISSPELLED query 'red widgit': names pad with two
+    leading + one trailing space (pg_trgm's boundary convention, so
+    prefixes weigh more), character trigrams build an inverted index,
+    candidates come from the trigram equi-join (only names sharing ≥1
+    trigram — never a full edit-distance scan), and trigram-set Jaccard
+    ranks in exact integer ppm. This is entity-level fuzzy SEARCH —
+    distinct from entity_resolution_fuzzy (pairwise linkage) and
+    doc-level Jaccard (document resemblance). Scale: the index is the
+    skinny (trigram, key) table; a query touches only its trigrams'
+    posting lists."""
+    QUERY = "red widgit"
+    p = table_scan(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", F.concat(F.lit("  "), F.col("p_name"), F.lit(" ")).alias("padded")
+    )
+    tg = (
+        p.select(
+            "p_partkey",
+            "p_name",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(padded) - 2),"
+                    " i -> substring(padded, i, 3))"
+                )
+            ).alias("tri"),
+        )
+        .distinct()
+    )
+    padded_q = "  " + QUERY + " "
+    qtris = sorted({padded_q[i : i + 3] for i in range(len(padded_q) - 2)})
+    qt = spark.createDataFrame([(t,) for t in qtris], "tri string")
+    nq = len(qtris)
+    hits = tg.join(F.broadcast(qt), "tri").groupBy("p_partkey", "p_name").agg(
+        F.count(F.lit(1)).alias("shared")
+    )
+    sz = tg.groupBy(F.col("p_partkey").alias("pk2")).agg(
+        F.count(F.lit(1)).alias("nt")
+    )
+    scored = hits.join(sz, hits["p_partkey"] == sz["pk2"]).selectExpr(
+        "p_partkey",
+        "p_name",
+        "shared",
+        f"(shared * 1000000) div (nt + {nq} - shared) AS sim_ppm",
+    )
+    return (
+        scored.orderBy(F.desc("sim_ppm"), "p_partkey")
+        .limit(10)
+        .select("p_partkey", "p_name", F.col("shared").alias("shared_trigrams"), "sim_ppm")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

@@ -70,6 +70,9 @@ BNLJ_OK = {
     #   broadcasts; the rank window runs over the handful of sources
     "customer_decay_weighted_value",  # 1-row anchor-date broadcast
     "graph_lpa_modularity",  # 1-row edge-count (m) scalar broadcast
+    "doc_jaccard_threshold_sweep",  # exact O(n²) sweep on the bounded
+    #   300-doc probe slice (the threshold-decision harness)
+    "embedding_norm_audit",  # 1-row corpus-mean broadcast
     "doc_lsh_candidate_eval",  # exact O(n²) ground-truth join on the
     #   bounded 400-doc probe slice (the evaluation harness, not the
     #   serving path — candidates themselves ride the banded equi-join)
@@ -89,6 +92,8 @@ GLOBAL_WINDOW_OK = {
     #   aggregate — O(|charset|) rows at any corpus size
     "dataset_token_budget_allocation",  # Hamilton rank window over the
     #   per-SOURCE aggregate — O(|sources|) rows at any corpus size
+    "doc_jaccard_threshold_sweep",  # cumulative window over the ≤11
+    #   decile rows of the bucketed pair histogram
     "dq_benford_first_digit",  # window over the 9-row digit aggregate
     "orders_dow_seasonality",  # window over the 7-row day-of-week aggregate
     "embedding_top_pc_power_iter",  # windows over dim-sized (~128-row) vecs

@@ -1447,6 +1447,83 @@ class TestTokenizerFertility:
                 assert r["fertility_ppm"] >= 1_000_000  # subtokens ⊇ words
 
 
+class TestThresholdSweep:
+    def test_cumulative_consistent(self, spark, sf_dir):
+        rows = sorted(
+            registry.QUERIES["doc_jaccard_threshold_sweep"](
+                spark, sf_dir
+            ).collect(),
+            key=lambda r: -r["jaccard_decile"],
+        )
+        assert rows
+        cum = 0
+        for r in rows:
+            cum += r["n_pairs"]
+            assert r["n_pairs_at_or_above"] == cum
+        n_docs = (
+            table_scan(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 300)
+            .count()
+        )
+        assert cum == n_docs * (n_docs - 1) // 2
+
+
+class TestNormAudit:
+    def test_norms_recomputed(self, spark, sf_dir):
+        emb = table_scan(spark, sf_dir, "embeddings").collect()
+        norms = {
+            r["vec_id"]: sum(
+                round(float(x) * 1_000_000) ** 2 for x in r["embedding"]
+            )
+            for r in emb
+        }
+        mean = sum(norms.values()) // len(norms)
+        got = {
+            r["vec_id"]: r
+            for r in registry.QUERIES["embedding_norm_audit"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert set(got) == set(norms)
+        for vid, n2 in norms.items():
+            r = got[vid]
+            assert r["norm2_micro2"] == n2
+            assert r["corpus_mean_norm2"] == mean
+            assert r["is_outlier"] == (n2 * 2 < mean or n2 > mean * 2)
+
+
+class TestTrgmSearch:
+    def test_query_matches_bruteforce(self, spark, sf_dir):
+        parts = table_scan(spark, sf_dir, "part").select(
+            "p_partkey", "p_name"
+        ).collect()
+
+        def tris(s):
+            p = "  " + s + " "
+            return {p[i : i + 3] for i in range(len(p) - 2)}
+
+        q = tris("red widgit")
+        scores = {}
+        for r in parts:
+            t = tris(r["p_name"])
+            shared = len(t & q)
+            if shared:
+                scores[r["p_partkey"]] = (
+                    shared,
+                    shared * 1_000_000 // (len(t) + len(q) - shared),
+                )
+        got = registry.QUERIES["part_trgm_fuzzy_search"](
+            spark, sf_dir
+        ).collect()
+        ref = sorted(
+            ((v[1], k) for k, v in scores.items()), key=lambda t: (-t[0], t[1])
+        )[: len(got)]
+        assert [(r["sim_ppm"], r["p_partkey"]) for r in got] == ref
+        # the true 'red widget' rows must outrank everything else
+        top_names = {r["p_name"] for r in got[:1]}
+        assert "red widget" in top_names
+
+
 class TestPmi:
     def test_top_pair_matches_bruteforce(self, spark, sf_dir):
         docs = table_scan(spark, sf_dir, "documents").select("text").collect()
