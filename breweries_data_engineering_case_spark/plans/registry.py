@@ -17027,6 +17027,284 @@ def q_part_trgm_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_diff_in_diff",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 2 AS arm,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pre,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS post
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT
+        CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+        CAST(SUM(CASE WHEN arm = 1 THEN pre ELSE 0 END) AS BIGINT) AS st_pre,
+        CAST(SUM(CASE WHEN arm = 1 THEN post ELSE 0 END) AS BIGINT) AS st_post,
+        CAST(SUM(CASE WHEN arm = 0 THEN pre ELSE 0 END) AS BIGINT) AS sc_pre,
+        CAST(SUM(CASE WHEN arm = 0 THEN post ELSE 0 END) AS BIGINT) AS sc_post
+      FROM per_user
+    )
+    SELECT n_t AS n_treatment, n_c AS n_control,
+           st_pre, st_post, sc_pre, sc_post,
+           CAST(CASE WHEN n_t = 0 OR n_c = 0 THEN NULL
+                ELSE CASE WHEN ((st_post - st_pre) * n_c
+                               - (sc_post - sc_pre) * n_t) < 0
+                  THEN -((-((st_post - st_pre) * n_c
+                            - (sc_post - sc_pre) * n_t)
+                          * CAST(1000000 AS HUGEINT)) // (n_t * n_c))
+                  ELSE (((st_post - st_pre) * n_c
+                         - (sc_post - sc_pre) * n_t)
+                        * CAST(1000000 AS HUGEINT)) // (n_t * n_c) END
+           END AS BIGINT) AS did_micro
+    FROM m
+    """,
+)
+def q_events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the quasi-experimental estimator that
+    completes the causal-inference family (z-test, CUPED, MDE, now DiD):
+    DiD = (T̄_post − T̄_pre) − (C̄_post − C̄_pre), held EXACT by clearing
+    the per-arm denominators — (ΔS_T·n_C − ΔS_C·n_T)·10⁶ / (n_T·n_C) in
+    HUGEINT/DECIMAL(38) with sign-split floor (per-user micro units).
+    Arms by portable hash, pre/post split at the window midpoint,
+    everything from ONE per-user conditional aggregate + one scalar fold
+    — the same single-pass shape as the CUPED calibration."""
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    e = table_scan(spark, sf_dir, "events")
+    from ..functions.hashing import portable_hash64
+
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, 1).otherwise(0)).alias("pre"),
+        F.sum(F.when(F.col("ts") >= cut, 1).otherwise(0)).alias("post"),
+    ).select(
+        F.pmod(portable_hash64(F.col("user_id")), F.lit(2)).alias("arm"),
+        "pre",
+        "post",
+    )
+    m = per_user.agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_c"),
+        F.sum(F.when(F.col("arm") == 1, F.col("pre")).otherwise(0)).alias("st_pre"),
+        F.sum(F.when(F.col("arm") == 1, F.col("post")).otherwise(0)).alias("st_post"),
+        F.sum(F.when(F.col("arm") == 0, F.col("pre")).otherwise(0)).alias("sc_pre"),
+        F.sum(F.when(F.col("arm") == 0, F.col("post")).otherwise(0)).alias("sc_post"),
+    )
+    return m.selectExpr(
+        "n_t AS n_treatment",
+        "n_c AS n_control",
+        "st_pre",
+        "st_post",
+        "sc_pre",
+        "sc_post",
+        "CAST(CASE WHEN n_t = 0 OR n_c = 0 THEN NULL"
+        " ELSE CASE WHEN ((st_post - st_pre) * n_c"
+        "              - (sc_post - sc_pre) * n_t) < 0"
+        "   THEN -((-((st_post - st_pre) * n_c - (sc_post - sc_pre) * n_t)"
+        "           * CAST(1000000 AS DECIMAL(38,0))) div (n_t * n_c))"
+        "   ELSE (((st_post - st_pre) * n_c - (sc_post - sc_pre) * n_t)"
+        "         * CAST(1000000 AS DECIMAL(38,0))) div (n_t * n_c) END"
+        " END AS BIGINT) AS did_micro",
+    )
+
+
+@register(
+    "recsys_coverage_diversity_eval",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    co AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(COUNT(*) AS BIGINT) AS co
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    deg AS (SELECT l_partkey AS p, CAST(COUNT(*) AS BIGINT) AS d
+            FROM li GROUP BY 1),
+    sym AS (
+      SELECT pa AS part, pb AS rec, co FROM co WHERE co >= 2
+      UNION ALL
+      SELECT pb AS part, pa AS rec, co FROM co WHERE co >= 2
+    ),
+    scored AS (
+      SELECT s.part, s.rec, s.co,
+             s.co * s.co * 1000000 // (da.d * db.d) AS cos2_ppm
+      FROM sym s JOIN deg da ON da.p = s.part JOIN deg db ON db.p = s.rec
+    ),
+    recs AS (
+      SELECT part, rec FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY part ORDER BY cos2_ppm DESC, co DESC, rec
+        ) AS rn FROM scored
+      ) WHERE rn <= 3
+    ),
+    cat AS (SELECT CAST(COUNT(*) AS BIGINT) AS catalog_size FROM deg),
+    cov AS (SELECT CAST(COUNT(DISTINCT rec) AS BIGINT) AS n_recommended
+            FROM recs),
+    rp AS (
+      SELECT r1.part, LEAST(r1.rec, r2.rec) AS ra,
+             GREATEST(r1.rec, r2.rec) AS rb
+      FROM recs r1 JOIN recs r2
+        ON r1.part = r2.part AND r1.rec < r2.rec
+    ),
+    ild AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rec_pairs,
+             CAST(SUM(1000000 - COALESCE(sc.cos2_ppm, 0)) AS BIGINT)
+               AS sum_dissim
+      FROM rp LEFT JOIN scored sc ON sc.part = rp.ra AND sc.rec = rp.rb
+    )
+    SELECT cat.catalog_size, cov.n_recommended,
+           CAST(cov.n_recommended * 1000 // cat.catalog_size AS BIGINT)
+             AS coverage_permille,
+           ild.n_rec_pairs,
+           CAST(CASE WHEN ild.n_rec_pairs = 0 THEN NULL
+                ELSE ild.sum_dissim // ild.n_rec_pairs END AS BIGINT)
+             AS mean_ild_ppm
+    FROM cat CROSS JOIN cov CROSS JOIN ild
+    """,
+)
+def q_recsys_coverage_diversity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommender evaluation beyond accuracy — catalog COVERAGE (what
+    fraction of items ever get recommended; low coverage = popularity
+    bias) and intra-list DIVERSITY (mean pairwise dissimilarity
+    1 − cos² inside each top-3 list; recs that are clones of each other
+    score low): the two beyond-accuracy metrics every recsys audit
+    reports, computed over the SAME item-item pipeline as
+    part_similarity_topk (identical CTE chain, so this row evaluates
+    exactly what that query serves). Rec-list pairs come from a per-part
+    self-join of the 3-row lists (≤3 pairs per part); unknown rec-rec
+    similarity coalesces to 0 (maximally diverse), matching how a serving
+    system treats never-co-purchased items. All integer ppm."""
+    li = table_scan(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct().persist()
+    a, b = li.alias("a"), li.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= 2)
+    )
+    deg = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    sym = co.selectExpr("pa AS part", "pb AS rec", "co").unionByName(
+        co.selectExpr("pb AS part", "pa AS rec", "co")
+    )
+    scored = (
+        sym.join(deg.selectExpr("p AS part", "d AS da"), "part")
+        .join(deg.selectExpr("p AS rec", "d AS db"), "rec")
+        .selectExpr(
+            "part", "rec", "co", "(co * co * 1000000) div (da * db) AS cos2_ppm"
+        )
+        .persist()
+    )
+    wr = Window.partitionBy("part").orderBy(
+        F.desc("cos2_ppm"), F.desc("co"), "rec"
+    )
+    recs = (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 3)
+        .select("part", "rec")
+        .persist()
+    )
+    cat = deg.agg(F.count(F.lit(1)).alias("catalog_size"))
+    cov = recs.agg(F.countDistinct("rec").alias("n_recommended"))
+    r1 = recs.selectExpr("part", "rec AS rec1")
+    r2 = recs.selectExpr("part AS part2", "rec AS rec2")
+    rp = r1.join(
+        r2,
+        (F.col("part") == F.col("part2")) & (F.col("rec1") < F.col("rec2")),
+    ).select(
+        F.least("rec1", "rec2").alias("ra"), F.greatest("rec1", "rec2").alias("rb")
+    )
+    ild = rp.join(
+        scored.selectExpr("part AS ra", "rec AS rb", "cos2_ppm"),
+        ["ra", "rb"],
+        "left",
+    ).agg(
+        F.count(F.lit(1)).alias("n_rec_pairs"),
+        F.sum(F.lit(1000000) - F.coalesce("cos2_ppm", F.lit(0))).alias(
+            "sum_dissim"
+        ),
+    )
+    return (
+        cat.crossJoin(cov)
+        .crossJoin(ild)
+        .selectExpr(
+            "catalog_size",
+            "n_recommended",
+            "(n_recommended * 1000) div catalog_size AS coverage_permille",
+            "n_rec_pairs",
+            "CAST(CASE WHEN n_rec_pairs = 0 THEN NULL"
+            "     ELSE sum_dissim div n_rec_pairs END AS BIGINT)"
+            " AS mean_ild_ppm",
+        )
+    )
+
+
+@register(
+    "orders_high_value_rate_wilson",
+    """
+    WITH m AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                AS BIGINT) >= 20000000
+                      THEN 1 ELSE 0 END) AS BIGINT) AS k
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n AS n_orders, k AS n_high_value,
+           (CAST(k AS DOUBLE) / n + 1.9208 / n
+            - 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+                          * (1.0 - CAST(k AS DOUBLE) / n) / n
+                          + 0.9604 / (CAST(n AS DOUBLE) * n * n)))
+           / (1.0 + 3.8416 / n) AS wilson_lower
+    FROM m
+    """,
+)
+def q_orders_high_value_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score lower bound for a proportion — THE right way to rank
+    segments by a rate when sample sizes differ (the Reddit-comment-
+    ranking lesson: a naive k/n lets a 2/2 segment beat 180/200): the
+    95 % lower confidence bound shrinks small samples toward zero. All
+    z-derived constants (z=1.96: z²/2 = 1.9208, z² = 3.8416, z²/4 =
+    0.9604) are written as literal doubles and the formula is one fixed
+    IEEE tree (one correctly-rounded sqrt) over exact integer counts —
+    cross-engine deterministic like the MDE query. One grouped count."""
+    o = table_scan(spark, sf_dir, "orders")
+    m = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+                >= 20000000,
+                1,
+            ).otherwise(0)
+        ).alias("k"),
+    )
+    return m.selectExpr(
+        "o_orderpriority",
+        "n AS n_orders",
+        "k AS n_high_value",
+        "(CAST(k AS DOUBLE) / n + 1.9208D / n"
+        " - 1.96D * sqrt((CAST(k AS DOUBLE) / n)"
+        "               * (1.0D - CAST(k AS DOUBLE) / n) / n"
+        "               + 0.9604D / (CAST(n AS DOUBLE) * n * n)))"
+        "/ (1.0D + 3.8416D / n) AS wilson_lower",
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

@@ -73,6 +73,8 @@ BNLJ_OK = {
     "doc_jaccard_threshold_sweep",  # exact O(n²) sweep on the bounded
     #   300-doc probe slice (the threshold-decision harness)
     "embedding_norm_audit",  # 1-row corpus-mean broadcast
+    "recsys_coverage_diversity_eval",  # three 1-row metric scalars
+    #   (catalog size, coverage, ILD) cross-joined into the final row
     "doc_lsh_candidate_eval",  # exact O(n²) ground-truth join on the
     #   bounded 400-doc probe slice (the evaluation harness, not the
     #   serving path — candidates themselves ride the banded equi-join)

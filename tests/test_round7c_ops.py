@@ -1524,6 +1524,80 @@ class TestTrgmSearch:
         assert "red widget" in top_names
 
 
+class TestDiffInDiff:
+    def test_estimator_recomputed(self, spark, sf_dir):
+        import hashlib
+        from collections import defaultdict
+        from datetime import datetime
+
+        cut = datetime(2024, 1, 16)
+        ev = table_scan(spark, sf_dir, "events").select("user_id", "ts").collect()
+        per = defaultdict(lambda: [0, 0])
+        for r in ev:
+            per[r["user_id"]][0 if r["ts"] < cut else 1] += 1
+        sums = {0: [0, 0, 0], 1: [0, 0, 0]}  # arm -> [n, pre, post]
+        for uid, (pre, post) in per.items():
+            arm = (
+                int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16) % 2
+            )
+            sums[arm][0] += 1
+            sums[arm][1] += pre
+            sums[arm][2] += post
+        n_c, sc_pre, sc_post = sums[0]
+        n_t, st_pre, st_post = sums[1]
+        r = registry.QUERIES["events_diff_in_diff"](spark, sf_dir).collect()[0]
+        assert (r["n_treatment"], r["n_control"]) == (n_t, n_c)
+        num = (st_post - st_pre) * n_c - (sc_post - sc_pre) * n_t
+        expect = (
+            -((-num * 1_000_000) // (n_t * n_c))
+            if num < 0
+            else (num * 1_000_000) // (n_t * n_c)
+        )
+        assert r["did_micro"] == expect
+
+
+class TestRecsysEval:
+    def test_bounds_and_consistency(self, spark, sf_dir):
+        r = registry.QUERIES["recsys_coverage_diversity_eval"](
+            spark, sf_dir
+        ).collect()[0]
+        assert 0 < r["n_recommended"] <= r["catalog_size"]
+        assert (
+            r["coverage_permille"]
+            == r["n_recommended"] * 1000 // r["catalog_size"]
+        )
+        if r["n_rec_pairs"]:
+            assert 0 <= r["mean_ild_ppm"] <= 1_000_000
+        # consistency with the serving query: every recommended item
+        # appears in part_similarity_topk's output
+        recs = {
+            x["rec"]
+            for x in registry.QUERIES["part_similarity_topk"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert len(recs) == r["n_recommended"]
+
+
+class TestWilson:
+    def test_shrinks_small_samples(self, spark, sf_dir):
+        import math as m
+
+        rows = registry.QUERIES["orders_high_value_rate_wilson"](
+            spark, sf_dir
+        ).collect()
+        assert rows
+        for r in rows:
+            n, k = r["n_orders"], r["n_high_value"]
+            p = k / n
+            expect = (
+                p + 1.9208 / n
+                - 1.96 * m.sqrt(p * (1 - p) / n + 0.9604 / (n * n * n))
+            ) / (1 + 3.8416 / n)
+            assert m.isclose(r["wilson_lower"], expect, rel_tol=1e-12)
+            assert r["wilson_lower"] <= p  # the bound is conservative
+
+
 class TestPmi:
     def test_top_pair_matches_bruteforce(self, spark, sf_dir):
         docs = table_scan(spark, sf_dir, "documents").select("text").collect()
