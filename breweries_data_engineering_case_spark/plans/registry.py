@@ -17305,6 +17305,268 @@ def q_orders_high_value_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def _markov_absorb_oracle(rounds: int = 4) -> str:
+    head = """
+    WITH t AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM t WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+    tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tn FROM c
+            GROUP BY from_type),
+    m AS (SELECT c.from_type, c.to_type,
+                 CAST((c.n * 1000) // tot.tn AS BIGINT) AS pm
+          FROM c JOIN tot USING (from_type)),
+    states AS (SELECT DISTINCT from_type AS s FROM c
+               UNION SELECT DISTINCT to_type FROM c),
+    p0 AS (SELECT s, CAST(CASE WHEN s = 'purchase' THEN 1000 ELSE 0 END
+                          AS BIGINT) AS p
+           FROM states)"""
+    body = ""
+    for k in range(1, rounds + 1):
+        body += f""",
+    p{k} AS (
+      SELECT st.s,
+             CAST(CASE WHEN st.s = 'purchase' THEN 1000
+                  ELSE COALESCE(CAST(SUM(m.pm * pp.p) AS BIGINT) // 1000, 0)
+             END AS BIGINT) AS p
+      FROM states st
+      LEFT JOIN m ON m.from_type = st.s
+      LEFT JOIN p{k - 1} pp ON pp.s = m.to_type
+      GROUP BY st.s
+    )"""
+    return (
+        head
+        + body
+        + f"""
+    SELECT s AS event_type, p AS absorb_permille FROM p{rounds}
+    """
+    )
+
+
+@register("events_markov_absorption_4step", _markov_absorb_oracle(4))
+def q_events_markov_absorption_4step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absorbing-Markov-chain conversion probability — from each state,
+    the probability of reaching 'purchase' within 4 steps under the
+    empirical transition matrix: the funnel question ('how close is a
+    click to a purchase?') answered by chain analysis rather than path
+    enumeration. purchase is made absorbing (p≡1000‰); each round applies
+    p ← T·p in integer per-mille with a single floor per (state, round) —
+    both engines replay the identical floored fixed point, unrolled in
+    the oracle. The matrix is |states|² (tiny after the one corpus-sized
+    LEAD pass), so each round is a broadcast join over a handful of rows
+    — the vector-iteration shape of PageRank on a micro state space."""
+    e = table_scan(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        e.select("user_id", "event_id", "ts", "event_type")
+        .withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .select(F.col("event_type").alias("from_type"), "to_type")
+    )
+    c = t.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("from_type").agg(F.sum("n").alias("tn"))
+    m = c.join(tot, "from_type").selectExpr(
+        "from_type", "to_type", "(n * 1000) div tn AS pm"
+    )
+    states = (
+        c.select(F.col("from_type").alias("s"))
+        .unionByName(c.select(F.col("to_type").alias("s")))
+        .distinct()
+    )
+    p = states.select(
+        "s",
+        F.when(F.col("s") == "purchase", F.lit(1000))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("p"),
+    )
+    for _ in range(4):
+        joined = (
+            states.join(
+                F.broadcast(m.withColumnRenamed("from_type", "s")), "s", "left"
+            )
+            .join(
+                F.broadcast(p.selectExpr("s AS to_type", "p AS pprev")),
+                "to_type",
+                "left",
+            )
+            .groupBy("s")
+            .agg(
+                F.expr("COALESCE(SUM(pm * pprev) div 1000, 0)").alias("acc")
+            )
+        )
+        p = joined.select(
+            "s",
+            F.when(F.col("s") == "purchase", F.lit(1000))
+            .otherwise(F.col("acc"))
+            .cast("long")
+            .alias("p"),
+        )
+    return p.select(F.col("s").alias("event_type"), F.col("p").alias("absorb_permille"))
+
+
+@register(
+    "customer_segment_migration",
+    """
+    WITH span AS (
+      SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+             MAX(CAST(o_orderdate AS DATE)) AS hi
+      FROM orders
+    ),
+    mid AS (
+      SELECT lo + CAST(date_diff('day', lo, hi) // 2 AS INT) AS mid FROM span
+    ),
+    per AS (
+      SELECT o_custkey,
+             CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) < mid.mid
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                            AS BIGINT) ELSE 0 END) AS BIGINT) AS h1,
+             CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) >= mid.mid
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                            AS BIGINT) ELSE 0 END) AS BIGINT) AS h2
+      FROM orders CROSS JOIN mid GROUP BY o_custkey
+    ),
+    cls AS (
+      SELECT o_custkey,
+             CASE WHEN h1 = 0 THEN 'none'
+                  WHEN h1 >= 40000000 THEN 'high'
+                  WHEN h1 >= 15000000 THEN 'mid' ELSE 'low' END AS seg_h1,
+             CASE WHEN h2 = 0 THEN 'none'
+                  WHEN h2 >= 40000000 THEN 'high'
+                  WHEN h2 >= 15000000 THEN 'mid' ELSE 'low' END AS seg_h2
+      FROM per
+    ),
+    g AS (
+      SELECT seg_h1, seg_h2, CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM cls GROUP BY seg_h1, seg_h2
+    ),
+    r AS (SELECT seg_h1, CAST(SUM(n_customers) AS BIGINT) AS row_tot FROM g
+          GROUP BY seg_h1)
+    SELECT g.seg_h1, g.seg_h2, g.n_customers,
+           CAST(g.n_customers * 1000 // r.row_tot AS BIGINT)
+             AS share_permille
+    FROM g JOIN r USING (seg_h1)
+    """,
+)
+def q_customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer segment-migration matrix — the cohort-dynamics view
+    (upgrades/downgrades/churn between value tiers across the two halves
+    of the observation window): per-customer exact cents per half (one
+    conditional aggregate, midpoint anchored on the data's own span so
+    the query is SF-invariant), fixed value-tier classification, and the
+    transition matrix with per-row shares in exact per-mille. The
+    relational form of 'where did our high-value customers go?' — one
+    fact pass + two tiny aggregates."""
+    o = table_scan(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    span = o.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    mid = span.selectExpr(
+        "date_add(lo, CAST(datediff(hi, lo) div 2 AS INT)) AS mid"
+    )
+    per = (
+        o.crossJoin(F.broadcast(mid))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(F.col("d") < F.col("mid"), F.col("cents")).otherwise(0)).alias(
+                "h1"
+            ),
+            F.sum(
+                F.when(F.col("d") >= F.col("mid"), F.col("cents")).otherwise(0)
+            ).alias("h2"),
+        )
+    )
+    seg = (
+        "CASE WHEN {c} = 0 THEN 'none'"
+        " WHEN {c} >= 40000000 THEN 'high'"
+        " WHEN {c} >= 15000000 THEN 'mid' ELSE 'low' END"
+    )
+    cls = per.selectExpr(
+        "o_custkey",
+        seg.format(c="h1") + " AS seg_h1",
+        seg.format(c="h2") + " AS seg_h2",
+    )
+    g = cls.groupBy("seg_h1", "seg_h2").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    r = g.groupBy("seg_h1").agg(F.sum("n_customers").alias("row_tot"))
+    return g.join(F.broadcast(r), "seg_h1").selectExpr(
+        "seg_h1",
+        "seg_h2",
+        "n_customers",
+        "(n_customers * 1000) div row_tot AS share_permille",
+    )
+
+
+@register(
+    "doc_filter_ablation_grid",
+    r"""
+    WITH f AS (
+      SELECT
+        (CASE WHEN TRIM(text) = '' THEN 0
+              ELSE len(string_split_regex(TRIM(text), '\s+')) END) >= 5
+          AS len_ok,
+        (CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                        AS DOUBLE) / length(text) END) >= 0.6 AS alpha_ok,
+        ((CASE WHEN regexp_matches(text, '(^|\s)the(\s|$)') THEN 1 ELSE 0 END)
+       + (CASE WHEN regexp_matches(text, '(^|\s)and(\s|$)') THEN 1 ELSE 0 END)
+       + (CASE WHEN regexp_matches(text, '(^|\s)of(\s|$)') THEN 1 ELSE 0 END))
+          >= 1 AS stop_ok
+      FROM documents
+    )
+    SELECT len_ok, alpha_ok, stop_ok,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           (len_ok AND alpha_ok AND stop_ok) AS survives_all
+    FROM f GROUP BY len_ok, alpha_ok, stop_ok
+    """,
+)
+def q_doc_filter_ablation_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter ablation grid — the table every data-curation paper
+    publishes: document counts for every COMBINATION of the three quality
+    gates (length ≥ 5 tokens, alphabetic ratio ≥ 0.6, ≥ 1 common
+    stopword), so the marginal cost of each gate and their overlap is
+    read straight off the 8 rows (gate A alone = sum of rows with
+    len_ok, etc.). One pass computing three boolean flags JVM-side, one
+    8-key partial agg — the ablation that usually takes 2ᵏ pipeline
+    reruns, as one query."""
+    d = table_scan(spark, sf_dir, "documents")
+    n_tokens = F.when(F.trim(F.col("text")) == "", 0).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    alpha = F.when(F.length("text") == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("double")
+        / F.length("text")
+    )
+    stop_hits = sum(
+        F.when(
+            F.col("text").rlike(rf"(^|\s){w}(\s|$)"), 1
+        ).otherwise(0)
+        for w in ("the", "and", "of")
+    )
+    f = d.select(
+        (n_tokens >= 5).alias("len_ok"),
+        (alpha >= 0.6).alias("alpha_ok"),
+        (stop_hits >= 1).alias("stop_ok"),
+    )
+    return (
+        f.groupBy("len_ok", "alpha_ok", "stop_ok")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "survives_all",
+            F.col("len_ok") & F.col("alpha_ok") & F.col("stop_ok"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

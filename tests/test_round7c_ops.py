@@ -1598,6 +1598,91 @@ class TestWilson:
             assert r["wilson_lower"] <= p  # the bound is conservative
 
 
+class TestMarkovAbsorption:
+    def test_fixed_point_recomputed(self, spark, sf_dir):
+        from collections import defaultdict
+
+        trans = registry.QUERIES["events_markov_transitions"](
+            spark, sf_dir
+        ).collect()
+        pm = defaultdict(dict)
+        states = set()
+        for r in trans:
+            pm[r["from_type"]][r["to_type"]] = r["per_mille"]
+            states |= {r["from_type"], r["to_type"]}
+        p = {s: 1000 if s == "purchase" else 0 for s in states}
+        for _ in range(4):
+            p = {
+                s: 1000
+                if s == "purchase"
+                else sum(v * p[t] for t, v in pm.get(s, {}).items()) // 1000
+                for s in states
+            }
+        got = {
+            r["event_type"]: r["absorb_permille"]
+            for r in registry.QUERIES["events_markov_absorption_4step"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert got == p
+        assert got["purchase"] == 1000
+
+
+class TestSegmentMigration:
+    def test_matrix_consistent(self, spark, sf_dir):
+        rows = registry.QUERIES["customer_segment_migration"](
+            spark, sf_dir
+        ).collect()
+        assert rows
+        n_cust = (
+            table_scan(spark, sf_dir, "orders")
+            .select("o_custkey")
+            .distinct()
+            .count()
+        )
+        assert sum(r["n_customers"] for r in rows) == n_cust
+        from collections import defaultdict
+
+        row_tot = defaultdict(int)
+        for r in rows:
+            row_tot[r["seg_h1"]] += r["n_customers"]
+        for r in rows:
+            assert (
+                r["share_permille"]
+                == r["n_customers"] * 1000 // row_tot[r["seg_h1"]]
+            )
+
+
+class TestFilterAblation:
+    def test_grid_recomputed(self, spark, sf_dir):
+        import re
+
+        docs = table_scan(spark, sf_dir, "documents").select("text").collect()
+        from collections import Counter
+
+        grid = Counter()
+        for r in docs:
+            t = r["text"]
+            n_tok = len(re.split(r"\s+", t.strip())) if t.strip() else 0
+            alpha = (
+                len(re.sub("[^A-Za-z]", "", t)) / len(t) if len(t) else 0.0
+            )
+            stops = sum(
+                1
+                for w in ("the", "and", "of")
+                if re.search(rf"(^|\s){w}(\s|$)", t)
+            )
+            grid[(n_tok >= 5, alpha >= 0.6, stops >= 1)] += 1
+        got = registry.QUERIES["doc_filter_ablation_grid"](
+            spark, sf_dir
+        ).collect()
+        for r in got:
+            key = (r["len_ok"], r["alpha_ok"], r["stop_ok"])
+            assert r["n_docs"] == grid[key]
+            assert r["survives_all"] == all(key)
+        assert sum(r["n_docs"] for r in got) == len(docs)
+
+
 class TestPmi:
     def test_top_pair_matches_bruteforce(self, spark, sf_dir):
         docs = table_scan(spark, sf_dir, "documents").select("text").collect()
