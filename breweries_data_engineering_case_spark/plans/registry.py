@@ -17567,6 +17567,266 @@ def q_doc_filter_ablation_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_uplift_by_activity_band",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 2 AS arm,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pre,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS post
+      FROM events GROUP BY user_id
+    ),
+    banded AS (
+      SELECT CASE WHEN pre < 10 THEN '00-09' WHEN pre < 20 THEN '10-19'
+                  WHEN pre < 30 THEN '20-29' ELSE '30+' END AS pre_band,
+             arm, CASE WHEN post >= 14 THEN 1 ELSE 0 END AS conv
+      FROM per_user
+    ),
+    m AS (
+      SELECT pre_band,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+             CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+               AS conv_t,
+             CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+               AS conv_c
+      FROM banded GROUP BY pre_band
+    )
+    SELECT pre_band, n_t AS n_treatment, n_c AS n_control,
+           conv_t, conv_c,
+           CAST(CASE WHEN n_t = 0 OR n_c = 0 THEN NULL
+                ELSE conv_t * 1000 // n_t - conv_c * 1000 // n_c
+           END AS BIGINT) AS uplift_permille
+    FROM m
+    """,
+)
+def q_events_uplift_by_activity_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous treatment effects by pre-period activity band — the
+    uplift-segmentation view (who does the treatment actually move?):
+    users band by their pre-period event count on FIXED VALUE EDGES (no
+    quantile estimation — bands replay exactly on any engine/shard),
+    arms by portable hash, and per-band uplift = treatment conversion
+    minus control conversion in floored per-mille. The banded extension
+    of the overall z-test/DiD estimators — one per-user aggregate + one
+    band fold."""
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    e = table_scan(spark, sf_dir, "events")
+    from ..functions.hashing import portable_hash64
+
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, 1).otherwise(0)).alias("pre"),
+        F.sum(F.when(F.col("ts") >= cut, 1).otherwise(0)).alias("post"),
+    ).select(
+        F.pmod(portable_hash64(F.col("user_id")), F.lit(2)).alias("arm"),
+        "pre",
+        "post",
+    )
+    banded = per_user.selectExpr(
+        "CASE WHEN pre < 10 THEN '00-09' WHEN pre < 20 THEN '10-19'"
+        " WHEN pre < 30 THEN '20-29' ELSE '30+' END AS pre_band",
+        "arm",
+        "CASE WHEN post >= 14 THEN 1 ELSE 0 END AS conv",
+    )
+    m = banded.groupBy("pre_band").agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_c"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0)).alias(
+            "conv_t"
+        ),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0)).alias(
+            "conv_c"
+        ),
+    )
+    return m.selectExpr(
+        "pre_band",
+        "n_t AS n_treatment",
+        "n_c AS n_control",
+        "conv_t",
+        "conv_c",
+        "CAST(CASE WHEN n_t = 0 OR n_c = 0 THEN NULL"
+        " ELSE (conv_t * 1000) div n_t - (conv_c * 1000) div n_c"
+        " END AS BIGINT) AS uplift_permille",
+    )
+
+
+@register(
+    "orders_second_order_hazard",
+    """
+    WITH r AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY CAST(o_orderdate AS DATE),
+                                         o_orderkey) AS rn
+      FROM orders
+    ),
+    cust AS (
+      SELECT f.o_custkey,
+             CAST(YEAR(f.d) * 12 + MONTH(f.d) - 1 AS BIGINT) AS first_m,
+             CAST(YEAR(s.d) * 12 + MONTH(s.d) - 1 AS BIGINT) AS second_m
+      FROM (SELECT * FROM r WHERE rn = 1) f
+      LEFT JOIN (SELECT * FROM r WHERE rn = 2) s
+        ON s.o_custkey = f.o_custkey
+    ),
+    horizon AS (
+      SELECT CAST(YEAR(MAX(CAST(o_orderdate AS DATE))) * 12
+                  + MONTH(MAX(CAST(o_orderdate AS DATE))) - 1 AS BIGINT)
+               AS max_m
+      FROM orders
+    ),
+    expanded AS (
+      SELECT CAST(k.k AS INT) AS k,
+             CASE WHEN c.second_m IS NOT NULL
+                       AND c.second_m - c.first_m = k.k THEN 1 ELSE 0 END AS d
+      FROM cust c
+      CROSS JOIN horizon h
+      CROSS JOIN (SELECT UNNEST(range(1, 7)) AS k) k
+      WHERE h.max_m - c.first_m >= k.k
+        AND (c.second_m IS NULL OR c.second_m - c.first_m >= k.k)
+    )
+    SELECT k AS month_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_at_risk,
+           CAST(SUM(d) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(d) AS BIGINT) * 1000 // COUNT(*) AS BIGINT)
+             AS hazard_permille
+    FROM expanded GROUP BY k
+    """,
+)
+def q_orders_second_order_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time survival hazard of the second order — retention's
+    survival-analysis form: h(k) = P(second order lands exactly k months
+    after the first | no second order before k AND the customer is
+    observable that long). Right-censoring is handled exactly: a customer
+    only enters month-k's risk set if the data horizon reaches their
+    first-order month + k — the piece naive 'time to second order'
+    averages silently get wrong. The risk-set expansion is a bounded
+    k=1..6 explode over the per-customer row (6× fan on CUSTOMERS, not
+    orders), then one grouped fold; hazards in floored per-mille. Unlike
+    Kaplan-Meier's running product, the discrete hazard is a pure
+    per-bucket ratio — fully exact, no sequential state."""
+    o = table_scan(spark, sf_dir, "orders")
+    wr = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    r = o.select(
+        "o_custkey", "o_orderkey", F.col("o_orderdate").cast("date").alias("d")
+    ).withColumn("rn", F.row_number().over(wr))
+    firsts = r.filter(F.col("rn") == 1).select(
+        "o_custkey",
+        (F.year("d") * 12 + F.month("d") - 1).cast("long").alias("first_m"),
+    )
+    seconds = r.filter(F.col("rn") == 2).select(
+        F.col("o_custkey").alias("ck2"),
+        (F.year("d") * 12 + F.month("d") - 1).cast("long").alias("second_m"),
+    )
+    cust = firsts.join(seconds, firsts["o_custkey"] == seconds["ck2"], "left")
+    horizon = o.agg(
+        (
+            F.year(F.max(F.col("o_orderdate").cast("date"))) * 12
+            + F.month(F.max(F.col("o_orderdate").cast("date")))
+            - 1
+        )
+        .cast("long")
+        .alias("max_m")
+    )
+    expanded = (
+        cust.crossJoin(F.broadcast(horizon))
+        .select(
+            "first_m",
+            "second_m",
+            "max_m",
+            F.explode(F.expr("sequence(1, 6)")).alias("k"),
+        )
+        .filter(
+            (F.col("max_m") - F.col("first_m") >= F.col("k"))
+            & (
+                F.col("second_m").isNull()
+                | (F.col("second_m") - F.col("first_m") >= F.col("k"))
+            )
+        )
+        .select(
+            F.col("k").cast("int").alias("k"),
+            F.when(
+                F.col("second_m").isNotNull()
+                & (F.col("second_m") - F.col("first_m") == F.col("k")),
+                1,
+            )
+            .otherwise(0)
+            .alias("d"),
+        )
+    )
+    return expanded.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_at_risk"),
+        F.sum("d").alias("n_events"),
+    ).selectExpr(
+        "k AS month_offset",
+        "n_at_risk",
+        "n_events",
+        "(n_events * 1000) div n_at_risk AS hazard_permille",
+    )
+
+
+@register(
+    "market_basket_triples",
+    """
+    WITH b AS (
+      SELECT l_orderkey, list_distinct(list(l_partkey)) AS items
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    s AS (SELECT l_orderkey, list_sort(items) AS items FROM b
+          WHERE len(items) >= 3),
+    tri AS (
+      SELECT items[i + 1] AS a, items[j + 1] AS bb, items[k + 1] AS c
+      FROM s,
+           UNNEST(range(len(items))) AS ui(i),
+           UNNEST(range(len(items))) AS uj(j),
+           UNNEST(range(len(items))) AS uk(k)
+      WHERE i < j AND j < k
+    )
+    SELECT a AS item_a, bb AS item_b, c AS item_c,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM tri GROUP BY a, bb, c
+    HAVING COUNT(*) >= 3
+    ORDER BY support DESC, a, bb, c LIMIT 20
+    """,
+)
+def q_market_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets — the next Apriori level above
+    market_basket_pairs: co-purchase triples with support ≥ 3, top-20.
+    Triple generation is ARRAY-SIDE over each sorted basket (C(n,3)
+    combinations via a JVM nested-transform flatten — baskets are ≤7
+    items, so ≤35 triples per order, bounded fan-out with NO basket
+    self-join), then one (a,b,c) partial-agg count and a distributed
+    TakeOrdered. At supermarket scale this is exactly how you'd do it:
+    per-basket combination explode bounded by basket size, never a
+    three-way join."""
+    li = table_scan(spark, sf_dir, "lineitem")
+    b = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    ).filter(F.size("items") >= 3)
+    tri = b.selectExpr(
+        "explode(flatten(flatten("
+        " transform(sequence(0, size(items) - 3), i ->"
+        "  transform(sequence(i + 1, size(items) - 2), j ->"
+        "   transform(sequence(j + 1, size(items) - 1), k ->"
+        "    named_struct('a', items[i], 'b', items[j], 'c', items[k])"
+        "   )))))) AS t"
+    )
+    return (
+        tri.select(
+            F.col("t.a").alias("item_a"),
+            F.col("t.b").alias("item_b"),
+            F.col("t.c").alias("item_c"),
+        )
+        .groupBy("item_a", "item_b", "item_c")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 3)
+        .orderBy(F.desc("support"), "item_a", "item_b", "item_c")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

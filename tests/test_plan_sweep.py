@@ -76,6 +76,7 @@ BNLJ_OK = {
     "recsys_coverage_diversity_eval",  # three 1-row metric scalars
     #   (catalog size, coverage, ILD) cross-joined into the final row
     "customer_segment_migration",  # 1-row midpoint-date scalar broadcast
+    "orders_second_order_hazard",  # 1-row data-horizon scalar broadcast
     "doc_lsh_candidate_eval",  # exact O(n²) ground-truth join on the
     #   bounded 400-doc probe slice (the evaluation harness, not the
     #   serving path — candidates themselves ride the banded equi-join)

@@ -1683,6 +1683,103 @@ class TestFilterAblation:
         assert sum(r["n_docs"] for r in got) == len(docs)
 
 
+class TestUpliftBands:
+    def test_band_arithmetic(self, spark, sf_dir):
+        rows = registry.QUERIES["events_uplift_by_activity_band"](
+            spark, sf_dir
+        ).collect()
+        assert rows
+        for r in rows:
+            if r["n_treatment"] and r["n_control"]:
+                assert r["uplift_permille"] == (
+                    r["conv_t"] * 1000 // r["n_treatment"]
+                    - r["conv_c"] * 1000 // r["n_control"]
+                )
+        # total users across bands == distinct users
+        n_users = (
+            table_scan(spark, sf_dir, "events")
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        assert sum(r["n_treatment"] + r["n_control"] for r in rows) == n_users
+
+
+class TestSecondOrderHazard:
+    def test_hazard_recomputed(self, spark, sf_dir):
+        from collections import defaultdict
+
+        orders = (
+            table_scan(spark, sf_dir, "orders")
+            .selectExpr(
+                "o_custkey",
+                "o_orderkey",
+                "CAST(o_orderdate AS DATE) AS d",
+            )
+            .collect()
+        )
+        per = defaultdict(list)
+        max_m = 0
+        for r in orders:
+            m = r["d"].year * 12 + r["d"].month - 1
+            per[r["o_custkey"]].append((r["d"], r["o_orderkey"], m))
+            max_m = max(max_m, m)
+        risk = defaultdict(int)
+        events = defaultdict(int)
+        for cust, rows_ in per.items():
+            rows_.sort()
+            first_m = rows_[0][2]
+            second_m = rows_[1][2] if len(rows_) > 1 else None
+            for k in range(1, 7):
+                if max_m - first_m < k:
+                    continue
+                if second_m is not None and second_m - first_m < k:
+                    continue
+                risk[k] += 1
+                if second_m is not None and second_m - first_m == k:
+                    events[k] += 1
+        got = {
+            r["month_offset"]: r
+            for r in registry.QUERIES["orders_second_order_hazard"](
+                spark, sf_dir
+            ).collect()
+        }
+        for k in got:
+            r = got[k]
+            assert (r["n_at_risk"], r["n_events"]) == (risk[k], events[k])
+            assert r["hazard_permille"] == events[k] * 1000 // risk[k]
+
+
+class TestBasketTriples:
+    def test_triples_bruteforce(self, spark, sf_dir):
+        from collections import Counter, defaultdict
+        from itertools import combinations
+
+        li = (
+            table_scan(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .collect()
+        )
+        baskets = defaultdict(set)
+        for r in li:
+            baskets[r["l_orderkey"]].add(r["l_partkey"])
+        sup = Counter()
+        for items in baskets.values():
+            for t in combinations(sorted(items), 3):
+                sup[t] += 1
+        ref = sorted(
+            ((c, t) for t, c in sup.items() if c >= 3),
+            key=lambda x: (-x[0], x[1]),
+        )
+        got = registry.QUERIES["market_basket_triples"](
+            spark, sf_dir
+        ).collect()
+        assert [
+            (r["support"], (r["item_a"], r["item_b"], r["item_c"]))
+            for r in got
+        ] == ref[: len(got)]
+
+
 class TestPmi:
     def test_top_pair_matches_bruteforce(self, spark, sf_dir):
         docs = table_scan(spark, sf_dir, "documents").select("text").collect()
