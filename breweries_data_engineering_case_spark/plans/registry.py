@@ -17827,6 +17827,253 @@ def q_market_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_type_affinity_lift",
+    """
+    WITH u AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM u),
+    per AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t FROM u
+            GROUP BY event_type),
+    pair AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM u a JOIN u b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.type_a, p.type_b, p.n_both,
+           CAST((CAST(p.n_both AS HUGEINT) * n.n_users * 1000000)
+                // (CAST(pa.n_t AS HUGEINT) * pb.n_t) AS BIGINT) AS lift_ppm
+    FROM pair p
+    JOIN per pa ON pa.event_type = p.type_a
+    JOIN per pb ON pb.event_type = p.type_b
+    CROSS JOIN n
+    """,
+)
+def q_events_type_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavior-affinity lift matrix — for every pair of event types, does
+    doing one make a user more likely to do the other? lift =
+    P(a∧b)/(P(a)·P(b)) over the distinct user-type grid, cleared to the
+    exact integer n_both·N·10⁶/(n_a·n_b) (>10⁶ = affinity, <10⁶ =
+    substitution). The user-level twin of market-basket lift: one
+    distinct pass, a self-equi-join on user (each user carries ≤5 types —
+    bounded fan), marginals broadcast back. HUGEINT/DECIMAL(38) keeps the
+    triple product exact at any user count."""
+    e = table_scan(spark, sf_dir, "events")
+    u = e.select("user_id", "event_type").distinct().persist()
+    n = u.agg(F.countDistinct("user_id").alias("n_users"))
+    per = u.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a, b = u.alias("a"), u.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    return (
+        pair.join(
+            F.broadcast(per.selectExpr("event_type AS type_a", "n_t AS na")),
+            "type_a",
+        )
+        .join(
+            F.broadcast(per.selectExpr("event_type AS type_b", "n_t AS nb")),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .selectExpr(
+            "type_a",
+            "type_b",
+            "n_both",
+            "CAST((CAST(n_both AS DECIMAL(38,0)) * n_users * 1000000)"
+            " div (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT) AS lift_ppm",
+        )
+    )
+
+
+@register(
+    "lineitem_return_rate_by_discount",
+    """
+    WITH b AS (
+      SELECT CAST(ROUND(l_discount * 100) AS INT) AS discount_pct,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS returned
+      FROM lineitem
+    )
+    SELECT discount_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(returned) AS BIGINT) AS n_returned,
+           CAST(CAST(SUM(returned) AS BIGINT) * 1000 // COUNT(*) AS BIGINT)
+             AS return_rate_permille
+    FROM b GROUP BY discount_pct
+    """,
+)
+def q_lineitem_return_rate_by_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return rate by discount band — the 'do discounted items come back
+    more?' diagnostic: discount quantized to exact integer percent (the
+    data's own grid), return share in floored per-mille. One partial-agg
+    pass over the fact table, ≤11 output rows — the canonical
+    rate-by-band report shape."""
+    li = table_scan(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_discount") * 100).cast("int").alias("discount_pct"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("returned"),
+    )
+    return li.groupBy("discount_pct").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("returned").alias("n_returned"),
+    ).selectExpr(
+        "discount_pct",
+        "n_lines",
+        "n_returned",
+        "(n_returned * 1000) div n_lines AS return_rate_permille",
+    )
+
+
+def _multimodal_keep_oracle() -> str:
+    """Golden oracle for the cross-modality dedup keep list: re-derive
+    BOTH modality pair sets (image dHash ≤7 Hamming, audio exact FFT
+    fingerprint) with pure Python / numpy from the asset recipes, then
+    run the transitive closure + keep-min in SQL over the frozen pairs."""
+    import io as _io
+    import wave as _wave
+
+    import numpy as _np
+
+    # image dhashes (recipe of synthetic_near_dup_images, ids 0..47)
+    w, h = 16, 12
+    hv = {}
+    for i in range(48):
+        g, v = divmod(i, 3)
+        px = [(x * 3 + y * 5 + g * 17) % 256 for y in range(h) for x in range(w)]
+        for k in range(2 * v):
+            pos = (g * 7 + k * 13) % (w * h)
+            px[pos] = (px[pos] + 128) % 256
+        out = 0
+        for y in range(8):
+            for x in range(7):
+                a = px[(y * h // 8) * w + (x * w // 8)]
+                b = px[(y * h // 8) * w + ((x + 1) * w // 8)]
+                if b > a:
+                    out |= 1 << (y * 7 + x)
+        hv[i] = out
+    pairs = [
+        (a, b)
+        for a in hv
+        for b in hv
+        if a < b and bin(hv[a] ^ hv[b]).count("1") <= 7
+    ]
+    # audio fingerprints (recipe of synthetic_audio_set, ids 1000..1035)
+    rate, nfr, frame = 8000, 8192, 1024
+    fp = {}
+    for i in range(36):
+        g, v = divmod(i, 3)
+        freq = 300 + 40 * g
+        t = _np.arange(nfr) / rate
+        samples = _np.round(
+            (2000 + 300 * v) * _np.sin(2 * _np.pi * freq * t + 0.7 * v)
+        ).astype("<i2")
+        buf = _io.BytesIO()
+        with _wave.open(buf, "wb") as wv:
+            wv.setnchannels(1)
+            wv.setsampwidth(2)
+            wv.setframerate(rate)
+            wv.writeframes(samples.tobytes())
+        with _wave.open(_io.BytesIO(buf.getvalue()), "rb") as wv:
+            raw = wv.readframes(wv.getnframes())
+        s = _np.frombuffer(raw, dtype="<i2")
+        f = 0
+        for fr in range(6):
+            seg = s[fr * frame : (fr + 1) * frame]
+            mag = _np.abs(_np.fft.rfft(seg.astype(_np.float64)))
+            f = f * 1024 + int(_np.argmax(mag[1:])) + 1
+        fp[1000 + i] = f
+    from collections import defaultdict
+
+    byfp = defaultdict(list)
+    for i, f in fp.items():
+        byfp[f].append(i)
+    for ids in byfp.values():
+        ids.sort()
+        for ix, a in enumerate(ids):
+            for b in ids[ix + 1 :]:
+                pairs.append((a, b))
+    assets = sorted(set(hv) | set(fp))
+    pvals = ", ".join(f"({a}, {b})" for a, b in sorted(pairs))
+    avals = ", ".join(f"({a})" for a in assets)
+    return f"""
+    WITH RECURSIVE assets(id) AS (VALUES {avals}),
+    e(u, v) AS (VALUES {pvals}),
+    sym AS (SELECT u AS a, v AS b FROM e UNION SELECT v, u FROM e),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    comp AS (
+      SELECT assets.id,
+             CAST(LEAST(assets.id, COALESCE(MIN(r.b), assets.id)) AS BIGINT)
+               AS component
+      FROM assets LEFT JOIN reach r ON r.a = assets.id
+      GROUP BY assets.id
+    )
+    SELECT id AS asset_id, component,
+           id = component AS is_kept
+    FROM comp
+    """
+
+
+@register("multimodal_dedup_keep_list", _multimodal_keep_oracle())
+def q_multimodal_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality dedup keep list — the media twin of the text
+    dedup_cascade_funnel: image near-dup pairs (dHash banded Hamming) and
+    audio duplicate pairs (FFT fingerprint buckets) pool into ONE edge
+    set over a disjoint asset-id space (audio offset by 1000), weakly-
+    connected components cluster transitively-linked variants, and the
+    min-id per component is kept — exactly how a production media-dedup
+    decision composes per-modality detectors into one survivorship
+    verdict. Reuses the oracle-checked dedup primitives + the
+    components operator (pointer jumping); the golden oracle re-derives
+    both modality pair sets independently and replays the closure with
+    WITH RECURSIVE."""
+    from ..operators.components import connected_components
+    from ..operators.multimodal import (
+        audio_fingerprint,
+        dhash_near_dup_pairs,
+        fingerprint_dup_pairs,
+        image_dhash,
+        synthetic_audio_set,
+        synthetic_near_dup_images,
+    )
+
+    img_pairs = dhash_near_dup_pairs(
+        image_dhash(synthetic_near_dup_images(spark, 48)), max_hamming=7
+    ).select("id_a", "id_b")
+    aud = synthetic_audio_set(spark, 36).withColumn(
+        "asset_id", F.col("asset_id") + 1000
+    )
+    aud_pairs = fingerprint_dup_pairs(audio_fingerprint(aud)).select(
+        "id_a", "id_b"
+    )
+    edges = img_pairs.unionByName(aud_pairs)
+    img_ids = spark.range(48).select(F.col("id").alias("node"))
+    aud_ids = spark.range(1000, 1036).select(F.col("id").alias("node"))
+    vertices = img_ids.unionByName(aud_ids)
+    comp = connected_components(
+        vertices, edges, id_col="node", src_col="id_a", dst_col="id_b"
+    )
+    return comp.select(
+        F.col("node").alias("asset_id"),
+        "component",
+        (F.col("node") == F.col("component")).alias("is_kept"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

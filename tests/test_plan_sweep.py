@@ -77,6 +77,7 @@ BNLJ_OK = {
     #   (catalog size, coverage, ILD) cross-joined into the final row
     "customer_segment_migration",  # 1-row midpoint-date scalar broadcast
     "orders_second_order_hazard",  # 1-row data-horizon scalar broadcast
+    "events_type_affinity_lift",  # 1-row user-count scalar broadcast
     "doc_lsh_candidate_eval",  # exact O(n²) ground-truth join on the
     #   bounded 400-doc probe slice (the evaluation harness, not the
     #   serving path — candidates themselves ride the banded equi-join)

@@ -1780,6 +1780,63 @@ class TestBasketTriples:
         ] == ref[: len(got)]
 
 
+class TestAffinityLift:
+    def test_lift_recomputed(self, spark, sf_dir):
+        from collections import Counter, defaultdict
+
+        u = (
+            table_scan(spark, sf_dir, "events")
+            .select("user_id", "event_type")
+            .distinct()
+            .collect()
+        )
+        by_user = defaultdict(set)
+        for r in u:
+            by_user[r["user_id"]].add(r["event_type"])
+        n_users = len(by_user)
+        per = Counter(t for ts in by_user.values() for t in ts)
+        both = Counter()
+        for ts in by_user.values():
+            s = sorted(ts)
+            for i, a in enumerate(s):
+                for b in s[i + 1 :]:
+                    both[(a, b)] += 1
+        got = {
+            (r["type_a"], r["type_b"]): (r["n_both"], r["lift_ppm"])
+            for r in registry.QUERIES["events_type_affinity_lift"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert set(got) == set(both)
+        for (ta, tb), (nb, lift) in got.items():
+            assert nb == both[(ta, tb)]
+            assert lift == nb * n_users * 1_000_000 // (per[ta] * per[tb])
+
+
+class TestMultimodalKeepList:
+    def test_keep_list_properties(self, spark, sf_dir):
+        rows = registry.QUERIES["multimodal_dedup_keep_list"](
+            spark, sf_dir
+        ).collect()
+        assert len(rows) == 48 + 36
+        comp = {r["asset_id"]: r["component"] for r in rows}
+        kept = {r["asset_id"] for r in rows if r["is_kept"]}
+        # image and audio id spaces never merge (disjoint edges)
+        for aid, c in comp.items():
+            assert (aid < 1000) == (c < 1000)
+        # component representative is kept, is the min of its members
+        from collections import defaultdict
+
+        members = defaultdict(list)
+        for aid, c in comp.items():
+            members[c].append(aid)
+        for c, ms in members.items():
+            assert min(ms) == c and c in kept
+        # audio planted groups of 3 collapse to one survivor each
+        audio_kept = {a for a in kept if a >= 1000}
+        assert len(audio_kept) <= 12
+
+
 class TestPmi:
     def test_top_pair_matches_bruteforce(self, spark, sf_dir):
         docs = table_scan(spark, sf_dir, "documents").select("text").collect()
