@@ -18074,6 +18074,315 @@ def q_multimodal_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "simpsons_reversal_detector",
+    """
+    WITH b AS (
+      SELECT p.p_brand,
+             CASE WHEN l.l_discount >= 0.05 THEN 1 ELSE 0 END AS grp,
+             CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    strata AS (
+      SELECT p_brand,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+             CAST(SUM(CASE WHEN grp = 1 THEN ret ELSE 0 END) AS BIGINT)
+               AS r_hi,
+             CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+             CAST(SUM(CASE WHEN grp = 0 THEN ret ELSE 0 END) AS BIGINT)
+               AS r_lo
+      FROM b GROUP BY p_brand
+    ),
+    overall AS (
+      SELECT CAST(SUM(n_hi) AS BIGINT) AS on_hi,
+             CAST(SUM(r_hi) AS BIGINT) AS or_hi,
+             CAST(SUM(n_lo) AS BIGINT) AS on_lo,
+             CAST(SUM(r_lo) AS BIGINT) AS or_lo
+      FROM strata
+    )
+    SELECT s.p_brand, s.n_hi, s.r_hi, s.n_lo, s.r_lo,
+           (o.or_hi * o.on_lo > o.or_lo * o.on_hi) AS overall_hi_worse,
+           CASE WHEN s.n_hi = 0 OR s.n_lo = 0 THEN NULL
+                ELSE s.r_hi * s.n_lo > s.r_lo * s.n_hi END AS stratum_hi_worse,
+           CASE WHEN s.n_hi = 0 OR s.n_lo = 0 THEN NULL
+                ELSE (s.r_hi * s.n_lo > s.r_lo * s.n_hi)
+                     <> (o.or_hi * o.on_lo > o.or_lo * o.on_hi) END
+             AS is_reversal
+    FROM strata s CROSS JOIN overall o
+    """,
+)
+def q_simpsons_reversal_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox detector — does the discount→returns association
+    FLIP inside strata? The aggregation trap every analyst eventually
+    hits, as a query: compare the high-discount vs low-discount return
+    rate overall and within each brand stratum, all comparisons
+    CROSS-MULTIPLIED (r₁n₂ > r₂n₁ — no division, no float, no ties
+    ambiguity), and flag strata whose direction contradicts the marginal.
+    One fact pass building the 2×2 per stratum, one overall fold
+    broadcast back. A reversal row is the signal to condition on the
+    stratum before drawing the causal conclusion."""
+    li = table_scan(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.when(F.col("l_discount") >= 0.05, 1).otherwise(0).alias("grp"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+    )
+    p = table_scan(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    strata = b.groupBy("p_brand").agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n_hi"),
+        F.sum(F.when(F.col("grp") == 1, F.col("ret")).otherwise(0)).alias("r_hi"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("n_lo"),
+        F.sum(F.when(F.col("grp") == 0, F.col("ret")).otherwise(0)).alias("r_lo"),
+    )
+    overall = strata.agg(
+        F.sum("n_hi").alias("on_hi"),
+        F.sum("r_hi").alias("or_hi"),
+        F.sum("n_lo").alias("on_lo"),
+        F.sum("r_lo").alias("or_lo"),
+    )
+    return strata.crossJoin(F.broadcast(overall)).selectExpr(
+        "p_brand",
+        "n_hi",
+        "r_hi",
+        "n_lo",
+        "r_lo",
+        "(or_hi * on_lo > or_lo * on_hi) AS overall_hi_worse",
+        "CASE WHEN n_hi = 0 OR n_lo = 0 THEN NULL"
+        " ELSE r_hi * n_lo > r_lo * n_hi END AS stratum_hi_worse",
+        "CASE WHEN n_hi = 0 OR n_lo = 0 THEN NULL"
+        " ELSE (r_hi * n_lo > r_lo * n_hi)"
+        "      <> (or_hi * on_lo > or_lo * on_hi) END AS is_reversal",
+    )
+
+
+@register(
+    "events_anomaly_consensus",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(dayofweek(CAST(ts AS DATE)) AS INT) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2, 3
+    ),
+    g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM daily GROUP BY event_type
+    ),
+    gd AS (
+      SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS nd,
+             CAST(SUM(x) AS BIGINT) AS sd,
+             CAST(SUM(x * x) AS BIGINT) AS sdd
+      FROM daily GROUP BY event_type, dow
+    )
+    SELECT d.event_type, d.day, d.x,
+           (1000 * d.x - g.sx * 1000 // g.n)
+             * (1000 * d.x - g.sx * 1000 // g.n)
+             > 9000 * (g.sx * 1000 // g.n) AS poisson_flag,
+           CASE WHEN g.n <= 1 THEN NULL
+                ELSE CAST(d.x * g.n - g.sx AS HUGEINT)
+                     * (d.x * g.n - g.sx) * (g.n - 1)
+                     > CAST(9 AS HUGEINT) * g.n
+                       * (g.n * g.sxx - g.sx * g.sx) END AS zscore_flag,
+           CASE WHEN gd.nd <= 1 THEN NULL
+                ELSE CAST(d.x * gd.nd - gd.sd AS HUGEINT)
+                     * (d.x * gd.nd - gd.sd) * (gd.nd - 1)
+                     > CAST(9 AS HUGEINT) * gd.nd
+                       * (gd.nd * gd.sdd - gd.sd * gd.sd) END
+             AS weekday_adjusted_flag,
+           (CASE WHEN (1000 * d.x - g.sx * 1000 // g.n)
+                      * (1000 * d.x - g.sx * 1000 // g.n)
+                      > 9000 * (g.sx * 1000 // g.n) THEN 1 ELSE 0 END
+          + CASE WHEN g.n > 1 AND CAST(d.x * g.n - g.sx AS HUGEINT)
+                      * (d.x * g.n - g.sx) * (g.n - 1)
+                      > CAST(9 AS HUGEINT) * g.n
+                        * (g.n * g.sxx - g.sx * g.sx) THEN 1 ELSE 0 END
+          + CASE WHEN gd.nd > 1 AND CAST(d.x * gd.nd - gd.sd AS HUGEINT)
+                      * (d.x * gd.nd - gd.sd) * (gd.nd - 1)
+                      > CAST(9 AS HUGEINT) * gd.nd
+                        * (gd.nd * gd.sdd - gd.sd * gd.sd) THEN 1 ELSE 0 END)
+             >= 2 AS consensus_anomaly
+    FROM daily d
+    JOIN g ON g.event_type = d.event_type
+    JOIN gd ON gd.event_type = d.event_type AND gd.dow = d.dow
+    """,
+)
+def q_events_anomaly_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble anomaly detection — three detectors vote per (series,
+    day), all as EXACT cross-multiplied integer inequalities: (1) Poisson
+    (x−λ)²>9λ against the per-mille mean, (2) a 3σ z-flag against the
+    series' own variance — (xn−Σx)²(n−1) > 9n(nΣx²−(Σx)²), and (3) the
+    same z-flag against the DAY-OF-WEEK conditional distribution (so a
+    busy-Monday spike isn't an anomaly if Mondays are always busy —
+    the seasonally-adjusted detector). consensus = majority (≥2).
+    Detector disagreement is the interesting output: poisson-only flags
+    mean overdispersion, weekday-only flags mean seasonality. One daily
+    roll-up + two broadcast stat joins; no float, no sqrt."""
+    e = table_scan(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        (F.dayofweek(F.col("ts").cast("date")) - 1).cast("int").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    g = daily.groupBy(F.col("event_type").alias("et_g")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    gd = daily.groupBy(
+        F.col("event_type").alias("et_d"), F.col("dow").alias("dow_d")
+    ).agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("x").alias("sd"),
+        F.sum(F.col("x") * F.col("x")).alias("sdd"),
+    )
+    j = daily.join(
+        F.broadcast(g), daily["event_type"] == g["et_g"]
+    ).join(
+        F.broadcast(gd),
+        (daily["event_type"] == gd["et_d"]) & (daily["dow"] == gd["dow_d"]),
+    )
+    pois = (
+        "(1000 * x - (sx * 1000) div n) * (1000 * x - (sx * 1000) div n)"
+        " > 9000 * ((sx * 1000) div n)"
+    )
+    zg = (
+        "CAST(x * n - sx AS DECIMAL(38,0)) * (x * n - sx) * (n - 1)"
+        " > CAST(9 AS DECIMAL(38,0)) * n * (n * sxx - sx * sx)"
+    )
+    zd = (
+        "CAST(x * nd - sd AS DECIMAL(38,0)) * (x * nd - sd) * (nd - 1)"
+        " > CAST(9 AS DECIMAL(38,0)) * nd * (nd * sdd - sd * sd)"
+    )
+    return j.selectExpr(
+        "event_type",
+        "day",
+        "x",
+        f"{pois} AS poisson_flag",
+        f"CASE WHEN n <= 1 THEN NULL ELSE {zg} END AS zscore_flag",
+        f"CASE WHEN nd <= 1 THEN NULL ELSE {zd} END"
+        " AS weekday_adjusted_flag",
+        f"(CASE WHEN {pois} THEN 1 ELSE 0 END"
+        f" + CASE WHEN n > 1 AND {zg} THEN 1 ELSE 0 END"
+        f" + CASE WHEN nd > 1 AND {zd} THEN 1 ELSE 0 END) >= 2"
+        " AS consensus_anomaly",
+    )
+
+
+@register(
+    "graph_bfs_distance_histogram",
+    """
+    WITH li AS (
+      SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+      WHERE l_partkey % 13 = 0
+    ),
+    e AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    ),
+    v AS (SELECT DISTINCT p AS node FROM li),
+    src AS (SELECT MIN(node) AS s FROM v),
+    sym AS (SELECT u AS a, v AS b FROM e UNION SELECT v AS a, u AS b FROM e),
+    d0 AS (SELECT v.node,
+                  CASE WHEN v.node = src.s THEN 0 END AS dist
+           FROM v CROSS JOIN src),
+    d1 AS (
+      SELECT d.node,
+             CASE WHEN d.dist IS NOT NULL THEN d.dist
+                  WHEN MIN(p.dist) IS NOT NULL THEN MIN(p.dist) + 1 END
+               AS dist
+      FROM d0 d
+      LEFT JOIN sym s ON s.a = d.node
+      LEFT JOIN d0 p ON p.node = s.b
+      GROUP BY d.node, d.dist
+    ),
+    d2 AS (
+      SELECT d.node,
+             CASE WHEN d.dist IS NOT NULL THEN d.dist
+                  WHEN MIN(p.dist) IS NOT NULL THEN MIN(p.dist) + 1 END
+               AS dist
+      FROM d1 d
+      LEFT JOIN sym s ON s.a = d.node
+      LEFT JOIN d1 p ON p.node = s.b
+      GROUP BY d.node, d.dist
+    ),
+    d3 AS (
+      SELECT d.node,
+             CASE WHEN d.dist IS NOT NULL THEN d.dist
+                  WHEN MIN(p.dist) IS NOT NULL THEN MIN(p.dist) + 1 END
+               AS dist
+      FROM d2 d
+      LEFT JOIN sym s ON s.a = d.node
+      LEFT JOIN d2 p ON p.node = s.b
+      GROUP BY d.node, d.dist
+    ),
+    d4 AS (
+      SELECT d.node,
+             CASE WHEN d.dist IS NOT NULL THEN d.dist
+                  WHEN MIN(p.dist) IS NOT NULL THEN MIN(p.dist) + 1 END
+               AS dist
+      FROM d3 d
+      LEFT JOIN sym s ON s.a = d.node
+      LEFT JOIN d3 p ON p.node = s.b
+      GROUP BY d.node, d.dist
+    )
+    SELECT CAST(COALESCE(dist, -1) AS INT) AS distance,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM d4 GROUP BY COALESCE(dist, -1)
+    """,
+)
+def q_graph_bfs_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS distance histogram from the min-id source — the small-world
+    diagnostic (how many nodes sit k hops out? how many are unreachable
+    within the frontier?): 4 synchronous BFS rounds on the modulo-sampled
+    co-purchase graph, each round one edge⋈distance join + per-node MIN
+    fold (the PageRank/LPA per-round shape), nodes still unlabelled after
+    4 hops reported as distance −1. Distances are set-once-monotone so
+    the sync unrolling is exactly Dijkstra-on-unit-weights; the oracle
+    replays all 4 rounds."""
+    li = (
+        table_scan(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 13 == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    vertices = li.select(F.col("p").alias("node")).distinct()
+    src = vertices.agg(F.min("node").alias("s"))
+    sym = edges.selectExpr("u AS a2", "v AS b2").unionByName(
+        edges.selectExpr("v AS a2", "u AS b2")
+    ).distinct()
+    d = vertices.crossJoin(F.broadcast(src)).select(
+        "node", F.when(F.col("node") == F.col("s"), 0).alias("dist")
+    )
+    for _ in range(4):
+        nbr = (
+            sym.join(
+                d.selectExpr("node AS b2", "dist AS nd"), "b2"
+            )
+            .groupBy(F.col("a2").alias("node"))
+            .agg(F.min("nd").alias("min_nbr"))
+        )
+        d = d.join(nbr, "node", "left").select(
+            "node",
+            F.when(F.col("dist").isNotNull(), F.col("dist"))
+            .otherwise(
+                F.when(F.col("min_nbr").isNotNull(), F.col("min_nbr") + 1)
+            )
+            .alias("dist"),
+        )
+    return (
+        d.select(F.coalesce(F.col("dist"), F.lit(-1)).cast("int").alias("distance"))
+        .groupBy("distance")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

@@ -78,6 +78,8 @@ BNLJ_OK = {
     "customer_segment_migration",  # 1-row midpoint-date scalar broadcast
     "orders_second_order_hazard",  # 1-row data-horizon scalar broadcast
     "events_type_affinity_lift",  # 1-row user-count scalar broadcast
+    "simpsons_reversal_detector",  # 1-row overall-2x2 scalar broadcast
+    "graph_bfs_distance_histogram",  # 1-row source-node scalar broadcast
     "doc_lsh_candidate_eval",  # exact O(n²) ground-truth join on the
     #   bounded 400-doc probe slice (the evaluation harness, not the
     #   serving path — candidates themselves ride the banded equi-join)

@@ -1837,6 +1837,89 @@ class TestMultimodalKeepList:
         assert len(audio_kept) <= 12
 
 
+class TestSimpsonsDetector:
+    def test_cross_multiplied_directions(self, spark, sf_dir):
+        rows = registry.QUERIES["simpsons_reversal_detector"](
+            spark, sf_dir
+        ).collect()
+        assert rows
+        on_hi = sum(r["n_hi"] for r in rows)
+        or_hi = sum(r["r_hi"] for r in rows)
+        on_lo = sum(r["n_lo"] for r in rows)
+        or_lo = sum(r["r_lo"] for r in rows)
+        overall = or_hi * on_lo > or_lo * on_hi
+        for r in rows:
+            assert r["overall_hi_worse"] == overall
+            if r["n_hi"] and r["n_lo"]:
+                stratum = r["r_hi"] * r["n_lo"] > r["r_lo"] * r["n_hi"]
+                assert r["stratum_hi_worse"] == stratum
+                assert r["is_reversal"] == (stratum != overall)
+            else:
+                assert r["is_reversal"] is None
+
+
+class TestAnomalyConsensus:
+    def test_vote_arithmetic(self, spark, sf_dir):
+        rows = registry.QUERIES["events_anomaly_consensus"](
+            spark, sf_dir
+        ).collect()
+        assert rows
+        for r in rows:
+            votes = sum(
+                1
+                for f in (
+                    r["poisson_flag"],
+                    r["zscore_flag"],
+                    r["weekday_adjusted_flag"],
+                )
+                if f is True
+            )
+            assert r["consensus_anomaly"] == (votes >= 2)
+
+
+class TestBfsHistogram:
+    def test_distances_bruteforce(self, spark, sf_dir):
+        from collections import defaultdict, deque, Counter
+
+        li = (
+            table_scan(spark, sf_dir, "lineitem")
+            .filter(F.col("l_partkey") % 13 == 0)
+            .select("l_orderkey", "l_partkey")
+            .collect()
+        )
+        by_order = defaultdict(set)
+        for r in li:
+            by_order[r["l_orderkey"]].add(r["l_partkey"])
+        adj = defaultdict(set)
+        nodes = set()
+        for parts in by_order.values():
+            ps = sorted(parts)
+            nodes |= parts
+            for i, u in enumerate(ps):
+                for v in ps[i + 1 :]:
+                    adj[u].add(v)
+                    adj[v].add(u)
+        src = min(nodes)
+        dist = {src: 0}
+        frontier = deque([src])
+        while frontier:
+            u = frontier.popleft()
+            if dist[u] >= 4:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    frontier.append(v)
+        hist = Counter(min(dist.get(n, -1), 4) if dist.get(n, -1) != -1 else -1 for n in nodes)
+        got = {
+            r["distance"]: r["n_nodes"]
+            for r in registry.QUERIES["graph_bfs_distance_histogram"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert got == dict(hist)
+
+
 class TestPmi:
     def test_top_pair_matches_bruteforce(self, spark, sf_dir):
         docs = table_scan(spark, sf_dir, "documents").select("text").collect()
