@@ -18383,6 +18383,232 @@ def q_graph_bfs_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register(
+    "embedding_centroid_shift_by_label",
+    """
+    WITH e AS (
+      SELECT vec_id, label, vec_id % 2 AS half, i,
+             CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS qx
+      FROM (SELECT vec_id, label, UNNEST(embedding) AS x,
+                   UNNEST(range(len(embedding))) AS i FROM embeddings)
+    ),
+    s AS (
+      SELECT label, CAST(i AS INT) AS i,
+             CAST(SUM(CASE WHEN half = 0 THEN qx ELSE 0 END) AS BIGINT) AS s0,
+             CAST(SUM(CASE WHEN half = 1 THEN qx ELSE 0 END) AS BIGINT) AS s1
+      FROM e GROUP BY label, i
+    ),
+    n AS (
+      SELECT label,
+             CAST(COUNT(DISTINCT CASE WHEN half = 0 THEN vec_id END)
+                  AS BIGINT) AS n0,
+             CAST(COUNT(DISTINCT CASE WHEN half = 1 THEN vec_id END)
+                  AS BIGINT) AS n1
+      FROM e GROUP BY label
+    )
+    SELECT s.label, n.n0 AS n_half0, n.n1 AS n_half1,
+           CAST(CASE WHEN n.n0 = 0 OR n.n1 = 0 THEN NULL
+                ELSE SUM((CAST(s.s0 AS HUGEINT) * n.n1
+                          - CAST(s.s1 AS HUGEINT) * n.n0)
+                         * (CAST(s.s0 AS HUGEINT) * n.n1
+                            - CAST(s.s1 AS HUGEINT) * n.n0))
+                     // (CAST(n.n0 AS HUGEINT) * n.n0 * n.n1 * n.n1)
+           END AS BIGINT) AS shift_sq_micro2
+    FROM s JOIN n ON n.label = s.label
+    GROUP BY s.label, n.n0, n.n1
+    """,
+)
+def q_embedding_centroid_shift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor — per label, the squared distance between
+    the centroids of two data halves (by vec_id parity — the stand-in for
+    train-window vs serve-window): ‖S₀/n₀ − S₁/n₁‖², held EXACT by
+    clearing denominators per dimension — Σ(S₀n₁−S₁n₀)²/(n₀n₁)² in
+    HUGEINT/DECIMAL(38), one floor at the end. A drifting encoder or
+    shifting data mix shows up here before any downstream metric moves —
+    the embedding twin of the tabular drift family. One explode + one
+    (label, dim) partial agg; the 64-dim centroid tables are broadcast-
+    scale forever."""
+    e = table_scan(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.pmod(F.col("vec_id"), F.lit(2)).alias("half"),
+        F.posexplode(
+            F.expr(
+                "transform(embedding, x ->"
+                " CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+            )
+        ).alias("i", "qx"),
+    )
+    s = e.groupBy("label", F.col("i").cast("int").alias("i")).agg(
+        F.sum(F.when(F.col("half") == 0, F.col("qx")).otherwise(0)).alias("s0"),
+        F.sum(F.when(F.col("half") == 1, F.col("qx")).otherwise(0)).alias("s1"),
+    )
+    n = (
+        table_scan(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(
+            F.countDistinct(
+                F.when(F.pmod(F.col("vec_id"), F.lit(2)) == 0, F.col("vec_id"))
+            ).alias("n0"),
+            F.countDistinct(
+                F.when(F.pmod(F.col("vec_id"), F.lit(2)) == 1, F.col("vec_id"))
+            ).alias("n1"),
+        )
+    )
+    return (
+        s.join(F.broadcast(n), "label")
+        .groupBy("label", "n0", "n1")
+        .agg(
+            F.sum(
+                F.expr(
+                    "(CAST(s0 AS DECIMAL(38,0)) * n1"
+                    " - CAST(s1 AS DECIMAL(38,0)) * n0)"
+                    " * (CAST(s0 AS DECIMAL(38,0)) * n1"
+                    "    - CAST(s1 AS DECIMAL(38,0)) * n0)"
+                )
+            ).alias("num")
+        )
+        .selectExpr(
+            "label",
+            "n0 AS n_half0",
+            "n1 AS n_half1",
+            "CAST(CASE WHEN n0 = 0 OR n1 = 0 THEN NULL"
+            " ELSE num div (CAST(n0 AS DECIMAL(38,0)) * n0 * n1 * n1)"
+            " END AS BIGINT) AS shift_sq_micro2",
+        )
+    )
+
+
+@register(
+    "doc_dup_rate_by_source",
+    """
+    WITH h AS (
+      SELECT doc_id, source, md5(text) AS fp FROM documents
+    ),
+    g AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY fp),
+    flagged AS (
+      SELECT h.source, CASE WHEN g.n > 1 THEN 1 ELSE 0 END AS is_dup
+      FROM h JOIN g ON g.fp = h.fp
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+           CAST(CAST(SUM(is_dup) AS BIGINT) * 1000 // COUNT(*) AS BIGINT)
+             AS dup_rate_permille
+    FROM flagged GROUP BY source
+    """,
+)
+def q_doc_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-contamination rate per source — WHICH feed is polluting
+    the corpus? Every doc whose exact md5 fingerprint appears more than
+    once (corpus-wide, so cross-source copies count against BOTH sources)
+    flags as duplicated; per-source rate in floored per-mille. The
+    curation dashboard number that decides which crawler to fix: one
+    fingerprint pass, one group count, one fingerprint-keyed join back —
+    all partial-agg shapes."""
+    d = table_scan(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(F.col("text")).alias("fp")
+    )
+    g = d.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+    flagged = d.join(g, "fp").select(
+        "source", F.when(F.col("n") > 1, 1).otherwise(0).alias("is_dup")
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_dup").alias("n_dup_docs"),
+    ).selectExpr(
+        "source",
+        "n_docs",
+        "n_dup_docs",
+        "(n_dup_docs * 1000) div n_docs AS dup_rate_permille",
+    )
+
+
+@register(
+    "orders_aov_mann_kendall",
+    """
+    WITH m AS (
+      SELECT CAST(YEAR(CAST(o_orderdate AS DATE)) * 12
+                  + MONTH(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS mm,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT))
+                  // COUNT(*) AS BIGINT) AS aov
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CASE WHEN b.aov > a.aov THEN 1
+                  WHEN b.aov < a.aov THEN -1 ELSE 0 END AS sgn
+      FROM m a JOIN m b ON b.mm > a.mm
+    ),
+    stat AS (
+      SELECT CAST(SUM(sgn) AS BIGINT) AS s,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM m) AS n
+      FROM pairs
+    )
+    SELECT n AS n_months, s AS mk_s,
+           CAST(CASE WHEN n < 3 THEN NULL
+                ELSE CASE WHEN s > 0
+                  THEN (CAST(s - 1 AS HUGEINT) * (s - 1) * 18 * 1000000)
+                       // (CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5))
+                  WHEN s < 0
+                  THEN -((CAST(s + 1 AS HUGEINT) * (s + 1) * 18 * 1000000)
+                         // (CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5)))
+                  ELSE 0 END
+           END AS BIGINT) AS signed_z2_ppm
+    FROM stat
+    """,
+)
+def q_orders_aov_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test on monthly average order value — the
+    NONPARAMETRIC trend detector (no linearity assumption, immune to
+    outliers — the hydrology-standard complement to the OLS slope
+    queries): S = Σ sign(xⱼ−xᵢ) over all month pairs, and the
+    continuity-corrected z² = (|S|−1)²·18/(n(n−1)(2n+5)) as an exact
+    signed HUGEINT rational in ppm (sign carries the trend direction;
+    |z²| ≥ 3.84·10⁶ ⇒ significant at 5 %). No tie correction (integer
+    AOVs tie rarely; both engines apply the identical formula). The
+    month-pair join is O(months²) over the pre-aggregated series — 80
+    months ⇒ 3160 pairs, independent of order count."""
+    o = table_scan(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (
+            F.year(F.col("o_orderdate").cast("date")) * 12
+            + F.month(F.col("o_orderdate").cast("date"))
+            - 1
+        )
+        .cast("long")
+        .alias("mm")
+    ).agg(
+        F.expr(
+            "SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))"
+            " div COUNT(*)"
+        ).alias("aov")
+    )
+    a, b = m.alias("a"), m.alias("b")
+    pairs = a.join(b, F.col("b.mm") > F.col("a.mm")).select(
+        F.when(F.col("b.aov") > F.col("a.aov"), 1)
+        .when(F.col("b.aov") < F.col("a.aov"), -1)
+        .otherwise(0)
+        .alias("sgn")
+    )
+    n_months = m.agg(F.count(F.lit(1)).alias("n"))
+    stat = pairs.agg(F.sum("sgn").alias("s")).crossJoin(
+        F.broadcast(n_months)
+    )
+    return stat.selectExpr(
+        "n AS n_months",
+        "s AS mk_s",
+        "CAST(CASE WHEN n < 3 THEN NULL"
+        " ELSE CASE WHEN s > 0"
+        "   THEN (CAST(s - 1 AS DECIMAL(38,0)) * (s - 1) * 18 * 1000000)"
+        "        div (CAST(n AS DECIMAL(38,0)) * (n - 1) * (2 * n + 5))"
+        "   WHEN s < 0"
+        "   THEN -((CAST(s + 1 AS DECIMAL(38,0)) * (s + 1) * 18 * 1000000)"
+        "          div (CAST(n AS DECIMAL(38,0)) * (n - 1) * (2 * n + 5)))"
+        "   ELSE 0 END"
+        " END AS BIGINT) AS signed_z2_ppm",
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

@@ -80,6 +80,8 @@ BNLJ_OK = {
     "events_type_affinity_lift",  # 1-row user-count scalar broadcast
     "simpsons_reversal_detector",  # 1-row overall-2x2 scalar broadcast
     "graph_bfs_distance_histogram",  # 1-row source-node scalar broadcast
+    "orders_aov_mann_kendall",  # month-pair inequality join over the
+    #   ~80-row pre-aggregated series + 1-row month-count scalar
     "doc_lsh_candidate_eval",  # exact O(n²) ground-truth join on the
     #   bounded 400-doc probe slice (the evaluation harness, not the
     #   serving path — candidates themselves ride the banded equi-join)

@@ -1920,6 +1920,100 @@ class TestBfsHistogram:
         assert got == dict(hist)
 
 
+class TestCentroidShift:
+    def test_fraction_recompute(self, spark, sf_dir):
+        from collections import defaultdict
+
+        emb = table_scan(spark, sf_dir, "embeddings").collect()
+        sums: dict = defaultdict(lambda: [None, None, 0, 0])
+        for r in emb:
+            q = [round(float(x) * 1_000_000) for x in r["embedding"]]
+            half = r["vec_id"] % 2
+            slot = sums[r["label"]]
+            if slot[half] is None:
+                slot[half] = [0] * len(q)
+            slot[half] = [a + b for a, b in zip(slot[half], q)]
+            slot[2 + half] += 1
+        got = {
+            r["label"]: r
+            for r in registry.QUERIES["embedding_centroid_shift_by_label"](
+                spark, sf_dir
+            ).collect()
+        }
+        for label, (s0, s1, n0, n1) in sums.items():
+            r = got[label]
+            assert (r["n_half0"], r["n_half1"]) == (n0, n1)
+            if n0 and n1:
+                num = sum(
+                    (a * n1 - b * n0) ** 2 for a, b in zip(s0, s1)
+                )
+                assert r["shift_sq_micro2"] == num // (n0 * n0 * n1 * n1)
+
+
+class TestDupRateBySource:
+    def test_rate_recomputed(self, spark, sf_dir):
+        from collections import Counter, defaultdict
+
+        docs = table_scan(spark, sf_dir, "documents").select(
+            "source", "text"
+        ).collect()
+        fp_count = Counter(r["text"] for r in docs)
+        per = defaultdict(lambda: [0, 0])
+        for r in docs:
+            per[r["source"]][0] += 1
+            if fp_count[r["text"]] > 1:
+                per[r["source"]][1] += 1
+        got = {
+            r["source"]: r
+            for r in registry.QUERIES["doc_dup_rate_by_source"](
+                spark, sf_dir
+            ).collect()
+        }
+        for src, (n, d) in per.items():
+            r = got[src]
+            assert (r["n_docs"], r["n_dup_docs"]) == (n, d)
+            assert r["dup_rate_permille"] == d * 1000 // n
+
+
+class TestMannKendall:
+    def test_statistic_recomputed(self, spark, sf_dir):
+        from collections import defaultdict
+
+        orders = (
+            table_scan(spark, sf_dir, "orders")
+            .selectExpr(
+                "CAST(o_orderdate AS DATE) AS d",
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                " AS cents",
+            )
+            .collect()
+        )
+        per = defaultdict(lambda: [0, 0])
+        for r in orders:
+            mm = r["d"].year * 12 + r["d"].month - 1
+            per[mm][0] += r["cents"]
+            per[mm][1] += 1
+        series = [s // c for _, (s, c) in sorted(per.items())]
+        n = len(series)
+        S = sum(
+            (1 if b > a else -1 if b < a else 0)
+            for i, a in enumerate(series)
+            for b in series[i + 1 :]
+        )
+        r = registry.QUERIES["orders_aov_mann_kendall"](
+            spark, sf_dir
+        ).collect()[0]
+        assert (r["n_months"], r["mk_s"]) == (n, S)
+        den = n * (n - 1) * (2 * n + 5)
+        if S > 0:
+            expect = (S - 1) ** 2 * 18 * 1_000_000 // den
+        elif S < 0:
+            expect = -((S + 1) ** 2 * 18 * 1_000_000 // den)
+        else:
+            expect = 0
+        assert r["signed_z2_ppm"] == expect
+
+
 class TestPmi:
     def test_top_pair_matches_bruteforce(self, spark, sf_dir):
         docs = table_scan(spark, sf_dir, "documents").select("text").collect()
