@@ -18609,6 +18609,194 @@ def q_orders_aov_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "orders_aov_theil_sen",
+    """
+    WITH m AS (
+      SELECT CAST(YEAR(CAST(o_orderdate AS DATE)) * 12
+                  + MONTH(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS mm,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT))
+                  // COUNT(*) AS BIGINT) AS aov
+      FROM orders GROUP BY 1
+    ),
+    slopes AS (
+      SELECT CAST(CASE WHEN b.aov >= a.aov
+               THEN ((b.aov - a.aov) * 1000000) // (b.mm - a.mm)
+               ELSE -(((a.aov - b.aov) * 1000000) // (b.mm - a.mm)) END
+             AS BIGINT) AS slope_micro
+      FROM m a JOIN m b ON b.mm > a.mm
+    ),
+    r AS (
+      SELECT slope_micro,
+             ROW_NUMBER() OVER (ORDER BY slope_micro) AS rn,
+             COUNT(*) OVER () AS n
+      FROM slopes
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs, slope_micro AS theil_sen_micro
+    FROM r WHERE rn = (n + 1) // 2
+    """,
+)
+def q_orders_aov_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust slope of monthly AOV — the median of all pairwise
+    slopes, the estimator a single outlier month cannot move (breakdown
+    point 29 %, vs 0 % for the OLS trend queries): slopes in sign-split
+    floored micro-cents/month, lower median by rank. Completes the
+    robust-statistics family (MAD outliers, winsorize, Mann-Kendall —
+    MK tests the trend's EXISTENCE, Theil-Sen estimates its SIZE, and
+    they agree on sign by construction). The pair join and rank window
+    run over the ~80-row pre-aggregated month table — O(months²) ≈ 3 k
+    rows regardless of order count."""
+    o = table_scan(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (
+            F.year(F.col("o_orderdate").cast("date")) * 12
+            + F.month(F.col("o_orderdate").cast("date"))
+            - 1
+        )
+        .cast("long")
+        .alias("mm")
+    ).agg(
+        F.expr(
+            "SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))"
+            " div COUNT(*)"
+        ).alias("aov")
+    )
+    a, b = m.alias("a"), m.alias("b")
+    slopes = a.join(b, F.col("b.mm") > F.col("a.mm")).selectExpr(
+        "CAST(CASE WHEN b.aov >= a.aov"
+        "  THEN ((b.aov - a.aov) * 1000000) div (b.mm - a.mm)"
+        "  ELSE -(((a.aov - b.aov) * 1000000) div (b.mm - a.mm)) END"
+        " AS BIGINT) AS slope_micro"
+    )
+    w = Window.orderBy("slope_micro")
+    r = slopes.select(
+        "slope_micro",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    return r.filter(F.expr("rn = (n + 1) div 2")).selectExpr(
+        "CAST(n AS BIGINT) AS n_pairs", "slope_micro AS theil_sen_micro"
+    )
+
+
+def _textrank_oracle(rounds: int = 3) -> str:
+    head = """
+    WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
+    tok AS (SELECT t FROM (SELECT UNNEST(w) AS t FROM d) WHERE t <> ''),
+    vocab AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY t
+              HAVING COUNT(*) >= 5),
+    p AS (
+      SELECT w[i] AS a, w[i + 1] AS b
+      FROM d, UNNEST(range(1, len(w))) AS u(i)
+      WHERE w[i] <> '' AND w[i + 1] <> '' AND w[i] <> w[i + 1]
+    ),
+    e0 AS (
+      SELECT LEAST(a, b) AS u, GREATEST(a, b) AS v,
+             CAST(COUNT(*) AS BIGINT) AS wt
+      FROM p GROUP BY LEAST(a, b), GREATEST(a, b)
+    ),
+    e AS (
+      SELECT e0.u, e0.v FROM e0
+      JOIN vocab va ON va.t = e0.u JOIN vocab vb ON vb.t = e0.v
+      WHERE e0.wt >= 2
+    ),
+    sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT a AS t, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY a),
+    nodes AS (SELECT t, d FROM deg),
+    pr0 AS (SELECT t, d, CAST(1000000 AS BIGINT) AS pr FROM nodes)"""
+    body = ""
+    for k in range(1, rounds + 1):
+        body += f""",
+    pr{k} AS (
+      SELECT n.t, n.d,
+             CAST(200000 + (4 * COALESCE(CAST(SUM(pp.pr // pp.d) AS BIGINT),
+                                         0)) // 5 AS BIGINT) AS pr
+      FROM nodes n
+      LEFT JOIN sym s ON s.a = n.t
+      LEFT JOIN pr{k - 1} pp ON pp.t = s.b
+      GROUP BY n.t, n.d
+    )"""
+    return (
+        head
+        + body
+        + f"""
+    SELECT t AS token, d AS degree, pr AS textrank_ppm
+    FROM pr{rounds}
+    ORDER BY pr DESC, t LIMIT 20
+    """
+    )
+
+
+@register("doc_textrank_keywords", _textrank_oracle(3))
+def q_doc_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004) — PageRank on
+    the word co-occurrence graph, the graph-based competitor to RAKE and
+    tf-idf: adjacent-token pairs (support ≥ 2, vocab frequency ≥ 5) build
+    an undirected word graph, then 3 damped PageRank rounds in integer
+    ppm — pr ← 0.2 + 0.8·Σ pr(nbr)/deg(nbr), every division floored,
+    damping 4/5 exact — so both engines replay the identical fixed
+    point. Reuses the graph-iteration shape (edge⋈score join + per-node
+    fold per round, the LPA/PageRank idiom) on a WORD graph; top-20 by
+    rank with total-order tiebreak."""
+    docs = table_scan(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("w")
+    )
+    tok = docs.select(F.explode("w").alias("t")).filter(F.col("t") != "")
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("f")).filter(
+        F.col("f") >= 5
+    )
+    n = F.size("w")
+    off1 = F.arrays_zip(
+        F.slice("w", 1, n - 1).alias("a"),
+        F.slice(F.col("w"), F.lit(2), n - 1).alias("b"),
+    )
+    p = (
+        docs.select(F.explode(off1).alias("pr"))
+        .select(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+        .filter((F.col("a") != "") & (F.col("b") != "") & (F.col("a") != F.col("b")))
+    )
+    e0 = p.groupBy(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).agg(F.count(F.lit(1)).alias("wt"))
+    e = (
+        e0.filter(F.col("wt") >= 2)
+        .join(vocab.selectExpr("t AS u"), "u")
+        .join(vocab.selectExpr("t AS v"), "v")
+        .select("u", "v")
+    )
+    sym = e.selectExpr("u AS a2", "v AS b2").unionByName(
+        e.selectExpr("v AS a2", "u AS b2")
+    )
+    deg = sym.groupBy(F.col("a2").alias("t")).agg(F.count(F.lit(1)).alias("d"))
+    pr = deg.select("t", "d", F.lit(1000000).cast("long").alias("pr"))
+    for _ in range(3):
+        contrib = (
+            sym.join(
+                pr.selectExpr("t AS b2", "pr AS npr", "d AS nd"), "b2"
+            )
+            .groupBy(F.col("a2").alias("t"))
+            .agg(F.expr("SUM(npr div nd)").alias("acc"))
+        )
+        pr = (
+            deg.join(contrib, "t", "left")
+            .selectExpr(
+                "t",
+                "d",
+                "CAST(200000 + (4 * COALESCE(acc, 0)) div 5 AS BIGINT) AS pr",
+            )
+        )
+    return (
+        pr.selectExpr("t AS token", "d AS degree", "pr AS textrank_ppm")
+        .orderBy(F.desc("textrank_ppm"), "token")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

@@ -82,6 +82,7 @@ BNLJ_OK = {
     "graph_bfs_distance_histogram",  # 1-row source-node scalar broadcast
     "orders_aov_mann_kendall",  # month-pair inequality join over the
     #   ~80-row pre-aggregated series + 1-row month-count scalar
+    "orders_aov_theil_sen",  # same bounded month-pair inequality join
     "doc_lsh_candidate_eval",  # exact O(n²) ground-truth join on the
     #   bounded 400-doc probe slice (the evaluation harness, not the
     #   serving path — candidates themselves ride the banded equi-join)
@@ -103,6 +104,8 @@ GLOBAL_WINDOW_OK = {
     #   per-SOURCE aggregate — O(|sources|) rows at any corpus size
     "doc_jaccard_threshold_sweep",  # cumulative window over the ≤11
     #   decile rows of the bucketed pair histogram
+    "orders_aov_theil_sen",  # median-rank window over the ~3k-row
+    #   month-pair slope set (bounded by months², not data size)
     "dq_benford_first_digit",  # window over the 9-row digit aggregate
     "orders_dow_seasonality",  # window over the 7-row day-of-week aggregate
     "embedding_top_pc_power_iter",  # windows over dim-sized (~128-row) vecs

@@ -2014,6 +2014,85 @@ class TestMannKendall:
         assert r["signed_z2_ppm"] == expect
 
 
+class TestTheilSen:
+    def test_median_slope_recomputed(self, spark, sf_dir):
+        from collections import defaultdict
+
+        orders = (
+            table_scan(spark, sf_dir, "orders")
+            .selectExpr(
+                "CAST(o_orderdate AS DATE) AS d",
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                " AS cents",
+            )
+            .collect()
+        )
+        per = defaultdict(lambda: [0, 0])
+        for r in orders:
+            mm = r["d"].year * 12 + r["d"].month - 1
+            per[mm][0] += r["cents"]
+            per[mm][1] += 1
+        pts = sorted((mm, s // c) for mm, (s, c) in per.items())
+        slopes = []
+        for i, (m1, a1) in enumerate(pts):
+            for m2, a2 in pts[i + 1 :]:
+                d = a2 - a1
+                s = (
+                    d * 1_000_000 // (m2 - m1)
+                    if d >= 0
+                    else -((-d) * 1_000_000 // (m2 - m1))
+                )
+                slopes.append(s)
+        slopes.sort()
+        r = registry.QUERIES["orders_aov_theil_sen"](spark, sf_dir).collect()[0]
+        assert r["n_pairs"] == len(slopes)
+        assert r["theil_sen_micro"] == slopes[(len(slopes) + 1) // 2 - 1]
+        # sign agreement with Mann-Kendall (both detect the same trend)
+        mk = registry.QUERIES["orders_aov_mann_kendall"](
+            spark, sf_dir
+        ).collect()[0]
+        if mk["mk_s"] != 0 and r["theil_sen_micro"] != 0:
+            assert (mk["mk_s"] > 0) == (r["theil_sen_micro"] > 0)
+
+
+class TestTextRank:
+    def test_ranks_recomputed(self, spark, sf_dir):
+        from collections import Counter, defaultdict
+
+        docs = table_scan(spark, sf_dir, "documents").select("text").collect()
+        freq = Counter()
+        pair = Counter()
+        for r in docs:
+            w = r["text"].split(" ")
+            toks = [t for t in w if t != ""]
+            freq.update(toks)
+            for a, b in zip(w, w[1:]):
+                if a != "" and b != "" and a != b:
+                    pair[(min(a, b), max(a, b))] += 1
+        vocab = {t for t, f in freq.items() if f >= 5}
+        adj = defaultdict(list)
+        for (u, v), wt in pair.items():
+            if wt >= 2 and u in vocab and v in vocab:
+                adj[u].append(v)
+                adj[v].append(u)
+        deg = {t: len(ns) for t, ns in adj.items()}
+        pr = {t: 1_000_000 for t in deg}
+        for _ in range(3):
+            pr = {
+                t: 200_000 + 4 * sum(pr[nb] // deg[nb] for nb in adj[t]) // 5
+                for t in deg
+            }
+        ranked = sorted(pr.items(), key=lambda kv: (-kv[1], kv[0]))
+        got = registry.QUERIES["doc_textrank_keywords"](
+            spark, sf_dir
+        ).collect()
+        assert [(r["token"], r["textrank_ppm"]) for r in got] == ranked[
+            : len(got)
+        ]
+        for r in got:
+            assert r["degree"] == deg[r["token"]]
+
+
 class TestPmi:
     def test_top_pair_matches_bruteforce(self, spark, sf_dir):
         docs = table_scan(spark, sf_dir, "documents").select("text").collect()
