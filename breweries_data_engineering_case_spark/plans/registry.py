@@ -18797,6 +18797,214 @@ def q_doc_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "graph_clustering_coefficient",
+    """
+    WITH li AS (
+      SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+      WHERE l_partkey % 13 = 0
+    ),
+    e AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    ),
+    sym AS (SELECT u AS a, v AS b FROM e UNION SELECT v AS a, u AS b FROM e),
+    deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY a),
+    tri AS (
+      SELECT x.a AS node, CAST(COUNT(*) AS BIGINT) AS n_closed
+      FROM sym x JOIN sym y ON y.a = x.b
+      JOIN e z ON z.u = LEAST(x.a, y.b) AND z.v = GREATEST(x.a, y.b)
+      WHERE x.a <> y.b
+      GROUP BY x.a
+    )
+    SELECT d.node, d.d AS degree,
+           CAST(COALESCE(t.n_closed, 0) // 2 AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN d.d < 2 THEN NULL
+                ELSE (COALESCE(t.n_closed, 0) * 1000000)
+                     // (d.d * (d.d - 1)) END AS BIGINT)
+             AS clustering_ppm
+    FROM deg d LEFT JOIN tri t ON t.node = d.node
+    """,
+)
+def q_graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node — are my neighbors friends
+    with each other? C(v) = 2·T(v)/(deg(deg−1)), the micro-structure
+    companion to the global triangle count: closed wedges centered at v
+    come from the 2-path join verified against the edge set (the
+    standard wedge-check shape, cost Σdeg² — each closed wedge counts the
+    triangle twice per center, hence the //2), degrees from one fold, and
+    the coefficient as an exact floored ppm with the deg<2 NULL guard.
+    On the SF-invariant 1-in-13 part slice so density stays comparable
+    across scales."""
+    li = (
+        table_scan(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 13 == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+        .persist()
+    )
+    sym = e.selectExpr("u AS a2", "v AS b2").unionByName(
+        e.selectExpr("v AS a2", "u AS b2")
+    ).distinct()
+    deg = sym.groupBy(F.col("a2").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    x, y = sym.alias("x"), sym.alias("y")
+    wedge = x.join(y, F.col("y.a2") == F.col("x.b2")).filter(
+        F.col("x.a2") != F.col("y.b2")
+    )
+    tri = (
+        wedge.join(
+            e.selectExpr("u AS zu", "v AS zv"),
+            (F.col("zu") == F.least(F.col("x.a2"), F.col("y.b2")))
+            & (F.col("zv") == F.greatest(F.col("x.a2"), F.col("y.b2"))),
+        )
+        .groupBy(F.col("x.a2").alias("node"))
+        .agg(F.count(F.lit(1)).alias("n_closed"))
+    )
+    return deg.join(tri, "node", "left").selectExpr(
+        "node",
+        "d AS degree",
+        "COALESCE(n_closed, 0) div 2 AS n_triangles",
+        "CAST(CASE WHEN d < 2 THEN NULL"
+        " ELSE (COALESCE(n_closed, 0) * 1000000) div (d * (d - 1)) END"
+        " AS BIGINT) AS clustering_ppm",
+    )
+
+
+@register(
+    "part_dual_sourcing_coverage",
+    """
+    WITH ps AS (
+      SELECT p.p_brand, l.l_partkey,
+             CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand, l.l_partkey
+    )
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CASE WHEN n_suppliers >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dual_sourced,
+           CAST(CAST(SUM(CASE WHEN n_suppliers >= 2 THEN 1 ELSE 0 END)
+                     AS BIGINT) * 1000 // COUNT(*) AS BIGINT)
+             AS coverage_permille
+    FROM ps GROUP BY p_brand
+    """,
+)
+def q_part_dual_sourcing_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dual-sourcing coverage per brand — the supply-chain resilience
+    number (what fraction of parts could survive losing their main
+    supplier?): distinct suppliers per part from the fact table, coverage
+    = share of parts with ≥2, in floored per-mille. Pairs with
+    supplier_hhi_by_brand (HHI says revenue is concentrated; this says
+    whether an ALTERNATIVE even exists). Two stacked partial aggs with
+    the part dim broadcast."""
+    li = table_scan(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = table_scan(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ps = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "l_partkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
+    )
+    return ps.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(F.when(F.col("n_suppliers") >= 2, 1).otherwise(0)).alias(
+            "n_dual_sourced"
+        ),
+    ).selectExpr(
+        "p_brand",
+        "n_parts",
+        "n_dual_sourced",
+        "(n_dual_sourced * 1000) div n_parts AS coverage_permille",
+    )
+
+
+@register(
+    "lineitem_price_iqr_by_brand",
+    """
+    WITH b AS (
+      SELECT p.p_brand,
+             CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    r AS (
+      SELECT p_brand, cents,
+             ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY cents) AS rn,
+             COUNT(*) OVER (PARTITION BY p_brand) AS n
+      FROM b
+    ),
+    q AS (
+      SELECT p_brand, CAST(MAX(n) AS BIGINT) AS n,
+             CAST(MAX(CASE WHEN rn = (n + 3) // 4 THEN cents END)
+                  AS BIGINT) AS q1,
+             CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END)
+                  AS BIGINT) AS median,
+             CAST(MAX(CASE WHEN rn = (3 * n + 1) // 4 THEN cents END)
+                  AS BIGINT) AS q3
+      FROM r GROUP BY p_brand
+    )
+    SELECT p_brand, n AS n_lines, q1, median, q3, q3 - q1 AS iqr,
+           CAST(CASE WHEN median = 0 THEN NULL
+                ELSE ((q3 - q1) * 1000) // median END AS BIGINT)
+             AS iqr_over_median_permille
+    FROM q
+    """,
+)
+def q_lineitem_price_iqr_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interquartile dispersion per brand — the robust variability
+    report (quartile coefficient ≈ IQR/median, immune to the price tail
+    that inflates stddev): discrete quartiles by exact rank selection
+    (⌈n/4⌉, ⌈n/2⌉, ⌈3n/4⌉ lower-type positions — pure integer rank
+    arithmetic, identical on both engines, unlike interpolating
+    percentile_cont whose float lerp is engine-shaped), from ONE
+    rank window per brand partition. Scale: windows partition by brand;
+    at extreme per-brand cardinality the two-pass histogram median
+    (lineitem_exact_median_two_pass) is the drop-in."""
+    li = table_scan(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    p = table_scan(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        "p_brand", "cents"
+    )
+    wrank = Window.partitionBy("p_brand").orderBy("cents")
+    wcnt = Window.partitionBy("p_brand")
+    r = b.select(
+        "p_brand",
+        "cents",
+        F.row_number().over(wrank).alias("rn"),
+        F.count(F.lit(1)).over(wcnt).alias("n"),
+    )
+    q = r.groupBy("p_brand").agg(
+        F.max("n").alias("n"),
+        F.max(F.expr("CASE WHEN rn = (n + 3) div 4 THEN cents END")).alias("q1"),
+        F.max(F.expr("CASE WHEN rn = (n + 1) div 2 THEN cents END")).alias(
+            "median"
+        ),
+        F.max(F.expr("CASE WHEN rn = (3 * n + 1) div 4 THEN cents END")).alias(
+            "q3"
+        ),
+    )
+    return q.selectExpr(
+        "p_brand",
+        "n AS n_lines",
+        "q1",
+        "median",
+        "q3",
+        "q3 - q1 AS iqr",
+        "CAST(CASE WHEN median = 0 THEN NULL"
+        " ELSE ((q3 - q1) * 1000) div median END AS BIGINT)"
+        " AS iqr_over_median_permille",
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

@@ -2093,6 +2093,102 @@ class TestTextRank:
             assert r["degree"] == deg[r["token"]]
 
 
+class TestClusteringCoefficient:
+    def test_networkx_free_bruteforce(self, spark, sf_dir):
+        from collections import defaultdict
+
+        li = (
+            table_scan(spark, sf_dir, "lineitem")
+            .filter(F.col("l_partkey") % 13 == 0)
+            .select("l_orderkey", "l_partkey")
+            .collect()
+        )
+        by_order = defaultdict(set)
+        for r in li:
+            by_order[r["l_orderkey"]].add(r["l_partkey"])
+        adj = defaultdict(set)
+        for parts in by_order.values():
+            ps = sorted(parts)
+            for i, u in enumerate(ps):
+                for v in ps[i + 1 :]:
+                    adj[u].add(v)
+                    adj[v].add(u)
+        got = {
+            r["node"]: r
+            for r in registry.QUERIES["graph_clustering_coefficient"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert set(got) == set(adj)
+        for node, nbrs in adj.items():
+            d = len(nbrs)
+            tri = sum(
+                1
+                for a in nbrs
+                for b in nbrs
+                if a < b and b in adj[a]
+            )
+            r = got[node]
+            assert (r["degree"], r["n_triangles"]) == (d, tri)
+            if d >= 2:
+                assert r["clustering_ppm"] == 2 * tri * 1_000_000 // (
+                    d * (d - 1)
+                )
+            else:
+                assert r["clustering_ppm"] is None
+
+
+class TestDualSourcing:
+    def test_coverage_identity(self, spark, sf_dir):
+        rows = registry.QUERIES["part_dual_sourcing_coverage"](
+            spark, sf_dir
+        ).collect()
+        assert rows
+        for r in rows:
+            assert 0 <= r["n_dual_sourced"] <= r["n_parts"]
+            assert (
+                r["coverage_permille"]
+                == r["n_dual_sourced"] * 1000 // r["n_parts"]
+            )
+
+
+class TestIqrByBrand:
+    def test_quartiles_bruteforce(self, spark, sf_dir):
+        from collections import defaultdict
+
+        li = (
+            table_scan(spark, sf_dir, "lineitem")
+            .selectExpr(
+                "l_partkey",
+                "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                " AS cents",
+            )
+            .collect()
+        )
+        brand = {
+            r["p_partkey"]: r["p_brand"]
+            for r in table_scan(spark, sf_dir, "part").collect()
+        }
+        per = defaultdict(list)
+        for r in li:
+            per[brand[r["l_partkey"]]].append(r["cents"])
+        got = {
+            r["p_brand"]: r
+            for r in registry.QUERIES["lineitem_price_iqr_by_brand"](
+                spark, sf_dir
+            ).collect()
+        }
+        for b, cs in per.items():
+            cs.sort()
+            n = len(cs)
+            r = got[b]
+            assert r["n_lines"] == n
+            assert r["q1"] == cs[(n + 3) // 4 - 1]
+            assert r["median"] == cs[(n + 1) // 2 - 1]
+            assert r["q3"] == cs[(3 * n + 1) // 4 - 1]
+            assert r["iqr"] == r["q3"] - r["q1"]
+
+
 class TestPmi:
     def test_top_pair_matches_bruteforce(self, spark, sf_dir):
         docs = table_scan(spark, sf_dir, "documents").select("text").collect()
