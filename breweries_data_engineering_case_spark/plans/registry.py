@@ -19005,6 +19005,197 @@ def q_lineitem_price_iqr_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "orders_yoy_price_volume_bridge",
+    """
+    WITH y AS (
+      SELECT CAST(YEAR(CAST(o_orderdate AS DATE)) AS INT) AS yr,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT cur.yr, prev.n AS n_prev, cur.n AS n_cur,
+           prev.rev AS rev_prev, cur.rev AS rev_cur,
+           CAST((CAST(cur.n AS HUGEINT) - prev.n) * prev.rev AS BIGINT)
+             AS volume_effect_x_nprev,
+           CAST(CAST(cur.rev AS HUGEINT) * prev.n
+                - CAST(cur.n AS HUGEINT) * prev.rev AS BIGINT)
+             AS price_effect_x_nprev,
+           CAST(CAST(prev.n AS HUGEINT) * (cur.rev - prev.rev) AS BIGINT)
+             AS total_delta_x_nprev
+    FROM y cur JOIN y prev ON prev.yr = cur.yr - 1
+    """,
+)
+def q_orders_yoy_price_volume_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume bridge — the finance waterfall that explains a revenue
+    change as 'how much came from MORE orders vs RICHER orders', made
+    EXACT by scaling the whole identity by n_prev instead of flooring the
+    average-order-value terms: volume = (n₁−n₀)·rev₀ and price =
+    rev₁·n₀ − n₁·rev₀ sum to n₀·(rev₁−rev₀) EXACTLY (the bridge closes to
+    the cent — the property every floored-AOV implementation silently
+    loses; divide by n₀ off-engine for presentation units). One yearly
+    roll-up self-joined on year−1; HUGEINT/DECIMAL(38) products."""
+    o = table_scan(spark, sf_dir, "orders")
+    y = o.groupBy(
+        F.year(F.col("o_orderdate").cast("date")).cast("int").alias("yr")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        ).alias("rev"),
+    )
+    prev = y.selectExpr("yr + 1 AS yr", "n AS n_prev", "rev AS rev_prev")
+    return (
+        y.join(prev, "yr")
+        .selectExpr(
+            "yr",
+            "n_prev",
+            "n AS n_cur",
+            "rev_prev",
+            "rev AS rev_cur",
+            "CAST((CAST(n AS DECIMAL(38,0)) - n_prev) * rev_prev AS BIGINT)"
+            " AS volume_effect_x_nprev",
+            "CAST(CAST(rev AS DECIMAL(38,0)) * n_prev"
+            " - CAST(n AS DECIMAL(38,0)) * rev_prev AS BIGINT)"
+            " AS price_effect_x_nprev",
+            "CAST(CAST(n_prev AS DECIMAL(38,0)) * (rev - rev_prev) AS BIGINT)"
+            " AS total_delta_x_nprev",
+        )
+    )
+
+
+@register(
+    "part_name_oov_rate",
+    r"""
+    WITH vocab AS (
+      SELECT DISTINCT t FROM (
+        SELECT UNNEST(string_split_regex(TRIM(text), '\s+')) AS t
+        FROM documents WHERE TRIM(text) <> ''
+      ) WHERE t <> ''
+    ),
+    nt AS (
+      SELECT p_brand, UNNEST(string_split(p_name, ' ')) AS t FROM part
+    ),
+    flags AS (
+      SELECT nt.p_brand,
+             CASE WHEN v.t IS NULL THEN 1 ELSE 0 END AS oov
+      FROM nt LEFT JOIN vocab v ON v.t = nt.t
+      WHERE nt.t <> ''
+    )
+    SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_name_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           CAST(CAST(SUM(oov) AS BIGINT) * 1000 // COUNT(*) AS BIGINT)
+             AS oov_rate_permille
+    FROM flags GROUP BY p_brand
+    """,
+)
+def q_part_name_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate of part-name tokens against the document
+    corpus vocabulary — the coverage check a tokenizer/embedding trained
+    on one corpus needs before serving another domain (high OOV ⇒ the
+    entity domain is unrepresented): name tokens left-anti-probe the
+    distinct corpus vocab, rate per brand in floored per-mille. The
+    vocab is the skinny distinct-token table — the join shuffles tokens,
+    never documents."""
+    docs = table_scan(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+        )
+        .filter(F.col("t") != "")
+        .distinct()
+    )
+    nt = (
+        table_scan(spark, sf_dir, "part")
+        .select("p_brand", F.explode(F.split("p_name", " ")).alias("t"))
+        .filter(F.col("t") != "")
+    )
+    flags = nt.join(
+        vocab.withColumnRenamed("t", "vt"),
+        nt["t"] == F.col("vt"),
+        "left",
+    ).select(
+        "p_brand", F.when(F.col("vt").isNull(), 1).otherwise(0).alias("oov")
+    )
+    return flags.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_name_tokens"),
+        F.sum("oov").alias("n_oov"),
+    ).selectExpr(
+        "p_brand",
+        "n_name_tokens",
+        "n_oov",
+        "(n_oov * 1000) div n_name_tokens AS oov_rate_permille",
+    )
+
+
+@register(
+    "vocab_growth_heaps_curve",
+    r"""
+    WITH mx AS (SELECT MAX(doc_id) + 1 AS md FROM documents),
+    tok AS (
+      SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\s+')) AS t
+      FROM documents WHERE TRIM(text) <> ''
+    ),
+    ck AS (SELECT UNNEST(range(1, 11)) AS k),
+    curve AS (
+      SELECT CAST(ck.k AS INT) AS decile,
+             CAST(COUNT(CASE WHEN tok.doc_id * 10 < ck.k * mx.md
+                        THEN 1 END) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT CASE WHEN tok.doc_id * 10 < ck.k * mx.md
+                                 THEN tok.t END) AS BIGINT) AS vocab_size
+      FROM tok CROSS JOIN mx CROSS JOIN ck
+      WHERE tok.t <> ''
+      GROUP BY ck.k
+    )
+    SELECT decile, n_tokens, vocab_size
+    FROM curve
+    """,
+)
+def q_vocab_growth_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve — how fast does the vocab grow
+    as the corpus grows? (The curve that sizes tokenizer vocabularies and
+    predicts marginal-data novelty): at each corpus decile (by doc-id
+    prefix — the stable, engine-replayable 'arrival order'), cumulative
+    token count and cumulative DISTINCT vocabulary, computed in ONE pass
+    via conditional distinct aggregation over the 10 cutoffs (a 10× token
+    fan against broadcast scalars — never 10 corpus rescans). Sub-linear
+    vocab growth (V ∝ nᵝ, β<1) is the expected shape; a straight line
+    screams synthetic or deduplicatable data."""
+    d = table_scan(spark, sf_dir, "documents")
+    mx = d.agg((F.max("doc_id") + 1).alias("md"))
+    tok = (
+        d.filter(F.trim(F.col("text")) != "")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t"),
+        )
+        .filter(F.col("t") != "")
+    )
+    ck = spark.range(1, 11).select(F.col("id").cast("int").alias("k"))
+    curve = (
+        tok.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(ck))
+        .groupBy("k")
+        .agg(
+            F.count(
+                F.when(F.col("doc_id") * 10 < F.col("k") * F.col("md"), 1)
+            ).alias("n_tokens"),
+            F.countDistinct(
+                F.when(
+                    F.col("doc_id") * 10 < F.col("k") * F.col("md"),
+                    F.col("t"),
+                )
+            ).alias("vocab_size"),
+        )
+    )
+    return curve.select(
+        F.col("k").cast("int").alias("decile"), "n_tokens", "vocab_size"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

@@ -83,6 +83,8 @@ BNLJ_OK = {
     "orders_aov_mann_kendall",  # month-pair inequality join over the
     #   ~80-row pre-aggregated series + 1-row month-count scalar
     "orders_aov_theil_sen",  # same bounded month-pair inequality join
+    "vocab_growth_heaps_curve",  # 1-row max-doc-id + 10-row checkpoint
+    #   broadcasts (the conditional-distinct fan, not a data join)
     "doc_lsh_candidate_eval",  # exact O(n²) ground-truth join on the
     #   bounded 400-doc probe slice (the evaluation harness, not the
     #   serving path — candidates themselves ride the banded equi-join)

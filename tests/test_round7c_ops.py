@@ -2189,6 +2189,81 @@ class TestIqrByBrand:
             assert r["iqr"] == r["q3"] - r["q1"]
 
 
+class TestPriceVolumeBridge:
+    def test_bridge_closes_exactly(self, spark, sf_dir):
+        rows = registry.QUERIES["orders_yoy_price_volume_bridge"](
+            spark, sf_dir
+        ).collect()
+        assert rows
+        for r in rows:
+            assert (
+                r["volume_effect_x_nprev"] + r["price_effect_x_nprev"]
+                == r["total_delta_x_nprev"]
+            )
+            assert r["total_delta_x_nprev"] == r["n_prev"] * (
+                r["rev_cur"] - r["rev_prev"]
+            )
+
+
+class TestOovRate:
+    def test_rate_bruteforce(self, spark, sf_dir):
+        import re
+        from collections import defaultdict
+
+        docs = table_scan(spark, sf_dir, "documents").select("text").collect()
+        vocab = set()
+        for r in docs:
+            if r["text"].strip():
+                vocab |= {
+                    t for t in re.split(r"\s+", r["text"].strip()) if t
+                }
+        parts = table_scan(spark, sf_dir, "part").select(
+            "p_brand", "p_name"
+        ).collect()
+        per = defaultdict(lambda: [0, 0])
+        for r in parts:
+            for t in r["p_name"].split(" "):
+                if t:
+                    per[r["p_brand"]][0] += 1
+                    if t not in vocab:
+                        per[r["p_brand"]][1] += 1
+        got = {
+            r["p_brand"]: r
+            for r in registry.QUERIES["part_name_oov_rate"](
+                spark, sf_dir
+            ).collect()
+        }
+        for b, (n, o) in per.items():
+            r = got[b]
+            assert (r["n_name_tokens"], r["n_oov"]) == (n, o)
+
+
+class TestHeapsCurve:
+    def test_monotone_and_endpoint(self, spark, sf_dir):
+        import re
+
+        rows = sorted(
+            registry.QUERIES["vocab_growth_heaps_curve"](
+                spark, sf_dir
+            ).collect(),
+            key=lambda r: r["decile"],
+        )
+        assert [r["decile"] for r in rows] == list(range(1, 11))
+        for a, b in zip(rows, rows[1:]):
+            assert a["n_tokens"] <= b["n_tokens"]
+            assert a["vocab_size"] <= b["vocab_size"]
+        docs = table_scan(spark, sf_dir, "documents").select("text").collect()
+        toks = [
+            t
+            for r in docs
+            if r["text"].strip()
+            for t in re.split(r"\s+", r["text"].strip())
+            if t
+        ]
+        assert rows[-1]["n_tokens"] == len(toks)
+        assert rows[-1]["vocab_size"] == len(set(toks))
+
+
 class TestPmi:
     def test_top_pair_matches_bruteforce(self, spark, sf_dir):
         docs = table_scan(spark, sf_dir, "documents").select("text").collect()
