@@ -19196,6 +19196,186 @@ def q_vocab_growth_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "orders_fiscal_445_rollup",
+    """
+    WITH base AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    f AS (
+      SELECT cents,
+             CASE WHEN MONTH(d) >= 2 THEN YEAR(d) ELSE YEAR(d) - 1 END AS fy,
+             CAST(date_diff('day',
+                            MAKE_DATE(CASE WHEN MONTH(d) >= 2 THEN YEAR(d)
+                                           ELSE YEAR(d) - 1 END, 2, 1),
+                            d) AS BIGINT) AS doy
+      FROM base
+    ),
+    w AS (
+      SELECT cents, fy, LEAST(doy // 7, 51) AS wk FROM f
+    ),
+    p AS (
+      SELECT cents, fy,
+             CAST((wk // 13) * 3
+                  + CASE WHEN wk % 13 < 4 THEN 0
+                         WHEN wk % 13 < 8 THEN 1 ELSE 2 END + 1 AS INT)
+               AS fiscal_period
+      FROM w
+    )
+    SELECT fy AS fiscal_year, fiscal_period,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM p GROUP BY fy, fiscal_period
+    """,
+)
+def q_orders_fiscal_445_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retail 4-4-5 fiscal calendar rollup — the enterprise calendar where
+    every period has a fixed week count so period-over-period compares
+    like-for-like: fiscal year starts Feb 1, weeks index by integer
+    day-offset // 7 (week 52 of leap layouts folds into period 12 via the
+    LEAST clamp — the '53rd-week' rule), and the 4-4-5 pattern is pure
+    integer arithmetic: period = 3·(wk//13) + {0,1,2 by wk%13 <4,<8} + 1.
+    No calendar dimension table, no UDF — the mapping every BI stack
+    builds a lookup for, as one expression; revenue per (fiscal year,
+    period) in exact cents."""
+    o = table_scan(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    f = o.selectExpr(
+        "cents",
+        "CASE WHEN MONTH(d) >= 2 THEN YEAR(d) ELSE YEAR(d) - 1 END AS fy",
+        "CAST(datediff(d, MAKE_DATE("
+        " CASE WHEN MONTH(d) >= 2 THEN YEAR(d) ELSE YEAR(d) - 1 END, 2, 1))"
+        " AS BIGINT) AS doy",
+    )
+    p = f.selectExpr(
+        "cents",
+        "fy",
+        "CAST((LEAST(doy div 7, 51) div 13) * 3"
+        " + CASE WHEN LEAST(doy div 7, 51) % 13 < 4 THEN 0"
+        "        WHEN LEAST(doy div 7, 51) % 13 < 8 THEN 1 ELSE 2 END + 1"
+        " AS INT) AS fiscal_period",
+    )
+    return p.groupBy(F.col("fy").alias("fiscal_year"), "fiscal_period").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+
+
+@register(
+    "doc_simhash_bit_balance",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(TRIM(text), '\\s+'),
+                            tok -> CAST(concat('0x', substr(md5(tok), 1, 15))
+                                        AS BIGINT)) AS th
+      FROM documents WHERE TRIM(text) <> ''
+    ),
+    votes AS (
+      SELECT doc_id, CAST(b.b AS INT) AS bit,
+             CASE WHEN 2 * len(list_filter(th,
+                    h -> (h >> b.b) & 1 = 1)) > len(th)
+                  THEN 1 ELSE 0 END AS one
+      FROM t, (SELECT UNNEST(range(32)) AS b) b
+      WHERE len(th) > 0
+    ),
+    m AS (
+      SELECT bit, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(one) AS BIGINT) AS n_ones
+      FROM votes GROUP BY bit
+    )
+    SELECT bit, n_docs, n_ones,
+           (2 * n_ones - n_docs) * (2 * n_ones - n_docs) > 9 * n_docs
+             AS is_skewed
+    FROM m
+    """,
+)
+def q_doc_simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash bit-balance audit — the hash-quality check behind the
+    near-dup detector's guarantees: each of the 32 sign-vote bits should
+    split the corpus ~50/50 (a skewed bit carries less than one bit of
+    information, weakening Hamming distances corpus-wide). Per bit, the
+    majority-vote outcome over each doc's md5 token hashes (the exact
+    simhash bit definition, recomputed relationally), then a 3σ binomial
+    skew flag as the cross-multiplied integer inequality
+    (2·ones−n)² > 9n. One 32× bit fan over per-doc hash arrays — all
+    JVM lambda expressions, no UDF — and a 32-row fold. Auditing the
+    INFRASTRUCTURE (the hash) rather than the data completes the audit
+    family."""
+    d = table_scan(spark, sf_dir, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    t = d.select(
+        "doc_id",
+        F.expr(
+            "transform(split(trim(text), '\\\\s+'),"
+            " tok -> CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT))"
+        ).alias("th"),
+    ).filter(F.size("th") > 0)
+    votes = (
+        t.crossJoin(
+            F.broadcast(
+                spark.range(32).select(F.col("id").cast("int").alias("bit"))
+            )
+        )
+        .selectExpr(
+            "bit",
+            "CASE WHEN 2 * size(filter(th,"
+            " h -> (h >> bit) & 1 = 1)) > size(th)"
+            " THEN 1 ELSE 0 END AS one",
+        )
+    )
+    m = votes.groupBy("bit").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("one").alias("n_ones")
+    )
+    return m.selectExpr(
+        "bit",
+        "n_docs",
+        "n_ones",
+        "(2 * n_ones - n_docs) * (2 * n_ones - n_docs) > 9 * n_docs"
+        " AS is_skewed",
+    )
+
+
+@register(
+    "events_dow_hour_heatmap",
+    """
+    WITH g AS (
+      SELECT CAST(dayofweek(CAST(ts AS DATE)) AS INT) AS dow,
+             CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM g)
+    SELECT g.dow, g.hr, g.n_events,
+           CAST(g.n_events * 1000000 // t.total AS BIGINT) AS share_ppm
+    FROM g CROSS JOIN t
+    """,
+)
+def q_events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity heatmap — the traffic-shape table every
+    capacity plan and anomaly baseline starts from: counts and exact ppm
+    share per (dow, hour) cell (≤168 rows at any scale). One partial-agg
+    pass + a scalar total broadcast. DuckDB dayofweek == Spark
+    dayofweek−1, aligned on the 0–6 convention as elsewhere."""
+    e = table_scan(spark, sf_dir, "events")
+    g = e.groupBy(
+        (F.dayofweek(F.col("ts").cast("date")) - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    t = g.agg(F.sum("n_events").alias("total"))
+    return g.crossJoin(F.broadcast(t)).selectExpr(
+        "dow", "hr", "n_events", "(n_events * 1000000) div total AS share_ppm"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

@@ -85,6 +85,8 @@ BNLJ_OK = {
     "orders_aov_theil_sen",  # same bounded month-pair inequality join
     "vocab_growth_heaps_curve",  # 1-row max-doc-id + 10-row checkpoint
     #   broadcasts (the conditional-distinct fan, not a data join)
+    "doc_simhash_bit_balance",  # 32-row bit-index fan broadcast
+    "events_dow_hour_heatmap",  # 1-row grand-total scalar broadcast
     "doc_lsh_candidate_eval",  # exact O(n²) ground-truth join on the
     #   bounded 400-doc probe slice (the evaluation harness, not the
     #   serving path — candidates themselves ride the banded equi-join)

@@ -2264,6 +2264,91 @@ class TestHeapsCurve:
         assert rows[-1]["vocab_size"] == len(set(toks))
 
 
+class TestFiscal445:
+    def test_mapping_recomputed(self, spark, sf_dir):
+        from collections import defaultdict
+        from datetime import date
+
+        orders = (
+            table_scan(spark, sf_dir, "orders")
+            .selectExpr(
+                "CAST(o_orderdate AS DATE) AS d",
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                " AS cents",
+            )
+            .collect()
+        )
+        agg = defaultdict(lambda: [0, 0])
+        for r in orders:
+            d = r["d"]
+            fy = d.year if d.month >= 2 else d.year - 1
+            doy = (d - date(fy, 2, 1)).days
+            wk = min(doy // 7, 51)
+            period = (wk // 13) * 3 + (0 if wk % 13 < 4 else 1 if wk % 13 < 8 else 2) + 1
+            agg[(fy, period)][0] += 1
+            agg[(fy, period)][1] += r["cents"]
+        got = {
+            (r["fiscal_year"], r["fiscal_period"]): (
+                r["n_orders"],
+                r["revenue_cents"],
+            )
+            for r in registry.QUERIES["orders_fiscal_445_rollup"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert got == {k: tuple(v) for k, v in agg.items()}
+        assert all(1 <= p <= 12 for _, p in got)
+
+
+class TestSimhashBitBalance:
+    def test_votes_recomputed(self, spark, sf_dir):
+        import hashlib
+        import re
+        from collections import defaultdict
+
+        docs = table_scan(spark, sf_dir, "documents").select("text").collect()
+        ones = defaultdict(int)
+        n_docs = 0
+        for r in docs:
+            if not r["text"].strip():
+                continue
+            toks = re.split(r"\s+", r["text"].strip())
+            hs = [
+                int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks
+            ]
+            if not hs:
+                continue
+            n_docs += 1
+            for b in range(32):
+                if 2 * sum(1 for h in hs if (h >> b) & 1) > len(hs):
+                    ones[b] += 1
+        got = {
+            r["bit"]: r
+            for r in registry.QUERIES["doc_simhash_bit_balance"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert len(got) == 32
+        for b in range(32):
+            r = got[b]
+            assert (r["n_docs"], r["n_ones"]) == (n_docs, ones[b])
+            dev = 2 * ones[b] - n_docs
+            assert r["is_skewed"] == (dev * dev > 9 * n_docs)
+
+
+class TestDowHourHeatmap:
+    def test_shares_sum(self, spark, sf_dir):
+        rows = registry.QUERIES["events_dow_hour_heatmap"](
+            spark, sf_dir
+        ).collect()
+        assert 0 < len(rows) <= 168
+        total = sum(r["n_events"] for r in rows)
+        assert total == table_scan(spark, sf_dir, "events").count()
+        for r in rows:
+            assert r["share_ppm"] == r["n_events"] * 1_000_000 // total
+            assert 0 <= r["dow"] <= 6 and 0 <= r["hr"] <= 23
+
+
 class TestPmi:
     def test_top_pair_matches_bruteforce(self, spark, sf_dir):
         docs = table_scan(spark, sf_dir, "documents").select("text").collect()
