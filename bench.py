@@ -44,7 +44,78 @@ HEADLINE = [
     # round-7 flagship families: lexical retrieval + corpus statistics
     "doc_bm25_topk",
     "vocab_pmi_collocations",
+    # round-8 flagships (VERDICT r7 ask #5): the full 3-stage LLM dedup
+    # pipeline and blocked-levenshtein entity resolution — the two heaviest
+    # previously-untracked families, now costed round-over-round
+    "dedup_cascade_funnel",
+    "entity_resolution_fuzzy",
 ]
+
+# Clean-host reference probes (recorded across rounds 6-7 idle windows in
+# NOTES.md: matmul 0.021-0.032 s, pyloop 0.16-0.17 s, threads32 3.9-4.4 s).
+# A stamp probe exceeding 1.5x its clean ceiling means neighbor-VM
+# contention (invisible to loadavg — NOTES.md), and the run auto-reruns.
+CLEAN_REF = {
+    "numpy_matmul_sec": 0.032,
+    "pyloop_sec": 0.17,
+    "threads32_hash_sec": 4.4,
+}
+DIRTY_RATIO = 1.5
+MAX_RERUNS = 2
+
+
+def _host_stamp() -> dict[str, float]:
+    """Machine-bound microkernels: numpy matmul (BLAS), a pure-Python loop
+    (interpreter), and a 32-thread hashing kernel. The threads32 probe is
+    the only one that reliably detects contention against a 32-way Spark
+    workload (r7: it read 6.5 s contended vs 3.9-4.4 idle while the
+    single-thread matmul probe looked FAST during the same starvation)."""
+    import concurrent.futures
+    import hashlib
+
+    import numpy as np
+
+    def _best3(fn):
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 4)
+
+    rng = np.random.default_rng(7)
+    a = rng.random((1200, 1200))
+
+    def _pyloop():
+        s = 0
+        for i in range(3_000_000):
+            s += i * i
+
+    def _threads32():
+        def work(_):
+            h = hashlib.sha256()
+            for _ in range(2000):
+                h.update(b"x" * 4096)
+            return h.hexdigest()
+
+        with concurrent.futures.ThreadPoolExecutor(32) as ex:
+            list(ex.map(work, range(64)))
+
+    return {
+        "numpy_matmul_sec": _best3(lambda: (a @ a).sum()),
+        "pyloop_sec": _best3(_pyloop),
+        "threads32_hash_sec": _best3(_threads32),
+    }
+
+
+def _stamp_dirty(stamp: dict[str, float]) -> list[str]:
+    """Probes exceeding DIRTY_RATIO x their clean-host reference."""
+    return [
+        k
+        for k, ref in CLEAN_REF.items()
+        if stamp.get(k, 0.0) > DIRTY_RATIO * ref
+    ]
 
 
 def main() -> None:
@@ -64,48 +135,48 @@ def main() -> None:
     for wname in ("agg_count_group_by", "window_dedup_rownum", "doc_dedup_minhash_lsh"):
         run(registry.QUERIES[wname](spark, sf_dir))
 
-    timings: dict[str, float] = {}
-    # best-of-2 per query: the first attempt absorbs any remaining codegen/
-    # JIT cost for that exact shape AND one sample of ambient host noise
-    # (this box is a shared VM; single-shot totals swing ±30% with neighbor
-    # load). Reporting the faster attempt measures the plan, not the noise.
-    for name in HEADLINE:
-        fn = registry.QUERIES.get(name)
-        if fn is None:
-            continue
-        best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            run(fn(spark, sf_dir))
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+    def measure() -> tuple[dict[str, float], dict, dict]:
+        """One full pass: stamp -> best-of-2 per query -> stamp."""
+        before = _host_stamp()
+        timings: dict[str, float] = {}
+        # best-of-2 per query: the first attempt absorbs any remaining
+        # codegen/JIT cost for that exact shape AND one sample of ambient
+        # host noise (shared VM; single-shot totals swing ±30% with
+        # neighbor load). The faster attempt measures the plan.
+        for name in HEADLINE:
+            fn = registry.QUERIES.get(name)
+            if fn is None:
+                continue
+            best = None
+            for _ in range(2):
+                # drop caches BEFORE each attempt: queries persist()
+                # intermediates, and Spark's CacheManager matches by logical
+                # plan — without this the second attempt would read attempt
+                # one's cache and measure warm-cache I/O, not the plan
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                run(fn(spark, sf_dir))
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+        after = _host_stamp()
+        return timings, before, after
 
-    # host-speed stamp: this box is a shared VM and neighbor contention is
-    # invisible to loadavg (measured: the same commit benches 18.7 s or
-    # 41.7 s depending on the minute — NOTES.md). Two machine-bound
-    # microkernels let any reader normalize totals across sessions.
-    import numpy as np
-
-    def _best3(fn):
-        best = None
-        for _ in range(3):
-            t0 = time.perf_counter()
-            fn()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        return round(best, 4)
-
-    rng = np.random.default_rng(7)
-    a = rng.random((1200, 1200))
-    matmul_sec = _best3(lambda: (a @ a).sum())
-
-    def _pyloop():
-        s = 0
-        for i in range(3_000_000):
-            s += i * i
-
-    pyloop_sec = _best3(_pyloop)
+    # Contention guard (VERDICT r7 ask #1): a run whose before/after stamp
+    # deviates >1.5x from the clean-host reference was measured on a
+    # contended VM and is NOT a valid performance record — rerun (bounded).
+    attempts = []
+    for attempt in range(1 + MAX_RERUNS):
+        timings, before, after = measure()
+        dirty = sorted(set(_stamp_dirty(before)) | set(_stamp_dirty(after)))
+        attempts.append((timings, before, after, dirty))
+        if not dirty:
+            break
+    # prefer the first clean attempt; else the attempt with the lowest total
+    clean = [a for a in attempts if not a[3]]
+    timings, before, after, dirty = (
+        clean[0] if clean else min(attempts, key=lambda a: sum(a[0].values()))
+    )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -117,8 +188,12 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "host_calibration": {
-                    "numpy_matmul_sec": matmul_sec,
-                    "pyloop_sec": pyloop_sec,
+                    "before": before,
+                    "after": after,
+                    "clean_reference": CLEAN_REF,
+                    "stamp_clean": not dirty,
+                    "dirty_probes": dirty,
+                    "attempts": len(attempts),
                 },
             }
         )

@@ -11028,8 +11028,10 @@ def q_events_ab_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
            a.pos * 1000 // a.n AS rate_permille,
            CAST(SUM(b2.n) AS BIGINT) AS cum_n,
            CAST(SUM(b2.pos) AS BIGINT) AS cum_pos,
-           CAST(SUM(b2.pos) AS BIGINT) * t.total_n * 1000
-             // (CAST(SUM(b2.n) AS BIGINT) * t.total_pos) AS lift_permille
+           CASE WHEN t.total_pos = 0 THEN NULL
+                ELSE CAST(SUM(b2.pos) AS BIGINT) * t.total_n * 1000
+                     // (CAST(SUM(b2.n) AS BIGINT) * t.total_pos) END
+             AS lift_permille
     FROM g a JOIN g b2 ON b2.decile <= a.decile CROSS JOIN t
     GROUP BY a.decile, a.n, a.pos, t.total_n, t.total_pos
     """,
@@ -11084,8 +11086,12 @@ def q_orders_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("pos * 1000 div n").alias("rate_permille"),
             "cum_n",
             "cum_pos",
+            # total_pos = 0 (no positive label anywhere) must yield NULL on
+            # BOTH engines: Spark's div already returns NULL on /0 but
+            # DuckDB's // raises, so the CASE keeps the engines aligned
             F.expr(
-                "cum_pos * total_n * 1000 div (cum_n * total_pos)"
+                "CASE WHEN total_pos = 0 THEN NULL"
+                " ELSE cum_pos * total_n * 1000 div (cum_n * total_pos) END"
             ).alias("lift_permille"),
         )
     )
@@ -11277,20 +11283,41 @@ def q_python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts. Write parallelism is the upstream partitioning (4 tasks here,
     N at scale); the commit is O(files) driver metadata, the data path
     never funnels through the driver."""
+    import json as _json
+
     from ..sources.python_datasource import register_jsonl_sink
 
     register_jsonl_sink(spark)
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    # key by (sf_dir, applicationId): two concurrent sessions on the same
+    # sf_dir otherwise share one _staged dir and each commit/abort rmtree
+    # deletes the other writer's staged files — the nonce gives every
+    # session its own sink root, keeping the exactly-once read-back proof
+    # honest (ADVICE r7).
+    key = hashlib.md5(
+        f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:12]
     out = Path(tempfile.gettempdir()) / "bdec_jsonl_sink" / key
     out.mkdir(parents=True, exist_ok=True)
+    src = table_scan(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    n_src = src.count()
     (
-        table_scan(spark, sf_dir, "documents")
-        .select("doc_id", "lang", "source", "n_chars")
-        .repartition(4, "doc_id")
+        src.repartition(4, "doc_id")
         .write.format("jsonl_audit_sink")
         .mode("overwrite")
         .save(str(out))
     )
+    # the commit protocol's own receipt: _SUCCESS is written LAST, so its
+    # presence + row count is the transactional proof the read-back relies on
+    success = out / "_SUCCESS"
+    if not success.exists():
+        raise RuntimeError(f"jsonl_audit_sink commit left no _SUCCESS in {out}")
+    manifest = _json.loads(success.read_text())
+    if manifest.get("rows") != n_src:
+        raise RuntimeError(
+            f"_SUCCESS rows {manifest.get('rows')} != source rows {n_src}"
+        )
     schema = StructType(
         [
             StructField("doc_id", LongType()),
@@ -15068,7 +15095,16 @@ def q_lineitem_exact_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFr
     of the remaining offset) and picks the residual rank. Total cost: two
     scans + one tiny sort, O(n/buckets) memory on one task — the
     classic BigQuery/Presto exact-percentile strategy. Bucket bounds come
-    from the pass-1 min/max broadcast; every step is integer cents."""
+    from the pass-1 min/max broadcast; every step is integer cents.
+
+    EAGER-EXECUTION EXCEPTION (documented per ADVICE r7): multi-pass
+    selection is inherently adaptive — the pass-2 plan depends on pass-1
+    DATA (the target bucket and rank), so constructing this DataFrame runs
+    two jobs (the O(buckets) histogram collect and the scalar stats row)
+    and embeds their results as literals. The returned plan is therefore a
+    snapshot: rebuild it if the underlying table changes. Plan-only
+    consumers (EXPLAIN / plan sweep) pay the two jobs; that cost is
+    O(n) scan + O(1 KB) driver data, same as executing pass 1."""
     li = table_scan(spark, sf_dir, "lineitem").select(
         (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
         .cast("long")
@@ -15094,6 +15130,12 @@ def q_lineitem_exact_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFr
         (r["b"], r["cnt"]) for r in hist.collect()
     )  # ≤1024 rows: the one driver-side step, O(buckets) not O(n)
     n = stats.collect()[0]["n"]
+    if n == 0:
+        # empty table: the oracle's rank filter yields zero rows; an
+        # aggregate over the empty slice would instead produce one NULL row
+        return spark.createDataFrame(
+            [], "n_rows bigint, median_cents bigint"
+        )
     k = (n + 1) // 2
     cum = 0
     target_b, before = 0, 0
@@ -19386,6 +19428,71 @@ def q_events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # green CORRECTNESS_r01 row rotate out, queries with no row yet (r01 tail),
 # a failed/changed row, or new this round rotate in.
 _WINDOW_PRIORITY: list[str] = [
+    # --- round 8 window ---
+    # CORRECTNESS_r07 landed green (50/50). Per NOTES.md "Round-8 window
+    # plan" + VERDICT r7 ask #2: lead with the 6 r6-changed names whose
+    # rows are stale (grouped_zscore_pandas, the three within_bound
+    # sketches, ann_cosine_topk_ivf, embedding_near_dup), then the 18
+    # round-7 additions without a seat, then the round-7 continuation
+    # batches in registration order until the 50-slot window is full
+    # (batches 1-7 + the first of batch 8). The remaining continuation
+    # names queue for r9 — tools/evidence_ledger.py --next-window emits
+    # that list deterministically.
+    "grouped_zscore_pandas",
+    "approx_order_percentiles",
+    "approx_distinct_users",
+    "events_dau_hll_mergeable",
+    "ann_cosine_topk_ivf",
+    "embedding_near_dup",
+    # 18 unseated round-7 additions (registration order):
+    "sql_parameterized_filter",
+    "string_collation_group",
+    "sql_lateral_correlated",
+    "events_ewma_smooth",
+    "part_similarity_topk",
+    "events_observe_audit",
+    "grouped_agg_pandas_udf",
+    "udtf_analyze_kv_columns",
+    "embedding_matryoshka_recall",
+    "sql_scripting_variables",
+    "dedup_cascade_funnel",
+    "map_functions_extended",
+    "orders_price_range_frame",
+    "try_arithmetic_functions",
+    "graph_sssp_bellman_ford",
+    "orders_poisson_bootstrap_median",
+    "events_cusum_drift",
+    "events_mannwhitney_drift",
+    # round-7 continuation batches 1-7 (+ first of batch 8):
+    "graph_label_propagation",
+    "vocab_pmi_collocations",
+    "events_autocorr_daily",
+    "orders_cohort_ltv",
+    "lineitem_ols_two_factor",
+    "doc_lsh_candidate_eval",
+    "events_kmv_distinct_sketch",
+    "graph_degree_assortativity",
+    "doc_readability_flesch",
+    "embedding_gram_matrix_int",
+    "sql_group_by_all",
+    "dataset_kfold_split",
+    "doc_bm25_topk",
+    "hybrid_search_rrf",
+    "events_seasonal_naive_backtest",
+    "events_holt_forecast",
+    "customer_segment_nation_chi2",
+    "multimodal_image_dhash_near_dup",
+    "part_skyline_pareto",
+    "orders_runs_test_randomness",
+    "vocab_char_coverage",
+    "source_mixture_temperature",
+    "graph_neighbor_mean_features",
+    "multimodal_audio_fingerprint_dup",
+    "lineitem_ordered_concat",
+    "embedding_pq_adc_recall",
+]
+
+_WINDOW_PRIORITY_R7: list[str] = [
     # --- round 7 window ---
     # CORRECTNESS_r06.json was never delivered to the repo (same as r02), so
     # every r6-window / late-r6 name is still zero-evidence per

@@ -238,18 +238,43 @@ class JsonlSinkWriter(DataSourceWriter):
         import os
         import shutil
 
+        prev_files = 0
+        prev_rows = 0
         if self.overwrite:
             for name in os.listdir(self.path):
                 if name.startswith("part-") or name == "_SUCCESS":
                     os.remove(os.path.join(self.path, name))
+        else:
+            # append: never reuse a published part index — a second write
+            # starting at part-00000 would silently replace the first
+            # write's files. Offset past whatever is already committed and
+            # carry the prior manifest's counts forward so _SUCCESS stays
+            # cumulative.
+            existing = [
+                n for n in os.listdir(self.path)
+                if n.startswith("part-") and n.endswith(".jsonl")
+            ]
+            prev_files = len(existing)
+            success = os.path.join(self.path, "_SUCCESS")
+            if os.path.exists(success):
+                try:
+                    with open(success) as f:
+                        prev_rows = int(_json.load(f).get("rows", 0))
+                except (ValueError, OSError):
+                    prev_rows = 0
+        offset = prev_files
         total = 0
-        for i, m in enumerate(messages):
+        published = 0
+        for m in messages:
             if m is None:
                 continue
-            os.replace(m.staged, os.path.join(self.path, f"part-{i:05d}.jsonl"))
+            os.replace(
+                m.staged, os.path.join(self.path, f"part-{offset + published:05d}.jsonl")
+            )
+            published += 1
             total += m.n_rows
         shutil.rmtree(os.path.join(self.path, "_staged"), ignore_errors=True)
-        manifest = {"files": sum(m is not None for m in messages), "rows": total}
+        manifest = {"files": prev_files + published, "rows": prev_rows + total}
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
             f.write(_json.dumps(manifest))
 

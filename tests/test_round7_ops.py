@@ -57,6 +57,29 @@ class TestJsonlSink:
                     total += sum(1 for _ in f)
         assert total == 4
 
+    def test_append_offsets_parts_and_accumulates_manifest(
+        self, spark, tmp_path
+    ):
+        # ADVICE r7: a second append-mode write must NOT reuse part-00000
+        # (silently replacing the first commit) and _SUCCESS must report
+        # the cumulative file/row counts across commits
+        register_jsonl_sink(spark)
+        out = tmp_path / "sink"
+        out.mkdir()
+        for n in (7, 4):
+            spark.range(n).repartition(2).write.format(
+                "jsonl_audit_sink"
+            ).mode("append").save(str(out))
+        parts = sorted(p for p in os.listdir(out) if p.startswith("part-"))
+        assert parts == [f"part-{i:05d}.jsonl" for i in range(4)]
+        manifest = json.loads((out / "_SUCCESS").read_text())
+        assert manifest == {"files": 4, "rows": 11}
+        total = 0
+        for p in parts:
+            with open(out / p) as f:
+                total += sum(1 for _ in f)
+        assert total == 11
+
     def test_abort_cleans_staged_files_only(self, tmp_path):
         out = tmp_path / "sink"
         out.mkdir()

@@ -1,17 +1,24 @@
 """Driver-evidence ledger: which registry query has which round's latest
 driver row, and what the next window rotation should lead with.
 
-Usage: python tools/evidence_ledger.py
-Prints, per evidence class (zero-evidence first, then oldest-first), the
-query names — the exact input the next round's `_WINDOW_PRIORITY` needs.
+Usage:
+    python tools/evidence_ledger.py                 # full ledger report
+    python tools/evidence_ledger.py --next-window   # the exact ordered
+        50-name list the NEXT round's `_WINDOW_PRIORITY` should contain
+        (red-at-latest first, then zero-evidence in registration order,
+        then green oldest-evidence-first) — paste-ready Python literal.
+
 Pure metadata: reads CORRECTNESS_r*.json and the registry names via a
-regex (no Spark session).
+regex (no Spark session). Run `--next-window` at session end and record
+the output in NOTES.md so no name waits more than two windows
+(VERDICT r7 ask #3).
 """
 
 from __future__ import annotations
 
 import json
 import re
+import sys
 from pathlib import Path
 
 ROOT = Path(__file__).resolve().parent.parent
@@ -42,7 +49,30 @@ def latest_evidence() -> dict[str, tuple[str, bool]]:
     return out
 
 
+def next_window(size: int = 50) -> list[str]:
+    """The ordered window the next round should seat: red-at-latest first
+    (a failure must be re-proven fixed), then zero-evidence names in
+    registration order (newest code is likeliest to have moved), then
+    green names oldest-evidence-first (stalest rows refresh first)."""
+    names = registry_names()
+    ev = latest_evidence()
+    red = [n for n in names if n in ev and not ev[n][1]]
+    zero = [n for n in names if n not in ev]
+    green = sorted(
+        (n for n in names if n in ev and ev[n][1]),
+        key=lambda n: (ev[n][0], names.index(n)),
+    )
+    ordered = red + zero + green
+    return ordered[:size]
+
+
 def main() -> None:
+    if "--next-window" in sys.argv:
+        win = next_window()
+        print(f"# next-round window ({len(win)} names) — paste into _WINDOW_PRIORITY:")
+        for n in win:
+            print(f'    "{n}",')
+        return
     names = registry_names()
     ev = latest_evidence()
     zero = [n for n in names if n not in ev]

@@ -10,9 +10,11 @@ Usage:
     python tools/replica.py --window 50           # first N registry entries
     python tools/replica.py name1 name2 ...       # just these queries
     python tools/replica.py --start 100           # resume from index 100
+    python tools/replica.py --json REPLICA_r08.json   # persist the gate
 """
 from __future__ import annotations
 
+import json
 import math
 import sys
 
@@ -36,6 +38,7 @@ def main() -> int:
     sf = "/root/testdata/sf0.01"
     window = None
     start = 0
+    json_out = None
     names: list[str] = []
     it = iter(args)
     for a in it:
@@ -45,6 +48,8 @@ def main() -> int:
             window = int(next(it))
         elif a == "--start":
             start = int(next(it))
+        elif a == "--json":
+            json_out = next(it)
         else:
             names.append(a)
 
@@ -67,18 +72,25 @@ def main() -> int:
     todo = todo[start:]
 
     fails: list[str] = []
+    records: dict[str, dict] = {}
     for idx, name in enumerate(todo, start=start):
         fn = qs[name]
         sql = oracles.get(name)
         try:
             sdf = fn(spark, sf)
             srows = [tuple(r) for r in sdf.collect()]
+            # queries persist() intermediates for their own execution; over
+            # a 340-query gate those caches accumulate (memory + plan
+            # contamination — ADVICE r7), so the gate drops them per query
+            spark.catalog.clearCache()
         except Exception as ex:  # noqa: BLE001
             print(f"[{idx}] {name}: SPARK ERROR {type(ex).__name__}: {ex}", flush=True)
             fails.append(name)
+            records[name] = {"status": "SPARK_ERROR", "err": f"{type(ex).__name__}: {ex}"[:300]}
             continue
         if sql is None:
             print(f"[{idx}] {name}: rows-only, {len(srows)} rows", flush=True)
+            records[name] = {"status": "ROWS_ONLY", "spark_rows": len(srows)}
             continue
         try:
             rel = con.sql(sql)
@@ -87,6 +99,7 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001
             print(f"[{idx}] {name}: ORACLE ERROR {type(ex).__name__}: {ex}", flush=True)
             fails.append(name)
+            records[name] = {"status": "ORACLE_ERROR", "err": f"{type(ex).__name__}: {ex}"[:300]}
             continue
         ok = len(srows) == len(drows) and sorted(sdf.columns) == sorted(dcols)
         why = "" if ok else f" (rows {len(srows)} vs {len(drows)}, cols {sorted(sdf.columns)} vs {sorted(dcols)})"
@@ -99,9 +112,29 @@ def main() -> int:
             if not ok:
                 why = " (values)"
         print(f"[{idx}] {name}: {'MATCH' if ok else 'MISMATCH' + why}", flush=True)
+        records[name] = {
+            "status": "MATCH" if ok else "MISMATCH",
+            "spark_rows": len(srows),
+            "oracle_rows": len(drows),
+        }
         if not ok:
+            records[name]["why"] = why.strip() or "(values)"
             fails.append(name)
     print("FAILURES:", fails or "none")
+    if json_out:
+        counts: dict[str, int] = {}
+        for r in records.values():
+            counts[r["status"]] = counts.get(r["status"], 0) + 1
+        out = {
+            "sf": sf,
+            "total": len(records),
+            "counts": counts,
+            "failures": fails,
+            "queries": records,
+        }
+        with open(json_out, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"wrote {json_out}: {counts}")
     spark.stop()
     return 1 if fails else 0
 
