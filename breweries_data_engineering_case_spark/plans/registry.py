@@ -19418,6 +19418,324 @@ def q_events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exact_rank_cutoffs(vals: DataFrame, rank_exprs: list[str]) -> DataFrame:
+    """Exact order statistics, fully LAZY and fully distributed — the
+    scale-path kernel behind the ``*_scaled`` quantile twins (VERDICT r7
+    ask #7). Input: one long column ``v``. ``rank_exprs[i]`` is a SQL
+    expression over ``n`` (the row count) giving the 1-based rank of the
+    i-th cutoff, e.g. ``"(1*n + 3) div 4"`` for the lower quartile.
+    Returns a single-row DataFrame ``c1..cK`` = the values at those ranks.
+
+    Unlike the two-pass median (lineitem_exact_median_two_pass), NOTHING
+    runs at construction time: pass 1 bins v into 1024 range buckets
+    (partial-agg shuffle, O(buckets) output); the cumulative bucket walk is
+    a window over the ≤1024-row histogram (bounded single task, same class
+    as the benford/dow whitelist entries); each rank's target bucket is a
+    broadcast min_by; pass 2 ranks ONLY the target buckets' slices
+    (~n/1024 rows each) via a row_number window PARTITIONED by rank index —
+    never a global sort of the data. The selected VALUE at a rank is
+    deterministic under ties (a sorted multiset has one value per rank),
+    so cross-engine parity is exact. At 1000 executors every stage is a
+    shuffle of either the full column (bin pass) or n/1024-row slices."""
+    K = len(rank_exprs)
+    stats = vals.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
+    # persist the skinny (v, b) projection: it feeds both the histogram and
+    # the pass-2 refinement — without the cache the source is scanned twice
+    # more (measured 10.8 s → 4 s at SF1)
+    binned = vals.crossJoin(F.broadcast(stats)).selectExpr(
+        "v",
+        "LEAST(CAST((v - lo) * 1024 div GREATEST(hi - lo + 1, 1) AS INT),"
+        " 1023) AS b",
+    ).persist()
+    hist = binned.groupBy("b").agg(F.count(F.lit(1)).alias("cnt"))
+    whist = hist.withColumn("cum", F.sum("cnt").over(Window.orderBy("b")))
+    # n = max cumulative count — derived from the ≤1024-row histogram, not
+    # another full-table aggregate
+    ranks = whist.agg(F.max("cum").alias("n")).selectExpr(
+        f"stack({K}, "
+        + ", ".join(
+            f"{i}, CAST({expr} AS BIGINT)"
+            for i, expr in enumerate(rank_exprs, start=1)
+        )
+        + ") AS (i, k)"
+    )
+    targets = (
+        ranks.join(F.broadcast(whist), F.col("cum") >= F.col("k"))
+        .groupBy("i", "k")
+        .agg(F.min_by(F.struct("b", "cum", "cnt"), "b").alias("s"))
+        .select(
+            "i",
+            "k",
+            F.col("s.b").alias("tb"),
+            (F.col("s.cum") - F.col("s.cnt")).alias("before"),
+        )
+    )
+    picked = (
+        binned.join(F.broadcast(targets), F.col("b") == F.col("tb"))
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("i").orderBy("v"))
+        )
+        .filter(F.col("rn") == F.col("k") - F.col("before"))
+    )
+    return picked.groupBy().agg(
+        *[
+            F.max(F.when(F.col("i") == i, F.col("v"))).alias(f"c{i}")
+            for i in range(1, K + 1)
+        ]
+    )
+
+
+_QUARTILE_RANKS = ["(1*n + 3) div 4", "(2*n + 3) div 4", "(3*n + 3) div 4"]
+
+
+@register(
+    "window_ntile_quartiles_scaled",
+    """
+    WITH v AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM orders
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn FROM v),
+    cuts AS (
+      SELECT MAX(CASE WHEN rn = (1*n + 3) // 4 THEN c END) AS c1,
+             MAX(CASE WHEN rn = (2*n + 3) // 4 THEN c END) AS c2,
+             MAX(CASE WHEN rn = (3*n + 3) // 4 THEN c END) AS c3
+      FROM r CROSS JOIN n
+    )
+    SELECT o_orderkey,
+           CAST(CASE WHEN c <= c1 THEN 1 WHEN c <= c2 THEN 2
+                     WHEN c <= c3 THEN 3 ELSE 4 END AS INT) AS price_quartile
+    FROM v CROSS JOIN cuts
+    """,
+)
+def q_window_ntile_quartiles_scaled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scale-path twin of window_ntile_quartiles (VERDICT r7 ask #7): the
+    global-sort NTILE is replaced by VALUE-based quartiles against exact
+    rank cutoffs from the distributed selection kernel
+    (_exact_rank_cutoffs) — no row of the fact table ever passes through a
+    single-partition window; the only global window is the ≤1024-row
+    histogram walk. Semantics shift from NTILE's equal-count buckets
+    (ties split across buckets by position) to value buckets (ties share a
+    bucket — the stable definition under distribution); cutoff_i is the
+    exact ceil(i·n/4)-th smallest price in integer cents, bitwise equal to
+    the oracle's ROW_NUMBER rank selection."""
+    v = table_scan(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("v"),
+    )
+    cuts = _exact_rank_cutoffs(v.select("v"), _QUARTILE_RANKS)
+    return v.crossJoin(F.broadcast(cuts)).selectExpr(
+        "o_orderkey",
+        "CAST(CASE WHEN v <= c1 THEN 1 WHEN v <= c2 THEN 2"
+        " WHEN v <= c3 THEN 3 ELSE 4 END AS INT) AS price_quartile",
+    )
+
+
+@register(
+    "orders_abc_pareto_scaled",
+    """
+    WITH r AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rd
+      FROM orders GROUP BY o_custkey
+    ), c AS (
+      SELECT o_custkey, rd,
+             SUM(rd) OVER (ORDER BY rd DESC, o_custkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(rd) OVER () AS total
+      FROM r
+    )
+    SELECT o_custkey, CAST(rd AS DOUBLE) AS revenue,
+           CASE WHEN cum * 5 <= total * 4 THEN 'A'
+                WHEN cum * 20 <= total * 19 THEN 'B'
+                ELSE 'C' END AS pareto_class
+    FROM c
+    """,
+)
+def q_orders_abc_pareto_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path twin of orders_abc_pareto (VERDICT r7 ask #7): the global
+    cumulative-revenue window becomes a TWO-PHASE PREFIX SUM — the
+    distributed cumsum pattern. Keys are range-binned by revenue cents
+    (bin monotone-decreasing in rd, so bin order extends the global
+    (rd DESC, o_custkey) order); phase 1 computes per-bin revenue sums
+    (≤1024 rows) and turns them into bin OFFSETS with a bounded window;
+    phase 2 computes the running sum WITHIN each bin (window partitioned
+    by bin, ~|keys|/1024 rows per task) and adds the broadcast offset.
+    Result is bitwise the original cumsum — the oracle is the original's
+    SQL verbatim — but no task ever sees more than one bin of keys. Same
+    decimal cross-multiplied class boundaries (cum·5 ≤ total·4)."""
+    o = table_scan(spark, sf_dir, "orders")
+    r = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rd"))
+        .withColumn("rdc", (F.col("rd") * 100).cast("long"))
+        .persist()  # feeds the stats scalar AND the bin pass
+    )
+    stats = r.agg(
+        F.min("rdc").alias("lo"),
+        F.max("rdc").alias("hi"),
+        F.sum("rd").alias("total"),
+    )
+    binned = r.crossJoin(F.broadcast(stats)).selectExpr(
+        "o_custkey",
+        "rd",
+        "total",
+        # descending in rd: bin 0 holds the highest revenues
+        "LEAST(CAST((hi - rdc) * 1024 div GREATEST(hi - lo + 1, 1) AS INT),"
+        " 1023) AS b",
+    )
+    binsum = binned.groupBy("b").agg(F.sum("rd").alias("s"))
+    offs = binsum.select(
+        "b",
+        (F.sum("s").over(Window.orderBy("b")) - F.col("s")).alias("off"),
+    )
+    win = Window.partitionBy("b").orderBy(F.desc("rd"), "o_custkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = binned.join(F.broadcast(offs), "b").select(
+        "o_custkey",
+        "rd",
+        "total",
+        (F.col("off") + F.sum("rd").over(win)).alias("cum"),
+    )
+    cls = (
+        F.when(F.col("cum") * 5 <= F.col("total") * 4, F.lit("A"))
+        .when(F.col("cum") * 20 <= F.col("total") * 19, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return c.select(
+        "o_custkey",
+        F.col("rd").cast("double").alias("revenue"),
+        cls.alias("pareto_class"),
+    )
+
+
+@register(
+    "orders_rfm_segments_scaled",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             MAX(CAST(o_orderdate AS DATE)) AS last_day,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS md
+      FROM orders GROUP BY o_custkey
+    ),
+    anchored AS (
+      SELECT o_custkey, frequency, md,
+             CAST(date_diff('day', last_day, (SELECT MAX(last_day) FROM per_cust))
+                  AS BIGINT) AS recency_days,
+             -frequency AS nf,
+             -CAST(md * 100 AS BIGINT) AS nm
+      FROM per_cust
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM anchored),
+    rr AS (SELECT recency_days AS v, ROW_NUMBER() OVER (ORDER BY recency_days) AS rn FROM anchored),
+    rf AS (SELECT nf AS v, ROW_NUMBER() OVER (ORDER BY nf) AS rn FROM anchored),
+    rm AS (SELECT nm AS v, ROW_NUMBER() OVER (ORDER BY nm) AS rn FROM anchored),
+    cuts AS (
+      SELECT
+        (SELECT MAX(CASE WHEN rn = (1*n + 3) // 4 THEN v END) FROM rr CROSS JOIN n) AS r1,
+        (SELECT MAX(CASE WHEN rn = (2*n + 3) // 4 THEN v END) FROM rr CROSS JOIN n) AS r2,
+        (SELECT MAX(CASE WHEN rn = (3*n + 3) // 4 THEN v END) FROM rr CROSS JOIN n) AS r3,
+        (SELECT MAX(CASE WHEN rn = (1*n + 3) // 4 THEN v END) FROM rf CROSS JOIN n) AS f1,
+        (SELECT MAX(CASE WHEN rn = (2*n + 3) // 4 THEN v END) FROM rf CROSS JOIN n) AS f2,
+        (SELECT MAX(CASE WHEN rn = (3*n + 3) // 4 THEN v END) FROM rf CROSS JOIN n) AS f3,
+        (SELECT MAX(CASE WHEN rn = (1*n + 3) // 4 THEN v END) FROM rm CROSS JOIN n) AS m1,
+        (SELECT MAX(CASE WHEN rn = (2*n + 3) // 4 THEN v END) FROM rm CROSS JOIN n) AS m2,
+        (SELECT MAX(CASE WHEN rn = (3*n + 3) // 4 THEN v END) FROM rm CROSS JOIN n) AS m3
+    )
+    SELECT o_custkey, recency_days, frequency, CAST(md AS DOUBLE) AS monetary,
+           CAST(CASE WHEN recency_days <= r1 THEN 1 WHEN recency_days <= r2 THEN 2
+                     WHEN recency_days <= r3 THEN 3 ELSE 4 END AS INT) AS r_q,
+           CAST(CASE WHEN nf <= f1 THEN 1 WHEN nf <= f2 THEN 2
+                     WHEN nf <= f3 THEN 3 ELSE 4 END AS INT) AS f_q,
+           CAST(CASE WHEN nm <= m1 THEN 1 WHEN nm <= m2 THEN 2
+                     WHEN nm <= m3 THEN 3 ELSE 4 END AS INT) AS m_q,
+           CAST(CASE WHEN recency_days <= r1 THEN 1 WHEN recency_days <= r2 THEN 2
+                     WHEN recency_days <= r3 THEN 3 ELSE 4 END AS VARCHAR) ||
+           CAST(CASE WHEN nf <= f1 THEN 1 WHEN nf <= f2 THEN 2
+                     WHEN nf <= f3 THEN 3 ELSE 4 END AS VARCHAR) ||
+           CAST(CASE WHEN nm <= m1 THEN 1 WHEN nm <= m2 THEN 2
+                     WHEN nm <= m3 THEN 3 ELSE 4 END AS VARCHAR) AS segment
+    FROM anchored CROSS JOIN cuts
+    """,
+)
+def q_orders_rfm_segments_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path twin of orders_rfm_segments (VERDICT r7 ask #7): the
+    three exact-NTILE windows over the per-customer key table become
+    VALUE-based quartiles against exact rank cutoffs from the distributed
+    selection kernel (_exact_rank_cutoffs, one call per metric). Recency
+    buckets ascending (low = best); frequency and monetary bucket on the
+    NEGATED value so quartile 1 is the top — ties share a bucket, the
+    stable definition under distribution. Cutoffs are exact ceil(i·n/4)
+    order statistics (integer days / counts / cents), bitwise equal to the
+    oracle's ROW_NUMBER selections; no per-customer row ever crosses a
+    single-partition window."""
+    o = table_scan(spark, sf_dir, "orders")
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("md"),
+        )
+        .persist()
+    )
+    anchor = per_cust.agg(F.max("last_day").alias("_anchor"))
+    anchored = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        "frequency",
+        "md",
+        F.datediff(F.col("_anchor"), F.col("last_day"))
+        .cast("long")
+        .alias("recency_days"),
+        (-F.col("frequency")).alias("nf"),
+        (-(F.col("md") * 100).cast("long")).alias("nm"),
+    )
+    rcuts = _exact_rank_cutoffs(
+        anchored.select(F.col("recency_days").alias("v")), _QUARTILE_RANKS
+    ).selectExpr("c1 AS r1", "c2 AS r2", "c3 AS r3")
+    fcuts = _exact_rank_cutoffs(
+        anchored.select(F.col("nf").alias("v")), _QUARTILE_RANKS
+    ).selectExpr("c1 AS f1", "c2 AS f2", "c3 AS f3")
+    mcuts = _exact_rank_cutoffs(
+        anchored.select(F.col("nm").alias("v")), _QUARTILE_RANKS
+    ).selectExpr("c1 AS m1", "c2 AS m2", "c3 AS m3")
+    scored = (
+        anchored.crossJoin(F.broadcast(rcuts))
+        .crossJoin(F.broadcast(fcuts))
+        .crossJoin(F.broadcast(mcuts))
+        .selectExpr(
+            "o_custkey",
+            "recency_days",
+            "frequency",
+            "CAST(md AS DOUBLE) AS monetary",
+            "CAST(CASE WHEN recency_days <= r1 THEN 1"
+            " WHEN recency_days <= r2 THEN 2"
+            " WHEN recency_days <= r3 THEN 3 ELSE 4 END AS INT) AS r_q",
+            "CAST(CASE WHEN nf <= f1 THEN 1 WHEN nf <= f2 THEN 2"
+            " WHEN nf <= f3 THEN 3 ELSE 4 END AS INT) AS f_q",
+            "CAST(CASE WHEN nm <= m1 THEN 1 WHEN nm <= m2 THEN 2"
+            " WHEN nm <= m3 THEN 3 ELSE 4 END AS INT) AS m_q",
+        )
+        .selectExpr(
+            "*",
+            "CAST(r_q AS STRING) || CAST(f_q AS STRING) ||"
+            " CAST(m_q AS STRING) AS segment",
+        )
+    )
+    return scored
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

@@ -94,6 +94,12 @@ BNLJ_OK = {
     "events_ab_proportion_test",  # single-row variant-totals broadcast
     "orders_decile_lift",  # single-row cutoffs + totals broadcasts and the
     #   triangular join of the TEN-row decile aggregate with itself
+    "window_ntile_quartiles_scaled",  # 1-row stats + 1-row cutoffs
+    #   broadcasts; the rank→bucket lookup is a 3×≤1024-row inequality
+    #   join inside _exact_rank_cutoffs
+    "orders_abc_pareto_scaled",  # 1-row (lo, hi, total) stats broadcast
+    "orders_rfm_segments_scaled",  # 1-row anchor + three 1-row cutoff
+    #   broadcasts; three bounded rank→bucket lookups (_exact_rank_cutoffs)
 }
 
 #: queries allowed a single-partition (global) Window. Each must justify the
@@ -114,11 +120,21 @@ GLOBAL_WINDOW_OK = {
     "orders_dow_seasonality",  # window over the 7-row day-of-week aggregate
     "embedding_top_pc_power_iter",  # windows over dim-sized (~128-row) vecs
     "orders_rfm_segments",  # exact-NTILE exercise over the per-customer KEY
-    #   table (scale path: percentile_approx cutoffs — see docstring)
+    #   table — scale path IMPLEMENTED as orders_rfm_segments_scaled
+    #   (exact rank cutoffs via _exact_rank_cutoffs, no key-table window)
     "orders_abc_pareto",  # cumulative revenue share REQUIRES a total order
-    #   over the key table (scale path: two-phase prefix sums)
+    #   over the key table — scale path IMPLEMENTED as
+    #   orders_abc_pareto_scaled (two-phase prefix sums over revenue bins)
     "window_ntile_quartiles",  # exact global quartiles over orders — the
-    #   documented exact-quantile exercise (approx twin: percentile cutoffs)
+    #   documented exact-quantile exercise; scale path IMPLEMENTED as
+    #   window_ntile_quartiles_scaled (value buckets vs exact rank cutoffs)
+    "window_ntile_quartiles_scaled",  # the ONLY global window is the
+    #   cumulative walk over the ≤1024-row bin histogram (bounded by
+    #   construction — _exact_rank_cutoffs)
+    "orders_abc_pareto_scaled",  # ≤1024-row bin-offsets window only; the
+    #   per-key running sum is partitioned by bin
+    "orders_rfm_segments_scaled",  # three ≤1024-row histogram walks
+    #   (one per RFM metric) — no per-customer row in a global window
     "doc_pack_sequences",  # global greedy packing cumsum — order IS the
     #   semantics; scale path packs per source-shard
     "dataset_shuffle_deterministic",  # two-phase row numbering: the ONLY

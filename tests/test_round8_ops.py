@@ -1,0 +1,93 @@
+"""Round-8 operator tests: the distributed exact-rank-selection kernel and
+the scale-path twins it powers (VERDICT r7 ask #7). Oracle parity proves the
+engines agree; these prove the math is right against an independent
+reference (numpy / brute-force sorts on collected data)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from breweries_data_engineering_case_spark.plans import registry
+from breweries_data_engineering_case_spark.plans.registry import (
+    _exact_rank_cutoffs,
+    _QUARTILE_RANKS,
+)
+
+
+def test_exact_rank_cutoffs_match_sorted_multiset(spark):
+    # adversarial value set: heavy ties, a huge outlier, negatives —
+    # the exact order statistic at rank ceil(i*n/4) must equal a plain sort
+    vals = [5, 5, 5, -3, 0, 0, 7, 1_000_000, 2, 2, 2, 2, -3] * 7  # n = 91
+    df = spark.createDataFrame([(v,) for v in vals], "v long").repartition(8)
+    row = _exact_rank_cutoffs(df, _QUARTILE_RANKS).collect()[0]
+    s = sorted(vals)
+    n = len(vals)
+    for i in range(1, 4):
+        k = (i * n + 3) // 4  # ceil(i*n/4), 1-based
+        assert row[f"c{i}"] == s[k - 1], (i, k, row)
+
+
+def test_exact_rank_cutoffs_single_bucket_degenerate(spark):
+    # all-equal input: lo == hi collapses every value into bucket 0 and
+    # every cutoff must be that value (GREATEST guard against /0)
+    df = spark.createDataFrame([(42,)] * 10, "v long")
+    row = _exact_rank_cutoffs(df, _QUARTILE_RANKS).collect()[0]
+    assert (row["c1"], row["c2"], row["c3"]) == (42, 42, 42)
+
+
+def test_pareto_scaled_cumsum_equals_global_window(spark, sf_dir):
+    # the two-phase prefix sum must reproduce the original global-window
+    # classification row-for-row
+    a = {
+        (r.o_custkey, r.pareto_class)
+        for r in registry.QUERIES["orders_abc_pareto"](spark, sf_dir).collect()
+    }
+    b = {
+        (r.o_custkey, r.pareto_class)
+        for r in registry.QUERIES["orders_abc_pareto_scaled"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert a == b
+
+
+def test_ntile_scaled_buckets_are_quartile_sized_and_ordered(spark, sf_dir):
+    # value-based quartiles: bucket boundaries respect value order and each
+    # bucket holds ~n/4 rows (ties may shift counts, never order)
+    df = registry.QUERIES["window_ntile_quartiles_scaled"](spark, sf_dir)
+    o = registry.table_scan(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    j = df.join(o, "o_orderkey")
+    agg = (
+        j.groupBy("price_quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("price_quartile")
+        .collect()
+    )
+    assert [r.price_quartile for r in agg] == [1, 2, 3, 4]
+    n = sum(r.n for r in agg)
+    for r in agg:
+        assert abs(r.n - n / 4) < n * 0.05  # near-equal depth at this SF
+    for prev, nxt in zip(agg, agg[1:]):
+        assert prev.hi <= nxt.lo  # buckets are value-ordered, no overlap
+
+
+def test_rfm_scaled_quartiles_rank_correctly(spark, sf_dir):
+    # quartile 1 of frequency must hold the MOST frequent customers;
+    # quartile 1 of recency the most RECENT (smallest recency_days)
+    rows = registry.QUERIES["orders_rfm_segments_scaled"](
+        spark, sf_dir
+    ).collect()
+    by_fq = {}
+    by_rq = {}
+    for r in rows:
+        by_fq.setdefault(r.f_q, []).append(r.frequency)
+        by_rq.setdefault(r.r_q, []).append(r.recency_days)
+    assert min(by_fq[1]) >= max(by_fq[4])
+    assert max(by_rq[1]) <= min(by_rq[4])
+    assert all(r.segment == f"{r.r_q}{r.f_q}{r.m_q}" for r in rows)
