@@ -19736,6 +19736,368 @@ def q_orders_rfm_segments_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored
 
 
+@register(
+    "lineitem_spearman_qty_discount",
+    """
+    WITH b AS (
+      SELECT l_returnflag AS flag, CAST(l_quantity AS INT) AS q,
+             CAST(ROUND(l_discount * 100) AS INT) AS d
+      FROM lineitem
+    ),
+    ct AS (SELECT flag, q, d, CAST(COUNT(*) AS BIGINT) AS w
+           FROM b GROUP BY flag, q, d),
+    mq AS (
+      SELECT flag, q, wq,
+             2 * (SUM(wq) OVER (PARTITION BY flag ORDER BY q) - wq) + wq + 1
+               AS r2q
+      FROM (SELECT flag, q, CAST(SUM(w) AS BIGINT) AS wq
+            FROM ct GROUP BY flag, q)
+    ),
+    md AS (
+      SELECT flag, d, wd,
+             2 * (SUM(wd) OVER (PARTITION BY flag ORDER BY d) - wd) + wd + 1
+               AS r2d
+      FROM (SELECT flag, d, CAST(SUM(w) AS BIGINT) AS wd
+            FROM ct GROUP BY flag, d)
+    ),
+    s AS (
+      SELECT ct.flag,
+             CAST(SUM(w) AS BIGINT) AS n,
+             CAST(SUM(CAST(w AS HUGEINT) * r2q) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(w AS HUGEINT) * r2d) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(w AS HUGEINT) * r2q * r2q) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(w AS HUGEINT) * r2d * r2d) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(w AS HUGEINT) * r2q * r2d) AS DOUBLE) AS sxy
+      FROM ct JOIN mq USING (flag, q) JOIN md USING (flag, d)
+      GROUP BY ct.flag
+    )
+    SELECT flag AS l_returnflag, n AS n_rows,
+           CASE WHEN (n * sxx - sx * sx) <= 0 OR (n * syy - sy * sy) <= 0
+                THEN NULL
+                ELSE (n * sxy - sx * sy)
+                     / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+           END AS rho_spearman
+    FROM s
+    """,
+)
+def q_lineitem_spearman_qty_discount(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spearman rank correlation (quantity vs discount, per return flag) —
+    the robust correlation every data-quality screen wants, computed the
+    DISTRIBUTED way: no global rank window over the fact table. Both
+    variables have small discrete domains (50 quantities × 11 discount
+    steps), so the whole computation collapses onto the ≤550-cell
+    contingency table: average ranks (ties share the midrank, the proper
+    Spearman treatment) come from cumulative marginal counts — windows
+    over ≤50/≤11-row per-flag histograms, partitioned by flag — and the
+    Pearson-on-ranks sums are weighted aggregates over the cells. Ranks
+    carry a 2x scale (midranks are .5-steps; correlation is
+    scale-invariant) so everything stays integer; products are summed as
+    DECIMAL(38,0) (a long would overflow at n·rank² ≈ 8.6e17 per cell)
+    and cast to double only for the final sqrt formula — bitwise equal to
+    the oracle's HUGEINT route. At 100 TB this is one partial-agg shuffle
+    to the contingency table plus broadcast rank joins."""
+    b = table_scan(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("int").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("int").alias("d"),
+    )
+    ct = b.groupBy("flag", "q", "d").agg(F.count(F.lit(1)).alias("w")).persist()
+    wf = Window.partitionBy("flag")
+    mq = (
+        ct.groupBy("flag", "q")
+        .agg(F.sum("w").alias("wq"))
+        .select(
+            "flag",
+            "q",
+            (
+                2 * (F.sum("wq").over(wf.orderBy("q")) - F.col("wq"))
+                + F.col("wq")
+                + 1
+            ).alias("r2q"),
+        )
+    )
+    md = (
+        ct.groupBy("flag", "d")
+        .agg(F.sum("w").alias("wd"))
+        .select(
+            "flag",
+            "d",
+            (
+                2 * (F.sum("wd").over(wf.orderBy("d")) - F.col("wd"))
+                + F.col("wd")
+                + 1
+            ).alias("r2d"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = (
+        ct.join(F.broadcast(mq), ["flag", "q"])
+        .join(F.broadcast(md), ["flag", "d"])
+        .groupBy("flag")
+        .agg(
+            F.sum("w").alias("n"),
+            F.sum(dec(F.col("w")) * F.col("r2q")).cast("double").alias("sx"),
+            F.sum(dec(F.col("w")) * F.col("r2d")).cast("double").alias("sy"),
+            F.sum(dec(F.col("w")) * F.col("r2q") * F.col("r2q"))
+            .cast("double")
+            .alias("sxx"),
+            F.sum(dec(F.col("w")) * F.col("r2d") * F.col("r2d"))
+            .cast("double")
+            .alias("syy"),
+            F.sum(dec(F.col("w")) * F.col("r2q") * F.col("r2d"))
+            .cast("double")
+            .alias("sxy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    rho = F.when((vx <= 0) | (vy <= 0), F.lit(None).cast("double")).otherwise(
+        (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.sqrt(vx) * F.sqrt(vy))
+    )
+    return s.select(
+        F.col("flag").alias("l_returnflag"),
+        F.col("n").alias("n_rows"),
+        rho.alias("rho_spearman"),
+    )
+
+
+@register(
+    "lineitem_kendall_tau_b",
+    """
+    WITH b AS (
+      SELECT l_returnflag AS flag, CAST(l_quantity AS INT) AS q,
+             CAST(ROUND(l_discount * 100) AS INT) AS d
+      FROM lineitem
+    ),
+    ct AS (SELECT flag, q, d, CAST(COUNT(*) AS BIGINT) AS w
+           FROM b GROUP BY flag, q, d),
+    pairs AS (
+      SELECT a.flag,
+             CAST(SUM(CASE WHEN a.d < c.d
+                           THEN CAST(a.w AS HUGEINT) * c.w ELSE 0 END)
+                  AS HUGEINT) AS conc,
+             CAST(SUM(CASE WHEN a.d > c.d
+                           THEN CAST(a.w AS HUGEINT) * c.w ELSE 0 END)
+                  AS HUGEINT) AS disc
+      FROM ct a JOIN ct c ON a.flag = c.flag AND a.q < c.q
+      GROUP BY a.flag
+    ),
+    tq AS (
+      SELECT flag,
+             CAST(SUM(CAST(wq AS HUGEINT) * (wq - 1) // 2) AS HUGEINT) AS n1
+      FROM (SELECT flag, q, CAST(SUM(w) AS BIGINT) AS wq
+            FROM ct GROUP BY flag, q)
+      GROUP BY flag
+    ),
+    td AS (
+      SELECT flag,
+             CAST(SUM(CAST(wd AS HUGEINT) * (wd - 1) // 2) AS HUGEINT) AS n2
+      FROM (SELECT flag, d, CAST(SUM(w) AS BIGINT) AS wd
+            FROM ct GROUP BY flag, d)
+      GROUP BY flag
+    ),
+    tot AS (
+      SELECT flag, CAST(SUM(w) AS BIGINT) AS n FROM ct GROUP BY flag
+    )
+    SELECT tot.flag AS l_returnflag, tot.n AS n_rows,
+           CAST(conc AS BIGINT) AS n_concordant,
+           CAST(disc AS BIGINT) AS n_discordant,
+           CAST(conc - disc AS DOUBLE)
+             / (sqrt(CAST(CAST(tot.n AS HUGEINT) * (tot.n - 1) // 2 - n1
+                          AS DOUBLE))
+                * sqrt(CAST(CAST(tot.n AS HUGEINT) * (tot.n - 1) // 2 - n2
+                            AS DOUBLE))) AS tau_b
+    FROM tot JOIN pairs USING (flag) JOIN tq USING (flag) JOIN td USING (flag)
+    """,
+)
+def q_lineitem_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b (quantity vs discount, per return flag) — the
+    concordance coefficient with full tie correction, computed WITHOUT the
+    O(n²) pair enumeration every textbook implies: all ~3.6e11 row pairs
+    at sf0.1 reduce to pairs of CONTINGENCY CELLS (≤550 per flag, ~150k
+    cell pairs), each contributing w_a·w_b concordances or discordances
+    at once. The cell-pair inequality join is a broadcast nested-loop over
+    the bounded aggregate (never the data); tie terms n1/n2 come from the
+    marginal histograms; the tau-b denominator takes exact integer
+    (n0−n1)(n0−n2) through DECIMAL before one final sqrt in double. At
+    100 TB the only data-sized stage is the contingency partial-agg."""
+    b = table_scan(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("int").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("int").alias("d"),
+    )
+    ct = b.groupBy("flag", "q", "d").agg(F.count(F.lit(1)).alias("w")).persist()
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    a = ct.select(
+        F.col("flag"), F.col("q"), F.col("d").alias("da"), F.col("w").alias("wa")
+    )
+    c2 = ct.select(
+        F.col("flag").alias("flag2"),
+        F.col("q").alias("q2"),
+        F.col("d").alias("db"),
+        F.col("w").alias("wb"),
+    )
+    pairs = (
+        a.join(
+            F.broadcast(c2),
+            (F.col("flag") == F.col("flag2")) & (F.col("q") < F.col("q2")),
+        )
+        .groupBy("flag")
+        .agg(
+            F.sum(
+                F.when(F.col("da") < F.col("db"), dec(F.col("wa")) * F.col("wb"))
+                .otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias("conc"),
+            F.sum(
+                F.when(F.col("da") > F.col("db"), dec(F.col("wa")) * F.col("wb"))
+                .otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias("disc"),
+        )
+    )
+    tq = (
+        ct.groupBy("flag", "q")
+        .agg(F.sum("w").alias("wq"))
+        .groupBy("flag")
+        .agg(
+            F.sum(dec(F.col("wq")) * (F.col("wq") - 1) / 2)
+            .cast("decimal(38,0)")
+            .alias("n1")
+        )
+    )
+    td = (
+        ct.groupBy("flag", "d")
+        .agg(F.sum("w").alias("wd"))
+        .groupBy("flag")
+        .agg(
+            F.sum(dec(F.col("wd")) * (F.col("wd") - 1) / 2)
+            .cast("decimal(38,0)")
+            .alias("n2")
+        )
+    )
+    tot = ct.groupBy("flag").agg(F.sum("w").alias("n"))
+    n0 = (dec(F.col("n")) * (F.col("n") - 1) / 2).cast("decimal(38,0)")
+    tau = (F.col("conc") - F.col("disc")).cast("double") / (
+        F.sqrt((n0 - F.col("n1")).cast("double"))
+        * F.sqrt((n0 - F.col("n2")).cast("double"))
+    )
+    return (
+        tot.join(F.broadcast(pairs), "flag")
+        .join(F.broadcast(tq), "flag")
+        .join(F.broadcast(td), "flag")
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            F.col("n").alias("n_rows"),
+            F.col("conc").cast("long").alias("n_concordant"),
+            F.col("disc").cast("long").alias("n_discordant"),
+            tau.alias("tau_b"),
+        )
+    )
+
+
+@register(
+    "lineitem_kruskal_wallis_qty_by_flag",
+    """
+    WITH b AS (
+      SELECT l_returnflag AS flag, CAST(l_quantity AS INT) AS q FROM lineitem
+    ),
+    hq AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS w FROM b GROUP BY q),
+    rk AS (
+      SELECT q, w,
+             2 * (SUM(w) OVER (ORDER BY q) - w) + w + 1 AS r2
+      FROM hq
+    ),
+    fq AS (SELECT flag, q, CAST(COUNT(*) AS BIGINT) AS wf
+           FROM b GROUP BY flag, q),
+    g AS (
+      SELECT flag, CAST(SUM(wf) AS BIGINT) AS nj,
+             CAST(SUM(CAST(wf AS HUGEINT) * r2) AS HUGEINT) AS r2j
+      FROM fq JOIN rk USING (q) GROUP BY flag
+    ),
+    t AS (
+      SELECT CAST(SUM(w) AS BIGINT) AS n,
+             CAST(SUM(CAST(w AS HUGEINT) * w * w - w) AS HUGEINT) AS ties
+      FROM hq
+    ),
+    hsum AS (
+      SELECT CAST(SUM(CAST(r2j AS DOUBLE) * CAST(r2j AS DOUBLE) / nj)
+                  AS DOUBLE) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_groups
+      FROM g
+    )
+    SELECT t.n AS n_rows, hsum.n_groups,
+           3.0 * hsum.s / (CAST(t.n AS DOUBLE) * (t.n + 1)) - 3.0 * (t.n + 1)
+             AS h_statistic,
+           (3.0 * hsum.s / (CAST(t.n AS DOUBLE) * (t.n + 1)) - 3.0 * (t.n + 1))
+             / (1.0 - CAST(t.ties AS DOUBLE)
+                      / (CAST(t.n AS DOUBLE) * t.n * t.n - t.n))
+             AS h_corrected
+    FROM t CROSS JOIN hsum
+    """,
+)
+def q_lineitem_kruskal_wallis_qty_by_flag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kruskal-Wallis H (quantity across the three return flags) — the
+    rank-based one-way ANOVA (the non-parametric sibling of
+    orders_weekday_anova_eta2), with the full tie correction a 50-value
+    discrete domain demands. Global midranks come from the ≤50-row
+    quantity histogram (the one bounded global window); per-flag rank sums
+    are weighted joins of the (flag, q) aggregate against that broadcast
+    rank table. Ranks carry the 2x midrank scale, so
+    H = 3·Σ(R2_j²/n_j)/(n(n+1)) − 3(n+1) (the usual 12 becomes 3); the
+    tie term Σ(t³−t) is exact DECIMAL. Every data-sized stage is a
+    partial-agg shuffle; everything after is O(distinct values)."""
+    b = table_scan(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("int").alias("q"),
+    )
+    hq = b.groupBy("q").agg(F.count(F.lit(1)).alias("w"))
+    rk = hq.select(
+        "q",
+        "w",
+        (2 * (F.sum("w").over(Window.orderBy("q")) - F.col("w")) + F.col("w") + 1)
+        .alias("r2"),
+    )
+    fq = b.groupBy("flag", "q").agg(F.count(F.lit(1)).alias("wf"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = (
+        fq.join(F.broadcast(rk), "q")
+        .groupBy("flag")
+        .agg(
+            F.sum("wf").alias("nj"),
+            F.sum(dec(F.col("wf")) * F.col("r2"))
+            .cast("decimal(38,0)")
+            .alias("r2j"),
+        )
+    )
+    t = hq.agg(
+        F.sum("w").alias("n"),
+        F.sum(dec(F.col("w")) * F.col("w") * F.col("w") - F.col("w"))
+        .cast("decimal(38,0)")
+        .alias("ties"),
+    )
+    hsum = g.agg(
+        F.sum(
+            F.col("r2j").cast("double") * F.col("r2j").cast("double")
+            / F.col("nj")
+        ).alias("s"),
+        F.count(F.lit(1)).alias("n_groups"),
+    )
+    nd = F.col("n").cast("double")
+    h = 3.0 * F.col("s") / (nd * (F.col("n") + 1)) - 3.0 * (F.col("n") + 1)
+    corr = 1.0 - F.col("ties").cast("double") / (nd * F.col("n") * F.col("n") - F.col("n"))
+    return t.crossJoin(F.broadcast(hsum)).select(
+        F.col("n").alias("n_rows"),
+        "n_groups",
+        h.alias("h_statistic"),
+        (h / corr).alias("h_corrected"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

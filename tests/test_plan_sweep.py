@@ -100,6 +100,8 @@ BNLJ_OK = {
     "orders_abc_pareto_scaled",  # 1-row (lo, hi, total) stats broadcast
     "orders_rfm_segments_scaled",  # 1-row anchor + three 1-row cutoff
     #   broadcasts; three bounded rank→bucket lookups (_exact_rank_cutoffs)
+    "lineitem_kruskal_wallis_qty_by_flag",  # 1-row totals × 1-row H-sum
+    #   scalar broadcast
 }
 
 #: queries allowed a single-partition (global) Window. Each must justify the
@@ -135,6 +137,8 @@ GLOBAL_WINDOW_OK = {
     #   per-key running sum is partitioned by bin
     "orders_rfm_segments_scaled",  # three ≤1024-row histogram walks
     #   (one per RFM metric) — no per-customer row in a global window
+    "lineitem_kruskal_wallis_qty_by_flag",  # midrank walk over the
+    #   ≤50-row global quantity histogram (the variable's whole domain)
     "doc_pack_sequences",  # global greedy packing cumsum — order IS the
     #   semantics; scale path packs per source-shard
     "dataset_shuffle_deterministic",  # two-phase row numbering: the ONLY

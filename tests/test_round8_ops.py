@@ -91,3 +91,85 @@ def test_rfm_scaled_quartiles_rank_correctly(spark, sf_dir):
     assert min(by_fq[1]) >= max(by_fq[4])
     assert max(by_rq[1]) <= min(by_rq[4])
     assert all(r.segment == f"{r.r_q}{r.f_q}{r.m_q}" for r in rows)
+
+
+def _lineitem_qd(sf_dir):
+    import pandas as pd
+
+    df = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_discount"],
+    )
+    df["q"] = df.l_quantity.astype(int)
+    df["d"] = (df.l_discount * 100).round().astype(int)
+    return df
+
+
+def test_spearman_matches_pandas_average_ranks(spark, sf_dir):
+    import numpy as np
+
+    ref = {}
+    df = _lineitem_qd(sf_dir)
+    for flag, g in df.groupby("l_returnflag"):
+        rq = g.q.rank(method="average")
+        rd = g.d.rank(method="average")
+        ref[flag] = float(np.corrcoef(rq, rd)[0, 1])
+    rows = registry.QUERIES["lineitem_spearman_qty_discount"](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert abs(r.rho_spearman - ref[r.l_returnflag]) < 1e-9, (
+            r.l_returnflag,
+            r.rho_spearman,
+            ref[r.l_returnflag],
+        )
+
+
+def test_kendall_tau_b_matches_brute_force(spark, sf_dir):
+    import numpy as np
+
+    ref = {}
+    df = _lineitem_qd(sf_dir)
+    for flag, g in df.groupby("l_returnflag"):
+        q = g.q.to_numpy()
+        d = g.d.to_numpy()
+        sq = np.sign(q[:, None] - q[None, :])
+        sd = np.sign(d[:, None] - d[None, :])
+        prod = sq * sd
+        conc = int((prod > 0).sum() // 2)
+        disc = int((prod < 0).sum() // 2)
+        n = len(q)
+        n0 = n * (n - 1) // 2
+        n1 = sum(t * (t - 1) // 2 for t in np.bincount(q) if t > 1)
+        n2 = sum(t * (t - 1) // 2 for t in np.bincount(d) if t > 1)
+        ref[flag] = (
+            conc,
+            disc,
+            (conc - disc) / (np.sqrt(n0 - n1) * np.sqrt(n0 - n2)),
+        )
+    rows = registry.QUERIES["lineitem_kendall_tau_b"](spark, sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        c, dsc, tau = ref[r.l_returnflag]
+        assert (r.n_concordant, r.n_discordant) == (c, dsc)
+        assert abs(r.tau_b - tau) < 1e-9
+
+
+def test_kruskal_wallis_matches_formula_replay(spark, sf_dir):
+    df = _lineitem_qd(sf_dir)
+    ranks = df.q.rank(method="average")
+    n = len(df)
+    s = 0.0
+    for _, g in df.groupby("l_returnflag"):
+        rj = float(ranks[g.index].sum())
+        s += rj * rj / len(g)
+    h = 12.0 * s / (n * (n + 1)) - 3.0 * (n + 1)
+    tie = sum(t**3 - t for t in df.q.value_counts() if t > 1)
+    hc = h / (1.0 - tie / (n**3 - n))
+    row = registry.QUERIES["lineitem_kruskal_wallis_qty_by_flag"](
+        spark, sf_dir
+    ).collect()[0]
+    assert row.n_rows == n and row.n_groups == 3
+    assert abs(row.h_statistic - h) < 1e-6 * max(1.0, abs(h))
+    assert abs(row.h_corrected - hc) < 1e-6 * max(1.0, abs(hc))
