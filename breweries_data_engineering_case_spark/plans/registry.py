@@ -14036,16 +14036,21 @@ def q_events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     r AS (SELECT seg, CAST(SUM(obs) AS BIGINT) AS row_tot FROM o GROUP BY seg),
     c AS (SELECT nat, CAST(SUM(obs) AS BIGINT) AS col_tot FROM o GROUP BY nat),
     t AS (SELECT CAST(SUM(obs) AS BIGINT) AS grand FROM o),
+    grid AS (
+      SELECT r.seg, c.nat, r.row_tot, c.col_tot,
+             COALESCE(o.obs, 0) AS obs
+      FROM r CROSS JOIN c LEFT JOIN o USING (seg, nat)
+    ),
     cell AS (
-      SELECT o.seg, o.nat,
-             CAST((CAST(o.obs AS HUGEINT) * grand - CAST(row_tot AS HUGEINT)
+      SELECT seg, nat,
+             CAST((CAST(obs AS HUGEINT) * grand - CAST(row_tot AS HUGEINT)
                    * col_tot)
-                  * (CAST(o.obs AS HUGEINT) * grand - CAST(row_tot AS HUGEINT)
+                  * (CAST(obs AS HUGEINT) * grand - CAST(row_tot AS HUGEINT)
                      * col_tot)
                   * 1000000
                   // (CAST(grand AS HUGEINT) * row_tot * col_tot) AS BIGINT)
                AS cell_ppm
-      FROM o JOIN r USING (seg) JOIN c USING (nat) CROSS JOIN t
+      FROM grid CROSS JOIN t
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
            CAST((SELECT COUNT(*) FROM r) - 1 AS BIGINT)
@@ -14061,10 +14066,15 @@ def q_customer_segment_nation_chi2(spark: SparkSession, sf_dir: str) -> DataFram
     χ² compares CONTINGENCY). Per cell, (O·T − R·C)²/(T·R·C) equals
     T·(O−E)²/E exactly, so the whole statistic is an integer-rational fold
     in HUGEINT/DECIMAL(38), floored per cell to ppm then summed —
-    identical on both engines, no float, no expected-count division. One
-    grouped count (the contingency table is tiny after aggregation), two
-    marginal re-aggregations of IT (not the fact table), broadcast-joined
-    back; emitted with cell count and degrees of freedom."""
+    identical on both engines, no float, no expected-count division. The
+    statistic runs over the FULL r×c grid (marginals cross-joined, then
+    left-joined to the observed cells): an empty cell with positive
+    expectation contributes R·C/T, which an observed-cells-only sum would
+    silently drop (caught round 8 by the independent contingency replay
+    test). One grouped count (the contingency table is tiny after
+    aggregation), two marginal re-aggregations of IT (not the fact
+    table), broadcast-joined back; emitted with cell count and degrees of
+    freedom."""
     cust = table_scan(spark, sf_dir, "customer").select(
         "c_mktsegment", "c_nationkey"
     )
@@ -14079,10 +14089,13 @@ def q_customer_segment_nation_chi2(spark: SparkSession, sf_dir: str) -> DataFram
     r = o.groupBy("seg").agg(F.sum("obs").alias("row_tot"))
     c = o.groupBy("nat").agg(F.sum("obs").alias("col_tot"))
     t = o.agg(F.sum("obs").alias("grand"))
+    grid = (
+        r.crossJoin(c)
+        .join(o, ["seg", "nat"], "left")
+        .select("seg", "nat", "row_tot", "col_tot", F.coalesce("obs", F.lit(0)).alias("obs"))
+    )
     cell = (
-        o.join(F.broadcast(r), "seg")
-        .join(F.broadcast(c), "nat")
-        .crossJoin(F.broadcast(t))
+        grid.crossJoin(F.broadcast(t))
         .selectExpr(
             "CAST((CAST(obs AS DECIMAL(38,0)) * grand"
             "      - CAST(row_tot AS DECIMAL(38,0)) * col_tot)"
@@ -20095,6 +20108,324 @@ def q_lineitem_kruskal_wallis_qty_by_flag(
         "n_groups",
         h.alias("h_statistic"),
         (h / corr).alias("h_corrected"),
+    )
+
+
+@register(
+    "lineitem_qty_skew_kurtosis_by_flag",
+    """
+    WITH h AS (
+      SELECT l_returnflag AS flag, CAST(l_quantity AS INT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT flag,
+             CAST(SUM(w) AS HUGEINT) AS n,
+             CAST(SUM(CAST(w AS HUGEINT) * x) AS HUGEINT) AS s1,
+             CAST(SUM(CAST(w AS HUGEINT) * x * x) AS HUGEINT) AS s2,
+             CAST(SUM(CAST(w AS HUGEINT) * x * x * x) AS HUGEINT) AS s3,
+             CAST(SUM(CAST(w AS HUGEINT) * x * x * x * x) AS HUGEINT) AS s4
+      FROM h GROUP BY flag
+    ),
+    a AS (
+      SELECT flag, n,
+             n * s2 - s1 * s1 AS a2,
+             n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS a3,
+             n * n * n * s4 - 4 * n * n * s1 * s3
+               + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS a4
+      FROM s
+    )
+    SELECT flag AS l_returnflag, CAST(n AS BIGINT) AS n_rows,
+           CASE WHEN a2 <= 0 THEN NULL
+                ELSE CAST(a3 AS DOUBLE)
+                     / (CAST(a2 AS DOUBLE) * sqrt(CAST(a2 AS DOUBLE)))
+           END AS skewness,
+           CASE WHEN a2 <= 0 THEN NULL
+                ELSE CAST(a4 AS DOUBLE)
+                     / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)) - 3.0
+           END AS excess_kurtosis
+    FROM a
+    """,
+)
+def q_lineitem_qty_skew_kurtosis_by_flag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Population skewness and excess kurtosis of quantity per return flag
+    — third/fourth moments the single-pass MERGEABLE way: raw power sums
+    S1..S4 are partial-aggregated (each executor folds its partition, the
+    reducer adds — the textbook distributed-moments recipe), then combined
+    into n-scaled central forms A2 = n·S2−S1² (= n²·M2),
+    A3 = n²·S3−3n·S1·S2+2S1³ (= n³·M3),
+    A4 = n³·S4−4n²·S1·S3+6n·S1²·S2−3S1⁴ (= n⁴·M4), giving
+    g1 = A3/A2^1.5 and g2 = A4/A2²−3 with every n-power cancelling.
+    The bounded domain (quantity ≤ 50) keeps S1⁴ ≈ 1.6e33 inside
+    DECIMAL(38,0)/HUGEINT at SF1 — all integer until the final sqrt.
+    Naive double power sums would lose ~3 digits to the A4 cancellation
+    AND drift with summation order; exact sums make the cancellation
+    exact. Collapsing through the ≤50-row histogram keeps per-group state
+    O(domain), the same contingency idiom as the rank-statistics family."""
+    h = (
+        table_scan(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_quantity").cast("int").alias("x"),
+        )
+        .groupBy("flag", "x")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    x = F.col("x")
+    s = h.groupBy("flag").agg(
+        F.sum("w").cast("decimal(38,0)").alias("n"),
+        F.sum(dec(F.col("w")) * x).cast("decimal(38,0)").alias("s1"),
+        F.sum(dec(F.col("w")) * x * x).cast("decimal(38,0)").alias("s2"),
+        F.sum(dec(F.col("w")) * x * x * x).cast("decimal(38,0)").alias("s3"),
+        F.sum(dec(F.col("w")) * x * x * x * x).cast("decimal(38,0)").alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    # chained decimal(38,0) products keep scale 0 and stay exact as long
+    # as the VALUE fits 38 digits — the bounded domain guarantees ≤ ~1e34
+    a2 = (n * s2 - s1 * s1).cast("decimal(38,0)")
+    a3 = (n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1).cast("decimal(38,0)")
+    a4 = (
+        n * n * n * s4
+        - 4 * n * n * s1 * s3
+        + 6 * n * s1 * s1 * s2
+        - 3 * s1 * s1 * s1 * s1
+    ).cast("decimal(38,0)")
+    a = s.select("flag", n.cast("long").alias("n_rows"), a2.alias("a2"), a3.alias("a3"), a4.alias("a4"))
+    a2d = F.col("a2").cast("double")
+    skew = F.when(F.col("a2") <= 0, F.lit(None).cast("double")).otherwise(
+        F.col("a3").cast("double") / (a2d * F.sqrt(a2d))
+    )
+    kurt = F.when(F.col("a2") <= 0, F.lit(None).cast("double")).otherwise(
+        F.col("a4").cast("double") / (a2d * a2d) - 3.0
+    )
+    return a.select(
+        F.col("flag").alias("l_returnflag"),
+        "n_rows",
+        skew.alias("skewness"),
+        kurt.alias("excess_kurtosis"),
+    )
+
+
+@register(
+    "events_welch_ttest_value",
+    """
+    WITH b AS (
+      SELECT event_type, user_id % 2 AS variant,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) FILTER (variant = 0) AS BIGINT) AS n0,
+             CAST(COUNT(*) FILTER (variant = 1) AS BIGINT) AS n1,
+             CAST(SUM(c) FILTER (variant = 0) AS HUGEINT) AS t0,
+             CAST(SUM(c) FILTER (variant = 1) AS HUGEINT) AS t1,
+             CAST(SUM(CAST(c AS HUGEINT) * c) FILTER (variant = 0)
+                  AS HUGEINT) AS q0,
+             CAST(SUM(CAST(c AS HUGEINT) * c) FILTER (variant = 1)
+                  AS HUGEINT) AS q1
+      FROM b GROUP BY event_type
+    )
+    SELECT event_type, n0, n1,
+           CAST(t0 * n1 - t1 * n0 AS DOUBLE) / (CAST(n0 AS DOUBLE) * n1)
+             AS mean_diff_cents,
+           CASE WHEN n0 < 2 OR n1 < 2 THEN NULL ELSE
+             (CAST(t0 * n1 - t1 * n0 AS DOUBLE) / (CAST(n0 AS DOUBLE) * n1))
+             / sqrt(CAST(n0 * q0 - t0 * t0 AS DOUBLE)
+                      / (CAST(n0 AS DOUBLE) * n0 * (n0 - 1))
+                    + CAST(n1 * q1 - t1 * t1 AS DOUBLE)
+                      / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1)))
+           END AS t_stat,
+           CASE WHEN n0 < 2 OR n1 < 2 THEN NULL ELSE
+             (CAST(n0 * q0 - t0 * t0 AS DOUBLE)
+                / (CAST(n0 AS DOUBLE) * n0 * (n0 - 1))
+              + CAST(n1 * q1 - t1 * t1 AS DOUBLE)
+                / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1)))
+             * (CAST(n0 * q0 - t0 * t0 AS DOUBLE)
+                  / (CAST(n0 AS DOUBLE) * n0 * (n0 - 1))
+                + CAST(n1 * q1 - t1 * t1 AS DOUBLE)
+                  / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1)))
+             / ((CAST(n0 * q0 - t0 * t0 AS DOUBLE)
+                   / (CAST(n0 AS DOUBLE) * n0 * (n0 - 1)))
+                * (CAST(n0 * q0 - t0 * t0 AS DOUBLE)
+                   / (CAST(n0 AS DOUBLE) * n0 * (n0 - 1))) / (n0 - 1)
+                + (CAST(n1 * q1 - t1 * t1 AS DOUBLE)
+                   / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1)))
+                * (CAST(n1 * q1 - t1 * t1 AS DOUBLE)
+                   / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1))) / (n1 - 1))
+           END AS welch_dof
+    FROM s
+    """,
+)
+def q_events_welch_ttest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on event value between the two
+    hash-split variants (user_id % 2 — the same deterministic split as
+    events_ab_proportion_test, which tests RATES; this tests MEANS), per
+    event type. One partial-agg pass collects exact integer-cents sums and
+    sum-of-squares per (type, variant); the mean difference rides the
+    exact cross-multiplied form (t0·n1 − t1·n0)/(n0·n1), the per-variant
+    standard errors use the exact n·Σx²−(Σx)² variance numerators, and
+    only the final t / Welch-Satterthwaite dof arithmetic runs in double
+    (identical expression both engines). Mergeable state per group is six
+    integers — the canonical scale-out shape."""
+    b = table_scan(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2).alias("variant"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("c"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    v0 = F.col("variant") == 0
+    v1 = F.col("variant") == 1
+    s = b.groupBy("event_type").agg(
+        F.count(F.when(v0, 1)).alias("n0"),
+        F.count(F.when(v1, 1)).alias("n1"),
+        F.sum(F.when(v0, F.col("c"))).cast("decimal(38,0)").alias("t0"),
+        F.sum(F.when(v1, F.col("c"))).cast("decimal(38,0)").alias("t1"),
+        F.sum(F.when(v0, dec(F.col("c")) * F.col("c")))
+        .cast("decimal(38,0)")
+        .alias("q0"),
+        F.sum(F.when(v1, dec(F.col("c")) * F.col("c")))
+        .cast("decimal(38,0)")
+        .alias("q1"),
+    )
+    n0, n1 = F.col("n0"), F.col("n1")
+    t0, t1, q0, q1 = (F.col(c) for c in ("t0", "t1", "q0", "q1"))
+    mean_diff = (t0 * n1 - t1 * n0).cast("double") / (
+        n0.cast("double") * n1
+    )
+    se0 = (n0 * q0 - t0 * t0).cast("double") / (
+        n0.cast("double") * n0 * (n0 - 1)
+    )
+    se1 = (n1 * q1 - t1 * t1).cast("double") / (
+        n1.cast("double") * n1 * (n1 - 1)
+    )
+    small = (n0 < 2) | (n1 < 2)
+    t_stat = F.when(small, F.lit(None).cast("double")).otherwise(
+        mean_diff / F.sqrt(se0 + se1)
+    )
+    dof = F.when(small, F.lit(None).cast("double")).otherwise(
+        (se0 + se1) * (se0 + se1) / (se0 * se0 / (n0 - 1) + se1 * se1 / (n1 - 1))
+    )
+    return s.select(
+        "event_type",
+        "n0",
+        "n1",
+        mean_diff.alias("mean_diff_cents"),
+        t_stat.alias("t_stat"),
+        dof.alias("welch_dof"),
+    )
+
+
+@register(
+    "customer_segment_nation_cramers_v",
+    """
+    WITH o AS (
+      SELECT c_mktsegment AS seg, n_name AS nat,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY c_mktsegment, n_name
+    ),
+    r AS (SELECT seg, CAST(SUM(obs) AS BIGINT) AS row_tot FROM o GROUP BY seg),
+    c AS (SELECT nat, CAST(SUM(obs) AS BIGINT) AS col_tot FROM o GROUP BY nat),
+    t AS (SELECT CAST(SUM(obs) AS BIGINT) AS grand FROM o),
+    grid AS (
+      SELECT r.seg, c.nat, r.row_tot, c.col_tot,
+             COALESCE(o.obs, 0) AS obs
+      FROM r CROSS JOIN c LEFT JOIN o USING (seg, nat)
+    ),
+    cell AS (
+      SELECT CAST((CAST(obs AS HUGEINT) * grand
+                   - CAST(row_tot AS HUGEINT) * col_tot)
+                  * (CAST(obs AS HUGEINT) * grand
+                     - CAST(row_tot AS HUGEINT) * col_tot) AS DOUBLE)
+             / CAST(CAST(grand AS HUGEINT) * row_tot * col_tot AS DOUBLE)
+               AS term
+      FROM grid CROSS JOIN t
+    ),
+    chi AS (SELECT CAST(SUM(term) AS DOUBLE) AS chi2,
+                   CAST(COUNT(*) AS BIGINT) AS n_cells FROM cell),
+    dims AS (
+      SELECT CAST((SELECT COUNT(*) FROM r) AS BIGINT) AS nr,
+             CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS nc
+    )
+    SELECT chi.n_cells, dims.nr AS n_rows_dim, dims.nc AS n_cols_dim,
+           chi.chi2,
+           sqrt(chi.chi2 / (CAST(t.grand AS DOUBLE)
+                            * LEAST(dims.nr - 1, dims.nc - 1))) AS cramers_v
+    FROM chi CROSS JOIN dims CROSS JOIN t
+    """,
+)
+def q_customer_segment_nation_cramers_v(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cramér's V association strength between market segment and nation —
+    the normalized companion of customer_segment_nation_chi2 (which stops
+    at the raw chi² in exact ppm): V = sqrt(chi² / (n·min(r−1, c−1))),
+    the [0,1] effect size dashboards actually compare across tables. Each
+    cell's (obs·N − row·col)²/(N·row·col) keeps numerator and denominator
+    exact integers (DECIMAL/HUGEINT) and divides once in double; the
+    ~125-cell sum is all-positive, so summation-order drift stays ~1e-16
+    relative — far inside the comparator's 10 significant digits.
+    Contingency, marginals, and scalars are all partial-agg shuffles plus
+    broadcasts of dim-sized tables."""
+    cust = table_scan(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"), "c_nationkey"
+    )
+    nat = table_scan(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nat")
+    )
+    o = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("seg", "nat")
+        .agg(F.count(F.lit(1)).alias("obs"))
+        .persist()
+    )
+    r = o.groupBy("seg").agg(F.sum("obs").alias("row_tot"))
+    c = o.groupBy("nat").agg(F.sum("obs").alias("col_tot"))
+    t = o.agg(F.sum("obs").alias("grand"))
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    diff = dec(F.col("obs")) * F.col("grand") - dec(F.col("row_tot")) * F.col(
+        "col_tot"
+    )
+    term = (diff * diff).cast("double") / (
+        dec(F.col("grand")) * F.col("row_tot") * F.col("col_tot")
+    ).cast("double")
+    grid = (
+        r.crossJoin(c)
+        .join(o, ["seg", "nat"], "left")
+        .select(
+            "seg",
+            "nat",
+            "row_tot",
+            "col_tot",
+            F.coalesce("obs", F.lit(0)).alias("obs"),
+        )
+    )
+    cell = grid.crossJoin(F.broadcast(t)).select(term.alias("term"))
+    chi = cell.agg(
+        F.sum("term").alias("chi2"), F.count(F.lit(1)).alias("n_cells")
+    )
+    dims = r.agg(F.count(F.lit(1)).alias("nr")).crossJoin(
+        F.broadcast(c.agg(F.count(F.lit(1)).alias("nc")))
+    )
+    v = F.sqrt(
+        F.col("chi2")
+        / (F.col("grand").cast("double") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+    )
+    return (
+        chi.crossJoin(F.broadcast(dims))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "n_cells",
+            F.col("nr").alias("n_rows_dim"),
+            F.col("nc").alias("n_cols_dim"),
+            "chi2",
+            v.alias("cramers_v"),
+        )
     )
 
 

@@ -340,19 +340,25 @@ class TestChi2Independence:
         rows: dict = {}
         cols: dict = {}
         total = 0
+        seen = {}
         for x in obs:
             rows[x["c_mktsegment"]] = rows.get(x["c_mktsegment"], 0) + x["o"]
             cols[x["n_name"]] = cols.get(x["n_name"], 0) + x["o"]
+            seen[(x["c_mktsegment"], x["n_name"])] = x["o"]
             total += x["o"]
+        # full r x c grid: empty cells with positive expectation contribute
+        # E = R*C/T (the round-8 fix — observed-cells-only undercounts)
         chi2 = sum(
-            (x["o"] - rows[x["c_mktsegment"]] * cols[x["n_name"]] / total) ** 2
-            / (rows[x["c_mktsegment"]] * cols[x["n_name"]] / total)
-            for x in obs
+            (seen.get((s, n), 0) - rows[s] * cols[n] / total) ** 2
+            / (rows[s] * cols[n] / total)
+            for s in rows
+            for n in cols
         )
-        assert r["n_cells"] == len(obs)
+        n_grid = len(rows) * len(cols)
+        assert r["n_cells"] == n_grid
         assert r["dof"] == (len(rows) - 1) * (len(cols) - 1)
         # per-cell ppm floors lose < n_cells ppm total
-        assert abs(r["chi2_ppm"] / 1e6 - chi2) < len(obs) / 1e6 + 1e-6
+        assert abs(r["chi2_ppm"] / 1e6 - chi2) < n_grid / 1e6 + 1e-6
 
 
 class TestImageDhash:

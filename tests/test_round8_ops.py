@@ -173,3 +173,84 @@ def test_kruskal_wallis_matches_formula_replay(spark, sf_dir):
     assert row.n_rows == n and row.n_groups == 3
     assert abs(row.h_statistic - h) < 1e-6 * max(1.0, abs(h))
     assert abs(row.h_corrected - hc) < 1e-6 * max(1.0, abs(hc))
+
+
+def test_skew_kurtosis_match_numpy_moments(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    df = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    )
+    df["x"] = df.l_quantity.astype(int)
+    rows = registry.QUERIES["lineitem_qty_skew_kurtosis_by_flag"](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == 3
+    for r in rows:
+        x = df[df.l_returnflag == r.l_returnflag].x.to_numpy(dtype=float)
+        m = x.mean()
+        m2 = ((x - m) ** 2).mean()
+        g1 = ((x - m) ** 3).mean() / m2**1.5
+        g2 = ((x - m) ** 4).mean() / m2**2 - 3.0
+        assert r.n_rows == len(x)
+        assert abs(r.skewness - g1) < 1e-9
+        assert abs(r.excess_kurtosis - g2) < 1e-9
+
+
+def test_welch_ttest_matches_formula_replay(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+    from decimal import Decimal, ROUND_HALF_UP
+
+    df = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id", "value"]
+    )
+    # replicate the decimal(18,2)*100 cents idiom bit-for-bit
+    df["c"] = [
+        int(Decimal(str(v)).quantize(Decimal("0.01"), ROUND_HALF_UP) * 100)
+        for v in df.value
+    ]
+    df["variant"] = df.user_id % 2
+    rows = registry.QUERIES["events_welch_ttest_value"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        g = df[df.event_type == r.event_type]
+        a = g[g.variant == 0].c.to_numpy(dtype=float)
+        b = g[g.variant == 1].c.to_numpy(dtype=float)
+        assert (r.n0, r.n1) == (len(a), len(b))
+        se0 = a.var(ddof=1) / len(a)
+        se1 = b.var(ddof=1) / len(b)
+        t = (a.mean() - b.mean()) / np.sqrt(se0 + se1)
+        dof = (se0 + se1) ** 2 / (
+            se0**2 / (len(a) - 1) + se1**2 / (len(b) - 1)
+        )
+        assert abs(r.mean_diff_cents - (a.mean() - b.mean())) < 1e-6
+        assert abs(r.t_stat - t) < 1e-9 * max(1.0, abs(t))
+        assert abs(r.welch_dof - dof) < 1e-6 * dof
+
+
+def test_cramers_v_matches_contingency_replay(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_mktsegment", "c_nationkey"]
+    )
+    nat = pd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    j = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    ct = pd.crosstab(j.c_mktsegment, j.n_name)
+    obs = ct.to_numpy(dtype=float)
+    n = obs.sum()
+    exp = np.outer(obs.sum(axis=1), obs.sum(axis=0)) / n
+    chi2 = float(((obs - exp) ** 2 / exp)[exp > 0].sum())
+    v = float(np.sqrt(chi2 / (n * (min(obs.shape) - 1))))
+    row = registry.QUERIES["customer_segment_nation_cramers_v"](
+        spark, sf_dir
+    ).collect()[0]
+    assert row.n_cells == obs.size  # full r x c grid, zero cells included
+    assert abs(row.chi2 - chi2) < 1e-6 * chi2
+    assert abs(row.cramers_v - v) < 1e-9
+    assert 0.0 <= row.cramers_v <= 1.0
