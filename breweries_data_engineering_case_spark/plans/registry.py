@@ -20429,6 +20429,285 @@ def q_customer_segment_nation_cramers_v(
     )
 
 
+@register(
+    "embedding_knn_label_accuracy",
+    """
+    WITH p AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             UNNEST(q.embedding) AS qe, UNNEST(v.embedding) AS ve,
+             UNNEST(range(len(q.embedding))) AS i
+      FROM embeddings q, embeddings v
+      WHERE q.vec_id < 50 AND v.vec_id <> q.vec_id
+    ),
+    d AS (
+      SELECT query_id, neighbor_id,
+             SUM(CAST(qe AS DOUBLE) * CAST(ve AS DOUBLE) ORDER BY i) AS dot,
+             SUM(CAST(qe AS DOUBLE) * CAST(qe AS DOUBLE) ORDER BY i) AS qn,
+             SUM(CAST(ve AS DOUBLE) * CAST(ve AS DOUBLE) ORDER BY i) AS vn
+      FROM p GROUP BY query_id, neighbor_id
+    ),
+    s AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dot / (sqrt(qn) * sqrt(vn)) DESC,
+                                         neighbor_id) AS rank
+      FROM d
+    ),
+    nn AS (SELECT query_id, neighbor_id FROM s WHERE rank <= 5),
+    votes AS (
+      SELECT nn.query_id, e.label, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM nn JOIN embeddings e ON nn.neighbor_id = e.vec_id
+      GROUP BY nn.query_id, e.label
+    ),
+    pred AS (
+      SELECT query_id, label AS pred_label
+      FROM (SELECT query_id, label,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cnt DESC, label) AS r
+            FROM votes)
+      WHERE r = 1
+    )
+    SELECT CAST(e.label AS INT) AS true_label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(COUNT(*) FILTER (pred.pred_label = e.label) AS BIGINT)
+             AS n_correct,
+           COUNT(*) FILTER (pred.pred_label = e.label) * 1000 // COUNT(*)
+             AS accuracy_permille
+    FROM pred JOIN embeddings e ON pred.query_id = e.vec_id
+    GROUP BY e.label
+    """,
+)
+def q_embedding_knn_label_accuracy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """k-NN label-vote classifier accuracy — the leave-one-out evaluation
+    a labeled embedding corpus gets before anyone trusts the labels (and
+    the standard probe for embedding quality: if 5-NN majority vote can't
+    recover a vector's own label, the space doesn't separate classes).
+    50 probe vectors ride the exact brute-force cosine top-k kernel
+    (operators/similarity.cosine_topk — probe side broadcast, corpus
+    streamed, fold-ordered double sums bitwise equal to the oracle);
+    the 250-row neighbor list joins labels, majority-votes per probe
+    (ties break to the smaller label), and the leave-one-out comparison
+    aggregates per true label in exact integers. At 100 TB only the
+    scoring pass touches the corpus; votes and verdicts are O(k·probes)."""
+    from ..operators.similarity import cosine_topk
+
+    emb = table_scan(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", "label")
+    probes = emb.filter(F.col("vec_id") < 50)
+    nn = cosine_topk(emb, probes, k=5).select("query_id", "neighbor_id")
+    votes = (
+        labels.join(F.broadcast(nn), labels.vec_id == F.col("neighbor_id"))
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cnt"), F.asc("label"))
+    pred = (
+        votes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("query_id", F.col("label").alias("pred_label"))
+    )
+    truth = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return (
+        truth.join(F.broadcast(pred), "query_id")
+        .groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum(
+                F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+            ).alias("n_correct"),
+        )
+        .selectExpr(
+            "CAST(true_label AS INT) AS true_label",
+            "n_queries",
+            "n_correct",
+            "n_correct * 1000 div n_queries AS accuracy_permille",
+        )
+    )
+
+
+@register(
+    "events_prev_purchase_ignore_nulls",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, ts, event_type,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             END AS purchase_cents
+      FROM events
+    )
+    SELECT event_id, user_id,
+           LAST_VALUE(purchase_cents IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prev_purchase_cents
+    FROM e
+    """,
+)
+def q_events_prev_purchase_ignore_nulls(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IGNORE NULLS frame navigation — the window-surface idiom behind
+    every "value as of the last qualifying event" feature (here: the most
+    recent purchase amount strictly before each event, any type): project
+    the qualifying measure to NULL elsewhere, then
+    LAST_VALUE(... IGNORE NULLS) over a trailing frame ending at
+    1 PRECEDING. One pass, no self-join, no sessionization — the
+    skip-nulls flag does the work a correlated subquery would at 100×
+    the cost. Differs from events_locf_impute (which fills a TIME SPINE
+    grid); this navigates the raw event sequence. Windows partition by
+    user — fully parallel; (ts, event_id) makes frames tie-stable."""
+    e = table_scan(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(
+            F.col("event_type") == "purchase",
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long"),
+        ).alias("purchase_cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.last("purchase_cents", ignorenulls=True)
+        .over(w)
+        .alias("prev_purchase_cents"),
+    )
+
+
+@register(
+    "embedding_centroid_silhouette",
+    """
+    WITH q AS (
+      SELECT vec_id, label, i,
+             CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS qx
+      FROM (SELECT vec_id, label, UNNEST(embedding) AS x,
+                   UNNEST(range(len(embedding))) AS i FROM embeddings)
+    ),
+    cent AS (
+      SELECT label AS clabel, i,
+             CAST(SUM(qx) AS DOUBLE) / COUNT(*) AS c
+      FROM q GROUP BY label, i
+    ),
+    dist AS (
+      SELECT q.vec_id, q.label, cent.clabel,
+             sqrt(SUM((qx - c) * (qx - c) ORDER BY q.i)) AS d
+      FROM q JOIN cent ON q.i = cent.i
+      GROUP BY q.vec_id, q.label, cent.clabel
+    ),
+    ab AS (
+      SELECT vec_id, label,
+             MAX(CASE WHEN clabel = label THEN d END) AS a,
+             MIN(CASE WHEN clabel <> label THEN d END) AS b
+      FROM dist GROUP BY vec_id, label
+    ),
+    sil AS (
+      SELECT vec_id, label,
+             CASE WHEN GREATEST(a, b) = 0 THEN 0.0
+                  ELSE (b - a) / GREATEST(a, b) END AS s
+      FROM ab
+    ),
+    ranked AS (
+      SELECT label, s,
+             ROW_NUMBER() OVER (PARTITION BY label ORDER BY s) AS rn,
+             COUNT(*) OVER (PARTITION BY label) AS n
+      FROM sil
+    )
+    SELECT CAST(label AS INT) AS label, CAST(MAX(n) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_positive,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN s END) AS median_silhouette
+    FROM ranked GROUP BY label
+    """,
+)
+def q_embedding_centroid_silhouette(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Centroid silhouette per label — the clustering-quality score
+    (b−a)/max(a,b) with a = distance to the OWN-label centroid and b =
+    distance to the nearest OTHER centroid, the standard simplified
+    silhouette that avoids the O(n²) pairwise original. Determinism is
+    engineered end-to-end: embeddings quantize to int64 fixed-point, so
+    per-label centroid SUMS are exact integers (summation-order-free);
+    the single divide per component and the index-ordered distance fold
+    (zip_with + aggregate ≡ the oracle's SUM ... ORDER BY i) are then
+    bitwise reproducible; and the per-label summary reports the MEDIAN
+    silhouette (an order statistic — deterministic) plus the exact count
+    of positive-silhouette vectors, instead of a float mean that would
+    drift with aggregation order. Corpus × 10 broadcast centroids; all
+    windows partition by label."""
+    from ..operators.similarity import quantize_embedding
+
+    emb = table_scan(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", quantize_embedding("embedding").alias("qv")
+    )
+    n_dim = 64
+    cent = (
+        emb.select(
+            "label", F.posexplode("qv").alias("i", "qx")
+        )
+        .groupBy("label", "i")
+        .agg((F.sum("qx").cast("double") / F.count(F.lit(1))).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i", "c"))),
+                lambda s: s["c"],
+            ).alias("cvec")
+        )
+        .select(F.col("label").alias("clabel"), "cvec")
+    )
+    dist = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    "qv", "cvec", lambda x, c: (x - c) * (x - c)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ).alias("d"),
+    )
+    ab = dist.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("clabel") == F.col("label"), F.col("d"))).alias("a"),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("d"))).alias("b"),
+    )
+    s = F.when(F.greatest("a", "b") == 0, F.lit(0.0)).otherwise(
+        (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    )
+    sil = ab.select("vec_id", "label", s.alias("s"))
+    wl = Window.partitionBy("label")
+    ranked = sil.select(
+        "label",
+        "s",
+        F.row_number().over(wl.orderBy("s")).alias("rn"),
+        F.count(F.lit(1)).over(wl).alias("n"),
+    )
+    return ranked.groupBy("label").agg(
+        F.max("n").alias("n_vecs"),
+        F.sum(F.when(F.col("s") > 0, 1).otherwise(0)).alias("n_positive"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("s"))
+        ).alias("median_silhouette"),
+    ).select(
+        F.col("label").cast("int").alias("label"),
+        "n_vecs",
+        "n_positive",
+        "median_silhouette",
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

@@ -102,6 +102,10 @@ BNLJ_OK = {
     #   broadcasts; three bounded rank→bucket lookups (_exact_rank_cutoffs)
     "lineitem_kruskal_wallis_qty_by_flag",  # 1-row totals × 1-row H-sum
     #   scalar broadcast
+    "embedding_knn_label_accuracy",  # exact-baseline cosine kernel:
+    #   50 probe vectors broadcast, corpus streamed (same as ann_cosine_topk)
+    "embedding_centroid_silhouette",  # 10-row centroid table broadcast,
+    #   corpus streamed
 }
 
 #: queries allowed a single-partition (global) Window. Each must justify the

@@ -254,3 +254,108 @@ def test_cramers_v_matches_contingency_replay(spark, sf_dir):
     assert abs(row.chi2 - chi2) < 1e-6 * chi2
     assert abs(row.cramers_v - v) < 1e-9
     assert 0.0 <= row.cramers_v <= 1.0
+
+
+def test_knn_label_accuracy_matches_numpy_vote(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    df = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    X = np.stack(df.embedding.to_numpy()).astype(np.float64)
+    labels = df.label.to_numpy()
+    ids = df.vec_id.to_numpy()
+    norms = np.linalg.norm(X, axis=1)
+    correct = {}
+    total = {}
+    order = np.argsort(ids)
+    for qi in order:
+        if ids[qi] >= 50:
+            continue
+        sims = (X @ X[qi]) / (norms * norms[qi])
+        cand = sorted(
+            ((-(sims[j]), ids[j], labels[j]) for j in range(len(ids)) if ids[j] != ids[qi])
+        )[:5]
+        votes = {}
+        for _, _, lb in cand:
+            votes[lb] = votes.get(lb, 0) + 1
+        pred = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        t = labels[qi]
+        total[t] = total.get(t, 0) + 1
+        correct[t] = correct.get(t, 0) + (pred == t)
+    rows = registry.QUERIES["embedding_knn_label_accuracy"](
+        spark, sf_dir
+    ).collect()
+    assert sum(r.n_queries for r in rows) == 50
+    for r in rows:
+        assert r.n_queries == total[r.true_label]
+        assert r.n_correct == correct[r.true_label], r
+
+
+def test_prev_purchase_ignore_nulls_matches_pandas_replay(spark, sf_dir):
+    import pandas as pd
+    from decimal import Decimal, ROUND_HALF_UP
+
+    df = pd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    ).sort_values(["user_id", "ts", "event_id"])
+    out = {}
+    for _, g in df.groupby("user_id"):
+        last = None
+        for r in g.itertuples():
+            out[r.event_id] = last
+            if r.event_type == "purchase":
+                last = int(
+                    Decimal(str(r.value)).quantize(
+                        Decimal("0.01"), ROUND_HALF_UP
+                    )
+                    * 100
+                )
+    rows = registry.QUERIES["events_prev_purchase_ignore_nulls"](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == len(df)
+    got_some = False
+    for r in rows:
+        assert r.prev_purchase_cents == out[r.event_id], r
+        got_some = got_some or r.prev_purchase_cents is not None
+    assert got_some
+
+
+def test_centroid_silhouette_matches_numpy_replay(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    df = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    Q = np.round(np.stack(df.embedding.to_numpy()).astype(np.float64) * 1e6)
+    labels = df.label.to_numpy()
+    cents = {
+        lb: Q[labels == lb].sum(axis=0) / (labels == lb).sum()
+        for lb in np.unique(labels)
+    }
+    ref = {}
+    for lb in np.unique(labels):
+        svals = []
+        for i in np.where(labels == lb)[0]:
+            a = np.sqrt(((Q[i] - cents[lb]) ** 2).sum())
+            b = min(
+                np.sqrt(((Q[i] - c) ** 2).sum())
+                for lo, c in cents.items()
+                if lo != lb
+            )
+            svals.append(0.0 if max(a, b) == 0 else (b - a) / max(a, b))
+        svals.sort()
+        n = len(svals)
+        ref[lb] = (
+            n,
+            sum(1 for s in svals if s > 0),
+            svals[(n + 1) // 2 - 1],
+        )
+    rows = registry.QUERIES["embedding_centroid_silhouette"](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == len(ref)
+    for r in rows:
+        n, npos, med = ref[r.label]
+        assert (r.n_vecs, r.n_positive) == (n, npos)
+        assert abs(r.median_silhouette - med) < 1e-9
