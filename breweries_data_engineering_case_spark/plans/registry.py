@@ -20708,6 +20708,266 @@ def q_embedding_centroid_silhouette(
     )
 
 
+@register(
+    "orders_auc_urgent_price",
+    """
+    WITH b AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS pos
+      FROM orders
+    ),
+    g AS (
+      SELECT cents,
+             CAST(SUM(pos) AS BIGINT) AS wp,
+             CAST(COUNT(*) - SUM(pos) AS BIGINT) AS wn
+      FROM b GROUP BY cents
+    ),
+    c AS (
+      SELECT cents, wp, wn,
+             SUM(wn) OVER (ORDER BY cents
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - wn AS below
+      FROM g
+    ),
+    u AS (
+      SELECT CAST(SUM(CAST(wp AS HUGEINT) * (2 * below + wn)) AS HUGEINT)
+               AS u2,
+             CAST(SUM(wp) AS BIGINT) AS n_pos,
+             CAST(SUM(wn) AS BIGINT) AS n_neg
+      FROM c
+    )
+    SELECT n_pos, n_neg,
+           CAST(u2 * 1000000 // (2 * CAST(n_pos AS HUGEINT) * n_neg)
+                AS BIGINT) AS auc_ppm
+    FROM u
+    """,
+)
+def q_orders_auc_urgent_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC AUC of price as a predictor of '1-URGENT' priority — the
+    model-evaluation metric, via the Mann-Whitney identity
+    AUC = [Σ_pos (#neg below) + ½·#neg tied] / (n₁·n₀), with no global
+    sort of the fact table: rows collapse to per-distinct-cents (wp, wn)
+    counts, and the cumulative negatives-below runs as a TWO-PHASE PREFIX
+    SUM (the orders_abc_pareto_scaled pattern — range-bin by cents,
+    per-bin offsets from a ≤1024-row window, within-bin running sums
+    partitioned by bin). The ½-tie term rides a 2× integer scale, so
+    U₂ = Σ wp·(2·below + wn) is exact and auc_ppm is an exact integer
+    floor — bitwise equal to the oracle's single-window formulation. At
+    100 TB: one partial-agg shuffle + bounded windows; AUC for a new
+    score column costs the same as a groupBy."""
+    b = table_scan(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias(
+            "pos"
+        ),
+    )
+    g = (
+        b.groupBy("cents")
+        .agg(
+            F.sum("pos").alias("wp"),
+            (F.count(F.lit(1)) - F.sum("pos")).alias("wn"),
+        )
+        .persist()
+    )
+    stats = g.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    binned = g.crossJoin(F.broadcast(stats)).selectExpr(
+        "cents",
+        "wp",
+        "wn",
+        "LEAST(CAST((cents - lo) * 1024 div GREATEST(hi - lo + 1, 1) AS INT),"
+        " 1023) AS bin",
+    )
+    offs = (
+        binned.groupBy("bin")
+        .agg(F.sum("wn").alias("s"))
+        .select(
+            "bin",
+            (F.sum("s").over(Window.orderBy("bin")) - F.col("s")).alias("off"),
+        )
+    )
+    wbin = (
+        Window.partitionBy("bin")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = binned.join(F.broadcast(offs), "bin").select(
+        "cents",
+        "wp",
+        "wn",
+        (F.col("off") + F.sum("wn").over(wbin) - F.col("wn")).alias("below"),
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    u = c.agg(
+        F.sum(dec(F.col("wp")) * (2 * F.col("below") + F.col("wn")))
+        .cast("decimal(38,0)")
+        .alias("u2"),
+        F.sum("wp").alias("n_pos"),
+        F.sum("wn").alias("n_neg"),
+    )
+    return u.selectExpr(
+        "n_pos",
+        "n_neg",
+        "CAST(u2 * 1000000 div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg)"
+        " AS BIGINT) AS auc_ppm",
+    )
+
+
+@register(
+    "orders_cdc_snapshot_diff",
+    """
+    WITH s1 AS (
+      SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS shipped
+      FROM lineitem WHERE l_shipdate < DATE '1995-01-01' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS shipped
+      FROM lineitem WHERE l_shipdate < DATE '1996-01-01' GROUP BY 1
+    ),
+    d AS (
+      SELECT COALESCE(s1.k, s2.k) AS k,
+             CASE WHEN s1.k IS NULL THEN 'added'
+                  WHEN s2.k IS NULL THEN 'removed'
+                  WHEN s1.shipped <> s2.shipped THEN 'changed'
+                  ELSE 'unchanged' END AS change_type
+      FROM s1 FULL JOIN s2 ON s1.k = s2.k
+    )
+    SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_keys
+    FROM d GROUP BY change_type
+    """,
+)
+def q_orders_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff CDC classification — the change-data-capture operator
+    every incremental pipeline needs when the source has no changelog:
+    two point-in-time states (orders' shipped-lineitem counts as of two
+    cutoff dates) FULL OUTER join on the key, each key classified
+    added / removed / changed / unchanged. The join shuffles both
+    snapshots by key (co-partitioned — at scale both sides would be
+    bucketed by key on disk and the diff becomes shuffle-free); the
+    classification is pure expressions. Counts per class here; the
+    per-key stream (the `d` CTE) is what a MERGE INTO would consume."""
+    li = table_scan(spark, sf_dir, "lineitem")
+
+    def snap(cutoff: str) -> DataFrame:
+        return (
+            li.filter(F.col("l_shipdate") < F.lit(cutoff).cast("date"))
+            .groupBy(F.col("l_orderkey").alias("k"))
+            .agg(F.count(F.lit(1)).alias("shipped"))
+        )
+
+    s1 = snap("1995-01-01").select(
+        F.col("k").alias("k1"), F.col("shipped").alias("ship1")
+    )
+    s2 = snap("1996-01-01").select(
+        F.col("k").alias("k2"), F.col("shipped").alias("ship2")
+    )
+    d = s1.join(s2, F.col("k1") == F.col("k2"), "full").select(
+        F.when(F.col("k1").isNull(), "added")
+        .when(F.col("k2").isNull(), "removed")
+        .when(F.col("ship1") != F.col("ship2"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type")
+    )
+    return d.groupBy("change_type").agg(F.count(F.lit(1)).alias("n_keys"))
+
+
+@register(
+    "orders_kaplan_meier_first_ship",
+    """
+    WITH fs AS (
+      SELECT o.o_orderkey,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       MIN(CAST(l.l_shipdate AS DATE))) AS t
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    obs AS (
+      SELECT CASE WHEN t > 90 THEN 90 ELSE t END AS t,
+             CASE WHEN t > 90 THEN 0 ELSE 1 END AS event
+      FROM fs
+    ),
+    day_agg AS (
+      SELECT t, CAST(SUM(event) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS leaving
+      FROM obs GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d,
+             CAST((SELECT COUNT(*) FROM obs) AS BIGINT)
+               - (SUM(leaving) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - leaving) AS n_at_risk
+      FROM day_agg
+    )
+    SELECT CAST(t AS INT) AS day, d AS n_events, n_at_risk,
+           product(1.0 - CAST(d AS DOUBLE) / n_at_risk)
+             OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS survival
+    FROM risk WHERE d > 0
+    """,
+)
+def q_orders_kaplan_meier_first_ship(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival of time-to-first-shipment, with
+    right-censoring at a 90-day horizon (orders still unshipped at the
+    horizon stay in the risk set until 90, then leave censored — the
+    estimator every time-to-event dashboard needs when the slow tail
+    hasn't resolved yet). The event domain is BOUNDED (≤91 distinct days
+    after the per-order min-shipdate aggregation), so the at-risk counts
+    and the running product Π(1 − dᵢ/nᵢ) are windows over a ≤91-row
+    day table — deterministic cross-engine because both engines multiply
+    the SAME doubles in the SAME ascending-day order (windowed product
+    aggregate; complement of orders_second_order_hazard, which reports
+    discrete per-interval hazards, not the survival curve). Data-sized
+    stages: one join + per-order min, one day groupBy."""
+    o = table_scan(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    li = table_scan(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    fs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "od")
+        .agg(F.min("sd").alias("first_ship"))
+        .select(F.datediff("first_ship", "od").alias("t"))
+    )
+    obs = fs.select(
+        F.when(F.col("t") > 90, 90).otherwise(F.col("t")).alias("t"),
+        F.when(F.col("t") > 90, 0).otherwise(1).alias("event"),
+    ).persist()
+    day_agg = obs.groupBy("t").agg(
+        F.sum("event").alias("d"), F.count(F.lit(1)).alias("leaving")
+    )
+    total = obs.agg(F.count(F.lit(1)).alias("n_total"))
+    cumw = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = day_agg.crossJoin(F.broadcast(total)).select(
+        "t",
+        "d",
+        (
+            F.col("n_total")
+            - (F.sum("leaving").over(cumw) - F.col("leaving"))
+        ).alias("n_at_risk"),
+    )
+    surv = F.product(1.0 - F.col("d").cast("double") / F.col("n_at_risk")).over(
+        cumw
+    )
+    return (
+        risk.select(
+            F.col("t").cast("int").alias("day"),
+            F.col("d").alias("n_events"),
+            "n_at_risk",
+            surv.alias("survival"),
+        )
+        .filter(F.col("n_events") > 0)
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

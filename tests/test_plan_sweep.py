@@ -106,6 +106,11 @@ BNLJ_OK = {
     #   50 probe vectors broadcast, corpus streamed (same as ann_cosine_topk)
     "embedding_centroid_silhouette",  # 10-row centroid table broadcast,
     #   corpus streamed
+    "orders_auc_urgent_price",  # 1-row (lo, hi) stats broadcast for the
+    #   two-phase prefix binning
+    "orders_kaplan_meier_first_ship",  # 1-row total-count scalar broadcast
+    "customer_segment_nation_cramers_v",  # 5-row × 25-row marginal grid
+    #   expansion (full-grid chi² base) + 1-row scalar broadcasts
 }
 
 #: queries allowed a single-partition (global) Window. Each must justify the
@@ -143,6 +148,10 @@ GLOBAL_WINDOW_OK = {
     #   (one per RFM metric) — no per-customer row in a global window
     "lineitem_kruskal_wallis_qty_by_flag",  # midrank walk over the
     #   ≤50-row global quantity histogram (the variable's whole domain)
+    "orders_auc_urgent_price",  # bin-offsets window over the ≤1024-row
+    #   prefix-sum bin table (two-phase AUC cumulative)
+    "orders_kaplan_meier_first_ship",  # risk-set + product-limit windows
+    #   over the ≤91-row censored day domain
     "doc_pack_sequences",  # global greedy packing cumsum — order IS the
     #   semantics; scale path packs per source-shard
     "dataset_shuffle_deterministic",  # two-phase row numbering: the ONLY

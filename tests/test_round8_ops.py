@@ -359,3 +359,104 @@ def test_centroid_silhouette_matches_numpy_replay(spark, sf_dir):
         n, npos, med = ref[r.label]
         assert (r.n_vecs, r.n_positive) == (n, npos)
         assert abs(r.median_silhouette - med) < 1e-9
+
+
+def test_auc_matches_rank_formula(spark, sf_dir):
+    import pandas as pd
+    from decimal import Decimal, ROUND_HALF_UP
+
+    df = pd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice", "o_orderpriority"]
+    )
+    cents = [
+        int(Decimal(str(v)).quantize(Decimal("0.01"), ROUND_HALF_UP) * 100)
+        for v in df.o_totalprice
+    ]
+    pos = (df.o_orderpriority == "1-URGENT").to_numpy()
+    s = pd.Series(cents)
+    ranks = s.rank(method="average")  # Mann-Whitney AUC via midranks
+    n1 = int(pos.sum())
+    n0 = len(s) - n1
+    u = float(ranks[pos].sum()) - n1 * (n1 + 1) / 2
+    auc = u / (n1 * n0)
+    row = registry.QUERIES["orders_auc_urgent_price"](spark, sf_dir).collect()[0]
+    assert (row.n_pos, row.n_neg) == (n1, n0)
+    assert row.auc_ppm == int(auc * 1_000_000) or abs(
+        row.auc_ppm - auc * 1_000_000
+    ) < 1.0  # exact integer floor vs float reference
+    assert 0 <= row.auc_ppm <= 1_000_000
+
+
+def test_cdc_snapshot_diff_matches_pandas_replay(spark, sf_dir):
+    import pandas as pd
+
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+    s1 = li[li.l_shipdate < "1995-01-01"].groupby("l_orderkey").size()
+    s2 = li[li.l_shipdate < "1996-01-01"].groupby("l_orderkey").size()
+    keys = set(s1.index) | set(s2.index)
+    ref = {"added": 0, "removed": 0, "changed": 0, "unchanged": 0}
+    for k in keys:
+        if k not in s1.index:
+            ref["added"] += 1
+        elif k not in s2.index:
+            ref["removed"] += 1
+        elif s1[k] != s2[k]:
+            ref["changed"] += 1
+        else:
+            ref["unchanged"] += 1
+    got = {
+        r.change_type: r.n_keys
+        for r in registry.QUERIES["orders_cdc_snapshot_diff"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == {k: v for k, v in ref.items() if v > 0}
+    # shipments only accumulate: nothing can be 'removed' between cutoffs
+    assert "removed" not in got
+
+
+def test_kaplan_meier_matches_product_limit_replay(spark, sf_dir):
+    import pandas as pd
+
+    o = pd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+    first = li.groupby("l_orderkey").l_shipdate.min()
+    j = o.join(first.rename("fs"), on="o_orderkey", how="inner")
+    t = (
+        pd.to_datetime(j.fs).dt.normalize()
+        - pd.to_datetime(j.o_orderdate).dt.normalize()
+    ).dt.days
+    event = (t <= 90).astype(int)
+    t = t.clip(upper=90)
+    n_total = len(t)
+    days = sorted(t.unique())
+    surv = 1.0
+    left_before = 0
+    ref = {}
+    for day in days:
+        d = int(event[t == day].sum())
+        leaving = int((t == day).sum())
+        at_risk = n_total - left_before
+        if d > 0:
+            surv *= 1.0 - d / at_risk
+            ref[day] = (d, at_risk, surv)
+        else:
+            surv *= 1.0  # censored-only day: curve unchanged
+        left_before += leaving
+    rows = registry.QUERIES["orders_kaplan_meier_first_ship"](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == len(ref)
+    for r in rows:
+        d, at_risk, s = ref[r.day]
+        assert (r.n_events, r.n_at_risk) == (d, at_risk)
+        assert abs(r.survival - s) < 1e-12
+    # survival is monotone non-increasing and starts below 1
+    vals = [r.survival for r in sorted(rows, key=lambda r: r.day)]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
