@@ -20968,6 +20968,220 @@ def q_orders_kaplan_meier_first_ship(
     )
 
 
+@register(
+    "lineitem_jonckheere_dose_response",
+    """
+    WITH b AS (
+      SELECT CAST(ROUND(l_discount * 100) AS INT) AS d,
+             CAST(l_quantity AS INT) AS q
+      FROM lineitem
+    ),
+    ct AS (SELECT d, q, CAST(COUNT(*) AS BIGINT) AS w
+           FROM b GROUP BY d, q),
+    cc AS (
+      SELECT d, q, w,
+             SUM(w) OVER (PARTITION BY d ORDER BY q
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - w AS below
+      FROM ct
+    ),
+    jt AS (
+      SELECT CAST(SUM(CAST(j.w AS HUGEINT) * (2 * i.below + i.w))
+                  AS HUGEINT) AS jt2
+      FROM cc i JOIN ct j ON i.q = j.q AND i.d < j.d
+    ),
+    marg AS (SELECT d, CAST(SUM(w) AS BIGINT) AS nd FROM ct GROUP BY d),
+    e AS (
+      SELECT CAST(SUM(CAST(a.nd AS HUGEINT) * b2.nd) AS HUGEINT) AS e2
+      FROM marg a JOIN marg b2 ON a.d < b2.d
+    ),
+    tot AS (SELECT CAST(SUM(nd) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_groups FROM marg)
+    SELECT tot.n_rows, tot.n_groups,
+           CAST(jt2 AS BIGINT) AS jt_x2, CAST(e2 AS BIGINT) AS e_null_x2,
+           CAST(jt2 - e2 AS BIGINT) AS excess_x2,
+           CASE WHEN jt2 > e2 THEN 'increasing'
+                WHEN jt2 < e2 THEN 'decreasing'
+                ELSE 'none' END AS trend
+    FROM tot CROSS JOIN jt CROSS JOIN e
+    """,
+)
+def q_lineitem_jonckheere_dose_response(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative trend test — does quantity
+    shift monotonically as the discount level rises? The dose-response
+    question a one-way test (Kruskal-Wallis) can't answer, because it
+    treats groups as unordered. JT = Σ over ordered group pairs i<j of
+    the Mann-Whitney count #(qᵢ < qⱼ) + ½ ties; on the bounded
+    11-level × 50-value contingency this collapses to an equi-join of
+    cumulative cells on the shared quantity value with d_i < d_j (~3k
+    cell pairs standing in for ~1.4e11 row pairs). The ½-tie term rides
+    the 2× integer scale (jt_x2), compared against the exact null mean
+    E₀·2 = Σ nᵢ·nⱼ from the marginals — all exact integers, no
+    distributional approximation emitted. One data-sized shuffle (the
+    contingency partial agg)."""
+    b = table_scan(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_discount") * 100).cast("int").alias("d"),
+        F.col("l_quantity").cast("int").alias("q"),
+    )
+    ct = b.groupBy("d", "q").agg(F.count(F.lit(1)).alias("w")).persist()
+    wd = Window.partitionBy("d").orderBy("q").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cc = ct.select(
+        "d", "q", "w", (F.sum("w").over(wd) - F.col("w")).alias("below")
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    i = cc.select(
+        F.col("d").alias("di"), F.col("q").alias("qi"), F.col("w").alias("wi"), "below"
+    )
+    j = ct.select(
+        F.col("d").alias("dj"), F.col("q").alias("qj"), F.col("w").alias("wj")
+    )
+    jt = (
+        i.join(
+            F.broadcast(j),
+            (F.col("qi") == F.col("qj")) & (F.col("di") < F.col("dj")),
+        )
+        .agg(
+            F.sum(dec(F.col("wj")) * (2 * F.col("below") + F.col("wi")))
+            .cast("decimal(38,0)")
+            .alias("jt2")
+        )
+    )
+    marg = ct.groupBy("d").agg(F.sum("w").alias("nd"))
+    ma = marg.select(F.col("d").alias("da"), F.col("nd").alias("na"))
+    mb = marg.select(F.col("d").alias("db"), F.col("nd").alias("nb"))
+    e = ma.join(F.broadcast(mb), F.col("da") < F.col("db")).agg(
+        F.sum(dec(F.col("na")) * F.col("nb")).cast("decimal(38,0)").alias("e2")
+    )
+    tot = marg.agg(
+        F.sum("nd").alias("n_rows"), F.count(F.lit(1)).alias("n_groups")
+    )
+    return (
+        tot.crossJoin(F.broadcast(jt))
+        .crossJoin(F.broadcast(e))
+        .selectExpr(
+            "n_rows",
+            "n_groups",
+            "CAST(jt2 AS BIGINT) AS jt_x2",
+            "CAST(e2 AS BIGINT) AS e_null_x2",
+            "CAST(jt2 - e2 AS BIGINT) AS excess_x2",
+            "CASE WHEN jt2 > e2 THEN 'increasing'"
+            " WHEN jt2 < e2 THEN 'decreasing' ELSE 'none' END AS trend",
+        )
+    )
+
+
+@register(
+    "events_peak_concurrent_sessions",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                       OR LAG(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    sid AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS s
+      FROM e
+    ),
+    sess AS (
+      SELECT user_id, s, MIN(ts) AS start_ts,
+             MAX(ts) + INTERVAL 1 SECOND AS end_ts
+      FROM sid GROUP BY user_id, s
+    ),
+    deltas AS (
+      SELECT start_ts AS ts, 1 AS delta FROM sess
+      UNION ALL
+      SELECT end_ts, -1 FROM sess
+    ),
+    run AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(delta) OVER (ORDER BY ts, delta
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS running
+      FROM deltas
+    )
+    SELECT day, CAST(MAX(running) AS BIGINT) AS peak_concurrent
+    FROM run GROUP BY day
+    """,
+)
+def q_events_peak_concurrent_sessions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity-planning number,
+    computed by the boundary-sweep: each 30-min-gap session emits
+    (+1 at start, −1 at exclusive end), and concurrency is the running
+    sum over boundaries ordered by (ts, delta) (ends before starts at the
+    same instant, so back-to-back sessions never double-count). The
+    GLOBAL running sum is the scale problem, and it runs here as the
+    TWO-PHASE PREFIX SUM: boundaries bin by calendar day; per-day delta
+    totals become day offsets through a window over the ≤|days|-row day
+    table; within-day running sums partition by day. Per-day peaks are
+    then a plain groupBy max — identical to the oracle's single global
+    window because a prefix sum telescopes across the day cut. Session
+    construction is the gaps-and-islands window, partitioned by user."""
+    ev = table_scan(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(wu)
+    # full-precision gap test: ts − lag(ts) is a day-time interval, so a
+    # 30:00.5 gap IS > 30 minutes (a seconds-truncating cast would miss it)
+    sid = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            lag_ts.isNull()
+            | ((F.col("ts") - lag_ts) > F.expr("INTERVAL 30 MINUTES")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    ).select(
+        "user_id",
+        "ts",
+        F.sum("new_s")
+        .over(wu.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("s"),
+    )
+    sess = sid.groupBy("user_id", "s").agg(
+        F.min("ts").alias("start_ts"),
+        (F.max("ts") + F.expr("INTERVAL 1 SECOND")).alias("end_ts"),
+    )
+    deltas = sess.select(
+        F.col("start_ts").alias("ts"), F.lit(1).alias("delta")
+    ).unionAll(sess.select(F.col("end_ts").alias("ts"), F.lit(-1).alias("delta")))
+    binned = deltas.select(F.col("ts").cast("date").alias("day"), "ts", "delta")
+    offs = (
+        binned.groupBy("day")
+        .agg(F.sum("delta").alias("dsum"))
+        .select(
+            "day",
+            (F.sum("dsum").over(Window.orderBy("day")) - F.col("dsum")).alias(
+                "off"
+            ),
+        )
+    )
+    wday = (
+        Window.partitionBy("day")
+        .orderBy("ts", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = binned.join(F.broadcast(offs), "day").select(
+        "day", (F.col("off") + F.sum("delta").over(wday)).alias("running")
+    )
+    return run.groupBy("day").agg(F.max("running").alias("peak_concurrent"))
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

@@ -111,6 +111,9 @@ BNLJ_OK = {
     "orders_kaplan_meier_first_ship",  # 1-row total-count scalar broadcast
     "customer_segment_nation_cramers_v",  # 5-row × 25-row marginal grid
     #   expansion (full-grid chi² base) + 1-row scalar broadcasts
+    "lineitem_jonckheere_dose_response",  # 1-row JT / null-mean scalar
+    #   broadcasts; the cell-pair lookup is equi-on-value over the ≤550-cell
+    #   contingency
 }
 
 #: queries allowed a single-partition (global) Window. Each must justify the
@@ -152,6 +155,8 @@ GLOBAL_WINDOW_OK = {
     #   prefix-sum bin table (two-phase AUC cumulative)
     "orders_kaplan_meier_first_ship",  # risk-set + product-limit windows
     #   over the ≤91-row censored day domain
+    "events_peak_concurrent_sessions",  # day-offsets window over the
+    #   calendar-bounded day table (two-phase prefix sweep)
     "doc_pack_sequences",  # global greedy packing cumsum — order IS the
     #   semantics; scale path packs per source-shard
     "dataset_shuffle_deterministic",  # two-phase row numbering: the ONLY

@@ -460,3 +460,64 @@ def test_kaplan_meier_matches_product_limit_replay(spark, sf_dir):
     # survival is monotone non-increasing and starts below 1
     vals = [r.survival for r in sorted(rows, key=lambda r: r.day)]
     assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+
+def test_jonckheere_matches_brute_force(spark, sf_dir):
+    import numpy as np
+
+    df = _lineitem_qd(sf_dir)
+    groups = {d: g.q.to_numpy() for d, g in df.groupby("d")}
+    ds = sorted(groups)
+    jt2 = 0
+    e2 = 0
+    for a_i in range(len(ds)):
+        for b_i in range(a_i + 1, len(ds)):
+            qa = groups[ds[a_i]]
+            qb = groups[ds[b_i]]
+            less = (qa[:, None] < qb[None, :]).sum()
+            ties = (qa[:, None] == qb[None, :]).sum()
+            jt2 += int(2 * less + ties)
+            e2 += len(qa) * len(qb)
+    row = registry.QUERIES["lineitem_jonckheere_dose_response"](
+        spark, sf_dir
+    ).collect()[0]
+    assert row.n_rows == len(df) and row.n_groups == len(ds)
+    assert (row.jt_x2, row.e_null_x2) == (jt2, e2)
+    assert row.excess_x2 == jt2 - e2
+    assert row.trend == (
+        "increasing" if jt2 > e2 else "decreasing" if jt2 < e2 else "none"
+    )
+
+
+def test_peak_concurrency_matches_sweep_replay(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    ).sort_values(["user_id", "ts", "event_id"])
+    deltas = []
+    for _, g in ev.groupby("user_id"):
+        start = prev = None
+        for r in g.itertuples():
+            if prev is None or (r.ts - prev) > pd.Timedelta(minutes=30):
+                if start is not None:
+                    deltas.append((prev + pd.Timedelta(seconds=1), -1))
+                start = r.ts
+                deltas.append((start, 1))
+            prev = r.ts
+        deltas.append((prev + pd.Timedelta(seconds=1), -1))
+    deltas.sort()  # (ts, delta): -1 sorts before +1 at the same instant
+    running = 0
+    peaks = {}
+    for ts, d in deltas:
+        running += d
+        day = ts.date()
+        peaks[day] = max(peaks.get(day, -(10**9)), running)
+    rows = registry.QUERIES["events_peak_concurrent_sessions"](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == len(peaks)
+    for r in rows:
+        day = r.day if not hasattr(r.day, "date") else r.day
+        assert r.peak_concurrent == peaks[day], (r, peaks[day])
+    assert max(r.peak_concurrent for r in rows) > 1
