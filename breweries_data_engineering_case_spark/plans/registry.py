@@ -20884,7 +20884,7 @@ def q_orders_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY o.o_orderkey, o.o_orderdate
     ),
     obs AS (
-      SELECT CASE WHEN t > 90 THEN 90 ELSE t END AS t,
+      SELECT CASE WHEN t > 90 THEN 90 WHEN t < 0 THEN 0 ELSE t END AS t,
              CASE WHEN t > 90 THEN 0 ELSE 1 END AS event
       FROM fs
     ),
@@ -20935,8 +20935,16 @@ def q_orders_kaplan_meier_first_ship(
         .agg(F.min("sd").alias("first_ship"))
         .select(F.datediff("first_ship", "od").alias("t"))
     )
+    # clip BOTH ends: >90 days censors at the horizon; the synthetic data's
+    # arbitrary dates also yield NEGATIVE delays (ship before order, min
+    # −2399 at sf0.1) which floor to day 0 — without the floor the "day
+    # domain" balloons to ~2500 distinct values and the bounded-window
+    # claim breaks (caught by the SF1 stress row count)
     obs = fs.select(
-        F.when(F.col("t") > 90, 90).otherwise(F.col("t")).alias("t"),
+        F.when(F.col("t") > 90, 90)
+        .when(F.col("t") < 0, 0)
+        .otherwise(F.col("t"))
+        .alias("t"),
         F.when(F.col("t") > 90, 0).otherwise(1).alias("event"),
     ).persist()
     day_agg = obs.groupBy("t").agg(

@@ -433,7 +433,7 @@ def test_kaplan_meier_matches_product_limit_replay(spark, sf_dir):
         - pd.to_datetime(j.o_orderdate).dt.normalize()
     ).dt.days
     event = (t <= 90).astype(int)
-    t = t.clip(upper=90)
+    t = t.clip(lower=0, upper=90)  # negative synthetic delays floor to day 0
     n_total = len(t)
     days = sorted(t.unique())
     surv = 1.0
