@@ -21190,6 +21190,195 @@ def q_events_peak_concurrent_sessions(
     return run.groupBy("day").agg(F.max("running").alias("peak_concurrent"))
 
 
+@register(
+    "orders_queue_depth_lindley",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS arrivals
+      FROM orders GROUP BY 1
+    ),
+    cap AS (
+      SELECT CAST((SUM(arrivals) + COUNT(*) - 1) // COUNT(*) AS BIGINT)
+               AS capacity
+      FROM daily
+    ),
+    net AS (
+      SELECT day, arrivals, capacity,
+             SUM(arrivals - capacity)
+               OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS cum
+      FROM daily CROSS JOIN cap
+    ),
+    q AS (
+      SELECT day, arrivals, capacity, cum,
+             cum - LEAST(0, MIN(cum)
+               OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)) AS queue_depth
+      FROM net
+    )
+    SELECT day, arrivals, capacity, CAST(queue_depth AS BIGINT)
+             AS queue_depth
+    FROM q WHERE queue_depth > 0
+    """,
+)
+def q_orders_queue_depth_lindley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-backlog depth via the Lindley recursion — the waiting-line
+    operator behind every fulfillment/SLA dashboard: with daily arrivals
+    aᵗ and a fixed capacity c (here the ceiling of mean daily volume,
+    derived from the data), the backlog Qᵗ = max(0, Qᵗ⁻¹ + aᵗ − c). The
+    recursion LOOKS inherently sequential, but it telescopes into the
+    max-plus closed form Qᵗ = Sᵗ − min(0, min_{s≤t} Sₛ) over the running
+    net-flow sum Sᵗ — two cumulative windows, no iteration, no recursion,
+    no driver loop. Both windows run over the CALENDAR-BOUNDED day
+    aggregate (~2.4k rows regardless of data volume); all arithmetic is
+    exact integers. The only data-sized stage is the daily partial-agg
+    count."""
+    daily = (
+        table_scan(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("arrivals"))
+        .persist()
+    )
+    cap = daily.agg(
+        F.sum("arrivals").alias("s"), F.count(F.lit(1)).alias("nd")
+    ).selectExpr("CAST((s + nd - 1) div nd AS BIGINT) AS capacity")
+    cum_w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    net = daily.crossJoin(F.broadcast(cap)).select(
+        "day",
+        "arrivals",
+        "capacity",
+        F.sum(F.col("arrivals") - F.col("capacity")).over(cum_w).alias("cum"),
+    )
+    q = net.select(
+        "day",
+        "arrivals",
+        "capacity",
+        (
+            F.col("cum") - F.least(F.lit(0), F.min("cum").over(cum_w))
+        ).alias("queue_depth"),
+    )
+    return q.filter(F.col("queue_depth") > 0).select(
+        "day", "arrivals", "capacity", F.col("queue_depth").cast("long").alias("queue_depth")
+    )
+
+
+@register(
+    "events_dow_hour_median_polish",
+    """
+    WITH grid AS (
+      SELECT CAST(dayofweek(CAST(ts AS DATE)) AS INT) AS dow,
+             CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    r1 AS (
+      SELECT dow, MAX(CASE WHEN rn = (n + 1) // 2 THEN x END) AS re1
+      FROM (SELECT dow, x,
+                   ROW_NUMBER() OVER (PARTITION BY dow ORDER BY x) AS rn,
+                   COUNT(*) OVER (PARTITION BY dow) AS n
+            FROM grid)
+      GROUP BY dow
+    ),
+    g1 AS (SELECT g.dow, g.hr, g.x - re1 AS x, re1
+           FROM grid g JOIN r1 USING (dow)),
+    c1 AS (
+      SELECT hr, MAX(CASE WHEN rn = (n + 1) // 2 THEN x END) AS ce1
+      FROM (SELECT hr, x,
+                   ROW_NUMBER() OVER (PARTITION BY hr ORDER BY x) AS rn,
+                   COUNT(*) OVER (PARTITION BY hr) AS n
+            FROM g1)
+      GROUP BY hr
+    ),
+    g2 AS (SELECT g.dow, g.hr, g.x - ce1 AS x, re1, ce1
+           FROM g1 g JOIN c1 USING (hr)),
+    r2 AS (
+      SELECT dow, MAX(CASE WHEN rn = (n + 1) // 2 THEN x END) AS re2
+      FROM (SELECT dow, x,
+                   ROW_NUMBER() OVER (PARTITION BY dow ORDER BY x) AS rn,
+                   COUNT(*) OVER (PARTITION BY dow) AS n
+            FROM g2)
+      GROUP BY dow
+    ),
+    g3 AS (SELECT g.dow, g.hr, g.x - re2 AS x, re1 + re2 AS re, ce1
+           FROM g2 g JOIN r2 USING (dow)),
+    c2 AS (
+      SELECT hr, MAX(CASE WHEN rn = (n + 1) // 2 THEN x END) AS ce2
+      FROM (SELECT hr, x,
+                   ROW_NUMBER() OVER (PARTITION BY hr ORDER BY x) AS rn,
+                   COUNT(*) OVER (PARTITION BY hr) AS n
+            FROM g3)
+      GROUP BY hr
+    )
+    SELECT g.dow, g.hr, CAST(re AS BIGINT) AS row_effect,
+           CAST(ce1 + ce2 AS BIGINT) AS col_effect,
+           CAST(g.x - ce2 AS BIGINT) AS residual
+    FROM g3 g JOIN c2 USING (hr)
+    """,
+)
+def q_events_dow_hour_median_polish(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tukey median polish of the day-of-week × hour traffic grid — the
+    ROBUST two-way decomposition (count ≈ row effect + column effect +
+    residual) that a mean-based ANOVA decomposition can't give you when
+    single cells spike: two alternating sweeps subtract row then column
+    LOWER MEDIANS (exact order statistics of integers — every effect and
+    residual stays an exact integer, so cross-engine parity is bitwise).
+    Each median is a rank selection inside a window PARTITIONED by the
+    7-row/24-row axis of the 168-cell grid; the only data-sized stage is
+    the one grouped count. Large |residual| cells are the genuinely
+    anomalous (dow, hour) combinations after seasonality is removed —
+    the robust upgrade of events_dow_hour_heatmap's raw shares."""
+    grid = (
+        table_scan(spark, sf_dir, "events")
+        .groupBy(
+            (F.dayofweek(F.col("ts").cast("date")) - 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hr"),
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+        .persist()
+    )
+
+    def group_median(df: DataFrame, part: str, val: str, out: str) -> DataFrame:
+        wr = Window.partitionBy(part).orderBy(val)
+        wn = Window.partitionBy(part)
+        return (
+            df.select(part, val)
+            .withColumn("rn", F.row_number().over(wr))
+            .withColumn("n", F.count(F.lit(1)).over(wn))
+            .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+            .select(F.col(part), F.col(val).alias(out))
+        )
+
+    r1 = group_median(grid, "dow", "x", "re1")
+    g1 = grid.join(F.broadcast(r1), "dow").select(
+        "dow", "hr", (F.col("x") - F.col("re1")).alias("x"), "re1"
+    )
+    c1 = group_median(g1, "hr", "x", "ce1")
+    g2 = g1.join(F.broadcast(c1), "hr").select(
+        "dow", "hr", (F.col("x") - F.col("ce1")).alias("x"), "re1", "ce1"
+    )
+    r2 = group_median(g2, "dow", "x", "re2")
+    g3 = g2.join(F.broadcast(r2), "dow").select(
+        "dow",
+        "hr",
+        (F.col("x") - F.col("re2")).alias("x"),
+        (F.col("re1") + F.col("re2")).alias("re"),
+        "ce1",
+    )
+    c2 = group_median(g3, "hr", "x", "ce2")
+    return g3.join(F.broadcast(c2), "hr").select(
+        "dow",
+        "hr",
+        F.col("re").cast("long").alias("row_effect"),
+        (F.col("ce1") + F.col("ce2")).cast("long").alias("col_effect"),
+        (F.col("x") - F.col("ce2")).cast("long").alias("residual"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

@@ -114,6 +114,7 @@ BNLJ_OK = {
     "lineitem_jonckheere_dose_response",  # 1-row JT / null-mean scalar
     #   broadcasts; the cell-pair lookup is equi-on-value over the ≤550-cell
     #   contingency
+    "orders_queue_depth_lindley",  # 1-row capacity scalar broadcast
 }
 
 #: queries allowed a single-partition (global) Window. Each must justify the
@@ -157,6 +158,9 @@ GLOBAL_WINDOW_OK = {
     #   over the ≤91-row censored day domain
     "events_peak_concurrent_sessions",  # day-offsets window over the
     #   calendar-bounded day table (two-phase prefix sweep)
+    "orders_queue_depth_lindley",  # running-sum + running-min windows over
+    #   the calendar-bounded (~2.4k-row) day aggregate — the max-plus
+    #   telescoped Lindley recursion
     "doc_pack_sequences",  # global greedy packing cumsum — order IS the
     #   semantics; scale path packs per source-shard
     "dataset_shuffle_deterministic",  # two-phase row numbering: the ONLY

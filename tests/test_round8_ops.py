@@ -521,3 +521,56 @@ def test_peak_concurrency_matches_sweep_replay(spark, sf_dir):
         day = r.day if not hasattr(r.day, "date") else r.day
         assert r.peak_concurrent == peaks[day], (r, peaks[day])
     assert max(r.peak_concurrent for r in rows) > 1
+
+
+def test_lindley_queue_matches_sequential_recursion(spark, sf_dir):
+    import pandas as pd
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderdate"])
+    daily = (
+        pd.to_datetime(o.o_orderdate).dt.date.value_counts().sort_index()
+    )
+    s = int(daily.sum())
+    nd = len(daily)
+    cap = -(-s // nd)  # ceil
+    q = 0
+    ref = {}
+    for day, a in daily.items():
+        q = max(0, q + int(a) - cap)
+        if q > 0:
+            ref[day] = q
+    rows = registry.QUERIES["orders_queue_depth_lindley"](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == len(ref)
+    for r in rows:
+        assert r.capacity == cap
+        assert r.queue_depth == ref[r.day], (r.day, r.queue_depth, ref[r.day])
+
+
+def test_median_polish_reconstructs_and_is_robust(spark, sf_dir):
+    import pandas as pd
+
+    rows = registry.QUERIES["events_dow_hour_median_polish"](
+        spark, sf_dir
+    ).collect()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    ts = pd.to_datetime(ev.ts)
+    grid = (
+        pd.DataFrame(
+            {"dow": (ts.dt.dayofweek + 1) % 7, "hr": ts.dt.hour}
+        )
+        .value_counts()
+        .to_dict()
+    )
+    # decomposition must reconstruct the original cell exactly:
+    # x = row_effect + col_effect + residual
+    for r in rows:
+        assert r.row_effect + r.col_effect + r.residual == grid[
+            (r.dow, r.hr)
+        ], r
+    # after polishing, the median residual per row axis is ~0 (within one
+    # unit: the second column sweep can reintroduce a +-1 row offset)
+    df = pd.DataFrame([r.asDict() for r in rows])
+    for _, g in df.groupby("dow"):
+        assert abs(g.residual.median()) <= 1.5
