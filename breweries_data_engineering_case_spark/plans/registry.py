@@ -20895,10 +20895,10 @@ def q_orders_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     risk AS (
       SELECT t, d,
-             CAST((SELECT COUNT(*) FROM obs) AS BIGINT)
-               - (SUM(leaving) OVER (ORDER BY t
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  - leaving) AS n_at_risk
+             CAST(CAST((SELECT COUNT(*) FROM obs) AS BIGINT)
+                  - (SUM(leaving) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - leaving) AS BIGINT) AS n_at_risk
       FROM day_agg
     )
     SELECT CAST(t AS INT) AS day, d AS n_events, n_at_risk,
