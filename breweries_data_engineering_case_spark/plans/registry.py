@@ -7939,12 +7939,30 @@ def q_doc_dedup_portable_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..operators.fuzzy_dedup import (
         _MH_B,
         _MH_P,
-        minhash_signatures,
+        _minhash_cols,
         shingle_hashes,
     )
 
     d = table_scan(spark, sf_dir, "documents")
-    sig = minhash_signatures(d, num_hashes=16, shingle_n=3, portable=True)
+    # Materialize the md5-portable shingle arrays ONCE: both the signature
+    # stage and the exact-Jaccard verify read this skinny (id, sh) table.
+    # Without it the corpus is tokenized+md5-hashed twice, and the explode
+    # feeding the 16 min-aggregates re-evaluates the (expensive) portable
+    # hash expression instead of reading a materialized array — measured
+    # 12 s → ~5 s cold at sf0.1 for the whole pipeline. Bytes are
+    # |shingles| longs per doc (MEMORY_AND_DISK), far below the raw text.
+    shs_all = d.select(
+        F.col("doc_id").alias("id"),
+        shingle_hashes("text", 3, portable=True).alias("sh"),
+    ).persist()
+    num_hashes = 16
+    mins = _minhash_cols(
+        shs_all.select("id", F.col("sh").alias("__h")), "id", num_hashes
+    )
+    sig = mins.select(
+        "id",
+        F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig"),
+    )
     bands, rpb = 4, 4
 
     def band_hash(b: int):
@@ -7982,16 +8000,12 @@ def q_doc_dedup_portable_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
         .distinct()
         .persist()
     )
-    shs = d.select(
-        F.col("doc_id").alias("id"),
-        shingle_hashes("text", 3, portable=True).alias("sh"),
-    )
     cand_ids = (
         cand.select(F.col("id_a").alias("id"))
         .unionByName(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sub = shs.join(F.broadcast(cand_ids), "id", "left_semi")
+    sub = shs_all.join(F.broadcast(cand_ids), "id", "left_semi")
     a = sub.select(F.col("id").alias("id_a"), F.col("sh").alias("__sa"))
     b = sub.select(F.col("id").alias("id_b"), F.col("sh").alias("__sb"))
     inter = F.size(F.array_intersect("__sa", "__sb"))
@@ -21376,6 +21390,685 @@ def q_events_dow_hour_median_polish(
         F.col("re").cast("long").alias("row_effect"),
         (F.col("ce1") + F.col("ce2")).cast("long").alias("col_effect"),
         (F.col("x") - F.col("ce2")).cast("long").alias("residual"),
+    )
+
+
+@register(
+    "lineitem_brown_forsythe_variance",
+    """
+    WITH hist AS (
+      SELECT l_returnflag AS flag,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS q,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT flag, MAX(CASE WHEN cum - cnt < k AND k <= cum THEN q END)
+               AS med
+      FROM (SELECT flag, q, cnt,
+                   CAST(SUM(cnt) OVER (PARTITION BY flag ORDER BY q
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum,
+                   CAST((SUM(cnt) OVER (PARTITION BY flag) + 1) // 2
+                     AS BIGINT) AS k
+            FROM hist)
+      GROUP BY flag
+    ),
+    z AS (
+      SELECT h.flag, h.cnt, ABS(h.q - m.med) AS z
+      FROM hist h JOIN med m USING (flag)
+    ),
+    piv AS (
+      SELECT CAST(CAST(SUM(cnt) AS BIGINT) AS DOUBLE) AS n,
+             CAST(CAST(SUM(cnt * z) AS HUGEINT) AS DOUBLE) AS s,
+             CAST(CAST(SUM(CAST(cnt AS HUGEINT) * z * z) AS HUGEINT)
+                  AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CASE WHEN flag = 'A' THEN cnt ELSE 0 END)
+                  AS BIGINT) AS DOUBLE) AS na,
+             CAST(CAST(SUM(CASE WHEN flag = 'A' THEN cnt * z ELSE 0 END)
+                  AS HUGEINT) AS DOUBLE) AS sa,
+             CAST(CAST(SUM(CASE WHEN flag = 'N' THEN cnt ELSE 0 END)
+                  AS BIGINT) AS DOUBLE) AS nn,
+             CAST(CAST(SUM(CASE WHEN flag = 'N' THEN cnt * z ELSE 0 END)
+                  AS HUGEINT) AS DOUBLE) AS sn,
+             CAST(CAST(SUM(CASE WHEN flag = 'R' THEN cnt ELSE 0 END)
+                  AS BIGINT) AS DOUBLE) AS nr,
+             CAST(CAST(SUM(CASE WHEN flag = 'R' THEN cnt * z ELSE 0 END)
+                  AS HUGEINT) AS DOUBLE) AS sr
+      FROM z
+    ),
+    meds AS (
+      SELECT MAX(CASE WHEN flag = 'A' THEN med END) AS med_a,
+             MAX(CASE WHEN flag = 'N' THEN med END) AS med_n,
+             MAX(CASE WHEN flag = 'R' THEN med END) AS med_r
+      FROM med
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST(med_a AS BIGINT) AS med_a_cents,
+           CAST(med_n AS BIGINT) AS med_n_cents,
+           CAST(med_r AS BIGINT) AS med_r_cents,
+           CASE WHEN (sxx - ((CASE WHEN na > 0 THEN sa * sa / na ELSE 0 END)
+                           + (CASE WHEN nn > 0 THEN sn * sn / nn ELSE 0 END)
+                           + (CASE WHEN nr > 0 THEN sr * sr / nr ELSE 0 END)))
+                     <= 0 THEN NULL
+                ELSE (((CASE WHEN na > 0 THEN sa * sa / na ELSE 0 END)
+                     + (CASE WHEN nn > 0 THEN sn * sn / nn ELSE 0 END)
+                     + (CASE WHEN nr > 0 THEN sr * sr / nr ELSE 0 END))
+                     - s * s / n)
+                   / ((CASE WHEN na > 0 THEN 1 ELSE 0 END)
+                    + (CASE WHEN nn > 0 THEN 1 ELSE 0 END)
+                    + (CASE WHEN nr > 0 THEN 1 ELSE 0 END) - 1)
+                   / ((sxx - ((CASE WHEN na > 0 THEN sa * sa / na ELSE 0 END)
+                            + (CASE WHEN nn > 0 THEN sn * sn / nn ELSE 0 END)
+                            + (CASE WHEN nr > 0 THEN sr * sr / nr ELSE 0 END)))
+                      / (n - ((CASE WHEN na > 0 THEN 1 ELSE 0 END)
+                            + (CASE WHEN nn > 0 THEN 1 ELSE 0 END)
+                            + (CASE WHEN nr > 0 THEN 1 ELSE 0 END))))
+                END AS f_brown_forsythe
+    FROM piv CROSS JOIN meds
+    """,
+)
+def q_lineitem_brown_forsythe_variance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Brown–Forsythe test of equal VARIANCES across the three return-flag
+    groups — the robust Levene variant (deviations from the group MEDIAN,
+    not mean) that survives the heavy-tailed quantity distributions a
+    mean-based F-test chokes on. Homogeneity-of-variance is the
+    precondition every pooled-variance ANOVA silently assumes; this query
+    is the check. Pipeline: (1) one data-sized grouped count collapses
+    lineitem to the ≤150-cell (flag, quantity-cents) histogram; (2) each
+    group's LOWER MEDIAN is an exact rank selection inside the bounded
+    histogram (cum − cnt < k ≤ cum picks the cell holding rank
+    k = ⌈n_g/2⌉ — no data-sized window); (3) absolute deviations
+    z = |q − med_g| stay exact integers, and their per-group moments pivot
+    into ONE row of a fixed expression tree (the eta² idiom), so the final
+    F = (SSB/(k−1)) / (SSW/(N−k)) is one deterministic IEEE double on both
+    engines. Zero-variance (SSW ≤ 0) guards to NULL. The only data-sized
+    stage is the initial partial-agg count — everything after runs on
+    ≤150 rows regardless of scale."""
+    li = table_scan(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_quantity").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("q"),
+    )
+    hist = li.groupBy("flag", "q").agg(F.count(F.lit(1)).alias("cnt"))
+    wr = Window.partitionBy("flag").orderBy("q").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wn = Window.partitionBy("flag")
+    med = (
+        hist.withColumn("cum", F.sum("cnt").over(wr))
+        .withColumn("k", F.expr("(SUM(cnt) OVER (PARTITION BY flag) + 1) div 2"))
+        .filter(
+            (F.col("cum") - F.col("cnt") < F.col("k"))
+            & (F.col("k") <= F.col("cum"))
+        )
+        .select("flag", F.col("q").alias("med"))
+    )
+    z = hist.join(F.broadcast(med), "flag").select(
+        "flag", "cnt", F.abs(F.col("q") - F.col("med")).alias("z")
+    )
+    aggs = [
+        F.sum("cnt").cast("double").alias("n"),
+        F.sum(F.col("cnt") * F.col("z")).cast("double").alias("s"),
+        # z² × cnt can pass int64 at extreme scale: widen to DECIMAL(38)
+        F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("z") * F.col("z"))
+        .cast("double")
+        .alias("sxx"),
+    ]
+    for g, tag in (("A", "a"), ("N", "n2"), ("R", "r")):
+        aggs.append(
+            F.sum(F.when(F.col("flag") == g, F.col("cnt")).otherwise(0))
+            .cast("double")
+            .alias(f"n_{tag}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(F.col("flag") == g, F.col("cnt") * F.col("z")).otherwise(0)
+            )
+            .cast("double")
+            .alias(f"s_{tag}")
+        )
+    piv = z.agg(*aggs)
+    meds = med.groupBy().agg(
+        F.max(F.when(F.col("flag") == "A", F.col("med"))).alias("med_a"),
+        F.max(F.when(F.col("flag") == "N", F.col("med"))).alias("med_n"),
+        F.max(F.when(F.col("flag") == "R", F.col("med"))).alias("med_r"),
+    )
+    between = None
+    kcnt = None
+    for tag in ("a", "n2", "r"):
+        term = F.when(
+            F.col(f"n_{tag}") > 0,
+            (F.col(f"s_{tag}") * F.col(f"s_{tag}")) / F.col(f"n_{tag}"),
+        ).otherwise(F.lit(0.0))
+        ind = F.when(F.col(f"n_{tag}") > 0, F.lit(1.0)).otherwise(F.lit(0.0))
+        between = term if between is None else between + term
+        kcnt = ind if kcnt is None else kcnt + ind
+    ssw = F.col("sxx") - between
+    ssb = between - (F.col("s") * F.col("s")) / F.col("n")
+    f_stat = F.when(ssw <= 0, F.lit(None).cast("double")).otherwise(
+        ssb / (kcnt - 1) / (ssw / (F.col("n") - kcnt))
+    )
+    return piv.crossJoin(F.broadcast(meds)).select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("med_a").cast("long").alias("med_a_cents"),
+        F.col("med_n").cast("long").alias("med_n_cents"),
+        F.col("med_r").cast("long").alias("med_r_cents"),
+        f_stat.alias("f_brown_forsythe"),
+    )
+
+
+@register(
+    "events_mcnemar_paired_conversion",
+    """
+    WITH bounds AS (
+      SELECT CAST(MIN(epoch_us(ts)) AS BIGINT) AS lo,
+             CAST(MAX(epoch_us(ts)) AS BIGINT) AS hi
+      FROM events
+    ),
+    per_user AS (
+      SELECT user_id,
+             CAST(MAX(CASE WHEN event_type = 'purchase'
+                       AND epoch_us(ts) * 2 < lo + hi
+                       THEN 1 ELSE 0 END) AS INT) AS p1,
+             CAST(MAX(CASE WHEN event_type = 'purchase'
+                       AND epoch_us(ts) * 2 >= lo + hi
+                       THEN 1 ELSE 0 END) AS INT) AS p2
+      FROM events CROSS JOIN bounds
+      GROUP BY user_id
+    ),
+    cells AS (
+      SELECT CAST(SUM(CASE WHEN p1 = 1 AND p2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN p1 = 0 AND p2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d
+      FROM per_user
+    )
+    SELECT a, b, c, d,
+           CASE WHEN b + c = 0 THEN NULL
+                ELSE CAST((1000000 * (b - c) * (b - c)) // (b + c)
+                          AS BIGINT) END AS chi2_ppm,
+           CASE WHEN b + c = 0 THEN NULL
+                ELSE CAST((1000000 * GREATEST(ABS(b - c) - 1, 0)
+                           * GREATEST(ABS(b - c) - 1, 0)) // (b + c)
+                          AS BIGINT) END AS chi2_cc_ppm
+    FROM cells
+    """,
+)
+def q_events_mcnemar_paired_conversion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """McNemar's test on PAIRED binary outcomes — did per-user purchase
+    conversion CHANGE between the first and second half of the observation
+    window? Unlike the two-proportion z-test (events_ab_proportion_test,
+    which assumes independent samples), McNemar conditions on each user
+    being their own control: only the discordant pairs b (converted →
+    lapsed) and c (lapsed → converted) carry information, and
+    χ² = (b−c)²/(b+c) with the continuity-corrected (|b−c|−1)²/(b+c)
+    variant. The period midpoint derives from the data (integer-microsecond
+    cross-multiply 2·ts < lo+hi — no float division), both halves resolve
+    in ONE grouped pass over events (two conditional MAX flags per user),
+    and the 2×2 concordance cells fold to a single row. Exact integers
+    end-to-end; the ppm statistics are integer floors, so cross-engine
+    parity is bitwise. b+c = 0 (no discordant users) guards to NULL."""
+    ev = table_scan(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_type",
+    )
+    bounds = ev.agg(F.min("us").alias("lo"), F.max("us").alias("hi"))
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("us") * 2 < F.col("lo") + F.col("hi")),
+                    1,
+                ).otherwise(0)
+            ).alias("p1"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("us") * 2 >= F.col("lo") + F.col("hi")),
+                    1,
+                ).otherwise(0)
+            ).alias("p2"),
+        )
+    )
+    cells = per_user.agg(
+        F.sum(F.when((F.col("p1") == 1) & (F.col("p2") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when((F.col("p1") == 1) & (F.col("p2") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when((F.col("p1") == 0) & (F.col("p2") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when((F.col("p1") == 0) & (F.col("p2") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    )
+    diff = F.col("b") - F.col("c")
+    tot = F.col("b") + F.col("c")
+    cc = F.greatest(F.abs(diff) - 1, F.lit(0))
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.when(tot == 0, F.lit(None).cast("long"))
+        .otherwise(F.expr("(1000000 * (b - c) * (b - c)) div (b + c)"))
+        .alias("chi2_ppm"),
+        F.when(tot == 0, F.lit(None).cast("long"))
+        .otherwise(
+            F.expr(
+                "(1000000 * GREATEST(ABS(b - c) - 1, 0)"
+                " * GREATEST(ABS(b - c) - 1, 0)) div (b + c)"
+            )
+        )
+        .alias("chi2_cc_ppm"),
+    )
+
+
+@register(
+    "events_cohens_kappa_agreement",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS val
+      FROM events GROUP BY user_id
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nu,
+             CAST(CAST(SUM(cnt) AS HUGEINT) AS BIGINT) AS tc,
+             CAST(CAST(SUM(val) AS HUGEINT) AS BIGINT) AS tv
+      FROM per_user
+    ),
+    rated AS (
+      SELECT CASE WHEN cnt * nu >= tc THEN 1 ELSE 0 END AS r1,
+             CASE WHEN val * nu >= tv THEN 1 ELSE 0 END AS r2
+      FROM per_user CROSS JOIN tot
+    ),
+    cells AS (
+      SELECT CAST(SUM(CASE WHEN r1 = 1 AND r2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN r1 = 1 AND r2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN r1 = 0 AND r2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN r1 = 0 AND r2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d
+      FROM rated
+    )
+    SELECT a, b, c, d,
+           CASE WHEN ((a + b + c + d) * (a + b + c + d)
+                      - ((a + b) * (a + c) + (c + d) * (b + d))) = 0
+                THEN NULL
+                ELSE CAST(
+                  CASE WHEN ((a + b + c + d) * (a + d)
+                             - ((a + b) * (a + c) + (c + d) * (b + d))) >= 0
+                       THEN 1 ELSE -1 END
+                  * ((1000000 * ABS(CAST(a + b + c + d AS HUGEINT) * (a + d)
+                        - ((a + b) * (a + c) + (c + d) * (b + d))))
+                     // (CAST(a + b + c + d AS HUGEINT) * (a + b + c + d)
+                        - ((a + b) * (a + c) + (c + d) * (b + d))))
+                  AS BIGINT) END AS kappa_ppm
+    FROM cells
+    """,
+)
+def q_events_cohens_kappa_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two independent
+    binary labelers of the same users: rater 1 calls a user "heavy" by
+    EVENT COUNT ≥ mean, rater 2 by TOTAL SPEND ≥ mean (both thresholds
+    derived from the data via integer cross-multiplication cnt·N ≥ Σcnt —
+    no float division anywhere). Raw agreement (a+d)/N is inflated
+    whenever both raters mostly say "light"; κ = (p_o − p_e)/(1 − p_e)
+    subtracts the agreement expected from the marginals alone — the
+    standard metric for validating a cheap heuristic labeler against an
+    expensive one before trusting it to filter a 100 TB corpus. One
+    grouped pass builds per-user aggregates, one broadcast scalar join
+    applies both thresholds, and the 2×2 cells fold to a single row; κ is
+    emitted as an exact sign-split integer-ppm floor (DECIMAL(38)/HUGEINT
+    intermediates — N² · 10⁶ passes int64 beyond ~3M users), so
+    cross-engine parity is bitwise."""
+    per_user = (
+        table_scan(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("val"),
+        )
+    )
+    tot = per_user.agg(
+        F.count(F.lit(1)).alias("nu"),
+        F.sum("cnt").alias("tc"),
+        F.sum("val").alias("tv"),
+    )
+    rated = per_user.crossJoin(F.broadcast(tot)).select(
+        F.when(F.col("cnt") * F.col("nu") >= F.col("tc"), 1)
+        .otherwise(0)
+        .alias("r1"),
+        F.when(F.col("val") * F.col("nu") >= F.col("tv"), 1)
+        .otherwise(0)
+        .alias("r2"),
+    )
+    cells = rated.agg(
+        F.sum(F.when((F.col("r1") == 1) & (F.col("r2") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when((F.col("r1") == 1) & (F.col("r2") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when((F.col("r1") == 0) & (F.col("r2") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when((F.col("r1") == 0) & (F.col("r2") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    )
+    n_dec = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast(
+        "decimal(38,0)"
+    )
+    pe_num = (F.col("a") + F.col("b")) * (F.col("a") + F.col("c")) + (
+        F.col("c") + F.col("d")
+    ) * (F.col("b") + F.col("d"))
+    num = n_dec * (F.col("a") + F.col("d")) - pe_num
+    den = n_dec * (F.col("a") + F.col("b") + F.col("c") + F.col("d")) - pe_num
+    # div (not /) keeps the quotient integral on both engines; sign-split
+    # so truncation == floor on the positive operand
+    kappa = F.when(den == 0, F.lit(None).cast("long")).otherwise(
+        (
+            F.when(num >= 0, F.lit(1)).otherwise(F.lit(-1))
+            * F.expr(
+                "(CAST(1000000 AS DECIMAL(38,0)) * ABS(_num)) div _den"
+            )
+        ).cast("long")
+    )
+    return cells.select(
+        "a", "b", "c", "d", num.alias("_num"), den.alias("_den")
+    ).select("a", "b", "c", "d", kappa.alias("kappa_ppm"))
+
+
+@register(
+    "graph_hits_hubs_authorities",
+    """
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    a1 AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS a FROM edges GROUP BY s),
+    h1 AS (
+      SELECT c, CAST(CAST(SUM(a) AS HUGEINT) AS BIGINT) AS h
+      FROM edges JOIN a1 USING (s) GROUP BY c
+    ),
+    a2 AS (
+      SELECT s, CAST(CAST(SUM(h) AS HUGEINT) AS BIGINT) AS a
+      FROM edges JOIN h1 USING (c) GROUP BY s
+    ),
+    h2 AS (
+      SELECT c, CAST(CAST(SUM(a) AS HUGEINT) AS BIGINT) AS h
+      FROM edges JOIN a2 USING (s) GROUP BY c
+    ),
+    top_a AS (
+      SELECT 'authority' AS role, s AS node, a AS score
+      FROM a2 ORDER BY a DESC, s LIMIT 20
+    ),
+    top_h AS (
+      SELECT 'hub' AS role, c AS node, h AS score
+      FROM h2 ORDER BY h DESC, c LIMIT 20
+    )
+    SELECT role, node, score FROM top_a
+    UNION ALL SELECT role, node, score FROM top_h
+    """,
+)
+def q_graph_hits_hubs_authorities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kleinberg's HITS on the customer→supplier purchase graph — the
+    mutually-recursive centrality PageRank can't express: a customer is a
+    good HUB if they buy from good authorities, a supplier a good
+    AUTHORITY if good hubs buy from them (a = Eᵀh, h = Ea). Two full
+    unrolled power iterations from h₀ = 1, each one edge-join + grouped
+    sum — the same shuffle shape as one PageRank step, skew-bounded by the
+    distinct-pair edge set. Normalization is deliberately OMITTED: it
+    rescales every score by the same constant, so the top-k ranking is
+    identical and every score stays an EXACT integer (authority₁ = indeg,
+    hub₁ = Σ indeg over purchases, …) instead of a float whose division
+    the two engines could round differently; sums widen through
+    DECIMAL(38)/HUGEINT before the BIGINT cast. Top-20 per role via
+    TakeOrdered (orderBy+limit — no global window), ties pinned by node
+    id. At 100× the iteration cost is two shuffles over the edge list;
+    scores grow ~deg² per round, so the DECIMAL(38) widening (not int64)
+    is the overflow headroom."""
+    o = table_scan(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table_scan(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .persist()
+    )
+    a1 = edges.groupBy("s").agg(F.count(F.lit(1)).alias("a"))
+    h1 = (
+        edges.join(a1, "s")
+        .groupBy("c")
+        .agg(F.sum(F.col("a").cast("decimal(38,0)")).cast("long").alias("h"))
+    )
+    a2 = (
+        edges.join(h1, "c")
+        .groupBy("s")
+        .agg(F.sum(F.col("h").cast("decimal(38,0)")).cast("long").alias("a"))
+    )
+    h2 = (
+        edges.join(a2, "s")
+        .groupBy("c")
+        .agg(F.sum(F.col("a").cast("decimal(38,0)")).cast("long").alias("h"))
+    )
+    top_a = (
+        a2.orderBy(F.col("a").desc(), F.col("s"))
+        .limit(20)
+        .select(
+            F.lit("authority").alias("role"),
+            F.col("s").alias("node"),
+            F.col("a").alias("score"),
+        )
+    )
+    top_h = (
+        h2.orderBy(F.col("h").desc(), F.col("c"))
+        .limit(20)
+        .select(
+            F.lit("hub").alias("role"),
+            F.col("c").alias("node"),
+            F.col("h").alias("score"),
+        )
+    )
+    return top_a.unionAll(top_h)
+
+
+@register(
+    "part_newsvendor_stock_level",
+    """
+    WITH daily AS (
+      SELECT p.p_brand AS brand, CAST(l.l_shipdate AS DATE) AS day,
+             CAST(SUM(CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS demand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT brand, demand,
+             ROW_NUMBER() OVER (PARTITION BY brand ORDER BY demand) AS rn,
+             COUNT(*) OVER (PARTITION BY brand) AS n
+      FROM daily
+    )
+    SELECT brand,
+           CAST(MAX(n) AS BIGINT) AS n_days,
+           CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN demand END)
+                AS BIGINT) AS stock_q90_cents,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN demand END)
+                AS BIGINT) AS median_demand_cents
+    FROM ranked
+    GROUP BY brand
+    """,
+)
+def q_part_newsvendor_stock_level(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Newsvendor service-level stocking — the inventory operator behind
+    every replenishment pipeline: with underage cost 9× overage, the
+    critical fractile is 0.9, and the optimal stock is the smallest q with
+    F(q) ≥ 0.9 — the EXACT per-brand 90th percentile (order statistic at
+    rank ⌈0.9·n⌉) of daily demand, not an approx_percentile sketch whose
+    error lands directly in safety stock. Pipeline: one data-sized
+    grouped sum collapses lineitem to the (brand, day) demand table
+    (broadcast join to part — the dim is small), then rank selection runs
+    inside a window PARTITIONED by brand over calendar-bounded rows
+    (~2.4k days × 25 brands regardless of data volume). The lower median
+    rides the same window for an interquantile spread read. Demand is
+    exact integer cents end-to-end."""
+    li = table_scan(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_shipdate").cast("date").alias("day"),
+        (F.col("l_quantity").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("qc"),
+    )
+    p = table_scan(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    daily = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("brand", "day")
+        .agg(F.sum("qc").alias("demand"))
+    )
+    wr = Window.partitionBy("brand").orderBy("demand")
+    wn = Window.partitionBy("brand")
+    ranked = daily.select(
+        "brand",
+        "demand",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.groupBy("brand").agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("demand"))
+        )
+        .cast("long")
+        .alias("stock_q90_cents"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("demand"))
+        )
+        .cast("long")
+        .alias("median_demand_cents"),
+    )
+
+
+@register(
+    "events_capture_recapture_distinct",
+    """
+    WITH bounds AS (
+      SELECT CAST(MIN(epoch_us(ts)) AS BIGINT) AS lo,
+             CAST(MAX(epoch_us(ts)) AS BIGINT) AS hi
+      FROM events
+    ),
+    per_user AS (
+      SELECT user_id,
+             CAST(MAX(CASE WHEN epoch_us(ts) * 3 < 2 * lo + hi
+                      THEN 1 ELSE 0 END) AS INT) AS in1,
+             CAST(MAX(CASE WHEN epoch_us(ts) * 3 >= lo + 2 * hi
+                      THEN 1 ELSE 0 END) AS INT) AS in2
+      FROM events CROSS JOIN bounds
+      GROUP BY user_id
+    ),
+    counts AS (
+      SELECT CAST(SUM(in1) AS BIGINT) AS n1,
+             CAST(SUM(in2) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN in1 = 1 AND in2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS m,
+             CAST(COUNT(*) AS BIGINT) AS true_distinct
+      FROM per_user
+    )
+    SELECT n1, n2, m, true_distinct,
+           CASE WHEN m = 0 THEN NULL
+                ELSE CAST((n1 * n2) // m AS BIGINT) END AS lincoln_petersen,
+           CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS BIGINT) AS chapman
+    FROM counts
+    """,
+)
+def q_events_capture_recapture_distinct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Capture–recapture (mark–recapture) population estimation — infer
+    TOTAL distinct users from two partial observation windows: the classic
+    ecology estimator applied to the data-engineering question "how many
+    users does the full period have, given I only logged the first and
+    last third?" Sample 1 = users seen in the first third, sample 2 = the
+    last third (window cuts by integer-microsecond cross-multiply — no
+    float division); under independence N̂_LP = n₁n₂/m and the
+    bias-corrected Chapman estimator (n₁+1)(n₂+1)/(m+1) − 1, which stays
+    defined at m = 0. Both land next to the TRUE distinct count in the
+    same row — the estimator-vs-truth audit a sampling-based pipeline
+    runs before trusting extrapolation. One grouped pass builds per-user
+    presence flags; the fold is a single row; every value is an exact
+    integer floor, so cross-engine parity is bitwise."""
+    ev = table_scan(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    bounds = ev.agg(F.min("us").alias("lo"), F.max("us").alias("hi"))
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("us") * 3 < 2 * F.col("lo") + F.col("hi"), 1
+                ).otherwise(0)
+            ).alias("in1"),
+            F.max(
+                F.when(
+                    F.col("us") * 3 >= F.col("lo") + 2 * F.col("hi"), 1
+                ).otherwise(0)
+            ).alias("in2"),
+        )
+    )
+    counts = per_user.agg(
+        F.sum("in1").cast("long").alias("n1"),
+        F.sum("in2").cast("long").alias("n2"),
+        F.sum(F.when((F.col("in1") == 1) & (F.col("in2") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("m"),
+        F.count(F.lit(1)).cast("long").alias("true_distinct"),
+    )
+    return counts.select(
+        "n1",
+        "n2",
+        "m",
+        "true_distinct",
+        F.when(F.col("m") == 0, F.lit(None).cast("long"))
+        .otherwise(F.expr("(n1 * n2) div m"))
+        .alias("lincoln_petersen"),
+        F.expr("(n1 + 1) * (n2 + 1) div (m + 1) - 1")
+        .cast("long")
+        .alias("chapman"),
     )
 
 

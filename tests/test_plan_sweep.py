@@ -115,6 +115,11 @@ BNLJ_OK = {
     #   broadcasts; the cell-pair lookup is equi-on-value over the ≤550-cell
     #   contingency
     "orders_queue_depth_lindley",  # 1-row capacity scalar broadcast
+    "lineitem_brown_forsythe_variance",  # 3-row group-median broadcast into
+    #   the ≤150-cell histogram + 1-row meds scalar broadcast
+    "events_mcnemar_paired_conversion",  # 1-row (lo, hi) bounds broadcast
+    "events_cohens_kappa_agreement",  # 1-row totals scalar broadcast
+    "events_capture_recapture_distinct",  # 1-row (lo, hi) bounds broadcast
 }
 
 #: queries allowed a single-partition (global) Window. Each must justify the

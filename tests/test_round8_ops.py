@@ -574,3 +574,184 @@ def test_median_polish_reconstructs_and_is_robust(spark, sf_dir):
     df = pd.DataFrame([r.asDict() for r in rows])
     for _, g in df.groupby("dow"):
         assert abs(g.residual.median()) <= 1.5
+
+
+def test_brown_forsythe_matches_numpy_replay(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    )
+    q = (li.l_quantity * 100).round().astype(np.int64)
+    groups = [
+        q[li.l_returnflag == g].to_numpy() for g in ("A", "N", "R")
+    ]
+    groups = [g for g in groups if len(g)]
+    # lower median (rank ceil(n/2)) to match the query's order statistic
+    zs = [
+        np.abs(g - np.sort(g)[(len(g) + 1) // 2 - 1]) for g in groups
+    ]
+    n = sum(len(z) for z in zs)
+    k = len(zs)
+    gm = sum(z.sum() for z in zs) / n
+    ssb = sum(len(z) * (z.mean() - gm) ** 2 for z in zs)
+    ssw = sum(((z - z.mean()) ** 2).sum() for z in zs)
+    f_ref = (ssb / (k - 1)) / (ssw / (n - k))
+    row = registry.QUERIES["lineitem_brown_forsythe_variance"](
+        spark, sf_dir
+    ).collect()[0]
+    assert row.n_rows == n
+    assert abs(row.f_brown_forsythe - f_ref) <= 1e-9 * max(1.0, abs(f_ref))
+
+
+def test_mcnemar_matches_pandas_replay(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    us = pd.to_datetime(ev.ts).astype("int64") // 1000  # epoch micros
+    lo, hi = us.min(), us.max()
+    p = ev.event_type == "purchase"
+    first = us * 2 < lo + hi
+    per = pd.DataFrame(
+        {"u": ev.user_id, "p1": p & first, "p2": p & ~first}
+    ).groupby("u").max()
+    b = int((per.p1 & ~per.p2).sum())
+    c = int((~per.p1 & per.p2).sum())
+    row = registry.QUERIES["events_mcnemar_paired_conversion"](
+        spark, sf_dir
+    ).collect()[0]
+    assert (row.b, row.c) == (b, c)
+    assert row.a + row.b + row.c + row.d == per.shape[0]
+    if b + c:
+        assert row.chi2_ppm == (1000000 * (b - c) ** 2) // (b + c)
+        cc = max(abs(b - c) - 1, 0)
+        assert row.chi2_cc_ppm == (1000000 * cc * cc) // (b + c)
+
+
+def test_cohens_kappa_matches_fraction_replay(spark, sf_dir):
+    from fractions import Fraction
+
+    import pandas as pd
+
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    )
+    cents = (ev.value * 100).round().astype("int64")
+    per = pd.DataFrame({"u": ev.user_id, "v": cents}).groupby("u").agg(
+        cnt=("v", "size"), val=("v", "sum")
+    )
+    nu, tc, tv = len(per), int(per.cnt.sum()), int(per.val.sum())
+    r1 = per.cnt * nu >= tc
+    r2 = per.val * nu >= tv
+    a = int((r1 & r2).sum())
+    b = int((r1 & ~r2).sum())
+    c = int((~r1 & r2).sum())
+    d = int((~r1 & ~r2).sum())
+    n = a + b + c + d
+    po = Fraction(a + d, n)
+    pe = Fraction((a + b) * (a + c) + (c + d) * (b + d), n * n)
+    kappa = (po - pe) / (1 - pe)
+    sign = 1 if kappa >= 0 else -1
+    ref_ppm = sign * ((1000000 * abs(kappa.numerator) * 1) // kappa.denominator)
+    row = registry.QUERIES["events_cohens_kappa_agreement"](
+        spark, sf_dir
+    ).collect()[0]
+    assert (row.a, row.b, row.c, row.d) == (a, b, c, d)
+    assert row.kappa_ppm == ref_ppm
+
+
+def test_hits_matches_pandas_power_iteration(spark, sf_dir):
+    import pandas as pd
+
+    o = pd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+    e = (
+        o.merge(li, left_on="o_orderkey", right_on="l_orderkey")[
+            ["o_custkey", "l_suppkey"]
+        ]
+        .drop_duplicates()
+        .rename(columns={"o_custkey": "c", "l_suppkey": "s"})
+    )
+    a = e.groupby("s").size().rename("a")  # a1 = indegree
+    h = e.merge(a, on="s").groupby("c").a.sum().rename("h")  # h1
+    a2 = e.merge(h, on="c").groupby("s").h.sum().rename("a")  # a2
+    h2 = e.merge(a2, on="s").groupby("c").a.sum().rename("h")  # h2
+    top_a = sorted(
+        ((int(v), int(k)) for k, v in a2.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:20]
+    top_h = sorted(
+        ((int(v), int(k)) for k, v in h2.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:20]
+    rows = registry.QUERIES["graph_hits_hubs_authorities"](
+        spark, sf_dir
+    ).collect()
+    got_a = [(r.score, r.node) for r in rows if r.role == "authority"]
+    got_h = [(r.score, r.node) for r in rows if r.role == "hub"]
+    assert sorted(got_a, key=lambda t: (-t[0], t[1])) == top_a
+    assert sorted(got_h, key=lambda t: (-t[0], t[1])) == top_h
+
+
+def test_newsvendor_stock_is_exact_brand_quantile(spark, sf_dir):
+    import pandas as pd
+
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_quantity"],
+    )
+    p = pd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    li["day"] = pd.to_datetime(li.l_shipdate).dt.date
+    li["qc"] = (li.l_quantity * 100).round().astype("int64")
+    daily = (
+        li.merge(p, left_on="l_partkey", right_on="p_partkey")
+        .groupby(["p_brand", "day"])
+        .qc.sum()
+        .reset_index()
+    )
+    rows = registry.QUERIES["part_newsvendor_stock_level"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    for r in rows:
+        d = sorted(daily[daily.p_brand == r.brand].qc)
+        n = len(d)
+        assert r.n_days == n
+        assert r.stock_q90_cents == d[(9 * n + 9) // 10 - 1]
+        assert r.median_demand_cents == d[(n + 1) // 2 - 1]
+        # service-level invariant: >= 90% of days are covered by the stock
+        covered = sum(1 for v in d if v <= r.stock_q90_cents)
+        assert covered * 10 >= 9 * n
+
+
+def test_capture_recapture_estimators(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    us = pd.to_datetime(ev.ts).astype("int64") // 1000
+    lo, hi = us.min(), us.max()
+    df = pd.DataFrame(
+        {"u": ev.user_id, "i1": us * 3 < 2 * lo + hi, "i2": us * 3 >= lo + 2 * hi}
+    ).groupby("u").max()
+    n1, n2 = int(df.i1.sum()), int(df.i2.sum())
+    m = int((df.i1 & df.i2).sum())
+    row = registry.QUERIES["events_capture_recapture_distinct"](
+        spark, sf_dir
+    ).collect()[0]
+    assert (row.n1, row.n2, row.m, row.true_distinct) == (n1, n2, m, len(df))
+    if m:
+        assert row.lincoln_petersen == (n1 * n2) // m
+    assert row.chapman == (n1 + 1) * (n2 + 1) // (m + 1) - 1
+    # the estimator should land within 2x of truth on this data
+    assert 0 < row.chapman < 2 * row.true_distinct
