@@ -22072,6 +22072,387 @@ def q_events_capture_recapture_distinct(
     )
 
 
+_MMR_COSINE_CTES = """
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    relp AS (
+      SELECT v.vec_id AS id, UNNEST(q.embedding) AS qe,
+             UNNEST(v.embedding) AS ve, UNNEST(range(len(q.embedding))) AS i
+      FROM embeddings v, q WHERE v.vec_id <> 0
+    ),
+    rels AS (
+      SELECT id,
+             SUM(CAST(qe AS DOUBLE) * CAST(ve AS DOUBLE) ORDER BY i)
+               / (sqrt(SUM(CAST(qe AS DOUBLE) * CAST(qe AS DOUBLE) ORDER BY i))
+                  * sqrt(SUM(CAST(ve AS DOUBLE) * CAST(ve AS DOUBLE) ORDER BY i)))
+               AS rel
+      FROM relp GROUP BY id
+    ),
+    cand AS (SELECT id, rel FROM rels ORDER BY rel DESC, id LIMIT 8),
+    cv AS (
+      SELECT c.id, e.embedding FROM cand c
+      JOIN embeddings e ON e.vec_id = c.id
+    ),
+    pmp AS (
+      SELECT a.id AS ia, b.id AS ib, UNNEST(a.embedding) AS ae,
+             UNNEST(b.embedding) AS be, UNNEST(range(len(a.embedding))) AS i
+      FROM cv a, cv b WHERE a.id <> b.id
+    ),
+    pm AS (
+      SELECT ia, ib,
+             SUM(CAST(ae AS DOUBLE) * CAST(be AS DOUBLE) ORDER BY i)
+               / (sqrt(SUM(CAST(ae AS DOUBLE) * CAST(ae AS DOUBLE) ORDER BY i))
+                  * sqrt(SUM(CAST(be AS DOUBLE) * CAST(be AS DOUBLE) ORDER BY i)))
+               AS s
+      FROM pmp GROUP BY ia, ib
+    )
+"""
+
+
+@register(
+    "retrieval_mmr_diversified_topk",
+    """
+    WITH
+"""
+    + _MMR_COSINE_CTES
+    + """,
+    s1 AS (SELECT id, 0.7 * rel AS mmr FROM cand ORDER BY rel DESC, id LIMIT 1),
+    r2 AS (
+      SELECT c.id, c.rel, MAX(pm.s) AS red FROM cand c
+      JOIN pm ON pm.ia = c.id AND pm.ib IN (SELECT id FROM s1)
+      WHERE c.id NOT IN (SELECT id FROM s1) GROUP BY c.id, c.rel
+    ),
+    s2 AS (SELECT id, 0.7 * rel - 0.3 * red AS mmr FROM r2
+           ORDER BY mmr DESC, id LIMIT 1),
+    r3 AS (
+      SELECT c.id, c.rel, MAX(pm.s) AS red FROM cand c
+      JOIN pm ON pm.ia = c.id
+       AND pm.ib IN (SELECT id FROM s1 UNION ALL SELECT id FROM s2)
+      WHERE c.id NOT IN (SELECT id FROM s1 UNION ALL SELECT id FROM s2)
+      GROUP BY c.id, c.rel
+    ),
+    s3 AS (SELECT id, 0.7 * rel - 0.3 * red AS mmr FROM r3
+           ORDER BY mmr DESC, id LIMIT 1),
+    r4 AS (
+      SELECT c.id, c.rel, MAX(pm.s) AS red FROM cand c
+      JOIN pm ON pm.ia = c.id
+       AND pm.ib IN (SELECT id FROM s1 UNION ALL SELECT id FROM s2
+                     UNION ALL SELECT id FROM s3)
+      WHERE c.id NOT IN (SELECT id FROM s1 UNION ALL SELECT id FROM s2
+                         UNION ALL SELECT id FROM s3)
+      GROUP BY c.id, c.rel
+    ),
+    s4 AS (SELECT id, 0.7 * rel - 0.3 * red AS mmr FROM r4
+           ORDER BY mmr DESC, id LIMIT 1)
+    SELECT CAST(1 AS INT) AS step, id AS vec_id, mmr AS mmr_score FROM s1
+    UNION ALL SELECT 2, id, mmr FROM s2
+    UNION ALL SELECT 3, id, mmr FROM s3
+    UNION ALL SELECT 4, id, mmr FROM s4
+    """,
+)
+def q_retrieval_mmr_diversified_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking — the diversity-aware top-k
+    selection every RAG retrieval stack bolts onto its ANN stage: from the
+    top-8 cosine candidates for query vector 0, greedily pick 4 results
+    maximizing MMR = λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s) with λ = 0.7,
+    so near-duplicate passages can't crowd out coverage. The greedy loop
+    is inherently sequential but k-BOUNDED: each of the 3 unrolled steps
+    is one anti-join + max-aggregate + TakeOrdered over the ≤8-row
+    candidate table and its ≤56-row pairwise-cosine matrix (both persisted
+    — the corpus-sized work is ONLY the initial cosine_topk candidate
+    scan, same plan as ann_cosine_topk). Every similarity is the
+    array-index-ordered double fold both engines share (_ANN_ORACLE
+    idiom), ties pin by id, so the selection — float scores and all — is
+    bit-deterministic. At scale, candidate generation is the distributed
+    stage; re-ranking cost is O(k²) per query by construction."""
+    from ..functions.vectors import cosine
+    from ..operators.similarity import cosine_topk
+
+    emb = table_scan(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") == 0)
+    cand = (
+        cosine_topk(emb, qdf, k=8)
+        .select(F.col("neighbor_id").alias("id"), F.col("score").alias("rel"))
+        .persist()
+    )
+    cv = (
+        emb.join(F.broadcast(cand), emb.vec_id == F.col("id"))
+        .select("id", "embedding")
+        .persist()
+    )
+    a, b = cv.alias("a"), cv.alias("b")
+    pm = (
+        a.join(F.broadcast(b), F.col("a.id") != F.col("b.id"))
+        .select(
+            F.col("a.id").alias("ia"),
+            F.col("b.id").alias("ib"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("s"),
+        )
+        .persist()
+    )
+    lam, mu = F.lit(0.7), F.lit(0.3)
+
+    def pick(frame: DataFrame) -> DataFrame:
+        return frame.orderBy(F.col("mmr").desc(), F.col("id")).limit(1)
+
+    def step(selected: DataFrame) -> DataFrame:
+        sel_ids = selected.select("id")
+        rem = cand.join(sel_ids, "id", "left_anti")
+        red = (
+            pm.join(sel_ids.withColumnRenamed("id", "ib"), "ib")
+            .groupBy("ia")
+            .agg(F.max("s").alias("red"))
+        )
+        scored = rem.join(red, rem.id == red.ia).select(
+            "id", (lam * F.col("rel") - mu * F.col("red")).alias("mmr")
+        )
+        return pick(scored)
+
+    s1 = cand.select("id", (lam * F.col("rel")).alias("mmr"))
+    s1 = pick(s1)
+    s2 = step(s1)
+    s3 = step(s1.unionByName(s2))
+    s4 = step(s1.unionByName(s2).unionByName(s3))
+    out = None
+    for i, s in enumerate((s1, s2, s3, s4), start=1):
+        part = s.select(
+            F.lit(i).cast("int").alias("step"),
+            F.col("id").alias("vec_id"),
+            F.col("mmr").alias("mmr_score"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+@register(
+    "part_abc_xyz_matrix",
+    """
+    WITH weekly AS (
+      SELECT p.p_brand AS brand,
+             date_trunc('week', CAST(l.l_shipdate AS DATE)) AS wk,
+             CAST(SUM(CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS demand,
+             CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS revenue
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    br AS (
+      SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_weeks,
+             CAST(CAST(SUM(demand) AS HUGEINT) AS BIGINT) AS s1,
+             SUM(CAST(demand AS HUGEINT) * demand) AS s2,
+             CAST(CAST(SUM(revenue) AS HUGEINT) AS BIGINT) AS rev
+      FROM weekly GROUP BY brand
+    ),
+    ranked AS (
+      SELECT brand, n_weeks, s1, s2, rev,
+             ROW_NUMBER() OVER (ORDER BY rev DESC, brand) AS rk,
+             COUNT(*) OVER () AS nb
+      FROM br
+    )
+    SELECT brand, n_weeks, rev AS revenue_cents,
+           CASE WHEN rk * 5 <= nb THEN 'A'
+                WHEN rk * 2 <= nb THEN 'B' ELSE 'C' END AS abc_class,
+           CASE WHEN 4 * (n_weeks * s2 - CAST(s1 AS HUGEINT) * s1)
+                     <= CAST(s1 AS HUGEINT) * s1 THEN 'X'
+                WHEN (n_weeks * s2 - CAST(s1 AS HUGEINT) * s1)
+                     <= CAST(s1 AS HUGEINT) * s1 THEN 'Y'
+                ELSE 'Z' END AS xyz_class,
+           (CASE WHEN rk * 5 <= nb THEN 'A'
+                 WHEN rk * 2 <= nb THEN 'B' ELSE 'C' END)
+           || (CASE WHEN 4 * (n_weeks * s2 - CAST(s1 AS HUGEINT) * s1)
+                         <= CAST(s1 AS HUGEINT) * s1 THEN 'X'
+                    WHEN (n_weeks * s2 - CAST(s1 AS HUGEINT) * s1)
+                         <= CAST(s1 AS HUGEINT) * s1 THEN 'Y'
+                    ELSE 'Z' END) AS matrix_cell
+    FROM ranked
+    """,
+)
+def q_part_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC×XYZ inventory classification — the two-axis segmentation every
+    supply planner starts from: ABC = revenue importance (top 20 % of
+    brands by revenue = A, next 30 % = B, rest C, via integer
+    cross-multiplied rank thresholds rk·5 ≤ nb / rk·2 ≤ nb), XYZ = demand
+    PREDICTABILITY from the weekly coefficient of variation, classified
+    without ever computing a float CV: cv² = (n·ΣX² − (ΣX)²)/(ΣX)², so
+    X (cv ≤ 0.5) ⇔ 4·(nS₂ − S₁²) ≤ S₁² and Y (cv ≤ 1) ⇔ nS₂ − S₁² ≤ S₁²,
+    compared in DECIMAL(38)/HUGEINT (S₁² passes int64 beyond ~SF10). One
+    data-sized grouped sum builds the (brand, week) demand table; the
+    classification runs over the ≤25-row brand aggregate — its ranking
+    window is bounded by the brand domain, not data volume. AX cells are
+    the automate-replenishment quadrant; CZ the review-manually one."""
+    li = table_scan(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.date_trunc("week", F.col("l_shipdate").cast("date"))
+        .cast("date")
+        .alias("wk"),
+        (F.col("l_quantity").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("qc"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("pc"),
+    )
+    p = table_scan(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    weekly = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("brand", "wk")
+        .agg(F.sum("qc").alias("demand"), F.sum("pc").alias("revenue"))
+    )
+    br = weekly.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n_weeks"),
+        F.sum("demand").alias("s1"),
+        F.sum(F.col("demand").cast("decimal(38,0)") * F.col("demand")).alias(
+            "s2"
+        ),
+        F.sum("revenue").alias("rev"),
+    )
+    w = Window.orderBy(F.col("rev").desc(), F.col("brand"))
+    ranked = br.select(
+        "brand",
+        "n_weeks",
+        "s1",
+        "s2",
+        "rev",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nb"),
+    )
+    var_num = F.col("n_weeks") * F.col("s2") - F.col("s1").cast(
+        "decimal(38,0)"
+    ) * F.col("s1")
+    s1sq = F.col("s1").cast("decimal(38,0)") * F.col("s1")
+    abc = (
+        F.when(F.col("rk") * 5 <= F.col("nb"), "A")
+        .when(F.col("rk") * 2 <= F.col("nb"), "B")
+        .otherwise("C")
+    )
+    xyz = (
+        F.when(4 * var_num <= s1sq, "X")
+        .when(var_num <= s1sq, "Y")
+        .otherwise("Z")
+    )
+    return ranked.select(
+        "brand",
+        "n_weeks",
+        F.col("rev").alias("revenue_cents"),
+        abc.alias("abc_class"),
+        xyz.alias("xyz_class"),
+        F.concat(abc, xyz).alias("matrix_cell"),
+    )
+
+
+@register(
+    "orders_average_precision_urgent",
+    """
+    WITH r AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS rel
+      FROM orders
+    ),
+    rk AS (
+      SELECT rel,
+             ROW_NUMBER() OVER (ORDER BY cents DESC, o_orderkey) AS rank,
+             CAST(SUM(rel) OVER (ORDER BY cents DESC, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cumpos
+      FROM r
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(rel) AS HUGEINT) AS BIGINT) AS n_urgent,
+           CASE WHEN SUM(rel) = 0 THEN NULL
+                ELSE CAST(CAST(SUM(CASE WHEN rel = 1
+                          THEN (1000000000 * cumpos) // rank
+                          ELSE 0 END) AS HUGEINT)
+                     // CAST(SUM(rel) AS HUGEINT) AS BIGINT) END AS ap_ppb,
+           CASE WHEN COUNT(*) = 0 THEN NULL
+                ELSE CAST((1000000000 * CAST(SUM(rel) AS HUGEINT))
+                          // COUNT(*) AS BIGINT) END AS prior_ppb
+    FROM rk
+    """,
+)
+def q_orders_average_precision_urgent(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT average precision (area under the precision–recall curve) of
+    "price ranks urgency": treating order value as a relevance score for
+    '1-URGENT', AP = (1/P)·Σ_{positives} precision@rank. Complements
+    orders_auc_urgent_price — AUC is prevalence-blind while AP collapses
+    toward the prior under class imbalance, which is why retrieval and
+    anomaly pipelines report both; prior_ppb (= P/N) sits in the same row
+    as the no-skill reference. The oracle states the textbook global
+    window; the Spark plan assigns every order its EXACT global rank and
+    cumulative-positive count with the TWO-PHASE pattern (range-partition
+    on (−price, key), rank + positive-prefix locally per partition, add
+    per-partition (row, positive) offsets from the ≤16-row count table —
+    the only global window runs over THAT table). Every precision@k term
+    is the integer floor (10⁹·cumpos) div rank, summed exactly, so
+    cross-engine parity is bitwise. Tie-pinning by o_orderkey makes the
+    ranking — and therefore AP — fully deterministic."""
+    o = table_scan(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        (-(F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .alias("negc"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("rel"),
+    )
+    ranged = (
+        o.repartitionByRange(16, "negc", "key")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    wloc = Window.partitionBy("pid").orderBy("negc", "key")
+    local = ranged.select(
+        "pid",
+        "rel",
+        F.row_number().over(wloc).alias("rn_local"),
+        F.sum("rel")
+        .over(wloc.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("pos_local"),
+    )
+    counts = ranged.groupBy("pid").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("rel").alias("pos_cnt")
+    )
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid",
+        F.coalesce(F.sum("cnt").over(woff), F.lit(0)).alias("off"),
+        F.coalesce(F.sum("pos_cnt").over(woff), F.lit(0)).alias("pos_off"),
+    )
+    with_rank = local.join(F.broadcast(offsets), "pid").select(
+        "rel",
+        (F.col("rn_local") + F.col("off")).alias("rank"),
+        (F.col("pos_local") + F.col("pos_off")).alias("cumpos"),
+    )
+    return with_rank.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("rel").cast("long").alias("n_urgent"),
+        F.when(F.sum("rel") == 0, F.lit(None).cast("long"))
+        .otherwise(
+            F.expr(
+                "CAST(SUM(CASE WHEN rel = 1"
+                " THEN (1000000000 * cumpos) div rank ELSE 0 END)"
+                " AS DECIMAL(38,0)) div CAST(SUM(rel) AS DECIMAL(38,0))"
+            )
+        )
+        .alias("ap_ppb"),
+        F.when(F.count(F.lit(1)) == 0, F.lit(None).cast("long"))
+        .otherwise(
+            F.expr(
+                "CAST(1000000000 AS DECIMAL(38,0)) * SUM(rel)"
+                " div COUNT(*)"
+            )
+        )
+        .cast("long")
+        .alias("prior_ppb"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

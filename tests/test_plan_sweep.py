@@ -120,6 +120,9 @@ BNLJ_OK = {
     "events_mcnemar_paired_conversion",  # 1-row (lo, hi) bounds broadcast
     "events_cohens_kappa_agreement",  # 1-row totals scalar broadcast
     "events_capture_recapture_distinct",  # 1-row (lo, hi) bounds broadcast
+    "retrieval_mmr_diversified_topk",  # exact-baseline cosine candidate
+    #   scan (1 query vector broadcast, ann_cosine_topk shape) + the ≤8-row
+    #   candidate/pair-matrix greedy re-rank joins
 }
 
 #: queries allowed a single-partition (global) Window. Each must justify the
@@ -171,6 +174,11 @@ GLOBAL_WINDOW_OK = {
     "dataset_shuffle_deterministic",  # two-phase row numbering: the ONLY
     #   global window runs over the ≤16-row per-partition count table
     #   (offsets phase of the distributed zipWithIndex)
+    "part_abc_xyz_matrix",  # ranking window over the ≤25-row brand
+    #   aggregate (bounded by the brand domain)
+    "orders_average_precision_urgent",  # two-phase ranking: the ONLY
+    #   global window runs over the ≤16-row per-partition (row, positive)
+    #   count table
 }
 
 #: a Window whose child (through an optional Sort / WindowGroupLimit) is a

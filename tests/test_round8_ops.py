@@ -755,3 +755,111 @@ def test_capture_recapture_estimators(spark, sf_dir):
     assert row.chapman == (n1 + 1) * (n2 + 1) // (m + 1) - 1
     # the estimator should land within 2x of truth on this data
     assert 0 < row.chapman < 2 * row.true_distinct
+
+
+def test_mmr_matches_numpy_greedy_replay(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = {int(r.vec_id): np.array(r.embedding, dtype=np.float64)
+            for r in emb.itertuples()}
+    q = vecs[0]
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    rel = {i: cos(q, v) for i, v in vecs.items() if i != 0}
+    cand = sorted(rel, key=lambda i: (-rel[i], i))[:8]
+    sel, expect = [], []
+    for step in range(1, 5):
+        best = None
+        for d in cand:
+            if d in sel:
+                continue
+            red = max((cos(vecs[d], vecs[s]) for s in sel), default=0.0)
+            score = 0.7 * rel[d] - (0.3 * red if sel else 0.0)
+            if best is None or (score, -d) > (best[1], -best[0]):
+                best = (d, score)
+        sel.append(best[0])
+        expect.append((step, best[0]))
+    rows = registry.QUERIES["retrieval_mmr_diversified_topk"](
+        spark, sf_dir
+    ).collect()
+    got = sorted((r.step, r.vec_id) for r in rows)
+    assert got == expect
+    # diversity sanity: the MMR set differs from pure-relevance top-4
+    # whenever redundancy actually bites; at minimum it contains the top-1
+    assert got[0][1] == cand[0]
+
+
+def test_abc_xyz_classes_match_pandas_replay(spark, sf_dir):
+    import pandas as pd
+
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_quantity", "l_extendedprice"],
+    )
+    p = pd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    li["wk"] = (
+        pd.to_datetime(li.l_shipdate)
+        .dt.to_period("W-SUN")  # pandas weeks ending Sunday == Monday start
+        .dt.start_time
+    )
+    li["qc"] = (li.l_quantity * 100).round().astype("int64")
+    li["pc"] = (li.l_extendedprice * 100).round().astype("int64")
+    weekly = (
+        li.merge(p, left_on="l_partkey", right_on="p_partkey")
+        .groupby(["p_brand", "wk"])
+        .agg(demand=("qc", "sum"), revenue=("pc", "sum"))
+        .reset_index()
+    )
+    br = weekly.groupby("p_brand").agg(
+        n=("demand", "size"), s1=("demand", "sum"), rev=("revenue", "sum")
+    )
+    br["s2"] = weekly.groupby("p_brand").demand.apply(
+        lambda s: int((s.astype(object) ** 2).sum())
+    )
+    order = br.sort_values(["rev", "p_brand"], ascending=[False, True]).index
+    rk = {b: i + 1 for i, b in enumerate(order)}
+    nb = len(br)
+    rows = registry.QUERIES["part_abc_xyz_matrix"](spark, sf_dir).collect()
+    assert len(rows) == nb
+    for r in rows:
+        g = br.loc[r.brand]
+        n, s1, s2 = int(g.n), int(g.s1), int(g.s2)
+        var_num = n * s2 - s1 * s1
+        xyz = "X" if 4 * var_num <= s1 * s1 else (
+            "Y" if var_num <= s1 * s1 else "Z")
+        abc = "A" if rk[r.brand] * 5 <= nb else (
+            "B" if rk[r.brand] * 2 <= nb else "C")
+        assert (r.n_weeks, r.abc_class, r.xyz_class, r.matrix_cell) == (
+            n, abc, xyz, abc + xyz
+        ), r.brand
+
+
+def test_average_precision_matches_pandas_replay(spark, sf_dir):
+    import pandas as pd
+
+    o = pd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderpriority"],
+    )
+    o["cents"] = (o.o_totalprice * 100).round().astype("int64")
+    o["rel"] = (o.o_orderpriority == "1-URGENT").astype(int)
+    o = o.sort_values(["cents", "o_orderkey"], ascending=[False, True])
+    o["rank"] = range(1, len(o) + 1)
+    o["cumpos"] = o.rel.cumsum()
+    pos = o[o.rel == 1]
+    terms = (1_000_000_000 * pos.cumpos) // pos["rank"]
+    ref_ap = int(terms.sum()) // len(pos)
+    row = registry.QUERIES["orders_average_precision_urgent"](
+        spark, sf_dir
+    ).collect()[0]
+    assert (row.n_orders, row.n_urgent) == (len(o), len(pos))
+    assert row.ap_ppb == ref_ap
+    assert row.prior_ppb == (1_000_000_000 * len(pos)) // len(o)
+    # AP of a nearly-uninformative score should hover near the prior
+    assert row.ap_ppb < 3 * row.prior_ppb
