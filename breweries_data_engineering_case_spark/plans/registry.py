@@ -22453,6 +22453,328 @@ def q_orders_average_precision_urgent(
     )
 
 
+@register(
+    "events_cem_att_matching",
+    """
+    WITH raw AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS err,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS y,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    ),
+    tot AS (
+      SELECT CAST(CAST(SUM(err) AS HUGEINT) AS BIGINT) AS tot_err,
+             CAST(CAST(SUM(n) AS HUGEINT) AS BIGINT) AS tot_n
+      FROM raw
+    ),
+    per_user AS (
+      SELECT user_id,
+             CASE WHEN err * tot_n > n * tot_err THEN 1 ELSE 0 END AS t,
+             y, n
+      FROM raw CROSS JOIN tot
+    ),
+    strata AS (
+      SELECT CAST(length(bin(n)) - 1 AS INT) AS band,
+             CAST(SUM(t) AS BIGINT) AS t_n,
+             CAST(SUM(1 - t) AS BIGINT) AS c_n,
+             CAST(SUM(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT) AS yt,
+             CAST(SUM(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT) AS yc
+      FROM per_user GROUP BY 1
+    ),
+    matched AS (SELECT * FROM strata WHERE t_n > 0 AND c_n > 0),
+    folded AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_strata_matched,
+             CAST(CAST(SUM(t_n) AS HUGEINT) AS BIGINT) AS n_treated,
+             CAST(CAST(SUM(c_n) AS HUGEINT) AS BIGINT) AS n_control,
+             CAST(CAST(SUM(t_n * ((1000000 * yt) // t_n
+                                  - (1000000 * yc) // c_n))
+                  AS HUGEINT) AS BIGINT) AS num
+      FROM matched
+    )
+    SELECT n_strata_matched, n_treated, n_control,
+           CASE WHEN n_treated = 0 THEN NULL
+                ELSE CAST(CASE WHEN num >= 0 THEN 1 ELSE -1 END
+                          * (ABS(num) // n_treated) AS BIGINT)
+                END AS att_ppm_cents
+    FROM folded
+    """,
+)
+def q_events_cem_att_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarsened Exact Matching ATT — the causal-inference estimator that
+    needs no model fit: does an ABOVE-AVERAGE error RATE change a user's
+    purchase spend? (Treatment = err_u·Σn > n_u·Σerr, the strict
+    global-rate cross-multiply — integer-exact, and non-degenerate even
+    when every user has SOME errors.) Naive treated-vs-control comparison
+    confounds with activity (heavy users hit more errors AND buy more), so
+    users are
+    COARSENED into log2 activity bands (length(bin(n))−1, exact on both
+    engines), strata lacking either group are PRUNED (the CEM step that
+    buys covariate balance), and the effect is the treated-weighted sum of
+    within-stratum mean differences: ATT = Σ_s T_s·(μ̂ᵗ_s − μ̂ᶜ_s) / ΣT_s
+    with each stratum mean taken as the integer floor (10⁶·Y)/N — the
+    whole estimator is exact integer arithmetic (sign-split final
+    division), so cross-engine parity is bitwise. One grouped pass builds
+    per-user (treated, outcome, activity); the strata fold is
+    O(log n)-row bounded. The same shape handles any
+    observational treated/control split at 100 TB — the stratum table,
+    not the user table, is what crosses stages."""
+    raw = (
+        table_scan(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).alias("err"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    (F.col("value").cast("decimal(18,2)") * 100).cast("long"),
+                ).otherwise(0)
+            ).alias("y"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    tot = raw.agg(
+        F.sum("err").alias("tot_err"), F.sum("n").alias("tot_n")
+    )
+    per_user = raw.crossJoin(F.broadcast(tot)).select(
+        "user_id",
+        F.when(
+            F.col("err") * F.col("tot_n") > F.col("n") * F.col("tot_err"), 1
+        )
+        .otherwise(0)
+        .alias("t"),
+        "y",
+        "n",
+    )
+    strata = per_user.groupBy(
+        (F.length(F.bin("n")) - 1).cast("int").alias("band")
+    ).agg(
+        F.sum("t").alias("t_n"),
+        F.sum(1 - F.col("t")).alias("c_n"),
+        F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0)).alias("yt"),
+        F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0)).alias("yc"),
+    )
+    matched = strata.filter((F.col("t_n") > 0) & (F.col("c_n") > 0))
+    folded = matched.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata_matched"),
+        F.sum("t_n").cast("long").alias("n_treated"),
+        F.sum("c_n").cast("long").alias("n_control"),
+        F.sum(
+            F.col("t_n")
+            * (
+                F.expr("(1000000 * yt) div t_n")
+                - F.expr("(1000000 * yc) div c_n")
+            )
+        )
+        .cast("long")
+        .alias("num"),
+    )
+    att = F.when(F.col("n_treated") == 0, F.lit(None).cast("long")).otherwise(
+        (
+            F.when(F.col("num") >= 0, F.lit(1)).otherwise(F.lit(-1))
+            * F.expr("ABS(num) div n_treated")
+        ).cast("long")
+    )
+    return folded.select(
+        "n_strata_matched", "n_treated", "n_control", att.alias("att_ppm_cents")
+    )
+
+
+@register(
+    "part_croston_intermittent_demand",
+    f"""
+    WITH daily AS (
+      SELECT l_partkey AS part, CAST(l_shipdate AS DATE) AS day,
+             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS z
+      FROM lineitem GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT part, day, z,
+             datediff('day', LAG(day) OVER w, day) AS gap,
+             ROW_NUMBER() OVER (PARTITION BY part ORDER BY day DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY part) AS nd
+      FROM daily
+      WINDOW w AS (PARTITION BY part ORDER BY day)
+    ),
+    folded AS (
+      SELECT part, MAX(nd) AS n_demand_days,
+             CAST(SUM(z * CASE rn {" ".join(f"WHEN {k + 1} THEN {w}" for k, w in enumerate(_EWMA_W))} ELSE 0 END)
+                  AS BIGINT) AS sz,
+             CAST(SUM(CASE rn {" ".join(f"WHEN {k + 1} THEN {w}" for k, w in enumerate(_EWMA_W))} ELSE 0 END)
+                  AS BIGINT) AS wz,
+             CAST(SUM(CASE WHEN gap IS NULL THEN 0
+                      ELSE gap * CASE rn {" ".join(f"WHEN {k + 1} THEN {w}" for k, w in enumerate(_EWMA_W))} ELSE 0 END
+                      END) AS BIGINT) AS sx,
+             CAST(SUM(CASE WHEN gap IS NULL THEN 0
+                      ELSE CASE rn {" ".join(f"WHEN {k + 1} THEN {w}" for k, w in enumerate(_EWMA_W))} ELSE 0 END
+                      END) AS BIGINT) AS wx
+      FROM seq WHERE rn <= 8
+      GROUP BY part
+    )
+    SELECT part, CAST(n_demand_days AS BIGINT) AS n_demand_days,
+           CAST(sz // wz AS BIGINT) AS size_hat_cents,
+           CAST((1000000 * sx) // wx AS BIGINT) AS interval_hat_ppm_days,
+           CAST((CAST(1000000 AS HUGEINT) * sz * wx)
+                // (CAST(wz AS HUGEINT) * sx) AS BIGINT)
+             AS croston_rate_ppm_cents_per_day
+    FROM folded
+    WHERE n_demand_days >= 2 AND sx > 0
+    """,
+)
+def q_part_croston_intermittent_demand(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Croston's method — THE forecaster for intermittent demand (most
+    part-level series are mostly zeros, where a plain moving average
+    smears demand into nothing): smooth the nonzero demand SIZES ẑ and the
+    inter-demand INTERVALS x̂ separately, forecast rate = ẑ/x̂ per day.
+    Both smoothers are the house trailing-8 EWMA with α = 1/4 and exact
+    integer weights 3ᵏ·4⁷⁻ᵏ (events_ewma_smooth), applied over each
+    part's 8 most recent demand days; leading parts renormalize over the
+    weights present, intervals skip each series' first day (gap
+    undefined). The rate is the cross-product (10⁶·S_z·W_x)/(W_z·S_x) in
+    DECIMAL(38)/HUGEINT — every output an exact integer floor, bitwise
+    across engines. One data-sized grouped sum (daily demand), one
+    shuffle on part for the per-part window over demand DAYS (sparse by
+    construction — the whole point of Croston), then an 8-row-per-part
+    fold."""
+    daily = (
+        table_scan(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("part"),
+            F.col("l_shipdate").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("z")
+        )
+    )
+    wa = Window.partitionBy("part").orderBy("day")
+    wd = Window.partitionBy("part").orderBy(F.col("day").desc())
+    wn = Window.partitionBy("part")
+    seq = daily.select(
+        "part",
+        "day",
+        "z",
+        F.datediff("day", F.lag("day").over(wa)).alias("gap"),
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("nd"),
+    ).filter(F.col("rn") <= 8)
+    warr = F.array(*[F.lit(w) for w in _EWMA_W])
+    wk = F.element_at(warr, F.col("rn"))
+    folded = seq.groupBy("part").agg(
+        F.max("nd").alias("n_demand_days"),
+        F.sum(F.col("z") * wk).alias("sz"),
+        F.sum(wk).alias("wz"),
+        F.sum(
+            F.when(F.col("gap").isNull(), 0).otherwise(F.col("gap") * wk)
+        ).alias("sx"),
+        F.sum(F.when(F.col("gap").isNull(), 0).otherwise(wk)).alias("wx"),
+    )
+    return (
+        folded.filter((F.col("n_demand_days") >= 2) & (F.col("sx") > 0))
+        .select(
+            "part",
+            F.col("n_demand_days").cast("long").alias("n_demand_days"),
+            F.expr("sz div wz").cast("long").alias("size_hat_cents"),
+            F.expr("(1000000 * sx) div wx")
+            .cast("long")
+            .alias("interval_hat_ppm_days"),
+            F.expr(
+                "(CAST(1000000 AS DECIMAL(38,0)) * sz * wx)"
+                " div (CAST(wz AS DECIMAL(38,0)) * sx)"
+            )
+            .cast("long")
+            .alias("croston_rate_ppm_cents_per_day"),
+        )
+    )
+
+
+@register(
+    "supplier_blast_radius_sole_source",
+    """
+    WITH ps AS (
+      SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS ns
+      FROM lineitem GROUP BY 1
+    ),
+    sole AS (SELECT l_partkey FROM ps WHERE ns = 1),
+    risk AS (
+      SELECT l.l_suppkey AS s_suppkey,
+             COUNT(DISTINCT l.l_partkey) AS n_sole_parts,
+             CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS revenue_at_risk_cents
+      FROM lineitem l JOIN sole USING (l_partkey)
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT l_suppkey AS s_suppkey,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS total_rev
+      FROM lineitem GROUP BY 1
+    )
+    SELECT r.s_suppkey, CAST(r.n_sole_parts AS BIGINT) AS n_sole_parts,
+           r.revenue_at_risk_cents,
+           CAST((1000000 * r.revenue_at_risk_cents) // t.total_rev
+                AS BIGINT) AS risk_share_ppm
+    FROM risk r JOIN tot t USING (s_suppkey)
+    """,
+)
+def q_supplier_blast_radius_sole_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Supplier blast radius — the supply-chain risk audit
+    part_dual_sourcing_coverage (part-grain exposure) doesn't answer at
+    the SUPPLIER grain: if supplier S fails tomorrow, how much revenue
+    flows through parts NOBODY else supplies? Sole-sourced parts come
+    from a distinct-count aggregate; each supplier's at-risk revenue is a
+    semi-join of lineitem against that (skinny, broadcastable) part list;
+    risk_share_ppm = at-risk / supplier-total revenue says whether the
+    exposure is the supplier's core business or a sliver. Exact integer
+    cents and ppm floors end-to-end. Both aggregates are partial-agg
+    shuffles on their natural keys; the sole-part list is the only
+    broadcast — at 100 TB it stays proportional to the PART domain, not
+    the fact table."""
+    li = table_scan(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("pc"),
+    )
+    sole = (
+        li.groupBy("l_partkey")
+        .agg(F.countDistinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") == 1)
+        .select("l_partkey")
+    )
+    risk = (
+        li.join(F.broadcast(sole), "l_partkey", "left_semi")
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(
+            F.countDistinct("l_partkey").alias("n_sole_parts"),
+            F.sum("pc").alias("revenue_at_risk_cents"),
+        )
+    )
+    tot = li.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        F.sum("pc").alias("total_rev")
+    )
+    return risk.join(tot, "s_suppkey").select(
+        "s_suppkey",
+        F.col("n_sole_parts").cast("long").alias("n_sole_parts"),
+        "revenue_at_risk_cents",
+        F.expr("(1000000 * revenue_at_risk_cents) div total_rev")
+        .cast("long")
+        .alias("risk_share_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

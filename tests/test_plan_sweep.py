@@ -123,6 +123,7 @@ BNLJ_OK = {
     "retrieval_mmr_diversified_topk",  # exact-baseline cosine candidate
     #   scan (1 query vector broadcast, ann_cosine_topk shape) + the ≤8-row
     #   candidate/pair-matrix greedy re-rank joins
+    "events_cem_att_matching",  # 1-row global error-rate scalar broadcast
 }
 
 #: queries allowed a single-partition (global) Window. Each must justify the

@@ -863,3 +863,125 @@ def test_average_precision_matches_pandas_replay(spark, sf_dir):
     assert row.prior_ppb == (1_000_000_000 * len(pos)) // len(o)
     # AP of a nearly-uninformative score should hover near the prior
     assert row.ap_ppb < 3 * row.prior_ppb
+
+
+def test_cem_att_matches_fraction_replay(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+    )
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    per = ev.groupby("user_id").apply(
+        lambda g: pd.Series(
+            {
+                "err": int((g.event_type == "error").sum()),
+                "y": int(g.cents[g.event_type == "purchase"].sum()),
+                "n": len(g),
+            }
+        ),
+        include_groups=False,
+    )
+    tot_err, tot_n = int(per.err.sum()), int(per.n.sum())
+    per["t"] = (per.err * tot_n > per.n * tot_err).astype(int)
+    per["band"] = per.n.map(lambda n: int(n).bit_length() - 1)
+    num = 0
+    t_tot = c_tot = n_strata = 0
+    for _, g in per.groupby("band"):
+        t_n = int(g.t.sum())
+        c_n = int((1 - g.t).sum())
+        if t_n == 0 or c_n == 0:
+            continue
+        yt = int(g.y[g.t == 1].sum())
+        yc = int(g.y[g.t == 0].sum())
+        num += t_n * ((1_000_000 * yt) // t_n - (1_000_000 * yc) // c_n)
+        t_tot += t_n
+        c_tot += c_n
+        n_strata += 1
+    row = registry.QUERIES["events_cem_att_matching"](spark, sf_dir).collect()[0]
+    assert (row.n_strata_matched, row.n_treated, row.n_control) == (
+        n_strata, t_tot, c_tot,
+    )
+    if t_tot == 0:  # every stratum pruned (tiny SFs): estimator undefined
+        assert row.att_ppm_cents is None
+    else:
+        sign = 1 if num >= 0 else -1
+        assert row.att_ppm_cents == sign * (abs(num) // t_tot)
+
+
+def test_croston_matches_sequential_replay(spark, sf_dir):
+    import pandas as pd
+
+    from breweries_data_engineering_case_spark.plans.registry import _EWMA_W
+
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_quantity"],
+    )
+    li["day"] = pd.to_datetime(li.l_shipdate).dt.normalize()
+    li["qc"] = (li.l_quantity * 100).round().astype("int64")
+    daily = li.groupby(["l_partkey", "day"]).qc.sum().reset_index()
+    rows = registry.QUERIES["part_croston_intermittent_demand"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    got = {r.part: r for r in rows}
+    checked = 0
+    for part, g in daily.groupby("l_partkey"):
+        g = g.sort_values("day")
+        days = list(g.day)
+        zs = list(g.qc)
+        gaps = [None] + [(b - a).days for a, b in zip(days, days[1:])]
+        take = list(range(len(zs)))[::-1][:8]  # most recent first
+        sz = sum(zs[i] * _EWMA_W[k] for k, i in enumerate(take))
+        wz = sum(_EWMA_W[k] for k, _ in enumerate(take))
+        sx = sum(
+            (gaps[i] or 0) * _EWMA_W[k]
+            for k, i in enumerate(take)
+            if gaps[i] is not None
+        )
+        wx = sum(
+            _EWMA_W[k] for k, i in enumerate(take) if gaps[i] is not None
+        )
+        if len(zs) < 2 or sx == 0:
+            assert part not in got
+            continue
+        r = got[part]
+        assert r.n_demand_days == len(zs)
+        assert r.size_hat_cents == sz // wz
+        assert r.interval_hat_ppm_days == (1_000_000 * sx) // wx
+        assert r.croston_rate_ppm_cents_per_day == (1_000_000 * sz * wx) // (
+            wz * sx
+        )
+        checked += 1
+        if checked >= 200:
+            break
+
+
+def test_blast_radius_matches_pandas_replay(spark, sf_dir):
+    import pandas as pd
+
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    )
+    li["pc"] = (li.l_extendedprice * 100).round().astype("int64")
+    ns = li.groupby("l_partkey").l_suppkey.nunique()
+    sole = set(ns[ns == 1].index)
+    sub = li[li.l_partkey.isin(sole)]
+    risk = sub.groupby("l_suppkey").agg(
+        n=("l_partkey", "nunique"), rev=("pc", "sum")
+    )
+    tot = li.groupby("l_suppkey").pc.sum()
+    rows = registry.QUERIES["supplier_blast_radius_sole_source"](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == len(risk)
+    for r in rows:
+        g = risk.loc[r.s_suppkey]
+        assert (r.n_sole_parts, r.revenue_at_risk_cents) == (
+            int(g.n), int(g.rev),
+        )
+        assert r.risk_share_ppm == (1_000_000 * int(g.rev)) // int(
+            tot.loc[r.s_suppkey]
+        )
