@@ -53,15 +53,27 @@ HEADLINE = [
 
 # Clean-host reference probes (recorded across rounds 6-7 idle windows in
 # NOTES.md: matmul 0.021-0.032 s, pyloop 0.16-0.17 s, threads32 3.9-4.4 s).
-# A stamp probe exceeding 1.5x its clean ceiling means neighbor-VM
-# contention (invisible to loadavg — NOTES.md), and the run auto-reruns.
+# A stamp probe exceeding its dirty ratio x the clean ceiling means
+# neighbor-VM contention (invisible to loadavg — NOTES.md), and the run
+# auto-reruns. threads32 gets a TIGHTER ratio: it under-reports contention
+# against a 32-way Spark workload (measured r7-r8: threads32 at 1.34x clean
+# coincided with 2.5-3x Spark-query slowdowns), so 1.3x is the honest line.
 CLEAN_REF = {
     "numpy_matmul_sec": 0.032,
     "pyloop_sec": 0.17,
     "threads32_hash_sec": 4.4,
 }
-DIRTY_RATIO = 1.5
+DIRTY_RATIO = {
+    "numpy_matmul_sec": 1.5,
+    "pyloop_sec": 1.5,
+    "threads32_hash_sec": 1.3,
+}
 MAX_RERUNS = 2
+
+# The 19 queries benched since round 1 — BASELINE.md's 19.07 s gate is over
+# this subset; later flagship additions must not blur the round-over-round
+# comparison, so the JSON carries this subtotal explicitly.
+BASELINE_SUBSET_N = 19
 
 
 def _host_stamp() -> dict[str, float]:
@@ -110,11 +122,11 @@ def _host_stamp() -> dict[str, float]:
 
 
 def _stamp_dirty(stamp: dict[str, float]) -> list[str]:
-    """Probes exceeding DIRTY_RATIO x their clean-host reference."""
+    """Probes exceeding their per-probe dirty ratio x the clean reference."""
     return [
         k
         for k, ref in CLEAN_REF.items()
-        if stamp.get(k, 0.0) > DIRTY_RATIO * ref
+        if stamp.get(k, 0.0) > DIRTY_RATIO[k] * ref
     ]
 
 
@@ -179,6 +191,7 @@ def main() -> None:
     )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    baseline_subset = [n for n in HEADLINE[:BASELINE_SUBSET_N] if n in timings]
     print(
         json.dumps(
             {
@@ -187,13 +200,26 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # the r1-comparable gate number: subtotal of the original 19
+                # queries (BASELINE.md 19.07 s), independent of flagship adds
+                "baseline_subset_sec": round(
+                    sum(timings[n] for n in baseline_subset), 3
+                ),
+                "baseline_subset_n": len(baseline_subset),
                 "host_calibration": {
                     "before": before,
                     "after": after,
                     "clean_reference": CLEAN_REF,
+                    "dirty_ratio": DIRTY_RATIO,
                     "stamp_clean": not dirty,
                     "dirty_probes": dirty,
                     "attempts": len(attempts),
+                    # full per-attempt record: totals + stamps, so a reader
+                    # can see the spread the guard was choosing between
+                    "attempt_totals_sec": [
+                        round(sum(t.values()), 3) for t, _, _, _ in attempts
+                    ],
+                    "attempt_dirty_probes": [d for _, _, _, d in attempts],
                 },
             }
         )

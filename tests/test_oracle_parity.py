@@ -97,6 +97,16 @@ def test_oracle_bound_types_allowed(sf_dir):
     assert not offenders, f"oracle result types outside the portable set: {offenders}"
 
 
+@pytest.fixture(autouse=True)
+def _clear_cache_between_queries(spark):
+    """Queries persist() intermediates; over a full-registry sweep those
+    cached RDDs accumulate (ADVICE r7 #5) and Spark's CacheManager can
+    substitute one query's cache into a sibling's plan. Drop them after
+    every test so each query is measured/validated in isolation."""
+    yield
+    spark.catalog.clearCache()
+
+
 @pytest.mark.parametrize("name", sorted(registry.ORACLES))
 def test_query_matches_oracle(spark, sf_dir, name):
     sdf = registry.QUERIES[name](spark, sf_dir)
