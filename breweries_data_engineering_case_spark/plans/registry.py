@@ -22775,6 +22775,875 @@ def q_supplier_blast_radius_sole_source(
     )
 
 
+@register(
+    "dq_l_diversity",
+    """
+    WITH g AS (
+      SELECT n_name, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT
+               (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                + 100000) // 100000) AS BIGINT) AS l_distinct
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name, c_mktsegment
+    )
+    SELECT n_name, c_mktsegment, n_rows, l_distinct,
+           l_distinct >= 3 AS l_diverse
+    FROM g
+    """,
+)
+def q_dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (l=3) — the privacy check k-anonymity
+    (dq_k_anonymity, same quasi-identifier pair nation x market segment)
+    can't make: a group of 1000 people is k-anonymous but still leaks if
+    they ALL share one sensitive value (homogeneity attack). The sensitive
+    attribute is the account-balance thousand-dollar band, computed in
+    exact integer cents with a +$1000 offset so the one negative band
+    never hits the div-truncates vs //-floors divergence. A release
+    requires BOTH flags: every equivalence class has >= k members AND >= l
+    distinct sensitive values. One grouped distinct-count with the dim
+    broadcast — the same one-shuffle cost as the k-anonymity audit at any
+    table size (distinct-count partial-aggregates per band before the
+    shuffle)."""
+    cust = table_scan(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.expr(
+            "(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " + 100000) div 100000"
+        ).alias("band"),
+    )
+    nat = table_scan(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    g = (
+        cust.join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .groupBy("n_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("band").cast("long").alias("l_distinct"),
+        )
+    )
+    return g.select(
+        "n_name",
+        "c_mktsegment",
+        "n_rows",
+        "l_distinct",
+        (F.col("l_distinct") >= 3).alias("l_diverse"),
+    )
+
+
+@register(
+    "part_price_elasticity_arc",
+    """
+    WITH per AS (
+      SELECT p_brand,
+             CASE WHEN l_shipdate >= TIMESTAMP '1998-07-01 00:00:00'
+                  THEN 2 ELSE 1 END AS period,
+             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS q,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS r
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT p_brand,
+             CAST(MAX(CASE WHEN period = 1 THEN q END) AS BIGINT) AS q1,
+             CAST(MAX(CASE WHEN period = 2 THEN q END) AS BIGINT) AS q2,
+             CAST(MAX(CASE WHEN period = 1 THEN r END) AS BIGINT) AS r1,
+             CAST(MAX(CASE WHEN period = 2 THEN r END) AS BIGINT) AS r2
+      FROM per GROUP BY p_brand
+    ),
+    calc AS (
+      SELECT p_brand, q1, q2, r1, r2,
+             CAST(q2 - q1 AS HUGEINT) * (r1 * CAST(q2 AS HUGEINT) + r2 * CAST(q1 AS HUGEINT)) AS num,
+             (CAST(r2 AS HUGEINT) * q1 - CAST(r1 AS HUGEINT) * q2) * (q1 + CAST(q2 AS HUGEINT)) AS den
+      FROM wide
+      WHERE q1 IS NOT NULL AND q2 IS NOT NULL AND q1 > 0 AND q2 > 0
+    )
+    SELECT p_brand, q1 AS qty1_centi, q2 AS qty2_centi,
+           r1 AS rev1_cents, r2 AS rev2_cents,
+           CASE WHEN den = 0 THEN NULL
+                ELSE CAST(CASE WHEN (num >= 0) = (den >= 0) THEN 1 ELSE -1 END
+                          * ((ABS(num) * 1000000) // ABS(den)) AS BIGINT)
+                END AS elasticity_ppm
+    FROM calc
+    """,
+)
+def q_part_price_elasticity_arc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arc (midpoint) price elasticity of demand per brand between the two
+    halves of the shipping history (cut 1998-07-01) — the pricing-analytics
+    primitive: how many percent does quantity move per percent of price
+    move? The midpoint formula e = (ΔQ·(P1+P2)) / (ΔP·(Q1+Q2)) is
+    symmetric in the two periods (no base-period bias). Each period's
+    price is the revenue/quantity RATIO, so substituting P_i = R_i/Q_i and
+    clearing denominators gives the all-integer form
+    num = (Q2−Q1)·(R1·Q2 + R2·Q1), den = (R2·Q1 − R1·Q2)·(Q1+Q2) —
+    the division only happens once, as a sign-split ppm floor (exact on
+    both engines; DECIMAL(38)/HUGEINT intermediates bound the ~1e24
+    products). Brands missing either period, or with zero quantity, are
+    excluded; a zero price change yields NULL (elasticity undefined).
+    One fact-table aggregate with the part dim broadcast, then a 25-row
+    brand fold — nothing but the first groupBy touches data-sized rows."""
+    cut = F.lit("1998-07-01 00:00:00").cast("timestamp_ntz")
+    li = table_scan(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.when(F.col("l_shipdate") >= cut, 2).otherwise(1).alias("period"),
+        (F.col("l_quantity").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("qc"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("rc"),
+    )
+    pt = table_scan(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per = (
+        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .groupBy("p_brand", "period")
+        .agg(F.sum("qc").alias("q"), F.sum("rc").alias("r"))
+    )
+    wide = per.groupBy("p_brand").agg(
+        F.max(F.when(F.col("period") == 1, F.col("q"))).alias("q1"),
+        F.max(F.when(F.col("period") == 2, F.col("q"))).alias("q2"),
+        F.max(F.when(F.col("period") == 1, F.col("r"))).alias("r1"),
+        F.max(F.when(F.col("period") == 2, F.col("r"))).alias("r2"),
+    )
+    calc = wide.filter(
+        F.col("q1").isNotNull()
+        & F.col("q2").isNotNull()
+        & (F.col("q1") > 0)
+        & (F.col("q2") > 0)
+    ).select(
+        "p_brand",
+        "q1",
+        "q2",
+        "r1",
+        "r2",
+        F.expr(
+            "CAST(q2 - q1 AS DECIMAL(38,0))"
+            " * (r1 * CAST(q2 AS DECIMAL(19,0)) + r2 * CAST(q1 AS DECIMAL(19,0)))"
+        ).alias("num"),
+        F.expr(
+            "(CAST(r2 AS DECIMAL(19,0)) * q1 - CAST(r1 AS DECIMAL(19,0)) * q2)"
+            " * CAST(q1 + CAST(q2 AS DECIMAL(19,0)) AS DECIMAL(38,0))"
+        ).alias("den"),
+    )
+    e = F.when(F.col("den") == 0, F.lit(None).cast("long")).otherwise(
+        (
+            F.when(
+                (F.col("num") >= 0) == (F.col("den") >= 0), F.lit(1)
+            ).otherwise(F.lit(-1))
+            * F.expr("(ABS(num) * 1000000) div ABS(den)")
+        ).cast("long")
+    )
+    return calc.select(
+        "p_brand",
+        F.col("q1").alias("qty1_centi"),
+        F.col("q2").alias("qty2_centi"),
+        F.col("r1").alias("rev1_cents"),
+        F.col("r2").alias("rev2_cents"),
+        e.alias("elasticity_ppm"),
+    )
+
+
+@register(
+    "events_cramer_von_mises_drift",
+    """
+    WITH e AS (
+      SELECT event_type, value,
+             CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 1 ELSE 0 END AS is_b
+      FROM events
+    ),
+    pv AS (
+      SELECT event_type, value,
+             CAST(SUM(1 - is_b) AS BIGINT) AS a,
+             CAST(SUM(is_b) AS BIGINT) AS b
+      FROM e GROUP BY event_type, value
+    ),
+    c AS (
+      SELECT event_type, a + b AS w,
+             CAST(SUM(a) OVER win AS BIGINT) AS cum_a,
+             CAST(SUM(b) OVER win AS BIGINT) AS cum_b
+      FROM pv
+      WINDOW win AS (PARTITION BY event_type ORDER BY value
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    t AS (
+      SELECT event_type, CAST(SUM(a) AS BIGINT) AS n_a,
+             CAST(SUM(b) AS BIGINT) AS n_b
+      FROM pv GROUP BY event_type
+    ),
+    folded AS (
+      SELECT c.event_type, t.n_a, t.n_b,
+             SUM(CAST(w AS HUGEINT)
+                 * (cum_a * CAST(n_b AS HUGEINT) - cum_b * CAST(n_a AS HUGEINT))
+                 * (cum_a * CAST(n_b AS HUGEINT) - cum_b * CAST(n_a AS HUGEINT)))
+               AS num
+      FROM c JOIN t ON c.event_type = t.event_type
+      GROUP BY c.event_type, t.n_a, t.n_b
+    )
+    SELECT event_type, n_a, n_b,
+           CAST((num * 1000000000)
+                // (CAST(n_a + n_b AS HUGEINT) * (n_a + n_b)
+                    * n_a * CAST(n_b AS HUGEINT)) AS BIGINT) AS cvm_ppb
+    FROM folded
+    """,
+)
+def q_events_cramer_von_mises_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-sample Cramér–von Mises drift statistic per event_type between
+    the first 15 days and the rest of the month — the INTEGRATED companion
+    to events_ks_drift's max-gap: KS sees only the single worst CDF
+    deviation, CvM accumulates the squared gap over the whole pooled
+    sample, so it catches broad small shifts KS misses.
+    T = Σ_pooled (F₁(x) − F₂(x))² · n_a·n_b/N² is computed float-free by
+    cross-multiplying the cumulative counts: with D_v = cumA·n_b − cumB·n_a
+    and pooled weight w_v, T = Σ w_v·D_v² / (N²·n_a·n_b), reported as the
+    exact ppb floor. Σ w·D² reaches ~1e21 at sf0.1 so the fold runs in
+    DECIMAL(38)/HUGEINT and only the final floor is cast down. Same plan
+    shape as KS: one (type, value) grouped shuffle, a per-type ordered CDF
+    window, broadcast totals — drift monitoring at fact-table scale."""
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    e = table_scan(spark, sf_dir, "events").select(
+        "event_type", "value", (F.col("ts") >= cut).cast("long").alias("is_b")
+    )
+    pv = e.groupBy("event_type", "value").agg(
+        F.sum(F.lit(1) - F.col("is_b")).alias("a"),
+        F.sum("is_b").alias("b"),
+    )
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = pv.select(
+        "event_type",
+        (F.col("a") + F.col("b")).alias("w"),
+        F.sum("a").over(win).alias("cum_a"),
+        F.sum("b").over(win).alias("cum_b"),
+    )
+    t = pv.groupBy("event_type").agg(
+        F.sum("a").cast("long").alias("n_a"),
+        F.sum("b").cast("long").alias("n_b"),
+    )
+    folded = (
+        c.join(F.broadcast(t), "event_type")
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST(w AS DECIMAL(38,0))"
+                " * (cum_a * CAST(n_b AS DECIMAL(19,0))"
+                "    - cum_b * CAST(n_a AS DECIMAL(19,0)))"
+                " * (cum_a * CAST(n_b AS DECIMAL(19,0))"
+                "    - cum_b * CAST(n_a AS DECIMAL(19,0)))"
+            ).alias("wd2"),
+        )
+        .groupBy("event_type", "n_a", "n_b")
+        .agg(F.sum("wd2").alias("num"))
+    )
+    return folded.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.expr(
+            "(num * 1000000000)"
+            " div (CAST(n_a + n_b AS DECIMAL(38,0)) * (n_a + n_b)"
+            "      * n_a * CAST(n_b AS DECIMAL(19,0)))"
+        )
+        .cast("long")
+        .alias("cvm_ppb"),
+    )
+
+
+@register(
+    "orders_pettitt_changepoint",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT day, rev,
+             CAST(2 * (RANK() OVER (ORDER BY rev) - 1)
+                  + COUNT(*) OVER (PARTITION BY rev) + 1 AS BIGINT) AS m2
+      FROM daily
+    ),
+    walk AS (
+      SELECT day, rev,
+             CAST(SUM(m2) OVER w AS BIGINT) AS cum_m2,
+             CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM ranked
+      WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    u AS (
+      SELECT day, t, n, cum_m2 - t * (n + 1) AS u_t
+      FROM walk WHERE t < n
+    )
+    SELECT day AS change_day, CAST(n AS BIGINT) AS n_days,
+           CAST(ABS(u_t) AS BIGINT) AS k_stat
+    FROM u
+    ORDER BY ABS(u_t) DESC, day ASC
+    LIMIT 1
+    """,
+)
+def q_orders_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt's nonparametric changepoint test on the daily order-revenue
+    series — the rank-based single-changepoint detector (Pettitt 1979):
+    U_t = Σ_{i≤t}Σ_{j>t} sgn(x_i − x_j) measures how completely the first
+    t days dominate (or are dominated by) the rest; the changepoint is
+    argmax|U_t|. Rank identity makes it one pass instead of O(n²):
+    U_t = Σ_{i≤t} 2·r_i − t(N+1) with midranks r_i, and the DOUBLED
+    midrank m2 = 2·(rank−1) + tie_count + 1 keeps every term an exact
+    integer (no .5 halves). Being rank-based it is distribution-free —
+    a revenue level shift is detected identically whether the series is
+    skewed, heavy-tailed, or scaled. The series itself is the bounded
+    calendar-day domain (~2.5k rows after the one data-sized grouped sum),
+    so the rank/CDF windows run over O(days), not O(orders) — the same
+    day-domain boundedness the seasonal/KM queries rely on; the argmax is
+    a 1-row TakeOrdered with earliest-day tie pinning."""
+    daily = (
+        table_scan(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                    "long"
+                )
+            ).alias("rev")
+        )
+    )
+    wv = Window.orderBy("rev")
+    wt = Window.partitionBy("rev")
+    ranked = daily.select(
+        "day",
+        "rev",
+        (
+            2 * (F.rank().over(wv) - 1)
+            + F.count(F.lit(1)).over(wt)
+            + 1
+        )
+        .cast("long")
+        .alias("m2"),
+    )
+    wd = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    walk = ranked.select(
+        "day",
+        F.sum("m2").over(wd).alias("cum_m2"),
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("t"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+    )
+    u = walk.filter(F.col("t") < F.col("n")).select(
+        "day",
+        "n",
+        (F.col("cum_m2") - F.col("t") * (F.col("n") + 1)).alias("u_t"),
+    )
+    return (
+        u.orderBy(F.abs(F.col("u_t")).desc(), F.col("day").asc())
+        .limit(1)
+        .select(
+            F.col("day").alias("change_day"),
+            F.col("n").alias("n_days"),
+            F.abs(F.col("u_t")).cast("long").alias("k_stat"),
+        )
+    )
+
+
+@register(
+    "events_energy_distance_drift",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 1 ELSE 0 END AS is_b
+      FROM events
+    ),
+    pv AS (
+      SELECT event_type, v,
+             CAST(SUM(1 - is_b) AS BIGINT) AS a,
+             CAST(SUM(is_b) AS BIGINT) AS b
+      FROM e GROUP BY event_type, v
+    ),
+    c AS (
+      SELECT event_type, v, a, b,
+             CAST(COALESCE(SUM(a) OVER w, 0) AS BIGINT) AS ca,
+             CAST(COALESCE(SUM(b) OVER w, 0) AS BIGINT) AS cb,
+             CAST(COALESCE(SUM(a * v) OVER w, 0) AS BIGINT) AS sa,
+             CAST(COALESCE(SUM(b * v) OVER w, 0) AS BIGINT) AS sb
+      FROM pv
+      WINDOW w AS (PARTITION BY event_type ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    t AS (
+      SELECT event_type, CAST(SUM(a) AS BIGINT) AS na,
+             CAST(SUM(b) AS BIGINT) AS nb,
+             CAST(SUM(a * v) AS BIGINT) AS ta,
+             CAST(SUM(b * v) AS BIGINT) AS tb
+      FROM pv GROUP BY event_type
+    ),
+    sums AS (
+      SELECT c.event_type, t.na, t.nb,
+             SUM(CAST(a AS HUGEINT) * (v * CAST(cb AS HUGEINT) - sb)
+                 + CAST(a AS HUGEINT)
+                   * ((tb - sb) - v * CAST(nb - cb AS HUGEINT))) AS cross_ab,
+             SUM(CAST(a AS HUGEINT) * (v * CAST(ca AS HUGEINT) - sa)) AS within_a,
+             SUM(CAST(b AS HUGEINT) * (v * CAST(cb AS HUGEINT) - sb)) AS within_b
+      FROM c JOIN t ON c.event_type = t.event_type
+      GROUP BY c.event_type, t.na, t.nb
+    )
+    SELECT event_type, na, nb,
+           CAST((1000000 * (2 * cross_ab * na * CAST(nb AS HUGEINT)
+                            - 2 * within_a * nb * CAST(nb AS HUGEINT)
+                            - 2 * within_b * na * CAST(na AS HUGEINT)))
+                // (CAST(na AS HUGEINT) * na * nb * nb)
+                AS BIGINT) AS energy_microcents
+    FROM sums
+    """,
+)
+def q_events_energy_distance_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Energy distance between the first 15 days and the rest, per
+    event_type — Székely's E-statistic E = 2·E|X−Y| − E|X−X'| − E|Y−Y'|,
+    the drift metric that is zero IFF the distributions are equal (KS and
+    CvM are too, but E weights by actual value distance, so it is the one
+    sensitive to tail magnitude, not just CDF position). Every pairwise
+    term collapses to prefix sums over the sorted value domain:
+    Σ_i Σ_j |x_i − y_j| = Σ_v a_v·[v·cb(v) − sb(v) + (tb − sb(v)) −
+    v·(nb − cb(v))] where cb/sb are counts/sums of the other sample
+    strictly below v — so the O(n²) double sum is one ordered window over
+    the grouped (type, value-cents) table. The three mean denominators
+    (na·nb, na², nb²) clear to the common na²·nb², and the statistic is
+    reported as the exact micro-cents floor; products reach ~1e33 at
+    sf0.1, inside DECIMAL(38)/HUGEINT. Same plan shape as the KS/CvM
+    siblings: one grouped shuffle, one per-type window, broadcast totals."""
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    e = table_scan(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("v"),
+        (F.col("ts") >= cut).cast("long").alias("is_b"),
+    )
+    pv = e.groupBy("event_type", "v").agg(
+        F.sum(F.lit(1) - F.col("is_b")).alias("a"),
+        F.sum("is_b").alias("b"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = pv.select(
+        "event_type",
+        "v",
+        "a",
+        "b",
+        F.coalesce(F.sum("a").over(w), F.lit(0)).alias("ca"),
+        F.coalesce(F.sum("b").over(w), F.lit(0)).alias("cb"),
+        F.coalesce(F.sum(F.col("a") * F.col("v")).over(w), F.lit(0)).alias(
+            "sa"
+        ),
+        F.coalesce(F.sum(F.col("b") * F.col("v")).over(w), F.lit(0)).alias(
+            "sb"
+        ),
+    )
+    t = pv.groupBy("event_type").agg(
+        F.sum("a").cast("long").alias("na"),
+        F.sum("b").cast("long").alias("nb"),
+        F.sum(F.col("a") * F.col("v")).cast("long").alias("ta"),
+        F.sum(F.col("b") * F.col("v")).cast("long").alias("tb"),
+    )
+    sums = (
+        c.join(F.broadcast(t), "event_type")
+        .select(
+            "event_type",
+            "na",
+            "nb",
+            F.expr(
+                "CAST(a AS DECIMAL(38,0)) * (v * CAST(cb AS DECIMAL(19,0)) - sb)"
+                " + CAST(a AS DECIMAL(38,0))"
+                "   * ((tb - sb) - v * CAST(nb - cb AS DECIMAL(19,0)))"
+            ).alias("xab"),
+            F.expr(
+                "CAST(a AS DECIMAL(38,0)) * (v * CAST(ca AS DECIMAL(19,0)) - sa)"
+            ).alias("xaa"),
+            F.expr(
+                "CAST(b AS DECIMAL(38,0)) * (v * CAST(cb AS DECIMAL(19,0)) - sb)"
+            ).alias("xbb"),
+        )
+        .groupBy("event_type", "na", "nb")
+        .agg(
+            F.sum("xab").alias("cross_ab"),
+            F.sum("xaa").alias("within_a"),
+            F.sum("xbb").alias("within_b"),
+        )
+    )
+    return sums.select(
+        "event_type",
+        "na",
+        "nb",
+        F.expr(
+            "(1000000 * (2 * cross_ab * na * CAST(nb AS DECIMAL(19,0))"
+            "            - 2 * within_a * nb * CAST(nb AS DECIMAL(19,0))"
+            "            - 2 * within_b * na * CAST(na AS DECIMAL(19,0))))"
+            " div (CAST(na AS DECIMAL(19,0)) * na * nb * CAST(nb AS DECIMAL(19,0)))"
+        )
+        .cast("long")
+        .alias("energy_microcents"),
+    )
+
+
+@register(
+    "graph_katz_centrality",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    und AS (
+      SELECT u AS s, v AS d FROM pairs
+      UNION ALL SELECT v AS s, u AS d FROM pairs
+    ),
+    w1 AS (SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS w FROM und GROUP BY s),
+    w2 AS (
+      SELECT und.s AS node, CAST(SUM(w1.w) AS BIGINT) AS w
+      FROM und JOIN w1 ON und.d = w1.node GROUP BY und.s
+    ),
+    w3 AS (
+      SELECT und.s AS node, CAST(CAST(SUM(w2.w) AS HUGEINT) AS BIGINT) AS w
+      FROM und JOIN w2 ON und.d = w2.node GROUP BY und.s
+    )
+    SELECT w1.node,
+           CAST(64 + 16 * w1.w + 4 * w2.w + w3.w AS BIGINT) AS katz64
+    FROM w1 JOIN w2 ON w1.node = w2.node JOIN w3 ON w1.node = w3.node
+    ORDER BY katz64 DESC, w1.node ASC
+    LIMIT 20
+    """,
+)
+def q_graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality (3 unrolled terms, attenuation β = 1/4) on the
+    supplier co-order graph — the walk-counting centrality between plain
+    degree and PageRank: c = Σ_k β^k·(Aᵏ1) rewards being close to many
+    nodes through SHORT walks, without PageRank's out-degree dilution.
+    Scaling by 4³ = 64 keeps it exact: katz64 = 64 + 16·(A1) + 4·(A²1) +
+    (A³1), where each Aᵏ1 (walk counts of length k) is one edge-join +
+    grouped sum — the identical shuffle shape as a PageRank/HITS step over
+    the distinct-pair edge list, three times. Walk counts grow ~degᵏ so
+    the k=3 sum widens through DECIMAL(38)/HUGEINT before the BIGINT cast
+    (≤ n·deg³ ~ 1e15 even at 100-TB supplier cardinality). Top-20 via
+    TakeOrdered with node-id tie pinning — no global window. Isolated
+    suppliers (no co-order partner) have katz64 = 64 and never appear in
+    the top-20 of any real graph; the inner joins drop them."""
+    li = table_scan(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .distinct()
+    )
+    und = pairs.select(
+        F.col("u").alias("s"), F.col("v").alias("d")
+    ).unionByName(
+        pairs.select(F.col("v").alias("s"), F.col("u").alias("d"))
+    ).persist()
+    w1 = und.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("w")
+    )
+    w2 = (
+        und.join(w1.withColumnRenamed("node", "d"), "d")
+        .groupBy(F.col("s").alias("node"))
+        .agg(F.sum("w").cast("long").alias("w"))
+    )
+    w3 = (
+        und.join(w2.withColumnRenamed("node", "d"), "d")
+        .groupBy(F.col("s").alias("node"))
+        .agg(
+            F.sum(F.col("w").cast("decimal(38,0)")).cast("long").alias("w")
+        )
+    )
+    j = (
+        w1.withColumnRenamed("w", "d1")
+        .join(w2.withColumnRenamed("w", "d2"), "node")
+        .join(w3.withColumnRenamed("w", "d3"), "node")
+    )
+    return (
+        j.select(
+            "node",
+            (
+                F.lit(64)
+                + 16 * F.col("d1")
+                + 4 * F.col("d2")
+                + F.col("d3")
+            )
+            .cast("long")
+            .alias("katz64"),
+        )
+        .orderBy(F.col("katz64").desc(), F.col("node").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "customer_lorenz_deciles",
+    """
+    WITH v AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    r AS (SELECT rev, ROW_NUMBER() OVER (ORDER BY rev) AS rn FROM v),
+    cuts AS (
+      SELECT """
+    + ",\n             ".join(
+        f"MAX(CASE WHEN rn = ({i}*n + 9) // 10 THEN rev END) AS c{i}"
+        for i in range(1, 10)
+    )
+    + """
+      FROM r CROSS JOIN n
+    ),
+    dec AS (
+      SELECT CAST(CASE """
+    + " ".join(f"WHEN rev <= c{i} THEN {i}" for i in range(1, 10))
+    + """ ELSE 10 END AS INT) AS decile, rev
+      FROM v CROSS JOIN cuts
+    ),
+    g AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(rev) AS BIGINT) AS rev_cents
+      FROM dec GROUP BY decile
+    )
+    SELECT decile, n_customers, rev_cents,
+           CAST((1000000 * CAST(SUM(rev_cents) OVER
+                  (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS HUGEINT))
+                // (SUM(rev_cents) OVER ()) AS BIGINT) AS cum_share_ppm
+    FROM g
+    """,
+)
+def q_customer_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve by customer revenue decile — the distributional view
+    behind the Gini queries (orders_gini_by_nation reports the scalar;
+    this reports the CURVE a revenue team actually reads: "the top decile
+    is X% of revenue"). Deciles are VALUE-based against the nine exact
+    rank cutoffs ceil(i·n/10) from the distributed selection kernel
+    (_exact_rank_cutoffs) — no customer row ever crosses a global window;
+    ties share the lower decile, so the assignment is deterministic on
+    both engines. The Lorenz fold is then a ≤10-row cumulative window and
+    the shares are exact ppm floors over HUGEINT/DECIMAL(38) sums. Plan:
+    one grouped shuffle (per-customer revenue), the kernel's histogram
+    walk, a broadcast cutoff row, a 10-row fold — the identical shape at
+    100 TB."""
+    v = (
+        table_scan(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                    "long"
+                )
+            ).alias("rev")
+        )
+    )
+    cuts = _exact_rank_cutoffs(
+        v.select(F.col("rev").alias("v")),
+        [f"({i}*n + 9) div 10" for i in range(1, 10)],
+    )
+    decile = F.lit(10)
+    for i in range(9, 0, -1):
+        decile = F.when(F.col("rev") <= F.col(f"c{i}"), F.lit(i)).otherwise(
+            decile
+        )
+    g = (
+        v.crossJoin(F.broadcast(cuts))
+        .select(decile.cast("int").alias("decile"), "rev")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("rev").cast("long").alias("rev_cents"),
+        )
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    g2 = g.select(
+        "decile",
+        "n_customers",
+        "rev_cents",
+        F.sum("rev_cents").over(wcum).cast("decimal(38,0)").alias("cum"),
+        F.sum("rev_cents").over(wall).cast("decimal(38,0)").alias("tot"),
+    )
+    return g2.select(
+        "decile",
+        "n_customers",
+        "rev_cents",
+        F.expr("(1000000 * cum) div tot").cast("long").alias("cum_share_ppm"),
+    )
+
+
+@register(
+    "vocab_zipf_product_stability",
+    """
+    WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
+    tok AS (SELECT UNNEST(w) AS t FROM d),
+    uni AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS f
+            FROM tok WHERE t <> '' GROUP BY t),
+    top AS (
+      SELECT t, f, CAST(ROW_NUMBER() OVER (ORDER BY f DESC, t) AS BIGINT)
+               AS r
+      FROM uni ORDER BY f DESC, t LIMIT 100
+    ),
+    rf AS (SELECT r * f AS rf FROM top),
+    ranked AS (
+      SELECT rf, ROW_NUMBER() OVER (ORDER BY rf) AS i,
+             COUNT(*) OVER () AS m
+      FROM rf
+    )
+    SELECT CAST(MAX(m) AS BIGINT) AS n_terms,
+           CAST(MAX(CASE WHEN i = (m + 1) // 2 THEN rf END) AS BIGINT)
+             AS median_rf,
+           CAST(MAX(CASE WHEN i = (m + 3) // 4 THEN rf END) AS BIGINT)
+             AS q1_rf,
+           CAST(MAX(CASE WHEN i = (3 * m + 3) // 4 THEN rf END) AS BIGINT)
+             AS q3_rf
+    FROM ranked
+    """,
+)
+def q_vocab_zipf_product_stability(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Zipf's-law fit WITHOUT logs: under f_r ∝ 1/r the product r·f_r is
+    CONSTANT, so the corpus is Zipfian exactly when the top-rank products
+    cluster tightly — the median and quartiles of {r·f_r : r ≤ 100} are
+    the slope-free, float-free goodness-of-fit summary (a wide IQR/median
+    ratio says the head deviates: stopword-stripped, templated, or
+    synthetic text). One token-explode + grouped count (the same shuffle
+    every vocab query pays), a 100-row TakeOrdered head, and quartile
+    selection over those 100 products via rank windows on a bounded list —
+    the post-head work is O(1) at any corpus size. Tokenization is the
+    house split-on-space idiom shared by the PMI/Heaps/fertility
+    queries."""
+    d = table_scan(spark, sf_dir, "documents").select(
+        F.split(F.col("text"), " ").alias("w")
+    )
+    uni = (
+        d.select(F.explode("w").alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    top = (
+        uni.orderBy(F.col("f").desc(), F.col("t").asc())
+        .limit(100)
+        .select(
+            "t",
+            "f",
+            F.row_number()
+            .over(Window.orderBy(F.col("f").desc(), F.col("t").asc()))
+            .cast("long")
+            .alias("r"),
+        )
+    )
+    rf = top.select((F.col("r") * F.col("f")).alias("rf"))
+    ranked = rf.select(
+        "rf",
+        F.row_number().over(Window.orderBy("rf")).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    return ranked.agg(
+        F.max("m").cast("long").alias("n_terms"),
+        F.max(F.when(F.col("i") == F.expr("(m + 1) div 2"), F.col("rf")))
+        .cast("long")
+        .alias("median_rf"),
+        F.max(F.when(F.col("i") == F.expr("(m + 3) div 4"), F.col("rf")))
+        .cast("long")
+        .alias("q1_rf"),
+        F.max(F.when(F.col("i") == F.expr("(3 * m + 3) div 4"), F.col("rf")))
+        .cast("long")
+        .alias("q3_rf"),
+    )
+
+
+@register(
+    "events_gaps_and_islands",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    marked AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER
+               (PARTITION BY user_id ORDER BY day) AS INT) AS island_key
+      FROM days
+    ),
+    islands AS (
+      SELECT user_id, island_key,
+             CAST(COUNT(*) AS BIGINT) AS len_days,
+             MIN(day) AS start_day
+      FROM marked GROUP BY user_id, island_key
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(len_days) AS BIGINT) AS active_days,
+           CAST(MAX(len_days) AS BIGINT) AS longest_streak,
+           MIN(start_day) AS first_day
+    FROM islands GROUP BY user_id
+    """,
+)
+def q_events_gaps_and_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands — the canonical SQL pattern for contiguous-run
+    analysis (activity streaks, sensor uptime, SLA windows): consecutive
+    active days collapse to one island because day − row_number(day) is
+    constant within a run and unique across runs (the date-minus-rank
+    trick). Per user it reports streak count, total active days, the
+    longest streak, and the first active day — the engagement summary a
+    retention team feeds into churn features. All windows and groups are
+    PARTITIONED by user (no global ordering anywhere), so the pattern
+    scales as one shuffle on user_id regardless of corpus size; the
+    distinct-day projection partial-aggregates before the shuffle."""
+    days = (
+        table_scan(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    marked = days.select(
+        "user_id",
+        "day",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("island_key"),
+    )
+    islands = marked.groupBy("user_id", "island_key").agg(
+        F.count(F.lit(1)).cast("long").alias("len_days"),
+        F.min("day").alias("start_day"),
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum("len_days").cast("long").alias("active_days"),
+        F.max("len_days").cast("long").alias("longest_streak"),
+        F.min("start_day").alias("first_day"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

@@ -97,6 +97,8 @@ BNLJ_OK = {
     "window_ntile_quartiles_scaled",  # 1-row stats + 1-row cutoffs
     #   broadcasts; the rank→bucket lookup is a 3×≤1024-row inequality
     #   join inside _exact_rank_cutoffs
+    "customer_lorenz_deciles",  # 1-row stats + 1-row nine-cutoff broadcast
+    #   (_exact_rank_cutoffs) into the per-customer aggregate
     "orders_abc_pareto_scaled",  # 1-row (lo, hi, total) stats broadcast
     "orders_rfm_segments_scaled",  # 1-row anchor + three 1-row cutoff
     #   broadcasts; three bounded rank→bucket lookups (_exact_rank_cutoffs)
@@ -130,6 +132,8 @@ BNLJ_OK = {
 #: bounded cardinality of the window INPUT, or the inherently-global
 #: semantics, here:
 GLOBAL_WINDOW_OK = {
+    "orders_pettitt_changepoint",  # rank + CDF windows over the bounded
+    #   calendar-day aggregate (~2.5k rows at any fact-table size)
     "hybrid_search_rrf",  # rank windows over the 50-row post-TakeOrdered
     #   per-modality top lists — O(k) rows through one task by design
     "vocab_char_coverage",  # coverage windows over the per-CHARACTER
@@ -159,6 +163,10 @@ GLOBAL_WINDOW_OK = {
     #   per-key running sum is partitioned by bin
     "orders_rfm_segments_scaled",  # three ≤1024-row histogram walks
     #   (one per RFM metric) — no per-customer row in a global window
+    "customer_lorenz_deciles",  # kernel histogram walk + the ≤10-row
+    #   decile-fold cumulative window — no per-customer global window
+    "vocab_zipf_product_stability",  # rank/quartile windows over the
+    #   100-row post-TakeOrdered head — O(1) rows at any corpus size
     "lineitem_kruskal_wallis_qty_by_flag",  # midrank walk over the
     #   ≤50-row global quantity histogram (the variable's whole domain)
     "orders_auc_urgent_price",  # bin-offsets window over the ≤1024-row

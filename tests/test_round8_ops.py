@@ -985,3 +985,314 @@ def test_blast_radius_matches_pandas_replay(spark, sf_dir):
         assert r.risk_share_ppm == (1_000_000 * int(g.rev)) // int(
             tot.loc[r.s_suppkey]
         )
+
+
+def test_l_diversity_matches_pandas_replay(spark, sf_dir):
+    import pandas as pd
+
+    cu = pd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_nationkey", "c_mktsegment", "c_acctbal"],
+    )
+    na = pd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    cu = cu.merge(na, left_on="c_nationkey", right_on="n_nationkey")
+    cents = (cu.c_acctbal * 100).round().astype("int64")
+    cu["band"] = (cents + 100_000) // 100_000
+    ref = cu.groupby(["n_name", "c_mktsegment"]).agg(
+        n=("band", "size"), l=("band", "nunique")
+    )
+    rows = registry.QUERIES["dq_l_diversity"](spark, sf_dir).collect()
+    assert len(rows) == len(ref)
+    for r in rows:
+        g = ref.loc[(r.n_name, r.c_mktsegment)]
+        assert (r.n_rows, r.l_distinct) == (int(g.n), int(g.l))
+        assert r.l_diverse == (int(g.l) >= 3)
+
+
+def test_elasticity_matches_fraction_replay(spark, sf_dir):
+    import pandas as pd
+
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_quantity", "l_extendedprice"],
+    )
+    pt = pd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    li = li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+    li["period"] = (
+        pd.to_datetime(li.l_shipdate) >= pd.Timestamp("1998-07-01")
+    ).map({False: 1, True: 2})
+    li["qc"] = (li.l_quantity * 100).round().astype("int64")
+    li["rc"] = (li.l_extendedprice * 100).round().astype("int64")
+    per = li.groupby(["p_brand", "period"]).agg(
+        q=("qc", "sum"), r=("rc", "sum")
+    )
+    rows = registry.QUERIES["part_price_elasticity_arc"](
+        spark, sf_dir
+    ).collect()
+    got = {r.p_brand: r for r in rows}
+    n_expected = 0
+    for brand in li.p_brand.unique():
+        try:
+            q1, r1 = (int(per.loc[(brand, 1)].q), int(per.loc[(brand, 1)].r))
+            q2, r2 = (int(per.loc[(brand, 2)].q), int(per.loc[(brand, 2)].r))
+        except KeyError:
+            assert brand not in got
+            continue
+        if q1 <= 0 or q2 <= 0:
+            assert brand not in got
+            continue
+        n_expected += 1
+        r = got[brand]
+        assert (r.qty1_centi, r.qty2_centi, r.rev1_cents, r.rev2_cents) == (
+            q1, q2, r1, r2,
+        )
+        num = (q2 - q1) * (r1 * q2 + r2 * q1)
+        den = (r2 * q1 - r1 * q2) * (q1 + q2)
+        if den == 0:
+            assert r.elasticity_ppm is None
+        else:
+            sign = 1 if (num >= 0) == (den >= 0) else -1
+            assert r.elasticity_ppm == sign * ((abs(num) * 1_000_000) // abs(den))
+    assert len(got) == n_expected
+
+
+def test_cvm_matches_pandas_replay(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    ev["is_b"] = (pd.to_datetime(ev.ts) >= pd.Timestamp("2024-01-16")).astype(
+        int
+    )
+    rows = registry.QUERIES["events_cramer_von_mises_drift"](
+        spark, sf_dir
+    ).collect()
+    got = {r.event_type: r for r in rows}
+    assert len(got) == ev.event_type.nunique()
+    for et, g in ev.groupby("event_type"):
+        n_a = int((g.is_b == 0).sum())
+        n_b = int((g.is_b == 1).sum())
+        pv = (
+            g.groupby("value")
+            .is_b.agg(a=lambda s: int((s == 0).sum()), b="sum")
+            .sort_index()
+        )
+        cum_a = pv.a.cumsum()
+        cum_b = pv.b.cumsum()
+        w = pv.a + pv.b
+        num = int(
+            sum(
+                int(wv) * (int(ca) * n_b - int(cb) * n_a) ** 2
+                for wv, ca, cb in zip(w, cum_a, cum_b)
+            )
+        )
+        N = n_a + n_b
+        r = got[et]
+        assert (r.n_a, r.n_b) == (n_a, n_b)
+        assert r.cvm_ppb == (num * 1_000_000_000) // (N * N * n_a * n_b)
+        # sanity: under no drift CvM*1e9 should be near E[T] ~ 1/6 scale
+        assert 0 <= r.cvm_ppb
+
+
+def test_pettitt_matches_brute_force(spark, sf_dir):
+    import pandas as pd
+
+    o = pd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    o["day"] = pd.to_datetime(o.o_orderdate).dt.normalize()
+    o["cents"] = (o.o_totalprice * 100).round().astype("int64")
+    daily = o.groupby("day").cents.sum().sort_index()
+    x = list(daily.values)
+    n = len(x)
+    # brute-force U_t = sum_{i<=t} sum_{j>t} sgn(x_i - x_j) on a prefix of
+    # days (O(n^2) — cap the replay at 400 days for runtime)
+    cap = min(n, 400)
+    xs = x[:cap]
+    best_k, best_day = -1, None
+    # the query's U_t uses GLOBAL ranks, so replay it with the rank identity
+    import numpy as np
+
+    order = np.argsort(np.argsort(x, kind="stable"))
+    # midrank m2 = 2*c_below + c_eq + 1
+    from collections import Counter
+
+    cnt = Counter(x)
+    below = {}
+    acc = 0
+    for v in sorted(cnt):
+        below[v] = acc
+        acc += cnt[v]
+    m2 = [2 * below[v] + cnt[v] + 1 for v in x]
+    cum = 0
+    for t0 in range(n - 1):
+        cum += m2[t0]
+        u = cum - (t0 + 1) * (n + 1)
+        if abs(u) > best_k:
+            best_k, best_day = abs(u), daily.index[t0]
+    row = registry.QUERIES["orders_pettitt_changepoint"](
+        spark, sf_dir
+    ).collect()[0]
+    assert row.n_days == n
+    assert row.k_stat == best_k
+    assert pd.Timestamp(row.change_day) == best_day
+    # cross-check the rank identity against the O(n^2) definition on the prefix
+    u_direct = sum(
+        1 if xs[i] > xs[j] else (-1 if xs[i] < xs[j] else 0)
+        for i in range(1)
+        for j in range(1, cap)
+    )
+    u_identity = m2[0] - (n + 1) if cap == n else None
+    if cap == n:
+        # identity holds exactly when the prefix covers the full series
+        assert u_direct == u_identity
+
+
+def test_energy_distance_matches_brute_force(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    ev["v"] = (ev.value * 100).round().astype("int64")
+    ev["is_b"] = (pd.to_datetime(ev.ts) >= pd.Timestamp("2024-01-16")).astype(int)
+    rows = registry.QUERIES["events_energy_distance_drift"](
+        spark, sf_dir
+    ).collect()
+    got = {r.event_type: r for r in rows}
+    for et, g in ev.groupby("event_type"):
+        xa = sorted(g.v[g.is_b == 0])
+        xb = sorted(g.v[g.is_b == 1])
+        na, nb = len(xa), len(xb)
+        if min(na, nb) == 0 or na * nb > 4_000_000:
+            continue  # brute force only on manageable groups
+        cross = sum(abs(x - y) for x in xa for y in xb)
+        wa = sum(abs(x - y) for i, x in enumerate(xa) for y in xa[i + 1:])
+        wb = sum(abs(x - y) for i, x in enumerate(xb) for y in xb[i + 1:])
+        num = 1_000_000 * (
+            2 * cross * na * nb - 2 * wa * nb * nb - 2 * wb * na * na
+        )
+        expect = num // (na * na * nb * nb)
+        r = got[et]
+        assert (r.na, r.nb) == (na, nb)
+        assert r.energy_microcents == expect
+
+
+def test_katz_matches_numpy_power_sums(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+    pairs = set()
+    for _, g in li.groupby("l_orderkey"):
+        ss = sorted(set(g.l_suppkey))
+        for i, u in enumerate(ss):
+            for v in ss[i + 1:]:
+                pairs.add((u, v))
+    nodes = sorted({u for u, _ in pairs} | {v for _, v in pairs})
+    idx = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)), dtype=object)
+    for u, v in pairs:
+        A[idx[u], idx[v]] = 1
+        A[idx[v], idx[u]] = 1
+    one = np.ones(len(nodes), dtype=object)
+    w1 = A @ one
+    w2 = A @ w1
+    w3 = A @ w2
+    katz = 64 + 16 * w1 + 4 * w2 + w3
+    ranked = sorted(zip(katz, nodes), key=lambda t: (-t[0], t[1]))[:20]
+    rows = registry.QUERIES["graph_katz_centrality"](spark, sf_dir).collect()
+    assert [(r.katz64, r.node) for r in rows] == [
+        (int(k), int(n)) for k, n in ranked
+    ]
+
+
+def test_lorenz_deciles_match_pandas_replay(spark, sf_dir):
+    import pandas as pd
+
+    o = pd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    o["cents"] = (o.o_totalprice * 100).round().astype("int64")
+    rev = o.groupby("o_custkey").cents.sum().sort_values().reset_index(drop=True)
+    n = len(rev)
+    cuts = [rev.iloc[(i * n + 9) // 10 - 1] for i in range(1, 10)]
+
+    def decile(v):
+        for i, c in enumerate(cuts, start=1):
+            if v <= c:
+                return i
+        return 10
+
+    d = rev.map(decile)
+    g = pd.DataFrame({"d": d, "rev": rev}).groupby("d").agg(
+        n=("rev", "size"), s=("rev", "sum")
+    )
+    total = int(rev.sum())
+    rows = registry.QUERIES["customer_lorenz_deciles"](spark, sf_dir).collect()
+    got = {r.decile: r for r in rows}
+    cum = 0
+    for dec in sorted(g.index):
+        cum += int(g.loc[dec].s)
+        r = got[dec]
+        assert (r.n_customers, r.rev_cents) == (int(g.loc[dec].n), int(g.loc[dec].s))
+        assert r.cum_share_ppm == (1_000_000 * cum) // total
+    # Lorenz shape: cumulative share strictly increasing, ends at ~1e6
+    shares = [got[dec].cum_share_ppm for dec in sorted(got)]
+    assert shares == sorted(shares)
+    assert shares[-1] in (999_999, 1_000_000)
+
+
+def test_zipf_products_match_counter_replay(spark, sf_dir):
+    from collections import Counter
+
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    cnt = Counter()
+    for t in docs.text:
+        cnt.update(w for w in t.split(" ") if w)
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    rf = sorted((r + 1) * f for r, (_, f) in enumerate(top))
+    m = len(rf)
+    row = registry.QUERIES["vocab_zipf_product_stability"](
+        spark, sf_dir
+    ).collect()[0]
+    assert row.n_terms == m
+    assert row.median_rf == rf[(m + 1) // 2 - 1]
+    assert row.q1_rf == rf[(m + 3) // 4 - 1]
+    assert row.q3_rf == rf[(3 * m + 3) // 4 - 1]
+
+
+def test_gaps_and_islands_match_pandas_replay(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    ev["day"] = pd.to_datetime(ev.ts).dt.normalize()
+    rows = registry.QUERIES["events_gaps_and_islands"](spark, sf_dir).collect()
+    got = {r.user_id: r for r in rows}
+    days_by_user = ev.drop_duplicates(["user_id", "day"]).groupby("user_id").day
+    assert len(got) == ev.user_id.nunique()
+    for uid, days in days_by_user:
+        ds = sorted(days)
+        islands = []
+        run = 1
+        for a, b in zip(ds, ds[1:]):
+            if (b - a).days == 1:
+                run += 1
+            else:
+                islands.append(run)
+                run = 1
+        islands.append(run)
+        r = got[uid]
+        assert r.n_islands == len(islands)
+        assert r.active_days == len(ds)
+        assert r.longest_streak == max(islands)
+        assert pd.Timestamp(r.first_day) == ds[0]
