@@ -23644,6 +23644,356 @@ def q_events_gaps_and_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_onion_dup_fraction",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS t
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, t,
+             GREATEST(CAST(len(t) // 16 AS BIGINT), 1) AS nch
+      FROM tok
+    ),
+    c AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(t, i*16 + 1, i*16 + 16), ' '))
+               AS fp
+      FROM k, UNNEST(range(nch)) AS u(i)
+    ),
+    shared AS (
+      SELECT fp FROM c GROUP BY fp HAVING COUNT(DISTINCT doc_id) > 1
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_shared,
+           CAST(1000 * SUM(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS dup_permille
+    FROM c LEFT JOIN shared s ON c.fp = s.fp
+    GROUP BY c.doc_id
+    HAVING SUM(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END) > 0
+    """,
+)
+def q_doc_onion_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Onion-style per-document duplication budget — the curation measure
+    BETWEEN document-level dedup (doc_dedup_*: is the whole doc a dup?)
+    and chunk-level boilerplate listing (chunk_dedup_exact: which chunks
+    repeat?): for each document, what FRACTION of its 16-token chunks
+    also appears in OTHER documents? Corpus pipelines threshold on this
+    per-doc fraction (e.g. drop docs >50 % recycled) rather than on either
+    endpoint. Chunks are non-overlapping md5 fingerprints; "shared" means
+    seen in ≥2 DISTINCT docs (within-doc repetition is doc_repetition's
+    job, not counted here). Docs with zero shared chunks are omitted (the
+    keep-side is the complement). Plan: chunk fan-out → fingerprint
+    groupBy with distinct-doc partial agg → shared list joined back on fp
+    (a shuffle join, not a forced broadcast — boilerplate inventory grows
+    with the corpus) — two shuffles on the skinny (doc, fp) table at any
+    corpus size."""
+    tok = table_scan(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    )
+    k = tok.select(
+        "doc_id",
+        "t",
+        F.greatest(F.floor(F.size("t") / 16), F.lit(1))
+        .cast("long")
+        .alias("nch"),
+    )
+    c = k.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("nch") - 1)).alias("i"),
+        "t",
+    ).select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("t"), F.col("i") * 16 + 1, 16)
+            )
+        ).alias("fp"),
+    )
+    shared = (
+        c.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("fp", F.lit(1).alias("is_shared"))
+    )
+    # deliberately NOT a forced broadcast: the shared-fp list is the
+    # corpus's boilerplate inventory and grows with the data — an fp-keyed
+    # shuffle join (AQE may still broadcast when it measures small) is the
+    # shape that survives 100 TB
+    j = c.join(shared, "fp", "left")
+    g = j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.coalesce(F.col("is_shared"), F.lit(0)))
+        .cast("long")
+        .alias("n_shared"),
+    )
+    return g.filter(F.col("n_shared") > 0).select(
+        "doc_id",
+        "n_chunks",
+        "n_shared",
+        F.expr("(1000 * n_shared) div n_chunks")
+        .cast("long")
+        .alias("dup_permille"),
+    )
+
+
+@register(
+    "dataset_split_leakage_audit",
+    """
+    WITH e AS (
+      SELECT event_id, user_id,
+             CAST(CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)),
+                  1, 15)) AS BIGINT) % 100 AS INT) AS row_bucket,
+             CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                  1, 15)) AS BIGINT) % 100 AS INT) AS usr_bucket
+      FROM events
+    ),
+    by_event AS (
+      SELECT user_id,
+             MAX(CASE WHEN row_bucket < 80 THEN 1 ELSE 0 END) AS in_train,
+             MAX(CASE WHEN row_bucket >= 80 THEN 1 ELSE 0 END) AS in_test
+      FROM e GROUP BY user_id
+    ),
+    by_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN usr_bucket < 80 THEN 1 ELSE 0 END) AS in_train,
+             MAX(CASE WHEN usr_bucket >= 80 THEN 1 ELSE 0 END) AS in_test
+      FROM e GROUP BY user_id
+    ),
+    folded AS (
+      SELECT 'split_by_event' AS strategy,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(in_train * in_test) AS BIGINT) AS n_leaked
+      FROM by_event
+      UNION ALL
+      SELECT 'split_by_user' AS strategy,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(in_train * in_test) AS BIGINT) AS n_leaked
+      FROM by_user
+    )
+    SELECT strategy, n_users, n_leaked,
+           CAST((1000000 * n_leaked) // n_users AS BIGINT) AS leakage_ppm
+    FROM folded
+    """,
+)
+def q_dataset_split_leakage_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Train/test leakage audit — the eval-integrity check every split
+    pipeline should run before a model sees the data: a ROW-level 80/20
+    hash split scatters each user's events across both sides (near-100 %
+    of multi-event users "leak", so any per-user memorization inflates
+    test metrics), while a GROUP-level split hashed on user_id leaks
+    exactly zero. Both strategies use the portable md5 hash so the
+    assignment — and therefore the audit — is reproducible on any engine
+    with no stored state. One pass computes both bucketings; two grouped
+    max-folds and a 2-row union report users-in-both and the exact ppm
+    leak rate. The same audit shape applies to any grouping key
+    (document, session, patient) at any scale — it is one user-keyed
+    shuffle."""
+    from ..functions.hashing import portable_hash64
+
+    e = table_scan(spark, sf_dir, "events").select(
+        "user_id",
+        (portable_hash64(F.col("event_id")) % 100).cast("int").alias("rb"),
+        (portable_hash64(F.col("user_id")) % 100).cast("int").alias("ub"),
+    )
+
+    def fold(bucket: str, label: str) -> DataFrame:
+        g = e.groupBy("user_id").agg(
+            F.max(F.when(F.col(bucket) < 80, 1).otherwise(0)).alias(
+                "in_train"
+            ),
+            F.max(F.when(F.col(bucket) >= 80, 1).otherwise(0)).alias(
+                "in_test"
+            ),
+        )
+        return g.agg(
+            F.lit(label).alias("strategy"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(F.col("in_train") * F.col("in_test"))
+            .cast("long")
+            .alias("n_leaked"),
+        )
+
+    folded = fold("rb", "split_by_event").unionByName(
+        fold("ub", "split_by_user")
+    )
+    return folded.select(
+        "strategy",
+        "n_users",
+        "n_leaked",
+        F.expr("(1000000 * n_leaked) div n_users")
+        .cast("long")
+        .alias("leakage_ppm"),
+    )
+
+
+@register(
+    "events_competing_risks_cif",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CAST(ts AS DATE)) AS d0,
+             MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE)
+                 END) AS dp,
+             MIN(CASE WHEN event_type = 'error' THEN CAST(ts AS DATE)
+                 END) AS de,
+             MAX(CAST(ts AS DATE)) AS dlast
+      FROM events GROUP BY user_id
+    ),
+    obs AS (
+      SELECT CASE
+               WHEN dp IS NOT NULL AND (de IS NULL OR dp <= de)
+                 THEN date_diff('day', d0, dp)
+               WHEN de IS NOT NULL THEN date_diff('day', d0, de)
+               ELSE date_diff('day', d0, dlast)
+             END AS t,
+             CASE
+               WHEN dp IS NOT NULL AND (de IS NULL OR dp <= de) THEN 1
+               WHEN de IS NOT NULL THEN 2
+               ELSE 0
+             END AS ev
+      FROM per_user
+    ),
+    day_agg AS (
+      SELECT t,
+             CAST(SUM(CASE WHEN ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS dp,
+             CAST(SUM(CASE WHEN ev = 2 THEN 1 ELSE 0 END) AS BIGINT) AS de,
+             CAST(COUNT(*) AS BIGINT) AS leaving
+      FROM obs GROUP BY t
+    ),
+    risk AS (
+      SELECT t, dp, de,
+             CAST((SELECT COUNT(*) FROM obs)
+                  - (SUM(leaving) OVER (ORDER BY t ROWS BETWEEN
+                      UNBOUNDED PRECEDING AND CURRENT ROW) - leaving)
+                  AS BIGINT) AS n_at_risk
+      FROM day_agg
+    ),
+    surv AS (
+      SELECT t, dp, de, n_at_risk,
+             COALESCE(product(1.0 - CAST(dp + de AS DOUBLE) / n_at_risk)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 1.0) AS s_prev
+      FROM risk
+    )
+    SELECT CAST(t AS INT) AS day, dp AS n_purchase, de AS n_error,
+           n_at_risk,
+           SUM(s_prev * CAST(dp AS DOUBLE) / n_at_risk)
+             OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS cif_purchase,
+           SUM(s_prev * CAST(de AS DOUBLE) / n_at_risk)
+             OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS cif_error
+    FROM surv WHERE dp + de > 0
+    """,
+)
+def q_events_competing_risks_cif(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Competing-risks cumulative incidence (Aalen–Johansen) — what
+    Kaplan–Meier gets WRONG when two event types race: from each user's
+    first-seen day, does a first PURCHASE or a first ERROR come first?
+    Treating the rival event as censoring (1−KM per cause) overstates
+    both curves; the CIF attributes each day's probability mass to the
+    cause that actually claimed it: CIF_k(t) = Σ_{s≤t} S(s−)·d_k(s)/n(s)
+    with S the ALL-cause survival, so cif_purchase + cif_error ≤ 1 always.
+    Users with neither event are right-censored at their last-seen day
+    (they leave the risk set without mass); purchase wins same-day ties
+    (pinned). The event-time domain is bounded by the observation month
+    (≤31 days after the per-user fold), so the risk-set walk, the
+    exclusive-frame survival product, and the two running CIF sums are
+    windows over a ≤31-row day table — both engines multiply and add the
+    same doubles in the same ascending-day order. Data-sized work is one
+    user-grouped pass."""
+    ev = table_scan(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        "event_type",
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("d").alias("d0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("d"))).alias(
+            "dp"
+        ),
+        F.min(F.when(F.col("event_type") == "error", F.col("d"))).alias(
+            "de"
+        ),
+        F.max("d").alias("dlast"),
+    )
+    obs = per_user.select(
+        F.when(
+            F.col("dp").isNotNull()
+            & (F.col("de").isNull() | (F.col("dp") <= F.col("de"))),
+            F.datediff("dp", "d0"),
+        )
+        .when(F.col("de").isNotNull(), F.datediff("de", "d0"))
+        .otherwise(F.datediff("dlast", "d0"))
+        .alias("t"),
+        F.when(
+            F.col("dp").isNotNull()
+            & (F.col("de").isNull() | (F.col("dp") <= F.col("de"))),
+            1,
+        )
+        .when(F.col("de").isNotNull(), 2)
+        .otherwise(0)
+        .alias("ev"),
+    ).persist()
+    day_agg = obs.groupBy("t").agg(
+        F.sum(F.when(F.col("ev") == 1, 1).otherwise(0)).alias("dp"),
+        F.sum(F.when(F.col("ev") == 2, 1).otherwise(0)).alias("de"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    total = obs.agg(F.count(F.lit(1)).alias("n_total"))
+    cumw = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prevw = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = day_agg.crossJoin(F.broadcast(total)).select(
+        "t",
+        "dp",
+        "de",
+        (
+            F.col("n_total")
+            - (F.sum("leaving").over(cumw) - F.col("leaving"))
+        ).alias("n_at_risk"),
+    )
+    surv = risk.select(
+        "t",
+        "dp",
+        "de",
+        "n_at_risk",
+        F.coalesce(
+            F.product(
+                1.0
+                - (F.col("dp") + F.col("de")).cast("double")
+                / F.col("n_at_risk")
+            ).over(prevw),
+            F.lit(1.0),
+        ).alias("s_prev"),
+    )
+    return surv.filter(F.col("dp") + F.col("de") > 0).select(
+        F.col("t").cast("int").alias("day"),
+        F.col("dp").cast("long").alias("n_purchase"),
+        F.col("de").cast("long").alias("n_error"),
+        "n_at_risk",
+        F.sum(
+            F.col("s_prev") * F.col("dp").cast("double") / F.col("n_at_risk")
+        )
+        .over(cumw)
+        .alias("cif_purchase"),
+        F.sum(
+            F.col("s_prev") * F.col("de").cast("double") / F.col("n_at_risk")
+        )
+        .over(cumw)
+        .alias("cif_error"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

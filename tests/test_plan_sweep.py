@@ -126,6 +126,8 @@ BNLJ_OK = {
     #   scan (1 query vector broadcast, ann_cosine_topk shape) + the ≤8-row
     #   candidate/pair-matrix greedy re-rank joins
     "events_cem_att_matching",  # 1-row global error-rate scalar broadcast
+    "events_competing_risks_cif",  # 1-row total-count scalar broadcast
+    #   (the same risk-set shape as orders_kaplan_meier_first_ship)
 }
 
 #: queries allowed a single-partition (global) Window. Each must justify the
@@ -173,6 +175,8 @@ GLOBAL_WINDOW_OK = {
     #   prefix-sum bin table (two-phase AUC cumulative)
     "orders_kaplan_meier_first_ship",  # risk-set + product-limit windows
     #   over the ≤91-row censored day domain
+    "events_competing_risks_cif",  # risk-set, survival-product, and CIF
+    #   windows over the ≤31-row (observation month) event-time domain
     "events_peak_concurrent_sessions",  # day-offsets window over the
     #   calendar-bounded day table (two-phase prefix sweep)
     "orders_queue_depth_lindley",  # running-sum + running-min windows over

@@ -1296,3 +1296,117 @@ def test_gaps_and_islands_match_pandas_replay(spark, sf_dir):
         assert r.active_days == len(ds)
         assert r.longest_streak == max(islands)
         assert pd.Timestamp(r.first_day) == ds[0]
+
+
+def test_onion_dup_matches_counter_replay(spark, sf_dir):
+    import hashlib
+    from collections import defaultdict
+
+    import pandas as pd
+
+    docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    chunks_by_doc = {}
+    docs_by_fp = defaultdict(set)
+    for did, text in zip(docs.doc_id, docs.text):
+        toks = [w for w in text.strip().split()]
+        nch = max(len(toks) // 16, 1)
+        fps = []
+        for i in range(nch):
+            chunk = " ".join(toks[i * 16 : i * 16 + 16])
+            fp = hashlib.md5(chunk.encode()).hexdigest()
+            fps.append(fp)
+            docs_by_fp[fp].add(did)
+        chunks_by_doc[did] = fps
+    rows = registry.QUERIES["doc_onion_dup_fraction"](spark, sf_dir).collect()
+    got = {r.doc_id: r for r in rows}
+    n_expected = 0
+    for did, fps in chunks_by_doc.items():
+        shared = sum(1 for fp in fps if len(docs_by_fp[fp]) > 1)
+        if shared == 0:
+            assert did not in got
+            continue
+        n_expected += 1
+        r = got[did]
+        assert (r.n_chunks, r.n_shared) == (len(fps), shared)
+        assert r.dup_permille == (1000 * shared) // len(fps)
+    assert len(got) == n_expected
+
+
+def test_split_leakage_by_user_is_zero(spark, sf_dir):
+    import hashlib
+
+    import pandas as pd
+
+    rows = registry.QUERIES["dataset_split_leakage_audit"](
+        spark, sf_dir
+    ).collect()
+    got = {r.strategy: r for r in rows}
+    assert set(got) == {"split_by_event", "split_by_user"}
+    # group-level split can never leak by construction
+    assert got["split_by_user"].n_leaked == 0
+    assert got["split_by_user"].leakage_ppm == 0
+    # replay the row-level leak count independently
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+
+    def h(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16) % 100
+
+    ev["train"] = ev.event_id.map(lambda x: h(x) < 80)
+    g = ev.groupby("user_id").train.agg(["min", "max"])
+    leaked = int((g["min"] != g["max"]).sum())
+    assert got["split_by_event"].n_users == ev.user_id.nunique()
+    assert got["split_by_event"].n_leaked == leaked
+    assert got["split_by_event"].leakage_ppm == (1_000_000 * leaked) // ev.user_id.nunique()
+
+
+def test_competing_risks_cif_matches_sequential_replay(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    ev["d"] = pd.to_datetime(ev.ts).dt.normalize()
+    obs = []
+    for uid, g in ev.groupby("user_id"):
+        d0 = g.d.min()
+        dp = g.d[g.event_type == "purchase"].min()
+        de = g.d[g.event_type == "error"].min()
+        if pd.notna(dp) and (pd.isna(de) or dp <= de):
+            obs.append(((dp - d0).days, 1))
+        elif pd.notna(de):
+            obs.append(((de - d0).days, 2))
+        else:
+            obs.append(((g.d.max() - d0).days, 0))
+    n = len(obs)
+    from collections import Counter
+
+    day_p = Counter(t for t, e in obs if e == 1)
+    day_e = Counter(t for t, e in obs if e == 2)
+    leaving = Counter(t for t, _ in obs)
+    rows = registry.QUERIES["events_competing_risks_cif"](
+        spark, sf_dir
+    ).collect()
+    got = {r.day: r for r in rows}
+    s = 1.0
+    cif_p = cif_e = 0.0
+    at_risk = n
+    for t in sorted(leaving):
+        dp, de = day_p.get(t, 0), day_e.get(t, 0)
+        if dp + de > 0:
+            cif_p += s * dp / at_risk
+            cif_e += s * de / at_risk
+            r = got[t]
+            assert (r.n_purchase, r.n_error, r.n_at_risk) == (dp, de, at_risk)
+            assert abs(r.cif_purchase - cif_p) < 1e-12
+            assert abs(r.cif_error - cif_e) < 1e-12
+            # additivity: CIFs never exceed total event probability
+            assert r.cif_purchase + r.cif_error <= 1.0 + 1e-12
+        s *= 1.0 - (dp + de) / at_risk
+        at_risk -= leaving[t]
+    assert len(got) == sum(
+        1 for t in leaving if day_p.get(t, 0) + day_e.get(t, 0) > 0
+    )
