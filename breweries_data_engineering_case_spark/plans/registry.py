@@ -24246,6 +24246,205 @@ def q_market_concentration_cr4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_lang_id_confusion",
+    """
+    WITH pred AS ({lang_pred}),
+    j AS (
+      SELECT d.lang AS lang_true, p.lang_pred
+      FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+    ),
+    cm AS (
+      SELECT lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+      FROM j GROUP BY lang_true, lang_pred
+    ),
+    tot AS (
+      SELECT lang_true, CAST(SUM(n) AS BIGINT) AS n_true
+      FROM cm GROUP BY lang_true
+    )
+    SELECT cm.lang_true, cm.lang_pred, cm.n,
+           CAST((1000000 * cm.n) // t.n_true AS BIGINT) AS share_of_true_ppm
+    FROM cm JOIN tot t ON cm.lang_true = t.lang_true
+    """.replace("{lang_pred}", _lang_sql()),
+)
+def q_doc_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix — the EVALUATION layer on top of
+    doc_lang_id: the heuristic's prediction against the corpus's stored
+    lang label, as (true, predicted, count, share-of-true ppm). The
+    diagonal rows are per-language recall; off-diagonal mass says WHICH
+    languages the stopword-marker heuristic confuses (the decision input
+    for replacing it with a model on specific language pairs). Exact ppm
+    floors; one grouped count over the label join plus a broadcast-sized
+    per-language marginal. Any classifier-vs-label audit at 100 TB is
+    this same two-shuffle shape."""
+    from ..functions.text import lang_id
+
+    d = table_scan(spark, sf_dir, "documents")
+    j = d.select(
+        F.col("lang").alias("lang_true"), lang_id("text").alias("lang_pred")
+    )
+    cm = j.groupBy("lang_true", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = cm.groupBy("lang_true").agg(F.sum("n").cast("long").alias("n_true"))
+    return cm.join(F.broadcast(tot), "lang_true").select(
+        "lang_true",
+        "lang_pred",
+        "n",
+        F.expr("(1000000 * n) div n_true")
+        .cast("long")
+        .alias("share_of_true_ppm"),
+    )
+
+
+@register(
+    "events_dau_wau_stickiness",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day
+    ),
+    fan AS (
+      SELECT DISTINCT user_id, day + CAST(i AS INT) AS wday
+      FROM ud, UNNEST(range(7)) AS u(i)
+    ),
+    wau AS (
+      SELECT wday AS day, CAST(COUNT(*) AS BIGINT) AS wau
+      FROM fan GROUP BY wday
+    )
+    SELECT d.day, d.dau, w.wau,
+           CAST((1000000 * d.dau) // w.wau AS BIGINT) AS stickiness_ppm
+    FROM dau d JOIN wau w ON d.day = w.day
+    """,
+)
+def q_events_dau_wau_stickiness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DAU/WAU stickiness — the engagement ratio product dashboards track
+    daily: what fraction of the trailing week's users came back TODAY?
+    Rolling DISTINCT counts cannot be merged from daily aggregates
+    (distincts don't sum), and a per-day window over raw events would
+    funnel everything through single tasks — so each (user, active-day)
+    pair FANS OUT to the 7 future window-anchors it belongs to, a
+    distinct collapses revisits inside each window, and WAU(d) is a plain
+    grouped count. The fan-out is ×7 on the SKINNY deduped pair table
+    (never the raw events), the classic distributed rolling-distinct
+    shape that holds at any scale; only days with activity are reported
+    (ratio exact ppm). Two distinct shuffles + two grouped counts."""
+    ud = (
+        table_scan(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+        .persist()
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    fan = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "day",
+    ).select("user_id", F.date_add(F.col("day"), F.col("i")).alias("wday"))
+    wau = (
+        fan.distinct()
+        .groupBy(F.col("wday").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.expr("(1000000 * dau) div wau").cast("long").alias("stickiness_ppm"),
+    )
+
+
+@register(
+    "events_bot_flag_heuristics",
+    """
+    WITH e AS (
+      SELECT user_id, event_type,
+             date_trunc('minute', ts) AS minute,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+      FROM events
+    ),
+    per_min AS (
+      SELECT user_id, minute, CAST(COUNT(*) AS BIGINT) AS n_min
+      FROM e GROUP BY user_id, minute
+    ),
+    rep AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) - COUNT(DISTINCT (event_type, minute, vc))
+                  AS BIGINT) AS n_dup
+      FROM e GROUP BY user_id
+    ),
+    peak AS (
+      SELECT user_id, CAST(MAX(n_min) AS BIGINT) AS peak_minute_rate
+      FROM per_min GROUP BY user_id
+    )
+    SELECT r.user_id, r.n_rows, p.peak_minute_rate,
+           CAST((1000 * r.n_dup) // r.n_rows AS BIGINT) AS dup_permille,
+           (p.peak_minute_rate >= 5
+            OR (1000 * r.n_dup) // r.n_rows >= 300) AS bot_suspect
+    FROM rep r JOIN peak p ON r.user_id = p.user_id
+    WHERE p.peak_minute_rate >= 5
+       OR (1000 * r.n_dup) // r.n_rows >= 300
+    """,
+)
+def q_events_bot_flag_heuristics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bot/automation triage — the traffic-quality filter that runs BEFORE
+    any engagement metric is trusted: flag users whose behavior is
+    mechanically regular on two exact integer signals — a burst rate of
+    ≥5 events inside one wall-clock minute (peak_minute_rate, humans
+    paginate slower) and a ≥30 % ratio of exactly-repeated
+    (type, minute, value-cents) rows (replay/double-fire signature). Both
+    signals are grouped aggregates on user_id — one shuffle, partial-agg
+    combinable, no windows — so the triage costs the same as a user count
+    at any event volume. Flagged users only; the keep-side complement is
+    the anti-join. Thresholds are deliberately crude (this is the triage,
+    not the verdict) — events_interarrival_cv and events_cusum_drift are
+    the finer instruments downstream."""
+    e = table_scan(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.date_trunc("minute", F.col("ts")).alias("minute"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("vc"),
+    )
+    per_min = e.groupBy("user_id", "minute").agg(
+        F.count(F.lit(1)).alias("n_min")
+    )
+    rep = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (
+            F.count(F.lit(1))
+            - F.countDistinct("event_type", "minute", "vc")
+        )
+        .cast("long")
+        .alias("n_dup"),
+    )
+    peak = per_min.groupBy("user_id").agg(
+        F.max("n_min").cast("long").alias("peak_minute_rate")
+    )
+    j = rep.join(peak, "user_id").select(
+        "user_id",
+        "n_rows",
+        "peak_minute_rate",
+        F.expr("(1000 * n_dup) div n_rows").cast("long").alias("dup_permille"),
+    )
+    return j.filter(
+        (F.col("peak_minute_rate") >= 5) | (F.col("dup_permille") >= 300)
+    ).select(
+        "user_id",
+        "n_rows",
+        "peak_minute_rate",
+        "dup_permille",
+        (
+            (F.col("peak_minute_rate") >= 5) | (F.col("dup_permille") >= 300)
+        ).alias("bot_suspect"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

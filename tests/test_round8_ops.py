@@ -1517,3 +1517,76 @@ def test_cr4_matches_pandas_replay(spark, sf_dir):
             len(g), top4, total,
         )
         assert r.cr4_ppm == (1_000_000 * top4) // total
+
+
+def test_lang_confusion_diagonal_dominant(spark, sf_dir):
+    import pandas as pd
+
+    rows = registry.QUERIES["doc_lang_id_confusion"](spark, sf_dir).collect()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    # counts reconcile with the corpus per-language totals
+    by_true = {}
+    for r in rows:
+        by_true.setdefault(r.lang_true, 0)
+        by_true[r.lang_true] += r.n
+    truth = docs.lang.value_counts().to_dict()
+    assert by_true == {k: int(v) for k, v in truth.items()}
+    # shares per true language sum to ~1e6 (floor rounding)
+    share = {}
+    for r in rows:
+        share.setdefault(r.lang_true, 0)
+        share[r.lang_true] += r.share_of_true_ppm
+    for v in share.values():
+        assert 1_000_000 - len(rows) <= v <= 1_000_000
+
+
+def test_dau_wau_matches_pandas_replay(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    ev["day"] = pd.to_datetime(ev.ts).dt.normalize()
+    ud = ev.drop_duplicates(["user_id", "day"])
+    rows = registry.QUERIES["events_dau_wau_stickiness"](
+        spark, sf_dir
+    ).collect()
+    got = {pd.Timestamp(r.day): r for r in rows}
+    dau = ud.groupby("day").user_id.nunique()
+    assert set(got) == set(dau.index)
+    for day, r in got.items():
+        lo = day - pd.Timedelta(days=6)
+        wau = ud[(ud.day >= lo) & (ud.day <= day)].user_id.nunique()
+        assert (r.dau, r.wau) == (int(dau.loc[day]), wau)
+        assert r.stickiness_ppm == (1_000_000 * int(dau.loc[day])) // wau
+        assert r.stickiness_ppm <= 1_000_000
+
+
+def test_bot_flags_match_pandas_replay(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "value"],
+    )
+    ev["minute"] = pd.to_datetime(ev.ts).dt.floor("min")
+    ev["vc"] = (ev.value * 100).round().astype("int64")
+    rows = registry.QUERIES["events_bot_flag_heuristics"](
+        spark, sf_dir
+    ).collect()
+    got = {r.user_id: r for r in rows}
+    n_expected = 0
+    for uid, g in ev.groupby("user_id"):
+        n = len(g)
+        peak = int(g.groupby("minute").size().max())
+        dup = n - len(g.drop_duplicates(["event_type", "minute", "vc"]))
+        dup_pm = (1000 * dup) // n
+        flagged = peak >= 5 or dup_pm >= 300
+        if flagged:
+            n_expected += 1
+            r = got[uid]
+            assert (r.n_rows, r.peak_minute_rate, r.dup_permille) == (
+                n, peak, dup_pm,
+            )
+            assert r.bot_suspect
+        else:
+            assert uid not in got
+    assert len(got) == n_expected
