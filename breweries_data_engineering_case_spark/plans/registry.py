@@ -24445,6 +24445,191 @@ def q_events_bot_flag_heuristics(
     )
 
 
+@register(
+    "nation_ship_delay_exact_p95",
+    """
+    WITH d AS (
+      SELECT n.n_name,
+             CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE)) AS BIGINT) AS delay
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ),
+    h AS (
+      SELECT n_name, delay, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM d GROUP BY n_name, delay
+    ),
+    w AS (
+      SELECT n_name, delay, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY n_name ORDER BY delay
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER (PARTITION BY n_name) AS BIGINT) AS n
+      FROM h
+    )
+    SELECT n_name, n AS n_lineitems,
+           CAST(MIN(CASE WHEN 2 * cum >= n THEN delay END) AS BIGINT)
+             AS p50_delay_days,
+           CAST(MIN(CASE WHEN 20 * cum >= 19 * n THEN delay END) AS BIGINT)
+             AS p95_delay_days
+    FROM w GROUP BY n_name, n
+    """,
+)
+def q_nation_ship_delay_exact_p95(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT per-group median + p95 of shipment delay by supplier nation —
+    the SLA percentile table, done the scale-correct way: a per-group sort
+    window over raw line items would put n/25 rows through each task, so
+    the rows first collapse onto the (nation, delay-days) HISTOGRAM (the
+    delay domain is calendar-bounded — a few thousand distinct values at
+    any fact size), and the percentile is the smallest delay whose
+    cumulative count reaches ⌈q·n⌉ — the cross-multiplied form
+    (20·cum ≥ 19·n) keeps it pure integer. One fact-table aggregate with
+    three dims broadcast, then per-nation walks over the bounded
+    histogram. The exact-order-statistic semantics match
+    percentile_disc, not the interpolating percentile_cont."""
+    li = table_scan(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    o = table_scan(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    sup = table_scan(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = table_scan(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    d = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .select("n_name", F.datediff("sd", "od").cast("long").alias("delay"))
+    )
+    h = d.groupBy("n_name", "delay").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (
+        Window.partitionBy("n_name")
+        .orderBy("delay")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("n_name")
+    w = h.select(
+        "n_name",
+        "delay",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    return w.groupBy("n_name", F.col("n").alias("n_lineitems")).agg(
+        F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("delay")))
+        .cast("long")
+        .alias("p50_delay_days"),
+        F.min(F.when(20 * F.col("cum") >= 19 * F.col("n"), F.col("delay")))
+        .cast("long")
+        .alias("p95_delay_days"),
+    )
+
+
+@register(
+    "doc_ttr_lexical_diversity",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(TRIM(text), '\\s+') AS toks
+      FROM documents WHERE TRIM(text) <> ''
+    ),
+    m AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_types
+      FROM t
+    )
+    SELECT doc_id, n_tokens, n_types,
+           CAST((1000 * n_types) // n_tokens AS BIGINT) AS ttr_permille
+    FROM m
+    """,
+)
+def q_doc_ttr_lexical_diversity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Type-token ratio per document — the lexical-diversity filter in
+    every corpus-quality stack (Gopher's cousin metric): templated, keyword
+    -stuffed, or machine-looped text has few TYPES per TOKEN, so a low TTR
+    is a drop signal complementary to doc_repetition (which catches
+    consecutive repeats; TTR catches scattered vocabulary poverty). Pure
+    per-row array arithmetic — tokenize, distinct, two lengths, one exact
+    permille floor — no aggregation, no shuffle, no UDF: the filter
+    pipelines inside the scan stage at any corpus size. Empty documents
+    are excluded (TTR undefined)."""
+    t = (
+        table_scan(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+        )
+    )
+    m = t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_types"),
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.expr("(1000 * n_types) div n_tokens")
+        .cast("long")
+        .alias("ttr_permille"),
+    )
+
+
+@register(
+    "dq_freshness_by_type",
+    """
+    WITH t AS (
+      SELECT event_type, MAX(ts) AS latest,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY event_type
+    ),
+    g AS (SELECT MAX(latest) AS frontier FROM t)
+    SELECT t.event_type, t.n_events, t.latest,
+           CAST(date_diff('second', t.latest, g.frontier) AS BIGINT)
+             AS lag_behind_frontier_s,
+           date_diff('second', t.latest, g.frontier) > 86400 AS stale
+    FROM t CROSS JOIN g
+    """,
+)
+def q_dq_freshness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source freshness audit — the first data-quality page every
+    ingestion dashboard shows: how far does each event type's latest
+    timestamp LAG the dataset frontier (the max across all types)?
+    Anchoring on the frontier instead of wall-clock ``now()`` keeps the
+    audit deterministic and replayable (the reference's Soda checks pin
+    freshness the same way — relative to data, not to the clock). A type
+    lagging >24 h behind the frontier is flagged stale — the signature of
+    a wedged upstream producer. One grouped max + a single-row frontier
+    broadcast; cost is a partial-agg count at any volume."""
+    t = (
+        table_scan(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.max("ts").alias("latest"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+    g = t.agg(F.max("latest").alias("frontier"))
+    j = t.crossJoin(F.broadcast(g))
+    lag = (
+        F.unix_timestamp("frontier") - F.unix_timestamp("latest")
+    ).cast("long")
+    return j.select(
+        "event_type",
+        "n_events",
+        "latest",
+        lag.alias("lag_behind_frontier_s"),
+        (lag > 86400).alias("stale"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

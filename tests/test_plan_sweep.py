@@ -130,6 +130,7 @@ BNLJ_OK = {
     #   (the same risk-set shape as orders_kaplan_meier_first_ship)
     "events_conversion_latency_quartiles",  # 1-row stats + 1-row cutoffs
     #   broadcasts (_exact_rank_cutoffs) + the 1-row count x cutoffs join
+    "dq_freshness_by_type",  # 1-row dataset-frontier scalar broadcast
 }
 
 #: queries allowed a single-partition (global) Window. Each must justify the

@@ -1590,3 +1590,87 @@ def test_bot_flags_match_pandas_replay(spark, sf_dir):
         else:
             assert uid not in got
     assert len(got) == n_expected
+
+
+def test_nation_p95_matches_sorted_replay(spark, sf_dir):
+    import pandas as pd
+
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    o = pd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    sup = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nat = pd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    m = (
+        li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+    )
+    m["delay"] = (
+        pd.to_datetime(m.l_shipdate).dt.normalize()
+        - pd.to_datetime(m.o_orderdate).dt.normalize()
+    ).dt.days
+    rows = registry.QUERIES["nation_ship_delay_exact_p95"](
+        spark, sf_dir
+    ).collect()
+    got = {r.n_name: r for r in rows}
+    assert len(got) == m.n_name.nunique()
+    import math
+
+    for name, g in m.groupby("n_name"):
+        ds = sorted(g.delay)
+        n = len(ds)
+        p50 = ds[math.ceil(0.5 * n) - 1]
+        p95 = ds[math.ceil(0.95 * n) - 1]
+        r = got[name]
+        assert (r.n_lineitems, r.p50_delay_days, r.p95_delay_days) == (
+            n, p50, p95,
+        )
+
+
+def test_ttr_matches_set_replay(spark, sf_dir):
+    import pandas as pd
+
+    docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    rows = registry.QUERIES["doc_ttr_lexical_diversity"](
+        spark, sf_dir
+    ).collect()
+    got = {r.doc_id: r for r in rows}
+    n_nonempty = 0
+    for did, text in zip(docs.doc_id, docs.text):
+        if not text.strip():
+            assert did not in got
+            continue
+        n_nonempty += 1
+        toks = text.strip().split()
+        r = got[did]
+        assert (r.n_tokens, r.n_types) == (len(toks), len(set(toks)))
+        assert r.ttr_permille == (1000 * len(set(toks))) // len(toks)
+    assert len(got) == n_nonempty
+
+
+def test_freshness_frontier_lag(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    latest = ev.groupby("event_type").ts.max()
+    frontier = latest.max()
+    rows = registry.QUERIES["dq_freshness_by_type"](spark, sf_dir).collect()
+    assert len(rows) == len(latest)
+    for r in rows:
+        exp = int(frontier.floor("s").timestamp()) - int(
+            latest[r.event_type].floor("s").timestamp()
+        )
+        assert r.lag_behind_frontier_s == exp
+        assert r.stale == (exp > 86400)
+    # exactly one type sits ON the frontier
+    assert sum(1 for r in rows if r.lag_behind_frontier_s == 0) >= 1
