@@ -81,6 +81,12 @@ BNLJ_OK = {
     #   joins (the bounded PAVA minimax) + the rank-kernel broadcasts
     "model_conformal_interval_calibration",  # 1-row q̂ scalar broadcast +
     #   the rank-kernel stats/cutoff broadcasts
+    "events_logrank_test_heavy_users",  # 1-row cohort-totals + 1-row
+    #   statistic-sums scalar broadcasts (NA-hazard risk-set class)
+    "lineitem_price_index_laspeyres_paasche",  # 1-row (base, current) year
+    #   bounds broadcast into the scan filter
+    "orders_wagner_whitin_lotsize",  # bounded 8190-pattern setup lattice ×
+    #   12-row month spine joins (dim-sized exhaustive optimization)
     "customer_decay_weighted_value",  # 1-row anchor-date broadcast
     "graph_lpa_modularity",  # 1-row edge-count (m) scalar broadcast
     "doc_jaccard_threshold_sweep",  # exact O(n²) sweep on the bounded
@@ -219,6 +225,8 @@ GLOBAL_WINDOW_OK = {
     #   walk over the ≤10-row decile-bin table
     "model_conformal_interval_calibration",  # rank-kernel internals
     #   (histogram walk + target-bucket row_number) for the q̂ selection
+    "events_logrank_test_heavy_users",  # risk-set walk over the ≤31-row
+    #   bounded day table (same class as events_nelson_aalen_hazard)
 }
 
 #: a Window whose child (through an optional Sort / WindowGroupLimit) is a

@@ -2040,3 +2040,110 @@ def test_quality_keeper_prefers_longest_then_smallest_id(spark, sf_dir):
         expected[int(best.doc_id)] = (len(grp), int(best.n_chars))
     assert got == expected
     assert len(got) > 0, "testdata must contain at least one dup cluster"
+
+
+def test_logrank_matches_sequential_replay(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+    n_users = ev.user_id.nunique()
+    n_events = len(ev)
+    obs = []
+    for uid, grp in ev.groupby("user_id"):
+        first = grp.ts.min().normalize()
+        pur = grp.loc[grp.event_type == "purchase", "ts"]
+        heavy = 1 if len(grp) * n_users >= n_events else 0
+        if len(pur):
+            t = (pur.min().normalize() - first).days
+            obs.append((min(t, 30), 1 if t <= 30 else 0, heavy))
+        else:
+            t = (grp.ts.max().normalize() - first).days
+            obs.append((min(t, 30), 0, heavy))
+    o1 = e1 = v = 0
+    for t in sorted({t for t, _, _ in obs}):
+        nt = sum(1 for tt, _, _ in obs if tt >= t)
+        n1t = sum(1 for tt, _, g in obs if tt >= t and g)
+        d = sum(1 for tt, e, _ in obs if tt == t and e)
+        d1 = sum(1 for tt, e, g in obs if tt == t and e and g)
+        if d == 0:
+            continue
+        o1 += d1
+        e1 += (1_000_000 * d * n1t) // nt
+        if nt > 1:
+            v += (1_000_000 * d * n1t * (nt - n1t) * (nt - d)) // (
+                nt * nt * (nt - 1)
+            )
+    r = registry.QUERIES["events_logrank_test_heavy_users"](
+        spark, sf_dir
+    ).collect()[0]
+    assert (r.o1, r.e1_ppm, r.v_ppm) == (o1, e1, v)
+    assert r.chi2_ppm == ((1_000_000 * o1 - e1) ** 2) // v
+    assert r.significant_95 == (r.chi2_ppm > 3_841_459)
+    assert r.n_heavy + r.n_light == n_users
+
+
+def test_price_index_matches_pandas_replay(spark, sf_dir):
+    import pandas as pd
+
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_quantity"],
+    )
+    li["y"] = li.l_shipdate.dt.year
+    li["cents"] = (li.l_extendedprice * 100).round().astype("int64")
+    li["qty"] = li.l_quantity.astype("int64")
+    y0, y1 = li.y.min(), li.y.max()
+    g = (
+        li[li.y.isin([y0, y1])]
+        .groupby(["l_partkey", "y"])
+        .agg(cents=("cents", "sum"), qty=("qty", "sum"))
+    )
+    g["p"] = g.cents // g.qty
+    base = g.xs(y0, level="y")
+    cur = g.xs(y1, level="y")
+    m = base.join(cur, lsuffix="_0", rsuffix="_1", how="inner")
+    lasp = (1_000_000 * (m.p_1 * m.qty_0).sum()) // (m.p_0 * m.qty_0).sum()
+    paas = (1_000_000 * (m.p_1 * m.qty_1).sum()) // (m.p_0 * m.qty_1).sum()
+    r = registry.QUERIES["lineitem_price_index_laspeyres_paasche"](
+        spark, sf_dir
+    ).collect()[0]
+    assert r.n_matched_parts == len(m)
+    assert (r.laspeyres_ppm, r.paasche_ppm) == (lasp, paas)
+    assert r.substitution_gap_ppm == lasp - paas
+
+
+def test_wagner_whitin_matches_textbook_dp(spark, sf_dir):
+    # independent reference: the sequential O(T^2) WW recurrence —
+    # the lattice enumeration must reproduce cost AND argmin exactly
+    import pandas as pd
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderdate"])
+    o = o[o.o_orderdate.dt.year == 1995]
+    d = o.o_orderdate.dt.month.value_counts().to_dict()
+    dem = [d.get(m, 0) for m in range(1, 13)]
+    K = 1000
+    f = {0: 0}
+    best_j = {}
+    for t in range(1, 13):
+        cands = []
+        for j in range(1, t + 1):
+            hold = sum((i - j) * dem[i - 1] for i in range(j, t + 1))
+            cands.append((f[j - 1] + K + hold, j))
+        f[t], best_j[t] = min(cands)  # min tuple = cost then smallest j
+    rows = {
+        r.month: r
+        for r in registry.QUERIES["orders_wagner_whitin_lotsize"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert len(rows) == 12
+    for t in range(1, 13):
+        assert rows[t].min_total_cost == f[t], t
+        assert rows[t].setup_month == best_j[t], t
+    # sanity: horizon cost is non-decreasing in t (more demand never
+    # cheapens the plan) and every setup month is within the horizon
+    costs = [rows[t].min_total_cost for t in range(1, 13)]
+    assert all(a <= b for a, b in zip(costs, costs[1:]))
+    assert all(1 <= rows[t].setup_month <= t for t in range(1, 13))
