@@ -704,3 +704,39 @@ def synthetic_textured_images(spark, n: int = 48) -> DataFrame:
         header = f"P5\n{w} {h}\n255\n".encode()
         rows.append((i, "image", bytearray(header + px), w, h, None))
     return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def synthetic_video_frames(
+    spark, n_videos: int = 6, n_frames: int = 24
+) -> "DataFrame":
+    """Frame table for SHOT-BOUNDARY detection: each video is a sequence of
+    16×12 PGM frames with deterministic SCENE CUTS — the scene id
+    increments every ``5 + v % 3`` frames; frames inside a scene share a
+    scene-seeded gradient plus a tiny per-frame jitter at two dHash-sampled
+    pixels (≤2 hash bits), while a cut swaps the gradient coefficients
+    entirely (tens of bits). asset_id = video*1000 + frame, so downstream
+    stages recover (video_id, frame_idx) without a second column — the
+    frame payload stays a standard single-image asset row."""
+    w, h = 16, 12
+    rows = []
+    for v in range(n_videos):
+        period = 5 + v % 3
+        for f in range(n_frames):
+            s = f // period
+            a = 1 + (s * 7 + v * 3) % 11
+            b = 1 + (s * 5 + v * 7) % 13
+            c = (s * 3 + v) % 5
+            px = bytearray(
+                ((x * a + y * b + x * y * c) % 200)
+                for y in range(h)
+                for x in range(w)
+            )
+            for k in range(2):
+                gy, gx = (f * 3 + k * 5) % 8, (f * 5 + k * 3) % 8
+                pos = (gy * h // 8) * w + (gx * w // 8)
+                px[pos] = (px[pos] + 128) % 256
+            header = f"P5\n{w} {h}\n255\n".encode()
+            rows.append(
+                (v * 1000 + f, "image", bytearray(header + bytes(px)), w, h, None)
+            )
+    return spark.createDataFrame(rows, ASSET_SCHEMA)

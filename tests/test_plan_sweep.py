@@ -87,6 +87,9 @@ BNLJ_OK = {
     #   bounds broadcast into the scan filter
     "orders_wagner_whitin_lotsize",  # bounded 8190-pattern setup lattice ×
     #   12-row month spine joins (dim-sized exhaustive optimization)
+    "orders_empirical_bayes_shrinkage",  # 1-row global-totals broadcast
+    "orders_pinball_quantile_eval",  # 3-row quantile-cutoff broadcast +
+    #   the rank-kernel stats/cutoff broadcasts
     "customer_decay_weighted_value",  # 1-row anchor-date broadcast
     "graph_lpa_modularity",  # 1-row edge-count (m) scalar broadcast
     "doc_jaccard_threshold_sweep",  # exact O(n²) sweep on the bounded
@@ -227,6 +230,8 @@ GLOBAL_WINDOW_OK = {
     #   (histogram walk + target-bucket row_number) for the q̂ selection
     "events_logrank_test_heavy_users",  # risk-set walk over the ≤31-row
     #   bounded day table (same class as events_nelson_aalen_hazard)
+    "orders_pinball_quantile_eval",  # rank-kernel internals (histogram
+    #   walk + target-bucket row_number) for the three cutoffs
 }
 
 #: a Window whose child (through an optional Sort / WindowGroupLimit) is a
@@ -255,6 +260,8 @@ PANDAS_OK = {
     "grouped_agg_pandas_udf",  # GROUPED_AGG pandas UDF (AggregateInPandas)
     #   over 3 dim-sized returnflag groups, by definition
     "udtf_analyze_kv_columns",  # Arrow UDTF with analyze(), by definition
+    "multimodal_video_shot_boundary",  # same image_dhash mapInPandas
+    #   stage over the synthetic frame table
     "multimodal_image_dhash_near_dup",  # PGM decode + dHash over
     #   mapInPandas, by definition (the join side is JVM banded)
     "multimodal_audio_fingerprint_dup",  # WAV decode + FFT fingerprint

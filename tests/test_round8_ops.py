@@ -2147,3 +2147,100 @@ def test_wagner_whitin_matches_textbook_dp(spark, sf_dir):
     costs = [rows[t].min_total_cost for t in range(1, 13)]
     assert all(a <= b for a, b in zip(costs, costs[1:]))
     assert all(1 <= rows[t].setup_month <= t for t in range(1, 13))
+
+
+def test_shot_boundary_recall_and_precision_exact(spark, sf_dir):
+    # independent reference: replay recipe + dhash in pure python and
+    # check detected boundaries EXACTLY equal the planted scene cuts
+    w, h = 16, 12
+
+    def dhash(px):
+        grid = [
+            [px[(y * h // 8) * w + (x * w // 8)] for x in range(8)]
+            for y in range(8)
+        ]
+        out = 0
+        for y in range(8):
+            for x in range(7):
+                if grid[y][x + 1] > grid[y][x]:
+                    out |= 1 << (y * 7 + x)
+        return out
+
+    planted = set()
+    detected_expect = {}
+    for v in range(6):
+        period = 5 + v % 3
+        prev = None
+        for f in range(24):
+            s = f // period
+            if f > 0 and f % period == 0:
+                planted.add((v, f))
+            a = 1 + (s * 7 + v * 3) % 11
+            b = 1 + (s * 5 + v * 7) % 13
+            c = (s * 3 + v) % 5
+            px = bytearray(
+                ((x * a + y * b + x * y * c) % 200)
+                for y in range(h)
+                for x in range(w)
+            )
+            for k in range(2):
+                gy, gx = (f * 3 + k * 5) % 8, (f * 5 + k * 3) % 8
+                pos = (gy * h // 8) * w + (gx * w // 8)
+                px[pos] = (px[pos] + 128) % 256
+            d = dhash(bytes(px))
+            if prev is not None and bin(d ^ prev).count("1") > 5:
+                detected_expect[(v, f)] = bin(d ^ prev).count("1")
+            prev = d
+    rows = registry.QUERIES["multimodal_video_shot_boundary"](
+        spark, sf_dir
+    ).collect()
+    got = {(r.video_id, r.frame_idx): r.hamming_to_prev for r in rows}
+    assert got == detected_expect
+    # perfect recall AND precision on the planted cuts
+    assert set(got) == planted
+
+
+def test_eb_shrinkage_orders_small_toward_prior(spark, sf_dir):
+    import pandas as pd
+
+    rows = registry.QUERIES["orders_empirical_bayes_shrinkage"](
+        spark, sf_dir
+    ).collect()
+    N = sum(r.n_orders for r in rows)
+    X = sum(r.n_urgent for r in rows)
+    gppm = (1_000_000 * X) // N
+    for r in rows:
+        assert r.raw_ppm == (1_000_000 * r.n_urgent) // r.n_orders
+        assert r.shrunk_ppm == (1_000_000 * (r.n_urgent * N + 100 * X)) // (
+            N * (r.n_orders + 100)
+        )
+        assert r.weight_ppm == (1_000_000 * r.n_orders) // (r.n_orders + 100)
+        # shrunk estimate sits between raw rate and the global rate
+        lo, hi = sorted((r.raw_ppm, gppm))
+        assert lo - 1 <= r.shrunk_ppm <= hi + 1
+
+
+def test_pinball_quantile_is_local_minimum(spark, sf_dir):
+    import pandas as pd
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    v = (o.o_totalprice * 100).round().astype("int64")
+
+    def loss(k, q):
+        d = v - q
+        return int((k * d[d > 0]).sum() + ((4 - k) * (q - v[v <= q])).sum())
+
+    rows = registry.QUERIES["orders_pinball_quantile_eval"](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == 3
+    s = sorted(v)
+    n = len(s)
+    for r in rows:
+        k = r.tau_quarters
+        assert r.q_cents == s[(k * n + 3) // 4 - 1]
+        assert r.pinball4_total == loss(k, r.q_cents)
+        assert r.pinball4_per_order == r.pinball4_total // n
+        # quantile minimizes pinball loss: neighbors never do better
+        assert loss(k, r.q_cents - 1) >= r.pinball4_total
+        assert loss(k, r.q_cents + 1) >= r.pinball4_total
