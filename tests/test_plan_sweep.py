@@ -90,6 +90,10 @@ BNLJ_OK = {
     "orders_empirical_bayes_shrinkage",  # 1-row global-totals broadcast
     "orders_pinball_quantile_eval",  # 3-row quantile-cutoff broadcast +
     #   the rank-kernel stats/cutoff broadcasts
+    "events_qini_uplift_curve",  # rank-kernel cutoff broadcasts into the
+    #   per-user aggregate
+    "events_ipw_treatment_effect",  # rank-kernel cutoff broadcasts + 1-row
+    #   ATE scalar broadcast
     "customer_decay_weighted_value",  # 1-row anchor-date broadcast
     "graph_lpa_modularity",  # 1-row edge-count (m) scalar broadcast
     "doc_jaccard_threshold_sweep",  # exact O(n²) sweep on the bounded
@@ -232,6 +236,10 @@ GLOBAL_WINDOW_OK = {
     #   bounded day table (same class as events_nelson_aalen_hazard)
     "orders_pinball_quantile_eval",  # rank-kernel internals (histogram
     #   walk + target-bucket row_number) for the three cutoffs
+    "events_qini_uplift_curve",  # rank-kernel internals + the descending
+    #   cumulation over the ≤10-row decile table
+    "events_ipw_treatment_effect",  # rank-kernel internals (quartile
+    #   cutoffs over the per-user activity column)
 }
 
 #: a Window whose child (through an optional Sort / WindowGroupLimit) is a

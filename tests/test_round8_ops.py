@@ -2244,3 +2244,123 @@ def test_pinball_quantile_is_local_minimum(spark, sf_dir):
         # quantile minimizes pinball loss: neighbors never do better
         assert loss(k, r.q_cents - 1) >= r.pinball4_total
         assert loss(k, r.q_cents + 1) >= r.pinball4_total
+
+
+def _user_table(sf_dir):
+    import hashlib
+
+    import pandas as pd
+
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    g = ev.groupby("user_id").agg(
+        v=("event_type", "size"),
+        conv=("event_type", lambda s: int((s == "purchase").any())),
+    )
+    g["treated"] = [
+        int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) % 2
+        for u in g.index
+    ]
+    return g
+
+
+def test_qini_curve_matches_cumulative_replay(spark, sf_dir):
+    g = _user_table(sf_dir)
+    s = sorted(g.v)
+    n = len(s)
+    cuts = [s[(i * n + 9) // 10 - 1] for i in range(1, 10)]
+    g["bin"] = g.v.map(lambda x: sum(1 for c in cuts if c < x))
+    rows = sorted(
+        registry.QUERIES["events_qini_uplift_curve"](spark, sf_dir).collect(),
+        key=lambda r: -r.bin,
+    )
+    cnt = cnc = cct = ccc = 0
+    seen_bins = sorted(g.bin.unique(), reverse=True)
+    assert [r.bin for r in rows] == seen_bins
+    for r, b in zip(rows, seen_bins):
+        sub = g[g.bin == b]
+        cnt += int((sub.treated == 1).sum())
+        cnc += int((sub.treated == 0).sum())
+        cct += int(sub[sub.treated == 1].conv.sum())
+        ccc += int(sub[sub.treated == 0].conv.sum())
+        assert (
+            r.cum_treated,
+            r.cum_control,
+            r.cum_conv_treated,
+            r.cum_conv_control,
+        ) == (cnt, cnc, cct, ccc)
+        if cnt and cnc:
+            exp = (1_000_000 * (cct * cnc - ccc * cnt)) // (cnt * cnc)
+            assert r.cum_uplift_ppm == exp
+    # the final (full-population) row is the experiment's overall uplift
+    assert rows[-1].cum_treated + rows[-1].cum_control == len(g)
+
+
+def test_ipw_ate_is_size_weighted_stratum_mean(spark, sf_dir):
+    g = _user_table(sf_dir)
+    s = sorted(g.v)
+    n = len(s)
+    cuts = [s[(i * n + 3) // 4 - 1] for i in range(1, 4)]
+    g["stratum"] = g.v.map(lambda x: sum(1 for c in cuts if c < x))
+    rows = registry.QUERIES["events_ipw_treatment_effect"](
+        spark, sf_dir
+    ).collect()
+    num = den = 0
+    for r in rows:
+        sub = g[g.stratum == r.stratum]
+        nt = int((sub.treated == 1).sum())
+        nc = int((sub.treated == 0).sum())
+        ct = int(sub[sub.treated == 1].conv.sum())
+        cc = int(sub[sub.treated == 0].conv.sum())
+        assert (r.n_s, r.nt, r.nc, r.ct, r.cc) == (len(sub), nt, nc, ct, cc)
+        if nt and nc:
+            exp = (1_000_000 * (ct * nc - cc * nt)) // (nt * nc)
+            assert r.uplift_ppm == exp
+            num += len(sub) * exp
+            den += len(sub)
+    assert all(r.ate_ppm == num // den for r in rows)
+
+
+def test_horvitz_thompson_weights_and_truth(spark, sf_dir):
+    import hashlib
+
+    import pandas as pd
+
+    o = pd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    c = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nat = pd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    o = o.merge(c, left_on="o_custkey", right_on="c_custkey").merge(
+        nat, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    o["cents"] = (o.o_totalprice * 100).round().astype("int64")
+
+    def h(x):
+        return int(hashlib.md5(str(x).encode()).hexdigest()[:15], 16)
+
+    o["psu"] = o.n_name.map(lambda s: h(s) % 5 < 2)
+    o["ssu"] = o.o_orderkey.map(lambda k: h(k) % 4 == 0)
+    true_total = int(o.cents.sum())
+    sampled = o[o.psu & o.ssu]
+    ht = 10 * int(sampled.cents.sum())
+    r = registry.QUERIES["orders_horvitz_thompson_total"](
+        spark, sf_dir
+    ).collect()[0]
+    assert r.true_total_cents == true_total
+    assert r.ht_estimate_cents == ht
+    assert r.n_orders_sampled == len(sampled)
+    assert r.n_nations_sampled == o[o.psu].n_name.nunique()
+    # both engines' integer division truncates toward zero (Spark div,
+    # DuckDB //) — Python's // floors, so emulate truncation explicitly
+    q = 1_000_000 * (ht - true_total)
+    exp = -((-q) // true_total) if q < 0 else q // true_total
+    assert r.error_ppm == exp
+    # the design should land within ~25% of truth on this data
+    assert abs(r.error_ppm) < 250_000
