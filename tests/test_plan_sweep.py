@@ -94,6 +94,9 @@ BNLJ_OK = {
     #   per-user aggregate
     "events_ipw_treatment_effect",  # rank-kernel cutoff broadcasts + 1-row
     #   ATE scalar broadcast
+    "graph_personalized_pagerank",  # 1-row seed-count scalar broadcast
+    #   into the restart vector (same class as the node-count broadcast in
+    #   graph_pagerank_bipartite)
     "customer_decay_weighted_value",  # 1-row anchor-date broadcast
     "graph_lpa_modularity",  # 1-row edge-count (m) scalar broadcast
     "doc_jaccard_threshold_sweep",  # exact O(n²) sweep on the bounded

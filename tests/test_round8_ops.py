@@ -2364,3 +2364,122 @@ def test_horvitz_thompson_weights_and_truth(spark, sf_dir):
     assert r.error_ppm == exp
     # the design should land within ~25% of truth on this data
     assert abs(r.error_ppm) < 250_000
+
+
+def test_personalized_pagerank_seeds_and_mass(spark, sf_dir):
+    import pandas as pd
+
+    rows = registry.QUERIES["graph_personalized_pagerank"](
+        spark, sf_dir
+    ).collect()
+    pr = {r.node: r.pr for r in rows}
+    # replay in pure python: build graph + 3 PPR iterations
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"])
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    n = pd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    m = o.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    pairs = {
+        (f"c{cu}", f"s{su}") for cu, su in zip(m.o_custkey, m.l_suppkey)
+    }
+    edges = list(pairs) + [(b, a) for a, b in pairs]
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    nk7 = set(n[n.n_name == "NATION_7"].n_nationkey)
+    seeds = {
+        f"c{cu}"
+        for cu in c[c.c_nationkey.isin(nk7)].c_custkey
+        if f"c{cu}" in deg
+    }
+    k = len(seeds)
+    restart = {v: (10**12 // k if v in seeds else 0) for v in deg}
+    r = dict(restart)
+    for _ in range(3):
+        inc = {}
+        for s, d in edges:
+            inc[d] = inc.get(d, 0) + r[s] // deg[s]
+        r = {
+            v: (15 * restart[v] + 85 * inc.get(v, 0)) // 100 for v in deg
+        }
+    assert pr == r
+    # personalization: seed customers hold restart mass, and some
+    # non-seed node still gains walked mass
+    assert any(pr[v] > 0 for v in deg if v not in seeds and v[0] == "s")
+    top = max((v for v in pr if v[0] == "s"), key=lambda v: pr[v])
+    assert pr[top] > 0
+
+
+def test_variant_extract_matches_json_replay(spark, sf_dir):
+    import json
+
+    import pandas as pd
+
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+    ev["k"] = ev.props.map(lambda p: json.loads(p)["k"])
+    g = ev.groupby("event_type").k.agg(["size", "min", "max", "sum", "nunique"])
+    rows = registry.QUERIES["sql_variant_json_extract"](spark, sf_dir).collect()
+    assert len(rows) == len(g)
+    for r in rows:
+        e = g.loc[r.event_type]
+        assert (r.n_events, r.min_k, r.max_k, r.sum_k, r.n_distinct_k) == (
+            e["size"],
+            e["min"],
+            e["max"],
+            e["sum"],
+            e["nunique"],
+        )
+
+
+def test_ri_audit_clean_on_synthetic_data(spark, sf_dir):
+    rows = registry.QUERIES["dq_referential_integrity_audit"](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == 6
+    assert {r.fk_edge for r in rows} == {
+        "lineitem.l_orderkey->orders",
+        "lineitem.l_partkey->part",
+        "lineitem.l_suppkey->supplier",
+        "orders.o_custkey->customer",
+        "customer.c_nationkey->nation",
+        "supplier.s_nationkey->nation",
+    }
+    for r in rows:
+        assert r.n_child_rows > 0
+        assert r.n_orphans == 0 and r.orphan_ppm == 0
+
+
+def test_ri_audit_detects_planted_orphans(spark):
+    # the audit must actually fire: plant orphans in a scratch copy
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    src = Path("/root/testdata/sf0.001")
+    dst = Path(tempfile.mkdtemp(prefix="bdec_ri_"))
+    try:
+        for t in [
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        ]:
+            shutil.copy(src / f"{t}.parquet", dst / f"{t}.parquet")
+        # rewrite supplier with 3 bogus nation keys
+        import pandas as pd
+
+        s = pd.read_parquet(dst / "supplier.parquet")
+        s.loc[s.index[:3], "s_nationkey"] = 9999
+        s.to_parquet(dst / "supplier.parquet", index=False)
+        rows = {
+            r.fk_edge: r
+            for r in registry.QUERIES["dq_referential_integrity_audit"](
+                spark, str(dst)
+            ).collect()
+        }
+        bad = rows["supplier.s_nationkey->nation"]
+        assert bad.n_orphans == 3
+        assert bad.orphan_ppm == (1_000_000 * 3) // bad.n_child_rows
+        assert rows["orders.o_custkey->customer"].n_orphans == 0
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
