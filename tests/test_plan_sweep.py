@@ -97,6 +97,12 @@ BNLJ_OK = {
     "graph_personalized_pagerank",  # 1-row seed-count scalar broadcast
     #   into the restart vector (same class as the node-count broadcast in
     #   graph_pagerank_bipartite)
+    "embedding_jl_projection_distortion",  # bounded 20-probe pair join
+    #   (the JL audit harness; the projection itself is scan-stage)
+    "embedding_kcenter_greedy_init",  # ≤k-row chosen-center broadcast per
+    #   iteration + 1-row argmax/min-id scalar broadcasts
+    "events_ljung_box_daily",  # ≤31-row day table × 7-row lag lattice +
+    #   1-row totals/c0/Q scalar broadcasts
     "customer_decay_weighted_value",  # 1-row anchor-date broadcast
     "graph_lpa_modularity",  # 1-row edge-count (m) scalar broadcast
     "doc_jaccard_threshold_sweep",  # exact O(n²) sweep on the bounded

@@ -2483,3 +2483,119 @@ def test_ri_audit_detects_planted_orphans(spark):
         assert rows["orders.o_custkey->customer"].n_orphans == 0
     finally:
         shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_jl_distortion_concentrates_near_one(spark, sf_dir):
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = emb[emb.vec_id < 20].sort_values("vec_id")
+    q = {
+        int(r.vec_id): np.round(
+            np.array(r.embedding, dtype="float64") * 1000
+        ).astype("int64")
+        for r in emb.itertuples()
+    }
+    signs = np.array(
+        [
+            [
+                1
+                if int(
+                    hashlib.md5(f"{j}_{d}".encode()).hexdigest()[:15], 16
+                )
+                % 2
+                == 0
+                else -1
+                for d in range(64)
+            ]
+            for j in range(16)
+        ],
+        dtype="int64",
+    )
+    rows = registry.QUERIES["embedding_jl_projection_distortion"](
+        spark, sf_dir
+    ).collect()
+    ids = sorted(q)
+    assert len(rows) == len(ids) * (len(ids) - 1) // 2
+    dist = []
+    for r in rows:
+        qa, qb = q[r.id_a], q[r.id_b]
+        d64 = int(((qa - qb) ** 2).sum())
+        ya, yb = signs @ qa, signs @ qb
+        d16 = int(((ya - yb) ** 2).sum())
+        assert (r.d64_sq, r.d16_sq) == (d64, d16)
+        assert r.distortion_ppm == (1_000_000 * d16) // (16 * d64)
+        dist.append(r.distortion_ppm)
+    # JL concentration: the MEDIAN pair distortion is within ~60% of 1
+    dist.sort()
+    med = dist[len(dist) // 2]
+    assert 400_000 < med < 1_600_000
+
+
+def test_kcenter_greedy_matches_sequential_and_is_monotone(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q = {
+        int(r.vec_id): np.round(
+            np.array(r.embedding, dtype="float64") * 1000
+        ).astype("int64")
+        for r in emb.itertuples()
+    }
+    chosen = [min(q)]
+    radii = [0]
+    for _ in range(3):
+        best = None
+        for vid in sorted(q):
+            d = min(int(((q[vid] - q[c]) ** 2).sum()) for c in chosen)
+            if best is None or d > best[1]:
+                best = (vid, d)
+        chosen.append(best[0])
+        radii.append(best[1])
+    rows = sorted(
+        registry.QUERIES["embedding_kcenter_greedy_init"](
+            spark, sf_dir
+        ).collect(),
+        key=lambda r: r.center_rank,
+    )
+    assert [r.vec_id for r in rows] == chosen
+    assert [r.radius_sq for r in rows] == radii
+    # covering radius non-increasing after the seed
+    rs = [r.radius_sq for r in rows[1:]]
+    assert all(a >= b for a, b in zip(rs, rs[1:]))
+
+
+def test_ljung_box_matches_sequential_replay(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    daily = ev.ts.dt.normalize().value_counts().sort_index()
+    x = daily.tolist()
+    days = daily.index.tolist()
+    n = len(x)
+    mean_floor = sum(x) // n
+    z = {d: v - mean_floor for d, v in zip(days, x)}
+    c0 = sum(v * v for v in z.values())
+    terms = {}
+    rs = {}
+    for k in range(1, 8):
+        ck = sum(
+            z[d] * z.get(d + pd.Timedelta(days=k), 0)
+            for d in days
+            if d + pd.Timedelta(days=k) in z
+        )
+        q_, rem = divmod(1_000_000 * ck, c0)
+        r_ppm = q_ if (1_000_000 * ck) >= 0 or rem == 0 else q_ + 1
+        rs[k] = r_ppm
+        terms[k] = (r_ppm * r_ppm) // (n - k)
+    q_ppm = (n * (n + 2) * sum(terms.values())) // 1_000_000
+    rows = registry.QUERIES["events_ljung_box_daily"](spark, sf_dir).collect()
+    assert len(rows) == 7
+    for r in rows:
+        assert r.r_ppm == rs[r.lag], r.lag
+        assert r.q_ppm == q_ppm
+        assert r.reject_whiteness_95 == (q_ppm > 14_067_140)
