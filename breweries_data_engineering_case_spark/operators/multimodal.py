@@ -740,3 +740,72 @@ def synthetic_video_frames(
                 (v * 1000 + f, "image", bytearray(header + bytes(px)), w, h, None)
             )
     return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+FRAME_ENERGY_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), nullable=False),
+        StructField("frame_idx", LongType(), nullable=False),
+        StructField("energy", LongType(), nullable=False),
+    ]
+)
+
+
+def synthetic_speech_audio(spark, n: int = 8) -> "DataFrame":
+    """WAV assets with PLANTED voiced/silent alternation for VAD: asset i
+    alternates (3 + i%3) voiced frames (2000-amplitude tone, 200+25·i Hz)
+    with (2 + i%2) all-zero silent frames; frame = 256 samples, 32 frames
+    (8192 samples at 8 kHz) per asset."""
+    rows = []
+    rate, frame, n_frames = 8000, 256, 32
+    for i in range(n):
+        von, voff = 3 + i % 3, 2 + i % 2
+        period = von + voff
+        samples = np.zeros(frame * n_frames, dtype="<i2")
+        freq = 200 + 25 * i
+        for f in range(n_frames):
+            if f % period < von:
+                t = (np.arange(frame) + f * frame) / rate
+                samples[f * frame : (f + 1) * frame] = np.round(
+                    2000 * np.sin(2 * np.pi * freq * t)
+                ).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wv:
+            wv.setnchannels(1)
+            wv.setsampwidth(2)
+            wv.setframerate(rate)
+            wv.writeframes(samples.tobytes())
+        rows.append(
+            (i, "audio", bytearray(buf.getvalue()), None, None,
+             frame * n_frames * 1000 // rate)
+        )
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def audio_frame_energy(assets: DataFrame, frame: int = 256) -> DataFrame:
+    """Per-frame signal energy (Σ sample², exact int64) as an Arrow-batched
+    mapInPandas stage — the primitive under voice-activity detection,
+    silence trimming, and loudness normalization. Non-audio or non-WAV
+    payloads are dropped."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames, energies = [], [], []
+            for _, row in pdf.iterrows():
+                p = bytes(row["payload"]) if row["payload"] is not None else b""
+                if row["media_type"] != "audio" or p[:4] != b"RIFF":
+                    continue
+                with wave.open(io.BytesIO(p), "rb") as wv:
+                    raw = wv.readframes(wv.getnframes())
+                samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                nf = len(samples) // frame
+                for f in range(nf):
+                    seg = samples[f * frame : (f + 1) * frame]
+                    ids.append(int(row["asset_id"]))
+                    frames.append(f)
+                    energies.append(int((seg * seg).sum()))
+            yield pd.DataFrame(
+                {"asset_id": ids, "frame_idx": frames, "energy": energies}
+            )
+
+    return assets.mapInPandas(process, FRAME_ENERGY_SCHEMA)

@@ -103,6 +103,11 @@ BNLJ_OK = {
     #   iteration + 1-row argmax/min-id scalar broadcasts
     "events_ljung_box_daily",  # ≤31-row day table × 7-row lag lattice +
     #   1-row totals/c0/Q scalar broadcasts
+    "events_markov_removal_attribution",  # (levels × states) micro-lattice
+    #   broadcasts per absorption round + 1-row start-total/base/Σeffect
+    #   scalar broadcasts
+    "llm_curation_pipeline_end_to_end",  # 1-row token-total + 1-row
+    #   shortfall scalar broadcasts (the Hamilton apportionment stage)
     "customer_decay_weighted_value",  # 1-row anchor-date broadcast
     "graph_lpa_modularity",  # 1-row edge-count (m) scalar broadcast
     "doc_jaccard_threshold_sweep",  # exact O(n²) sweep on the bounded
@@ -249,6 +254,9 @@ GLOBAL_WINDOW_OK = {
     #   cumulation over the ≤10-row decile table
     "events_ipw_treatment_effect",  # rank-kernel internals (quartile
     #   cutoffs over the per-user activity column)
+    "llm_curation_pipeline_end_to_end",  # largest-remainder rank window
+    #   over the ~20-row source dimension (dataset_token_budget_allocation
+    #   class)
 }
 
 #: a Window whose child (through an optional Sort / WindowGroupLimit) is a
@@ -279,6 +287,8 @@ PANDAS_OK = {
     "udtf_analyze_kv_columns",  # Arrow UDTF with analyze(), by definition
     "multimodal_video_shot_boundary",  # same image_dhash mapInPandas
     #   stage over the synthetic frame table
+    "multimodal_audio_vad_segments",  # audio_frame_energy mapInPandas
+    #   stage (stdlib-wave decode + framed Σs²)
     "multimodal_image_dhash_near_dup",  # PGM decode + dHash over
     #   mapInPandas, by definition (the join side is JVM banded)
     "multimodal_audio_fingerprint_dup",  # WAV decode + FFT fingerprint

@@ -2599,3 +2599,113 @@ def test_ljung_box_matches_sequential_replay(spark, sf_dir):
         assert r.r_ppm == rs[r.lag], r.lag
         assert r.q_ppm == q_ppm
         assert r.reject_whiteness_95 == (q_ppm > 14_067_140)
+
+
+def test_vad_segments_equal_planted_voiced_runs(spark, sf_dir):
+    # independent truth: the planted pattern (f % period < von), not the
+    # energy computation — proves threshold + islands recover the plan
+    expected = []
+    for i in range(8):
+        von, voff = 3 + i % 3, 2 + i % 2
+        period = von + voff
+        voiced = [f for f in range(32) if f % period < von]
+        segs = []
+        for f in voiced:
+            if segs and segs[-1][1] == f - 1:
+                segs[-1][1] = f
+            else:
+                segs.append([f, f])
+        for idx, (a, b) in enumerate(segs, start=1):
+            expected.append((i, idx, a, b, b - a + 1))
+    rows = registry.QUERIES["multimodal_audio_vad_segments"](
+        spark, sf_dir
+    ).collect()
+    got = sorted(
+        (r.asset_id, r.seg_idx, r.start_frame, r.end_frame, r.n_frames)
+        for r in rows
+    )
+    assert got == sorted(expected)
+
+
+def test_markov_removal_consistency(spark, sf_dir):
+    # cross-checks vs the existing absorption query: the '__none__' level
+    # must reproduce absorb_permille weighted by the start distribution,
+    # and removing a channel can only lose conversion probability
+    import pandas as pd
+
+    rows = registry.QUERIES["events_markov_removal_attribution"](
+        spark, sf_dir
+    ).collect()
+    absorb = {
+        r.event_type: r.absorb_permille
+        for r in registry.QUERIES["events_markov_absorption_4step"](
+            spark, sf_dir
+        ).collect()
+    }
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+    firsts = (
+        ev.sort_values(["ts", "event_id"])
+        .groupby("user_id")
+        .event_type.first()
+    )
+    nu = len(firsts)
+    wsum = sum(absorb[s] for s in firsts)
+    full_pm = wsum // nu
+    assert len(rows) == 4  # click / error / signup / view
+    tot = sum(r.removal_effect_pm for r in rows)
+    for r in rows:
+        assert r.conv_full_pm == full_pm
+        assert r.removal_effect_pm == r.conv_full_pm - r.conv_removed_pm
+        assert r.removal_effect_pm >= 0
+        if tot > 0:
+            assert r.share_ppm == (1_000_000 * r.removal_effect_pm) // tot
+    # at least one channel must matter on this data
+    assert tot > 0
+
+
+def test_curation_pipeline_funnel_and_budget_sums(spark, sf_dir):
+    import hashlib
+    import re as _re
+
+    import pandas as pd
+
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    rows = {
+        r.source: r
+        for r in registry.QUERIES["llm_curation_pipeline_end_to_end"](
+            spark, sf_dir
+        ).collect()
+    }
+    d2 = d[d.text.str.strip() != ""].copy()
+    d2["toks"] = d2.text.map(lambda t: _re.split(r"\s+", t.strip()))
+    d2["n_tokens"] = d2.toks.map(len)
+    d2["n_types"] = d2.toks.map(lambda t: len(set(t)))
+    qual = d2[
+        (d2.n_tokens >= 5) & ((1000 * d2.n_types) // d2.n_tokens >= 200)
+    ].copy()
+    qual["ckey"] = qual.toks.map(lambda t: " ".join(t[:16]))
+    kept = qual.sort_values(
+        ["n_chars", "doc_id"], ascending=[False, True]
+    ).drop_duplicates("ckey")
+    T = int(kept.n_tokens.sum())
+    B = T // 2
+    ksrc = kept.groupby("source").n_tokens.agg(["size", "sum"])
+    # funnel counts per source
+    for src, r in rows.items():
+        assert r.docs_in == int((d.source == src).sum())
+        assert r.docs_quality == int((qual.source == src).sum())
+        if src in ksrc.index:
+            assert (r.docs_kept, r.tokens_kept) == (
+                ksrc.loc[src, "size"],
+                ksrc.loc[src, "sum"],
+            )
+    # Hamilton apportionment: exact budget conservation + quota property
+    allocs = {s: r.budget_tokens for s, r in rows.items()}
+    assert sum(allocs.values()) == B
+    for src, r in rows.items():
+        if r.tokens_kept:
+            lo = (B * r.tokens_kept) // T
+            assert lo <= r.budget_tokens <= lo + 1
