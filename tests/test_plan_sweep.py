@@ -108,6 +108,8 @@ BNLJ_OK = {
     #   scalar broadcasts
     "llm_curation_pipeline_end_to_end",  # 1-row token-total + 1-row
     #   shortfall scalar broadcasts (the Hamilton apportionment stage)
+    "orders_profit_curve_threshold",  # rank-kernel cutoff broadcasts +
+    #   1-row argmax scalar broadcast over the 10-row curve
     "customer_decay_weighted_value",  # 1-row anchor-date broadcast
     "graph_lpa_modularity",  # 1-row edge-count (m) scalar broadcast
     "doc_jaccard_threshold_sweep",  # exact O(n²) sweep on the bounded
@@ -257,6 +259,8 @@ GLOBAL_WINDOW_OK = {
     "llm_curation_pipeline_end_to_end",  # largest-remainder rank window
     #   over the ~20-row source dimension (dataset_token_budget_allocation
     #   class)
+    "orders_profit_curve_threshold",  # rank-kernel internals + the
+    #   descending cumulation over the ≤10-row decile curve
 }
 
 #: a Window whose child (through an optional Sort / WindowGroupLimit) is a

@@ -2709,3 +2709,80 @@ def test_curation_pipeline_funnel_and_budget_sums(spark, sf_dir):
         if r.tokens_kept:
             lo = (B * r.tokens_kept) // T
             assert lo <= r.budget_tokens <= lo + 1
+
+
+def test_c4_span_dedup_matches_counter_replay(spark, sf_dir):
+    import re as _re
+
+    import pandas as pd
+
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    d = d[d.text.str.strip() != ""]
+    owned = {}
+    spans_per_doc = {}
+    for _, row in d.sort_values("doc_id").iterrows():
+        toks = _re.split(r"\s+", row.text.strip())
+        if len(toks) < 24:
+            continue
+        n_sent = len(toks) // 8
+        for j in range(n_sent - 2):
+            h = " ".join(toks[j * 8 : j * 8 + 24])
+            key = (int(row.doc_id), j)
+            owned.setdefault(h, []).append(key)
+            spans_per_doc.setdefault(int(row.doc_id), [0, 0])
+            spans_per_doc[int(row.doc_id)][0] += 1
+    for h, keys in owned.items():
+        for key in sorted(keys)[1:]:
+            spans_per_doc[key[0]][1] += 1
+    expected = {
+        did: (n, rem, (1_000_000 * rem) // n)
+        for did, (n, rem) in spans_per_doc.items()
+        if rem > 0
+    }
+    rows = registry.QUERIES["doc_c4_span_dedup"](spark, sf_dir).collect()
+    got = {
+        r.doc_id: (r.n_spans, r.n_removed, r.removed_ppm) for r in rows
+    }
+    assert got == expected
+    assert len(got) > 0, "corpus must contain repeated spans"
+
+
+def test_pk_audit_flags_lineitem_composite(spark, sf_dir):
+    import pandas as pd
+
+    rows = {r.pk: r for r in registry.QUERIES["dq_pk_uniqueness_audit"](
+        spark, sf_dir
+    ).collect()}
+    assert len(rows) == 9
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
+    )
+    r = rows["lineitem(l_orderkey,l_linenumber)"]
+    n_distinct = len(li.drop_duplicates())
+    assert (r.n_rows, r.n_distinct) == (len(li), n_distinct)
+    # the documented testdata trap: the composite is NOT unique
+    assert not r.is_unique and r.n_excess_rows > 0
+    for name in [
+        "orders(o_orderkey)", "customer(c_custkey)", "part(p_partkey)",
+        "supplier(s_suppkey)", "nation(n_nationkey)", "events(event_id)",
+        "documents(doc_id)", "embeddings(vec_id)",
+    ]:
+        assert rows[name].is_unique and rows[name].n_excess_rows == 0
+
+
+def test_profit_curve_argmax_and_values(spark, sf_dir):
+    rows = sorted(
+        registry.QUERIES["orders_profit_curve_threshold"](
+            spark, sf_dir
+        ).collect(),
+        key=lambda r: -r.threshold_decile,
+    )
+    # cumulative columns are monotone walking down the thresholds
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_targeted > a.n_targeted and b.n_caught >= a.n_caught
+    for r in rows:
+        assert r.profit == 400 * r.n_caught - 100 * r.n_targeted
+    best = max(rows, key=lambda r: (r.profit, r.threshold_decile))
+    flags = [r for r in rows if r.is_optimal]
+    assert len(flags) == 1
+    assert flags[0].threshold_decile == best.threshold_decile
