@@ -49,6 +49,11 @@ HEADLINE = [
     # previously-untracked families, now costed round-over-round
     "dedup_cascade_funnel",
     "entity_resolution_fuzzy",
+    # round-8 flagships: the end-to-end curation recipe (quality → dedup
+    # keep-policy → token budget in one plan) and the heaviest new
+    # attribution family (grid-absorption removal effects)
+    "llm_curation_pipeline_end_to_end",
+    "events_markov_removal_attribution",
 ]
 
 # Clean-host reference probes (recorded across rounds 6-7 idle windows in
