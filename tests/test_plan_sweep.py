@@ -110,6 +110,10 @@ BNLJ_OK = {
     #   shortfall scalar broadcasts (the Hamilton apportionment stage)
     "orders_profit_curve_threshold",  # rank-kernel cutoff broadcasts +
     #   1-row argmax scalar broadcast over the 10-row curve
+    "embedding_seeding_cost_eval",  # ≤8-row seed tables broadcast against
+    #   the corpus scan (kcenter machinery + first-k baseline)
+    "orders_backlog_aging_waterfall",  # 1-row frontier + 1-row total
+    #   scalar broadcasts
     "customer_decay_weighted_value",  # 1-row anchor-date broadcast
     "graph_lpa_modularity",  # 1-row edge-count (m) scalar broadcast
     "doc_jaccard_threshold_sweep",  # exact O(n²) sweep on the bounded

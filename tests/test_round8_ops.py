@@ -2786,3 +2786,85 @@ def test_profit_curve_argmax_and_values(spark, sf_dir):
     flags = [r for r in rows if r.is_optimal]
     assert len(flags) == 1
     assert flags[0].threshold_decile == best.threshold_decile
+
+
+def test_dup_ngram_fraction_matches_counter_replay(spark, sf_dir):
+    import re as _re
+
+    import pandas as pd
+
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    d = d[d.text.str.strip() != ""]
+    expected = {}
+    for _, row in d.iterrows():
+        toks = _re.split(r"\s+", row.text.strip())
+        if len(toks) < 4:
+            continue
+        grams = [" ".join(toks[i : i + 4]) for i in range(len(toks) - 3)]
+        n, dn = len(grams), len(set(grams))
+        expected[int(row.doc_id)] = (
+            n,
+            dn,
+            (1_000_000 * (n - dn)) // n,
+            (n - dn) * 10 > n,
+        )
+    rows = registry.QUERIES["doc_dup_ngram_fraction"](spark, sf_dir).collect()
+    got = {
+        r.doc_id: (r.n_4grams, r.n_distinct, r.dup_ppm, r.loop_suspect)
+        for r in rows
+    }
+    assert got == expected
+    # the signal must fire somewhere: at least one doc repeats a 4-gram
+    assert any(v[2] > 0 for v in got.values())
+
+
+def test_seeding_eval_kcenter_beats_first_k_on_radius(spark, sf_dir):
+    rows = {
+        r.method: r
+        for r in registry.QUERIES["embedding_seeding_cost_eval"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == {"kcenter_greedy", "first_k"}
+    kc, fk = rows["kcenter_greedy"], rows["first_k"]
+    # k-center greedy optimizes the covering radius — it must not lose
+    # on max cost, and on this data should win strictly
+    assert kc.max_cost <= fk.max_cost
+    assert kc.max_cost > 0 and kc.total_cost > 0
+
+
+def test_backlog_waterfall_counts_and_shares(spark, sf_dir):
+    import pandas as pd
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    frontier = o.o_orderdate.max().normalize()
+    open_o = o[o.o_orderstatus != "F"].copy()
+    open_o["age"] = (frontier - open_o.o_orderdate.dt.normalize()).dt.days
+    open_o["cents"] = (open_o.o_totalprice * 100).round().astype("int64")
+
+    def bucket(a):
+        if a <= 30:
+            return "00-030d"
+        if a <= 90:
+            return "031-090d"
+        if a <= 365:
+            return "091-365d"
+        return "365d+"
+
+    open_o["bucket"] = open_o.age.map(bucket)
+    g = open_o.groupby(["o_orderstatus", "bucket"]).agg(
+        n=("cents", "size"), v=("cents", "sum")
+    )
+    tot = int(open_o.cents.sum())
+    rows = registry.QUERIES["orders_backlog_aging_waterfall"](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == len(g)
+    share_sum = 0
+    for r in rows:
+        e = g.loc[(r.status, r.age_bucket)]
+        assert (r.n_orders, r.value_cents) == (e.n, e.v)
+        assert r.value_share_ppm == (1_000_000 * e.v) // tot
+        share_sum += r.value_share_ppm
+    assert 990_000 <= share_sum <= 1_000_000
+    assert {r.status for r in rows} == {"P", "O"}
