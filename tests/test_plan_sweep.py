@@ -114,6 +114,9 @@ BNLJ_OK = {
     #   the corpus scan (kcenter machinery + first-k baseline)
     "orders_backlog_aging_waterfall",  # 1-row frontier + 1-row total
     #   scalar broadcasts
+    "events_ordered_funnel_conversion",  # five 1-row stage-count scalar
+    #   broadcasts into the single-row funnel ledger
+    "dq_order_total_reconciliation",  # 1-row bucket-total scalar broadcast
     "customer_decay_weighted_value",  # 1-row anchor-date broadcast
     "graph_lpa_modularity",  # 1-row edge-count (m) scalar broadcast
     "doc_jaccard_threshold_sweep",  # exact O(n²) sweep on the bounded
@@ -297,6 +300,8 @@ PANDAS_OK = {
     #   stage over the synthetic frame table
     "multimodal_audio_vad_segments",  # audio_frame_energy mapInPandas
     #   stage (stdlib-wave decode + framed Σs²)
+    "multimodal_image_blur_laplacian",  # numpy Laplacian stencil over
+    #   mapInPandas (vectorized shifts, no per-pixel Python)
     "multimodal_image_dhash_near_dup",  # PGM decode + dHash over
     #   mapInPandas, by definition (the join side is JVM banded)
     "multimodal_audio_fingerprint_dup",  # WAV decode + FFT fingerprint
