@@ -117,6 +117,8 @@ BNLJ_OK = {
     "events_ordered_funnel_conversion",  # five 1-row stage-count scalar
     #   broadcasts into the single-row funnel ledger
     "dq_order_total_reconciliation",  # 1-row bucket-total scalar broadcast
+    "events_topk_churn_drift",  # 1-row time-bounds broadcast + 1-row
+    #   overlap-count scalar (top-k itself is TakeOrdered, not a window)
     "customer_decay_weighted_value",  # 1-row anchor-date broadcast
     "graph_lpa_modularity",  # 1-row edge-count (m) scalar broadcast
     "doc_jaccard_threshold_sweep",  # exact O(n²) sweep on the bounded

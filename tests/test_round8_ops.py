@@ -2967,3 +2967,79 @@ def test_blur_laplacian_matches_pure_python_stencil(spark, sf_dir):
     # brightness shift must NOT change the Laplacian variance: variants
     # within a group differ only by tweak pixels, so stats stay close
     assert len(got) == 48
+
+
+def test_srm_check_matches_hash_replay(spark, sf_dir):
+    import hashlib
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    users = ev.user_id.unique()
+    nt = sum(
+        1
+        for u in users
+        if int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) % 2 == 1
+    )
+    nc = len(users) - nt
+    r = registry.QUERIES["events_ab_srm_check"](spark, sf_dir).collect()[0]
+    assert (r.n_treated, r.n_control) == (nt, nc)
+    chi2 = (1_000_000 * (nt - nc) ** 2) // (nt + nc)
+    assert r.chi2_ppm == chi2
+    assert r.srm_alarm == (chi2 > 3_841_459)
+    # the portable-md5 coin must NOT trip SRM on a healthy split
+    assert not r.srm_alarm
+
+
+def test_topk_churn_matches_pandas_replay(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    us = ev.ts.astype("datetime64[us]").astype("int64")
+    lo, hi = int(us.min()), int(us.max())
+    ev["half"] = (us * 2 >= lo + hi).astype(int)
+
+    def topk(h):
+        c = (
+            ev[ev.half == h]
+            .groupby("user_id")
+            .size()
+            .reset_index(name="n")
+            .sort_values(["n", "user_id"], ascending=[False, True])
+        )
+        return set(c.head(10).user_id)
+
+    t0, t1 = topk(0), topk(1)
+    common = len(t0 & t1)
+    r = registry.QUERIES["events_topk_churn_drift"](spark, sf_dir).collect()[0]
+    assert r.n_common == common
+    assert r.jaccard_ppm == (1_000_000 * common) // (20 - common)
+    assert r.n_new_entrants == 10 - common
+
+
+def test_winback_matches_gap_replay(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    d = (
+        ev.assign(day=ev.ts.dt.normalize())
+        .drop_duplicates(["user_id", "day"])
+        .sort_values(["user_id", "day"])
+    )
+    expected = {}
+    for uid, g in d.groupby("user_id"):
+        days = g.day.tolist()
+        for a, b in zip(days, days[1:]):
+            gap = (b - a).days
+            if gap >= 7:
+                bucket = (
+                    "07-13d" if gap < 14 else "14-20d" if gap < 21 else "21d+"
+                )
+                expected.setdefault(bucket, [0, set()])
+                expected[bucket][0] += 1
+                expected[bucket][1].add(uid)
+    rows = registry.QUERIES["events_winback_reactivation"](
+        spark, sf_dir
+    ).collect()
+    got = {r.dormancy_bucket: (r.n_reactivations, r.n_users) for r in rows}
+    assert got == {k: (v[0], len(v[1])) for k, v in expected.items()}
