@@ -119,6 +119,10 @@ BNLJ_OK = {
     "dq_order_total_reconciliation",  # 1-row bucket-total scalar broadcast
     "events_topk_churn_drift",  # 1-row time-bounds broadcast + 1-row
     #   overlap-count scalar (top-k itself is TakeOrdered, not a window)
+    "events_spc_imr_chart",  # 1-row control-limit stats broadcast over the
+    #   ≤31-row day chart
+    "events_growth_accounting_weekly",  # 1-row max-week scalar broadcast
+    #   bounding the churn attribution
     "customer_decay_weighted_value",  # 1-row anchor-date broadcast
     "graph_lpa_modularity",  # 1-row edge-count (m) scalar broadcast
     "doc_jaccard_threshold_sweep",  # exact O(n²) sweep on the bounded
@@ -270,6 +274,8 @@ GLOBAL_WINDOW_OK = {
     #   class)
     "orders_profit_curve_threshold",  # rank-kernel internals + the
     #   descending cumulation over the ≤10-row decile curve
+    "events_spc_imr_chart",  # LAG over the bounded ≤31-row day table
+    #   (KM-curve class)
 }
 
 #: a Window whose child (through an optional Sort / WindowGroupLimit) is a

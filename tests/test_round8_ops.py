@@ -3043,3 +3043,91 @@ def test_winback_matches_gap_replay(spark, sf_dir):
     ).collect()
     got = {r.dormancy_bucket: (r.n_reactivations, r.n_users) for r in rows}
     assert got == {k: (v[0], len(v[1])) for k, v in expected.items()}
+
+
+def test_spc_imr_matches_sequential_replay(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    daily = ev.ts.dt.normalize().value_counts().sort_index()
+    x = daily.tolist()
+    n = len(x)
+    mrs = [abs(b - a) for a, b in zip(x, x[1:])]
+    center = (1000 * sum(x)) // n
+    band = (2660 * sum(mrs)) // len(mrs)
+    rows = sorted(
+        registry.QUERIES["events_spc_imr_chart"](spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    assert len(rows) == n
+    for i, r in enumerate(rows):
+        assert r.x == x[i]
+        assert r.mr == (abs(x[i] - x[i - 1]) if i else None)
+        assert (r.center_milli, r.ucl_milli, r.lcl_milli) == (
+            center, center + band, center - band,
+        )
+        assert r.out_of_control == (
+            1000 * x[i] > center + band or 1000 * x[i] < center - band
+        )
+
+
+def test_growth_accounting_identities(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    epoch = pd.Timestamp("2024-01-01")
+    uw = (
+        ev.assign(week=(ev.ts.dt.normalize() - epoch).dt.days // 7)
+        .drop_duplicates(["user_id", "week"])
+    )
+    active = uw.groupby("week").user_id.agg(set).to_dict()
+    weeks = sorted(active)
+    first_seen = uw.groupby("user_id").week.min()
+    rows = registry.QUERIES["events_growth_accounting_weekly"](
+        spark, sf_dir
+    ).collect()
+    got = {(r.week, r.state): r.n for r in rows}
+    for w in weeks:
+        cur = active[w]
+        prev = active.get(w - 1, set())
+        seen_before = {u for u in cur if first_seen[u] < w}
+        new = len(cur) - len(seen_before)
+        retained = len(cur & prev)
+        resurrected = len(seen_before - prev)
+        assert got.get((w, "new"), 0) == new, w
+        assert got.get((w, "retained"), 0) == retained, w
+        assert got.get((w, "resurrected"), 0) == resurrected, w
+        # WAU identity
+        assert new + retained + resurrected == len(cur)
+        if w - 1 in active:
+            churned = len(prev - cur)
+            assert got.get((w, "churned"), 0) == churned, w
+
+
+def test_padding_eval_bucketed_never_worse(spark, sf_dir):
+    import re as _re
+
+    import pandas as pd
+
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    d = d[d.text.str.strip() != ""].copy()
+    d["n"] = d.text.map(lambda t: len(_re.split(r"\s+", t.strip())))
+    rows = {
+        r.strategy: r
+        for r in registry.QUERIES["doc_padding_efficiency_eval"](
+            spark, sf_dir
+        ).collect()
+    }
+    # replay arrival-order exactly
+    d["batch"] = d.doc_id // 8
+    g = d.groupby("batch").n.agg(["size", "max", "sum"])
+    slots = int((g["size"] * g["max"]).sum())
+    real = int(g["sum"].sum())
+    a = rows["arrival_order"]
+    assert (a.n_batches, a.token_slots, a.real_tokens) == (
+        len(g), slots, real,
+    )
+    assert a.padding_waste_ppm == (1_000_000 * (slots - real)) // slots
+    b = rows["length_bucketed"]
+    assert b.real_tokens == real  # same corpus, different packing
+    assert b.padding_waste_ppm <= a.padding_waste_ppm
