@@ -3131,3 +3131,95 @@ def test_padding_eval_bucketed_never_worse(spark, sf_dir):
     b = rows["length_bucketed"]
     assert b.real_tokens == real  # same corpus, different packing
     assert b.padding_waste_ppm <= a.padding_waste_ppm
+
+
+def test_watermark_audit_matches_hash_replay_and_base_rate(spark, sf_dir):
+    import hashlib
+    import re as _re
+
+    import pandas as pd
+
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    d = d[d.text.str.strip() != ""]
+
+    def green(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % 2 == 0
+
+    expected = {}
+    for _, row in d.iterrows():
+        toks = _re.split(r"\s+", row.text.strip())
+        if len(toks) < 20:
+            continue
+        g = sum(1 for w in toks if green(w))
+        n = len(toks)
+        expected[int(row.doc_id)] = (
+            n, g, (1_000_000 * g) // n,
+            (2 * g - n) ** 2 > 9 * n,
+        )
+    rows = registry.QUERIES["doc_watermark_greenlist_audit"](
+        spark, sf_dir
+    ).collect()
+    got = {
+        r.doc_id: (r.n_tokens, r.n_green, r.green_ppm, r.watermark_suspect)
+        for r in rows
+    }
+    assert got == expected
+    # organic corpus: the |z| > 3 flag fires at most a small tail
+    n_flag = sum(1 for v in got.values() if v[3])
+    assert n_flag <= max(3, len(got) // 50)
+
+
+def test_harmonic_centrality_matches_bfs_replay(spark, sf_dir):
+    import pandas as pd
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"])
+    m = o.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    pairs = {(f"c{c}", f"s{s}") for c, s in zip(m.o_custkey, m.l_suppkey)}
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rows = {r.node: r for r in registry.QUERIES[
+        "graph_harmonic_centrality_3hop"
+    ](spark, sf_dir).collect()}
+    probes = [v for v in adj if v[0] == "c" and int(v[1:]) < 50]
+    assert set(rows) == set(probes)
+    for p in probes:
+        seen = {p}
+        frontier = {p}
+        counts = []
+        for _ in range(3):
+            nxt = set()
+            for v in frontier:
+                nxt |= adj[v]
+            nxt -= seen
+            counts.append(len(nxt))
+            seen |= nxt
+            frontier = nxt
+        r = rows[p]
+        assert (r.n_dist1, r.n_dist2, r.n_dist3) == tuple(counts)
+        assert r.harmonic_x6 == 6 * counts[0] + 3 * counts[1] + 2 * counts[2]
+
+
+def test_prefix_autocomplete_topk_is_ranked_correctly(spark, sf_dir):
+    import pandas as pd
+
+    p = pd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+    c = (
+        p.assign(prefix=p.p_name.str[:4])
+        .groupby(["prefix", "p_name"])
+        .size()
+        .reset_index(name="n")
+        .sort_values(["prefix", "n", "p_name"], ascending=[True, False, True])
+    )
+    expected = {}
+    for prefix, g in c.groupby("prefix"):
+        for i, (_, row) in enumerate(g.head(3).iterrows(), start=1):
+            expected[(prefix, i)] = (row.p_name, row.n)
+    rows = registry.QUERIES["part_prefix_autocomplete_topk"](
+        spark, sf_dir
+    ).collect()
+    got = {(r.prefix, r.rank): (r.suggestion, r.n) for r in rows}
+    assert got == expected
+    assert max(r.rank for r in rows) <= 3
