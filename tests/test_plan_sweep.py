@@ -123,6 +123,8 @@ BNLJ_OK = {
     #   ≤31-row day chart
     "events_growth_accounting_weekly",  # 1-row max-week scalar broadcast
     #   bounding the churn attribution
+    "lineitem_cross_price_elasticity",  # 1-row year-bounds broadcast +
+    #   ≤25-row brand table self-joined dim-side (≠ pair lattice)
     "customer_decay_weighted_value",  # 1-row anchor-date broadcast
     "graph_lpa_modularity",  # 1-row edge-count (m) scalar broadcast
     "doc_jaccard_threshold_sweep",  # exact O(n²) sweep on the bounded
@@ -276,6 +278,8 @@ GLOBAL_WINDOW_OK = {
     #   descending cumulation over the ≤10-row decile curve
     "events_spc_imr_chart",  # LAG over the bounded ≤31-row day table
     #   (KM-curve class)
+    "orders_monthly_revenue_drawdown",  # running max over the bounded
+    #   ≤96-row calendar-month table (fiscal-rollup class)
 }
 
 #: a Window whose child (through an optional Sort / WindowGroupLimit) is a

@@ -3223,3 +3223,90 @@ def test_prefix_autocomplete_topk_is_ranked_correctly(spark, sf_dir):
     got = {(r.prefix, r.rank): (r.suggestion, r.n) for r in rows}
     assert got == expected
     assert max(r.rank for r in rows) <= 3
+
+
+def test_slo_burn_rate_matches_window_replay(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    us = ev.ts.astype("datetime64[us]").astype("int64")
+    ev["win"] = us // (6 * 3600 * 1_000_000)
+    g = ev.groupby("win").agg(
+        n=("event_type", "size"),
+        e=("event_type", lambda s: int((s == "error").sum())),
+    )
+    rows = registry.QUERIES["events_slo_burn_rate"](spark, sf_dir).collect()
+    assert len(rows) == len(g)
+    any_alert = False
+    for r in rows:
+        exp = g.loc[r.win]
+        assert (r.n_events, r.n_errors) == (exp.n, exp.e)
+        ppm = (1_000_000 * exp.e) // exp.n
+        burn = (1000 * ppm) // 10_000
+        assert (r.error_ppm, r.burn_rate_milli) == (ppm, burn)
+        assert r.page_alert == (burn > 14_400)
+        any_alert |= r.page_alert
+    # the synthetic stream's ~20% error rate must page
+    assert any_alert
+
+
+def test_drawdown_matches_running_max_replay(spark, sf_dir):
+    import pandas as pd
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+    o["month"] = o.o_orderdate.dt.to_period("M").dt.start_time
+    o["cents"] = (o.o_totalprice * 100).round().astype("int64")
+    m = o.groupby("month").cents.sum().sort_index()
+    peak = m.cummax()
+    rows = sorted(
+        registry.QUERIES["orders_monthly_revenue_drawdown"](
+            spark, sf_dir
+        ).collect(),
+        key=lambda r: r.month,
+    )
+    assert len(rows) == len(m)
+    for r, (mo, rev) in zip(rows, m.items()):
+        assert r.rev_cents == rev
+        assert r.peak_cents == peak[mo]
+        assert r.drawdown_cents == peak[mo] - rev
+        assert r.drawdown_ppm == (1_000_000 * (peak[mo] - rev)) // peak[mo]
+    # at least one underwater month exists in 80 months of noise
+    assert any(r.drawdown_cents > 0 for r in rows)
+
+
+def test_cross_elasticity_matches_pandas_replay(spark, sf_dir):
+    import pandas as pd
+
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_quantity"],
+    )
+    pt = pd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    li = li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+    li["y"] = li.l_shipdate.dt.year
+    li["cents"] = (li.l_extendedprice * 100).round().astype("int64")
+    li["qty"] = li.l_quantity.astype("int64")
+    y0, y1 = li.y.min(), li.y.max()
+    g = (
+        li[li.y.isin([y0, y1])]
+        .groupby(["p_brand", "y"])
+        .agg(cents=("cents", "sum"), qty=("qty", "sum"))
+    )
+    g["p"] = g.cents // g.qty
+    rows = registry.QUERIES["lineitem_cross_price_elasticity"](
+        spark, sf_dir
+    ).collect()
+    brands = sorted(li.p_brand.unique())
+    assert len(rows) == len(brands) * (len(brands) - 1)
+    byr = {r_: g.xs(r_, level="y") for r_ in (y0, y1)}
+    for r in rows:
+        q0, q1 = byr[y0].loc[r.qty_brand].qty, byr[y1].loc[r.qty_brand].qty
+        p0, p1 = byr[y0].loc[r.price_brand].p, byr[y1].loc[r.price_brand].p
+        assert (r.dq_a, r.dp_b) == (q1 - q0, p1 - p0)
+        if p1 != p0 and q0 > 0:
+            num = (q1 - q0) * p0 * 1_000_000
+            den = q0 * (p1 - p0)
+            # both engines truncate toward zero on signed div
+            t = abs(num) // abs(den)
+            exp = t if (num >= 0) == (den >= 0) else -t
+            assert r.cross_elasticity_ppm == exp
