@@ -125,6 +125,8 @@ BNLJ_OK = {
     #   bounding the churn attribution
     "lineitem_cross_price_elasticity",  # 1-row year-bounds broadcast +
     #   ≤25-row brand table self-joined dim-side (≠ pair lattice)
+    "customer_brand_switching_matrix",  # 1-row year-bounds broadcast +
+    #   ≤25-row row-total broadcast into the transition matrix
     "customer_decay_weighted_value",  # 1-row anchor-date broadcast
     "graph_lpa_modularity",  # 1-row edge-count (m) scalar broadcast
     "doc_jaccard_threshold_sweep",  # exact O(n²) sweep on the bounded

@@ -3310,3 +3310,122 @@ def test_cross_elasticity_matches_pandas_replay(spark, sf_dir):
             t = abs(num) // abs(den)
             exp = t if (num >= 0) == (den >= 0) else -t
             assert r.cross_elasticity_ppm == exp
+
+
+def test_expectations_suite_all_pass_on_clean_data(spark, sf_dir):
+    rows = {
+        r.expectation: r
+        for r in registry.QUERIES["dq_expectations_suite"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert len(rows) == 9
+    for name, r in rows.items():
+        assert r.n_rows > 0, name
+        assert r.passed == (r.n_violations == 0), name
+        assert r.violation_ppm == (1_000_000 * r.n_violations) // r.n_rows
+    # the synthetic corpus satisfies every contract
+    assert all(r.passed for r in rows.values())
+
+
+def test_expectations_suite_catches_planted_violation(spark):
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    import pandas as pd
+
+    src = Path("/root/testdata/sf0.001")
+    dst = Path(tempfile.mkdtemp(prefix="bdec_exp_"))
+    try:
+        for t in [
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        ]:
+            shutil.copy(src / f"{t}.parquet", dst / f"{t}.parquet")
+        o = pd.read_parquet(dst / "orders.parquet")
+        o.loc[o.index[:5], "o_orderpriority"] = "9-BOGUS"
+        o.loc[o.index[5:7], "o_totalprice"] = -1.0
+        o.to_parquet(dst / "orders.parquet", index=False)
+        rows = {
+            r.expectation: r
+            for r in registry.QUERIES["dq_expectations_suite"](
+                spark, str(dst)
+            ).collect()
+        }
+        assert rows["orders.priority_in_domain"].n_violations == 5
+        assert not rows["orders.priority_in_domain"].passed
+        assert rows["orders.totalprice_positive"].n_violations == 2
+        assert rows["documents.lang_in_domain"].passed
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_brand_switching_rows_normalize_and_match_replay(spark, sf_dir):
+    import pandas as pd
+
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_shipdate", "l_quantity"],
+    )
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    p = pd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    m = li.merge(o, left_on="l_orderkey", right_on="o_orderkey").merge(
+        p, left_on="l_partkey", right_on="p_partkey"
+    )
+    m["y"] = m.l_shipdate.dt.year
+    m["qty"] = m.l_quantity.astype("int64")
+    y0, y1 = m.y.min(), m.y.max()
+
+    def dominant(year):
+        g = (
+            m[m.y == year]
+            .groupby(["o_custkey", "p_brand"])
+            .qty.sum()
+            .reset_index()
+            .sort_values(["o_custkey", "qty", "p_brand"],
+                         ascending=[True, False, True])
+        )
+        return g.drop_duplicates("o_custkey").set_index("o_custkey").p_brand
+
+    d0, d1 = dominant(y0), dominant(y1)
+    both = d0.index.intersection(d1.index)
+    expected = {}
+    for cu in both:
+        key = (d0[cu], d1[cu])
+        expected[key] = expected.get(key, 0) + 1
+    rows = registry.QUERIES["customer_brand_switching_matrix"](
+        spark, sf_dir
+    ).collect()
+    got = {(r.brand_from, r.brand_to): r.n_customers for r in rows}
+    assert got == expected
+    # row-normalization: per brand_from the ppm shares sum to ~1e6
+    from collections import defaultdict
+
+    share = defaultdict(int)
+    for r in rows:
+        share[r.brand_from] += r.switch_ppm
+    for s in share.values():
+        assert 990_000 <= s <= 1_000_000
+
+
+def test_string_surface_matches_python_semantics(spark, sf_dir):
+    import pandas as pd
+
+    p = pd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+    p = p[p.p_partkey < 500]
+    rows = {r.p_partkey: r for r in registry.QUERIES[
+        "sql_string_functions_surface"
+    ](spark, sf_dir).collect()}
+    assert len(rows) == len(p)
+    for _, row in p.iterrows():
+        r = rows[row.p_partkey]
+        name = row.p_name
+        assert r.padded_key == str(row.p_partkey).zfill(8)
+        assert r.vowels_up == name.translate(str.maketrans("aeiou", "AEIOU"))
+        assert r.reversed_name == name[::-1]
+        assert r.first_word == name.split(" ")[0]
+        assert r.first_a_pos == (name.find("a") + 1)
+        assert r.prefix3 == name[:3]
+        assert r.initial_x3 == name[0] * 3
+        assert r.name_len == len(name)
