@@ -127,6 +127,8 @@ BNLJ_OK = {
     #   ≤25-row brand table self-joined dim-side (≠ pair lattice)
     "customer_brand_switching_matrix",  # 1-row year-bounds broadcast +
     #   ≤25-row row-total broadcast into the transition matrix
+    "part_demand_sbc_classification",  # 1-row span (total-months) scalar
+    #   broadcast into the ≤25-row brand stats
     "customer_decay_weighted_value",  # 1-row anchor-date broadcast
     "graph_lpa_modularity",  # 1-row edge-count (m) scalar broadcast
     "doc_jaccard_threshold_sweep",  # exact O(n²) sweep on the bounded

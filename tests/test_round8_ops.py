@@ -3429,3 +3429,62 @@ def test_string_surface_matches_python_semantics(spark, sf_dir):
         assert r.prefix3 == name[:3]
         assert r.initial_x3 == name[0] * 3
         assert r.name_len == len(name)
+
+
+def test_sbc_classification_matches_pandas_replay(spark, sf_dir):
+    import pandas as pd
+
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_quantity"],
+    )
+    pt = pd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    li = li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+    li["month"] = li.l_shipdate.dt.to_period("M")
+    li["qty"] = li.l_quantity.astype("int64")
+    bm = li.groupby(["p_brand", "month"]).qty.sum()
+    total_months = bm.reset_index().month.nunique()
+    rows = {r.brand: r for r in registry.QUERIES[
+        "part_demand_sbc_classification"
+    ](spark, sf_dir).collect()}
+    for brand, g in bm.groupby(level=0):
+        x = g.tolist()
+        m = len(x)
+        sx, sxx = sum(x), sum(v * v for v in x)
+        adi = (1000 * total_months) // m
+        cv2 = (1_000_000 * (m * sxx - sx * sx)) // (sx * sx)
+        r = rows[brand]
+        assert (r.demand_months, r.total_months) == (m, total_months)
+        assert (r.adi_milli, r.cv2_ppm) == (adi, cv2)
+        exp = (
+            "smooth" if adi < 1320 and cv2 < 490_000
+            else "erratic" if adi < 1320
+            else "intermittent" if cv2 < 490_000
+            else "lumpy"
+        )
+        assert r.sbc_class == exp
+
+
+def test_array_surface_matches_python_semantics(spark, sf_dir):
+    import re as _re
+
+    import pandas as pd
+
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    d = d[d.text.str.strip() != ""]
+    rows = {r.doc_id: r for r in registry.QUERIES[
+        "sql_array_functions_surface"
+    ](spark, sf_dir).collect()}
+    stop = {"a", "the", "data", "table"}
+    for _, row in d.iterrows():
+        toks = _re.split(r"\s+", row.text.strip())[:8]
+        r = rows[row.doc_id]
+        assert r.n == len(toks)
+        assert r.sorted_toks == sorted(toks)
+        assert r.distinct_sorted == sorted(set(toks))
+        assert r.reversed_toks == toks[::-1]
+        assert (r.first_tok, r.last_tok) == (toks[0], toks[-1])
+        assert r.has_the == ("the" in toks)
+        assert r.pos_of_a == (toks.index("a") + 1 if "a" in toks else 0)
+        assert r.stop_hits == ",".join(sorted(set(toks) & stop))
+        assert r.doubled_len == 2 * len(toks)
