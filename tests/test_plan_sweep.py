@@ -129,6 +129,10 @@ BNLJ_OK = {
     #   ≤25-row row-total broadcast into the transition matrix
     "part_demand_sbc_classification",  # 1-row span (total-months) scalar
     #   broadcast into the ≤25-row brand stats
+    "orders_aov_mix_shift_decomposition",  # 1-row year-bounds + two 1-row
+    #   per-year totals broadcasts into the 5-segment grid
+    "embedding_clustering_rand_index",  # four 1-row contingency-reduction
+    #   scalar broadcasts (idx, sa, sb, n)
     "customer_decay_weighted_value",  # 1-row anchor-date broadcast
     "graph_lpa_modularity",  # 1-row edge-count (m) scalar broadcast
     "doc_jaccard_threshold_sweep",  # exact O(n²) sweep on the bounded

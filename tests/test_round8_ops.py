@@ -3488,3 +3488,97 @@ def test_array_surface_matches_python_semantics(spark, sf_dir):
         assert r.pos_of_a == (toks.index("a") + 1 if "a" in toks else 0)
         assert r.stop_hits == ",".join(sorted(set(toks) & stop))
         assert r.doubled_len == 2 * len(toks)
+
+
+def test_quality_feature_matrix_matches_python_replay(spark, sf_dir):
+    import re as _re
+
+    import pandas as pd
+
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    d = d[d.text.str.strip() != ""]
+    rows = {r.doc_id: r for r in registry.QUERIES[
+        "doc_quality_feature_matrix"
+    ](spark, sf_dir).collect()}
+    assert len(rows) == len(d)
+    for _, row in d.head(200).iterrows():
+        toks = _re.split(r"\s+", row.text.strip())
+        r = rows[row.doc_id]
+        n = len(toks)
+        assert (r.n_tokens, r.n_types) == (n, len(set(toks)))
+        assert r.ttr_permille == (1000 * len(set(toks))) // n
+        assert r.mean_word_len_milli == (1000 * (row.n_chars - n + 1)) // n
+        if n >= 4:
+            grams = [" ".join(toks[i : i + 4]) for i in range(n - 3)]
+            assert r.dup4_ppm == (
+                1_000_000 * (len(grams) - len(set(grams)))
+            ) // len(grams)
+        stop = sum(1 for t in toks if t in ("a", "the"))
+        assert r.stopword_ppm == (1_000_000 * stop) // n
+
+
+def test_mix_shift_decomposition_reconstructs_delta(spark, sf_dir):
+    import pandas as pd
+
+    o = pd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    c = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    o = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    o["y"] = o.o_orderdate.dt.year
+    o["cents"] = (o.o_totalprice * 100).round().astype("int64")
+    y0, y1 = o.y.min(), o.y.max()
+    rows = registry.QUERIES["orders_aov_mix_shift_decomposition"](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == o.c_mktsegment.nunique()
+    # exact per-segment witness values
+    for r in rows:
+        s0 = o[(o.y == y0) & (o.c_mktsegment == r.segment)]
+        s1 = o[(o.y == y1) & (o.c_mktsegment == r.segment)]
+        assert r.aov0_cents == int(s0.cents.sum()) // len(s0)
+        assert r.aov1_cents == int(s1.cents.sum()) // len(s1)
+    # the decomposition reconstructs the overall AOV delta up to the
+    # documented flooring (ppm weights + cents floors): tolerance scales
+    # with segment count
+    total = sum(r.rate_effect_cents + r.mix_effect_cents for r in rows)
+    aov0 = int(o[o.y == y0].cents.sum()) // len(o[o.y == y0])
+    aov1 = int(o[o.y == y1].cents.sum()) // len(o[o.y == y1])
+    # compare against the weighted identity (floored AOVs per segment)
+    assert abs(total - (aov1 - aov0)) <= 25 * len(rows)
+
+
+def test_ari_near_zero_but_raw_index_large(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q0 = np.round(emb.embedding.map(lambda v: float(v[0])) * 1000).astype(int)
+    q1 = np.round(emb.embedding.map(lambda v: float(v[1])) * 1000).astype(int)
+    bucket = (q0 > 0).astype(int) * 2 + (q1 > 0).astype(int)
+    ct = pd.crosstab(emb.label, bucket)
+
+    def c2(x):
+        return int(x) * (int(x) - 1) // 2
+
+    idx = int(sum(c2(v) for v in ct.values.ravel()))
+    sa = int(sum(c2(v) for v in ct.sum(axis=1)))
+    sb = int(sum(c2(v) for v in ct.sum(axis=0)))
+    n = int(ct.values.sum())
+    expected_idx = (sa * sb) // c2(n)
+    r = registry.QUERIES["embedding_clustering_rand_index"](
+        spark, sf_dir
+    ).collect()[0]
+    assert (r.n, r.pair_agreements, r.sa, r.sb) == (n, idx, sa, sb)
+    assert r.expected_idx == expected_idx
+    denom = (sa + sb) // 2 - expected_idx
+    num = 1_000_000 * (idx - expected_idx)
+    # both engines truncate toward zero on signed division
+    t = abs(num) // denom
+    assert r.ari_ppm == (t if num >= 0 else -t)
+    # the un-adjusted trap: raw agreement is huge, chance-corrected is ~0
+    assert r.pair_agreements > r.n  # raw index looks impressive
+    assert abs(r.ari_ppm) < 100_000  # ARI exposes it as chance-level
