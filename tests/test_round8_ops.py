@@ -3480,9 +3480,9 @@ def test_array_surface_matches_python_semantics(spark, sf_dir):
         toks = _re.split(r"\s+", row.text.strip())[:8]
         r = rows[row.doc_id]
         assert r.n == len(toks)
-        assert r.sorted_toks == sorted(toks)
-        assert r.distinct_sorted == sorted(set(toks))
-        assert r.reversed_toks == toks[::-1]
+        assert r.sorted_toks == ",".join(sorted(toks))
+        assert r.distinct_sorted == ",".join(sorted(set(toks)))
+        assert r.reversed_toks == ",".join(toks[::-1])
         assert (r.first_tok, r.last_tok) == (toks[0], toks[-1])
         assert r.has_the == ("the" in toks)
         assert r.pos_of_a == (toks.index("a") + 1 if "a" in toks else 0)
