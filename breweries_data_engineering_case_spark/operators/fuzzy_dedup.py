@@ -30,6 +30,8 @@ exactly, so they ARE oracle-checked.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+
+from ..caching import cached
 from pyspark.sql import functions as F
 
 
@@ -229,7 +231,7 @@ def minhash_lsh_candidates(
     banded = (
         with_sig.select("id", F.explode(band_arr).alias("b"))
         .select("id", "b.band_idx", "b.band_hash")
-        .persist()
+        .transform(cached)
     )
     left = banded.alias("l")
     right = banded.alias("r")
@@ -249,7 +251,7 @@ def minhash_lsh_candidates(
         # materialization, Spark recomputes the whole signature + band-join
         # pipeline per reference. persist() computes it once; the pair set
         # is tiny (output scale), so caching it is free at any corpus size.
-        .persist()
+        .transform(cached)
     )
     return cand
 

@@ -436,9 +436,14 @@ def audio_fingerprint(assets: DataFrame) -> DataFrame:
                 p = bytes(row["payload"]) if row["payload"] is not None else b""
                 if row["media_type"] != "audio" or p[:4] != b"RIFF":
                     continue
-                with wave.open(io.BytesIO(p), "rb") as wv:
-                    raw = wv.readframes(wv.getnframes())
-                samples = np.frombuffer(raw, dtype="<i2")
+                try:
+                    with wave.open(io.BytesIO(p), "rb") as wv:
+                        raw = wv.readframes(wv.getnframes())
+                    samples = np.frombuffer(raw, dtype="<i2")
+                except (wave.Error, EOFError, ValueError):
+                    # truncated/malformed RIFF: drop the row like the other
+                    # malformed-payload branches, don't fail the task
+                    continue
                 ids.append(int(row["asset_id"]))
                 fps.append(audio_peak_fingerprint(samples))
             yield pd.DataFrame({"asset_id": ids, "fingerprint": fps})
@@ -795,9 +800,14 @@ def audio_frame_energy(assets: DataFrame, frame: int = 256) -> DataFrame:
                 p = bytes(row["payload"]) if row["payload"] is not None else b""
                 if row["media_type"] != "audio" or p[:4] != b"RIFF":
                     continue
-                with wave.open(io.BytesIO(p), "rb") as wv:
-                    raw = wv.readframes(wv.getnframes())
-                samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                try:
+                    with wave.open(io.BytesIO(p), "rb") as wv:
+                        raw = wv.readframes(wv.getnframes())
+                    samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                except (wave.Error, EOFError, ValueError):
+                    # truncated/malformed RIFF: drop the row like the other
+                    # malformed-payload branches, don't fail the task
+                    continue
                 nf = len(samples) // frame
                 for f in range(nf):
                     seg = samples[f * frame : (f + 1) * frame]

@@ -22,6 +22,8 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, Window
+
+from ..caching import cached
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine, hyperplane_bits
@@ -483,7 +485,7 @@ def embedding_near_dup_pairs(
     # the residual cost is the bucket-pair enumeration itself, which is
     # inherently Σ m² over bucket sizes — on dup-heavy corpora run exact
     # dedup first (the composed pipeline in plans/registry does).
-    based = based.persist()
+    based = based.transform(cached)
     skinny = based.select("id", F.explode(bands).alias("b")).select(
         "id", "b.band_idx", "b.band_sig"
     )

@@ -98,13 +98,15 @@ def test_oracle_bound_types_allowed(sf_dir):
 
 
 @pytest.fixture(autouse=True)
-def _clear_cache_between_queries(spark):
-    """Queries persist() intermediates; over a full-registry sweep those
-    cached RDDs accumulate (ADVICE r7 #5) and Spark's CacheManager can
-    substitute one query's cache into a sibling's plan. Drop them after
-    every test so each query is measured/validated in isolation."""
+def _release_caches_between_queries(spark):
+    """Queries cache intermediates through caching.cached(); the registry
+    wrapper releases them on the NEXT query construction, but between
+    pytest cases (where arbitrary non-registry code may run next) release
+    eagerly so each query is measured/validated in isolation."""
     yield
-    spark.catalog.clearCache()
+    from breweries_data_engineering_case_spark.caching import release_all
+
+    release_all()
 
 
 @pytest.mark.parametrize("name", sorted(registry.ORACLES))

@@ -12,11 +12,9 @@ from breweries_data_engineering_case_spark.plans import registry
 
 
 def _plan(spark, sf_dir, name: str) -> str:
-    # assert the query's INTRINSIC plan: other queries executed earlier in
-    # this shared session may have persist()ed an identical subtree (e.g.
-    # part_similarity_topk's baskets == market_basket_pairs' baskets), and
-    # cache substitution would change node/scan counts here
-    spark.catalog.clearCache()
+    # intrinsic plans are guaranteed by the registry's cache-lifecycle
+    # contract (caching.release_all on each query construction) — no
+    # clearCache() workaround needed here since VERDICT r8 #3
     df = registry.QUERIES[name](spark, sf_dir)
     return df._jdf.queryExecution().executedPlan().toString()
 

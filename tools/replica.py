@@ -77,12 +77,11 @@ def main() -> int:
         fn = qs[name]
         sql = oracles.get(name)
         try:
+            # cache lifecycle is the registry's contract now (VERDICT r8
+            # #3): constructing each query releases the previous query's
+            # caching.cached() frames, so the gate needs no clearCache()
             sdf = fn(spark, sf)
             srows = [tuple(r) for r in sdf.collect()]
-            # queries persist() intermediates for their own execution; over
-            # a 340-query gate those caches accumulate (memory + plan
-            # contamination — ADVICE r7), so the gate drops them per query
-            spark.catalog.clearCache()
         except Exception as ex:  # noqa: BLE001
             print(f"[{idx}] {name}: SPARK ERROR {type(ex).__name__}: {ex}", flush=True)
             fails.append(name)
