@@ -76,15 +76,26 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "v")
-            .filter(F.col("u.component") != F.col("l.component"))
+        labels = updated
+        # Definitive termination: labels are final iff every edge connects
+        # same-labeled endpoints. (Each label is always the id of a vertex
+        # in the same component; the component's min-id vertex keeps its own
+        # id under least(); so all-edges-consistent forces every label in a
+        # component to equal label(min) = min.) Unlike a did-anything-change
+        # check — which can never fire before round 2, because round 1
+        # always moves labels off their init — this fires after round 1 on
+        # any diameter the round already closed, halving the rounds for the
+        # tiny components near-dup graphs produce.
+        ls = labels.select(F.col("v").alias("s"), F.col("component").alias("cs"))
+        ld = labels.select(F.col("v").alias("d"), F.col("component").alias("cd"))
+        inconsistent = (
+            sym.join(ls, "s")
+            .join(ld, "d")
+            .filter(F.col("cs") != F.col("cd"))
             .limit(1)
             .count()
         )
-        labels = updated
-        if changed == 0:
+        if inconsistent == 0:
             break
     return labels.select(F.col("v").alias(id_col), "component")
 
