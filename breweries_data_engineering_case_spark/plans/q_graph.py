@@ -1,0 +1,1839 @@
+"""Graph algorithms: components, pagerank, label propagation, k-core, traversals.
+
+Split out of the monolithic plans/registry.py (VERDICT r8 #8); the
+aggregator in registry.py restores the historical registration order.
+"""
+
+
+from __future__ import annotations
+
+import hashlib
+import json
+import tempfile
+from collections.abc import Callable
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType, StringType, StructField, StructType
+
+from ..caching import cached, release_all
+from ..functions.cleaning import stamp_date
+from ..functions.text import LANG_MARKERS, fingerprint, lang_id, quality_score, token_count
+from ..operators.agg import grouped_count, grouping_sets_counts, regroup_sum
+from ..operators.dedup import dedup_rownum
+from ..operators.enforce import range_check
+from ..operators.asof import asof_join_backward
+from ..operators.fuzzy_dedup import (
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dup_pairs,
+)
+from ..operators.joins import broadcast_dim_join, shuffle_join
+from ..operators.similarity import (
+    cosine_topk,
+    cosine_topk_ivf,
+    cosine_topk_lsh,
+    embedding_near_dup_pairs,
+    semantic_dedup,
+)
+from ..sources.readers import json_array_scan, table_scan
+from ..sources.writers import idempotent_date_overwrite, write_partitioned_parquet
+from .silver import clean_breweries
+
+from .qshared import (
+    register,
+)
+
+
+
+_PAGERANK_ITER = """
+    s{k} AS (
+      SELECT e.dst AS node, SUM(r.pr // r.deg) AS s
+      FROM edges e JOIN r{p} r ON e.src = r.node GROUP BY e.dst
+    ),
+    r{k} AS (
+      SELECT n.node, n.deg, n.base,
+             CAST((15 * n.base + 85 * COALESCE(s{k}.s, 0)) // 100 AS BIGINT)
+               AS pr
+      FROM nodes n LEFT JOIN s{k} ON n.node = s{k}.node
+    )"""
+
+
+_PAGERANK_ORACLE = (
+    """
+    WITH pairs AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+      SELECT src, dst FROM pairs
+      UNION ALL SELECT dst AS src, src AS dst FROM pairs
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+    nodes AS (
+      SELECT node, deg,
+             CAST(1000000000000 // (COUNT(*) OVER ()) AS BIGINT) AS base
+      FROM deg
+    ),
+    r0 AS (SELECT node, deg, base, base AS pr FROM nodes),"""
+    + _PAGERANK_ITER.format(k=1, p=0) + ","
+    + _PAGERANK_ITER.format(k=2, p=1) + ","
+    + _PAGERANK_ITER.format(k=3, p=2) + """
+    SELECT node, pr FROM r3
+    """
+)
+
+
+def _pagerank_graph(spark: SparkSession, sf_dir: str):
+    """(edges, nodes) for the customer↔supplier co-transaction graph:
+    bidirectional edge list, per-node degree, integer base rank — all
+    persisted, since every PageRank iteration re-reads them."""
+    o = table_scan(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table_scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).transform(cached)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).transform(cached)
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n"))
+    nodes = (
+        deg.select(F.col("src").alias("node"), "deg")
+        .crossJoin(F.broadcast(n_nodes))
+        .selectExpr(
+            "node", "deg", "CAST(1000000000000 AS BIGINT) div n AS base"
+        )
+        .transform(cached)
+    )
+    return edges, nodes
+
+
+@register("graph_pagerank_bipartite", _PAGERANK_ORACLE)
+def q_graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (3 iterations, damping 0.85) over the
+    customer↔supplier co-transaction graph — the canonical ITERATIVE
+    algorithm a SQL engine can't express without recursion. Spark runs the
+    textbook loop (contribution = rank÷degree, scatter along edges, gather
+    by SUM, damp); the oracle unrolls the same three iterations as chained
+    CTEs. Every quantity is INTEGER: ranks live on a 10^12 fixed-point
+    scale and all divisions are floor (`div`/`//`), so both engines agree
+    bit-for-bit — float PageRank would diverge in summation order. Scale
+    shape: edges, degrees and the node table persist across iterations
+    (scanned 3×, computed once); the node count reaches every row as a
+    broadcast single-row cross join (not a global window — that would
+    funnel ALL graph nodes through one task); each iteration is one shuffle
+    join on the edge key + one partial-agg gather — the same plan per round
+    regardless of graph size; rank state never touches the driver."""
+    edges, nodes = _pagerank_graph(spark, sf_dir)
+    r = nodes.withColumn("pr", F.col("base"))
+    for _ in range(3):
+        contrib = r.selectExpr("node AS src", "pr div deg AS c")
+        inc = (
+            edges.join(contrib, "src")
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        r = (
+            nodes.join(inc, nodes["node"] == inc["dst"], "left")
+            .selectExpr(
+                "node",
+                "deg",
+                "base",
+                "CAST((15 * base + 85 * COALESCE(s, 0)) div 100 AS BIGINT) AS pr",
+            )
+        )
+    return r.select("node", "pr")
+
+
+@register("graph_pagerank_salted", _PAGERANK_ORACLE)
+def q_graph_pagerank_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank with a SKEW-SALTED gather — identical integer ranks
+    (checked against the same unrolled-CTE oracle as
+    graph_pagerank_bipartite), different physical join. Real graphs are
+    power-law: hub nodes (here, suppliers on many orders) own huge edge
+    lists, so the per-iteration shuffle join on `src` funnels each hub's
+    edges through one task. The gather instead rides operators/joins.
+    salted_join: edge rows get hash%8 salts, the (node, contribution) side
+    is replicated 8× — each hub's edge list spreads over 8 tasks, and the
+    downstream dst-side partial aggregation is skew-immune already.
+    Integer contribution sums are associative, so salting cannot change a
+    single rank bit — exactly the property that makes the salted plan safe
+    to swap in at 100× where AQE skew-split alone isn't enough (it can't
+    split the BUILD side of the per-iteration join)."""
+    from ..operators.joins import salted_join
+
+    edges, nodes = _pagerank_graph(spark, sf_dir)
+    r = nodes.withColumn("pr", F.col("base"))
+    for _ in range(3):
+        contrib = r.selectExpr("node AS src", "pr div deg AS c")
+        inc = (
+            salted_join(edges, contrib, "src", salt_buckets=8)
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        r = (
+            nodes.join(inc, nodes["node"] == inc["dst"], "left")
+            .selectExpr(
+                "node",
+                "deg",
+                "base",
+                "CAST((15 * base + 85 * COALESCE(s, 0)) div 100 AS BIGINT) AS pr",
+            )
+        )
+    return r.select("node", "pr")
+
+
+@register(
+    "graph_reachability_bfs",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+      SELECT src, dst FROM pairs
+      UNION ALL SELECT dst AS src, src AS dst FROM pairs
+    ),
+    seeds AS (
+      SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node
+      FROM customer WHERE c_custkey < 5
+    ),
+    walk(node, d) AS (
+      SELECT node, 0 FROM seeds
+      UNION
+      SELECT e.dst, w.d + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.d < 3
+    )
+    SELECT node, CAST(MIN(d) AS INT) AS dist FROM walk GROUP BY node
+    """,
+)
+def q_graph_reachability_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS (≤3 hops) from seed customers over the
+    customer↔supplier graph, returning each reachable node's minimum hop
+    distance — transitive reachability, the class SQL needs WITH RECURSIVE
+    for (the oracle uses exactly that) and Spark expresses as an iterative
+    FRONTIER loop: join the frontier to the edge list, subtract
+    already-visited nodes, advance. The visited-set subtraction keeps each
+    level's frontier ≤ |V| rows no matter how many paths exist (the naive
+    path-enumeration blowup — k^depth — never materializes), and BFS order
+    makes first-visit depth = min distance, so no per-node MIN re-agg is
+    needed. Per level: one shuffle join on the edge key + one anti join;
+    edges persist across levels."""
+    o = table_scan(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table_scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).transform(cached)
+    seeds = (
+        table_scan(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 5)
+        .select(F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node"))
+    )
+    reached = seeds.withColumn("dist", F.lit(0))
+    frontier = seeds
+    for depth in range(1, 4):
+        nxt = (
+            edges.join(frontier, edges["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = nxt.join(
+            reached.select("node"), "node", "left_anti"
+        ).withColumn("dist", F.lit(depth))
+        reached = reached.unionByName(new).transform(cached)
+        frontier = new.select("node")
+    return reached
+
+
+@register(
+    "graph_triangle_count",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      WHERE a.l_suppkey < 60 AND b.l_suppkey < 60
+    ),
+    und AS (
+      SELECT u AS node, v AS other FROM pairs
+      UNION ALL SELECT v AS node, u AS other FROM pairs
+    ),
+    deg AS (SELECT node, COUNT(*) AS d FROM und GROUP BY node),
+    arcs AS (
+      SELECT CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.u ELSE p.v END AS x,
+             CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.v ELSE p.u END AS y,
+             CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN dv.d ELSE du.d END AS dy
+      FROM pairs p
+      JOIN deg du ON du.node = p.u
+      JOIN deg dv ON dv.node = p.v
+    ),
+    tri AS (
+      SELECT w1.x AS a, w1.y AS b, w2.y AS c
+      FROM arcs w1 JOIN arcs w2
+        ON w1.x = w2.x AND (w1.dy, w1.y) < (w2.dy, w2.y)
+      JOIN arcs e ON e.x = w1.y AND e.y = w2.y
+    ),
+    pern AS (
+      SELECT node, COUNT(*) AS triangles
+      FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+      GROUP BY node
+    )
+    SELECT node, triangles FROM pern
+    """,
+)
+def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts via DEGREE-ORIENTED wedge join — the
+    canonical distributed triangle algorithm: orient every undirected edge
+    from its lower-(degree, id) endpoint to the higher one, build wedges
+    from each node's out-arcs, close them against the arc set. Orientation
+    caps out-degree at O(√m) on any graph, so the wedge shuffle is
+    Σ outdeg² ≪ Σ deg² — the naive (unoriented) wedge join explodes on hub
+    nodes, the oriented one is skew-immune by construction; each triangle
+    is produced exactly once (its (deg,id)-minimal vertex is the only one
+    with out-arcs to both others). Graph = supplier co-supply (same order),
+    bounded to suppkey < 60 as the exact primitive — the plan is
+    data-size-independent. All-integer, fully oracle-checked."""
+    li = (
+        table_scan(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") < 60)
+        .select("l_orderkey", "l_suppkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+        .distinct()
+        .transform(cached)
+    )
+    und = pairs.selectExpr("u AS node").unionByName(pairs.selectExpr("v AS node"))
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.selectExpr("node AS u", "d AS du")
+    dv = deg.selectExpr("node AS v", "d AS dv")
+    lt = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    arcs = (
+        pairs.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            F.when(lt, F.col("u")).otherwise(F.col("v")).alias("x"),
+            F.when(lt, F.col("v")).otherwise(F.col("u")).alias("y"),
+            F.when(lt, F.col("dv")).otherwise(F.col("du")).alias("dy"),
+        )
+        .transform(cached)
+    )
+    w1, w2 = arcs.alias("w1"), arcs.alias("w2")
+    wlt = (F.col("w1.dy") < F.col("w2.dy")) | (
+        (F.col("w1.dy") == F.col("w2.dy")) & (F.col("w1.y") < F.col("w2.y"))
+    )
+    wedges = w1.join(w2, (F.col("w1.x") == F.col("w2.x")) & wlt).select(
+        F.col("w1.x").alias("a"),
+        F.col("w1.y").alias("b"),
+        F.col("w2.y").alias("c"),
+    )
+    e = arcs.selectExpr("x AS b", "y AS c")
+    tri = wedges.join(e, ["b", "c"]).transform(cached)
+    nodes3 = (
+        tri.selectExpr("a AS node")
+        .unionByName(tri.selectExpr("b AS node"))
+        .unionByName(tri.selectExpr("c AS node"))
+    )
+    return nodes3.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
+
+
+@register(
+    "graph_connected_components",
+    """
+    WITH RECURSIVE li AS (
+      SELECT l_orderkey AS o, l_partkey AS p FROM lineitem WHERE l_partkey < 200
+    ),
+    e0 AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    ),
+    e AS (
+      SELECT u, v FROM e0
+      WHERE CAST(concat('0x', substr(md5(
+              CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)), 1, 15))
+            AS BIGINT) % 10 = 0
+    ),
+    v AS (SELECT DISTINCT p AS node FROM li),
+    sym AS (SELECT u AS a, v AS b FROM e UNION SELECT v AS a, u AS b FROM e),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    )
+    SELECT v.node, CAST(LEAST(v.node, COALESCE(MIN(r.b), v.node)) AS BIGINT)
+             AS component
+    FROM v LEFT JOIN reach r ON r.a = v.node
+    GROUP BY v.node
+    """,
+)
+def q_graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone weakly-connected components (the operator the portable
+    dedup pipeline embeds, surfaced as its own graph query): vertices are
+    parts (< 200), edges are order co-purchase pairs hash-sampled 1-in-10
+    (graph sparsification — the co-purchase projection is near-complete,
+    and the portable_hash64 edge sample keeps the structure non-trivial:
+    ~100 components at sf0.01 — while staying bitwise SQL-replicable).
+    Min-label propagation with pointer jumping converges in O(log n)
+    rounds (operators/components.py); the oracle is the WITH RECURSIVE
+    transitive closure, feasible because sampled components stay small.
+    At 100 TB the iterative path is the only viable one — closure blows up
+    quadratically per component, label propagation shuffles only
+    (edges + labels) per round."""
+    from ..functions.hashing import portable_hash64
+    from ..operators.components import connected_components
+
+    li = (
+        table_scan(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < 200)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    key = F.concat(
+        F.col("u").cast("string"), F.lit(":"), F.col("v").cast("string")
+    )
+    edges = e0.filter(F.pmod(portable_hash64(key), F.lit(10)) == 0)
+    vertices = li.select(F.col("p").alias("node")).distinct()
+    return connected_components(
+        vertices, edges, id_col="node", src_col="u", dst_col="v"
+    )
+
+
+def _kcore_oracle(k: int = 2, unroll: int = 8) -> str:
+    """Compose the unrolled k-core peel oracle (one degree-filter step per
+    CTE pair; mechanical, so generated — the registered oracle is still a
+    fixed string). Mirrors the CC/PageRank unrolled-CTE oracle style."""
+    base = """
+    WITH li AS (
+      SELECT l_orderkey AS o, l_partkey AS p FROM lineitem WHERE l_partkey < 200
+    ),
+    e0 AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    ),
+    e AS (
+      SELECT u, v FROM e0
+      WHERE CAST(concat('0x', substr(md5(
+              CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)), 1, 15))
+            AS BIGINT) % 10 = 0
+    ),
+    sym0 AS MATERIALIZED (
+      SELECT u AS a, v AS b FROM e UNION SELECT v AS a, u AS b FROM e)
+    """
+    # every symN is referenced three times by level N+1; AS MATERIALIZED
+    # stops DuckDB from inlining (3^unroll plan copies = thousands of
+    # lineitem re-scans, which exhausts file handles)
+    steps = []
+    prev = "sym0"
+    for i in range(1, unroll + 1):
+        steps.append(
+            f"k{i} AS MATERIALIZED (SELECT a FROM {prev} GROUP BY a "
+            f"HAVING COUNT(*) >= {k}), "
+            f"sym{i} AS MATERIALIZED (SELECT s.a, s.b FROM {prev} s "
+            f"JOIN k{i} x ON s.a = x.a JOIN k{i} y ON s.b = y.a)"
+        )
+        prev = f"sym{i}"
+    return (
+        base
+        + ", "
+        + ", ".join(steps)
+        + f" SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS core_degree"
+        f" FROM {prev} GROUP BY a"
+    )
+
+
+@register("graph_kcore_decomposition", _kcore_oracle())
+def q_graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core decomposition by iterative degree peeling — the third
+    iterative-graph exemplar next to label-propagation CC and fixed-point
+    PageRank: repeatedly delete nodes of degree < k until none remain
+    (k-cores drive graph-based dedup cluster trimming and community
+    mining; the peel order is also the degeneracy order). Eight peel
+    rounds are unrolled — the fixpoint is reached much earlier at test
+    scale (asserted in tests/test_round6_ops.py) and extra rounds are
+    no-ops on the converged edge set, so the unroll count only bounds,
+    never changes, the result. Per round: one degree aggregate + two semi
+    joins (edges shuffled on their endpoint keys); the surviving edge set
+    shrinks monotonically, so the per-round cost DECREASES — the classic
+    distributed peel. Same hash-sampled co-purchase graph as
+    graph_connected_components; oracle is the identical peel unrolled in
+    SQL."""
+    from ..functions.hashing import portable_hash64
+
+    li = (
+        table_scan(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < 200)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    key = F.concat(
+        F.col("u").cast("string"), F.lit(":"), F.col("v").cast("string")
+    )
+    edges = e0.filter(F.pmod(portable_hash64(key), F.lit(10)) == 0)
+    # each peel round references `core` three times (degree agg + two semi
+    # joins); without truncation the logical plan grows 3^rounds and the
+    # analyzer OOMs — eager localCheckpoint per round, same pattern as
+    # operators/components.py
+    core = (
+        edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionByName(edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(8):
+        keep = (
+            core.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= 2)
+            .select("a")
+        )
+        # the sampled graph is small and shrinks every round — collapse to
+        # 8 partitions before materializing so each checkpoint writes 8
+        # block files, not shuffle-partition-many (at real scale the peel
+        # would AQE-coalesce the same way)
+        core = (
+            core.join(keep, "a", "left_semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+            .select("a", "b")
+            .repartition(8, "a")
+            .localCheckpoint(eager=True)
+        )
+    return core.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("core_degree")
+    )
+
+
+_SSSP_ORACLE_HEAD = """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      FROM lineitem WHERE l_partkey < 200
+    ),
+    e0 AS (
+      SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS co
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+    ),
+    e AS (
+      SELECT u, v, GREATEST(1, 1000 // co) AS w FROM e0
+      UNION ALL
+      SELECT v, u, GREATEST(1, 1000 // co) AS w FROM e0
+    ),
+    s AS (SELECT MIN(p) AS src FROM li),
+    d0 AS (SELECT src AS node, CAST(0 AS BIGINT) AS dist FROM s)
+"""
+
+
+def _sssp_oracle(rounds: int) -> str:
+    ctes = [_SSSP_ORACLE_HEAD]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f""",
+    d{k} AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d{k - 1}
+        UNION ALL
+        SELECT e.v AS node, d.dist + e.w AS dist
+        FROM d{k - 1} d JOIN e ON e.u = d.node
+      ) GROUP BY node
+    )"""
+        )
+    return "".join(ctes) + f"""
+    SELECT node, CAST(dist AS BIGINT) AS dist FROM d{rounds}
+    """
+
+
+@register("graph_sssp_bellman_ford", _sssp_oracle(4))
+def q_graph_sssp_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths, 4-round distributed
+    Bellman-Ford — the missing graph primitive next to PageRank / BFS /
+    components / k-core / triangles: co-purchase edges weighted by
+    closeness (1000 div co, floor 1 — heavier co-purchase = shorter), and
+    each round relaxes EVERY edge against the current distance table
+    (one shuffle join + one min-regroup; eager localCheckpoint per round
+    truncates the lineage that otherwise doubles per iteration — the
+    k-core lesson). Four rounds bound the answer to 4-hop-optimal
+    distances, which is the production shape anyway: unbounded
+    Bellman-Ford is O(V) rounds, but real similarity/logistics graphs cap
+    hops. Exact integer weights make every relaxation bit-portable;
+    oracle = the identical four unrolled relaxations."""
+    li = (
+        table_scan(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < 200)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("co"))
+        .select(
+            "u", "v", F.greatest(F.lit(1), F.expr("1000 div co")).alias("w")
+        )
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    ).transform(cached)
+    src = li.agg(F.min("p").alias("src"))
+    dist = src.select(
+        F.col("src").alias("node"), F.lit(0).cast("long").alias("dist")
+    ).localCheckpoint(eager=True)
+    for _ in range(4):
+        relaxed = (
+            edges.join(dist, edges["u"] == dist["node"])
+            .select(F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist
+
+
+@register(
+    "graph_label_propagation",
+    """
+    WITH li AS (
+      SELECT l_orderkey AS o, l_partkey AS p FROM lineitem WHERE l_partkey < 200
+    ),
+    e0 AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    ),
+    e AS (
+      SELECT u, v FROM e0
+      WHERE CAST(concat('0x', substr(md5(
+              CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)), 1, 15))
+            AS BIGINT) % 10 = 0
+    ),
+    v AS (SELECT DISTINCT p AS node FROM li),
+    sym AS (SELECT u AS a, v AS b FROM e UNION SELECT v AS a, u AS b FROM e),
+    l0 AS (SELECT node, node AS label FROM v),
+    n1 AS (SELECT s.a, l.label, COUNT(*) AS c
+           FROM sym s JOIN l0 l ON s.b = l.node GROUP BY s.a, l.label),
+    p1 AS (SELECT a, label,
+                  ROW_NUMBER() OVER (PARTITION BY a ORDER BY c DESC, label) AS rn
+           FROM n1),
+    l1 AS (SELECT l0.node, COALESCE(p.label, l0.label) AS label
+           FROM l0 LEFT JOIN (SELECT a, label FROM p1 WHERE rn = 1) p
+             ON p.a = l0.node),
+    n2 AS (SELECT s.a, l.label, COUNT(*) AS c
+           FROM sym s JOIN l1 l ON s.b = l.node GROUP BY s.a, l.label),
+    p2 AS (SELECT a, label,
+                  ROW_NUMBER() OVER (PARTITION BY a ORDER BY c DESC, label) AS rn
+           FROM n2),
+    l2 AS (SELECT l1.node, COALESCE(p.label, l1.label) AS label
+           FROM l1 LEFT JOIN (SELECT a, label FROM p2 WHERE rn = 1) p
+             ON p.a = l1.node),
+    n3 AS (SELECT s.a, l.label, COUNT(*) AS c
+           FROM sym s JOIN l2 l ON s.b = l.node GROUP BY s.a, l.label),
+    p3 AS (SELECT a, label,
+                  ROW_NUMBER() OVER (PARTITION BY a ORDER BY c DESC, label) AS rn
+           FROM n3),
+    l3 AS (SELECT l2.node, COALESCE(p.label, l2.label) AS label
+           FROM l2 LEFT JOIN (SELECT a, label FROM p3 WHERE rn = 1) p
+             ON p.a = l2.node)
+    SELECT node, CAST(label AS BIGINT) AS label FROM l3
+    """,
+)
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (LPA, Raghavan
+    et al. 2007) — the lightweight community algorithm next to the
+    min-label connected-components operator: 3 fixed synchronous rounds on
+    the same sampled co-purchase graph as graph_connected_components, each
+    round re-labelling every node with the MODE of its neighbours' labels
+    (tie-break: smallest label; isolated nodes keep their label).
+    Synchronous update + total-order tie-break makes LPA — normally
+    nondeterministic — bitwise reproducible, so the unrolled-CTE oracle
+    value-checks all 3 rounds. Scale shape per round: one edge⋈label join
+    partitioned on node id + one (node, label) count + one per-node argmax
+    window partitioned by node — no global window, no closure blow-up;
+    labels and edges are the only shuffled payloads (3 rounds ≈ the
+    PageRank iteration cost)."""
+    from ..functions.hashing import portable_hash64
+
+    li = (
+        table_scan(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < 200)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    key = F.concat(
+        F.col("u").cast("string"), F.lit(":"), F.col("v").cast("string")
+    )
+    edges = e0.filter(F.pmod(portable_hash64(key), F.lit(10)) == 0)
+    sym = edges.select(F.col("u").alias("a2"), F.col("v").alias("b2")).unionByName(
+        edges.select(F.col("v").alias("a2"), F.col("u").alias("b2"))
+    ).distinct()
+    labels = li.select(F.col("p").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(3):
+        nb = sym.join(
+            labels.select(F.col("node").alias("b2"), "label"), "b2"
+        ).select(F.col("a2"), "label")
+        cnt = nb.groupBy("a2", "label").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("a2").orderBy(F.desc("c"), "label")
+        pick = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("a2").alias("node"), F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(pick, "node", "left")
+            .select(
+                "node", F.coalesce("new_label", "label").alias("label")
+            )
+        )
+    return labels
+
+
+@register(
+    "graph_degree_assortativity",
+    """
+    WITH li AS (
+      SELECT l_orderkey AS o, l_partkey AS p FROM lineitem WHERE l_partkey < 200
+    ),
+    e0 AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    ),
+    e AS (
+      SELECT u, v FROM e0
+      WHERE CAST(concat('0x', substr(md5(
+              CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)), 1, 15))
+            AS BIGINT) % 10 = 0
+    ),
+    sym AS (SELECT u AS a, v AS b FROM e UNION SELECT v AS a, u AS b FROM e),
+    deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM sym GROUP BY a),
+    pr AS (
+      SELECT da.d AS x, db.d AS y
+      FROM sym s JOIN deg da ON da.node = s.a JOIN deg db ON db.node = s.b
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(x * y) AS BIGINT) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(x * x) AS BIGINT) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(y * y) AS BIGINT) AS DOUBLE) AS syy
+      FROM pr
+    )
+    SELECT CAST(n AS BIGINT) AS n_directed_edges,
+           CASE WHEN ((n * sxx) - (sx * sx)) <= 0
+                  OR ((n * syy) - (sy * sy)) <= 0 THEN NULL
+                ELSE ((n * sxy) - (sx * sy))
+                     / (sqrt((n * sxx) - (sx * sx))
+                        * sqrt((n * syy) - (sy * sy))) END AS assortativity
+    FROM m
+    """,
+)
+def q_graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) — do hubs attach to hubs? The
+    Pearson correlation of endpoint degrees over every directed edge of
+    the sampled co-purchase graph (both directions, so the measure is
+    symmetric). Completes the graph-statistics family (components,
+    triangles, k-core, PageRank) with the mixing-pattern diagnostic.
+    Degrees come from one edge-list count; the edge⋈degree joins shuffle
+    only (node, degree) pairs; the five moments are exact BIGINTs folded
+    map-side, and the final Pearson is one fixed IEEE double tree (the
+    lineitem_corr idiom) with a zero-variance NULL guard."""
+    from ..functions.hashing import portable_hash64
+
+    li = (
+        table_scan(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < 200)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    key = F.concat(
+        F.col("u").cast("string"), F.lit(":"), F.col("v").cast("string")
+    )
+    edges = e0.filter(F.pmod(portable_hash64(key), F.lit(10)) == 0)
+    sym = edges.select(F.col("u").alias("a2"), F.col("v").alias("b2")).unionByName(
+        edges.select(F.col("v").alias("a2"), F.col("u").alias("b2"))
+    ).distinct()
+    deg = sym.groupBy(F.col("a2").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    pr = (
+        sym.join(deg.select(F.col("node").alias("a2"), F.col("d").alias("x")), "a2")
+        .join(deg.select(F.col("node").alias("b2"), F.col("d").alias("y")), "b2")
+    )
+    m = pr.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    vx = (n * sxx) - (sx * sx)
+    vy = (n * syy) - (sy * sy)
+    r = F.when((vx <= 0) | (vy <= 0), F.lit(None).cast("double")).otherwise(
+        ((n * sxy) - (sx * sy)) / (F.sqrt(vx) * F.sqrt(vy))
+    )
+    return m.select(
+        n.cast("long").alias("n_directed_edges"), r.alias("assortativity")
+    )
+
+
+@register(
+    "graph_neighbor_mean_features",
+    """
+    WITH li AS (
+      SELECT l_orderkey AS o, l_partkey AS p FROM lineitem WHERE l_partkey < 200
+    ),
+    e0 AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    ),
+    e AS (
+      SELECT u, v FROM e0
+      WHERE CAST(concat('0x', substr(md5(
+              CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)), 1, 15))
+            AS BIGINT) % 10 = 0
+    ),
+    sym AS (SELECT u AS a, v AS b FROM e UNION SELECT v AS a, u AS b FROM e),
+    f AS (
+      SELECT p_partkey AS node, CAST(p_size AS BIGINT) AS size,
+             CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM part WHERE p_partkey < 200
+    ),
+    h1 AS (
+      SELECT s.a AS node, CAST(COUNT(*) AS BIGINT) AS deg,
+             CAST(CAST(SUM(f.size) AS BIGINT) // COUNT(*) AS BIGINT)
+               AS h1_size,
+             CAST(CAST(SUM(f.cents) AS BIGINT) // COUNT(*) AS BIGINT)
+               AS h1_cents
+      FROM sym s JOIN f ON f.node = s.b GROUP BY s.a
+    ),
+    h2 AS (
+      SELECT s.a AS node,
+             CAST(CAST(SUM(h1.h1_size) AS BIGINT) // COUNT(*) AS BIGINT)
+               AS h2_size,
+             CAST(CAST(SUM(h1.h1_cents) AS BIGINT) // COUNT(*) AS BIGINT)
+               AS h2_cents
+      FROM sym s JOIN h1 ON h1.node = s.b GROUP BY s.a
+    )
+    SELECT h1.node, h1.deg, h1.h1_size, h1.h1_cents, h2.h2_size, h2.h2_cents
+    FROM h1 JOIN h2 ON h2.node = h1.node
+    """,
+)
+def q_graph_neighbor_mean_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of neighborhood mean aggregation — the GraphSAGE /
+    message-passing primitive that turns a graph + node features into
+    GNN training data, on the sampled co-purchase graph with part
+    features (size, price cents): layer 1 averages raw neighbor features,
+    layer 2 averages the neighbors' LAYER-1 features (information from
+    2 hops). Exact integer floors (sum // degree, replayed identically)
+    — no float. Per round the cost is ONE edge⋈feature equi-join
+    partitioned on node id + one grouped partial agg: exactly the
+    per-round shape of PageRank/LPA, shuffling only (node, feature)
+    pairs — the scale-viable alternative to materializing 2-hop
+    neighborhoods (which squares)."""
+    from ..functions.hashing import portable_hash64
+
+    li = (
+        table_scan(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < 200)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    key = F.concat(
+        F.col("u").cast("string"), F.lit(":"), F.col("v").cast("string")
+    )
+    edges = e0.filter(F.pmod(portable_hash64(key), F.lit(10)) == 0)
+    sym = edges.select(F.col("u").alias("a2"), F.col("v").alias("b2")).unionByName(
+        edges.select(F.col("v").alias("a2"), F.col("u").alias("b2"))
+    ).distinct()
+    f = (
+        table_scan(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 200)
+        .select(
+            F.col("p_partkey").alias("node"),
+            F.col("p_size").cast("long").alias("size"),
+            (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    h1 = (
+        sym.join(f.select(F.col("node").alias("b2"), "size", "cents"), "b2")
+        .groupBy(F.col("a2").alias("node"))
+        .agg(
+            F.count(F.lit(1)).alias("deg"),
+            F.expr("SUM(size) div COUNT(*)").alias("h1_size"),
+            F.expr("SUM(cents) div COUNT(*)").alias("h1_cents"),
+        )
+    )
+    h2 = (
+        sym.join(
+            h1.select(
+                F.col("node").alias("b2"),
+                F.col("h1_size").alias("ns"),
+                F.col("h1_cents").alias("nc"),
+            ),
+            "b2",
+        )
+        .groupBy(F.col("a2").alias("node"))
+        .agg(
+            F.expr("SUM(ns) div COUNT(*)").alias("h2_size"),
+            F.expr("SUM(nc) div COUNT(*)").alias("h2_cents"),
+        )
+    )
+    return h1.join(h2, "node").select(
+        "node", "deg", "h1_size", "h1_cents", "h2_size", "h2_cents"
+    )
+
+
+@register(
+    "graph_link_prediction_jaccard",
+    """
+    WITH li AS (
+      SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+      WHERE l_partkey % 13 = 0
+    ),
+    e AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    ),
+    sym AS (SELECT u AS a, v AS b FROM e UNION SELECT v AS a, u AS b FROM e),
+    deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM sym GROUP BY a),
+    wedge AS (
+      SELECT s1.a AS u, s2.a AS w, CAST(COUNT(*) AS BIGINT) AS common
+      FROM sym s1 JOIN sym s2 ON s2.b = s1.b AND s1.a < s2.a
+      GROUP BY s1.a, s2.a
+    ),
+    nonedge AS (
+      SELECT w.u, w.w, w.common
+      FROM wedge w
+      LEFT JOIN e ON e.u = w.u AND e.v = w.w
+      WHERE e.u IS NULL
+    ),
+    scored AS (
+      SELECT n.u, n.w, n.common, du.d AS deg_u, dw.d AS deg_w,
+             CAST(n.common * 1000000
+                  // (du.d + dw.d - n.common) AS BIGINT) AS jaccard_ppm
+      FROM nonedge n
+      JOIN deg du ON du.node = n.u
+      JOIN deg dw ON dw.node = n.w
+    )
+    SELECT u, w, common AS n_common, deg_u, deg_w, jaccard_ppm
+    FROM scored ORDER BY jaccard_ppm DESC, u, w LIMIT 20
+    """,
+)
+def q_graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighborhood Jaccard (Liben-Nowell & Kleinberg
+    2003) — which NON-edges are most likely future edges? The graph keeps
+    every co-purchase edge over the fixed 1-in-13 part slice (a
+    SF-invariant node sample, so the candidate set stays non-trivial at
+    every scale). Candidate pairs come from the wedge join (two edges sharing an endpoint — only pairs
+    with ≥1 common neighbor ever materialize, never all-pairs), existing
+    edges anti-join away, and the score is |N(u)∩N(w)| / |N(u)∪N(w)| in
+    exact integer ppm. The wedge join is the triangle-count shape (cost
+    Σ deg², the graph standard); degrees broadcast back; top-20 is a
+    distributed TakeOrdered with total-order tiebreak."""
+    li = (
+        table_scan(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 13 == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    sym = edges.select(F.col("u").alias("a2"), F.col("v").alias("b2")).unionByName(
+        edges.select(F.col("v").alias("a2"), F.col("u").alias("b2"))
+    ).distinct()
+    deg = sym.groupBy(F.col("a2").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    s1, s2 = sym.alias("s1"), sym.alias("s2")
+    wedge = (
+        s1.join(
+            s2,
+            (F.col("s2.b2") == F.col("s1.b2")) & (F.col("s1.a2") < F.col("s2.a2")),
+        )
+        .groupBy(F.col("s1.a2").alias("u"), F.col("s2.a2").alias("w"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    nonedge = wedge.join(
+        edges.withColumnRenamed("u", "eu").withColumnRenamed("v", "ev"),
+        (F.col("u") == F.col("eu")) & (F.col("w") == F.col("ev")),
+        "left_anti",
+    )
+    scored = (
+        nonedge.join(deg.select(F.col("node").alias("u"), F.col("d").alias("deg_u")), "u")
+        .join(deg.select(F.col("node").alias("w"), F.col("d").alias("deg_w")), "w")
+        .selectExpr(
+            "u",
+            "w",
+            "common AS n_common",
+            "deg_u",
+            "deg_w",
+            "(common * 1000000) div (deg_u + deg_w - common) AS jaccard_ppm",
+        )
+    )
+    return scored.orderBy(F.desc("jaccard_ppm"), "u", "w").limit(20)
+
+
+@register(
+    "graph_lpa_modularity",
+    """
+    WITH li AS (
+      SELECT l_orderkey AS o, l_partkey AS p FROM lineitem WHERE l_partkey < 200
+    ),
+    e0 AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    ),
+    e AS (
+      SELECT u, v FROM e0
+      WHERE CAST(concat('0x', substr(md5(
+              CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)), 1, 15))
+            AS BIGINT) % 10 = 0
+    ),
+    v AS (SELECT DISTINCT p AS node FROM li),
+    sym AS (SELECT u AS a, v AS b FROM e UNION SELECT v AS a, u AS b FROM e),
+    l0 AS (SELECT node, node AS label FROM v),
+    n1 AS (SELECT s.a, l.label, COUNT(*) AS c
+           FROM sym s JOIN l0 l ON s.b = l.node GROUP BY s.a, l.label),
+    p1 AS (SELECT a, label,
+                  ROW_NUMBER() OVER (PARTITION BY a ORDER BY c DESC, label) AS rn
+           FROM n1),
+    l1 AS (SELECT l0.node, COALESCE(p.label, l0.label) AS label
+           FROM l0 LEFT JOIN (SELECT a, label FROM p1 WHERE rn = 1) p
+             ON p.a = l0.node),
+    n2 AS (SELECT s.a, l.label, COUNT(*) AS c
+           FROM sym s JOIN l1 l ON s.b = l.node GROUP BY s.a, l.label),
+    p2 AS (SELECT a, label,
+                  ROW_NUMBER() OVER (PARTITION BY a ORDER BY c DESC, label) AS rn
+           FROM n2),
+    l2 AS (SELECT l1.node, COALESCE(p.label, l1.label) AS label
+           FROM l1 LEFT JOIN (SELECT a, label FROM p2 WHERE rn = 1) p
+             ON p.a = l1.node),
+    n3 AS (SELECT s.a, l.label, COUNT(*) AS c
+           FROM sym s JOIN l2 l ON s.b = l.node GROUP BY s.a, l.label),
+    p3 AS (SELECT a, label,
+                  ROW_NUMBER() OVER (PARTITION BY a ORDER BY c DESC, label) AS rn
+           FROM n3),
+    l3 AS (SELECT l2.node, COALESCE(p.label, l2.label) AS label
+           FROM l2 LEFT JOIN (SELECT a, label FROM p3 WHERE rn = 1) p
+             ON p.a = l2.node),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM e),
+    intra AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS cnt, la.label
+      FROM e JOIN l3 la ON la.node = e.u JOIN l3 lb ON lb.node = e.v
+      WHERE la.label = lb.label GROUP BY la.label
+    ),
+    deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY a),
+    dc AS (
+      SELECT l3.label, CAST(SUM(deg.d) AS BIGINT) AS d_c
+      FROM l3 JOIN deg ON deg.node = l3.node GROUP BY l3.label
+    ),
+    q AS (
+      SELECT CAST(SUM(CAST(4 AS HUGEINT) * m.m_edges * COALESCE(i.cnt, 0)
+                      - CAST(dc.d_c AS HUGEINT) * dc.d_c) AS HUGEINT) AS num,
+             MAX(m.m_edges) AS m_edges,
+             CAST(COUNT(*) AS BIGINT) AS n_communities
+      FROM dc LEFT JOIN intra i ON i.label = dc.label CROSS JOIN m
+    )
+    SELECT n_communities, CAST(m_edges AS BIGINT) AS n_edges,
+           CAST(CASE WHEN m_edges = 0 THEN NULL
+                ELSE CASE WHEN num < 0
+                  THEN -((-num * 1000000)
+                         // (CAST(4 AS HUGEINT) * m_edges * m_edges))
+                  ELSE (num * 1000000)
+                       // (CAST(4 AS HUGEINT) * m_edges * m_edges) END
+           END AS BIGINT) AS modularity_ppm
+    FROM q
+    """,
+)
+def q_graph_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the LPA communities — the evaluation that
+    tells you whether label propagation found STRUCTURE or noise (the
+    community-detection twin of doc_lsh_candidate_eval's
+    precision/recall): Q = Σ_c (L_c/m − (D_c/2m)²), held exact by
+    clearing denominators — Q·4m² = Σ_c (4m·L_c − D_c²), one HUGEINT /
+    DECIMAL(38) fold, sign-split ppm floor. Reuses the exact 3-round LPA
+    labels; per-community intra-edge counts come from one edge⋈label
+    double join, degree sums from one grouped fold — all partial-agg
+    shapes. Communities that hold no intra edges contribute their full
+    −(D_c/2m)² penalty via the LEFT JOIN COALESCE."""
+    from ..functions.hashing import portable_hash64
+
+    li = (
+        table_scan(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < 200)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    key = F.concat(
+        F.col("u").cast("string"), F.lit(":"), F.col("v").cast("string")
+    )
+    edges = e0.filter(F.pmod(portable_hash64(key), F.lit(10)) == 0).transform(cached)
+    sym = edges.select(F.col("u").alias("a2"), F.col("v").alias("b2")).unionByName(
+        edges.select(F.col("v").alias("a2"), F.col("u").alias("b2"))
+    ).distinct()
+    labels = li.select(F.col("p").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(3):
+        nb = sym.join(
+            labels.select(F.col("node").alias("b2"), "label"), "b2"
+        ).select(F.col("a2"), "label")
+        cnt = nb.groupBy("a2", "label").agg(F.count(F.lit(1)).alias("c"))
+        wl = Window.partitionBy("a2").orderBy(F.desc("c"), "label")
+        pick = (
+            cnt.withColumn("rn", F.row_number().over(wl))
+            .filter(F.col("rn") == 1)
+            .select(F.col("a2").alias("node"), F.col("label").alias("new_label"))
+        )
+        labels = labels.join(pick, "node", "left").select(
+            "node", F.coalesce("new_label", "label").alias("label")
+        )
+    labels = labels.transform(cached)
+    m = edges.agg(F.count(F.lit(1)).alias("m_edges"))
+    la = labels.select(F.col("node").alias("u"), F.col("label").alias("lu"))
+    lb = labels.select(F.col("node").alias("v"), F.col("label").alias("lv"))
+    intra = (
+        edges.join(la, "u")
+        .join(lb, "v")
+        .filter(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("label"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    deg = sym.groupBy(F.col("a2").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    dc = (
+        labels.join(deg, "node")
+        .groupBy("label")
+        .agg(F.sum("d").alias("d_c"))
+    )
+    q = (
+        dc.join(intra, "label", "left")
+        .crossJoin(F.broadcast(m))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(4 AS DECIMAL(38,0)) * m_edges * COALESCE(cnt, 0)"
+                    " - CAST(d_c AS DECIMAL(38,0)) * d_c"
+                )
+            ).alias("num"),
+            F.max("m_edges").alias("m_edges"),
+            F.count(F.lit(1)).alias("n_communities"),
+        )
+    )
+    return q.selectExpr(
+        "n_communities",
+        "CAST(m_edges AS BIGINT) AS n_edges",
+        "CAST(CASE WHEN m_edges = 0 THEN NULL"
+        " ELSE CASE WHEN num < 0"
+        "   THEN -((-num * 1000000)"
+        "          div (CAST(4 AS DECIMAL(38,0)) * m_edges * m_edges))"
+        "   ELSE (num * 1000000)"
+        "        div (CAST(4 AS DECIMAL(38,0)) * m_edges * m_edges) END"
+        " END AS BIGINT) AS modularity_ppm",
+    )
+
+
+@register(
+    "graph_bfs_distance_histogram",
+    """
+    WITH li AS (
+      SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+      WHERE l_partkey % 13 = 0
+    ),
+    e AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    ),
+    v AS (SELECT DISTINCT p AS node FROM li),
+    src AS (SELECT MIN(node) AS s FROM v),
+    sym AS (SELECT u AS a, v AS b FROM e UNION SELECT v AS a, u AS b FROM e),
+    d0 AS (SELECT v.node,
+                  CASE WHEN v.node = src.s THEN 0 END AS dist
+           FROM v CROSS JOIN src),
+    d1 AS (
+      SELECT d.node,
+             CASE WHEN d.dist IS NOT NULL THEN d.dist
+                  WHEN MIN(p.dist) IS NOT NULL THEN MIN(p.dist) + 1 END
+               AS dist
+      FROM d0 d
+      LEFT JOIN sym s ON s.a = d.node
+      LEFT JOIN d0 p ON p.node = s.b
+      GROUP BY d.node, d.dist
+    ),
+    d2 AS (
+      SELECT d.node,
+             CASE WHEN d.dist IS NOT NULL THEN d.dist
+                  WHEN MIN(p.dist) IS NOT NULL THEN MIN(p.dist) + 1 END
+               AS dist
+      FROM d1 d
+      LEFT JOIN sym s ON s.a = d.node
+      LEFT JOIN d1 p ON p.node = s.b
+      GROUP BY d.node, d.dist
+    ),
+    d3 AS (
+      SELECT d.node,
+             CASE WHEN d.dist IS NOT NULL THEN d.dist
+                  WHEN MIN(p.dist) IS NOT NULL THEN MIN(p.dist) + 1 END
+               AS dist
+      FROM d2 d
+      LEFT JOIN sym s ON s.a = d.node
+      LEFT JOIN d2 p ON p.node = s.b
+      GROUP BY d.node, d.dist
+    ),
+    d4 AS (
+      SELECT d.node,
+             CASE WHEN d.dist IS NOT NULL THEN d.dist
+                  WHEN MIN(p.dist) IS NOT NULL THEN MIN(p.dist) + 1 END
+               AS dist
+      FROM d3 d
+      LEFT JOIN sym s ON s.a = d.node
+      LEFT JOIN d3 p ON p.node = s.b
+      GROUP BY d.node, d.dist
+    )
+    SELECT CAST(COALESCE(dist, -1) AS INT) AS distance,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM d4 GROUP BY COALESCE(dist, -1)
+    """,
+)
+def q_graph_bfs_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS distance histogram from the min-id source — the small-world
+    diagnostic (how many nodes sit k hops out? how many are unreachable
+    within the frontier?): 4 synchronous BFS rounds on the modulo-sampled
+    co-purchase graph, each round one edge⋈distance join + per-node MIN
+    fold (the PageRank/LPA per-round shape), nodes still unlabelled after
+    4 hops reported as distance −1. Distances are set-once-monotone so
+    the sync unrolling is exactly Dijkstra-on-unit-weights; the oracle
+    replays all 4 rounds."""
+    li = (
+        table_scan(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 13 == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    vertices = li.select(F.col("p").alias("node")).distinct()
+    src = vertices.agg(F.min("node").alias("s"))
+    sym = edges.selectExpr("u AS a2", "v AS b2").unionByName(
+        edges.selectExpr("v AS a2", "u AS b2")
+    ).distinct()
+    d = vertices.crossJoin(F.broadcast(src)).select(
+        "node", F.when(F.col("node") == F.col("s"), 0).alias("dist")
+    )
+    for _ in range(4):
+        nbr = (
+            sym.join(
+                d.selectExpr("node AS b2", "dist AS nd"), "b2"
+            )
+            .groupBy(F.col("a2").alias("node"))
+            .agg(F.min("nd").alias("min_nbr"))
+        )
+        d = d.join(nbr, "node", "left").select(
+            "node",
+            F.when(F.col("dist").isNotNull(), F.col("dist"))
+            .otherwise(
+                F.when(F.col("min_nbr").isNotNull(), F.col("min_nbr") + 1)
+            )
+            .alias("dist"),
+        )
+    return (
+        d.select(F.coalesce(F.col("dist"), F.lit(-1)).cast("int").alias("distance"))
+        .groupBy("distance")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+
+
+@register(
+    "graph_clustering_coefficient",
+    """
+    WITH li AS (
+      SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+      WHERE l_partkey % 13 = 0
+    ),
+    e AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    ),
+    sym AS (SELECT u AS a, v AS b FROM e UNION SELECT v AS a, u AS b FROM e),
+    deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY a),
+    tri AS (
+      SELECT x.a AS node, CAST(COUNT(*) AS BIGINT) AS n_closed
+      FROM sym x JOIN sym y ON y.a = x.b
+      JOIN e z ON z.u = LEAST(x.a, y.b) AND z.v = GREATEST(x.a, y.b)
+      WHERE x.a <> y.b
+      GROUP BY x.a
+    )
+    SELECT d.node, d.d AS degree,
+           CAST(COALESCE(t.n_closed, 0) // 2 AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN d.d < 2 THEN NULL
+                ELSE (COALESCE(t.n_closed, 0) * 1000000)
+                     // (d.d * (d.d - 1)) END AS BIGINT)
+             AS clustering_ppm
+    FROM deg d LEFT JOIN tri t ON t.node = d.node
+    """,
+)
+def q_graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node — are my neighbors friends
+    with each other? C(v) = 2·T(v)/(deg(deg−1)), the micro-structure
+    companion to the global triangle count: closed wedges centered at v
+    come from the 2-path join verified against the edge set (the
+    standard wedge-check shape, cost Σdeg² — each closed wedge counts the
+    triangle twice per center, hence the //2), degrees from one fold, and
+    the coefficient as an exact floored ppm with the deg<2 NULL guard.
+    On the SF-invariant 1-in-13 part slice so density stays comparable
+    across scales."""
+    li = (
+        table_scan(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 13 == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+        .transform(cached)
+    )
+    sym = e.selectExpr("u AS a2", "v AS b2").unionByName(
+        e.selectExpr("v AS a2", "u AS b2")
+    ).distinct()
+    deg = sym.groupBy(F.col("a2").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    x, y = sym.alias("x"), sym.alias("y")
+    wedge = x.join(y, F.col("y.a2") == F.col("x.b2")).filter(
+        F.col("x.a2") != F.col("y.b2")
+    )
+    tri = (
+        wedge.join(
+            e.selectExpr("u AS zu", "v AS zv"),
+            (F.col("zu") == F.least(F.col("x.a2"), F.col("y.b2")))
+            & (F.col("zv") == F.greatest(F.col("x.a2"), F.col("y.b2"))),
+        )
+        .groupBy(F.col("x.a2").alias("node"))
+        .agg(F.count(F.lit(1)).alias("n_closed"))
+    )
+    return deg.join(tri, "node", "left").selectExpr(
+        "node",
+        "d AS degree",
+        "COALESCE(n_closed, 0) div 2 AS n_triangles",
+        "CAST(CASE WHEN d < 2 THEN NULL"
+        " ELSE (COALESCE(n_closed, 0) * 1000000) div (d * (d - 1)) END"
+        " AS BIGINT) AS clustering_ppm",
+    )
+
+
+@register(
+    "graph_hits_hubs_authorities",
+    """
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    a1 AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS a FROM edges GROUP BY s),
+    h1 AS (
+      SELECT c, CAST(CAST(SUM(a) AS HUGEINT) AS BIGINT) AS h
+      FROM edges JOIN a1 USING (s) GROUP BY c
+    ),
+    a2 AS (
+      SELECT s, CAST(CAST(SUM(h) AS HUGEINT) AS BIGINT) AS a
+      FROM edges JOIN h1 USING (c) GROUP BY s
+    ),
+    h2 AS (
+      SELECT c, CAST(CAST(SUM(a) AS HUGEINT) AS BIGINT) AS h
+      FROM edges JOIN a2 USING (s) GROUP BY c
+    ),
+    top_a AS (
+      SELECT 'authority' AS role, s AS node, a AS score
+      FROM a2 ORDER BY a DESC, s LIMIT 20
+    ),
+    top_h AS (
+      SELECT 'hub' AS role, c AS node, h AS score
+      FROM h2 ORDER BY h DESC, c LIMIT 20
+    )
+    SELECT role, node, score FROM top_a
+    UNION ALL SELECT role, node, score FROM top_h
+    """,
+)
+def q_graph_hits_hubs_authorities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kleinberg's HITS on the customer→supplier purchase graph — the
+    mutually-recursive centrality PageRank can't express: a customer is a
+    good HUB if they buy from good authorities, a supplier a good
+    AUTHORITY if good hubs buy from them (a = Eᵀh, h = Ea). Two full
+    unrolled power iterations from h₀ = 1, each one edge-join + grouped
+    sum — the same shuffle shape as one PageRank step, skew-bounded by the
+    distinct-pair edge set. Normalization is deliberately OMITTED: it
+    rescales every score by the same constant, so the top-k ranking is
+    identical and every score stays an EXACT integer (authority₁ = indeg,
+    hub₁ = Σ indeg over purchases, …) instead of a float whose division
+    the two engines could round differently; sums widen through
+    DECIMAL(38)/HUGEINT before the BIGINT cast. Top-20 per role via
+    TakeOrdered (orderBy+limit — no global window), ties pinned by node
+    id. At 100× the iteration cost is two shuffles over the edge list;
+    scores grow ~deg² per round, so the DECIMAL(38) widening (not int64)
+    is the overflow headroom."""
+    o = table_scan(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table_scan(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .transform(cached)
+    )
+    a1 = edges.groupBy("s").agg(F.count(F.lit(1)).alias("a"))
+    h1 = (
+        edges.join(a1, "s")
+        .groupBy("c")
+        .agg(F.sum(F.col("a").cast("decimal(38,0)")).cast("long").alias("h"))
+    )
+    a2 = (
+        edges.join(h1, "c")
+        .groupBy("s")
+        .agg(F.sum(F.col("h").cast("decimal(38,0)")).cast("long").alias("a"))
+    )
+    h2 = (
+        edges.join(a2, "s")
+        .groupBy("c")
+        .agg(F.sum(F.col("a").cast("decimal(38,0)")).cast("long").alias("h"))
+    )
+    top_a = (
+        a2.orderBy(F.col("a").desc(), F.col("s"))
+        .limit(20)
+        .select(
+            F.lit("authority").alias("role"),
+            F.col("s").alias("node"),
+            F.col("a").alias("score"),
+        )
+    )
+    top_h = (
+        h2.orderBy(F.col("h").desc(), F.col("c"))
+        .limit(20)
+        .select(
+            F.lit("hub").alias("role"),
+            F.col("c").alias("node"),
+            F.col("h").alias("score"),
+        )
+    )
+    return top_a.unionAll(top_h)
+
+
+@register(
+    "graph_katz_centrality",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    und AS (
+      SELECT u AS s, v AS d FROM pairs
+      UNION ALL SELECT v AS s, u AS d FROM pairs
+    ),
+    w1 AS (SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS w FROM und GROUP BY s),
+    w2 AS (
+      SELECT und.s AS node, CAST(SUM(w1.w) AS BIGINT) AS w
+      FROM und JOIN w1 ON und.d = w1.node GROUP BY und.s
+    ),
+    w3 AS (
+      SELECT und.s AS node, CAST(CAST(SUM(w2.w) AS HUGEINT) AS BIGINT) AS w
+      FROM und JOIN w2 ON und.d = w2.node GROUP BY und.s
+    )
+    SELECT w1.node,
+           CAST(64 + 16 * w1.w + 4 * w2.w + w3.w AS BIGINT) AS katz64
+    FROM w1 JOIN w2 ON w1.node = w2.node JOIN w3 ON w1.node = w3.node
+    ORDER BY katz64 DESC, w1.node ASC
+    LIMIT 20
+    """,
+)
+def q_graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality (3 unrolled terms, attenuation β = 1/4) on the
+    supplier co-order graph — the walk-counting centrality between plain
+    degree and PageRank: c = Σ_k β^k·(Aᵏ1) rewards being close to many
+    nodes through SHORT walks, without PageRank's out-degree dilution.
+    Scaling by 4³ = 64 keeps it exact: katz64 = 64 + 16·(A1) + 4·(A²1) +
+    (A³1), where each Aᵏ1 (walk counts of length k) is one edge-join +
+    grouped sum — the identical shuffle shape as a PageRank/HITS step over
+    the distinct-pair edge list, three times. Walk counts grow ~degᵏ so
+    the k=3 sum widens through DECIMAL(38)/HUGEINT before the BIGINT cast
+    (≤ n·deg³ ~ 1e15 even at 100-TB supplier cardinality). Top-20 via
+    TakeOrdered with node-id tie pinning — no global window. Isolated
+    suppliers (no co-order partner) have katz64 = 64 and never appear in
+    the top-20 of any real graph; the inner joins drop them."""
+    li = table_scan(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .distinct()
+    )
+    und = pairs.select(
+        F.col("u").alias("s"), F.col("v").alias("d")
+    ).unionByName(
+        pairs.select(F.col("v").alias("s"), F.col("u").alias("d"))
+    ).transform(cached)
+    w1 = und.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("w")
+    )
+    w2 = (
+        und.join(w1.withColumnRenamed("node", "d"), "d")
+        .groupBy(F.col("s").alias("node"))
+        .agg(F.sum("w").cast("long").alias("w"))
+    )
+    w3 = (
+        und.join(w2.withColumnRenamed("node", "d"), "d")
+        .groupBy(F.col("s").alias("node"))
+        .agg(
+            F.sum(F.col("w").cast("decimal(38,0)")).cast("long").alias("w")
+        )
+    )
+    j = (
+        w1.withColumnRenamed("w", "d1")
+        .join(w2.withColumnRenamed("w", "d2"), "node")
+        .join(w3.withColumnRenamed("w", "d3"), "node")
+    )
+    return (
+        j.select(
+            "node",
+            (
+                F.lit(64)
+                + 16 * F.col("d1")
+                + 4 * F.col("d2")
+                + F.col("d3")
+            )
+            .cast("long")
+            .alias("katz64"),
+        )
+        .orderBy(F.col("katz64").desc(), F.col("node").asc())
+        .limit(20)
+    )
+
+
+_PPR_ITER = """
+    ps{k} AS (
+      SELECT e.dst AS node, SUM(r.pr // r.deg) AS s
+      FROM edges e JOIN pr{p} r ON e.src = r.node GROUP BY e.dst
+    ),
+    pr{k} AS (
+      SELECT n.node, n.deg, n.restart,
+             CAST((15 * n.restart + 85 * COALESCE(ps{k}.s, 0)) // 100
+               AS BIGINT) AS pr
+      FROM pnodes n LEFT JOIN ps{k} ON n.node = ps{k}.node
+    )"""
+
+_PPR_ORACLE = (
+    """
+    WITH pairs AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+      SELECT src, dst FROM pairs
+      UNION ALL SELECT dst AS src, src AS dst FROM pairs
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+    seeds AS (
+      SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+    ),
+    gseeds AS (SELECT d.node FROM deg d JOIN seeds s ON d.node = s.node),
+    k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM gseeds),
+    pnodes AS (
+      SELECT d.node, d.deg,
+             CASE WHEN g.node IS NOT NULL
+                  THEN CAST(1000000000000 // k.k AS BIGINT)
+                  ELSE 0 END AS restart
+      FROM deg d LEFT JOIN gseeds g ON d.node = g.node CROSS JOIN k
+    ),
+    pr0 AS (SELECT node, deg, restart, restart AS pr FROM pnodes),"""
+    + _PPR_ITER.format(k=1, p=0) + ","
+    + _PPR_ITER.format(k=2, p=1) + ","
+    + _PPR_ITER.format(k=3, p=2) + """
+    SELECT node, pr FROM pr3
+    """
+)
+
+
+@register("graph_personalized_pagerank", _PPR_ORACLE)
+def q_graph_personalized_pagerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart) from a SEED SET —
+    the recsys/relevance workhorse plain PageRank can't provide: restart
+    mass returns only to NATION_7's customers, so after three damped
+    iterations `pr` measures importance RELATIVE to that market ("which
+    suppliers matter to these customers"), not global centrality. Same
+    integer fixed-point contract as graph_pagerank_bipartite (10¹²
+    scale, floor div, 0.85 damping; reuses _pagerank_graph's persisted
+    edges/degrees) with the base vector swapped for the seed-restart
+    vector (10¹²/|seeds| on graph-member seeds, 0 elsewhere). Oracle
+    unrolls the identical three iterations as chained CTEs. Scale shape
+    identical to plain PageRank: per iteration one edge-key shuffle join
+    + one partial-agg gather; seed membership rides a node-keyed join."""
+    edges, nodes = _pagerank_graph(spark, sf_dir)
+    c = table_scan(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = table_scan(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_7"
+    )
+    seeds = (
+        c.join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias(
+                "node"
+            )
+        )
+        .distinct()
+        .join(nodes.select("node"), "node")
+        .select("node", F.lit(1).alias("is_seed"))
+    )
+    k = seeds.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    pnodes = (
+        nodes.join(seeds, "node", "left")
+        .crossJoin(F.broadcast(k))
+        .selectExpr(
+            "node",
+            "deg",
+            "CASE WHEN is_seed = 1"
+            " THEN CAST(1000000000000 AS BIGINT) div k"
+            " ELSE CAST(0 AS BIGINT) END AS restart",
+        )
+        .transform(cached)
+    )
+    r = pnodes.withColumn("pr", F.col("restart"))
+    for _ in range(3):
+        contrib = r.selectExpr("node AS src", "pr div deg AS c")
+        inc = (
+            edges.join(contrib, "src")
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        r = pnodes.join(inc, pnodes["node"] == inc["dst"], "left").selectExpr(
+            "node",
+            "deg",
+            "restart",
+            "CAST((15 * restart + 85 * COALESCE(s, 0)) div 100 AS BIGINT)"
+            " AS pr",
+        )
+    return r.select("node", "pr")
+
+
+@register(
+    "graph_harmonic_centrality_3hop",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+      SELECT src, dst FROM pairs
+      UNION ALL SELECT dst AS src, src AS dst FROM pairs
+    ),
+    probes AS (
+      SELECT DISTINCT src AS p FROM edges
+      WHERE src LIKE 'c%' AND CAST(substr(src, 2) AS BIGINT) < 50
+    ),
+    d1 AS (
+      SELECT pr.p, e.dst AS node FROM probes pr
+      JOIN edges e ON e.src = pr.p GROUP BY pr.p, e.dst
+    ),
+    d2 AS (
+      SELECT d1.p, e.dst AS node
+      FROM d1 JOIN edges e ON e.src = d1.node
+      WHERE e.dst <> d1.p
+      GROUP BY d1.p, e.dst
+      HAVING NOT EXISTS (SELECT 1 FROM d1 x
+                         WHERE x.p = d1.p AND x.node = e.dst)
+    ),
+    d3 AS (
+      SELECT d2.p, e.dst AS node
+      FROM d2 JOIN edges e ON e.src = d2.node
+      WHERE e.dst <> d2.p
+      GROUP BY d2.p, e.dst
+      HAVING NOT EXISTS (SELECT 1 FROM d1 x
+                         WHERE x.p = d2.p AND x.node = e.dst)
+         AND NOT EXISTS (SELECT 1 FROM d2 y
+                         WHERE y.p = d2.p AND y.node = e.dst)
+    ),
+    h AS (
+      SELECT p,
+             (SELECT COUNT(*) FROM d1 WHERE d1.p = probes.p) AS n1,
+             (SELECT COUNT(*) FROM d2 WHERE d2.p = probes.p) AS n2,
+             (SELECT COUNT(*) FROM d3 WHERE d3.p = probes.p) AS n3
+      FROM probes
+    )
+    SELECT p AS node,
+           CAST(n1 AS BIGINT) AS n_dist1,
+           CAST(n2 AS BIGINT) AS n_dist2,
+           CAST(n3 AS BIGINT) AS n_dist3,
+           CAST(6 * n1 + 3 * n2 + 2 * n3 AS BIGINT) AS harmonic_x6
+    FROM h
+    """,
+)
+def q_graph_harmonic_centrality_3hop(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Harmonic centrality (3-hop truncated) — the closeness variant that
+    handles disconnected graphs gracefully (Σ 1/d counts unreachable
+    nodes as 0 instead of poisoning a mean): for each of the 50 probe
+    customers, count nodes at exact BFS distance 1, 2, 3 over the
+    customer↔supplier co-transaction graph and fold them with exact
+    rational weights 1, ½, ⅓ — emitted ×6 so the score stays integer
+    (6·n₁ + 3·n₂ + 2·n₃). Completes the centrality family (degree,
+    PageRank×3, Katz, HITS) with a DISTANCE-based measure. Probe-bounded
+    like the kNN/MMR exact baselines: every frontier is ≤50×|reachable|,
+    each hop one edge-key shuffle join + an anti-join against earlier
+    levels — never all-pairs; full-graph harmonic at 100 TB would ride
+    hyperball sketches instead (documented trade)."""
+    edges, _ = _pagerank_graph(spark, sf_dir)
+    probes = (
+        edges.select(F.col("src").alias("p"))
+        .filter(
+            F.col("p").startswith("c")
+            & (F.expr("CAST(substr(p, 2, 18) AS BIGINT)") < 50)
+        )
+        .distinct()
+        .transform(cached)
+    )
+    d1 = (
+        probes.join(edges, probes["p"] == edges["src"])
+        .select("p", F.col("dst").alias("node"))
+        .distinct()
+        .transform(cached)
+    )
+    d2 = (
+        d1.join(edges, d1["node"] == edges["src"])
+        .select("p", F.col("dst").alias("node2"))
+        .filter(F.col("node2") != F.col("p"))
+        .distinct()
+        .join(
+            d1.select(F.col("p").alias("xp"), F.col("node").alias("xn")),
+            (F.col("xp") == F.col("p")) & (F.col("xn") == F.col("node2")),
+            "left_anti",
+        )
+        .select("p", F.col("node2").alias("node"))
+        .transform(cached)
+    )
+    d3 = (
+        d2.join(edges, d2["node"] == edges["src"])
+        .select("p", F.col("dst").alias("node3"))
+        .filter(F.col("node3") != F.col("p"))
+        .distinct()
+        .join(
+            d1.select(F.col("p").alias("xp"), F.col("node").alias("xn")),
+            (F.col("xp") == F.col("p")) & (F.col("xn") == F.col("node3")),
+            "left_anti",
+        )
+        .join(
+            d2.select(F.col("p").alias("yp"), F.col("node").alias("yn")),
+            (F.col("yp") == F.col("p")) & (F.col("yn") == F.col("node3")),
+            "left_anti",
+        )
+        .select("p", F.col("node3").alias("node"))
+    )
+    c1 = d1.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    c2 = d2.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n2"))
+    c3 = d3.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n3"))
+    return (
+        probes.join(c1, "p", "left")
+        .join(c2, "p", "left")
+        .join(c3, "p", "left")
+        .select(
+            F.col("p").alias("node"),
+            F.coalesce("n1", F.lit(0)).cast("long").alias("n_dist1"),
+            F.coalesce("n2", F.lit(0)).cast("long").alias("n_dist2"),
+            F.coalesce("n3", F.lit(0)).cast("long").alias("n_dist3"),
+        )
+        .selectExpr(
+            "node",
+            "n_dist1",
+            "n_dist2",
+            "n_dist3",
+            "CAST(6 * n_dist1 + 3 * n_dist2 + 2 * n_dist3 AS BIGINT)"
+            " AS harmonic_x6",
+        )
+    )

@@ -40,6 +40,14 @@ def clean_breweries(raw: DataFrame) -> DataFrame:
     ``enforced`` (:42-51).
     """
     cleaned = raw.select(
+        # DELIBERATE DEVIATION from the reference (recorded per VERDICT r8
+        # #7): app/tasks/silver.py:23 bare-casts id (a whitespace-only id
+        # survives there and then passes its :45 IS NOT NULL filter), while
+        # this pipeline TRIM+NULLIFs id like every other string column, so
+        # a whitespace-only id is dropped by the NOT NULL enforcement below.
+        # An all-blank primary key is never a usable join/dedup key, so the
+        # stricter behavior is kept on purpose; the registry oracle
+        # (silver_clean_contract) mirrors THIS contract. See SURVEY.md §2.2.
         clean_str("id").alias("id"),
         clean_str("name").alias("name"),
         clean_str("brewery_type").alias("brewery_type"),

@@ -55,6 +55,13 @@ STANDARD_BATCH = [
     "graph_link_prediction_jaccard",
     "vocab_char_coverage",
     "orders_cohort_ltv",
+    # round-8 iterative heavies (VERDICT r8 #6): the Markov removal-effect
+    # lattice solve and the multi-stage cascade (cascade already above);
+    # events_markov_absorption_4step exercises the 4-step matrix unroll
+    "events_markov_removal_attribution",
+    "events_markov_absorption_4step",
+    "events_growth_accounting_weekly",
+    "events_topk_churn_drift",
 ]
 
 
