@@ -236,7 +236,6 @@ class JsonlSinkWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         import json as _json
         import os
-        import shutil
 
         prev_files = 0
         prev_rows = 0
@@ -273,19 +272,35 @@ class JsonlSinkWriter(DataSourceWriter):
             )
             published += 1
             total += m.n_rows
-        shutil.rmtree(os.path.join(self.path, "_staged"), ignore_errors=True)
+        self._cleanup_staged()
         manifest = {"files": prev_files + published, "rows": prev_rows + total}
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
             f.write(_json.dumps(manifest))
 
+    def _cleanup_staged(self) -> None:
+        """Remove the _staged dir ONLY if it's empty.
+
+        A wholesale rmtree would delete a CONCURRENT writer's staged task
+        files (two writers on one sink root share _staged; each task file is
+        uuid-unique, so only the shared dir ever collides). This writer's
+        own files are already gone — published by commit's os.replace or
+        removed by abort — so an empty dir is the only thing left to reap;
+        a non-empty dir belongs to someone else and is left alone.
+        """
+        import os
+
+        try:
+            os.rmdir(os.path.join(self.path, "_staged"))
+        except OSError:
+            pass  # non-empty (another writer's staged files) or already gone
+
     def abort(self, messages) -> None:
         import os
-        import shutil
 
         for m in messages:
             if m is not None and os.path.exists(m.staged):
                 os.remove(m.staged)
-        shutil.rmtree(os.path.join(self.path, "_staged"), ignore_errors=True)
+        self._cleanup_staged()
 
 
 class JsonlSinkDataSource(DataSource):

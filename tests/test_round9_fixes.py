@@ -165,6 +165,54 @@ def test_jsonl_sink_append_never_clobbers(spark, tmp_path):
     assert sorted(vals) == [0, 1, 2, 3, 4, 100, 101, 102]
 
 
+def test_jsonl_sink_concurrent_writers_isolated(spark, tmp_path):
+    """Two writers interleaved on ONE sink root: writer B's commit (and a
+    third writer's abort) must not reap writer A's still-staged task files
+    — the _staged rmtree race from VERDICT r8 #3. Drives the writer
+    protocol objects directly (two sessions in one JVM isn't possible), the
+    exact interleave the executors would produce."""
+    from breweries_data_engineering_case_spark.sources.python_datasource import (
+        JsonlCommitMessage,
+        JsonlSinkWriter,
+    )
+
+    root = tmp_path / "sink3"
+    root.mkdir()
+    staged_dir = root / "_staged"
+    staged_dir.mkdir()
+
+    # writer A stages a task file (its commit hasn't happened yet)
+    a_staged = staged_dir / "task-aaaa.jsonl"
+    a_staged.write_text('{"v": 1}\n{"v": 2}\n')
+    a_msg = JsonlCommitMessage(staged=str(a_staged), n_rows=2)
+
+    # writer B stages + commits while A is still in flight
+    b_staged = staged_dir / "task-bbbb.jsonl"
+    b_staged.write_text('{"v": 10}\n')
+    writer_b = JsonlSinkWriter({"path": str(root)}, overwrite=False)
+    writer_b.commit([JsonlCommitMessage(staged=str(b_staged), n_rows=1)])
+    assert a_staged.exists(), "B's commit reaped A's staged file"
+
+    # a third writer aborts — must also leave A's staged file alone
+    c_staged = staged_dir / "task-cccc.jsonl"
+    c_staged.write_text('{"v": 99}\n')
+    writer_c = JsonlSinkWriter({"path": str(root)}, overwrite=False)
+    writer_c.abort([JsonlCommitMessage(staged=str(c_staged), n_rows=1)])
+    assert a_staged.exists(), "C's abort reaped A's staged file"
+
+    # A finally commits; read-back sees every committed row exactly once
+    writer_a = JsonlSinkWriter({"path": str(root)}, overwrite=False)
+    writer_a.commit([a_msg])
+    manifest = json.loads((root / "_SUCCESS").read_text())
+    assert manifest["rows"] == 3
+    vals = []
+    for p in root.glob("part-*.jsonl"):
+        vals += [json.loads(line)["v"] for line in p.read_text().splitlines()]
+    assert sorted(vals) == [1, 2, 10]
+    # the shared staging dir is reaped once the last writer drains it
+    assert not staged_dir.exists()
+
+
 def test_jsonl_sink_overwrite_resets(spark, tmp_path):
     out = str(tmp_path / "sink2")
     (tmp_path / "sink2").mkdir()
