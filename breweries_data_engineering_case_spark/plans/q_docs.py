@@ -3534,3 +3534,111 @@ def q_doc_quality_feature_matrix(
         .cast("long")
         .alias("stopword_ppm"),
     )
+
+
+@register(
+    "doc_boilerplate_line_strip",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks
+      FROM documents WHERE TRIM(text) <> ''
+    ),
+    t AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+             CAST(len(toks) // 3 AS BIGINT) AS n_lines, toks
+      FROM tok WHERE len(toks) // 3 >= 1
+    ),
+    ln AS (
+      SELECT doc_id, n_tok, n_lines,
+             CAST(UNNEST(range(0, n_lines)) AS BIGINT) AS j, toks
+      FROM t
+    ),
+    lt AS (
+      SELECT doc_id,
+             array_to_string(list_slice(toks, j * 3 + 1, j * 3 + 3), ' ')
+               AS line
+      FROM ln
+    ),
+    boiler AS (
+      SELECT line
+      FROM (SELECT line, COUNT(DISTINCT doc_id) AS nd FROM lt GROUP BY line)
+      WHERE nd >= 3
+    ),
+    bc AS (
+      SELECT lt.doc_id, CAST(COUNT(*) AS BIGINT) AS n_boiler
+      FROM lt JOIN boiler USING (line) GROUP BY lt.doc_id
+    )
+    SELECT t.doc_id, t.n_lines,
+           COALESCE(bc.n_boiler, 0) AS n_boiler_lines,
+           t.n_tok - 3 * COALESCE(bc.n_boiler, 0) AS retained_tokens,
+           CAST((1000 * COALESCE(bc.n_boiler, 0)) // t.n_lines AS BIGINT)
+             AS boiler_permille
+    FROM t LEFT JOIN bc ON t.doc_id = bc.doc_id
+    """,
+)
+def q_doc_boilerplate_line_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate stripping — the C4/RefinedWeb rule "drop
+    any line that occurs in >= k documents across the corpus" (navigation
+    chrome, cookie banners, license footers), as a per-doc retention
+    ledger: line count, boilerplate-line count, tokens that survive the
+    strip, and the boilerplate fraction in exact per-mille. Lines are
+    non-overlapping 3-token chunks (the synthetic corpus has no newlines;
+    on real data swap the chunker for split('\\n') — every downstream stage
+    is unchanged). Differs from doc_c4_span_dedup (keep-FIRST-owner span
+    dedup) in that boilerplate has NO owner: a line over the corpus
+    frequency threshold is stripped from every document.
+
+    Scale shape: the line-frequency pass is one hash-groupBy on the line
+    string with map-side partial distinct (skinny (line, doc_id) rows, the
+    exact-dedup shuffle shape); flagging is ONE shuffle left-semi join of
+    lines against the over-threshold set (never broadcast — on a real
+    corpus the boilerplate set is unbounded); the per-doc rollup re-groups
+    by doc_id. All-integer output, no floats anywhere."""
+    d = table_scan(spark, sf_dir, "documents")
+    t = (
+        d.filter(F.trim("text") != "")
+        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tok"),
+            F.expr("size(toks) div 3").cast("long").alias("n_lines"),
+            "toks",
+        )
+        .filter(F.col("n_lines") >= 1)
+    )
+    lt = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, int(n_lines) - 1),"
+                " j -> array_join(slice(toks, j * 3 + 1, 3), ' '))"
+            )
+        ).alias("line"),
+    )
+    boiler = (
+        lt.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 3)
+        .select("line")
+    )
+    bc = (
+        lt.join(boiler, "line", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_boiler"))
+    )
+    return (
+        t.join(bc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce(F.col("n_boiler"), F.lit(0)).cast("long").alias(
+                "n_boiler_lines"
+            ),
+            (
+                F.col("n_tok") - 3 * F.coalesce(F.col("n_boiler"), F.lit(0))
+            ).cast("long").alias("retained_tokens"),
+            F.expr("(1000 * coalesce(n_boiler, 0)) div n_lines")
+            .cast("long")
+            .alias("boiler_permille"),
+        )
+    )

@@ -4239,3 +4239,124 @@ def q_events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         burn.cast("long").alias("burn_rate_milli"),
         (burn > 14400).alias("page_alert"),
     )
+
+
+@register(
+    "events_watermark_lateness_profile",
+    """
+    WITH e AS (
+      SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               + 1000000 * (CASE WHEN event_id % 100 = 0
+                      THEN CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                                AS BIGINT) % 86400
+                      ELSE CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                                AS BIGINT) % 600 END) AS arr_us
+      FROM events
+    ),
+    r AS (
+      SELECT ts_us,
+             MAX(ts_us) OVER (ORDER BY arr_us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS rm
+      FROM e
+    ),
+    l AS (SELECT (rm - ts_us) // 60000000 AS lateness_min FROM r),
+    g AS (
+      SELECT lateness_min, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM l GROUP BY lateness_min
+    ),
+    c AS (
+      SELECT lateness_min, n_events,
+             CAST(SUM(n_events) OVER (ORDER BY lateness_min
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_events,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS total
+      FROM g
+    )
+    SELECT lateness_min, n_events, cum_events,
+           CAST((1000000 * cum_events) // total AS BIGINT) AS cum_ppm,
+           (1000000 * cum_events) // total >= 990000 AS covers_p99
+    FROM c
+    """,
+)
+def q_events_watermark_lateness_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermark-delay chooser: the lateness histogram every Structured
+    Streaming deployment needs BEFORE picking `withWatermark(delay)` — for
+    each event, lateness = (max event-time already arrived) − (own event
+    time); the cumulative distribution tells you the delay that covers
+    99% of events (`covers_p99`: the smallest such minute bucket is the
+    recommended watermark). The testdata has no arrival timestamps, so
+    arrival is a DETERMINISTIC simulation both engines replay bit-for-bit:
+    arrival = event time + md5-derived delay (uniform ≤10 min, 1% heavy
+    tail ≤24 h — the long-tail-mobile-client shape); on real data, replace
+    `arr_us` with the ingestion timestamp and nothing else changes.
+
+    Scale shape — the running max NEVER uses a global row window: pass 1
+    computes each event's within-minute prefix max (window PARTITIONED by
+    arrival minute, bounded rows per partition); pass 2 takes the
+    per-minute maxima — a table bounded by the TIME HORIZON (~130k rows
+    per quarter at any data volume, since it grows with wall-clock time,
+    not events) — and prefix-maxes them with an exclusive window; each
+    event then takes greatest(block prefix, within-block prefix). The
+    final histogram windows run over ≤ horizon-minutes rows. The oracle
+    replays one flat running max (fine at sf0.01)."""
+    e = table_scan(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    delay_s = F.expr(
+        "CASE WHEN event_id % 100 = 0"
+        " THEN CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 8), 16, 10)"
+        "      AS BIGINT) % 86400"
+        " ELSE CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 8), 16, 10)"
+        "      AS BIGINT) % 600 END"
+    )
+    e = e.select(
+        "event_id", "ts_us", (F.col("ts_us") + 1000000 * delay_s).alias("arr_us")
+    )
+    e = e.withColumn("arr_min", F.expr("arr_us div 60000000"))
+    w_in = (
+        Window.partitionBy("arr_min")
+        .orderBy("arr_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = e.withColumn("in_max", F.max("ts_us").over(w_in))
+    blocks = e.groupBy("arr_min").agg(F.max("ts_us").alias("blk_max"))
+    w_blk = (
+        Window.orderBy("arr_min")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    blk_prefix = blocks.select(
+        "arr_min", F.max("blk_max").over(w_blk).alias("pre_max")
+    )
+    r = within.join(blk_prefix, "arr_min").select(
+        "ts_us",
+        F.greatest(
+            F.col("in_max"), F.coalesce(F.col("pre_max"), F.col("in_max"))
+        ).alias("rm"),
+    )
+    lat = r.select(F.expr("(rm - ts_us) div 60000000").alias("lateness_min"))
+    g = lat.groupBy("lateness_min").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    total = e.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    w_cum = Window.orderBy("lateness_min").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        g.withColumn("cum_events", F.sum("n_events").over(w_cum).cast("long"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lateness_min",
+            "n_events",
+            "cum_events",
+            F.expr("(1000000 * cum_events) div total").cast("long").alias(
+                "cum_ppm"
+            ),
+            (F.expr("(1000000 * cum_events) div total") >= 990000).alias(
+                "covers_p99"
+            ),
+        )
+    )

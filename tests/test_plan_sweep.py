@@ -29,6 +29,10 @@ from breweries_data_engineering_case_spark.plans import registry
 #: (broadcast) side — the documented exact baselines and scalar broadcasts
 BNLJ_OK = {
     "ann_cosine_topk",  # exact baseline: ≤50 query vectors broadcast
+    "ann_cosine_topk_ivf",  # since r9 the bounded oracle rides an exact
+    #   brute-force recall witness in the same plan (≤5 query vectors
+    #   broadcast, corpus streamed — the ann_cosine_topk shape); the IVF
+    #   serving path itself stays equi-join-only
     "embedding_matryoshka_recall",  # two exact ground-truth searches,
     #   5-query broadcast each (the ablation harness, not the serving path)
     "embedding_near_dup_exact",  # exact all-pairs ground-truth twin
@@ -36,6 +40,8 @@ BNLJ_OK = {
     "doc_levenshtein_pairs",  # bounded-subset edit-distance join
     "tpch_q22_dormant_customers",  # single-row scalar subquery broadcast
     "key_skew_profile",  # single-row totals broadcast
+    "events_watermark_lateness_profile",  # single-row event-total broadcast
+    #   (the cum_ppm denominator)
     "range_join_value_bands",  # 4-row band dim broadcast
     "tpch_q11_important_parts",  # single-row global-threshold broadcast
     "source_mixture_weights",  # single-row normalizer broadcast
@@ -204,6 +210,10 @@ BNLJ_OK = {
 GLOBAL_WINDOW_OK = {
     "orders_pettitt_changepoint",  # rank + CDF windows over the bounded
     #   calendar-day aggregate (~2.5k rows at any fact-table size)
+    "events_watermark_lateness_profile",  # block-prefix max over the
+    #   per-arrival-MINUTE aggregate (bounded by the time horizon, not by
+    #   event count) + cumulative window over the ≤horizon-minute lateness
+    #   histogram; the per-event pass partitions by arrival minute
     "hybrid_search_rrf",  # rank windows over the 50-row post-TakeOrdered
     #   per-modality top lists — O(k) rows through one task by design
     "vocab_char_coverage",  # coverage windows over the per-CHARACTER

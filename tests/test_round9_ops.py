@@ -1,0 +1,97 @@
+"""Round-9 additions: independent (non-oracle) verification of the
+boilerplate-line strip and the watermark lateness profile — brute-force
+Python recomputes on the collected slice, plus structural invariants.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter, defaultdict
+
+from breweries_data_engineering_case_spark.plans import registry
+from breweries_data_engineering_case_spark.sources.readers import table_scan
+
+
+def test_boilerplate_line_strip_brute_force(spark, sf_dir):
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in table_scan(spark, sf_dir, "documents").collect()
+    }
+    # brute force: 3-token non-overlapping lines, boilerplate = line in >= 3
+    # distinct docs, per-doc boiler count / retained tokens
+    lines_by_doc: dict[int, list[str]] = {}
+    ntok: dict[int, int] = {}
+    doc_sets = defaultdict(set)
+    for did, text in docs.items():
+        toks = text.strip().split()
+        if not toks or len(toks) // 3 < 1:
+            continue
+        ntok[did] = len(toks)
+        ls = [
+            " ".join(toks[j * 3 : j * 3 + 3]) for j in range(len(toks) // 3)
+        ]
+        lines_by_doc[did] = ls
+        for l in set(ls):
+            doc_sets[l].add(did)
+    boiler = {l for l, s in doc_sets.items() if len(s) >= 3}
+
+    out = {
+        r["doc_id"]: r
+        for r in registry.QUERIES["doc_boilerplate_line_strip"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(out) == set(lines_by_doc)
+    for did, ls in lines_by_doc.items():
+        nb = sum(1 for l in ls if l in boiler)
+        r = out[did]
+        assert r["n_lines"] == len(ls)
+        assert r["n_boiler_lines"] == nb
+        assert r["retained_tokens"] == ntok[did] - 3 * nb
+        assert r["boiler_permille"] == (1000 * nb) // len(ls)
+    # non-vacuous on the test corpus: some boilerplate must exist
+    assert any(r["n_boiler_lines"] > 0 for r in out.values())
+
+
+def _delay_s(event_id: int) -> int:
+    h = int(hashlib.md5(str(event_id).encode()).hexdigest()[:8], 16)
+    return h % 86400 if event_id % 100 == 0 else h % 600
+
+
+def test_watermark_lateness_profile_brute_force(spark, sf_dir):
+    rows = (
+        table_scan(spark, sf_dir, "events")
+        .selectExpr(
+            "event_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us"
+        )
+        .collect()
+    )
+    evs = sorted(
+        (
+            (r["ts_us"] + 1_000_000 * _delay_s(r["event_id"]), r["event_id"], r["ts_us"])
+            for r in rows
+        ),
+    )
+    hist: Counter = Counter()
+    rm = None
+    for _arr, _eid, ts in evs:
+        rm = ts if rm is None else max(rm, ts)
+        hist[(rm - ts) // 60_000_000] += 1
+
+    out = registry.QUERIES["events_watermark_lateness_profile"](
+        spark, sf_dir
+    ).collect()
+    got = {r["lateness_min"]: r for r in out}
+    assert {k: v["n_events"] for k, v in got.items()} == dict(hist)
+    # cumulative columns are a proper CDF ending at 1.0 (ppm)
+    total = sum(hist.values())
+    cum = 0
+    for k in sorted(hist):
+        cum += hist[k]
+        assert got[k]["cum_events"] == cum
+        assert got[k]["cum_ppm"] == (1_000_000 * cum) // total
+        assert got[k]["covers_p99"] == ((1_000_000 * cum) // total >= 990_000)
+    # the simulated arrival produces real lateness (non-vacuous) and the
+    # p99-covering bucket exists
+    assert len(hist) > 1
+    assert any(r["covers_p99"] for r in out)
