@@ -117,25 +117,33 @@ def test_csv_malformed_row_modes(spark, tmp_path):
 
 
 def test_approx_distinct_within_tolerance(spark, sf_dir):
-    """The HLL++ sketch (rows-only in the driver) anchored to the exact
-    count: relative error must stay inside the configured rsd's ~3-sigma."""
+    """The HLL++ sketch anchored to the exact count: relative error must
+    stay inside the configured rsd's ~3-sigma. The registry query emits
+    only the deterministic witness since r9 (bounded oracle), so this
+    recomputes the raw sketch directly and cross-checks the query's
+    exact_users + within_bound columns against it."""
     from breweries_data_engineering_case_spark.plans import registry
 
-    approx = {
-        r.event_type: r.approx_users
-        for r in registry.QUERIES["approx_distinct_users"](spark, sf_dir).collect()
-    }
     e = table_scan(spark, sf_dir, "events")
-    exact = {
-        r.event_type: r.u
+    raw = {
+        r.event_type: (r.a, r.u)
         for r in e.groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("u"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("a"),
+            F.countDistinct("user_id").alias("u"),
+        )
         .collect()
     }
-    assert approx.keys() == exact.keys()
-    for k in exact:
-        rel = abs(approx[k] - exact[k]) / max(exact[k], 1)
-        assert rel < 0.15, f"{k}: approx {approx[k]} vs exact {exact[k]}"
+    for k, (a, u) in raw.items():
+        rel = abs(a - u) / max(u, 1)
+        assert rel < 0.15, f"{k}: approx {a} vs exact {u}"
+    q = {
+        r.event_type: (r.exact_users, r.within_bound)
+        for r in registry.QUERIES["approx_distinct_users"](spark, sf_dir).collect()
+    }
+    assert q.keys() == raw.keys()
+    for k, (u, ok) in q.items():
+        assert u == raw[k][1] and ok, f"{k}: {q[k]} vs raw {raw[k]}"
 
 
 def test_observe_metrics_piggyback_on_one_pass(spark, sf_dir):
