@@ -3647,8 +3647,8 @@ def q_events_spc_imr_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH uw AS (
       SELECT DISTINCT user_id,
-             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
-               // 7 AS BIGINT) AS week
+             CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               / 7.0) AS BIGINT) AS week
       FROM events
     ),
     first_w AS (
@@ -3705,9 +3705,9 @@ def q_events_growth_accounting_weekly(
         .select(
             "user_id",
             # FLOOR, not truncating cast (ADVICE r8 #1): an event before the
-            # 2024-01-01 anchor must land in week -1, not fold into week 0 —
-            # DuckDB's integer // already floors, so floor keeps the engines
-            # aligned for pre-anchor data too
+            # 2024-01-01 anchor must land in week -1, not fold into week 0.
+            # DuckDB's integer // TRUNCATES toward zero ((-13)//7 = -1), so
+            # the oracle uses floor(x/7.0) to match this for pre-anchor data
             F.floor(
                 F.datediff(
                     F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")

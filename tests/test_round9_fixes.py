@@ -289,3 +289,55 @@ def test_release_all_idempotent(spark, sf_dir):
     caching.release_all()
     assert caching._ACTIVE == []
     caching.release_all()  # second call is a no-op, not an error
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r8 #1 follow-through: pre-anchor weeks must FLOOR on both engines.
+# DuckDB's integer // truncates toward zero ((-13)//7 = -1), so the oracle
+# uses floor(x/7.0); this test feeds events BEFORE the 2024-01-01 anchor and
+# requires the two engines to agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+def test_growth_accounting_pre_anchor_floor(spark, tmp_path):
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    # user 1: active 3 days before the anchor (week -1 under floor, week 0
+    # under truncation — the divergence ADVICE r8 #1 flagged), then week 0
+    for day in ("2023-12-29", "2024-01-02"):
+        rows.append((eid, dt.datetime.fromisoformat(day + "T12:00:00"), 1,
+                     "view", 1.0, "{}"))
+        eid += 1
+    # user 2: weeks -2 and 0 (a resurrection across the anchor)
+    for day in ("2023-12-20", "2024-01-03"):
+        rows.append((eid, dt.datetime.fromisoformat(day + "T12:00:00"), 2,
+                     "view", 1.0, "{}"))
+        eid += 1
+    # user 3: only pre-anchor, churns at week 0
+    rows.append((eid, dt.datetime.fromisoformat("2023-12-28T12:00:00"), 3,
+                 "view", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    out = str(tmp_path / "pre_anchor_sf")
+    df.coalesce(1).write.parquet(f"{out}/events.parquet")
+
+    sdf = registry.QUERIES["events_growth_accounting_weekly"](spark, out)
+    got = {(r.week, r.state): r.n for r in sdf.collect()}
+    # floor semantics: 2023-12-29 is week -1, 2023-12-28 is week -1,
+    # 2023-12-20 is week -2
+    assert got[(-2, "new")] == 1           # user 2
+    assert got[(-1, "new")] == 2           # users 1, 3
+    assert got[(0, "retained")] == 1       # user 1 (week -1 -> 0)
+    assert got[(0, "resurrected")] == 1    # user 2 (gap from week -2)
+    assert got[(0, "churned")] == 1        # user 3
+    assert (0, "new") not in got           # nobody first appears at week 0
+    _compare(
+        sdf,
+        registry.ORACLES["events_growth_accounting_weekly"],
+        "events",
+        f"{out}/events.parquet/*.parquet",
+    )
