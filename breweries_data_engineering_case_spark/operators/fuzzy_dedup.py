@@ -166,8 +166,13 @@ def minhash_signatures(
     """(id, sig: array<bigint>) — sig[i] = min over shingles of the i-th
     universal hash of the shingle. Docs with no shingles produce no row
     (explode of an empty array)."""
-    based = df.select(
-        F.col(id_col).alias("id"),
+    from ..sources.readers import spread
+
+    # The per-token hash roll is CPU-bound; a single-file scan upstream
+    # (one row group = one task) would run it on one core regardless of
+    # cluster width. spread() is a no-op when scan parallelism is adequate.
+    based = spread(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
+        "id",
         shingle_hashes(text_col, shingle_n, portable=portable).alias("__h"),
     )
     mins = _minhash_cols(based, "id", num_hashes)
@@ -192,9 +197,13 @@ def minhash_lsh_candidates(
     (precision/recall vs exact ground truth, registry
     ``doc_lsh_candidate_eval``) and reused by ``minhash_lsh_pairs``.
     """
+    from ..sources.readers import spread
+
     rows_per_band = num_hashes // bands
-    based = df.select(
-        F.col(id_col).alias("id"),
+    # fan a single-task upstream scan out before the CPU-bound hash roll
+    # (no-op when scan parallelism is adequate — see readers.spread)
+    based = spread(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
+        "id",
         shingle_hashes(text_col, shingle_n, portable=portable).alias("__h"),
     )
     with_sig = _minhash_cols(based, "id", num_hashes)
@@ -338,8 +347,12 @@ def simhash(
     # the hashing subtree is duplicated 32× in the plan (md5 per token per
     # bit — measured ~3× slower at sf0.1). Folding over an attribute makes
     # the hashing run once per row. (Same gotcha as chunking.py; NOTES.md.)
-    hashed = df.select(
-        F.col(id_col).alias("id"),
+    from ..sources.readers import spread
+
+    # md5-per-token is CPU-bound: fan a single-task upstream scan out to
+    # the cluster's cores first (no-op when parallelism is adequate).
+    hashed = spread(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
+        "id",
         F.transform(toks, _md5_token_hash).alias("__hashes"),
     )
     hashes = F.col("__hashes")

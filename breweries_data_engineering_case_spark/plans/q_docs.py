@@ -39,7 +39,7 @@ from ..operators.similarity import (
     embedding_near_dup_pairs,
     semantic_dedup,
 )
-from ..sources.readers import json_array_scan, table_scan
+from ..sources.readers import json_array_scan, spread, table_scan
 from ..sources.writers import idempotent_date_overwrite, write_partitioned_parquet
 from .silver import clean_breweries
 
@@ -1365,10 +1365,17 @@ def q_doc_dedup_portable_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
     # hash expression instead of reading a materialized array — measured
     # 12 s → ~5 s cold at sf0.1 for the whole pipeline. Bytes are
     # |shingles| longs per doc (MEMORY_AND_DISK), far below the raw text.
-    shs_all = d.select(
-        F.col("doc_id").alias("id"),
-        shingle_hashes("text", 3, portable=True).alias("sh"),
-    ).transform(cached)
+    # spread(): the md5 roll is CPU-bound, and a single-file scan would
+    # otherwise run it on one core (4.2 s → 1.4 s at sf0.1; no-op at scale).
+    shs_all = (
+        d.select("doc_id", "text")
+        .transform(spread)
+        .select(
+            F.col("doc_id").alias("id"),
+            shingle_hashes("text", 3, portable=True).alias("sh"),
+        )
+        .transform(cached)
+    )
     num_hashes = 16
     mins = _minhash_cols(
         shs_all.select("id", F.col("sh").alias("__h")), "id", num_hashes

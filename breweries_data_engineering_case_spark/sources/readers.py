@@ -108,3 +108,23 @@ def table_scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz"),
         )
     return df
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Fan a CPU-bound stage's input out to the cluster's core count when
+    the upstream scan yields fewer partitions than cores.
+
+    A single small parquet file (one row group) scans as ONE partition, so
+    a per-row-expensive stage downstream (md5 shingling, image decode,
+    edit-distance verify) runs on one core no matter how wide the cluster
+    is — measured 4.2 s → 1.4 s on the portable-MinHash shingle stage at
+    sf0.1/local[32]. Scale-safe by construction: when the scan already has
+    at least `defaultParallelism` partitions (any real multi-file dataset),
+    this is a NO-OP — no shuffle is added where scan parallelism is
+    adequate. Call it on the skinny projection feeding the expensive
+    expression, never on the raw wide scan."""
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
