@@ -34,15 +34,20 @@ def connected_components(
     ``vertices``: one row per id (isolated vertices form their own
     singleton components). ``edges``: undirected pairs.
     """
+    # Lazy checkpoints: lineage still truncates (the first job over the
+    # frame materializes the RDD), but no separate synchronous job per
+    # frame — each iteration's consistency-check count doubles as the
+    # materializer. Measured ~1 job/iteration saved; on the tiny graphs
+    # near-dup pipelines produce, fixed per-job overhead IS the cost.
     sym = (
         edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
         .unionByName(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = vertices.select(
         F.col(id_col).alias("v"), F.col(id_col).alias("component")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     for _ in range(max_iter):
         neighbor_min = (
@@ -74,7 +79,7 @@ def connected_components(
                     F.coalesce(F.col("rep_component"), F.col("x.component")),
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         labels = updated
         # Definitive termination: labels are final iff every edge connects
