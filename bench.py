@@ -54,6 +54,9 @@ HEADLINE = [
     # attribution family (grid-absorption removal effects)
     "llm_curation_pipeline_end_to_end",
     "events_markov_removal_attribution",
+    # round-9 flagship: DSIR-style importance resampling (hashed-bigram
+    # broadcast scoring) — the data-selection family, newly tracked
+    "doc_dsir_importance_select",
 ]
 
 # Clean-host reference probes (recorded across rounds 6-7 idle windows in

@@ -1888,3 +1888,125 @@ def q_llm_curation_pipeline_end_to_end(
             .alias("budget_tokens"),
         )
     )
+
+
+_DSIR_ORACLE = r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_transform(string_split_regex(TRIM(text), '\s+'),
+                            tok -> CAST(concat('0x', substr(md5(tok), 1, 15))
+                                        AS BIGINT) % 2147483647) AS th
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, lang,
+             ((th[i + 1] * 1000003 + th[i + 2]) % 2147483647) % 1024 AS b
+      FROM t, UNNEST(range(GREATEST(len(th) - 1, 0))) AS u(i)
+    ),
+    raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS r FROM occ GROUP BY b),
+    tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS tc
+            FROM occ WHERE lang = 'en' GROUP BY b),
+    rt AS (SELECT CAST(SUM(r) AS BIGINT) AS rr FROM raw),
+    tt AS (SELECT CAST(COALESCE(SUM(tc), 0) AS BIGINT) AS tsum FROM tgt),
+    lr AS (
+      SELECT raw.b,
+             CAST(FLOOR(1000000.0 * ln(
+                 (CAST(COALESCE(tgt.tc, 0) + 1 AS DOUBLE)
+                  * CAST(rr + 1024 AS DOUBLE))
+               / (CAST(raw.r + 1 AS DOUBLE)
+                  * CAST(tsum + 1024 AS DOUBLE)))) AS BIGINT) AS lr
+      FROM raw LEFT JOIN tgt USING (b) CROSS JOIN rt CROSS JOIN tt
+    ),
+    sc AS (
+      SELECT occ.doc_id, occ.lang, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(lr.lr) AS BIGINT) AS score_micro_nats
+      FROM occ JOIN lr USING (b)
+      GROUP BY occ.doc_id, occ.lang
+    )
+    SELECT doc_id, lang, score_micro_nats, n_bigrams
+    FROM sc ORDER BY score_micro_nats DESC, doc_id LIMIT 50
+"""
+
+
+@register("doc_dsir_importance_select", _DSIR_ORACLE)
+def q_doc_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection — importance resampling via hashed n-gram
+    features (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): documents are scored by how much their hashed
+    BIGRAM distribution looks like a target domain (here lang='en' stands
+    in for the curated target) relative to the raw pool, and the top-k by
+    importance weight are selected. Per bucket b of 1024 hashed-bigram
+    buckets, the add-one-smoothed log-likelihood ratio
+    ln[ p_target(b) / p_raw(b) ] is frozen as the INTEGER
+    floor(1e6·ln(·)) (micro-nats) — so each document's log importance
+    weight is an exact integer SUM over its bigram occurrences,
+    associative and bit-portable (float log-weights would diverge in
+    summation order; the only float op left is one ln per bucket on an
+    exactly-representable double ratio). Scale shape: the "model" is 1024
+    integers — ONE broadcast join scores any corpus; two bucket-count
+    shuffles (skinny (doc, bucket) rows) fit partial aggregation; the
+    hashed features reuse the portable MinHash token-hash roll
+    (operators/fuzzy_dedup.shingle_hash_sequence), CPU-fanned via
+    spread(). Top-k rides distributed TakeOrdered with (score desc,
+    doc_id) total order. Oracle replays every stage including the ln
+    freeze in DuckDB SQL."""
+    from ..operators.fuzzy_dedup import shingle_hash_sequence
+    from ..sources.readers import spread
+
+    n_buckets = 1024
+    d = table_scan(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    occ = (
+        spread(d)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(shingle_hash_sequence("text", 2, portable=True)).alias("s"),
+        )
+        .select("doc_id", "lang", (F.col("s") % n_buckets).alias("b"))
+        # read three times: raw counts, target counts, and the scoring pass
+        .transform(cached)
+    )
+    raw = occ.groupBy("b").agg(F.count(F.lit(1)).alias("r"))
+    tgt = (
+        occ.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    rt = raw.agg(F.sum("r").alias("rr"))
+    tt = tgt.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("tsum"))
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(rt))
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "b",
+            F.floor(
+                F.lit(1000000.0)
+                * F.log(
+                    (
+                        (F.coalesce(F.col("tc"), F.lit(0)) + 1).cast("double")
+                        * (F.col("rr") + n_buckets).cast("double")
+                    )
+                    / (
+                        (F.col("r") + 1).cast("double")
+                        * (F.col("tsum") + n_buckets).cast("double")
+                    )
+                )
+            )
+            .cast("long")
+            .alias("lr"),
+        )
+    )
+    scored = (
+        occ.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("lr").cast("long").alias("score_micro_nats"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score_micro_nats"), "doc_id")
+        .limit(50)
+        .select("doc_id", "lang", "score_micro_nats", "n_bigrams")
+    )

@@ -95,3 +95,54 @@ def test_watermark_lateness_profile_brute_force(spark, sf_dir):
     # p99-covering bucket exists
     assert len(hist) > 1
     assert any(r["covers_p99"] for r in out)
+
+
+def test_dsir_importance_select_brute_force(spark, sf_dir):
+    """Recompute the full DSIR scoring pipeline (hashed-bigram buckets,
+    add-one-smoothed micro-nat log ratios, per-doc integer sums, top-50)
+    in pure Python and require identical rows, then assert the selection
+    actually lifts the target-domain share — the property DSIR exists for.
+    """
+    import math
+    import re
+
+    import pandas as pd
+
+    P, B, NB = 2147483647, 1000003, 1024
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "lang", "text"])
+
+    def tok_hash(t: str) -> int:
+        return int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % P
+
+    occ = []  # (doc_id, lang, bucket)
+    for r in d.itertuples():
+        th = [tok_hash(t) for t in re.split(r"\s+", r.text.strip())]
+        for i in range(len(th) - 1):
+            occ.append((r.doc_id, r.lang, ((th[i] * B + th[i + 1]) % P) % NB))
+    raw = Counter(b for _, _, b in occ)
+    tgt = Counter(b for _, lang, b in occ if lang == "en")
+    R, T = sum(raw.values()), sum(tgt.values())
+    lr = {
+        b: math.floor(1e6 * math.log(
+            (float(tgt.get(b, 0) + 1) * float(R + NB))
+            / (float(raw[b] + 1) * float(T + NB))))
+        for b in raw
+    }
+    scores, nbi = defaultdict(int), defaultdict(int)
+    for doc, lang, b in occ:
+        scores[(doc, lang)] += lr[b]
+        nbi[(doc, lang)] += 1
+    expect = sorted(
+        ((doc, lang, s, nbi[(doc, lang)]) for (doc, lang), s in scores.items()),
+        key=lambda x: (-x[2], x[0]),
+    )[:50]
+
+    rows = registry.QUERIES["doc_dsir_importance_select"](spark, sf_dir).collect()
+    got = [(r.doc_id, r.lang, r.score_micro_nats, r.n_bigrams) for r in rows]
+    assert got == expect
+
+    # selection property: top-50 is en-enriched vs the corpus base rate
+    base = (d.lang == "en").mean()
+    sel = sum(1 for _, lang, _, _ in got if lang == "en") / len(got)
+    assert sel > base, (sel, base)
