@@ -62,6 +62,11 @@ STANDARD_BATCH = [
     "events_markov_absorption_4step",
     "events_growth_accounting_weekly",
     "events_topk_churn_drift",
+    # round-9: DSIR broadcast scoring (new flagship) — at SF1 the scan has
+    # 16 partitions, so readers.spread() must be a NO-OP here (the point)
+    "doc_dsir_importance_select",
+    "doc_boilerplate_line_strip",
+    "events_watermark_lateness_profile",
 ]
 
 
