@@ -174,3 +174,29 @@ def test_observe_metrics_piggyback_on_one_pass(spark, sf_dir):
     assert got["v_sum"] == want.v_sum
     assert got["v_min"] == want.v_min and got["v_max"] == want.v_max
     assert len(out) > 0
+
+
+def test_spread_fans_out_single_task_scan(spark, sf_dir):
+    """spread() must lift a 1-partition scan to defaultParallelism, and be
+    an exact NO-OP (same plan object semantics, no added shuffle) when the
+    input already has at least that many partitions."""
+    from pyspark.sql import functions as F
+
+    from breweries_data_engineering_case_spark.sources.readers import (
+        spread,
+        table_scan,
+    )
+
+    cores = spark.sparkContext.defaultParallelism
+    d = table_scan(spark, sf_dir, "documents").select("doc_id", "text")
+    if d.rdd.getNumPartitions() < cores:
+        out = spread(d)
+        assert out.rdd.getNumPartitions() == cores
+        # row-preserving, content-preserving
+        assert out.count() == d.count()
+        assert (
+            out.agg(F.sum(F.crc32(F.coalesce("text", F.lit("")))).alias("s")).first()[0]
+            == d.agg(F.sum(F.crc32(F.coalesce("text", F.lit("")))).alias("s")).first()[0]
+        )
+    wide = d.repartition(cores + 4)
+    assert spread(wide) is wide  # no-op: frame returned untouched
