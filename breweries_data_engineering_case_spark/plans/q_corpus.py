@@ -2010,3 +2010,74 @@ def q_doc_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("doc_id", "lang", "score_micro_nats", "n_bigrams")
     )
+
+
+@register(
+    "vocab_good_turing_unseen_mass",
+    r"""
+    WITH tok AS (
+      SELECT source, UNNEST(string_split_regex(TRIM(text), '\s+')) AS t
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok WHERE t <> '' GROUP BY source, t
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dis_legomena,
+           CAST((1000000 * SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END))
+                // SUM(c) AS BIGINT) AS unseen_mass_ppm,
+           CASE WHEN SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) = 0 THEN NULL
+                ELSE CAST((2000 * SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END))
+                          // SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) END AS r1_star_milli
+    FROM tf GROUP BY source ORDER BY source
+    """,
+)
+def q_vocab_good_turing_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good–Turing unseen-probability mass per source — the estimator that
+    tells a corpus curator how much vocabulary a source HASN'T shown yet
+    (Good 1953; the leave-one-out identity P(unseen) = n1/N): a source
+    whose hapax share stays high under continued crawling still has
+    unharvested diversity, one whose mass collapses is exhausted —
+    the sampling-priority signal next to the Heaps-curve fit
+    (vocab_growth_heaps_curve). Emits the frequency-spectrum head (N,
+    |V|, n1 hapax, n2 dis legomena), unseen mass as exact integer ppm,
+    and the Good–Turing adjusted count for singletons r1* = 2·n2/n1 in
+    milli-units (NULL when no hapax exist) — all integer div, bit-portable.
+    Scale shape: one (source, token) count shuffle with map-side partial
+    aggregation, then a 20-row spectrum aggregate; no token list ever
+    leaves the partial-agg hash tables."""
+    tf = (
+        table_scan(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split(F.trim("text"), r"\s+")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n1 = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    n2 = F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            n1.cast("long").alias("n_hapax"),
+            n2.cast("long").alias("n_dis_legomena"),
+            F.expr(
+                "CAST((1000000 * SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END))"
+                " div SUM(c) AS BIGINT)"
+            ).alias("unseen_mass_ppm"),
+            F.expr(
+                "CASE WHEN SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) = 0"
+                " THEN NULL ELSE"
+                " CAST((2000 * SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END))"
+                " div SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) END"
+            ).alias("r1_star_milli"),
+        )
+        .orderBy("source")
+    )

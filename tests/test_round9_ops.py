@@ -146,3 +146,33 @@ def test_dsir_importance_select_brute_force(spark, sf_dir):
     base = (d.lang == "en").mean()
     sel = sum(1 for _, lang, _, _ in got if lang == "en") / len(got)
     assert sel > base, (sel, base)
+
+
+def test_good_turing_brute_force(spark, sf_dir):
+    import re
+
+    import pandas as pd
+
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    spectra = {}
+    for src, grp in d.groupby("source"):
+        cnt = Counter()
+        for txt in grp.text:
+            cnt.update(t for t in re.split(r"\s+", txt.strip()) if t)
+        N = sum(cnt.values())
+        n1 = sum(1 for v in cnt.values() if v == 1)
+        n2 = sum(1 for v in cnt.values() if v == 2)
+        spectra[src] = (N, len(cnt), n1, n2,
+                        (1_000_000 * n1) // N,
+                        (2000 * n2) // n1 if n1 else None)
+    rows = registry.QUERIES["vocab_good_turing_unseen_mass"](spark, sf_dir).collect()
+    assert len(rows) == len(spectra)
+    for r in rows:
+        N, types, n1, n2, ppm, r1 = spectra[r.source]
+        assert (r.n_tokens, r.n_types, r.n_hapax, r.n_dis_legomena) == (N, types, n1, n2)
+        assert r.unseen_mass_ppm == ppm and r.r1_star_milli == r1
+    # non-vacuous: hapax exist somewhere, AND the zero-hapax guard path
+    # (NULL r1*) is exercised by at least one source at sf0.01
+    assert any(r.n_hapax > 0 for r in rows)
+    if any(r.n_hapax == 0 for r in rows):
+        assert any(r.r1_star_milli is None for r in rows)
