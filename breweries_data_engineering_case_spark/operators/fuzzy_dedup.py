@@ -467,3 +467,60 @@ def ngram_jaccard_pairs(
         jaccard(F.col("a.sh"), F.col("b.sh")).alias("jaccard"),
     )
     return pairs.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_band_exprs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id_col, band_idx, band_hash) via PURE MAP expressions — no explode+
+    groupBy signature aggregation, so it works unchanged on a STREAMING
+    frame (stateless stage ahead of a stateful band-bucket operator) as
+    well as in batch. Portable base (md5 token roll + polynomial band
+    hash). Each min-hash is array_min(transform(...)) over a shingle-hash
+    column bound ONCE — 16 traversals stays inside the codegen budget (64
+    would not; see _minhash_cols for the batch explode+agg shape).
+
+    The factory for the per-hash lambda is required: pyspark counts lambda
+    parameters, so default-arg capture breaks higher-order binding."""
+    rpb = num_hashes // bands
+    based = df.select(
+        F.col(id_col),
+        shingle_hashes(text_col, shingle_n, portable=True).alias("__sh"),
+    ).filter(F.size("__sh") > 0)
+
+    def _uhash(a: int, b: int):
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MH_P)
+
+    sig = based.select(
+        id_col,
+        *[
+            F.array_min(F.transform(F.col("__sh"), _uhash(a, b))).alias(f"m{i}")
+            for i, (a, b) in enumerate(_mh_coeffs(num_hashes))
+        ],
+    )
+
+    def _band_hash(b: int) -> Column:
+        h = F.col(f"m{b * rpb}")
+        for r in range(1, rpb):
+            h = (h * F.lit(_MH_B) + F.col(f"m{b * rpb + r}")) % F.lit(_MH_P)
+        return h
+
+    return sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("long").alias("band_idx"),
+                        _band_hash(b).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("e"),
+    ).select(id_col, "e.band_idx", "e.band_hash")

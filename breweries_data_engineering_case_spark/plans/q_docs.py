@@ -3649,3 +3649,111 @@ def q_doc_boilerplate_line_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("boiler_permille"),
         )
     )
+
+
+def _stream_neardup_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    """Batch-SQL twin of the STREAMING LSH band dedup: per doc, the minimum
+    earlier doc id sharing any band bucket + how many bands hit. Same
+    signature/band CTEs as the portable dedup pipeline oracle."""
+    from ..operators.fuzzy_dedup import _MH_B, _MH_P, _mh_coeffs
+
+    vals = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(_mh_coeffs(num_hashes))
+    )
+    rpb = num_hashes // bands
+    bh = "m0"
+    for r in range(1, rpb):
+        bh = f"({bh} * {_MH_B} + m{r}) % {_MH_P}"
+    mcols = ", ".join(
+        f"MAX(CASE WHEN i % {rpb} = {r} THEN m END) AS m{r}" for r in range(rpb)
+    )
+    return rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(TRIM(text), '\s+'),
+                            tok -> CAST(concat('0x', substr(md5(tok), 1, 15))
+                                        AS BIGINT) % {_MH_P}) AS th
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             ((th[i + 1] * {_MH_B} + th[i + 2]) % {_MH_P} * {_MH_B}
+              + th[i + 3]) % {_MH_P} AS s
+      FROM t, UNNEST(range(GREATEST(len(th) - 2, 0))) AS u(i)
+    ),
+    c(i, a, b) AS (VALUES {vals}),
+    sig AS (
+      SELECT doc_id, c.i, MIN((sh.s * c.a + c.b) % {_MH_P}) AS m
+      FROM sh CROSS JOIN c GROUP BY doc_id, c.i
+    ),
+    bandm AS (
+      SELECT doc_id, i // {rpb} AS b, {mcols}
+      FROM sig GROUP BY doc_id, i // {rpb}
+    ),
+    band AS (SELECT doc_id, b, {bh} AS bh FROM bandm),
+    hits AS (
+      SELECT y.doc_id, x.b, MIN(x.doc_id) AS m
+      FROM band x JOIN band y
+        ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id
+      GROUP BY y.doc_id, x.b
+    )
+    SELECT doc_id, MIN(m) AS dup_candidate_of,
+           CAST(COUNT(*) AS BIGINT) AS n_band_hits
+    FROM hits GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@register("streaming_neardup_lsh", _stream_neardup_oracle(16, 4))
+def q_streaming_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-dup detection — the LSH candidate stage as an
+    arbitrary-stateful streaming operator: documents arrive on a stream,
+    signatures (16 portable min-hashes) and 4 band hashes are STATELESS
+    map expressions, and each (band_idx, band_hash) bucket is a stream
+    KEY whose state is one long — the canonical (minimum) doc id ever
+    seen in that bucket (streaming/stateful.lsh_band_dedup). A doc
+    landing in an occupied bucket is emitted immediately as a candidate
+    pair; state is bounded by occupied buckets, not by stream length or
+    payload bytes. This is the ingest-time shape of the batch
+    doc_dedup_minhash_lsh family: catch near-dups as they ARRIVE instead
+    of re-sweeping the corpus. Staged as ONE file so AvailableNow
+    processes a single deterministic micro-batch — "earlier" then means
+    smaller doc_id, which is exactly what the batch SQL oracle replays
+    (per doc: min earlier doc sharing any band + band-hit count). The
+    per-row signature uses array_min(transform(...)) over a materialized
+    shingle-hash column — 16 traversals stays inside the codegen budget;
+    the shingle array is bound once so the md5 roll runs once per row."""
+    from ..operators.fuzzy_dedup import minhash_band_exprs
+    from ..streaming.stateful import lsh_band_dedup
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    staging = Path(tempfile.gettempdir()) / "bdec_stream_docs" / key
+    if not (staging / "_SUCCESS").exists():
+        table_scan(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        ).coalesce(1).write.mode("overwrite").parquet(str(staging))
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    stream = spark.readStream.schema(schema).parquet(str(staging))
+    banded = minhash_band_exprs(stream, num_hashes=16, bands=4)
+
+    qname = f"bdec_stream_neardup_{key}"
+    q = (
+        lsh_band_dedup(banded)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(qname)
+        .groupBy("doc_id")
+        .agg(
+            F.min("canon_id").alias("dup_candidate_of"),
+            F.count(F.lit(1)).cast("long").alias("n_band_hits"),
+        )
+        .orderBy("doc_id")
+    )

@@ -227,3 +227,73 @@ def user_type_counter_fallback(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup detection: LSH band buckets as stateful stream keys
+# ---------------------------------------------------------------------------
+
+LSH_STATE_SCHEMA = StructType([StructField("min_doc_id", LongType())])
+
+LSH_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("band_idx", LongType()),
+        StructField("canon_id", LongType()),
+    ]
+)
+
+
+def _band_dedup(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Per-(band_idx, band_hash) bucket state: the minimum doc_id ever seen.
+
+    Each incoming doc that lands in a bucket some EARLIER (smaller-id) doc
+    already occupies is emitted as a near-dup candidate pair
+    (doc, canonical=min earlier id). Processing ids in ascending order
+    makes "earlier" well-defined within a batch, and the persisted min
+    carries it across batches — the streaming twin of the batch banded
+    self-join (candidates only; the exact-Jaccard verify stays a batch
+    post-pass on the tiny candidate set, same as minhash_lsh_pairs)."""
+    band_idx = int(key[0])
+    cur = int(state.get[0]) if state.exists else None
+    out_doc: list[int] = []
+    out_canon: list[int] = []
+    ids: list[int] = []
+    for pdf in batches:
+        ids.extend(int(x) for x in pdf["doc_id"])
+    ids.sort()
+    for d in ids:
+        if cur is not None and cur < d:
+            out_doc.append(d)
+            out_canon.append(cur)
+        if cur is None or d < cur:
+            cur = d
+    state.update((cur,))
+    yield pd.DataFrame(
+        {
+            "doc_id": out_doc,
+            "band_idx": [band_idx] * len(out_doc),
+            "canon_id": out_canon,
+        }
+    )
+
+
+def lsh_band_dedup(banded: DataFrame) -> DataFrame:
+    """Stateful streaming near-dup candidates over (band_idx, band_hash).
+
+    ``banded``: a STREAMING frame of (doc_id, band_idx, band_hash) rows —
+    one per LSH band per document (signature/banding are stateless map
+    expressions upstream). State per bucket is ONE long (the canonical
+    min doc id), so state size is bounded by the number of occupied
+    buckets regardless of stream length — the property that makes
+    streaming near-dup viable where a dropDuplicates-on-text would hold
+    full payloads in the state store."""
+    return banded.groupBy("band_idx", "band_hash").applyInPandasWithState(
+        _band_dedup,
+        outputStructType=LSH_OUTPUT_SCHEMA,
+        stateStructType=LSH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

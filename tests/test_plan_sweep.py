@@ -42,6 +42,9 @@ BNLJ_OK = {
     "key_skew_profile",  # single-row totals broadcast
     "events_watermark_lateness_profile",  # single-row event-total broadcast
     #   (the cum_ppm denominator)
+    "doc_dsir_importance_select",  # two single-row scalar broadcasts (raw
+    #   and target bigram totals feeding the smoothed log-ratio); the
+    #   per-doc scoring join itself is an equi-join on the bucket id
     "range_join_value_bands",  # 4-row band dim broadcast
     "tpch_q11_important_parts",  # single-row global-threshold broadcast
     "source_mixture_weights",  # single-row normalizer broadcast

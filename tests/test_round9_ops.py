@@ -176,3 +176,57 @@ def test_good_turing_brute_force(spark, sf_dir):
     assert any(r.n_hapax > 0 for r in rows)
     if any(r.n_hapax == 0 for r in rows):
         assert any(r.r1_star_milli is None for r in rows)
+
+
+def test_streaming_lsh_state_carries_across_microbatches(spark, tmp_path):
+    """The registry run is a single deterministic batch; this test forces
+    TWO micro-batches (maxFilesPerTrigger=1) and requires a near-dup
+    arriving in batch 2 to be matched against the canonical doc that
+    batch 1 left in the band-bucket STATE."""
+    from breweries_data_engineering_case_spark.operators.fuzzy_dedup import (
+        minhash_band_exprs,
+    )
+    from breweries_data_engineering_case_spark.streaming.stateful import (
+        lsh_band_dedup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    uniq1 = "completely different words about spark structured streaming state"
+    uniq2 = "a third unrelated document mentioning parquet row groups and arrow"
+    batch1 = [(1, base), (2, base + " extra"), (3, uniq1)]
+    batch2 = [(11, base), (12, uniq2)]  # 11 near-dups doc 1 ACROSS batches
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    spark.createDataFrame(batch1, "doc_id long, text string").coalesce(1).write.parquet(
+        str(src / "b1.parquet")
+    )
+    spark.createDataFrame(batch2, "doc_id long, text string").coalesce(1).write.parquet(
+        str(src / "b2.parquet")
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*.parquet")
+    )
+    out = lsh_band_dedup(minhash_band_exprs(stream, num_hashes=16, bands=4))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_lsh_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # each trigger = 1 file => 2 micro-batches
+    assert len(q.recentProgress) >= 2
+    rows = spark.table("t_lsh_state").collect()
+    canon = {}
+    for r in rows:
+        canon.setdefault(r.doc_id, set()).add(r.canon_id)
+    # batch-2 doc 11 matched against batch-1 state (canonical doc 1)
+    assert 1 in canon.get(11, set())
+    # batch-1 near-dup pair found within the batch
+    assert 1 in canon.get(2, set())
+    # unique docs never emitted as duplicates
+    assert 3 not in canon and 12 not in canon
