@@ -3747,3 +3747,180 @@ def q_events_growth_accounting_weekly(
         F.col("week") <= F.col("mw")
     ).select("week", "state", "n")
     return act.unionByName(churn_in)
+
+_SEQ_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _seq_case(alias: str, col_prefix: str) -> str:
+    branches = " ".join(
+        f"WHEN '{t}' THEN {col_prefix}{t}" for t in _SEQ_TYPES
+    )
+    return f"CASE {alias} {branches} END"
+
+
+_SEQ_PATTERN_ORACLE = rf"""
+    WITH e AS (
+      SELECT user_id, event_type,
+             {", ".join(f"COUNT(*) FILTER (event_type = '{t}') OVER "
+                        f"(PARTITION BY user_id ORDER BY ts, event_id "
+                        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pc_{t}"
+                        for t in _SEQ_TYPES)},
+             {", ".join(f"COUNT(*) FILTER (event_type = '{t}') OVER "
+                        f"(PARTITION BY user_id) AS tot_{t}"
+                        for t in _SEQ_TYPES)}
+      FROM events
+    ),
+    ty(t) AS (VALUES {", ".join(f"('{t}')" for t in _SEQ_TYPES)}),
+    nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM events),
+    per2 AS (
+      SELECT user_id, a.t AS s1, e.event_type AS s2,
+             SUM({_seq_case("a.t", "pc_")}) AS o
+      FROM e CROSS JOIN ty a
+      GROUP BY user_id, a.t, e.event_type
+    ),
+    pat2 AS (
+      SELECT s1, s2, CAST(SUM(o) AS BIGINT) AS occurrences,
+             CAST(COUNT(*) FILTER (o > 0) AS BIGINT) AS n_users
+      FROM per2 GROUP BY s1, s2 HAVING SUM(o) > 0
+    ),
+    per3 AS (
+      SELECT user_id, a.t AS s1, e.event_type AS s2, c.t AS s3,
+             SUM(({_seq_case("a.t", "pc_")})
+                 * (({_seq_case("c.t", "tot_")}) - ({_seq_case("c.t", "pc_")})
+                    - CASE WHEN e.event_type = c.t THEN 1 ELSE 0 END)) AS o
+      FROM e CROSS JOIN ty a CROSS JOIN ty c
+      GROUP BY user_id, a.t, e.event_type, c.t
+    ),
+    pat3 AS (
+      SELECT s1, s2, s3, CAST(SUM(o) AS BIGINT) AS occurrences,
+             CAST(COUNT(*) FILTER (o > 0) AS BIGINT) AS n_users
+      FROM per3 GROUP BY s1, s2, s3 HAVING SUM(o) > 0
+    )
+    SELECT * FROM (
+      SELECT CAST(2 AS BIGINT) AS length, s1, s2, CAST(NULL AS VARCHAR) AS s3,
+             n_users, occurrences,
+             CAST((1000000 * n_users) // nu.n AS BIGINT) AS support_ppm
+      FROM pat2 CROSS JOIN nu
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), s1, s2, s3, n_users, occurrences,
+             CAST((1000000 * n_users) // nu.n AS BIGINT)
+      FROM pat3 CROSS JOIN nu
+    ) ORDER BY length, s1, s2, s3
+"""
+
+
+@register("events_seq_pattern_support", _SEQ_PATTERN_ORACLE)
+def q_events_seq_pattern_support(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sequential-pattern mining (GSP/PrefixSpan statistics) — for every
+    length-2 and length-3 event-type SUBSEQUENCE pattern: how many users
+    exhibit it (support) and the EXACT number of occurrences (ordered
+    index pairs/triples matching the pattern — the discriminating
+    statistic: on an active user base, support alone saturates at 100%).
+    The scale move: occurrences are never enumerated. One window pass
+    gives each event its per-type EXCLUSIVE prefix counts; then
+    #(a…b) = Σ over b-events of prefix_a, and
+    #(a…b…c) = Σ over b-events of prefix_a · suffix_c with
+    suffix_c = total_c − prefix_c − [type=c] — the textbook
+    count-pairs-through-the-middle-element identity. Cost is
+    O(N·|Σ|) window work plus an alphabet-bounded 25-way fan-out per
+    event with immediate per-(user,pattern) partial aggregation — no
+    self-joins over user histories, no position arrays. The alphabet is
+    pinned (the 5 reference event types) so the plan is literally fixed
+    width at any corpus size; a growing alphabet would swap the CASE
+    dispatch for a map lookup, same shape."""
+    e = table_scan(spark, sf_dir, "events")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wt = Window.partitionBy("user_id")
+    base = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == t, 1)).over(wp), F.lit(0)
+            ).alias(f"pc_{t}")
+            for t in _SEQ_TYPES
+        ],
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .over(wt)
+            .alias(f"tot_{t}")
+            for t in _SEQ_TYPES
+        ],
+    ).transform(cached)  # one window pass feeds both pattern lengths
+    nu = e.agg(F.countDistinct("user_id").alias("n"))
+    ty = spark.createDataFrame([(t,) for t in _SEQ_TYPES], "t string")
+
+    def case_over(alias_col: str, prefix: str):
+        expr = F.lit(None).cast("long")
+        c = F.col(alias_col)
+        for t in _SEQ_TYPES:
+            expr = F.when(c == t, F.col(f"{prefix}{t}")).otherwise(expr)
+        return expr
+
+    per2 = (
+        base.crossJoin(F.broadcast(ty.select(F.col("t").alias("s1"))))
+        .groupBy("user_id", "s1", F.col("event_type").alias("s2"))
+        .agg(F.sum(case_over("s1", "pc_")).alias("o"))
+    )
+    pat2 = (
+        per2.groupBy("s1", "s2")
+        .agg(
+            F.sum("o").cast("long").alias("occurrences"),
+            F.sum(F.when(F.col("o") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_users"),
+        )
+        .filter(F.col("occurrences") > 0)
+    )
+    per3 = (
+        base.crossJoin(F.broadcast(ty.select(F.col("t").alias("s1"))))
+        .crossJoin(F.broadcast(ty.select(F.col("t").alias("s3"))))
+        .groupBy("user_id", "s1", F.col("event_type").alias("s2"), "s3")
+        .agg(
+            F.sum(
+                case_over("s1", "pc_")
+                * (
+                    case_over("s3", "tot_")
+                    - case_over("s3", "pc_")
+                    - F.when(F.col("event_type") == F.col("s3"), 1).otherwise(0)
+                )
+            ).alias("o")
+        )
+    )
+    pat3 = (
+        per3.groupBy("s1", "s2", "s3")
+        .agg(
+            F.sum("o").cast("long").alias("occurrences"),
+            F.sum(F.when(F.col("o") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_users"),
+        )
+        .filter(F.col("occurrences") > 0)
+    )
+    out2 = pat2.crossJoin(F.broadcast(nu)).select(
+        F.lit(2).cast("long").alias("length"),
+        "s1",
+        "s2",
+        F.lit(None).cast("string").alias("s3"),
+        "n_users",
+        "occurrences",
+        F.expr("CAST((1000000 * n_users) div n AS BIGINT)").alias("support_ppm"),
+    )
+    out3 = pat3.crossJoin(F.broadcast(nu)).select(
+        F.lit(3).cast("long").alias("length"),
+        "s1",
+        "s2",
+        "s3",
+        "n_users",
+        "occurrences",
+        F.expr("CAST((1000000 * n_users) div n AS BIGINT)").alias("support_ppm"),
+    )
+    return out2.unionByName(out3).orderBy("length", "s1", "s2", "s3")

@@ -45,6 +45,9 @@ BNLJ_OK = {
     "doc_dsir_importance_select",  # two single-row scalar broadcasts (raw
     #   and target bigram totals feeding the smoothed log-ratio); the
     #   per-doc scoring join itself is an equi-join on the bucket id
+    "events_seq_pattern_support",  # 5-row alphabet dim broadcast (the
+    #   pattern fan-out is bounded by |Σ| by construction) + single-row
+    #   user-count scalar broadcast for support_ppm
     "range_join_value_bands",  # 4-row band dim broadcast
     "tpch_q11_important_parts",  # single-row global-threshold broadcast
     "source_mixture_weights",  # single-row normalizer broadcast
