@@ -67,6 +67,11 @@ STANDARD_BATCH = [
     "doc_dsir_importance_select",
     "doc_boilerplate_line_strip",
     "events_watermark_lateness_profile",
+    # round-9 later session: spectrum agg, window-pass pattern mining,
+    # stateful-streaming LSH (stages its own single-file corpus copy)
+    "vocab_good_turing_unseen_mass",
+    "events_seq_pattern_support",
+    "streaming_neardup_lsh",
 ]
 
 
