@@ -122,7 +122,13 @@ def spread(df: DataFrame) -> DataFrame:
     at least `defaultParallelism` partitions (any real multi-file dataset),
     this is a NO-OP — no shuffle is added where scan parallelism is
     adequate. Call it on the skinny projection feeding the expensive
-    expression, never on the raw wide scan."""
+    expression, never on the raw wide scan.
+
+    Caveats: the partition probe uses ``df.rdd`` — on a frame with
+    SHUFFLES upstream, AQE materializes those query stages eagerly to
+    answer it, so only call this directly above a scan+project; and
+    streaming frames don't support ``.rdd`` at all (use a plain
+    ``repartition`` there — the single-batch staging queries do)."""
     spark = df.sparkSession
     cores = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < cores:
