@@ -7,10 +7,15 @@ tables, then compare row count, column set, and normalized values.
 Usage:
     python tools/replica.py                       # full gate at sf0.01
     python tools/replica.py --sf /root/testdata/sf0.1
-    python tools/replica.py --window 50           # first N registry entries
+    python tools/replica.py --window 50           # run 50 entries from --start
     python tools/replica.py name1 name2 ...       # just these queries
     python tools/replica.py --start 100           # resume from index 100
     python tools/replica.py --json REPLICA_r08.json   # persist the gate
+
+`--window N` is a CHUNK SIZE relative to `--start` (the slice is
+`todo[start:start+window]`), so chunked sweeps are
+`--start 0 --window 65`, `--start 65 --window 65`, ... An empty
+selection is an error (exit 2), never a silent green run.
 """
 from __future__ import annotations
 
@@ -25,6 +30,22 @@ sys.path.insert(0, ".")
 import __spark_entry__ as e  # noqa: E402
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def select_window(todo: list[str], start: int, window: int | None) -> list[str]:
+    """Slice the run list: `window` is a chunk SIZE relative to `start`.
+
+    Historically `--window` was an absolute cutoff applied BEFORE `--start`,
+    so `--start 65 --window 65` silently selected nothing — a sweep that
+    prints no failures while running no queries. Chunk semantics + the
+    caller's empty-selection guard make that impossible now.
+    """
+    if start < 0:
+        raise ValueError(f"--start must be >= 0, got {start}")
+    if window is not None and window <= 0:
+        raise ValueError(f"--window must be > 0, got {window}")
+    end = len(todo) if window is None else start + window
+    return todo[start:end]
 
 
 def norm(v):
@@ -53,6 +74,17 @@ def main() -> int:
         else:
             names.append(a)
 
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    todo = select_window(list(qs) if not names else names, start, window)
+    if not todo:
+        print(
+            f"ERROR: selection is empty (start={start}, window={window}) — "
+            "refusing to report a vacuously green sweep",
+            flush=True,
+        )
+        return 2
+
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.session.timeZone", "UTC")
@@ -63,13 +95,6 @@ def main() -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
-
-    qs = e.queries()
-    oracles = e.oracle_sql()
-    todo = list(qs) if not names else names
-    if window is not None:
-        todo = todo[:window]
-    todo = todo[start:]
 
     fails: list[str] = []
     records: dict[str, dict] = {}
