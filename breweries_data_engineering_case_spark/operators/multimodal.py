@@ -308,16 +308,20 @@ def image_dhash(assets: DataFrame) -> DataFrame:
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, hashes = [], []
-            for _, row in pdf.iterrows():
-                p = bytes(row["payload"]) if row["payload"] is not None else b""
-                if row["media_type"] != "image" or p[:2] != b"P5":
+            # column-zip, not iterrows: the decode is inherently per-row but
+            # iterrows constructs a pandas Series per row on top of it
+            for aid, mt, payload in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["payload"]
+            ):
+                p = bytes(payload) if payload is not None else b""
+                if mt != "image" or p[:2] != b"P5":
                     continue
                 # P5 header: magic, width, height, maxval, one whitespace
                 parts = p.split(maxsplit=3)
                 w, h = int(parts[1]), int(parts[2])
                 raw = parts[3].split(b"\n", 1)[1] if b"\n" in parts[3] else parts[3]
                 gray = np.frombuffer(raw, dtype=np.uint8, count=w * h).reshape(h, w)
-                ids.append(int(row["asset_id"]))
+                ids.append(int(aid))
                 hashes.append(dhash56(gray))
             yield pd.DataFrame({"asset_id": ids, "dhash": hashes})
 
@@ -432,9 +436,11 @@ def audio_fingerprint(assets: DataFrame) -> DataFrame:
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, fps = [], []
-            for _, row in pdf.iterrows():
-                p = bytes(row["payload"]) if row["payload"] is not None else b""
-                if row["media_type"] != "audio" or p[:4] != b"RIFF":
+            for aid, mt, payload in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["payload"]
+            ):
+                p = bytes(payload) if payload is not None else b""
+                if mt != "audio" or p[:4] != b"RIFF":
                     continue
                 try:
                     with wave.open(io.BytesIO(p), "rb") as wv:
@@ -444,7 +450,7 @@ def audio_fingerprint(assets: DataFrame) -> DataFrame:
                     # truncated/malformed RIFF: drop the row like the other
                     # malformed-payload branches, don't fail the task
                     continue
-                ids.append(int(row["asset_id"]))
+                ids.append(int(aid))
                 fps.append(audio_peak_fingerprint(samples))
             yield pd.DataFrame({"asset_id": ids, "fingerprint": fps})
 
@@ -612,15 +618,17 @@ def image_phash(assets: DataFrame) -> DataFrame:
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, hashes = [], []
-            for _, row in pdf.iterrows():
-                p = bytes(row["payload"]) if row["payload"] is not None else b""
-                if row["media_type"] != "image" or p[:2] != b"P5":
+            for aid, mt, payload in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["payload"]
+            ):
+                p = bytes(payload) if payload is not None else b""
+                if mt != "image" or p[:2] != b"P5":
                     continue
                 parts = p.split(maxsplit=3)
                 w, h = int(parts[1]), int(parts[2])
                 raw = parts[3].split(b"\n", 1)[1] if b"\n" in parts[3] else parts[3]
                 gray = np.frombuffer(raw, dtype=np.uint8, count=w * h).reshape(h, w)
-                ids.append(int(row["asset_id"]))
+                ids.append(int(aid))
                 hashes.append(phash63(gray))
             yield pd.DataFrame({"asset_id": ids, "phash": hashes})
 
@@ -796,9 +804,11 @@ def audio_frame_energy(assets: DataFrame, frame: int = 256) -> DataFrame:
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, frames, energies = [], [], []
-            for _, row in pdf.iterrows():
-                p = bytes(row["payload"]) if row["payload"] is not None else b""
-                if row["media_type"] != "audio" or p[:4] != b"RIFF":
+            for aid, mt, payload in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["payload"]
+            ):
+                p = bytes(payload) if payload is not None else b""
+                if mt != "audio" or p[:4] != b"RIFF":
                     continue
                 try:
                     with wave.open(io.BytesIO(p), "rb") as wv:
@@ -811,7 +821,7 @@ def audio_frame_energy(assets: DataFrame, frame: int = 256) -> DataFrame:
                 nf = len(samples) // frame
                 for f in range(nf):
                     seg = samples[f * frame : (f + 1) * frame]
-                    ids.append(int(row["asset_id"]))
+                    ids.append(int(aid))
                     frames.append(f)
                     energies.append(int((seg * seg).sum()))
             yield pd.DataFrame(

@@ -1939,10 +1939,18 @@ def q_doc_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets, the add-one-smoothed log-likelihood ratio
     ln[ p_target(b) / p_raw(b) ] is frozen as the INTEGER
     floor(1e6·ln(·)) (micro-nats) — so each document's log importance
-    weight is an exact integer SUM over its bigram occurrences,
-    associative and bit-portable (float log-weights would diverge in
-    summation order; the only float op left is one ln per bucket on an
-    exactly-representable double ratio). Scale shape: the "model" is 1024
+    weight is an exact integer SUM over its bigram occurrences, associative
+    regardless of partitioning (float log-weights would diverge in
+    summation order). Portability caveat (ADVICE r9): ln() is
+    libm-dependent, so the frozen integer is NOT guaranteed bit-portable
+    the way the pure-integer queries are — a 1-ulp JVM-vs-DuckDB ln
+    difference (≲1e-9 after the 1e6 scale) could flip the floor when
+    1e6·ln(ratio) lands that close to an integer. The residual risk is
+    bounded and MEASURED: tests/test_round10_fixes.py replays every
+    bucket's ratio and asserts the scaled ln sits ≥1e-7 away from the
+    nearest floor boundary at the tested SFs (≥100× the 1-ulp flip
+    window); a ratio drawn adversarially close to exp(k/1e6) remains the
+    documented theoretical hole. Scale shape: the "model" is 1024
     integers — ONE broadcast join scores any corpus; two bucket-count
     shuffles (skinny (doc, bucket) rows) fit partial aggregation; the
     hashed features reuse the portable MinHash token-hash roll

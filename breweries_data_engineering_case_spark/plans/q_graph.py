@@ -171,40 +171,58 @@ def q_graph_pagerank_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     to swap in at 100× where AQE skew-split alone isn't enough (it can't
     split the BUILD side of the per-iteration join).
 
-    Refinement over the generic operators/joins.salted_join: the salted
-    edge list is computed and persisted ONCE (same salt expression,
-    inlined), and the per-iteration join carries a shuffle_hash hint so
-    the 2|E|-row probe side is hashed, never SORTED — SMJ re-sorts the
-    edge list every round, the dominant per-iteration cost (measured
-    ~6.5 → ~5.5 s at sf0.1). Note the probe still re-EXCHANGES per
-    iteration even though the cache is hash-partitioned on the join key:
-    under AQE a cached plan reports opaque output partitioning (verified
-    empirically — localCheckpoint behaves the same), so exchange reuse
-    across iterations is not currently reachable from the DataFrame API;
-    the hint captures the part of the win that is."""
+    Refinement over the generic operators/joins.salted_join (round 10,
+    VERDICT r9 #1): the salted edge list is staged ONCE as a BUCKETED
+    table on (src, __salt) — the iterative-graph staging pattern at
+    100 TB. A cached/repartitioned frame reports opaque output
+    partitioning under AQE (verified empirically; localCheckpoint
+    behaves the same), so the round-9 plan re-EXCHANGED the 2|E|-row
+    probe side every iteration despite the cache being key-clustered.
+    A bucketed-table scan, by contrast, reports HashPartitioning(src,
+    __salt, 32) that EnsureRequirements honors: inside the loop the only
+    exchange above the join is the small (nodes × 8)-row build side,
+    shuffled to match the buckets. The shuffle is paid once at write
+    time — the same economics a 1000-executor PageRank wants, where
+    re-exchanging the edge list 3× costs 3 full network passes over the
+    dominant table. shuffle_hash hint as before (SMJ would re-sort the
+    probe every round). Plan asserted exchange-free above the probe in
+    tests/test_pagerank.py."""
     edges, nodes = _pagerank_graph(spark, sf_dir)
     n_salt = 8
-    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # Pre-partitioning the cached salt table on the join key measured
-    # consistently faster (same-session A/B best-of-3: 5.5 s vs 6.9 s
-    # without) even though the executed plan still prints a per-iteration
-    # ENSURE_REQUIREMENTS exchange — the cache materializes key-clustered,
-    # so each re-exchange moves key-local blocks instead of re-scattering
-    # the full edge list.
-    salted_edges = (
-        edges.withColumn("__salt", F.abs(F.xxhash64("src", "dst")) % n_salt)
-        .repartition(parts, "src", "__salt")
-        .transform(cached)
-    )
-    r = nodes.withColumn("pr", F.col("base"))
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    et = f"bdec_pr_salted_edges_{key}"
+    nt = f"bdec_pr_nodes_{key}"
+    base_dir = Path(tempfile.gettempdir()) / "bdec_bucketed" / key
+    if not spark.catalog.tableExists(et):
+        from ..sources.writers import write_bucketed_table
+
+        write_bucketed_table(
+            edges.withColumn("__salt", F.abs(F.xxhash64("src", "dst")) % n_salt),
+            et,
+            ["src", "__salt"],
+            num_buckets=32,
+            path=str(base_dir / "pr_edges"),
+        )
+    if not spark.catalog.tableExists(nt):
+        from ..sources.writers import write_bucketed_table
+
+        # the node table (degree + base rank) is iteration-INVARIANT, and the
+        # rank-update join keys on it every round — bucketed on `node`, it
+        # never re-exchanges inside the loop either
+        write_bucketed_table(
+            nodes, nt, ["node"], num_buckets=32, path=str(base_dir / "pr_nodes")
+        )
+    salted_edges = spark.table(et)
+    bnodes = spark.table(nt)
+    r = bnodes.withColumn("pr", F.col("base"))
     for _ in range(3):
         contrib = r.selectExpr("node AS src", "pr div deg AS c")
         build = contrib.withColumn(
             "__salt",
-            # BIGINT salt to match the probe's hash%n type exactly — an
-            # INT here makes the join key cast(__salt AS BIGINT), which
-            # breaks HashPartitioning compatibility and re-exchanges the
-            # big cached edge side every iteration
+            # BIGINT salt to match the bucketed table's hash%n column type
+            # exactly — an INT here makes the join key cast(__salt AS
+            # BIGINT), which breaks HashPartitioning compatibility and
+            # re-exchanges the big bucketed edge side every iteration
             F.explode(
                 F.sequence(F.lit(0).cast("long"), F.lit(n_salt - 1).cast("long"))
             ),
@@ -214,8 +232,13 @@ def q_graph_pagerank_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
+        # shuffle_hash here too: SMJ would SORT both |V|-row sides every
+        # iteration; hashed, the bucketed node side streams unsorted and
+        # only `inc` (already hash-clustered on dst by its own agg) moves
         r = (
-            nodes.join(inc, nodes["node"] == inc["dst"], "left")
+            bnodes.join(
+                inc.hint("shuffle_hash"), bnodes["node"] == inc["dst"], "left"
+            )
             .selectExpr(
                 "node",
                 "deg",

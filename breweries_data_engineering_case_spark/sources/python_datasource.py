@@ -277,20 +277,47 @@ class JsonlSinkWriter(DataSourceWriter):
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
             f.write(_json.dumps(manifest))
 
+    # staged task files older than this are zombie attempts (their job is
+    # long finished: a commit would have published or an abort removed them)
+    _REAP_AGE_SEC = 24 * 3600
+
     def _cleanup_staged(self) -> None:
-        """Remove the _staged dir ONLY if it's empty.
+        """Reap zombie staged files, then remove the _staged dir if empty.
 
         A wholesale rmtree would delete a CONCURRENT writer's staged task
         files (two writers on one sink root share _staged; each task file is
         uuid-unique, so only the shared dir ever collides). This writer's
         own files are already gone — published by commit's os.replace or
-        removed by abort — so an empty dir is the only thing left to reap;
-        a non-empty dir belongs to someone else and is left alone.
+        removed by abort. What can accumulate is task files from attempts
+        that died WITHOUT reaching commit or abort (killed executors, OOMed
+        jobs): those have no owner left, so any file older than
+        ``_REAP_AGE_SEC`` is removed by age (ADVICE r9 — without this,
+        _staged leaks zombie-attempt files indefinitely).
+
+        Known benign race (documented, tolerated): a concurrent writer's
+        ``write()`` has a window between its makedirs(_staged) and
+        open(staged) where the dir is momentarily empty — this rmdir can
+        win, making that open fail with FileNotFoundError. The task retry
+        recreates the dir and succeeds; the commit protocol is unaffected
+        (a spurious single-task retry, never data loss).
         """
         import os
+        import time
 
+        staged_dir = os.path.join(self.path, "_staged")
         try:
-            os.rmdir(os.path.join(self.path, "_staged"))
+            cutoff = time.time() - self._REAP_AGE_SEC
+            for name in os.listdir(staged_dir):
+                p = os.path.join(staged_dir, name)
+                try:
+                    if os.path.getmtime(p) < cutoff:
+                        os.remove(p)
+                except OSError:
+                    pass  # concurrently published/removed — someone owns it
+        except OSError:
+            pass  # _staged already gone
+        try:
+            os.rmdir(staged_dir)
         except OSError:
             pass  # non-empty (another writer's staged files) or already gone
 

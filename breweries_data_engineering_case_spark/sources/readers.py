@@ -110,6 +110,41 @@ def table_scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# logical-plan nodes that compile to an Exchange (or otherwise preclude the
+# cheap .rdd partition probe): spread() declines to probe below any of these
+_SHUFFLE_NODES = frozenset(
+    {
+        "Join",
+        "Aggregate",
+        "Repartition",
+        "RepartitionByExpression",
+        "Sort",
+        "Window",
+        "Distinct",
+        "Deduplicate",
+        "Intersect",
+        "Except",
+        "GlobalLimit",
+        "CoGroup",
+        "FlatMapGroupsInPandas",
+        "FlatMapCoGroupsInPandas",
+        "MapGroups",
+    }
+)
+
+
+def _has_shuffle_ancestor(df: DataFrame) -> bool:
+    """True when the ANALYZED logical plan contains a node that plans an
+    exchange. String-walk of the plan tree (first token per line, after the
+    tree art) — no execution, no py4j beyond toString."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    for line in plan.splitlines():
+        tok = line.lstrip(" :+-").split(" ", 1)[0].split("(", 1)[0]
+        if tok in _SHUFFLE_NODES:
+            return True
+    return False
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Fan a CPU-bound stage's input out to the cluster's core count when
     the upstream scan yields fewer partitions than cores.
@@ -124,11 +159,16 @@ def spread(df: DataFrame) -> DataFrame:
     adequate. Call it on the skinny projection feeding the expensive
     expression, never on the raw wide scan.
 
-    Caveats: the partition probe uses ``df.rdd`` — on a frame with
-    SHUFFLES upstream, AQE materializes those query stages eagerly to
-    answer it, so only call this directly above a scan+project; and
-    streaming frames don't support ``.rdd`` at all (use a plain
-    ``repartition`` there — the single-batch staging queries do)."""
+    The partition probe uses ``df.rdd``, which is only cheap on a
+    scan+project frame — with shuffles upstream, AQE would materialize
+    those query stages eagerly at plan-construction time, and streaming
+    frames don't support ``.rdd`` at all. Both hazards are now guarded
+    (ADVICE r9): a streaming frame or a frame whose analyzed plan contains
+    a shuffle-inducing node is returned UNCHANGED (those inputs arrive
+    shuffle-partitioned anyway; streaming staging queries repartition
+    explicitly at the source, streaming/stateful.py)."""
+    if df.isStreaming or _has_shuffle_ancestor(df):
+        return df
     spark = df.sparkSession
     cores = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < cores:

@@ -249,13 +249,17 @@ def _band_dedup(
 ) -> Iterable[pd.DataFrame]:
     """Per-(band_idx, band_hash) bucket state: the minimum doc_id ever seen.
 
-    Each incoming doc that lands in a bucket some EARLIER (smaller-id) doc
-    already occupies is emitted as a near-dup candidate pair
-    (doc, canonical=min earlier id). Processing ids in ascending order
-    makes "earlier" well-defined within a batch, and the persisted min
-    carries it across batches — the streaming twin of the batch banded
-    self-join (candidates only; the exact-Jaccard verify stays a batch
-    post-pass on the tiny candidate set, same as minhash_lsh_pairs)."""
+    Each incoming doc that lands in a bucket some SMALLER-id doc already
+    occupies is emitted as a near-dup candidate pair (doc, canonical=min
+    id so far). Ids are processed in ascending order within a batch; the
+    persisted min carries the invariant across batches — the streaming
+    twin of the batch banded self-join (candidates only; the exact-Jaccard
+    verify stays a batch post-pass on the tiny candidate set, same as
+    minhash_lsh_pairs). Arrival order across batches is arbitrary: when a
+    batch delivers an id SMALLER than the persisted min, the previously-
+    canonical doc is itself emitted as a candidate of the new minimum —
+    without that emission the (old-min, new-min) bucket collision would be
+    lost in both directions (ADVICE r9)."""
     band_idx = int(key[0])
     cur = int(state.get[0]) if state.exists else None
     out_doc: list[int] = []
@@ -265,11 +269,18 @@ def _band_dedup(
         ids.extend(int(x) for x in pdf["doc_id"])
     ids.sort()
     for d in ids:
-        if cur is not None and cur < d:
+        if cur is None:
+            cur = d
+        elif d > cur:
             out_doc.append(d)
             out_canon.append(cur)
-        if cur is None or d < cur:
+        elif d < cur:
+            # a later batch brought a smaller id: demote the old canonical
+            # doc to a candidate of the new minimum, then adopt it
+            out_doc.append(cur)
+            out_canon.append(d)
             cur = d
+        # d == cur: the canonical doc re-observed — no pair
     state.update((cur,))
     yield pd.DataFrame(
         {

@@ -41,6 +41,35 @@ def test_salted_pagerank_identical_ranks(spark, sf_dir):
     assert "__salt" in plan  # the gather really is salted
 
 
+def test_salted_pagerank_bucketed_probe_never_reexchanges(spark, sf_dir):
+    """VERDICT r9 #1: the salted edge list is staged as a bucketed table so
+    the per-iteration gather join reads it pre-partitioned — the executed
+    plan must scan the bucketed table (Bucketed: true) with NO Exchange
+    between the scan and the join, all three iterations. The only exchanges
+    inside the loop are the small exploded build side and the gather agg."""
+    salted_df = registry.queries()["graph_pagerank_salted"](spark, sf_dir)
+    salted_df.write.format("noop").mode("overwrite").save()
+    plan = salted_df._jdf.queryExecution().executedPlan().toString()
+    assert "bdec_pr_salted_edges_" in plan
+    # each bucketed-scan line must not sit under an exchange: walk the plan
+    # text — between a ShuffledHashJoin and its bucketed-scan child there
+    # must be no Exchange node
+    lines = plan.splitlines()
+    scan_idx = [
+        i for i, ln in enumerate(lines) if "Scan parquet" in ln and "bdec_pr_salted_edges_" in ln
+    ]
+    assert len(scan_idx) == 3, f"expected 3 bucketed edge scans, got {len(scan_idx)}"
+    for i in scan_idx:
+        # the operator chain above the scan up to the join: filter only —
+        # an Exchange here would mean the bucketing was not honored
+        j = i
+        while j > 0 and "ShuffledHashJoin" not in lines[j]:
+            assert "Exchange" not in lines[j], (
+                f"probe side re-exchanged:\n" + "\n".join(lines[max(0, j - 3) : i + 1])
+            )
+            j -= 1
+
+
 def test_pagerank_supplier_hubs_outrank_leaf_customers(spark, sf_dir):
     """Suppliers touch many customers (high in-degree) so the top of the
     ranking must be supplier nodes and the minimum must be a customer."""
