@@ -3770,3 +3770,148 @@ def q_streaming_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _incr_neardup_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    """Batch-SQL twin of the snapshot-incremental near-dup merge: the same
+    signature/band CTEs as the streaming oracle, split into the persisted
+    snapshot (doc_id % 3 <> 0) and the delta drop (doc_id % 3 = 0)."""
+    from ..operators.fuzzy_dedup import _MH_B, _MH_P, _mh_coeffs
+
+    vals = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(_mh_coeffs(num_hashes))
+    )
+    rpb = num_hashes // bands
+    bh = "m0"
+    for r in range(1, rpb):
+        bh = f"({bh} * {_MH_B} + m{r}) % {_MH_P}"
+    mcols = ", ".join(
+        f"MAX(CASE WHEN i % {rpb} = {r} THEN m END) AS m{r}" for r in range(rpb)
+    )
+    return rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(TRIM(text), '\s+'),
+                            tok -> CAST(concat('0x', substr(md5(tok), 1, 15))
+                                        AS BIGINT) % {_MH_P}) AS th
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             ((th[i + 1] * {_MH_B} + th[i + 2]) % {_MH_P} * {_MH_B}
+              + th[i + 3]) % {_MH_P} AS s
+      FROM t, UNNEST(range(GREATEST(len(th) - 2, 0))) AS u(i)
+    ),
+    c(i, a, b) AS (VALUES {vals}),
+    sig AS (
+      SELECT doc_id, c.i, MIN((sh.s * c.a + c.b) % {_MH_P}) AS m
+      FROM sh CROSS JOIN c GROUP BY doc_id, c.i
+    ),
+    bandm AS (
+      SELECT doc_id, i // {rpb} AS b, {mcols}
+      FROM sig GROUP BY doc_id, i // {rpb}
+    ),
+    band AS (SELECT doc_id, b, {bh} AS bh FROM bandm),
+    state AS (
+      SELECT b, bh, MIN(doc_id) AS c
+      FROM band WHERE doc_id % 3 <> 0 GROUP BY b, bh
+    ),
+    delta AS (SELECT doc_id, b, bh FROM band WHERE doc_id % 3 = 0),
+    bmin AS (SELECT b, bh, MIN(doc_id) AS m FROM delta GROUP BY b, bh),
+    hits AS (
+      SELECT d.doc_id, d.b,
+             LEAST(COALESCE(s.c, 9223372036854775807),
+                   CASE WHEN bm.m < d.doc_id THEN bm.m
+                        ELSE 9223372036854775807 END) AS cand
+      FROM delta d
+      LEFT JOIN state s ON d.b = s.b AND d.bh = s.bh
+      JOIN bmin bm ON d.b = bm.b AND d.bh = bm.bh
+      WHERE s.c IS NOT NULL OR bm.m < d.doc_id
+    )
+    SELECT doc_id, MIN(cand) AS dup_candidate_of,
+           CAST(COUNT(*) AS BIGINT) AS n_band_hits
+    FROM hits GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@register("doc_neardup_incremental_snapshot", _incr_neardup_oracle(16, 4))
+def q_doc_neardup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-INCREMENTAL fuzzy dedup (VERDICT r9 #6) — the 100 TB
+    operating mode: a persisted band-bucket STATE TABLE (one skinny
+    (band_idx, band_hash, canon) row per occupied bucket) carries the
+    corpus's LSH state between drops, so a new corpus delta only hashes
+    its OWN documents and joins the delta's band rows against the state —
+    the full corpus is never re-shingled or re-swept. This is the batch
+    MERGE twin of streaming_neardup_lsh's band-bucket state (same
+    candidate semantics, JVM-side joins instead of per-group Python), and
+    the fuzzy upgrade of doc_dedup_incremental's exact-hash state table.
+
+    Fixture: snapshot-0 = docs with doc_id % 3 != 0 (staged ONCE as the
+    state parquet, exactly as a previous pipeline run would leave it);
+    delta = doc_id % 3 == 0. Per delta doc, a band HIT is a bucket already
+    occupied by the snapshot (any snapshot doc is earlier by arrival) or
+    by a smaller-id delta doc (within-batch order, same convention as the
+    streaming operator); the canonical candidate is the minimum over
+    those. After scoring, the state is MERGED (union + min per bucket)
+    and republished — the write a real incremental pipeline commits. The
+    oracle replays both snapshots' band tables and the same LEAST/COALESCE
+    decision in SQL. Scale shape: delta-only hashing (spread-fanned),
+    state join on skinny band keys (never payloads), merge is one
+    partial-aggregatable groupBy."""
+    from ..operators.fuzzy_dedup import minhash_band_exprs
+    from ..sources.readers import spread
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    state_dir = Path(tempfile.gettempdir()) / "bdec_incr_neardup" / key
+    d = table_scan(spark, sf_dir, "documents").select("doc_id", "text")
+    if not (state_dir / "state" / "_SUCCESS").exists():
+        snap0 = spread(d).filter(F.col("doc_id") % 3 != 0)
+        (
+            minhash_band_exprs(snap0, num_hashes=16, bands=4)
+            .groupBy("band_idx", "band_hash")
+            .agg(F.min("doc_id").alias("canon"))
+            .write.mode("overwrite")
+            .parquet(str(state_dir / "state"))
+        )
+    state = spark.read.parquet(str(state_dir / "state"))
+
+    delta_bands = minhash_band_exprs(
+        spread(d).filter(F.col("doc_id") % 3 == 0), num_hashes=16, bands=4
+    ).transform(cached)
+    bmin = delta_bands.groupBy("band_idx", "band_hash").agg(
+        F.min("doc_id").alias("m")
+    )
+    big = F.lit(0x7FFFFFFFFFFFFFFF)
+    hits = (
+        delta_bands.join(state, ["band_idx", "band_hash"], "left")
+        .join(bmin, ["band_idx", "band_hash"])
+        .filter(F.col("canon").isNotNull() | (F.col("m") < F.col("doc_id")))
+        .select(
+            "doc_id",
+            F.least(
+                F.coalesce(F.col("canon"), big),
+                F.when(F.col("m") < F.col("doc_id"), F.col("m")).otherwise(big),
+            ).alias("cand"),
+        )
+    )
+    # publish the merged state (what the next drop will join against):
+    # old buckets keep their min, new buckets enter, shared buckets take
+    # the smaller canon — one skinny groupBy, no payloads
+    merged = (
+        state.unionByName(
+            delta_bands.select(
+                "band_idx", "band_hash", F.col("doc_id").alias("canon")
+            )
+        )
+        .groupBy("band_idx", "band_hash")
+        .agg(F.min("canon").alias("canon"))
+    )
+    merged.write.mode("overwrite").parquet(str(state_dir / "state_next"))
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.min("cand").alias("dup_candidate_of"),
+            F.count(F.lit(1)).cast("long").alias("n_band_hits"),
+        )
+        .orderBy("doc_id")
+    )

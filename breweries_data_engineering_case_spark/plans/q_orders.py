@@ -3987,3 +3987,131 @@ def q_orders_aov_mix_shift_decomposition(
         .cast("long")
         .alias("mix_effect_cents"),
     )
+
+
+@register(
+    "orders_theil_inequality_decomposition",
+    """
+    WITH base AS (
+      SELECT n_name,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+    ),
+    g AS (
+      SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(CAST(cents AS HUGEINT)) AS BIGINT) AS s_g
+      FROM base GROUP BY n_name
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(cents AS HUGEINT)) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM base
+    ),
+    lg AS (
+      SELECT b.n_name, b.cents,
+             CAST(FLOOR(1000000.0 * ln(
+                 (CAST(b.cents AS DOUBLE) * g.n_g) / CAST(g.s_g AS DOUBLE)
+             )) AS BIGINT) AS l
+      FROM base b JOIN g ON b.n_name = g.n_name
+    ),
+    w AS (
+      SELECT n_name, SUM(CAST(cents AS HUGEINT) * l) AS num
+      FROM lg GROUP BY n_name
+    )
+    SELECT g.n_name,
+           g.n_g AS n_orders,
+           g.s_g AS cents,
+           CAST(w.num // g.s_g AS BIGINT) AS t_within_micro,
+           CAST(CAST(g.s_g AS HUGEINT) * 1000000 // tot.s AS BIGINT)
+             AS share_ppm,
+           CAST(FLOOR(1000000.0 * ln(
+               (CAST(g.s_g AS DOUBLE) * tot.n)
+               / (CAST(tot.s AS DOUBLE) * g.n_g)
+           )) AS BIGINT) AS t_between_micro
+    FROM g JOIN w ON g.n_name = w.n_name CROSS JOIN tot
+    ORDER BY g.n_name
+    """,
+)
+def q_orders_theil_inequality_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Theil-T inequality of order value with the classic WITHIN/BETWEEN
+    group decomposition by customer nation — T = Σ_g (S_g/S)·T_g +
+    Σ_g (S_g/S)·ln((S_g/S)/(N_g/N)), the additive-decomposability property
+    that makes Theil (not Gini) the inequality measure warehouses
+    aggregate hierarchically at scale. All emitted quantities are frozen
+    integers: per-order micro-nat terms lg = floor(1e6·ln(cents·N_g/S_g))
+    make each nation's numerator Σ cents·lg an EXACT decimal sum
+    (associative under any partitioning — a float Theil would drift with
+    summation order); t_within_micro = that numerator div S_g, biased vs
+    the exact-real Theil by at most 2 micro-nats (each per-row floor loses
+    <1 micro-nat weighted by cents/S_g, plus the final floor). The same
+    libm-ln floor-boundary caveat as doc_dsir_importance_select applies
+    (documented there; margin measured in tests). Scale shape: one narrow
+    fact scan; nation dim broadcast; the 25-row per-nation aggregate
+    broadcast back for the per-row term (never a shuffle of the fact on
+    the group key twice); per-nation partial aggregation throughout.
+    share_ppm rides DECIMAL(38) so SF1000 sums cannot overflow int64."""
+    o = table_scan(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = table_scan(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table_scan(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(
+            "n_name",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .transform(cached)
+    )
+    g = base.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(F.col("cents").cast("decimal(28,0)")).cast("long").alias("s_g"),
+    ).transform(cached)
+    tot = g.agg(
+        F.sum(F.col("s_g").cast("decimal(38,0)")).cast("long").alias("s"),
+        F.sum("n_g").cast("long").alias("n"),
+    )
+    lg = base.join(F.broadcast(g), "n_name").select(
+        "n_name",
+        "cents",
+        F.floor(
+            F.lit(1000000.0)
+            * F.log(
+                (F.col("cents").cast("double") * F.col("n_g"))
+                / F.col("s_g").cast("double")
+            )
+        )
+        .cast("long")
+        .alias("l"),
+    )
+    w = lg.groupBy("n_name").agg(
+        F.sum((F.col("cents") * F.col("l")).cast("decimal(38,0)")).alias("num")
+    )
+    return (
+        g.join(w, "n_name")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_name",
+            F.col("n_g").alias("n_orders"),
+            F.col("s_g").alias("cents"),
+            F.expr("CAST(num div s_g AS BIGINT)").alias("t_within_micro"),
+            F.expr(
+                "CAST((CAST(s_g AS DECIMAL(38,0)) * 1000000) div s AS BIGINT)"
+            ).alias("share_ppm"),
+            F.floor(
+                F.lit(1000000.0)
+                * F.log(
+                    (F.col("s_g").cast("double") * F.col("n"))
+                    / (F.col("s").cast("double") * F.col("n_g"))
+                )
+            )
+            .cast("long")
+            .alias("t_between_micro"),
+        )
+        .orderBy("n_name")
+    )

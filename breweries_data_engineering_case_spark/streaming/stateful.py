@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Iterable, Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -260,15 +261,21 @@ def _band_dedup(
     canonical doc is itself emitted as a candidate of the new minimum —
     without that emission the (old-min, new-min) bucket collision would be
     lost in both directions (ADVICE r9)."""
-    band_idx = int(key[0])
-    cur = int(state.get[0]) if state.exists else None
+    # Per-group Python overhead is THE scale cost of this operator (SF1:
+    # ~200k near-singleton groups), so the common path is kept allocation-
+    # free: a singleton new bucket does one state write and yields NOTHING
+    # (no output-DataFrame construction), and a re-observed bucket whose
+    # min is unchanged skips the state write too.
+    prev = int(state.get[0]) if state.exists else None
+    cur = prev
     out_doc: list[int] = []
     out_canon: list[int] = []
-    ids: list[int] = []
-    for pdf in batches:
-        ids.extend(int(x) for x in pdf["doc_id"])
-    ids.sort()
+    chunks = [pdf["doc_id"].to_numpy() for pdf in batches]
+    if not chunks:  # timeout-only invocation: nothing to do under NoTimeout
+        return
+    ids = np.sort(np.concatenate(chunks)) if len(chunks) > 1 else np.sort(chunks[0])
     for d in ids:
+        d = int(d)
         if cur is None:
             cur = d
         elif d > cur:
@@ -281,14 +288,16 @@ def _band_dedup(
             out_canon.append(d)
             cur = d
         # d == cur: the canonical doc re-observed — no pair
-    state.update((cur,))
-    yield pd.DataFrame(
-        {
-            "doc_id": out_doc,
-            "band_idx": [band_idx] * len(out_doc),
-            "canon_id": out_canon,
-        }
-    )
+    if cur != prev:
+        state.update((cur,))
+    if out_doc:
+        yield pd.DataFrame(
+            {
+                "doc_id": out_doc,
+                "band_idx": np.full(len(out_doc), int(key[0]), dtype=np.int64),
+                "canon_id": out_canon,
+            }
+        )
 
 
 def lsh_band_dedup(banded: DataFrame) -> DataFrame:

@@ -98,6 +98,139 @@ class TestSpreadGuards:
             assert out is scan
 
 
+class TestIncrementalNearDup:
+    """VERDICT r9 #6: snapshot-incremental fuzzy dedup — a persisted
+    band-bucket state table plus a delta-only merge."""
+
+    def test_merged_state_equals_full_corpus_state(self, spark, sf_dir):
+        """The republished state (old ∪ delta, min per bucket) must equal
+        the band-bucket mins of the FULL corpus — the invariant that makes
+        the next drop's join correct without ever re-hashing history."""
+        import tempfile
+        from hashlib import md5
+        from pathlib import Path
+
+        from pyspark.sql import functions as F
+
+        from breweries_data_engineering_case_spark.operators.fuzzy_dedup import (
+            minhash_band_exprs,
+        )
+        from breweries_data_engineering_case_spark.plans import registry
+        from breweries_data_engineering_case_spark.sources.readers import table_scan
+
+        registry.QUERIES["doc_neardup_incremental_snapshot"](spark, sf_dir).collect()
+        key = md5(sf_dir.encode()).hexdigest()[:12]
+        state_next = spark.read.parquet(
+            str(Path(tempfile.gettempdir()) / "bdec_incr_neardup" / key / "state_next")
+        )
+        full = (
+            minhash_band_exprs(
+                table_scan(spark, sf_dir, "documents").select("doc_id", "text"),
+                num_hashes=16,
+                bands=4,
+            )
+            .groupBy("band_idx", "band_hash")
+            .agg(F.min("doc_id").alias("canon"))
+        )
+        got = {(r.band_idx, r.band_hash): r.canon for r in state_next.collect()}
+        want = {(r.band_idx, r.band_hash): r.canon for r in full.collect()}
+        assert got == want
+
+    def test_rerun_reuses_staged_state(self, spark, sf_dir):
+        """A second run must NOT re-stage the snapshot state (delta-only
+        hashing is the point): the state parquet's mtime is unchanged and
+        the output is identical."""
+        import os
+        import tempfile
+        from hashlib import md5
+        from pathlib import Path
+
+        from breweries_data_engineering_case_spark.plans import registry
+
+        fn = registry.QUERIES["doc_neardup_incremental_snapshot"]
+        r1 = fn(spark, sf_dir).collect()
+        key = md5(sf_dir.encode()).hexdigest()[:12]
+        marker = (
+            Path(tempfile.gettempdir()) / "bdec_incr_neardup" / key / "state" / "_SUCCESS"
+        )
+        mtime = os.path.getmtime(marker)
+        r2 = fn(spark, sf_dir).collect()
+        assert os.path.getmtime(marker) == mtime
+        assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+
+
+def test_theil_decomposition_brute_force(spark):
+    """Independent math replay of orders_theil_inequality_decomposition at
+    sf0.01 (pandas + Python ints + math.log), plus the decomposition
+    identity: the frozen within/between terms must reconstruct the exact
+    real-valued Theil T within the documented freeze bias."""
+    import math
+
+    import pandas as pd
+
+    from breweries_data_engineering_case_spark.plans import registry
+
+    sf_dir = "/root/testdata/sf0.01"
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    n = pd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    df = o.merge(c, left_on="o_custkey", right_on="c_custkey").merge(
+        n, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    # same quantization: decimal(18,2) * 100 — totalprice has 2dp, so this
+    # is round-half-up at the cent, matching both engines
+    from decimal import Decimal, ROUND_HALF_UP
+
+    df["cents"] = [
+        int((Decimal(str(v)).quantize(Decimal("0.01"), ROUND_HALF_UP)) * 100)
+        for v in df.o_totalprice
+    ]
+    S = int(df.cents.sum())
+    N = len(df)
+    want = {}
+    for name, grp in df.groupby("n_name"):
+        sg = int(grp.cents.sum())
+        ng = len(grp)
+        num = sum(
+            ci * math.floor(1_000_000.0 * math.log((float(ci) * ng) / float(sg)))
+            for ci in grp.cents
+        )
+        want[name] = (
+            ng,
+            sg,
+            num // sg if num >= 0 else -((-num) // sg),  # engine div truncates
+            (sg * 1_000_000) // S,
+            math.floor(
+                1_000_000.0 * math.log((float(sg) * N) / (float(S) * ng))
+            ),
+        )
+    rows = registry.QUERIES["orders_theil_inequality_decomposition"](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        ng, sg, t_within, share, t_between = want[r.n_name]
+        assert (r.n_orders, r.cents) == (ng, sg), r.n_name
+        assert r.share_ppm == share, r.n_name
+        assert r.t_between_micro == t_between, r.n_name
+        # engine div truncates toward zero; the numerator is positive on
+        # this data (checked), so truncation == floor here
+        assert r.t_within_micro == t_within, r.n_name
+
+    # decomposition identity vs the exact real-valued Theil: T_exact =
+    # sum_g share_g*T_g + sum_g share_g*ln((S_g/S)/(N_g/N)); the frozen
+    # reconstruction must sit within the documented bias (2 micro-nats per
+    # within term + 1 per between term, weighted by shares <= 1)
+    t_exact = sum(
+        (ci / S) * math.log((ci * N) / S) for ci in df.cents
+    )
+    t_frozen = sum(
+        (sg / S) * (tw / 1e6) + (sg / S) * (tb / 1e6)
+        for (ng, sg, tw, share, tb) in want.values()
+    )
+    assert abs(t_exact - t_frozen) < 5e-6, (t_exact, t_frozen)
+
+
 def test_dsir_ln_floor_boundary_margin():
     """ADVICE r9 (low): the DSIR per-bucket score freezes floor(1e6*ln(ratio)),
     and ln is libm-dependent — a 1-ulp JVM-vs-DuckDB difference shifts the

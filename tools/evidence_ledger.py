@@ -25,15 +25,31 @@ ROOT = Path(__file__).resolve().parent.parent
 
 
 def registry_names() -> list[str]:
+    """All registry names in registration order.
+
+    Since the round-9 split the @register calls live in the plans/q_*.py
+    domain modules, and registry.py's ``_REGISTRATION_ORDER`` literal is
+    the assert-guarded complete list (it must name every registered query
+    or the aggregator raises) — parse that with ast instead of regexing
+    decorators across files."""
+    import ast
+
     src = (
         ROOT
         / "breweries_data_engineering_case_spark"
         / "plans"
         / "registry.py"
     ).read_text()
-    names = re.findall(r'^@register\(\s*\n?\s*"([a-z0-9_]+)"', src, re.M)
-    names += re.findall(r'@register\("([a-z0-9_]+)"', src)
-    return list(dict.fromkeys(names))
+    for node in ast.walk(ast.parse(src)):
+        targets = []
+        if isinstance(node, ast.AnnAssign) and node.value is not None:
+            targets = [node.target]
+        elif isinstance(node, ast.Assign):
+            targets = node.targets
+        for t in targets:
+            if isinstance(t, ast.Name) and t.id == "_REGISTRATION_ORDER":
+                return [ast.literal_eval(e) for e in node.value.elts]
+    raise RuntimeError("_REGISTRATION_ORDER not found in registry.py")
 
 
 def latest_evidence() -> dict[str, tuple[str, bool]]:
