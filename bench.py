@@ -57,6 +57,10 @@ HEADLINE = [
     # round-9 flagship: DSIR-style importance resampling (hashed-bigram
     # broadcast scoring) — the data-selection family, newly tracked
     "doc_dsir_importance_select",
+    # round-10 flagship: snapshot-incremental fuzzy dedup (persisted
+    # band-bucket state + delta-only merge) — the batch scale path for
+    # streaming near-dup, newly tracked
+    "doc_neardup_incremental_snapshot",
 ]
 
 # Clean-host reference probes (recorded across rounds 6-7 idle windows in

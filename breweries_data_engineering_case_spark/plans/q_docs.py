@@ -3742,9 +3742,14 @@ def q_streaming_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # readers.spread, but a plain repartition is a supported streaming
     # shuffle; SF1 45 s → 35 s). The remaining cost is per-BUCKET group
     # overhead inside applyInPandasWithState (~200k near-singleton groups
-    # at SF1) — state-store bound, which is the part a real cluster scales
-    # horizontally. Order-independent: the bucket state logic sorts ids
-    # per key within the batch.
+    # at SF1; 35 → ~30 s in round 10 after _band_dedup stopped building
+    # output frames for pair-less groups) — per-group Arrow/Python framing
+    # inherent to the Python state API, which a real cluster scales
+    # horizontally. The BATCH scale path for the same semantics is
+    # doc_neardup_incremental_snapshot (persisted band-bucket state +
+    # delta-only merge: 14.3 s on the same SF1 corpus, all JVM-side).
+    # Order-independent: the bucket state logic sorts ids per key within
+    # the batch.
     banded = minhash_band_exprs(
         stream.repartition(spark.sparkContext.defaultParallelism),
         num_hashes=16,

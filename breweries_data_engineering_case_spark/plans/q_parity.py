@@ -1229,6 +1229,78 @@ def q_s3_object_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s3_parquet_partitioned_roundtrip",
+    """
+    WITH g AS (SELECT CAST(x AS INT) AS n FROM UNNEST(range(10)) AS t(x))
+    SELECT CAST(n AS VARCHAR) AS id,
+           'Brewery ' || CAST(n AS VARCHAR) AS name,
+           CASE WHEN (n % 4) % 2 = 0 THEN 'micro' ELSE 'brewpub' END
+             AS brewery_type,
+           'California' AS state
+    FROM g WHERE (n // 4) % 2 = 0 ORDER BY id
+    """,
+)
+def q_s3_parquet_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 on the object store, executed live: hive-partitioned parquet
+    WRITE through the two-phase-commit S3 sink (tasks PUT staged parquet
+    objects, driver publishes to `state=X/part-*.parquet` + `_SUCCESS`
+    LAST — the reference's `COPY TO s3://silver PARTITION_BY` semantics,
+    app/tasks/silver.py:61-71, without hadoop-aws jars), then a READ with
+    an EqualTo partition filter that PRUNES object keys at planning time
+    (only `state=California` objects schedule tasks — the custom-source
+    analogue of parquet partition pruning, asserted in
+    tests/test_object_store.py). The oracle regenerates the pruned slice
+    from the integer range, so PUT/COPY/LIST/GET and the pruning decision
+    all execute against a real S3 API before values are checked."""
+    from ..sources.object_store import (
+        ensure_local_object_store,
+        list_keys,
+        register_parquet_object_store_sources,
+        s3_client,
+    )
+
+    endpoint = ensure_local_object_store()
+    options = {"endpoint_url": endpoint, "access_key": "t", "secret_key": "t"}
+    client = s3_client(options)
+    bucket = "bdec-registry"
+    try:
+        client.create_bucket(Bucket=bucket)
+    except Exception:  # noqa: BLE001 — BucketAlreadyOwnedByYou on re-run
+        pass
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    prefix = f"silver-{key}"
+    for k in list_keys(client, bucket, prefix + "/"):
+        client.delete_object(Bucket=bucket, Key=k)
+
+    rows = [
+        (
+            str(n),
+            f"Brewery {n}",
+            "micro" if (n % 4) % 2 == 0 else "brewpub",
+            "California" if (n // 4) % 2 == 0 else "Texas",
+        )
+        for n in range(10)
+    ]
+    schema = "id string, name string, brewery_type string, state string"
+    df = spark.createDataFrame(rows, schema)
+    register_parquet_object_store_sources(spark)
+    (
+        df.repartition(2)
+        .write.format("s3_parquet_sink")
+        .options(bucket=bucket, prefix=prefix, partition_by="state", **options)
+        .mode("overwrite")
+        .save()
+    )
+    back = (
+        spark.read.format("s3_parquet_scan")
+        .schema(schema)
+        .options(bucket=bucket, prefix=prefix, partition_by="state", **options)
+        .load()
+    )
+    return back.filter(F.col("state") == "California").orderBy("id")
+
+
+@register(
     "partitioned_parquet_write",
     """
     SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,

@@ -276,3 +276,215 @@ def ensure_local_object_store() -> str:
         host, port = _MOTO_SERVER.get_host_and_port()
         _MOTO_ENDPOINT = f"http://{host}:{port}"
     return _MOTO_ENDPOINT
+
+
+# ---------------------------------------------------------------------------
+# Parquet on the object store: hive-partitioned sink + pruning scan
+# ---------------------------------------------------------------------------
+#
+# The reference's silver/gold layers are hive-partitioned parquet ON MinIO
+# (app/tasks/silver.py:61-71 COPY TO s3://... PARTITION_BY (country, state);
+# app/tasks/gold.py:12-32). These two sources complete that story jar-free:
+# tasks serialize parquet with pyarrow and PUT the bytes; the reader prunes
+# partition DIRECTORIES at planning time from pushed filters — the
+# custom-source analogue of parquet partition pruning. Like the reference
+# (DuckDB PARTITION_BY keeps partition columns in the COPY input — SURVEY
+# §2.1 S4), partition columns stay IN the file, so read-back needs no
+# dir-value recovery.
+
+
+def _key_partition_values(key: str, cols: list[str]) -> dict[str, str]:
+    """Parse hive-style `col=value` segments out of an object key."""
+    out: dict[str, str] = {}
+    for seg in key.split("/"):
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            if k in cols:
+                out[k] = v
+    return out
+
+
+@dataclass
+class S3ParquetCommitMessage(WriterCommitMessage):
+    staged: list[str]  # staged keys
+    final: list[str]  # their final names (same order)
+    n_rows: int
+
+
+class S3ParquetSinkWriter(DataSourceWriter):
+    """Hive-partitioned parquet writer against the S3 API with the staged →
+    copy → manifest-LAST two-phase commit. Each task groups its rows by the
+    partition columns and PUTs one parquet object per partition value under
+    ``_staged/``; the driver publishes them to their hive paths."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.options = options
+        self.bucket = options["bucket"]
+        self.prefix = options.get("prefix", "out").rstrip("/")
+        self.partition_by = [
+            c for c in options.get("partition_by", "").split(",") if c
+        ]
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> S3ParquetCommitMessage:
+        import io as _io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        client = s3_client(self.options)
+        rows_by_part: dict[tuple, list[dict]] = {}
+        n = 0
+        for row in iterator:
+            d = row.asDict()
+            pv = tuple(str(d[c]) for c in self.partition_by)
+            rows_by_part.setdefault(pv, []).append(d)
+            n += 1
+        staged_keys: list[str] = []
+        final_keys: list[str] = []
+        for pv, rows in rows_by_part.items():
+            uid = uuid.uuid4().hex
+            dirs = "/".join(
+                f"{c}={v}" for c, v in zip(self.partition_by, pv)
+            )
+            rel = (dirs + "/" if dirs else "") + f"part-{uid}.parquet"
+            staged = f"{self.prefix}/_staged/{uid}.parquet"
+            buf = _io.BytesIO()
+            pq.write_table(
+                pa.Table.from_pylist(rows), buf, compression="snappy"
+            )
+            client.put_object(Bucket=self.bucket, Key=staged, Body=buf.getvalue())
+            staged_keys.append(staged)
+            final_keys.append(f"{self.prefix}/{rel}")
+        return S3ParquetCommitMessage(
+            staged=staged_keys, final=final_keys, n_rows=n
+        )
+
+    def commit(self, messages) -> None:
+        client = s3_client(self.options)
+        success_key = f"{self.prefix}/_SUCCESS"
+        if self.overwrite:
+            for k in list_keys(client, self.bucket, self.prefix + "/"):
+                if "/_staged/" not in f"/{k}":
+                    client.delete_object(Bucket=self.bucket, Key=k)
+        total = 0
+        files = 0
+        for m in messages:
+            if m is None:
+                continue
+            for staged, final in zip(m.staged, m.final):
+                client.copy_object(
+                    Bucket=self.bucket,
+                    Key=final,
+                    CopySource={"Bucket": self.bucket, "Key": staged},
+                )
+                client.delete_object(Bucket=self.bucket, Key=staged)
+                files += 1
+            total += m.n_rows
+        client.put_object(
+            Bucket=self.bucket,
+            Key=success_key,
+            Body=json.dumps({"files": files, "rows": total}).encode(),
+        )
+
+    def abort(self, messages) -> None:
+        client = s3_client(self.options)
+        for m in messages:
+            if m is None:
+                continue
+            for staged in m.staged:
+                client.delete_object(Bucket=self.bucket, Key=staged)
+
+
+class S3ParquetSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "s3_parquet_sink"
+
+    def writer(self, schema: StructType, overwrite: bool) -> S3ParquetSinkWriter:
+        return S3ParquetSinkWriter(self.options, overwrite)
+
+
+class S3ParquetReader(DataSourceReader):
+    """One InputPartition per parquet object; hive partition-directory
+    PRUNING happens at planning time from pushed EqualTo filters on the
+    declared partition columns — pruned objects never schedule a task and
+    their bytes never move (the LIST is the only driver-side I/O)."""
+
+    def __init__(self, options: dict, schema: StructType):
+        self.options = options
+        self.bucket = options["bucket"]
+        self.prefix = options.get("prefix", "").rstrip("/") + "/"
+        self.partition_by = [
+            c for c in options.get("partition_by", "").split(",") if c
+        ]
+        self._schema = schema
+        self._eq: dict[str, str] = {}
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import EqualTo
+
+        for f in filters:
+            col = f.attribute[0] if f.attribute else None
+            if isinstance(f, EqualTo) and col in self.partition_by:
+                self._eq[col] = str(f.value)
+                # consumed only for PRUNING; yield it back so Spark still
+                # re-applies it row-level (partition cols live in-file too,
+                # so double-filtering is free and keeps semantics obvious)
+            yield f
+
+    def partitions(self) -> Sequence[InputPartition]:
+        client = s3_client(self.options)
+        keys = [
+            k
+            for k in list_keys(client, self.bucket, self.prefix)
+            if k.endswith(".parquet")
+        ]
+        if self._eq:
+            keys = [
+                k
+                for k in keys
+                if all(
+                    _key_partition_values(k, self.partition_by).get(c) == v
+                    for c, v in self._eq.items()
+                )
+            ]
+        return [_KeyPartition(k) for k in keys]
+
+    def read(self, partition: _KeyPartition):
+        import io as _io
+
+        import pyarrow.parquet as pq
+
+        client = s3_client(self.options)
+        body = client.get_object(Bucket=self.bucket, Key=partition.key)[
+            "Body"
+        ].read()
+        table = pq.read_table(_io.BytesIO(body))
+        cols = [f.name for f in self._schema.fields]
+        for batch in table.select(cols).to_batches():
+            yield from zip(*(batch.column(c).to_pylist() for c in cols))
+
+
+class S3ParquetScanDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "s3_parquet_scan"
+
+    def schema(self) -> StructType:
+        # explicit schema required (options carry no sample): callers pass
+        # .schema(...) — at 100 TB you never want inference-by-read anyway
+        raise NotImplementedError(
+            "s3_parquet_scan requires an explicit .schema(...)"
+        )
+
+    def reader(self, schema: StructType) -> S3ParquetReader:
+        return S3ParquetReader(self.options, schema)
+
+
+def register_parquet_object_store_sources(spark) -> None:
+    """Idempotently register the parquet S3 connectors (+ filter pushdown,
+    which partition pruning rides on)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(S3ParquetSinkDataSource)
+    spark.dataSource.register(S3ParquetScanDataSource)

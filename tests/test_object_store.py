@@ -99,6 +99,21 @@ def test_bronze_ingest_to_s3_and_distributed_readback(spark, s3):
     assert clean.count() == 10
     assert clean.filter(F.col("latitude").isNull()).count() == 0
 
+    # ...and the gold hierarchy too: the full medallion compute path over
+    # S3-resident bronze (base counts by country/state/type)
+    from breweries_data_engineering_case_spark.plans.gold import base_counts
+
+    counts = {
+        (r.country, r.state, r.brewery_type): r.brewery_count
+        for r in base_counts(clean).collect()
+    }
+    import collections
+
+    want = collections.Counter(
+        (rec["country"], rec["state"], rec["brewery_type"]) for rec in flat
+    )
+    assert counts == dict(want)
+
 
 def test_s3_sink_two_phase_commit_and_append(spark, s3):
     options, client = s3
@@ -174,3 +189,62 @@ def test_s3_sink_abort_leaves_no_partial_write(spark, s3):
         )
     keys = list_keys(client, "bdec-test", "sink/aborted/")
     assert not [k for k in keys if "/part-" in k or k.endswith("_SUCCESS")], keys
+
+
+def test_s3_parquet_silver_roundtrip_and_partition_pruning(spark, s3):
+    """The silver layer ON the object store: hive-partitioned parquet write
+    (two-phase commit) + read-back + PLANNING-TIME partition pruning — the
+    reference's `COPY TO s3://silver PARTITION_BY` story without hadoop-aws
+    jars."""
+    from pyspark.sql import functions as F
+
+    from breweries_data_engineering_case_spark.plans.silver import clean_breweries
+    from breweries_data_engineering_case_spark.schemas import BREWERY_RAW_SCHEMA
+    from breweries_data_engineering_case_spark.sources.object_store import (
+        register_parquet_object_store_sources,
+    )
+
+    options, client = s3
+    register_parquet_object_store_sources(spark)
+    fetch, pages = _fake_pages()
+    flat = [rec for page in pages for rec in page]
+    raw = spark.createDataFrame(
+        [tuple(r.get(f.name) for f in BREWERY_RAW_SCHEMA.fields) for r in flat],
+        BREWERY_RAW_SCHEMA,
+    )
+    clean = clean_breweries(raw)
+    (
+        clean.repartition(2)
+        .write.format("s3_parquet_sink")
+        .options(
+            bucket="bdec-test", prefix="silver/run1", partition_by="state", **options
+        )
+        .mode("overwrite")
+        .save()
+    )
+    keys = list_keys(client, "bdec-test", "silver/run1/")
+    pq_keys = [k for k in keys if k.endswith(".parquet")]
+    assert "silver/run1/_SUCCESS" in keys
+    assert not [k for k in keys if "_staged" in k]
+    # hive layout: state= dirs present
+    states = {seg for k in pq_keys for seg in k.split("/") if seg.startswith("state=")}
+    assert states == {"state=California", "state=Texas"}
+
+    back = (
+        spark.read.format("s3_parquet_scan")
+        .schema(clean.schema)
+        .options(
+            bucket="bdec-test", prefix="silver/run1", partition_by="state", **options
+        )
+        .load()
+    )
+    want = {tuple(r) for r in clean.collect()}
+    got = {tuple(r) for r in back.collect()}
+    assert got == want
+
+    # planning-time pruning: EqualTo on the partition column prunes object
+    # keys before any task launches
+    ca = back.filter(F.col("state") == "California")
+    ca_keys = [k for k in pq_keys if "state=California" in k]
+    assert ca.rdd.getNumPartitions() == len(ca_keys) < len(pq_keys)
+    assert ca.count() == sum(1 for r in flat if r["state"] == "California")

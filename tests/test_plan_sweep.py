@@ -48,6 +48,9 @@ BNLJ_OK = {
     "events_seq_pattern_support",  # 5-row alphabet dim broadcast (the
     #   pattern fan-out is bounded by |Σ| by construction) + single-row
     #   user-count scalar broadcast for support_ppm
+    "orders_theil_inequality_decomposition",  # single-row (S, N) totals
+    #   broadcast (the key_skew_profile shape); per-row scoring join is an
+    #   equi-join on the 25-row nation aggregate
     "range_join_value_bands",  # 4-row band dim broadcast
     "tpch_q11_important_parts",  # single-row global-threshold broadcast
     "source_mixture_weights",  # single-row normalizer broadcast
