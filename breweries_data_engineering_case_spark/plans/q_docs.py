@@ -3920,3 +3920,182 @@ def q_doc_neardup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("doc_id")
     )
+
+
+def _stream_incr_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    """Oracle for the foreachBatch incremental near-dup: two micro-batches
+    (batch 1 = doc_id % 3 <> 0, batch 2 = doc_id % 3 = 0), each scored
+    against the state the previous batches left plus its own batch-local
+    smaller ids — the sequential replay of the band-bucket merge."""
+    from ..operators.fuzzy_dedup import _MH_B, _MH_P, _mh_coeffs
+
+    vals = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(_mh_coeffs(num_hashes))
+    )
+    rpb = num_hashes // bands
+    bh = "m0"
+    for r in range(1, rpb):
+        bh = f"({bh} * {_MH_B} + m{r}) % {_MH_P}"
+    mcols = ", ".join(
+        f"MAX(CASE WHEN i % {rpb} = {r} THEN m END) AS m{r}" for r in range(rpb)
+    )
+    return rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(TRIM(text), '\s+'),
+                            tok -> CAST(concat('0x', substr(md5(tok), 1, 15))
+                                        AS BIGINT) % {_MH_P}) AS th
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             ((th[i + 1] * {_MH_B} + th[i + 2]) % {_MH_P} * {_MH_B}
+              + th[i + 3]) % {_MH_P} AS s
+      FROM t, UNNEST(range(GREATEST(len(th) - 2, 0))) AS u(i)
+    ),
+    c(i, a, b) AS (VALUES {vals}),
+    sig AS (
+      SELECT doc_id, c.i, MIN((sh.s * c.a + c.b) % {_MH_P}) AS m
+      FROM sh CROSS JOIN c GROUP BY doc_id, c.i
+    ),
+    bandm AS (
+      SELECT doc_id, i // {rpb} AS b, {mcols}
+      FROM sig GROUP BY doc_id, i // {rpb}
+    ),
+    band AS (SELECT doc_id, b, {bh} AS bh FROM bandm),
+    b1 AS (SELECT * FROM band WHERE doc_id % 3 <> 0),
+    b2 AS (SELECT * FROM band WHERE doc_id % 3 = 0),
+    bmin1 AS (SELECT b, bh, MIN(doc_id) AS m FROM b1 GROUP BY b, bh),
+    hits1 AS (
+      SELECT d.doc_id, d.b, bm.m AS cand
+      FROM b1 d JOIN bmin1 bm ON d.b = bm.b AND d.bh = bm.bh
+      WHERE bm.m < d.doc_id
+    ),
+    state1 AS (SELECT b, bh, m AS c FROM bmin1),
+    bmin2 AS (SELECT b, bh, MIN(doc_id) AS m FROM b2 GROUP BY b, bh),
+    hits2 AS (
+      SELECT d.doc_id, d.b,
+             LEAST(COALESCE(s.c, 9223372036854775807),
+                   CASE WHEN bm.m < d.doc_id THEN bm.m
+                        ELSE 9223372036854775807 END) AS cand
+      FROM b2 d
+      LEFT JOIN state1 s ON d.b = s.b AND d.bh = s.bh
+      JOIN bmin2 bm ON d.b = bm.b AND d.bh = bm.bh
+      WHERE s.c IS NOT NULL OR bm.m < d.doc_id
+    ),
+    hits AS (SELECT * FROM hits1 UNION ALL SELECT * FROM hits2)
+    SELECT doc_id, MIN(cand) AS dup_candidate_of,
+           CAST(COUNT(*) AS BIGINT) AS n_band_hits
+    FROM hits GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@register("streaming_neardup_incremental", _stream_incr_oracle(16, 4))
+def q_streaming_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION streaming shape of incremental near-dup: a
+    foreachBatch sink where every micro-batch (a corpus drop) is scored
+    and merged entirely JVM-SIDE against a persisted band-bucket state
+    table — no per-group Python. Completes the near-dup trio:
+    streaming_neardup_lsh (applyInPandasWithState showcase — 1 long of
+    state per bucket, but per-group Python framing),
+    doc_neardup_incremental_snapshot (one batch MERGE), and this — the
+    micro-batch loop a real ingest pipeline runs, where each drop only
+    hashes ITSELF, joins the skinny state table, appends its candidate
+    ledger, and republishes the merged state (write-new-then-swap, so a
+    crash mid-merge leaves the previous state intact). Two deterministic
+    micro-batches (maxFilesPerTrigger=1, mtime-ordered files split
+    doc_id % 3) make the whole run SQL-replayable: the oracle scores
+    batch 1 against its own local mins, batch 2 against batch 1's state —
+    the sequential semantics the state table materializes."""
+    import shutil
+    import time as _time
+
+    from ..operators.fuzzy_dedup import minhash_band_exprs
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    base = Path(tempfile.gettempdir()) / "bdec_stream_incr" / key
+    src = base / "src"
+    if not (src / "_STAGED").exists():
+        shutil.rmtree(base, ignore_errors=True)
+        d = table_scan(spark, sf_dir, "documents").select("doc_id", "text")
+        d.filter(F.col("doc_id") % 3 != 0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / "b1.parquet"))
+        _time.sleep(1.2)  # strict mtime order => deterministic batch order
+        d.filter(F.col("doc_id") % 3 == 0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / "b2.parquet"))
+        (src / "_STAGED").touch()
+    # fresh state/out per run: the stream replays both batches each time
+    shutil.rmtree(base / "state", ignore_errors=True)
+    shutil.rmtree(base / "out", ignore_errors=True)
+    shutil.rmtree(base / "ckpt", ignore_errors=True)
+
+    parallelism = spark.sparkContext.defaultParallelism
+    big = 0x7FFFFFFFFFFFFFFF
+
+    def merge_batch(batch_df, epoch_id: int) -> None:
+        bands = minhash_band_exprs(
+            batch_df.repartition(parallelism), num_hashes=16, bands=4
+        ).persist()
+        state_dir = base / "state"
+        if (state_dir / "_SUCCESS").exists():
+            state = spark.read.parquet(str(state_dir))
+        else:
+            state = spark.createDataFrame(
+                [], "band_idx long, band_hash long, canon long"
+            )
+        bmin = bands.groupBy("band_idx", "band_hash").agg(
+            F.min("doc_id").alias("m")
+        )
+        hits = (
+            bands.join(state, ["band_idx", "band_hash"], "left")
+            .join(bmin, ["band_idx", "band_hash"])
+            .filter(F.col("canon").isNotNull() | (F.col("m") < F.col("doc_id")))
+            .select(
+                "doc_id",
+                F.least(
+                    F.coalesce(F.col("canon"), F.lit(big)),
+                    F.when(F.col("m") < F.col("doc_id"), F.col("m")).otherwise(
+                        F.lit(big)
+                    ),
+                ).alias("cand"),
+            )
+        )
+        hits.write.mode("append").parquet(str(base / "out"))
+        merged = (
+            state.unionByName(
+                bands.select("band_idx", "band_hash", F.col("doc_id").alias("canon"))
+            )
+            .groupBy("band_idx", "band_hash")
+            .agg(F.min("canon").alias("canon"))
+        )
+        # write-new-then-swap: a crash mid-merge leaves the old state valid
+        new_dir = base / f"state_e{epoch_id}"
+        merged.write.mode("overwrite").parquet(str(new_dir))
+        shutil.rmtree(state_dir, ignore_errors=True)
+        new_dir.rename(state_dir)
+        bands.unpersist()
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*.parquet")
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", str(base / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(str(base / "out"))
+        .groupBy("doc_id")
+        .agg(
+            F.min("cand").alias("dup_candidate_of"),
+            F.count(F.lit(1)).cast("long").alias("n_band_hits"),
+        )
+        .orderBy("doc_id")
+    )
