@@ -231,6 +231,41 @@ def test_theil_decomposition_brute_force(spark):
     assert abs(t_exact - t_frozen) < 5e-6, (t_exact, t_frozen)
 
 
+def test_streaming_incremental_state_equals_full_corpus(spark, sf_dir):
+    """After the two-micro-batch run, the published band-bucket state must
+    equal the full corpus's bucket mins — the same invariant as the batch
+    merge twin, held across the foreachBatch write-new-then-swap."""
+    import tempfile
+    from hashlib import md5
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from breweries_data_engineering_case_spark.operators.fuzzy_dedup import (
+        minhash_band_exprs,
+    )
+    from breweries_data_engineering_case_spark.plans import registry
+    from breweries_data_engineering_case_spark.sources.readers import table_scan
+
+    registry.QUERIES["streaming_neardup_incremental"](spark, sf_dir).collect()
+    key = md5(sf_dir.encode()).hexdigest()[:12]
+    state = spark.read.parquet(
+        str(Path(tempfile.gettempdir()) / "bdec_stream_incr" / key / "state")
+    )
+    full = (
+        minhash_band_exprs(
+            table_scan(spark, sf_dir, "documents").select("doc_id", "text"),
+            num_hashes=16,
+            bands=4,
+        )
+        .groupBy("band_idx", "band_hash")
+        .agg(F.min("doc_id").alias("canon"))
+    )
+    got = {(r.band_idx, r.band_hash): r.canon for r in state.collect()}
+    want = {(r.band_idx, r.band_hash): r.canon for r in full.collect()}
+    assert got == want
+
+
 def test_dsir_ln_floor_boundary_margin():
     """ADVICE r9 (low): the DSIR per-bucket score freezes floor(1e6*ln(ratio)),
     and ln is libm-dependent — a 1-ulp JVM-vs-DuckDB difference shifts the
