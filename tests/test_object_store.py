@@ -14,6 +14,9 @@ import json
 
 import pytest
 
+pytest.importorskip("moto", reason="live object-store tests need the moto S3 server")
+pytest.importorskip("boto3", reason="live object-store tests need boto3")
+
 from breweries_data_engineering_case_spark.sources.object_store import (
     ensure_local_object_store,
     ingest_to_bronze_s3,
