@@ -3990,6 +3990,50 @@ def _stream_incr_oracle(num_hashes: int = 16, bands: int = 4) -> str:
     """
 
 
+def recover_incremental_state(base: Path) -> Path | None:
+    """Resolve the readable state dir for the incremental near-dup merge.
+
+    Crash-safety contract (ADVICE r10): the publish step below guarantees
+    that at every instant either ``state`` or ``state_prev`` holds a
+    committed (`_SUCCESS`-marked) snapshot. This resolver repairs the
+    one crash window where the old state was moved aside but the new one
+    never moved in (rename-aside completed, rename-in did not) by moving
+    ``state_prev`` back. Returns the state dir to read, or ``None`` on a
+    genuinely fresh store. Raises RuntimeError if the ``state_initialized``
+    marker says a prior batch committed but neither dir is readable —
+    a silent empty-state restart would emit quietly-wrong candidates.
+    """
+    state_dir = base / "state"
+    prev_dir = base / "state_prev"
+    if not (state_dir / "_SUCCESS").exists() and (prev_dir / "_SUCCESS").exists():
+        prev_dir.rename(state_dir)
+    if (state_dir / "_SUCCESS").exists():
+        return state_dir
+    if (base / "state_initialized").exists():
+        raise RuntimeError(
+            f"incremental near-dup state missing at {state_dir} despite a "
+            "committed prior batch; refusing to continue from an empty state"
+        )
+    return None
+
+
+def publish_incremental_state(base: Path, new_dir: Path) -> None:
+    """Atomically promote ``new_dir`` (a freshly written, `_SUCCESS`-marked
+    parquet dir) to ``base/state`` with an aside copy: old state renames to
+    ``state_prev`` BEFORE the new dir renames in, so a crash at any point
+    leaves one committed snapshot for :func:`recover_incremental_state`."""
+    import shutil as _shutil
+
+    state_dir = base / "state"
+    prev_dir = base / "state_prev"
+    _shutil.rmtree(prev_dir, ignore_errors=True)
+    if state_dir.exists():
+        state_dir.rename(prev_dir)
+    new_dir.rename(state_dir)
+    (base / "state_initialized").touch()
+    _shutil.rmtree(prev_dir, ignore_errors=True)
+
+
 @register("streaming_neardup_incremental", _stream_incr_oracle(16, 4))
 def q_streaming_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION streaming shape of incremental near-dup: a
@@ -4028,8 +4072,10 @@ def q_streaming_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFra
         (src / "_STAGED").touch()
     # fresh state/out per run: the stream replays both batches each time
     shutil.rmtree(base / "state", ignore_errors=True)
+    shutil.rmtree(base / "state_prev", ignore_errors=True)
     shutil.rmtree(base / "out", ignore_errors=True)
     shutil.rmtree(base / "ckpt", ignore_errors=True)
+    (base / "state_initialized").unlink(missing_ok=True)
 
     parallelism = spark.sparkContext.defaultParallelism
     big = 0x7FFFFFFFFFFFFFFF
@@ -4038,9 +4084,9 @@ def q_streaming_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFra
         bands = minhash_band_exprs(
             batch_df.repartition(parallelism), num_hashes=16, bands=4
         ).persist()
-        state_dir = base / "state"
-        if (state_dir / "_SUCCESS").exists():
-            state = spark.read.parquet(str(state_dir))
+        readable = recover_incremental_state(base)
+        if readable is not None:
+            state = spark.read.parquet(str(readable))
         else:
             state = spark.createDataFrame(
                 [], "band_idx long, band_hash long, canon long"
@@ -4070,11 +4116,12 @@ def q_streaming_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFra
             .groupBy("band_idx", "band_hash")
             .agg(F.min("canon").alias("canon"))
         )
-        # write-new-then-swap: a crash mid-merge leaves the old state valid
+        # write-new-then-swap with an aside copy: a crash at any point
+        # leaves either `state` or `state_prev` valid (never neither) —
+        # see publish_incremental_state / recover_incremental_state.
         new_dir = base / f"state_e{epoch_id}"
         merged.write.mode("overwrite").parquet(str(new_dir))
-        shutil.rmtree(state_dir, ignore_errors=True)
-        new_dir.rename(state_dir)
+        publish_incremental_state(base, new_dir)
         bands.unpersist()
 
     schema = StructType(

@@ -899,9 +899,13 @@ def q_multimodal_image_blur_laplacian(
 
         for pdf in batches:
             ids, ms, vars_, flags = [], [], [], []
-            for _, row in pdf.iterrows():
-                p = bytes(row["payload"]) if row["payload"] is not None else b""
-                if row["media_type"] != "image" or p[:2] != b"P5":
+            # column-zip, not iterrows: per-row decode is unavoidable but
+            # building a pandas Series per row on top of it is not.
+            for asset_id, payload, media_type in zip(
+                pdf["asset_id"], pdf["payload"], pdf["media_type"]
+            ):
+                p = bytes(payload) if payload is not None else b""
+                if media_type != "image" or p[:2] != b"P5":
                     continue
                 parts = p.split(maxsplit=3)
                 w_, h_ = int(parts[1]), int(parts[2])
@@ -926,7 +930,7 @@ def q_multimodal_image_blur_laplacian(
                 s1 = int(lap.sum())
                 s2 = int((lap * lap).sum())
                 vs = m * s2 - s1 * s1
-                ids.append(int(row["asset_id"]))
+                ids.append(int(asset_id))
                 ms.append(m)
                 vars_.append(vs)
                 flags.append(bool(vs < 1000 * m * m))

@@ -278,7 +278,12 @@ class JsonlSinkWriter(DataSourceWriter):
             f.write(_json.dumps(manifest))
 
     # staged task files older than this are zombie attempts (their job is
-    # long finished: a commit would have published or an abort removed them)
+    # long finished: a commit would have published or an abort removed them).
+    # LIMITATION: a LIVE concurrent job whose task-write-to-commit span
+    # exceeds this age looks like a zombie — its staged file gets reaped and
+    # its commit's os.replace fails. 24h is far above any realistic single
+    # job on this sink; jobs that can exceed it must use distinct sink roots
+    # (or this constant must be raised to exceed their worst-case runtime).
     _REAP_AGE_SEC = 24 * 3600
 
     def _cleanup_staged(self) -> None:

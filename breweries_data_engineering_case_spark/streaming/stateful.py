@@ -260,7 +260,18 @@ def _band_dedup(
     batch delivers an id SMALLER than the persisted min, the previously-
     canonical doc is itself emitted as a candidate of the new minimum —
     without that emission the (old-min, new-min) bucket collision would be
-    lost in both directions (ADVICE r9)."""
+    lost in both directions (ADVICE r9).
+
+    CROSS-BATCH SEMANTICS (ADVICE r10): the output is arrival-order
+    candidate PAIRS, transitively connected within a bucket — NOT per-doc
+    full-corpus minima. A doc emitted in an earlier batch keeps its
+    then-current canonical even if a later batch brings a smaller id
+    (bucket sees 5 then 11 → emits 11→5; a later 1 emits only 5→1, so
+    doc 11's aggregated dup_candidate_of stays 5 while a full-corpus
+    batch pass would give 1). Consumers needing per-doc minima must
+    resolve the pair graph (connected components / transitive min), as
+    the downstream registry queries do; the oracle stages a single
+    deterministic micro-batch so this never diverges in the gate."""
     # Per-group Python overhead is THE scale cost of this operator (SF1:
     # ~200k near-singleton groups), so the common path is kept allocation-
     # free: a singleton new bucket does one state write and yields NOTHING

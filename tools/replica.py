@@ -76,7 +76,13 @@ def main() -> int:
 
     qs = e.queries()
     oracles = e.oracle_sql()
-    todo = select_window(list(qs) if not names else names, start, window)
+    try:
+        todo = select_window(list(qs) if not names else names, start, window)
+    except ValueError as exc:
+        # invalid --start/--window gets the same clean nonzero exit as an
+        # empty selection, not an uncaught traceback
+        print(f"ERROR: {exc}", flush=True)
+        return 2
     if not todo:
         print(
             f"ERROR: selection is empty (start={start}, window={window}) — "
