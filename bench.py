@@ -3,8 +3,9 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed once into Spark's ``noop`` sink after a shared warm-up
-(JVM + parquet footer caches). The noop sink forces every column of the full
+Each query is executed best-of-3 into Spark's ``noop`` sink after a shared
+warm-up (JVM + parquet footer caches); all attempt times are recorded in the
+JSON for drift forensics. The noop sink forces every column of the full
 plan to be computed (a ``count()`` would let Catalyst prune projection-only
 work) without collecting rows to the driver — the cost measured is the
 distributed plan, not row transfer.
@@ -159,30 +160,33 @@ def main() -> None:
     for wname in ("agg_count_group_by", "window_dedup_rownum", "doc_dedup_minhash_lsh"):
         run(registry.QUERIES[wname](spark, sf_dir))
 
+    per_query_attempts: dict[str, list[float]] = {}
+
     def measure() -> tuple[dict[str, float], dict, dict]:
-        """One full pass: stamp -> best-of-2 per query -> stamp."""
+        """One full pass: stamp -> best-of-3 per query -> stamp."""
         before = _host_stamp()
         timings: dict[str, float] = {}
-        # best-of-2 per query: the first attempt absorbs any remaining
-        # codegen/JIT cost for that exact shape AND one sample of ambient
-        # host noise (shared VM; single-shot totals swing ±30% with
-        # neighbor load). The faster attempt measures the plan.
+        # best-of-3 per query (VERDICT r10 #4): the first attempt absorbs
+        # any remaining codegen/JIT cost for that exact shape, and three
+        # samples of ambient host noise (shared VM; same-day clean runs
+        # spread ±15%, twice forcing a judged round to adjudicate phantom
+        # regressions). The fastest attempt measures the plan; every
+        # attempt is kept in the JSON for drift forensics.
         for name in HEADLINE:
             fn = registry.QUERIES.get(name)
             if fn is None:
                 continue
-            best = None
-            for _ in range(2):
+            tries = per_query_attempts.setdefault(name, [])
+            for _ in range(3):
                 # drop caches BEFORE each attempt: queries persist()
                 # intermediates, and Spark's CacheManager matches by logical
-                # plan — without this the second attempt would read attempt
+                # plan — without this later attempts would read attempt
                 # one's cache and measure warm-cache I/O, not the plan
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 run(fn(spark, sf_dir))
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            timings[name] = round(best, 3)
+                tries.append(round(time.perf_counter() - t0, 3))
+            timings[name] = min(tries[-3:])
         after = _host_stamp()
         return timings, before, after
 
@@ -232,6 +236,10 @@ def main() -> None:
                         round(sum(t.values()), 3) for t, _, _, _ in attempts
                     ],
                     "attempt_dirty_probes": [d for _, _, _, d in attempts],
+                    # raw per-query attempt times across ALL passes (3 per
+                    # pass), in execution order — the drift-forensics record
+                    # VERDICT r10 #4 asked to keep alongside the min
+                    "per_query_attempts_sec": per_query_attempts,
                 },
             }
         )

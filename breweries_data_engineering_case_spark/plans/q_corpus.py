@@ -39,7 +39,7 @@ from ..operators.similarity import (
     embedding_near_dup_pairs,
     semantic_dedup,
 )
-from ..sources.readers import json_array_scan, table_scan
+from ..sources.readers import json_array_scan, source_fingerprint, table_scan
 from ..sources.writers import idempotent_date_overwrite, write_partitioned_parquet
 from .silver import clean_breweries
 
@@ -787,7 +787,12 @@ def q_entity_resolution_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vertices = names.select(F.col("name_id").alias("node"))
     comp = connected_components(
-        vertices, edges, id_col="node", src_col="u", dst_col="v"
+        vertices,
+        edges,
+        id_col="node",
+        src_col="u",
+        dst_col="v",
+        stage_key="er_fuzzy_sym:v1:" + source_fingerprint(sf_dir, "part"),
     )
     return (
         names.join(comp, names["name_id"] == comp["node"])
@@ -904,6 +909,10 @@ def q_dedup_cascade_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="node",
         src_col="id_a",
         dst_col="id_b",
+        # near-dup edges are deterministic per corpus snapshot: stage the
+        # symmetrized edge list bucketed on the gather key so the CC loop
+        # never re-exchanges it and reruns reuse it (pagerank pattern)
+        stage_key="cascade_sym:v1:" + source_fingerprint(sf_dir, "documents"),
     )
     s3 = comp.groupBy("component").agg(F.min("node").alias("doc_id"))
 

@@ -39,7 +39,7 @@ from ..operators.similarity import (
     embedding_near_dup_pairs,
     semantic_dedup,
 )
-from ..sources.readers import json_array_scan, spread, table_scan
+from ..sources.readers import json_array_scan, source_fingerprint, spread, table_scan
 from ..sources.writers import idempotent_date_overwrite, write_partitioned_parquet
 from .silver import clean_breweries
 
@@ -1444,7 +1444,12 @@ def q_doc_dedup_portable_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
         .distinct()
     )
     comp = connected_components(
-        verts, pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
+        verts,
+        pairs,
+        id_col="doc_id",
+        src_col="id_a",
+        dst_col="id_b",
+        stage_key="portable_sym:v1:" + source_fingerprint(sf_dir, "documents"),
     )
     return comp.select(
         "doc_id",

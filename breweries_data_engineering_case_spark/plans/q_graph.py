@@ -226,37 +226,52 @@ def q_graph_pagerank_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed LOOP runs ≈ the cached loop (6.9 vs 6.0 s warm) — the win is
     the COLD path (9.3 vs 24.4 s: no cache materialization) and the
     amortization model: the staged table is paid once per corpus
-    snapshot, not once per run. In this sandbox the in-memory catalog
-    forgets bucket metadata between sessions, so a fresh process restages
-    (~15 s at SF1); a real deployment's persistent metastore keeps it.
+    snapshot, not once per run. Round 11: the in-memory catalog forgetting
+    bucket metadata between processes (the r10 caveat — a fresh process
+    restaged ~15 s at SF1) is fixed by manifest-backed staging
+    (sources/writers.stage_bucketed_table): a fresh process re-registers
+    the on-disk files via a metadata-only DDL and reuses them.
     sf0.1 best-of-4: 7.1 s (r9 cached plan) → 5.2 s."""
+    from ..sources.readers import source_fingerprint
+
     edges, nodes = _pagerank_graph_int(spark, sf_dir)
     n_salt = 8
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    # keyed by corpus CONTENT (mtime+size), not just path: a regenerated
+    # testdata snapshot at the same path must invalidate the staged tables
+    # now that the manifest lets fresh processes reuse them
+    key = hashlib.md5(
+        (sf_dir + "|" + source_fingerprint(sf_dir, "orders", "lineitem")).encode()
+    ).hexdigest()[:12]
     et = f"bdec_pr_salted_edges_{key}"
     nt = f"bdec_pr_nodes_{key}"
     base_dir = Path(tempfile.gettempdir()) / "bdec_bucketed" / key
-    if not spark.catalog.tableExists(et):
-        from ..sources.writers import write_bucketed_table
+    from ..sources.writers import stage_bucketed_table
 
-        write_bucketed_table(
-            edges.withColumn("__salt", F.abs(F.xxhash64("src", "dst")) % n_salt),
-            et,
-            ["src", "__salt"],
-            num_buckets=32,
-            path=str(base_dir / "pr_edges"),
-        )
-    if not spark.catalog.tableExists(nt):
-        from ..sources.writers import write_bucketed_table
-
-        # the node table (degree + base rank) is iteration-INVARIANT, and the
-        # rank-update join keys on it every round — bucketed on `node`, it
-        # never re-exchanges inside the loop either
-        write_bucketed_table(
-            nodes, nt, ["node"], num_buckets=32, path=str(base_dir / "pr_nodes")
-        )
-    salted_edges = spark.table(et)
-    bnodes = spark.table(nt)
+    # manifest-backed staging (VERDICT r10 #5): a fresh process re-registers
+    # the on-disk bucketed files with a metadata-only DDL instead of
+    # recomputing + rewriting them — the staged tables are keyed by corpus
+    # snapshot, not by process lifetime
+    salted_edges = stage_bucketed_table(
+        spark,
+        et,
+        ["src", "__salt"],
+        num_buckets=32,
+        path=str(base_dir / "pr_edges"),
+        builder=lambda: edges.withColumn(
+            "__salt", F.abs(F.xxhash64("src", "dst")) % n_salt
+        ),
+    )
+    # the node table (degree + base rank) is iteration-INVARIANT, and the
+    # rank-update join keys on it every round — bucketed on `node`, it
+    # never re-exchanges inside the loop either
+    bnodes = stage_bucketed_table(
+        spark,
+        nt,
+        ["node"],
+        num_buckets=32,
+        path=str(base_dir / "pr_nodes"),
+        builder=lambda: nodes,
+    )
     r = bnodes.withColumn("pr", F.col("base"))
     for _ in range(3):
         contrib = r.selectExpr("node AS src", "pr div deg AS c")

@@ -110,6 +110,27 @@ def table_scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def source_fingerprint(sf_dir: str, *names: str) -> str:
+    """Cheap content fingerprint (mtime_ns:size per table file) for keying
+    cross-process staged artifacts (bucketed tables, stream staging dirs).
+
+    Staged state derived from a corpus snapshot must be invalidated when
+    the snapshot is REGENERATED at the same path — mtime+size changes on
+    any rewrite, so baking this string into a stage key makes stale-reuse
+    impossible without paying a content hash over the data."""
+    import os as _os
+
+    parts = []
+    for n in names:
+        p = f"{sf_dir.rstrip('/')}/{n}.parquet"
+        try:
+            st = _os.stat(p)
+            parts.append(f"{n}={st.st_mtime_ns}:{st.st_size}")
+        except OSError:
+            parts.append(f"{n}=absent")
+    return ";".join(parts)
+
+
 # logical-plan nodes that compile to an Exchange (or otherwise preclude the
 # cheap .rdd partition probe): spread() declines to probe below any of these
 _SHUFFLE_NODES = frozenset(

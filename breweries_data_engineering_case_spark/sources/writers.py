@@ -143,3 +143,90 @@ def write_bucketed_table(
             shutil.rmtree(path, ignore_errors=True)
         w = w.option("path", path)
     w.mode(mode).saveAsTable(name)
+
+
+_MANIFEST = "_bdec_manifest.json"
+
+
+def stage_bucketed_table(
+    spark: SparkSession,
+    name: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int,
+    path: str,
+    builder,
+    sort_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Idempotent bucketed staging with CROSS-PROCESS reuse (VERDICT r10 #5).
+
+    The iterative-graph staging pattern (PageRank, connected components)
+    pays the edge-list shuffle once per corpus snapshot by writing it as a
+    bucketed table. ``saveAsTable`` records the bucket spec in the session
+    catalog — which for the in-memory catalog is forgotten at process exit,
+    so a fresh process used to RESTAGE (~15 s at SF1 for PageRank) even
+    though the bucketed files were still on disk. The fix is a tiny on-disk
+    metastore: a manifest JSON written next to the bucketed files AFTER a
+    successful write records the schema + bucket spec, and a fresh process
+    re-REGISTERS the existing files with a metadata-only DDL
+    (``CREATE TABLE … CLUSTERED BY … INTO n BUCKETS LOCATION …`` — verified
+    to scan ``Bucketed: true`` exactly like the original saveAsTable entry)
+    instead of recomputing and rewriting the data.
+
+    Resolution order:
+      1. session catalog hit → ``spark.table(name)`` (same-process reuse);
+      2. manifest hit with a MATCHING bucket spec → DDL re-registration
+         (fresh-process reuse, no data movement — the 100 TB economics:
+         the staged table is keyed by corpus snapshot, not by process);
+      3. otherwise → call ``builder()`` for the DataFrame, rewrite the
+         location, then write the manifest LAST (a crash mid-write leaves
+         no manifest, so the next run restages — never reads a torn table).
+
+    ``builder`` is a zero-arg callable so cache hits skip even the
+    *construction* of the staged frame's lineage. The manifest stores the
+    bucket spec; a spec mismatch (code changed the staging layout)
+    invalidates the cache and restages.
+    """
+    import json as _json
+
+    if spark.catalog.tableExists(name):
+        return spark.table(name)
+    spec = {
+        "bucket_cols": list(bucket_cols),
+        "num_buckets": int(num_buckets),
+        "sort_cols": list(sort_cols) if sort_cols else [],
+    }
+    mf = Path(path) / _MANIFEST
+    if mf.exists():
+        try:
+            m = _json.loads(mf.read_text())
+        except (OSError, ValueError):
+            m = None
+        if m and all(m.get(k) == v for k, v in spec.items()) and m.get("schema"):
+            clustered = ", ".join(f"`{c}`" for c in spec["bucket_cols"])
+            sorted_by = (
+                " SORTED BY (" + ", ".join(f"`{c}`" for c in spec["sort_cols"]) + ")"
+                if spec["sort_cols"]
+                else ""
+            )
+            spark.sql(
+                f"CREATE TABLE `{name}` ({m['schema']}) USING PARQUET "
+                f"CLUSTERED BY ({clustered}){sorted_by} "
+                f"INTO {spec['num_buckets']} BUCKETS "
+                f"LOCATION '{path}'"
+            )
+            return spark.table(name)
+    df = builder()
+    write_bucketed_table(
+        df,
+        name,
+        bucket_cols,
+        num_buckets=num_buckets,
+        sort_cols=sort_cols,
+        mode="overwrite",
+        path=path,
+    )
+    schema_ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    mf.write_text(_json.dumps({**spec, "schema": schema_ddl}))
+    return spark.table(name)

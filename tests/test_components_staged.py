@@ -1,0 +1,224 @@
+"""Round-11 connected-components rework (VERDICT r10 #1 + #5).
+
+Covers: (a) the bucket-staged symmetrized edge list is scanned
+``Bucketed: true`` with no Exchange above the probe inside the CC loop
+(the pagerank plan-assertion pattern, tests/test_pagerank.py), (b) the
+staging manifest lets a FRESH catalog (≈ fresh process) re-register the
+on-disk bucketed files via a metadata-only DDL instead of recomputing and
+rewriting them, and (c) the reworked operator's semantics: incident-only
+iteration + appended singletons, induced-subgraph edge restriction, and
+the fused min/max convergence check all preserve the exact (id, component)
+output of the pre-rework implementation.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from breweries_data_engineering_case_spark.operators.components import (
+    connected_components,
+)
+from breweries_data_engineering_case_spark.plans import registry
+from breweries_data_engineering_case_spark.sources.writers import (
+    stage_bucketed_table,
+)
+
+
+def _components_of(spark, pairs, vertex_ids, **kwargs):
+    verts = spark.createDataFrame(
+        [(int(v),) for v in vertex_ids], "node bigint"
+    )
+    edges = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "id_a bigint, id_b bigint"
+    )
+    out = connected_components(
+        verts, edges, id_col="node", src_col="id_a", dst_col="id_b", **kwargs
+    )
+    return {(r.node, r.component) for r in out.collect()}
+
+
+def test_chain_star_and_singletons(spark):
+    # chain 1-2-3-4, star 10-{11,12,13}, isolated 99 → min labels
+    got = _components_of(
+        spark,
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13)],
+        [1, 2, 3, 4, 10, 11, 12, 13, 99],
+    )
+    assert got == {
+        (1, 1),
+        (2, 1),
+        (3, 1),
+        (4, 1),
+        (10, 10),
+        (11, 10),
+        (12, 10),
+        (13, 10),
+        (99, 99),
+    }
+
+
+def test_empty_edges_all_singletons(spark):
+    got = _components_of(spark, [], [5, 6, 7])
+    assert got == {(5, 5), (6, 6), (7, 7)}
+
+
+def test_edges_outside_vertices_ignored(spark):
+    # (2,50): 50 is not a vertex → the edge is dropped entirely (induced
+    # subgraph), matching the pre-round-11 join semantics where an unknown
+    # endpoint contributed no label and received none
+    got = _components_of(spark, [(1, 2), (2, 50)], [1, 2, 3])
+    assert got == {(1, 1), (2, 1), (3, 3)}
+
+
+def test_long_chain_converges(spark):
+    # a 24-node path exercises multiple gather+jump rounds
+    n = 24
+    got = _components_of(spark, [(i, i + 1) for i in range(n - 1)], range(n))
+    assert got == {(i, 0) for i in range(n)}
+
+
+def test_cascade_cc_probe_scans_bucketed_no_reexchange(spark, sf_dir):
+    """VERDICT r10 #1 'done' criterion: inside the dedup_cascade_funnel CC
+    loop, the gather join's probe side must scan the staged bucketed sym
+    table (Bucketed: true) with NO shuffle Exchange between the scan and
+    the join — the exchange over the dominant table is paid once at stage
+    time, never per iteration. The per-round plans are captured via the
+    operator's PLAN_CAPTURE hook (the loop's localCheckpoints truncate them
+    out of the returned frame's lineage)."""
+    from breweries_data_engineering_case_spark.operators import components
+
+    components.PLAN_CAPTURE = captured = []
+    try:
+        df = registry.queries()["dedup_cascade_funnel"](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+    finally:
+        components.PLAN_CAPTURE = None
+    assert captured, "CC loop ran no rounds"
+    for plan in captured:
+        lines = plan.splitlines()
+        scan_idx = [
+            i
+            for i, ln in enumerate(lines)
+            if "Scan parquet" in ln and "bdec_cc_sym_" in ln
+        ]
+        assert scan_idx, "gather round did not scan the staged sym table"
+        n_probe = 0
+        for i in scan_idx:
+            assert "Bucketed: true" in lines[i], "sym scan not bucketed"
+            # walk up from the scan to its nearest Join: a SHUFFLE exchange
+            # between them would mean the bucketing was not honored and the
+            # edge list re-shuffles every iteration
+            j = i
+            while j > 0 and "Join" not in lines[j]:
+                assert "Exchange hashpartitioning" not in lines[j], (
+                    "CC probe side re-exchanged:\n"
+                    + "\n".join(lines[max(0, j - 3) : i + 1])
+                )
+                j -= 1
+            if "ShuffledHashJoin" in lines[j]:
+                n_probe += 1
+        assert n_probe >= 1, "no exchange-free bucketed probe in the round"
+
+
+def test_staging_manifest_fresh_catalog_reuses_files(spark, tmp_path):
+    """VERDICT r10 #5: after a successful stage, dropping the catalog entry
+    (what a fresh process starts with) and re-staging must re-REGISTER the
+    existing files via DDL — same data, untouched parquet files, still a
+    bucketed scan — not recompute/rewrite."""
+    name = "bdec_test_stage_reuse"
+    path = tmp_path / "staged"
+    calls = []
+
+    def builder():
+        calls.append(1)
+        return spark.range(500).select(
+            F.col("id").alias("d"), (F.col("id") % 9).alias("payload")
+        )
+
+    t1 = stage_bucketed_table(
+        spark, name, ["d"], num_buckets=8, path=str(path), builder=builder
+    )
+    assert t1.count() == 500 and calls == [1]
+    files_before = sorted(
+        (p.name, p.stat().st_mtime_ns) for p in path.glob("*.parquet")
+    )
+    assert files_before, "stage wrote no bucketed files"
+    manifest = json.loads((path / "_bdec_manifest.json").read_text())
+    assert manifest["bucket_cols"] == ["d"] and manifest["num_buckets"] == 8
+
+    # fresh-process simulation: the in-memory catalog forgets the table
+    spark.sql(f"DROP TABLE `{name}`")
+    t2 = stage_bucketed_table(
+        spark, name, ["d"], num_buckets=8, path=str(path), builder=builder
+    )
+    assert calls == [1], "re-stage recomputed the frame instead of reusing"
+    files_after = sorted(
+        (p.name, p.stat().st_mtime_ns) for p in path.glob("*.parquet")
+    )
+    assert files_after == files_before, "re-stage rewrote the data files"
+    assert t2.count() == 500
+
+    # and the re-registered table still joins off a bucketed scan
+    other = spark.range(100).select(F.col("id").alias("d"))
+    j = t2.join(other.hint("shuffle_hash"), "d")
+    j.write.format("noop").mode("overwrite").save()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+    spark.sql(f"DROP TABLE `{name}`")
+
+
+def test_staging_manifest_spec_mismatch_restages(spark, tmp_path):
+    """A manifest whose bucket spec no longer matches the code's request
+    (layout changed between versions) must invalidate the cache and
+    restage rather than serve a stale layout."""
+    name = "bdec_test_stage_mismatch"
+    path = tmp_path / "staged2"
+    calls = []
+
+    def builder():
+        calls.append(1)
+        return spark.range(100).select(F.col("id").alias("d"))
+
+    stage_bucketed_table(
+        spark, name, ["d"], num_buckets=8, path=str(path), builder=builder
+    )
+    spark.sql(f"DROP TABLE `{name}`")
+    stage_bucketed_table(
+        spark, name, ["d"], num_buckets=16, path=str(path), builder=builder
+    )
+    assert calls == [1, 1], "spec mismatch must trigger a restage"
+    m = json.loads((path / "_bdec_manifest.json").read_text())
+    assert m["num_buckets"] == 16
+    spark.sql(f"DROP TABLE `{name}`")
+
+
+def test_pagerank_staging_survives_catalog_reset(spark, sf_dir):
+    """The pagerank staged tables go through the same manifest helper: after
+    a catalog reset the query must come back green without rewriting the
+    staged files (the r10 NOTES caveat — fresh-process restage — is gone)."""
+    q = registry.queries()["graph_pagerank_salted"]
+    base = {(r.node, r.pr) for r in q(spark, sf_dir).collect()}
+    # find the staged edge table the run registered and its files on disk
+    tables = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("bdec_pr_salted_edges_")
+    ]
+    assert tables
+    loc_row = [
+        r
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {tables[0]}").collect()
+        if r.col_name == "Location"
+    ]
+    path = Path(loc_row[0].data_type.replace("file:", ""))
+    before = sorted((p.name, p.stat().st_mtime_ns) for p in path.glob("*.parquet"))
+    for t in spark.catalog.listTables():
+        if t.name.startswith(("bdec_pr_salted_edges_", "bdec_pr_nodes_")):
+            spark.sql(f"DROP TABLE `{t.name}`")
+    again = {(r.node, r.pr) for r in q(spark, sf_dir).collect()}
+    assert again == base
+    after = sorted((p.name, p.stat().st_mtime_ns) for p in path.glob("*.parquet"))
+    assert after == before, "fresh catalog rewrote the staged pagerank files"
