@@ -123,7 +123,7 @@ def connected_components(
         eager=False
     )
 
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # Gather: per vertex, the min AND max label over its neighbors.
         # shuffle_hash keeps the (possibly bucketed) edge side streaming
         # unsorted; only the |incident|-row label side exchanges.
@@ -144,17 +144,25 @@ def connected_components(
         # same component, and the component's min-id vertex keeps its own
         # id under least(), so all-edges-consistent forces every label to
         # equal the min). One map-side-combinable agg, no extra join; this
-        # action also materializes the round's checkpoint.
-        inconsistent = joined.agg(
-            F.max(
-                F.when(
-                    (F.col("n_min") != F.col("component"))
-                    | (F.col("n_max") != F.col("component")),
-                    1,
-                ).otherwise(0)
-            ).alias("bad")
-        ).collect()[0]["bad"]
-        if PLAN_CAPTURE is not None:
+        # action also materializes the round's checkpoint. Round 1 skips
+        # the action outright: init labels are the vertices' own distinct
+        # ids, so any edge at all makes them inconsistent — the check can
+        # only say "continue" (an empty sym yields empty labels and the
+        # round-2 check exits with the same result). One driver round-trip
+        # and one job saved per call.
+        if it == 0:
+            inconsistent = 1
+        else:
+            inconsistent = joined.agg(
+                F.max(
+                    F.when(
+                        (F.col("n_min") != F.col("component"))
+                        | (F.col("n_max") != F.col("component")),
+                        1,
+                    ).otherwise(0)
+                ).alias("bad")
+            ).collect()[0]["bad"]
+        if PLAN_CAPTURE is not None and it > 0:
             PLAN_CAPTURE.append(
                 pre_ckpt._jdf.queryExecution().executedPlan().toString()
             )

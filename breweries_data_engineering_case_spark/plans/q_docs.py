@@ -3750,9 +3750,16 @@ def q_streaming_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at SF1; 35 → ~30 s in round 10 after _band_dedup stopped building
     # output frames for pair-less groups) — per-group Arrow/Python framing
     # inherent to the Python state API, which a real cluster scales
-    # horizontally. The BATCH scale path for the same semantics is
-    # doc_neardup_incremental_snapshot (persisted band-bucket state +
-    # delta-only merge: 14.3 s on the same SF1 corpus, all JVM-side).
+    # horizontally. Round-11 floor measurement (NOTES): at SF1 the
+    # signature/banding expressions alone cost ~21 s (JVM streaming
+    # groupBy/min twin) and a TRIVIAL state function adds ~8 s of framing,
+    # so no state-side rewrite can beat ~29 s; a per-batch pre-aggregation
+    # BEFORE the stateful apply is rejected by Spark itself
+    # (AnalysisException: applyInPandasWithState in update mode is not
+    # supported with aggregation on a streaming DataFrame). The BATCH
+    # scale path for the same semantics is doc_neardup_incremental_snapshot
+    # (persisted band-bucket state + delta-only merge: 14.3 s on the same
+    # SF1 corpus, all JVM-side).
     # Order-independent: the bucket state logic sorts ids per key within
     # the batch.
     banded = minhash_band_exprs(

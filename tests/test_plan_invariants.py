@@ -396,6 +396,10 @@ def test_no_input_row_collect_in_operators():
     allowed = {
         # (file, containing function) pairs audited as bounded reductions
         ("operators/similarity.py", "train_ivf_centroids"),
+        # per-round convergence flag: a 1-row MAX aggregate (map-side
+        # combinable) — the scalar control-flow read every iterative
+        # dataflow needs; never input rows
+        ("operators/components.py", "connected_components"),
     }
     offenders = []
     for py in sorted((pkg / "operators").glob("*.py")):
