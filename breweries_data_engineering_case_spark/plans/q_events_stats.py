@@ -1530,7 +1530,10 @@ def q_events_markov_absorption_4step(spark: SparkSession, sf_dir: str) -> DataFr
             .otherwise(F.col("acc"))
             .cast("long")
             .alias("p"),
-        )
+        # lazy lineage truncation per step — same planning-cost fix as the
+        # removal-attribution lattice (each step's broadcast otherwise
+        # embeds every previous step's plan)
+        ).localCheckpoint(eager=False)
     return p.select(F.col("s").alias("event_type"), F.col("p").alias("absorb_permille"))
 
 
@@ -3278,7 +3281,11 @@ def q_events_markov_removal_attribution(
             .otherwise(F.col("acc"))
             .cast("long")
             .alias("p"),
-        )
+        # lazy per-iteration lineage truncation: without it the final
+        # action carries a 4-level nested plan (each level's broadcast
+        # embeds every previous level), and AQE re-plans the whole nested
+        # tree at every stage boundary — planning, not data, was the cost
+        ).localCheckpoint(eager=False)
     firsts = (
         e.select(
             "user_id",
