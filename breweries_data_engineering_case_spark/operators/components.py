@@ -56,6 +56,12 @@ from pyspark.sql import functions as F
 # uses this to assert the bucketed probe never re-exchanges.
 PLAN_CAPTURE: list | None = None
 
+# Convergence-check cadence: the flag action runs on rounds where
+# it % _CHECK_CADENCE == _CHECK_CADENCE - 1 (round 1 never needs one —
+# see the loop comment). 2 halves the driver round-trips for at most one
+# wasted lazy round; module-level so the A/B harness can flip it.
+_CHECK_CADENCE = 2
+
 
 def _staged_sym(sym: DataFrame, stage_key: str) -> DataFrame:
     """Stage the symmetrized edge list as a bucketed table on the gather
@@ -144,13 +150,16 @@ def connected_components(
         # same component, and the component's min-id vertex keeps its own
         # id under least(), so all-edges-consistent forces every label to
         # equal the min). One map-side-combinable agg, no extra join; this
-        # action also materializes the round's checkpoint. Round 1 skips
-        # the action outright: init labels are the vertices' own distinct
-        # ids, so any edge at all makes them inconsistent — the check can
-        # only say "continue" (an empty sym yields empty labels and the
-        # round-2 check exits with the same result). One driver round-trip
-        # and one job saved per call.
-        if it == 0:
+        # action also materializes the round's checkpoint. The check runs
+        # on ODD rounds only: round 1 can only say "continue" (init labels
+        # are the vertices' own distinct ids, so any edge at all makes
+        # them inconsistent; an empty sym yields empty labels and the
+        # next check exits with the same result), and checking every
+        # second round thereafter halves the driver round-trips/jobs for
+        # at most one wasted lazy round — the frames BETWEEN checks stay
+        # lazily checkpointed (plans shallow), and the next flag action
+        # materializes both rounds in one job with fewer barriers.
+        if it % _CHECK_CADENCE != _CHECK_CADENCE - 1:
             inconsistent = 1
         else:
             inconsistent = joined.agg(
@@ -162,7 +171,7 @@ def connected_components(
                     ).otherwise(0)
                 ).alias("bad")
             ).collect()[0]["bad"]
-        if PLAN_CAPTURE is not None and it > 0:
+        if PLAN_CAPTURE is not None and it % _CHECK_CADENCE == _CHECK_CADENCE - 1:
             PLAN_CAPTURE.append(
                 pre_ckpt._jdf.queryExecution().executedPlan().toString()
             )
