@@ -177,16 +177,25 @@ def stage_bucketed_table(
       2. manifest hit with a MATCHING bucket spec → DDL re-registration
          (fresh-process reuse, no data movement — the 100 TB economics:
          the staged table is keyed by corpus snapshot, not by process);
-      3. otherwise → call ``builder()`` for the DataFrame, rewrite the
-         location, then write the manifest LAST (a crash mid-write leaves
-         no manifest, so the next run restages — never reads a torn table).
+      3. otherwise → call ``builder()`` for the DataFrame, write the
+         bucketed files to a TEMP location, publish them into ``path``
+         with a directory rename, then write the manifest LAST. A crash
+         anywhere mid-stage leaves either the old published dir or a
+         manifest-less partial — both make the next run restage; a reader
+         can never see a torn table (no manifest ⇒ no re-registration,
+         and the session-catalog entry is only created after publish).
 
     ``builder`` is a zero-arg callable so cache hits skip even the
     *construction* of the staged frame's lineage. The manifest stores the
     bucket spec; a spec mismatch (code changed the staging layout)
-    invalidates the cache and restages.
+    invalidates the cache and restages. Concurrency note: stagers assume
+    one writer per key (keys are content-derived, so concurrent writers
+    would write identical data; the rmtree+rename publish window is the
+    residual race — same single-writer assumption as the rest of the
+    /tmp staging in this repo).
     """
     import json as _json
+    import os as _os
 
     if spark.catalog.tableExists(name):
         return spark.table(name)
@@ -195,6 +204,22 @@ def stage_bucketed_table(
         "num_buckets": int(num_buckets),
         "sort_cols": list(sort_cols) if sort_cols else [],
     }
+
+    def _register(schema_ddl: str) -> DataFrame:
+        clustered = ", ".join(f"`{c}`" for c in spec["bucket_cols"])
+        sorted_by = (
+            " SORTED BY (" + ", ".join(f"`{c}`" for c in spec["sort_cols"]) + ")"
+            if spec["sort_cols"]
+            else ""
+        )
+        spark.sql(
+            f"CREATE TABLE `{name}` ({schema_ddl}) USING PARQUET "
+            f"CLUSTERED BY ({clustered}){sorted_by} "
+            f"INTO {spec['num_buckets']} BUCKETS "
+            f"LOCATION '{path}'"
+        )
+        return spark.table(name)
+
     mf = Path(path) / _MANIFEST
     if mf.exists():
         try:
@@ -202,31 +227,29 @@ def stage_bucketed_table(
         except (OSError, ValueError):
             m = None
         if m and all(m.get(k) == v for k, v in spec.items()) and m.get("schema"):
-            clustered = ", ".join(f"`{c}`" for c in spec["bucket_cols"])
-            sorted_by = (
-                " SORTED BY (" + ", ".join(f"`{c}`" for c in spec["sort_cols"]) + ")"
-                if spec["sort_cols"]
-                else ""
-            )
-            spark.sql(
-                f"CREATE TABLE `{name}` ({m['schema']}) USING PARQUET "
-                f"CLUSTERED BY ({clustered}){sorted_by} "
-                f"INTO {spec['num_buckets']} BUCKETS "
-                f"LOCATION '{path}'"
-            )
-            return spark.table(name)
+            return _register(m["schema"])
     df = builder()
+    # write to a temp sibling under a temp catalog name, publish by rename
+    tmp_path = Path(path).with_name(Path(path).name + f".tmp-{_os.getpid()}")
+    tmp_name = f"{name}__stage_tmp"
+    shutil.rmtree(tmp_path, ignore_errors=True)
+    spark.sql(f"DROP TABLE IF EXISTS `{tmp_name}`")
     write_bucketed_table(
         df,
-        name,
+        tmp_name,
         bucket_cols,
         num_buckets=num_buckets,
         sort_cols=sort_cols,
         mode="overwrite",
-        path=path,
+        path=str(tmp_path),
     )
+    # external table: dropping the catalog entry keeps the files
+    spark.sql(f"DROP TABLE `{tmp_name}`")
+    shutil.rmtree(path, ignore_errors=True)
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    tmp_path.rename(path)
     schema_ddl = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
     )
     mf.write_text(_json.dumps({**spec, "schema": schema_ddl}))
-    return spark.table(name)
+    return _register(schema_ddl)

@@ -195,6 +195,46 @@ def test_staging_manifest_spec_mismatch_restages(spark, tmp_path):
     spark.sql(f"DROP TABLE `{name}`")
 
 
+def test_staging_crash_windows_restage_never_torn(spark, tmp_path):
+    """Crash-safety of the publish protocol: files land via tmp-dir rename
+    and the manifest is written LAST, so (a) a published dir with a missing
+    manifest (crash between rename and manifest write) restages rather than
+    being trusted, and (b) a leftover tmp dir from a dead stager is ignored
+    and cleaned up by the next stage."""
+    name = "bdec_test_stage_crash"
+    path = tmp_path / "staged3"
+    calls = []
+
+    def builder():
+        calls.append(1)
+        return spark.range(64).select(F.col("id").alias("d"))
+
+    stage_bucketed_table(
+        spark, name, ["d"], num_buckets=4, path=str(path), builder=builder
+    )
+    # crash window (a): manifest missing after a committed-looking dir
+    spark.sql(f"DROP TABLE `{name}`")
+    (path / "_bdec_manifest.json").unlink()
+    t = stage_bucketed_table(
+        spark, name, ["d"], num_buckets=4, path=str(path), builder=builder
+    )
+    assert calls == [1, 1], "manifest-less dir must restage, not be trusted"
+    assert t.count() == 64
+    # crash window (b): a dead stager's tmp dir must not break a restage
+    spark.sql(f"DROP TABLE `{name}`")
+    (path / "_bdec_manifest.json").unlink()
+    import os
+
+    fake_tmp = path.parent / (path.name + f".tmp-{os.getpid()}")
+    fake_tmp.mkdir()
+    (fake_tmp / "junk").write_text("torn")
+    t = stage_bucketed_table(
+        spark, name, ["d"], num_buckets=4, path=str(path), builder=builder
+    )
+    assert calls == [1, 1, 1] and t.count() == 64
+    spark.sql(f"DROP TABLE `{name}`")
+
+
 def test_pagerank_staging_survives_catalog_reset(spark, sf_dir):
     """The pagerank staged tables go through the same manifest helper: after
     a catalog reset the query must come back green without rewriting the
