@@ -244,8 +244,19 @@ def q_graph_pagerank_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).hexdigest()[:12]
     et = f"bdec_pr_salted_edges_{key}"
     nt = f"bdec_pr_nodes_{key}"
-    base_dir = Path(tempfile.gettempdir()) / "bdec_bucketed" / key
-    from ..sources.writers import stage_bucketed_table
+    parent = Path(tempfile.gettempdir()) / "bdec_bucketed"
+    base_dir = parent / f"pr_{key}"
+    from ..sources.writers import reap_stale_stage_siblings, stage_bucketed_table
+
+    # a regenerated corpus mints a new fingerprint key; reap the previous
+    # generation's staged dir (ADVICE r11: old-fingerprint siblings leaked
+    # /tmp disk forever — at SF1 each pagerank edge table is sizeable).
+    # Legacy pre-round-12 layout staged under a bare-hex dir shared with
+    # other stagers, so only its pr_* children are reaped there.
+    reap_stale_stage_siblings(parent, "pr_", f"pr_{key}")
+    for legacy in parent.glob("[0-9a-f]" * 12):
+        for sub in ("pr_edges", "pr_nodes"):
+            reap_stale_stage_siblings(legacy, sub, "")
 
     # manifest-backed staging (VERDICT r10 #5): a fresh process re-registers
     # the on-disk bucketed files with a metadata-only DDL instead of

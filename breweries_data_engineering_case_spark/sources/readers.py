@@ -117,7 +117,18 @@ def source_fingerprint(sf_dir: str, *names: str) -> str:
     Staged state derived from a corpus snapshot must be invalidated when
     the snapshot is REGENERATED at the same path — mtime+size changes on
     any rewrite, so baking this string into a stage key makes stale-reuse
-    impossible without paying a content hash over the data."""
+    impossible without paying a content hash over the data.
+
+    A table may be a single parquet FILE (driver testdata) or a
+    Spark-written DIRECTORY (stress corpora). For a directory, the stat of
+    the dir inode carries no content signal (st_size is the inode size),
+    so the fingerprint walks the data files inside (sorted name:mtime:size
+    per part file) — a rewrite that replaces part files is then reliably
+    detected even if the dir mtime is preserved.
+
+    A missing table raises FileNotFoundError instead of yielding a
+    constant sentinel: a typo'd name must fail loudly, not permanently
+    disable staleness invalidation for that stage key."""
     import os as _os
 
     parts = []
@@ -125,9 +136,21 @@ def source_fingerprint(sf_dir: str, *names: str) -> str:
         p = f"{sf_dir.rstrip('/')}/{n}.parquet"
         try:
             st = _os.stat(p)
+        except OSError as exc:
+            raise FileNotFoundError(
+                f"source_fingerprint: table path {p!r} does not exist — "
+                "refusing to key staged state on an absent source"
+            ) from exc
+        if _os.path.isdir(p):
+            entries = []
+            for fn in sorted(_os.listdir(p)):
+                if fn.startswith((".", "_")) and fn != "_SUCCESS":
+                    continue  # skip .crc noise; keep _SUCCESS as a commit marker
+                fst = _os.stat(_os.path.join(p, fn))
+                entries.append(f"{fn}:{fst.st_mtime_ns}:{fst.st_size}")
+            parts.append(f"{n}=dir[{','.join(entries)}]")
+        else:
             parts.append(f"{n}={st.st_mtime_ns}:{st.st_size}")
-        except OSError:
-            parts.append(f"{n}=absent")
     return ";".join(parts)
 
 

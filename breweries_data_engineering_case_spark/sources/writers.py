@@ -21,6 +21,7 @@ one date directory, never a table rewrite.
 from __future__ import annotations
 
 import datetime as _dt
+import hashlib
 import shutil
 from collections.abc import Sequence
 from pathlib import Path
@@ -148,6 +149,67 @@ def write_bucketed_table(
 _MANIFEST = "_bdec_manifest.json"
 
 
+def _plan_fingerprint(df: DataFrame) -> str:
+    """Deterministic hash of a frame's ANALYZED logical plan, expression ids
+    stripped (``#123`` counters are session-global and differ across
+    processes; everything else — resolved attribute names, types, expression
+    trees, literals — is a function of the code and input schema).
+
+    This is the CODE half of stage-key invalidation (VERDICT r11 #5 /
+    NOTES "Staging version discipline"): ``source_fingerprint`` catches a
+    regenerated corpus (DATA change), but a code change to pair-gen /
+    salting / surrogate-id logic used to silently reuse stale cross-process
+    staged state unless someone remembered to bump a ``:vN:`` tag.
+    Folding the analyzed-plan hash into the staging manifest makes that
+    automatic: any upstream change that alters the staged frame's lineage
+    mints a different fingerprint and forces a restage. (An upstream
+    ``localCheckpoint`` truncates lineage to an opaque ``LogicalRDD`` node,
+    so code changes ABOVE a checkpoint are not visible — stagers should
+    build their frame un-checkpointed, as all in-repo call sites do.)"""
+    import re
+
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return hashlib.md5(re.sub(r"#\d+", "#", plan).encode()).hexdigest()[:12]
+
+
+def _catalog_bucket_spec(spark: SparkSession, name: str) -> dict | None:
+    """The bucket spec the session catalog has registered for ``name``
+    (parsed from DESCRIBE TABLE EXTENDED), or None if it has none."""
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED `{name}`").collect()
+    info = {r.col_name: r.data_type for r in rows}
+
+    def _cols(s: str | None) -> list[str]:
+        s = (s or "").strip().strip("[]")
+        return [c.strip().strip("`") for c in s.split(",") if c.strip()]
+
+    try:
+        nb = int(info.get("Num Buckets", ""))
+    except (TypeError, ValueError):
+        return None
+    return {
+        "bucket_cols": _cols(info.get("Bucket Columns")),
+        "num_buckets": nb,
+        "sort_cols": _cols(info.get("Sort Columns")),
+    }
+
+
+def reap_stale_stage_siblings(parent, prefix: str, active_name: str) -> None:
+    """Remove sibling staged dirs under ``parent`` that share the stage-tag
+    ``prefix`` but are not the active key dir (ADVICE r11: fingerprint-keyed
+    staging mints a brand-new dir per corpus generation and the
+    old-fingerprint siblings would otherwise leak /tmp disk forever — at
+    SF1 each leaked pagerank edge table is sizeable). The key prefix makes
+    stale generations identifiable; reaping happens at stage time, when the
+    caller has just computed the one active key."""
+    try:
+        candidates = list(Path(parent).glob(prefix + "*"))
+    except OSError:
+        return
+    for d in candidates:
+        if d.name != active_name and d.is_dir():
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def stage_bucketed_table(
     spark: SparkSession,
     name: str,
@@ -173,22 +235,28 @@ def stage_bucketed_table(
     instead of recomputing and rewriting the data.
 
     Resolution order:
-      1. session catalog hit → ``spark.table(name)`` (same-process reuse);
-      2. manifest hit with a MATCHING bucket spec → DDL re-registration
-         (fresh-process reuse, no data movement — the 100 TB economics:
-         the staged table is keyed by corpus snapshot, not by process);
-      3. otherwise → call ``builder()`` for the DataFrame, write the
-         bucketed files to a TEMP location, publish them into ``path``
-         with a directory rename, then write the manifest LAST. A crash
-         anywhere mid-stage leaves either the old published dir or a
-         manifest-less partial — both make the next run restage; a reader
-         can never see a torn table (no manifest ⇒ no re-registration,
-         and the session-catalog entry is only created after publish).
+      1. session catalog hit with a MATCHING bucket spec →
+         ``spark.table(name)`` (same-process reuse; a spec mismatch drops
+         the stale entry and falls through — ADVICE r11);
+      2. manifest hit with a matching bucket spec AND a matching
+         analyzed-plan fingerprint of ``builder()``'s frame → DDL
+         re-registration (fresh-process reuse, no data movement — the
+         100 TB economics: the staged table is keyed by corpus snapshot +
+         builder code, not by process);
+      3. otherwise → write ``builder()``'s frame as bucketed files to a
+         TEMP location, publish them into ``path`` with a directory
+         rename, then write the manifest LAST. A crash anywhere mid-stage
+         leaves either the old published dir or a manifest-less partial —
+         both make the next run restage; a reader can never see a torn
+         table (no manifest ⇒ no re-registration, and the session-catalog
+         entry is only created after publish).
 
-    ``builder`` is a zero-arg callable so cache hits skip even the
-    *construction* of the staged frame's lineage. The manifest stores the
-    bucket spec; a spec mismatch (code changed the staging layout)
-    invalidates the cache and restages. Concurrency note: stagers assume
+    The manifest stores the bucket spec and the builder frame's
+    analyzed-plan fingerprint; a spec mismatch (code changed the staging
+    layout) or a plan mismatch (code changed the staged frame's SEMANTICS —
+    pair-gen, salting, surrogate ids) invalidates the cache and restages
+    automatically, closing the manual ``:vN:``-bump discipline footgun
+    (VERDICT r11 #5). Concurrency note: stagers assume
     one writer per key (keys are content-derived, so concurrent writers
     would write identical data; the rmtree+rename publish window is the
     residual race — same single-writer assumption as the rest of the
@@ -197,13 +265,21 @@ def stage_bucketed_table(
     import json as _json
     import os as _os
 
-    if spark.catalog.tableExists(name):
-        return spark.table(name)
     spec = {
         "bucket_cols": list(bucket_cols),
         "num_buckets": int(num_buckets),
         "sort_cols": list(sort_cols) if sort_cols else [],
     }
+    if spark.catalog.tableExists(name):
+        # validate the registered layout against the requested spec (ADVICE
+        # r11): if the spec changed within one session (A/B harness flipping
+        # num_buckets, two call-sites colliding on a name), serving the stale
+        # layout would silently break downstream bucketed-probe plan
+        # assumptions. External table: dropping the entry keeps the files;
+        # resolution falls through to the manifest / restage path.
+        if _catalog_bucket_spec(spark, name) == spec:
+            return spark.table(name)
+        spark.sql(f"DROP TABLE `{name}`")
 
     def _register(schema_ddl: str) -> DataFrame:
         clustered = ", ".join(f"`{c}`" for c in spec["bucket_cols"])
@@ -220,15 +296,27 @@ def stage_bucketed_table(
         )
         return spark.table(name)
 
+    # The builder runs before the manifest check so its analyzed-plan hash
+    # can be compared against the manifest's recorded one — the automatic
+    # CODE-change invalidation (VERDICT r11 #5). Construction is cheap (the
+    # call sites have already built the lineage; the thunk just returns it);
+    # the expensive parts a manifest hit still skips are the shuffle, the
+    # write, and the data movement.
+    df = builder()
+    plan_fp = _plan_fingerprint(df)
     mf = Path(path) / _MANIFEST
     if mf.exists():
         try:
             m = _json.loads(mf.read_text())
         except (OSError, ValueError):
             m = None
-        if m and all(m.get(k) == v for k, v in spec.items()) and m.get("schema"):
+        if (
+            m
+            and all(m.get(k) == v for k, v in spec.items())
+            and m.get("schema")
+            and m.get("plan") == plan_fp
+        ):
             return _register(m["schema"])
-    df = builder()
     # write to a temp sibling under a temp catalog name, publish by rename
     tmp_path = Path(path).with_name(Path(path).name + f".tmp-{_os.getpid()}")
     tmp_name = f"{name}__stage_tmp"
@@ -251,5 +339,5 @@ def stage_bucketed_table(
     schema_ddl = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
     )
-    mf.write_text(_json.dumps({**spec, "schema": schema_ddl}))
+    mf.write_text(_json.dumps({**spec, "schema": schema_ddl, "plan": plan_fp}))
     return _register(schema_ddl)

@@ -98,6 +98,9 @@ def test_cascade_cc_probe_scans_bucketed_no_reexchange(spark, sf_dir):
         components.PLAN_CAPTURE = None
     assert captured, "CC loop ran no rounds"
     for plan in captured:
+        # the captured tree must be the AQE-FINAL plan of the round that
+        # executed, not a pre-adaptive compile (ADVICE r11)
+        assert "isFinalPlan=true" in plan, "captured plan is not AQE-final"
         lines = plan.splitlines()
         scan_idx = [
             i
@@ -154,7 +157,10 @@ def test_staging_manifest_fresh_catalog_reuses_files(spark, tmp_path):
     t2 = stage_bucketed_table(
         spark, name, ["d"], num_buckets=8, path=str(path), builder=builder
     )
-    assert calls == [1], "re-stage recomputed the frame instead of reusing"
+    # round 12: the builder now runs on every resolution (its analyzed-plan
+    # fingerprint is the CODE half of the manifest key), so reuse is proven
+    # by the data files being untouched, not by the builder call count
+    assert calls == [1, 1]
     files_after = sorted(
         (p.name, p.stat().st_mtime_ns) for p in path.glob("*.parquet")
     )

@@ -1,0 +1,244 @@
+"""Round-12 fixes (VERDICT r11 #3/#5 + ADVICE r11).
+
+Covers: (a) source_fingerprint fails loudly on a missing table and carries
+a real content signal for Spark-written DIRECTORY tables, (b) the
+connected-components unconverged-exit guard raises instead of silently
+returning wrong labels when max_iter is exhausted, (c) the staging
+manifest's analyzed-plan fingerprint restages when the BUILDER CODE
+changes (the automatic replacement for manual ``:vN:`` bumps), (d) a
+same-session catalog hit with a mismatched bucket spec restages instead of
+serving the stale layout, and (e) stale staged-dir generations sharing a
+stage tag are reaped when a new fingerprint key is staged.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from breweries_data_engineering_case_spark.operators.components import (
+    connected_components,
+)
+from breweries_data_engineering_case_spark.sources.readers import (
+    source_fingerprint,
+)
+from breweries_data_engineering_case_spark.sources.writers import (
+    reap_stale_stage_siblings,
+    stage_bucketed_table,
+)
+
+
+# ---------------------------------------------------------------------------
+# (a) source_fingerprint hardening (ADVICE r11, medium)
+# ---------------------------------------------------------------------------
+
+
+def test_fingerprint_missing_table_raises(sf_dir):
+    # a typo'd table name must fail loudly, not return a constant sentinel
+    # that permanently disables staleness invalidation for that stage key
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        source_fingerprint(sf_dir, "lineitem_typo")
+
+
+def test_fingerprint_file_table_changes_on_rewrite(tmp_path, spark):
+    d = tmp_path / "sf"
+    d.mkdir()
+    spark.range(10).toPandas().to_parquet(d / "t.parquet")
+    fp1 = source_fingerprint(str(d), "t")
+    spark.range(20).toPandas().to_parquet(d / "t.parquet")
+    fp2 = source_fingerprint(str(d), "t")
+    assert fp1 != fp2
+
+
+def test_fingerprint_dir_table_detects_part_file_rewrite(tmp_path, spark):
+    """Spark-written tables are DIRECTORIES; the dir inode's st_size has no
+    content signal, so the fingerprint must walk the part files — a rewrite
+    that changes file contents is detected even if the dir mtime is forced
+    back to its old value."""
+    import os
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    p = d / "t.parquet"
+    spark.range(100).write.mode("overwrite").parquet(str(p))
+    st = os.stat(p)
+    fp1 = source_fingerprint(str(d), "t")
+    assert fp1 == source_fingerprint(str(d), "t")  # deterministic
+    spark.range(200).write.mode("overwrite").parquet(str(p))
+    # force the dir mtime back: only the part-file walk can tell the diff
+    os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns))
+    fp2 = source_fingerprint(str(d), "t")
+    assert fp1 != fp2
+
+
+# ---------------------------------------------------------------------------
+# (b) unconverged-exit guard (VERDICT r11 #3)
+# ---------------------------------------------------------------------------
+
+
+def _cc(spark, pairs, vertex_ids, **kwargs):
+    verts = spark.createDataFrame([(int(v),) for v in vertex_ids], "node bigint")
+    edges = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "id_a bigint, id_b bigint"
+    )
+    return connected_components(
+        verts, edges, id_col="node", src_col="id_a", dst_col="id_b", **kwargs
+    )
+
+
+def test_cc_exhausted_unconverged_raises(spark):
+    # a 40-node chain cannot converge in one round; pre-round-12 the loop
+    # fell through SILENTLY with wrong labels — at 100 TB a pathological
+    # chain graph would corrupt the dedup keep/drop table with no signal
+    n = 40
+    # the guard's verification collect runs inside the operator, so the
+    # raise happens at construction time — before wrong labels can escape
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _cc(spark, [(i, i + 1) for i in range(n - 1)], range(n), max_iter=1)
+
+
+def test_cc_converged_graph_unaffected_by_guard(spark):
+    # a graph that converges inside max_iter never pays or trips the guard
+    got = {
+        (r.node, r.component)
+        for r in _cc(spark, [(1, 2), (2, 3)], [1, 2, 3, 9], max_iter=10).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (9, 9)}
+
+
+# ---------------------------------------------------------------------------
+# (c) builder-code change invalidates manifest reuse (VERDICT r11 #5)
+# ---------------------------------------------------------------------------
+
+
+def test_changed_builder_code_restages(spark, tmp_path):
+    name = "bdec_test_stage_codechange"
+    path = tmp_path / "staged"
+
+    def builder_v1():
+        return spark.range(100).select(
+            F.col("id").alias("d"), (F.col("id") % 7).alias("payload")
+        )
+
+    def builder_v2():  # same schema, different semantics — the footgun case
+        return spark.range(100).select(
+            F.col("id").alias("d"), (F.col("id") % 5).alias("payload")
+        )
+
+    stage_bucketed_table(
+        spark, name, ["d"], num_buckets=4, path=str(path), builder=builder_v1
+    )
+    m1 = json.loads((path / "_bdec_manifest.json").read_text())
+    assert m1.get("plan"), "manifest must record the builder plan fingerprint"
+
+    # fresh-process simulation with UNCHANGED code: reuse, files untouched
+    spark.sql(f"DROP TABLE `{name}`")
+    files_before = sorted(
+        (p.name, p.stat().st_mtime_ns) for p in path.glob("*.parquet")
+    )
+    stage_bucketed_table(
+        spark, name, ["d"], num_buckets=4, path=str(path), builder=builder_v1
+    )
+    files_same = sorted(
+        (p.name, p.stat().st_mtime_ns) for p in path.glob("*.parquet")
+    )
+    assert files_same == files_before, "unchanged code must not restage"
+
+    # fresh-process simulation with CHANGED builder code: silently reusing
+    # the stale staged data was the manual-:vN:-bump footgun — must restage
+    spark.sql(f"DROP TABLE `{name}`")
+    t = stage_bucketed_table(
+        spark, name, ["d"], num_buckets=4, path=str(path), builder=builder_v2
+    )
+    m2 = json.loads((path / "_bdec_manifest.json").read_text())
+    assert m2["plan"] != m1["plan"]
+    assert t.filter(F.col("payload") >= 5).count() == 0, "stale data served"
+    spark.sql(f"DROP TABLE `{name}`")
+
+
+def test_plan_fingerprint_stable_across_reconstruction(spark):
+    """Expression-id churn (session-global counters) must not shake the
+    fingerprint: two independent constructions of the same lineage hash
+    identically — this is what makes CROSS-PROCESS manifest reuse work."""
+    from breweries_data_engineering_case_spark.sources.writers import (
+        _plan_fingerprint,
+    )
+
+    def build():
+        return spark.range(50).select(
+            F.col("id").alias("d"), F.sha2(F.col("id").cast("string"), 256).alias("h")
+        )
+
+    assert _plan_fingerprint(build()) == _plan_fingerprint(build())
+
+
+# ---------------------------------------------------------------------------
+# (d) same-session catalog hit validates the bucket spec (ADVICE r11)
+# ---------------------------------------------------------------------------
+
+
+def test_catalog_hit_spec_mismatch_restages(spark, tmp_path):
+    name = "bdec_test_stage_catalog_spec"
+    path = tmp_path / "staged"
+
+    def builder():
+        return spark.range(64).select(F.col("id").alias("d"))
+
+    stage_bucketed_table(
+        spark, name, ["d"], num_buckets=4, path=str(path), builder=builder
+    )
+    # same session, same name, DIFFERENT spec (the A/B-harness collision):
+    # pre-round-12 the catalog hit served the stale 4-bucket layout silently
+    t = stage_bucketed_table(
+        spark, name, ["d"], num_buckets=8, path=str(path), builder=builder
+    )
+    m = json.loads((path / "_bdec_manifest.json").read_text())
+    assert m["num_buckets"] == 8
+    plan = t.join(
+        spark.range(10).select(F.col("id").alias("d")).hint("shuffle_hash"), "d"
+    )
+    plan.write.format("noop").mode("overwrite").save()
+    assert "Bucketed: true" in plan._jdf.queryExecution().executedPlan().toString()
+    spark.sql(f"DROP TABLE `{name}`")
+
+
+# ---------------------------------------------------------------------------
+# (e) stale staged-generation reaping (ADVICE r11)
+# ---------------------------------------------------------------------------
+
+
+def test_reap_stale_stage_siblings(tmp_path):
+    parent = tmp_path / "bdec_bucketed"
+    for n in ("cc_tag_aaa", "cc_tag_bbb", "cc_other_ccc", "pr_ddd"):
+        (parent / n).mkdir(parents=True)
+        (parent / n / "junk").write_text("x")
+    reap_stale_stage_siblings(parent, "cc_tag_", "cc_tag_bbb")
+    left = sorted(p.name for p in parent.iterdir())
+    # the active key survives; the stale same-tag generation is reaped;
+    # other operators' staged state is untouched
+    assert left == ["cc_other_ccc", "cc_tag_bbb", "pr_ddd"]
+
+
+def test_cc_staging_reaps_old_generation(spark, tmp_path, monkeypatch):
+    import tempfile as _tf
+
+    monkeypatch.setattr(_tf, "gettempdir", lambda: str(tmp_path))
+    parent = tmp_path / "bdec_bucketed"
+    (parent / "cc_t1_deadbeef0000").mkdir(parents=True)  # stale generation
+    (parent / "cc_aaaabbbbcccc").mkdir(parents=True)  # legacy untagged dir
+    verts = spark.createDataFrame([(1,), (2,), (3,)], "node bigint")
+    edges = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+    connected_components(
+        verts, edges, id_col="node", src_col="id_a", dst_col="id_b",
+        stage_key="t1:v1:fp",
+    ).collect()
+    names = sorted(p.name for p in parent.iterdir())
+    assert "cc_t1_deadbeef0000" not in names, "stale generation not reaped"
+    assert "cc_aaaabbbbcccc" not in names, "legacy untagged dir not reaped"
+    assert any(n.startswith("cc_t1_") for n in names), "active stage missing"
+    # drop the catalog entry so other tests don't see a dangling table
+    for t in spark.catalog.listTables():
+        if t.name.startswith("bdec_cc_sym_t1_"):
+            spark.sql(f"DROP TABLE `{t.name}`")
