@@ -747,10 +747,16 @@ def q_entity_resolution_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     band as join residual — an equi-join, never all-pairs — and survive
     on JVM ``levenshtein ≤ 1``. Transitive matches (drop-last ↔ exact ↔
     doubled are pairwise 2 edits apart) are closed by the reusable
-    min-label-propagation `connected_components` operator
-    (operators/components.py); each entity reports its canonical
-    spelling, spelling count, and record count. Oracle: identical
-    blocking + DuckDB levenshtein + WITH RECURSIVE closure."""
+    `connected_components` operator (operators/components.py); the entity
+    graph here is |distinct spellings|-sized (256 vertices at sf0.1), so
+    the call opts into the operator's small-graph fast path
+    (``local_threshold``): under the threshold the closure is a bounded
+    driver-side union-find — the distributed loop's per-round job
+    overhead dominated 80%+ of this query's wall time (round-12 A/B;
+    VERDICT r11 #2) — while an over-threshold graph (the 100 TB regime)
+    takes the staged distributed loop unchanged. Each entity reports its
+    canonical spelling, spelling count, and record count. Oracle:
+    identical blocking + DuckDB levenshtein + WITH RECURSIVE closure."""
     from ..operators.components import connected_components
 
     p = table_scan(spark, sf_dir, "part")
@@ -793,6 +799,7 @@ def q_entity_resolution_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         src_col="u",
         dst_col="v",
         stage_key="er_fuzzy_sym:v1:" + source_fingerprint(sf_dir, "part"),
+        local_threshold=8192,
     )
     return (
         names.join(comp, names["name_id"] == comp["node"])
@@ -911,8 +918,15 @@ def q_dedup_cascade_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         dst_col="id_b",
         # near-dup edges are deterministic per corpus snapshot: stage the
         # symmetrized edge list bucketed on the gather key so the CC loop
-        # never re-exchanges it and reruns reuse it (pagerank pattern)
+        # never re-exchanges it and reruns reuse it (pagerank pattern).
+        # The post-URL-dedup graph is tiny at bench scale (1.2k edges /
+        # 500 vertices at sf0.1), so the solve opts into the operator's
+        # adaptive small-graph fast path; an over-threshold graph (the
+        # 100 TB regime) takes the staged distributed loop unchanged —
+        # plan-asserted in tests/test_components_staged.py via the
+        # LOCAL_THRESHOLD_OVERRIDE hook.
         stage_key="cascade_sym:v1:" + source_fingerprint(sf_dir, "documents"),
+        local_threshold=8192,
     )
     s3 = comp.groupBy("component").agg(F.min("node").alias("doc_id"))
 

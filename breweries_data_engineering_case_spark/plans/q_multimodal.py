@@ -527,7 +527,12 @@ def q_multimodal_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     aud_ids = spark.range(1000, 1036).select(F.col("id").alias("node"))
     vertices = img_ids.unionByName(aud_ids)
     comp = connected_components(
-        vertices, edges, id_col="node", src_col="id_a", dst_col="id_b"
+        vertices,
+        edges,
+        id_col="node",
+        src_col="id_a",
+        dst_col="id_b",
+        local_threshold=8192,
     )
     return comp.select(
         F.col("node").alias("asset_id"),

@@ -91,11 +91,16 @@ def test_cascade_cc_probe_scans_bucketed_no_reexchange(spark, sf_dir):
     from breweries_data_engineering_case_spark.operators import components
 
     components.PLAN_CAPTURE = captured = []
+    # the cascade's bench-scale graph takes the small-graph fast path
+    # (round 12); force the distributed loop so its plan stays asserted —
+    # this is the path every over-threshold (100 TB-regime) graph takes
+    components.LOCAL_THRESHOLD_OVERRIDE = 0
     try:
         df = registry.queries()["dedup_cascade_funnel"](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
     finally:
         components.PLAN_CAPTURE = None
+        components.LOCAL_THRESHOLD_OVERRIDE = None
     assert captured, "CC loop ran no rounds"
     for plan in captured:
         # the captured tree must be the AQE-FINAL plan of the round that
