@@ -131,7 +131,61 @@ def _host_stamp() -> dict[str, float]:
         "numpy_matmul_sec": _best3(lambda: (a @ a).sum()),
         "pyloop_sec": _best3(_pyloop),
         "threads32_hash_sec": _best3(_threads32),
+        **_ambient_stat(),
     }
+
+
+def _ambient_stat() -> dict[str, float]:
+    """Ambient host-pressure readings recorded ALONGSIDE the active probes
+    (VERDICT r11 #7): the microkernels catch in-window contention, but
+    cross-RUN drift (±15% between same-day clean-stamp runs) has no witness
+    in the record. Load average and the cgroup CPU accounting don't gate
+    anything — they give a later reader the data to adjudicate whether two
+    runs saw comparable ambient pressure. Keys are prefixed ``ambient_`` so
+    the dirty-stamp check (driven by CLEAN_REF membership) ignores them."""
+    out: dict[str, float] = {}
+    try:
+        la1, la5, la15 = os.getloadavg()
+        out["ambient_loadavg_1m"] = round(la1, 2)
+        out["ambient_loadavg_5m"] = round(la5, 2)
+    except OSError:
+        pass
+    # cgroup CPU accounting (v2 cpu.stat, else v1 cpuacct/cpu.stat):
+    # cumulative usage + throttling for THIS container — deltas across the
+    # before/after stamps expose throttling that loadavg cannot see
+    try:
+        with open("/sys/fs/cgroup/cpu.stat") as fh:
+            for line in fh:
+                k, _, v = line.partition(" ")
+                if k in ("usage_usec", "throttled_usec", "nr_throttled"):
+                    out[f"ambient_cgroup_{k}"] = float(v)
+    except OSError:
+        for path, key in (
+            ("/sys/fs/cgroup/cpuacct/cpuacct.usage", "usage_ns"),
+            ("/sys/fs/cgroup/cpu/cpu.stat", None),
+        ):
+            try:
+                with open(path) as fh:
+                    if key:
+                        out[f"ambient_cgroup_{key}"] = float(fh.read().strip())
+                    else:
+                        for line in fh:
+                            k, _, v = line.partition(" ")
+                            if k in ("nr_throttled", "throttled_time"):
+                                out[f"ambient_cgroup_{k}"] = float(v)
+            except (OSError, ValueError):
+                pass
+    # VM steal time (/proc/stat cpu line, field 8, jiffies): nonzero deltas
+    # mean the hypervisor took cycles mid-run — the prime suspect for the
+    # cross-run drift that clean stamps fail to explain
+    try:
+        with open("/proc/stat") as fh:
+            first = fh.readline().split()
+        if first and first[0] == "cpu" and len(first) > 8:
+            out["ambient_steal_jiffies"] = float(first[8])
+    except (OSError, ValueError):
+        pass
+    return out
 
 
 def _stamp_dirty(stamp: dict[str, float]) -> list[str]:
