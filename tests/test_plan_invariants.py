@@ -398,7 +398,10 @@ def test_no_input_row_collect_in_operators():
         ("operators/similarity.py", "train_ivf_centroids"),
         # per-round convergence flag: a 1-row MAX aggregate (map-side
         # combinable) — the scalar control-flow read every iterative
-        # dataflow needs; never input rows
+        # dataflow needs; never input rows. Round 12 adds the
+        # limit(local_threshold+1) small-graph probe: bounded by the
+        # caller's threshold by construction (broadcast-threshold
+        # adaptivity), never the whole edge list
         ("operators/components.py", "connected_components"),
     }
     offenders = []
