@@ -71,7 +71,9 @@ LOCAL_THRESHOLD_OVERRIDE: int | None = None
 _CHECK_CADENCE = 2
 
 
-def _staged_sym(sym: DataFrame, stage_key: str) -> DataFrame:
+def _staged_sym(
+    sym: DataFrame, stage_key: str, stage_scope: str | None
+) -> DataFrame:
     """Stage the symmetrized edge list as a bucketed table on the gather
     key ``d`` so the per-iteration join never re-exchanges it. Keyed by the
     caller's ``stage_key`` (content-deterministic, e.g. the operator tag +
@@ -80,26 +82,50 @@ def _staged_sym(sym: DataFrame, stage_key: str) -> DataFrame:
     (which also folds in the builder frame's analyzed-plan fingerprint, so
     a code change to pair-gen upstream restages automatically).
 
-    The dir name embeds the OPERATOR TAG (the part of ``stage_key`` before
-    the first ``:``) so that when a regenerated corpus mints a new
-    fingerprint key, the stale old-generation sibling of the SAME operator
-    can be reaped without touching other operators' staged state
-    (ADVICE r11: the old dirs leaked /tmp disk forever)."""
+    ``stage_scope`` (e.g. ``"cascade_sym:<sf_dir>"``) identifies the
+    (operator, corpus-path) pair STABLY across regenerations: when the
+    corpus is rewritten at the same path, the fingerprint in ``stage_key``
+    changes but the scope doesn't, so the previous generation's staged dir
+    — identifiable by the scope hash in its name — is reaped and its
+    catalog entry dropped (ADVICE r11: old generations leaked /tmp disk
+    forever). Scoping by (tag + path), not tag alone, is load-bearing:
+    the same operator staged for DIFFERENT corpora (sf0.01 vs sf0.1 vs
+    the SF1 stress dir) must coexist, or alternating runs would ping-pong
+    restage and a reap could delete a sibling corpus's live staged files
+    out from under its still-registered catalog table (round-12 review).
+    With ``stage_scope=None`` nothing is reaped."""
     from ..sources.writers import reap_stale_stage_siblings, stage_bucketed_table
 
+    spark = sym.sparkSession
     key = hashlib.md5(stage_key.encode()).hexdigest()[:12]
     tag = re.sub(r"[^A-Za-z0-9_]", "_", stage_key.split(":", 1)[0])
     name = f"bdec_cc_sym_{tag}_{key}"
     parent = Path(tempfile.gettempdir()) / "bdec_bucketed"
-    dirname = f"cc_{tag}_{key}"
-    reap_stale_stage_siblings(parent, f"cc_{tag}_", dirname)
-    # legacy pre-round-12 layout (cc_<md5> with no tag) is unreachable by
-    # the new naming — reap those generations too
+    if stage_scope is not None:
+        scope8 = hashlib.md5(stage_scope.encode()).hexdigest()[:8]
+        dirname = f"cc_{scope8}_{key}"
+        for reaped in reap_stale_stage_siblings(parent, f"cc_{scope8}_", dirname):
+            # the reaped generation's same-session catalog entry (if any)
+            # would dangle over deleted files — drop it with the dir
+            old_key = reaped.rsplit("_", 1)[-1]
+            spark.sql(f"DROP TABLE IF EXISTS `bdec_cc_sym_{tag}_{old_key}`")
+    else:
+        dirname = f"cc_{key}_unscoped"
+    # legacy layouts (pre-round-12 cc_<md5>; the interim round-12
+    # cc_<tag>_<md5>) are unreachable by the scope-hash naming — reap them.
+    # A valid current dir is cc_<8-hex-scope>_<12-hex-key> (or *_unscoped);
+    # the interim check excludes exactly that middle shape so a rare
+    # all-[a-f] scope hash can never self-match as "legacy".
     for d in parent.glob("cc_*"):
-        if re.fullmatch(r"cc_[0-9a-f]{12}", d.name):
+        nm = d.name
+        if re.fullmatch(r"cc_[0-9a-f]{12}", nm):
+            shutil.rmtree(d, ignore_errors=True)
+            continue
+        m = re.fullmatch(r"cc_(.+)_([0-9a-f]{12})", nm)
+        if m and not re.fullmatch(r"[0-9a-f]{8}", m.group(1)):
             shutil.rmtree(d, ignore_errors=True)
     return stage_bucketed_table(
-        sym.sparkSession,
+        spark,
         name,
         ["d"],
         num_buckets=32,
@@ -144,6 +170,7 @@ def connected_components(
     dst_col: str = "id_b",
     max_iter: int = 10,
     stage_key: str | None = None,
+    stage_scope: str | None = None,
     local_threshold: int = 0,
 ) -> DataFrame:
     """(id, component) — component = min vertex id reachable via edges.
@@ -157,7 +184,9 @@ def connected_components(
     graph); when set, the symmetrized edge list is staged as a bucketed
     table reused across runs/processes for the same key — the iterative
     staging pattern. When None the edge list is lazily checkpointed
-    per-run.
+    per-run. ``stage_scope``: stable (operator, corpus-path) identity for
+    reaping the previous generation's staged dir when the corpus is
+    regenerated — see ``_staged_sym``.
 
     ``local_threshold``: opt-in small-graph fast path (round 12, VERDICT
     r11 #2). The same adaptivity Spark applies to joins via
@@ -187,7 +216,7 @@ def connected_components(
         .distinct()
     )
     if stage_key is not None:
-        sym = _staged_sym(sym, stage_key)
+        sym = _staged_sym(sym, stage_key, stage_scope)
     else:
         sym = sym.localCheckpoint(eager=False)
 

@@ -1452,6 +1452,7 @@ def q_doc_dedup_portable_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
         src_col="id_a",
         dst_col="id_b",
         stage_key="portable_sym:v1:" + source_fingerprint(sf_dir, "documents"),
+        stage_scope="portable_sym:" + sf_dir,
         local_threshold=8192,
     )
     return comp.select(

@@ -245,15 +245,34 @@ def q_graph_pagerank_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     et = f"bdec_pr_salted_edges_{key}"
     nt = f"bdec_pr_nodes_{key}"
     parent = Path(tempfile.gettempdir()) / "bdec_bucketed"
-    base_dir = parent / f"pr_{key}"
+    # the dir name leads with a hash of the CORPUS PATH (stable across
+    # regenerations) and ends with the content key (changes per
+    # generation): reaping is scoped to this corpus, so staged state for
+    # other scale-factor dirs coexists — tag-wide reaping would ping-pong
+    # restage between alternating sf runs and could delete a sibling
+    # corpus's live files under its registered table (round-12 review)
+    sfid = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base_dir = parent / f"pr_{sfid}_{key}"
     from ..sources.writers import reap_stale_stage_siblings, stage_bucketed_table
 
-    # a regenerated corpus mints a new fingerprint key; reap the previous
+    # a regenerated corpus mints a new content key; reap the previous
     # generation's staged dir (ADVICE r11: old-fingerprint siblings leaked
-    # /tmp disk forever — at SF1 each pagerank edge table is sizeable).
-    # Legacy pre-round-12 layout staged under a bare-hex dir shared with
-    # other stagers, so only its pr_* children are reaped there.
-    reap_stale_stage_siblings(parent, "pr_", f"pr_{key}")
+    # /tmp disk forever — at SF1 each pagerank edge table is sizeable) and
+    # drop its now-dangling same-session catalog entries
+    for reaped in reap_stale_stage_siblings(
+        parent, f"pr_{sfid}_", f"pr_{sfid}_{key}"
+    ):
+        old_key = reaped.rsplit("_", 1)[-1]
+        spark.sql(f"DROP TABLE IF EXISTS `bdec_pr_salted_edges_{old_key}`")
+        spark.sql(f"DROP TABLE IF EXISTS `bdec_pr_nodes_{old_key}`")
+    # legacy layouts: the interim round-12 pr_<12-hex-key> dir, and the
+    # pre-round-12 pr_* children under a bare-hex dir shared with other
+    # stagers (only those children are reaped there)
+    import re as _re
+
+    for legacy in parent.glob("pr_*"):
+        if _re.fullmatch(r"pr_[0-9a-f]{12}", legacy.name):
+            reap_stale_stage_siblings(parent, legacy.name, "")
     for legacy in parent.glob("[0-9a-f]" * 12):
         for sub in ("pr_edges", "pr_nodes"):
             reap_stale_stage_siblings(legacy, sub, "")

@@ -122,9 +122,12 @@ def source_fingerprint(sf_dir: str, *names: str) -> str:
     A table may be a single parquet FILE (driver testdata) or a
     Spark-written DIRECTORY (stress corpora). For a directory, the stat of
     the dir inode carries no content signal (st_size is the inode size),
-    so the fingerprint walks the data files inside (sorted name:mtime:size
-    per part file) — a rewrite that replaces part files is then reliably
-    detected even if the dir mtime is preserved.
+    so the fingerprint RECURSIVELY walks the data files inside (sorted
+    relpath:mtime:size per file) — a rewrite that replaces part files is
+    then reliably detected even if dir mtimes are preserved, including
+    in-place rewrites confined inside a hive-partition subdirectory
+    (a shallow listdir of partition dirs would miss those — round-12
+    review).
 
     A missing table raises FileNotFoundError instead of yielding a
     constant sentinel: a typo'd name must fail loudly, not permanently
@@ -143,11 +146,15 @@ def source_fingerprint(sf_dir: str, *names: str) -> str:
             ) from exc
         if _os.path.isdir(p):
             entries = []
-            for fn in sorted(_os.listdir(p)):
-                if fn.startswith((".", "_")) and fn != "_SUCCESS":
-                    continue  # skip .crc noise; keep _SUCCESS as a commit marker
-                fst = _os.stat(_os.path.join(p, fn))
-                entries.append(f"{fn}:{fst.st_mtime_ns}:{fst.st_size}")
+            for root, dirs, files in _os.walk(p):
+                dirs.sort()
+                rel_root = _os.path.relpath(root, p)
+                for fn in sorted(files):
+                    if fn.startswith((".", "_")) and fn != "_SUCCESS":
+                        continue  # skip .crc noise; keep the commit marker
+                    fst = _os.stat(_os.path.join(root, fn))
+                    rel = fn if rel_root == "." else f"{rel_root}/{fn}"
+                    entries.append(f"{rel}:{fst.st_mtime_ns}:{fst.st_size}")
             parts.append(f"{n}=dir[{','.join(entries)}]")
         else:
             parts.append(f"{n}={st.st_mtime_ns}:{st.st_size}")

@@ -150,10 +150,17 @@ _MANIFEST = "_bdec_manifest.json"
 
 
 def _plan_fingerprint(df: DataFrame) -> str:
-    """Deterministic hash of a frame's ANALYZED logical plan, expression ids
-    stripped (``#123`` counters are session-global and differ across
-    processes; everything else — resolved attribute names, types, expression
-    trees, literals — is a function of the code and input schema).
+    """Deterministic hash of a frame's CANONICALIZED analyzed plan —
+    Catalyst's own semantic-equality form: expression ids are normalized
+    (they are session-global counters that differ across processes) while
+    expression trees, literals, and types are preserved verbatim, so two
+    frames hash equal iff the engine itself considers their plans
+    equivalent. A regex strip of ``#\\d+`` was rejected (round-12 review):
+    it also mangles ``#N`` inside string LITERALS, conflating genuinely
+    different builders. ``maxToStringFields`` is raised for the stringify
+    (and restored) because the default (25) elides wide projections as
+    "... N more fields" — a change to the 26th expression would otherwise
+    mint the SAME fingerprint and silently reuse stale staged data.
 
     This is the CODE half of stage-key invalidation (VERDICT r11 #5 /
     NOTES "Staging version discipline"): ``source_fingerprint`` catches a
@@ -166,10 +173,18 @@ def _plan_fingerprint(df: DataFrame) -> str:
     ``localCheckpoint`` truncates lineage to an opaque ``LogicalRDD`` node,
     so code changes ABOVE a checkpoint are not visible — stagers should
     build their frame un-checkpointed, as all in-repo call sites do.)"""
-    import re
-
-    plan = df._jdf.queryExecution().analyzed().toString()
-    return hashlib.md5(re.sub(r"#\d+", "#", plan).encode()).hexdigest()[:12]
+    spark = df.sparkSession
+    key = "spark.sql.debug.maxToStringFields"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "100000")
+        plan = df._jdf.queryExecution().analyzed().canonicalized().toString()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return hashlib.md5(plan.encode()).hexdigest()[:12]
 
 
 def _catalog_bucket_spec(spark: SparkSession, name: str) -> dict | None:
@@ -193,21 +208,26 @@ def _catalog_bucket_spec(spark: SparkSession, name: str) -> dict | None:
     }
 
 
-def reap_stale_stage_siblings(parent, prefix: str, active_name: str) -> None:
-    """Remove sibling staged dirs under ``parent`` that share the stage-tag
+def reap_stale_stage_siblings(parent, prefix: str, active_name: str) -> list[str]:
+    """Remove sibling staged dirs under ``parent`` that share the stage
     ``prefix`` but are not the active key dir (ADVICE r11: fingerprint-keyed
     staging mints a brand-new dir per corpus generation and the
     old-fingerprint siblings would otherwise leak /tmp disk forever — at
-    SF1 each leaked pagerank edge table is sizeable). The key prefix makes
-    stale generations identifiable; reaping happens at stage time, when the
-    caller has just computed the one active key."""
+    SF1 each leaked pagerank edge table is sizeable). The prefix must
+    identify ONE (operator, corpus) scope — callers hash the corpus path
+    into it, so staged state for other corpora is never touched (round-12
+    review). Returns the reaped dir names so the caller can drop any
+    same-session catalog entries that pointed into them."""
     try:
         candidates = list(Path(parent).glob(prefix + "*"))
     except OSError:
-        return
+        return []
+    reaped = []
     for d in candidates:
         if d.name != active_name and d.is_dir():
             shutil.rmtree(d, ignore_errors=True)
+            reaped.append(d.name)
+    return reaped
 
 
 def stage_bucketed_table(

@@ -223,6 +223,52 @@ def test_plan_fingerprint_stable_across_reconstruction(spark):
     assert _plan_fingerprint(build()) == _plan_fingerprint(build())
 
 
+def test_plan_fingerprint_sees_wide_projections_and_hash_literals(spark):
+    """Round-12 review regressions: (a) the default maxToStringFields (25)
+    elides wide projections as '... N more fields', so a change to the
+    26th expression used to mint the SAME fingerprint; (b) a regex strip
+    of #\\d+ also mangled '#N' inside string literals, conflating
+    different builders. The canonicalized-plan fingerprint must detect
+    both."""
+    from breweries_data_engineering_case_spark.sources.writers import (
+        _plan_fingerprint,
+    )
+
+    wide = [(F.col("id") + i).alias(f"c{i}") for i in range(30)]
+    a = spark.range(10).select(*wide)
+    b = spark.range(10).select(*wide[:-1], (F.col("id") + 999).alias("c29"))
+    assert _plan_fingerprint(a) != _plan_fingerprint(b)
+
+    l1 = spark.range(5).select(F.lit("tag#1").alias("t"))
+    l2 = spark.range(5).select(F.lit("tag#2").alias("t"))
+    assert _plan_fingerprint(l1) != _plan_fingerprint(l2)
+    # and the conf tweak must not leak out of the helper
+    assert (
+        spark.conf.get("spark.sql.debug.maxToStringFields", "25") != "100000"
+    )
+
+
+def test_fingerprint_dir_walk_is_recursive(tmp_path, spark):
+    """A rewrite confined INSIDE a hive-partition subdirectory must change
+    the fingerprint (a shallow listdir of partition dirs carries no
+    content signal — round-12 review)."""
+    import os
+
+    d = tmp_path / "sf"
+    part = d / "t.parquet" / "ds=2024-01-01"
+    part.mkdir(parents=True)
+    f = part / "part-0.parquet"
+    f.write_bytes(b"a" * 64)
+    dstat, pstat = os.stat(d / "t.parquet"), os.stat(part)
+    fp1 = source_fingerprint(str(d), "t")
+    f.write_bytes(b"b" * 64)  # in-place rewrite, same name and size
+    # force every DIRECTORY mtime back — only the recursive file walk
+    # can tell the difference
+    os.utime(part, ns=(pstat.st_atime_ns, pstat.st_mtime_ns))
+    os.utime(d / "t.parquet", ns=(dstat.st_atime_ns, dstat.st_mtime_ns))
+    assert source_fingerprint(str(d), "t") != fp1
+
+
 # ---------------------------------------------------------------------------
 # (d) same-session catalog hit validates the bucket spec (ADVICE r11)
 # ---------------------------------------------------------------------------
@@ -260,33 +306,56 @@ def test_catalog_hit_spec_mismatch_restages(spark, tmp_path):
 
 def test_reap_stale_stage_siblings(tmp_path):
     parent = tmp_path / "bdec_bucketed"
-    for n in ("cc_tag_aaa", "cc_tag_bbb", "cc_other_ccc", "pr_ddd"):
+    for n in ("cc_scopeaa_aaa", "cc_scopeaa_bbb", "cc_scopebb_ccc", "pr_ddd"):
         (parent / n).mkdir(parents=True)
         (parent / n / "junk").write_text("x")
-    reap_stale_stage_siblings(parent, "cc_tag_", "cc_tag_bbb")
+    reaped = reap_stale_stage_siblings(parent, "cc_scopeaa_", "cc_scopeaa_bbb")
     left = sorted(p.name for p in parent.iterdir())
-    # the active key survives; the stale same-tag generation is reaped;
-    # other operators' staged state is untouched
-    assert left == ["cc_other_ccc", "cc_tag_bbb", "pr_ddd"]
+    # the active key survives; the stale same-scope generation is reaped
+    # (and reported back for catalog cleanup); OTHER scopes are untouched
+    assert reaped == ["cc_scopeaa_aaa"]
+    assert left == ["cc_scopeaa_bbb", "cc_scopebb_ccc", "pr_ddd"]
 
 
-def test_cc_staging_reaps_old_generation(spark, tmp_path, monkeypatch):
+def test_cc_staging_reaps_old_generation_same_scope_only(
+    spark, tmp_path, monkeypatch
+):
+    """Reaping is scoped to ONE (operator, corpus-path): an old generation
+    of the same scope is reaped (and its dangling catalog entry dropped),
+    a DIFFERENT corpus's staged dir coexists untouched — tag-wide reaping
+    would ping-pong restage between alternating sf runs (round-12
+    review) — and legacy-format dirs are cleaned up."""
+    import hashlib as _hl
     import tempfile as _tf
 
     monkeypatch.setattr(_tf, "gettempdir", lambda: str(tmp_path))
     parent = tmp_path / "bdec_bucketed"
-    (parent / "cc_t1_deadbeef0000").mkdir(parents=True)  # stale generation
-    (parent / "cc_aaaabbbbcccc").mkdir(parents=True)  # legacy untagged dir
+    scope8 = _hl.md5(b"t1:/corpus/A").hexdigest()[:8]
+    other8 = _hl.md5(b"t1:/corpus/B").hexdigest()[:8]
+    (parent / f"cc_{scope8}_deadbeef0000").mkdir(parents=True)  # old gen, A
+    (parent / f"cc_{other8}_deadbeef0000").mkdir(parents=True)  # corpus B
+    (parent / "cc_aaaabbbbcccc").mkdir(parents=True)  # pre-r12 legacy
+    (parent / "cc_t1_aaaabbbbcccc").mkdir(parents=True)  # interim-r12 legacy
+    # a dangling same-session catalog entry for the old generation
+    spark.sql(
+        "CREATE TABLE `bdec_cc_sym_t1_deadbeef0000` (d bigint) USING PARQUET "
+        f"LOCATION '{tmp_path / 'dangling'}'"
+    )
     verts = spark.createDataFrame([(1,), (2,), (3,)], "node bigint")
     edges = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
     connected_components(
         verts, edges, id_col="node", src_col="id_a", dst_col="id_b",
-        stage_key="t1:v1:fp",
+        stage_key="t1:v1:fp", stage_scope="t1:/corpus/A",
     ).collect()
     names = sorted(p.name for p in parent.iterdir())
-    assert "cc_t1_deadbeef0000" not in names, "stale generation not reaped"
-    assert "cc_aaaabbbbcccc" not in names, "legacy untagged dir not reaped"
-    assert any(n.startswith("cc_t1_") for n in names), "active stage missing"
+    assert f"cc_{scope8}_deadbeef0000" not in names, "same-scope old gen kept"
+    assert f"cc_{other8}_deadbeef0000" in names, "OTHER corpus's dir reaped!"
+    assert "cc_aaaabbbbcccc" not in names, "pre-r12 legacy dir not reaped"
+    assert "cc_t1_aaaabbbbcccc" not in names, "interim legacy dir not reaped"
+    assert any(n.startswith(f"cc_{scope8}_") for n in names), "active missing"
+    assert not spark.catalog.tableExists("bdec_cc_sym_t1_deadbeef0000"), (
+        "reaped generation's catalog entry left dangling over deleted files"
+    )
     # drop the catalog entry so other tests don't see a dangling table
     for t in spark.catalog.listTables():
         if t.name.startswith("bdec_cc_sym_t1_"):
