@@ -275,3 +275,52 @@ def test_er_variants_stay_in_block_and_within_one_edit(name, mod):
     assert v[:2] == name[:2]
     assert abs(len(v) - len(name)) <= 1
     assert lev(v, name) <= 1
+
+
+# -- pure function: union-find (CC small-graph fast path, round 12) ----------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        max_size=60,
+    )
+)
+def test_union_find_matches_bfs_closure(pairs):
+    """The driver-side union-find behind connected_components'
+    local_threshold fast path must label every vertex with the MIN id of
+    its component — checked against a brute-force BFS closure on random
+    graphs (self-loops and duplicate edges included)."""
+    from collections import deque
+
+    from breweries_data_engineering_case_spark.operators.components import (
+        _union_find,
+    )
+
+    got = _union_find(pairs)
+
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected = {}
+    seen: set[int] = set()
+    for start in adj:
+        if start in seen:
+            continue
+        comp, q = [], deque([start])
+        seen.add(start)
+        while q:
+            v = q.popleft()
+            comp.append(v)
+            for w in adj[v]:
+                if w not in seen:
+                    seen.add(w)
+                    q.append(w)
+        m = min(comp)
+        for v in comp:
+            expected[v] = m
+    assert got == expected
