@@ -71,6 +71,33 @@ LOCAL_THRESHOLD_OVERRIDE: int | None = None
 _CHECK_CADENCE = 2
 
 
+def _reap_legacy_layouts(parent: Path) -> None:
+    """One-time cleanup of staged-dir layouts older than the round-12
+    scope-hash naming (pre-r12 ``cc_<md5>``; interim-r12 ``cc_<tag>_<md5>``)
+    — unreachable by current code, so they'd leak otherwise. A marker file
+    makes this a single migration sweep, not a per-call directory scan
+    forever (round-12 review). A valid current dir is
+    ``cc_<8-hex-scope>_<12-hex-key>`` (or ``*_unscoped``); the interim
+    check excludes exactly that middle shape so a rare all-[a-f] scope
+    hash can never self-match as "legacy"."""
+    marker = parent / "_bdec_cc_layout_v2"
+    if marker.exists():
+        return
+    for d in parent.glob("cc_*"):
+        nm = d.name
+        if re.fullmatch(r"cc_[0-9a-f]{12}", nm):
+            shutil.rmtree(d, ignore_errors=True)
+            continue
+        m = re.fullmatch(r"cc_(.+)_([0-9a-f]{12})", nm)
+        if m and not re.fullmatch(r"[0-9a-f]{8}", m.group(1)):
+            shutil.rmtree(d, ignore_errors=True)
+    try:
+        parent.mkdir(parents=True, exist_ok=True)
+        marker.touch()
+    except OSError:
+        pass
+
+
 def _staged_sym(
     sym: DataFrame, stage_key: str, stage_scope: str | None
 ) -> DataFrame:
@@ -102,6 +129,18 @@ def _staged_sym(
     name = f"bdec_cc_sym_{tag}_{key}"
     parent = Path(tempfile.gettempdir()) / "bdec_bucketed"
     if stage_scope is not None:
+        # the catalog DROP below reconstructs the reaped generation's table
+        # name from the CURRENT tag, which is only correct if the scope
+        # belongs to the same operator — enforce the "<tag>:<corpus>"
+        # convention so a copy-paste mismatch across the near-identical
+        # call sites fails loudly instead of deleting one operator's files
+        # while dropping another's table (round-12 review)
+        if not stage_scope.startswith(tag + ":"):
+            raise ValueError(
+                f"stage_scope {stage_scope!r} does not start with the "
+                f"stage_key tag {tag!r}: — scope and key must identify the "
+                "same operator"
+            )
         scope8 = hashlib.md5(stage_scope.encode()).hexdigest()[:8]
         dirname = f"cc_{scope8}_{key}"
         for reaped in reap_stale_stage_siblings(parent, f"cc_{scope8}_", dirname):
@@ -111,19 +150,7 @@ def _staged_sym(
             spark.sql(f"DROP TABLE IF EXISTS `bdec_cc_sym_{tag}_{old_key}`")
     else:
         dirname = f"cc_{key}_unscoped"
-    # legacy layouts (pre-round-12 cc_<md5>; the interim round-12
-    # cc_<tag>_<md5>) are unreachable by the scope-hash naming — reap them.
-    # A valid current dir is cc_<8-hex-scope>_<12-hex-key> (or *_unscoped);
-    # the interim check excludes exactly that middle shape so a rare
-    # all-[a-f] scope hash can never self-match as "legacy".
-    for d in parent.glob("cc_*"):
-        nm = d.name
-        if re.fullmatch(r"cc_[0-9a-f]{12}", nm):
-            shutil.rmtree(d, ignore_errors=True)
-            continue
-        m = re.fullmatch(r"cc_(.+)_([0-9a-f]{12})", nm)
-        if m and not re.fullmatch(r"[0-9a-f]{8}", m.group(1)):
-            shutil.rmtree(d, ignore_errors=True)
+    _reap_legacy_layouts(parent)
     return stage_bucketed_table(
         spark,
         name,
@@ -394,6 +421,7 @@ def keep_one_per_cluster(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     stage_key: str | None = None,
+    stage_scope: str | None = None,
     local_threshold: int = 0,
 ) -> DataFrame:
     """Dedup decision table: (id, component, is_kept) — the minimum id of
@@ -405,6 +433,7 @@ def keep_one_per_cluster(
         src_col=src_col,
         dst_col=dst_col,
         stage_key=stage_key,
+        stage_scope=stage_scope,
         local_threshold=local_threshold,
     )
     return comps.select(

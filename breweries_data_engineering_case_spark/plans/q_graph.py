@@ -267,15 +267,23 @@ def q_graph_pagerank_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(f"DROP TABLE IF EXISTS `bdec_pr_nodes_{old_key}`")
     # legacy layouts: the interim round-12 pr_<12-hex-key> dir, and the
     # pre-round-12 pr_* children under a bare-hex dir shared with other
-    # stagers (only those children are reaped there)
-    import re as _re
+    # stagers (only those children are reaped there). Marker-gated: a
+    # one-time migration sweep, not a per-call scan forever (r12 review).
+    marker = parent / "_bdec_pr_layout_v2"
+    if not marker.exists():
+        import re as _re
 
-    for legacy in parent.glob("pr_*"):
-        if _re.fullmatch(r"pr_[0-9a-f]{12}", legacy.name):
-            reap_stale_stage_siblings(parent, legacy.name, "")
-    for legacy in parent.glob("[0-9a-f]" * 12):
-        for sub in ("pr_edges", "pr_nodes"):
-            reap_stale_stage_siblings(legacy, sub, "")
+        for legacy in parent.glob("pr_*"):
+            if _re.fullmatch(r"pr_[0-9a-f]{12}", legacy.name):
+                reap_stale_stage_siblings(parent, legacy.name, "")
+        for legacy in parent.glob("[0-9a-f]" * 12):
+            for sub in ("pr_edges", "pr_nodes"):
+                reap_stale_stage_siblings(legacy, sub, "")
+        try:
+            parent.mkdir(parents=True, exist_ok=True)
+            marker.touch()
+        except OSError:
+            pass
 
     # manifest-backed staging (VERDICT r10 #5): a fresh process re-registers
     # the on-disk bucketed files with a metadata-only DDL instead of

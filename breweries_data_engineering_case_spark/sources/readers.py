@@ -147,7 +147,14 @@ def source_fingerprint(sf_dir: str, *names: str) -> str:
         if _os.path.isdir(p):
             entries = []
             for root, dirs, files in _os.walk(p):
-                dirs.sort()
+                # prune transient trees a crashed/concurrent writer leaves
+                # (_temporary/, .spark-staging-*): their inner part files
+                # carry plain names, so a per-file basename filter alone
+                # would fold them into the fingerprint and churn stage
+                # keys run-over-run (round-12 review)
+                dirs[:] = sorted(
+                    d for d in dirs if not d.startswith((".", "_"))
+                )
                 rel_root = _os.path.relpath(root, p)
                 for fn in sorted(files):
                     if fn.startswith((".", "_")) and fn != "_SUCCESS":

@@ -150,17 +150,26 @@ _MANIFEST = "_bdec_manifest.json"
 
 
 def _plan_fingerprint(df: DataFrame) -> str:
-    """Deterministic hash of a frame's CANONICALIZED analyzed plan —
-    Catalyst's own semantic-equality form: expression ids are normalized
-    (they are session-global counters that differ across processes) while
-    expression trees, literals, and types are preserved verbatim, so two
-    frames hash equal iff the engine itself considers their plans
-    equivalent. A regex strip of ``#\\d+`` was rejected (round-12 review):
-    it also mangles ``#N`` inside string LITERALS, conflating genuinely
-    different builders. ``maxToStringFields`` is raised for the stringify
-    (and restored) because the default (25) elides wide projections as
-    "... N more fields" — a change to the 26th expression would otherwise
-    mint the SAME fingerprint and silently reuse stale staged data.
+    """Deterministic hash of a frame's analyzed plan, built from TWO
+    stringifications whose blind spots are disjoint (round-12 review):
+
+    - the CANONICALIZED plan — Catalyst's semantic-equality form:
+      expression ids normalized (session-global counters that differ
+      across processes), literals preserved verbatim — catches every
+      expression/literal change, but erases output NAMES (aliases print
+      as ``AS #0L``), so a builder that merely renames or SWAPS output
+      columns would hash identically while the served schema binding
+      changed;
+    - the raw analyzed plan with ``#<digits>`` id suffixes stripped —
+      carries the name↔expression binding (``expr AS name#``), closing
+      the rename/swap hole; its own blind spot (the strip also mangles
+      ``#N`` inside string literals) is covered by the canonicalized
+      half, which keeps literals intact.
+
+    ``maxToStringFields`` is raised for both stringifies (and restored)
+    because the default (25) elides wide projections as "... N more
+    fields" — a change to the 26th expression would otherwise mint the
+    SAME fingerprint and silently reuse stale staged data.
 
     This is the CODE half of stage-key invalidation (VERDICT r11 #5 /
     NOTES "Staging version discipline"): ``source_fingerprint`` catches a
@@ -173,18 +182,24 @@ def _plan_fingerprint(df: DataFrame) -> str:
     ``localCheckpoint`` truncates lineage to an opaque ``LogicalRDD`` node,
     so code changes ABOVE a checkpoint are not visible — stagers should
     build their frame un-checkpointed, as all in-repo call sites do.)"""
+    import re
+
     spark = df.sparkSession
     key = "spark.sql.debug.maxToStringFields"
     prev = spark.conf.get(key, None)
     try:
         spark.conf.set(key, "100000")
-        plan = df._jdf.queryExecution().analyzed().canonicalized().toString()
+        analyzed = df._jdf.queryExecution().analyzed()
+        canonical = analyzed.canonicalized().toString()
+        named = re.sub(r"#\d+", "#", analyzed.toString())
     finally:
         if prev is None:
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
-    return hashlib.md5(plan.encode()).hexdigest()[:12]
+    return hashlib.md5(
+        canonical.encode() + b"\x00" + named.encode()
+    ).hexdigest()[:12]
 
 
 def _catalog_bucket_spec(spark: SparkSession, name: str) -> dict | None:

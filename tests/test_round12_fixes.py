@@ -248,6 +248,58 @@ def test_plan_fingerprint_sees_wide_projections_and_hash_literals(spark):
     )
 
 
+def test_plan_fingerprint_sees_output_name_binding(spark):
+    """canonicalized() erases alias names, so a builder that merely SWAPS
+    two output column names would hash identically while the served schema
+    binding changed (verified empirically in the round-12 review) — the
+    fingerprint's second (name-carrying) half must catch it."""
+    from breweries_data_engineering_case_spark.sources.writers import (
+        _plan_fingerprint,
+    )
+
+    a = spark.range(10).select(
+        (F.col("id") + 1).alias("x"), (F.col("id") * 2).alias("y")
+    )
+    b = spark.range(10).select(
+        (F.col("id") + 1).alias("y"), (F.col("id") * 2).alias("x")
+    )
+    c = spark.range(10).select(
+        (F.col("id") + 1).alias("x"), (F.col("id") * 2).alias("z")
+    )
+    assert _plan_fingerprint(a) != _plan_fingerprint(b), "alias swap missed"
+    assert _plan_fingerprint(a) != _plan_fingerprint(c), "rename missed"
+
+
+def test_fingerprint_ignores_transient_writer_dirs(tmp_path, spark):
+    """A crashed/concurrent Spark overwrite leaves _temporary/ trees whose
+    INNER part files carry plain names; folding them into the fingerprint
+    would churn stage keys run-over-run (round-12 review) — the walk must
+    prune '.'/'_' directories wholesale."""
+    d = tmp_path / "sf"
+    p = d / "t.parquet"
+    p.mkdir(parents=True)
+    (p / "part-0.parquet").write_bytes(b"data")
+    fp1 = source_fingerprint(str(d), "t")
+    junk = p / "_temporary" / "0" / "attempt_1"
+    junk.mkdir(parents=True)
+    (junk / "part-0.parquet").write_bytes(b"transient")
+    assert source_fingerprint(str(d), "t") == fp1
+
+
+def test_cc_stage_scope_tag_mismatch_raises(spark):
+    """The catalog DROP during reaping reconstructs table names from the
+    stage_key tag; a scope belonging to a DIFFERENT operator (copy-paste
+    across the near-identical call sites) must fail loudly instead of
+    reaping one operator's files while dropping another's table."""
+    verts = spark.createDataFrame([(1,), (2,)], "node bigint")
+    edges = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+    with pytest.raises(ValueError, match="does not start with"):
+        connected_components(
+            verts, edges, id_col="node", src_col="id_a", dst_col="id_b",
+            stage_key="portable_sym:v1:fp", stage_scope="cascade_sym:/x",
+        )
+
+
 def test_fingerprint_dir_walk_is_recursive(tmp_path, spark):
     """A rewrite confined INSIDE a hive-partition subdirectory must change
     the fingerprint (a shallow listdir of partition dirs carries no
