@@ -74,33 +74,36 @@ _CHECK_CADENCE = 2
 def _reap_legacy_layouts(parent: Path) -> None:
     """One-time cleanup of staged-dir layouts older than the round-12
     scope-hash naming (pre-r12 ``cc_<md5>``; interim-r12 ``cc_<tag>_<md5>``)
-    — unreachable by current code, so they'd leak otherwise. A marker file
-    makes this a single migration sweep, not a per-call directory scan
-    forever (round-12 review). A valid current dir is
-    ``cc_<8-hex-scope>_<12-hex-key>`` (or ``*_unscoped``); the interim
+    — unreachable by current code, so they'd leak otherwise. Marker-gated
+    via run_once_layout_migration: a single migration sweep, retried until
+    clean, not a per-call directory scan forever (round-12 review). A
+    valid current dir is ``cc_<8-hex-scope>_<12-hex-key>``; the interim
     check excludes exactly that middle shape so a rare all-[a-f] scope
     hash can never self-match as "legacy"."""
-    marker = parent / "_bdec_cc_layout_v2"
-    if marker.exists():
-        return
-    for d in parent.glob("cc_*"):
-        nm = d.name
-        if re.fullmatch(r"cc_[0-9a-f]{12}", nm):
-            shutil.rmtree(d, ignore_errors=True)
-            continue
-        m = re.fullmatch(r"cc_(.+)_([0-9a-f]{12})", nm)
-        if m and not re.fullmatch(r"[0-9a-f]{8}", m.group(1)):
-            shutil.rmtree(d, ignore_errors=True)
-    try:
-        parent.mkdir(parents=True, exist_ok=True)
-        marker.touch()
-    except OSError:
-        pass
+    from ..sources.writers import run_once_layout_migration
+
+    def _sweep(p: Path) -> bool:
+        ok = True
+        for d in p.glob("cc_*"):
+            nm = d.name
+            legacy = bool(
+                re.fullmatch(r"cc_[0-9a-f]{12}", nm)
+                or re.fullmatch(r"cc_[0-9a-f]{12}_unscoped", nm)
+            )
+            if not legacy:
+                m = re.fullmatch(r"cc_(.+)_([0-9a-f]{12})", nm)
+                legacy = bool(m) and not re.fullmatch(r"[0-9a-f]{8}", m.group(1))
+            if legacy:
+                try:
+                    shutil.rmtree(d)
+                except OSError:
+                    ok = False
+        return ok
+
+    run_once_layout_migration(parent, "_bdec_cc_layout_v3", _sweep)
 
 
-def _staged_sym(
-    sym: DataFrame, stage_key: str, stage_scope: str | None
-) -> DataFrame:
+def _staged_sym(sym: DataFrame, stage_key: str, stage_scope: str) -> DataFrame:
     """Stage the symmetrized edge list as a bucketed table on the gather
     key ``d`` so the per-iteration join never re-exchanges it. Keyed by the
     caller's ``stage_key`` (content-deterministic, e.g. the operator tag +
@@ -120,36 +123,38 @@ def _staged_sym(
     the SF1 stress dir) must coexist, or alternating runs would ping-pong
     restage and a reap could delete a sibling corpus's live staged files
     out from under its still-registered catalog table (round-12 review).
-    With ``stage_scope=None`` nothing is reaped."""
+    ``stage_scope`` is REQUIRED alongside ``stage_key`` (enforced by
+    ``connected_components``): a scope-less staged dir would never be
+    reaped — the unbounded /tmp-leak class this round closes."""
     from ..sources.writers import reap_stale_stage_siblings, stage_bucketed_table
 
     spark = sym.sparkSession
     key = hashlib.md5(stage_key.encode()).hexdigest()[:12]
-    tag = re.sub(r"[^A-Za-z0-9_]", "_", stage_key.split(":", 1)[0])
+    raw_tag = stage_key.split(":", 1)[0]
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", raw_tag)
     name = f"bdec_cc_sym_{tag}_{key}"
     parent = Path(tempfile.gettempdir()) / "bdec_bucketed"
-    if stage_scope is not None:
-        # the catalog DROP below reconstructs the reaped generation's table
-        # name from the CURRENT tag, which is only correct if the scope
-        # belongs to the same operator — enforce the "<tag>:<corpus>"
-        # convention so a copy-paste mismatch across the near-identical
-        # call sites fails loudly instead of deleting one operator's files
-        # while dropping another's table (round-12 review)
-        if not stage_scope.startswith(tag + ":"):
-            raise ValueError(
-                f"stage_scope {stage_scope!r} does not start with the "
-                f"stage_key tag {tag!r}: — scope and key must identify the "
-                "same operator"
-            )
-        scope8 = hashlib.md5(stage_scope.encode()).hexdigest()[:8]
-        dirname = f"cc_{scope8}_{key}"
-        for reaped in reap_stale_stage_siblings(parent, f"cc_{scope8}_", dirname):
-            # the reaped generation's same-session catalog entry (if any)
-            # would dangle over deleted files — drop it with the dir
-            old_key = reaped.rsplit("_", 1)[-1]
-            spark.sql(f"DROP TABLE IF EXISTS `bdec_cc_sym_{tag}_{old_key}`")
-    else:
-        dirname = f"cc_{key}_unscoped"
+    # the catalog DROP below reconstructs the reaped generation's table
+    # name from the CURRENT tag, which is only correct if the scope
+    # belongs to the same operator — enforce the "<tag>:<corpus>"
+    # convention so a copy-paste mismatch across the near-identical
+    # call sites fails loudly instead of deleting one operator's files
+    # while dropping another's table (round-12 review). Compared against
+    # the RAW tag as the caller wrote it in stage_key, not the sanitized
+    # table-name form — a tag like "my-op" must accept "my-op:<corpus>".
+    if not stage_scope.startswith(raw_tag + ":"):
+        raise ValueError(
+            f"stage_scope {stage_scope!r} does not start with the "
+            f"stage_key tag prefix {raw_tag + ':'!r} — scope and key must "
+            "identify the same operator"
+        )
+    scope8 = hashlib.md5(stage_scope.encode()).hexdigest()[:8]
+    dirname = f"cc_{scope8}_{key}"
+    for reaped in reap_stale_stage_siblings(parent, f"cc_{scope8}_", dirname):
+        # the reaped generation's same-session catalog entry (if any)
+        # would dangle over deleted files — drop it with the dir
+        old_key = reaped.rsplit("_", 1)[-1]
+        spark.sql(f"DROP TABLE IF EXISTS `bdec_cc_sym_{tag}_{old_key}`")
     _reap_legacy_layouts(parent)
     return stage_bucketed_table(
         spark,
@@ -232,6 +237,15 @@ def connected_components(
     (off) so existing callers and the unit tests keep exercising the
     distributed loop.
     """
+    if (stage_key is None) != (stage_scope is None):
+        # one without the other is always a caller bug: key-only would
+        # stage a dir no reap path ever touches (the /tmp-leak class this
+        # round closes), scope-only would be silently ignored
+        raise ValueError(
+            "stage_key and stage_scope must be provided together "
+            f"(got stage_key={'set' if stage_key else None}, "
+            f"stage_scope={'set' if stage_scope else None})"
+        )
     ids = vertices.select(F.col(id_col).alias("__vid"))
     sym = (
         edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))

@@ -267,23 +267,30 @@ def q_graph_pagerank_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(f"DROP TABLE IF EXISTS `bdec_pr_nodes_{old_key}`")
     # legacy layouts: the interim round-12 pr_<12-hex-key> dir, and the
     # pre-round-12 pr_* children under a bare-hex dir shared with other
-    # stagers (only those children are reaped there). Marker-gated: a
-    # one-time migration sweep, not a per-call scan forever (r12 review).
-    marker = parent / "_bdec_pr_layout_v2"
-    if not marker.exists():
-        import re as _re
+    # stagers (only those children are reaped there). Marker-gated
+    # one-time migration via the shared helper (retries until a clean
+    # sweep; never marks done over a failed removal — r12 review).
+    from ..sources.writers import run_once_layout_migration
 
-        for legacy in parent.glob("pr_*"):
-            if _re.fullmatch(r"pr_[0-9a-f]{12}", legacy.name):
-                reap_stale_stage_siblings(parent, legacy.name, "")
-        for legacy in parent.glob("[0-9a-f]" * 12):
-            for sub in ("pr_edges", "pr_nodes"):
-                reap_stale_stage_siblings(legacy, sub, "")
-        try:
-            parent.mkdir(parents=True, exist_ok=True)
-            marker.touch()
-        except OSError:
-            pass
+    def _pr_legacy_sweep(p) -> bool:
+        import re as _re
+        import shutil as _sh
+
+        ok = True
+        targets = [
+            d for d in p.glob("pr_*") if _re.fullmatch(r"pr_[0-9a-f]{12}", d.name)
+        ]
+        for legacy in p.glob("[0-9a-f]" * 12):
+            targets += [legacy / "pr_edges", legacy / "pr_nodes"]
+        for d in targets:
+            if d.is_dir():
+                try:
+                    _sh.rmtree(d)
+                except OSError:
+                    ok = False
+        return ok
+
+    run_once_layout_migration(parent, "_bdec_pr_layout_v2", _pr_legacy_sweep)
 
     # manifest-backed staging (VERDICT r10 #5): a fresh process re-registers
     # the on-disk bucketed files with a metadata-only DDL instead of

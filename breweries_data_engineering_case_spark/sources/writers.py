@@ -197,9 +197,11 @@ def _plan_fingerprint(df: DataFrame) -> str:
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
-    return hashlib.md5(
-        canonical.encode() + b"\x00" + named.encode()
-    ).hexdigest()[:12]
+    h = hashlib.md5()
+    h.update(canonical.encode())
+    h.update(b"\x00")
+    h.update(named.encode())
+    return h.hexdigest()[:12]
 
 
 def _catalog_bucket_spec(spark: SparkSession, name: str) -> dict | None:
@@ -243,6 +245,26 @@ def reap_stale_stage_siblings(parent, prefix: str, active_name: str) -> list[str
             shutil.rmtree(d, ignore_errors=True)
             reaped.append(d.name)
     return reaped
+
+
+def run_once_layout_migration(parent, marker_name: str, sweep) -> None:
+    """Marker-gated one-time staged-layout migration. ``sweep(parent)``
+    (returning True when every removal succeeded or nothing was left to
+    remove) runs until a clean pass, then the marker file stops future
+    directory scans. The marker is NOT written after a failed removal
+    (e.g. a legacy dir owned by another user on a shared /tmp) — the sweep
+    retries on the next call instead of silently leaking that dir forever
+    (round-12 review)."""
+    parent = Path(parent)
+    marker = parent / marker_name
+    if marker.exists():
+        return
+    if sweep(parent):
+        try:
+            parent.mkdir(parents=True, exist_ok=True)
+            marker.touch()
+        except OSError:
+            pass
 
 
 def stage_bucketed_table(

@@ -300,6 +300,49 @@ def test_cc_stage_scope_tag_mismatch_raises(spark):
         )
 
 
+def test_cc_stage_key_requires_scope(spark):
+    """stage_key without stage_scope would stage a dir no reap path ever
+    touches (the /tmp-leak class); scope without key is silently ignored —
+    both are caller bugs and must fail loudly."""
+    verts = spark.createDataFrame([(1,), (2,)], "node bigint")
+    edges = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+    for kwargs in (
+        {"stage_key": "t1:v1:fp"},
+        {"stage_scope": "t1:/x"},
+    ):
+        with pytest.raises(ValueError, match="together"):
+            connected_components(
+                verts, edges, id_col="node", src_col="id_a", dst_col="id_b",
+                **kwargs,
+            )
+
+
+def test_run_once_migration_retries_after_failed_sweep(tmp_path):
+    """The one-time layout migration must NOT write its marker over a
+    failed removal (a legacy dir owned by another user on shared /tmp
+    would otherwise leak forever) — it retries until a clean pass."""
+    from breweries_data_engineering_case_spark.sources.writers import (
+        run_once_layout_migration,
+    )
+
+    calls = []
+
+    def failing(p):
+        calls.append(1)
+        return False
+
+    def clean(p):
+        calls.append(1)
+        return True
+
+    run_once_layout_migration(tmp_path, "_m", failing)
+    assert not (tmp_path / "_m").exists(), "marker written over failed sweep"
+    run_once_layout_migration(tmp_path, "_m", clean)
+    assert (tmp_path / "_m").exists()
+    run_once_layout_migration(tmp_path, "_m", clean)
+    assert calls == [1, 1], "marker did not stop further sweeps"
+
+
 def test_fingerprint_dir_walk_is_recursive(tmp_path, spark):
     """A rewrite confined INSIDE a hive-partition subdirectory must change
     the fingerprint (a shallow listdir of partition dirs carries no
