@@ -139,7 +139,12 @@ def source_fingerprint(sf_dir: str, *names: str) -> str:
         p = f"{sf_dir.rstrip('/')}/{n}.parquet"
         try:
             st = _os.stat(p)
-        except OSError as exc:
+        except FileNotFoundError as exc:
+            # ENOENT only: a typo'd table name must fail with the loud
+            # missing-table message. Other OSErrors (EACCES, ELOOP, …) are
+            # NOT "does not exist" — misdiagnosing a permission problem as
+            # a typo sends the operator hunting the wrong bug (ADVICE r12);
+            # they propagate unchanged.
             raise FileNotFoundError(
                 f"source_fingerprint: table path {p!r} does not exist — "
                 "refusing to key staged state on an absent source"

@@ -400,10 +400,17 @@ def test_catalog_hit_spec_mismatch_restages(spark, tmp_path):
 
 
 def test_reap_stale_stage_siblings(tmp_path):
+    import os
+    import time
+
     parent = tmp_path / "bdec_bucketed"
     for n in ("cc_scopeaa_aaa", "cc_scopeaa_bbb", "cc_scopebb_ccc", "pr_ddd"):
         (parent / n).mkdir(parents=True)
         (parent / n / "junk").write_text("x")
+        # age every dir past the reap grace window (round 13: young
+        # siblings are leased to protect concurrent readers)
+        old = time.time() - 86400
+        os.utime(parent / n, (old, old))
     reaped = reap_stale_stage_siblings(parent, "cc_scopeaa_", "cc_scopeaa_bbb")
     left = sorted(p.name for p in parent.iterdir())
     # the active key survives; the stale same-scope generation is reaped
@@ -423,6 +430,9 @@ def test_cc_staging_reaps_old_generation_same_scope_only(
     import hashlib as _hl
     import tempfile as _tf
 
+    import os as _os
+    import time as _time
+
     monkeypatch.setattr(_tf, "gettempdir", lambda: str(tmp_path))
     parent = tmp_path / "bdec_bucketed"
     scope8 = _hl.md5(b"t1:/corpus/A").hexdigest()[:8]
@@ -431,6 +441,12 @@ def test_cc_staging_reaps_old_generation_same_scope_only(
     (parent / f"cc_{other8}_deadbeef0000").mkdir(parents=True)  # corpus B
     (parent / "cc_aaaabbbbcccc").mkdir(parents=True)  # pre-r12 legacy
     (parent / "cc_t1_aaaabbbbcccc").mkdir(parents=True)  # interim-r12 legacy
+    # age the old generations past the reap grace lease (round 13): a
+    # YOUNG stale sibling is deliberately left for a later reap so a
+    # concurrent process's in-flight scan is never yanked
+    _old = _time.time() - 86400
+    for _n in (f"cc_{scope8}_deadbeef0000", f"cc_{other8}_deadbeef0000"):
+        _os.utime(parent / _n, (_old, _old))
     # a dangling same-session catalog entry for the old generation
     spark.sql(
         "CREATE TABLE `bdec_cc_sym_t1_deadbeef0000` (d bigint) USING PARQUET "

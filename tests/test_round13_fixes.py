@@ -1,0 +1,181 @@
+"""Round-13 hardening units (VERDICT r12 #1/#2/#7 + ADVICE r12).
+
+The two-process stress repros live in test_round13_concurrency.py; these
+are the fast single-process units for the same fixes plus the smaller
+ADVICE items: the reap grace lease, honest reap reporting + reclaimed-byte
+telemetry, the enforced bench steal gate, and source_fingerprint's errno
+discipline.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import logging
+import os
+import sys
+import time
+from pathlib import Path
+
+import pytest
+
+from breweries_data_engineering_case_spark.sources import writers
+from breweries_data_engineering_case_spark.sources.readers import source_fingerprint
+from breweries_data_engineering_case_spark.sources.writers import (
+    reap_stale_stage_siblings,
+)
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _mk_gen(parent: Path, name: str, nbytes: int = 64, age_sec: float = 0) -> Path:
+    d = parent / name
+    d.mkdir(parents=True)
+    (d / "part-0.parquet").write_bytes(b"x" * nbytes)
+    if age_sec:
+        old = time.time() - age_sec
+        os.utime(d, (old, old))
+    return d
+
+
+# ---------------------------------------------------------------------------
+# reap grace lease (VERDICT r12 #1)
+# ---------------------------------------------------------------------------
+
+
+def test_reap_leaves_young_siblings(tmp_path):
+    """A stale sibling younger than the grace window is NOT reaped — a
+    concurrent process may still be scanning it (the round-12 FileScanRDD
+    abort) — and is reported as untouched so the caller keeps its catalog
+    entry over the still-existing files."""
+    _mk_gen(tmp_path, "cc_s_young")  # fresh mtime
+    aged = _mk_gen(tmp_path, "cc_s_old", age_sec=86400)
+    reaped = reap_stale_stage_siblings(tmp_path, "cc_s_", "cc_s_active")
+    assert reaped == ["cc_s_old"]
+    assert (tmp_path / "cc_s_young").exists()
+    assert not aged.exists()
+    # a later reap after the lease expires does remove it — the leak is
+    # bounded, not permanent
+    old = time.time() - 86400
+    os.utime(tmp_path / "cc_s_young", (old, old))
+    assert reap_stale_stage_siblings(tmp_path, "cc_s_", "cc_s_active") == [
+        "cc_s_young"
+    ]
+
+
+def test_reap_grace_zero_reaps_immediately(tmp_path):
+    """grace_sec=0 restores eager reaping (tests / explicit cleanup)."""
+    _mk_gen(tmp_path, "cc_s_young")
+    assert reap_stale_stage_siblings(
+        tmp_path, "cc_s_", "cc_s_active", grace_sec=0
+    ) == ["cc_s_young"]
+
+
+# ---------------------------------------------------------------------------
+# honest reap reporting + reclaimed-byte telemetry (ADVICE r12 / VERDICT #7)
+# ---------------------------------------------------------------------------
+
+
+def test_reap_does_not_report_failed_removal(tmp_path, monkeypatch, caplog):
+    """If rmtree fails, the dir must NOT be reported reaped (the caller
+    would drop a catalog entry over still-existing files) and the leak is
+    logged instead of silently retried as success."""
+    _mk_gen(tmp_path, "cc_s_stuck", age_sec=86400)
+    monkeypatch.setattr(writers.shutil, "rmtree", lambda *a, **k: None)
+    with caplog.at_level(logging.WARNING, logger="bdec.staging"):
+        reaped = reap_stale_stage_siblings(tmp_path, "cc_s_", "cc_s_active")
+    assert reaped == []
+    assert (tmp_path / "cc_s_stuck").exists()
+    assert any("FAILED to remove" in r.message for r in caplog.records)
+
+
+def test_reap_logs_reclaimed_bytes(tmp_path, caplog):
+    """Each successful reap logs one line with the reclaimed byte count so
+    long-lived hosts can audit /tmp staging hygiene (VERDICT r12 #7)."""
+    _mk_gen(tmp_path, "cc_s_big", nbytes=1234, age_sec=86400)
+    with caplog.at_level(logging.INFO, logger="bdec.staging"):
+        reaped = reap_stale_stage_siblings(tmp_path, "cc_s_", "cc_s_active")
+    assert reaped == ["cc_s_big"]
+    lines = [r.message for r in caplog.records if "removed stale" in r.message]
+    assert len(lines) == 1 and "1234 bytes" in lines[0]
+
+
+# ---------------------------------------------------------------------------
+# enforced bench steal gate (VERDICT r12 #2)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def bench_mod():
+    spec = importlib.util.spec_from_file_location("bdec_bench", REPO / "bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["bdec_bench"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_steal_delta_and_threshold(bench_mod):
+    """The gate computes growth across the pass and the threshold sits
+    between the proven-clean (2,688) and proven-inflated (13,621) r12
+    same-code runs — the monotone three-run evidence the enforcement is
+    built on."""
+    b = {"ambient_steal_jiffies": 1000.0}
+    a = {"ambient_steal_jiffies": 9000.0}
+    assert bench_mod._steal_delta(b, a) == 8000.0
+    assert bench_mod._steal_delta({}, a) is None, "absent counter can't gate"
+    assert 2688 < bench_mod.STEAL_DIRTY_JIFFIES < 13621
+    # the r12 evidence itself judges correctly under the gate
+    assert 2688 <= bench_mod.STEAL_DIRTY_JIFFIES  # clean run passes
+    assert 13621 > bench_mod.STEAL_DIRTY_JIFFIES  # inflated run reruns
+    assert 23322 > bench_mod.STEAL_DIRTY_JIFFIES
+
+
+def test_ambient_stat_reports_steal(bench_mod):
+    """/proc/stat carries the steal field on this host, so the gate is
+    live (not permanently disabled by a None delta)."""
+    stamp = bench_mod._ambient_stat()
+    assert "ambient_steal_jiffies" in stamp
+
+
+# ---------------------------------------------------------------------------
+# source_fingerprint errno discipline (ADVICE r12)
+# ---------------------------------------------------------------------------
+
+
+def test_source_fingerprint_missing_is_loud(tmp_path):
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        source_fingerprint(str(tmp_path), "no_such_table")
+
+
+def test_source_fingerprint_other_oserrors_propagate(tmp_path):
+    """A path component that is a FILE makes stat raise ENOTDIR — that is
+    a filesystem problem, not a typo'd table name, and must NOT be
+    rewritten into the missing-table message (ADVICE r12)."""
+    (tmp_path / "sf").write_text("a file where a directory should be")
+    with pytest.raises(NotADirectoryError):
+        source_fingerprint(str(tmp_path / "sf"), "t")
+
+
+# ---------------------------------------------------------------------------
+# fingerprint conf lock (ADVICE r12)
+# ---------------------------------------------------------------------------
+
+
+def test_plan_fingerprint_threadsafe(spark):
+    """Concurrent fingerprints on one session must not interleave the
+    maxToStringFields set/restore: every thread sees the full-width
+    stringification and all fingerprints of the same lineage agree."""
+    import concurrent.futures
+
+    from pyspark.sql import functions as F
+
+    def frame():
+        # >25 projected expressions: a truncated stringify would elide the
+        # tail as "... N more fields" and mint a DIFFERENT fingerprint
+        return spark.range(10).select(
+            *[(F.col("id") + i).alias(f"c{i}") for i in range(40)]
+        )
+
+    expected = writers._plan_fingerprint(frame())
+    with concurrent.futures.ThreadPoolExecutor(8) as ex:
+        got = list(ex.map(lambda _: writers._plan_fingerprint(frame()), range(32)))
+    assert set(got) == {expected}
