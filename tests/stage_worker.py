@@ -67,7 +67,7 @@ def _canonical_frame(spark, nrows: int):
 
 def _part_listing(path: str) -> list[list]:
     return sorted(
-        [p.name, p.stat().st_mtime_ns] for p in Path(path).glob("*.parquet")
+        [p.name, p.stat().st_mtime_ns] for p in Path(path).rglob("*.parquet")
     )
 
 

@@ -151,7 +151,7 @@ def test_staging_manifest_fresh_catalog_reuses_files(spark, tmp_path):
     )
     assert t1.count() == 500 and calls == [1]
     files_before = sorted(
-        (p.name, p.stat().st_mtime_ns) for p in path.glob("*.parquet")
+        (p.name, p.stat().st_mtime_ns) for p in path.rglob("*.parquet")
     )
     assert files_before, "stage wrote no bucketed files"
     manifest = json.loads((path / "_bdec_manifest.json").read_text())
@@ -167,7 +167,7 @@ def test_staging_manifest_fresh_catalog_reuses_files(spark, tmp_path):
     # by the data files being untouched, not by the builder call count
     assert calls == [1, 1]
     files_after = sorted(
-        (p.name, p.stat().st_mtime_ns) for p in path.glob("*.parquet")
+        (p.name, p.stat().st_mtime_ns) for p in path.rglob("*.parquet")
     )
     assert files_after == files_before, "re-stage rewrote the data files"
     assert t2.count() == 500
@@ -207,11 +207,14 @@ def test_staging_manifest_spec_mismatch_restages(spark, tmp_path):
 
 
 def test_staging_crash_windows_restage_never_torn(spark, tmp_path):
-    """Crash-safety of the publish protocol: files land via tmp-dir rename
-    and the manifest is written LAST, so (a) a published dir with a missing
-    manifest (crash between rename and manifest write) restages rather than
-    being trusted, and (b) a leftover tmp dir from a dead stager is ignored
-    and cleaned up by the next stage."""
+    """Crash-safety of the generation publish protocol: files land via an
+    atomic tmp-dir rename, and the commit evidence is Spark's _SUCCESS
+    marker INSIDE the immutable generation dir (the root manifest is
+    observability only). So (a) a deleted manifest does not force a
+    recompute — the committed generation is adopted as-is; (b) a TORN
+    generation dir (marker missing — a partially-copied artifact) is never
+    trusted: the next stage clears it and republishes; (c) a dead stager's
+    leftover tmp dir never breaks a stage."""
     name = "bdec_test_stage_crash"
     path = tmp_path / "staged3"
     calls = []
@@ -223,26 +226,43 @@ def test_staging_crash_windows_restage_never_torn(spark, tmp_path):
     stage_bucketed_table(
         spark, name, ["d"], num_buckets=4, path=str(path), builder=builder
     )
-    # crash window (a): manifest missing after a committed-looking dir
+    gen_dirs = [d for d in path.glob("gen-*") if d.is_dir()]
+    assert len(gen_dirs) == 1 and (gen_dirs[0] / "_SUCCESS").exists()
+    files_v1 = sorted(
+        (p.name, p.stat().st_mtime_ns) for p in path.rglob("*.parquet")
+    )
+    # crash window (a): manifest gone after a committed generation — the
+    # generation's _SUCCESS marker is the commit evidence, so the next call
+    # adopts the existing files instead of rewriting them
     spark.sql(f"DROP TABLE `{name}`")
     (path / "_bdec_manifest.json").unlink()
     t = stage_bucketed_table(
         spark, name, ["d"], num_buckets=4, path=str(path), builder=builder
     )
-    assert calls == [1, 1], "manifest-less dir must restage, not be trusted"
     assert t.count() == 64
-    # crash window (b): a dead stager's tmp dir must not break a restage
+    files_v2 = sorted(
+        (p.name, p.stat().st_mtime_ns) for p in path.rglob("*.parquet")
+    )
+    assert files_v2 == files_v1, "committed generation rewritten on adopt"
+    # crash window (b): a torn generation (marker missing) must restage —
+    # a partially-visible table is never served
     spark.sql(f"DROP TABLE `{name}`")
-    (path / "_bdec_manifest.json").unlink()
-    import os
-
-    fake_tmp = path.parent / (path.name + f".tmp-{os.getpid()}")
+    (gen_dirs[0] / "_SUCCESS").unlink()
+    t = stage_bucketed_table(
+        spark, name, ["d"], num_buckets=4, path=str(path), builder=builder
+    )
+    assert (gen_dirs[0] / "_SUCCESS").exists(), "torn generation not republished"
+    assert t.count() == 64
+    # crash window (c): a dead stager's tmp dir must not break a stage
+    spark.sql(f"DROP TABLE `{name}`")
+    fake_tmp = path / f"{gen_dirs[0].name}.tmp-99999"
     fake_tmp.mkdir()
     (fake_tmp / "junk").write_text("torn")
     t = stage_bucketed_table(
         spark, name, ["d"], num_buckets=4, path=str(path), builder=builder
     )
-    assert calls == [1, 1, 1] and t.count() == 64
+    assert t.count() == 64
+    assert len(calls) == 4  # the builder thunk runs per call by design
     spark.sql(f"DROP TABLE `{name}`")
 
 
@@ -265,11 +285,11 @@ def test_pagerank_staging_survives_catalog_reset(spark, sf_dir):
         if r.col_name == "Location"
     ]
     path = Path(loc_row[0].data_type.replace("file:", ""))
-    before = sorted((p.name, p.stat().st_mtime_ns) for p in path.glob("*.parquet"))
+    before = sorted((p.name, p.stat().st_mtime_ns) for p in path.rglob("*.parquet"))
     for t in spark.catalog.listTables():
         if t.name.startswith(("bdec_pr_salted_edges_", "bdec_pr_nodes_")):
             spark.sql(f"DROP TABLE `{t.name}`")
     again = {(r.node, r.pr) for r in q(spark, sf_dir).collect()}
     assert again == base
-    after = sorted((p.name, p.stat().st_mtime_ns) for p in path.glob("*.parquet"))
+    after = sorted((p.name, p.stat().st_mtime_ns) for p in path.rglob("*.parquet"))
     assert after == before, "fresh catalog rewrote the staged pagerank files"

@@ -185,13 +185,13 @@ def test_changed_builder_code_restages(spark, tmp_path):
     # fresh-process simulation with UNCHANGED code: reuse, files untouched
     spark.sql(f"DROP TABLE `{name}`")
     files_before = sorted(
-        (p.name, p.stat().st_mtime_ns) for p in path.glob("*.parquet")
+        (p.name, p.stat().st_mtime_ns) for p in path.rglob("*.parquet")
     )
     stage_bucketed_table(
         spark, name, ["d"], num_buckets=4, path=str(path), builder=builder_v1
     )
     files_same = sorted(
-        (p.name, p.stat().st_mtime_ns) for p in path.glob("*.parquet")
+        (p.name, p.stat().st_mtime_ns) for p in path.rglob("*.parquet")
     )
     assert files_same == files_before, "unchanged code must not restage"
 

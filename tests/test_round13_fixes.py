@@ -22,6 +22,7 @@ from breweries_data_engineering_case_spark.sources import writers
 from breweries_data_engineering_case_spark.sources.readers import source_fingerprint
 from breweries_data_engineering_case_spark.sources.writers import (
     reap_stale_stage_siblings,
+    stage_bucketed_table,
 )
 
 REPO = Path(__file__).resolve().parent.parent
@@ -158,6 +159,115 @@ def test_source_fingerprint_other_oserrors_propagate(tmp_path):
 # ---------------------------------------------------------------------------
 # fingerprint conf lock (ADVICE r12)
 # ---------------------------------------------------------------------------
+
+
+def test_plan_fingerprint_ignores_lambda_counter(spark):
+    """Higher-order-function lambda variables embed a SESSION-GLOBAL
+    counter in their NAME ("lambda x_2" in a fresh session, "lambda x_79"
+    after other lambda columns were built) that the #-id strip does not
+    touch. Found live in round 13: two pytest shards computed different
+    fingerprints for the IDENTICAL cascade builder and ping-pong-restaged
+    each other's staged files out from under an active scan. Building
+    other lambda columns between two constructions must not change the
+    fingerprint."""
+    from pyspark.sql import functions as F
+
+    def frame():
+        return spark.range(8).select(
+            F.col("id").alias("d"),
+            F.aggregate(
+                F.sequence(F.lit(1), F.lit(4)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x * 2,
+            ).alias("s"),
+            F.transform(F.sequence(F.lit(1), F.lit(3)), lambda v: v + 1).alias(
+                "t"
+            ),
+        )
+
+    fp1 = writers._plan_fingerprint(frame())
+    # advance the session-global lambda-variable counter the way any other
+    # query in the same session would
+    for _ in range(5):
+        spark.range(2).select(
+            F.transform(F.sequence(F.lit(1), F.lit(2)), lambda v: v * 3)
+        ).collect()
+    fp2 = writers._plan_fingerprint(frame())
+    assert fp1 == fp2
+    # and a REAL semantic change still moves it
+    fp3 = writers._plan_fingerprint(
+        frame().withColumn("s", F.col("s") + 1)
+    )
+    assert fp3 != fp1
+
+
+def test_restage_is_non_destructive(spark, tmp_path):
+    """A builder-code change publishes a NEW generation NEXT TO the old one
+    — it never deletes the files a live reader (this session's earlier
+    registration, or another process) may still be scanning. The old
+    generation ages out via the grace-window reap instead."""
+    from pyspark.sql import functions as F
+
+    name = "bdec_t13_mvcc"
+    path = tmp_path / "staged"
+
+    def v1():
+        return spark.range(50).select(
+            F.col("id").alias("d"), (F.col("id") % 7).alias("p")
+        )
+
+    def v2():
+        return spark.range(50).select(
+            F.col("id").alias("d"), (F.col("id") % 5).alias("p")
+        )
+
+    t1 = stage_bucketed_table(
+        spark, name, ["d"], num_buckets=4, path=str(path), builder=v1
+    )
+    gen1 = [d for d in path.glob("gen-*") if d.is_dir()]
+    assert len(gen1) == 1
+    files1 = sorted(
+        (p.name, p.stat().st_mtime_ns) for p in gen1[0].rglob("*.parquet")
+    )
+    # v2 (code change) restages — old generation must survive intact
+    t2 = stage_bucketed_table(
+        spark, name, ["d"], num_buckets=4, path=str(path), builder=v2
+    )
+    gens = sorted(d.name for d in path.glob("gen-*") if d.is_dir())
+    assert len(gens) == 2, "restage must publish a NEW generation"
+    assert (
+        sorted((p.name, p.stat().st_mtime_ns) for p in gen1[0].rglob("*.parquet"))
+        == files1
+    ), "old generation's files were touched by the restage"
+    assert t2.filter(F.col("p") >= 5).count() == 0  # serving v2
+    # flipping back to v1 re-adopts the surviving old generation: zero
+    # writes, exact same part files (the cross-process A/B ping-pong case)
+    t1b = stage_bucketed_table(
+        spark, name, ["d"], num_buckets=4, path=str(path), builder=v1
+    )
+    assert (
+        sorted((p.name, p.stat().st_mtime_ns) for p in gen1[0].rglob("*.parquet"))
+        == files1
+    )
+    assert t1b.filter(F.col("p") >= 5).count() > 0  # serving v1 again
+    # aged-out generations are reaped on a later publish: age gen1 past the
+    # lease, trigger a publish-path call (v2 again after dropping its entry)
+    import os as _os
+    import time as _time
+
+    spark.sql(f"DROP TABLE `{name}`")
+    old = _time.time() - 86400
+    _os.utime(gen1[0], (old, old))
+    # v2's gen dir still exists → adoption path; reap only runs on publish,
+    # so call reap directly the way the publish path does
+    from breweries_data_engineering_case_spark.sources.writers import (
+        reap_stale_stage_siblings,
+    )
+
+    gen2 = [d.name for d in path.glob("gen-*") if d.name != gen1[0].name]
+    reaped = reap_stale_stage_siblings(path, "gen-", gen2[0])
+    assert reaped == [gen1[0].name] and not gen1[0].exists()
+    spark.sql(f"DROP TABLE IF EXISTS `{name}`")
 
 
 def test_plan_fingerprint_threadsafe(spark):
