@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 import tempfile
 from collections.abc import Callable
 from pathlib import Path
@@ -40,7 +41,11 @@ from ..operators.similarity import (
     semantic_dedup,
 )
 from ..sources.readers import json_array_scan, source_fingerprint, spread, table_scan
-from ..sources.writers import idempotent_date_overwrite, write_partitioned_parquet
+from ..sources.writers import (
+    idempotent_date_overwrite,
+    staged_once,
+    write_partitioned_parquet,
+)
 from .silver import clean_breweries
 
 from .qshared import (
@@ -3736,10 +3741,11 @@ def q_streaming_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     staging = Path(tempfile.gettempdir()) / "bdec_stream_docs" / key
-    if not (staging / "_SUCCESS").exists():
-        table_scan(spark, sf_dir, "documents").select(
-            "doc_id", "text"
-        ).coalesce(1).write.mode("overwrite").parquet(str(staging))
+    with staged_once(staging / "_SUCCESS") as _need:
+        if _need:
+            table_scan(spark, sf_dir, "documents").select(
+                "doc_id", "text"
+            ).coalesce(1).write.mode("overwrite").parquet(str(staging))
 
     schema = StructType(
         [StructField("doc_id", LongType()), StructField("text", StringType())]
@@ -3885,15 +3891,16 @@ def q_doc_neardup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> Data
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     state_dir = Path(tempfile.gettempdir()) / "bdec_incr_neardup" / key
     d = table_scan(spark, sf_dir, "documents").select("doc_id", "text")
-    if not (state_dir / "state" / "_SUCCESS").exists():
-        snap0 = spread(d).filter(F.col("doc_id") % 3 != 0)
-        (
-            minhash_band_exprs(snap0, num_hashes=16, bands=4)
-            .groupBy("band_idx", "band_hash")
-            .agg(F.min("doc_id").alias("canon"))
-            .write.mode("overwrite")
-            .parquet(str(state_dir / "state"))
-        )
+    with staged_once(state_dir / "state" / "_SUCCESS") as _need:
+        if _need:
+            snap0 = spread(d).filter(F.col("doc_id") % 3 != 0)
+            (
+                minhash_band_exprs(snap0, num_hashes=16, bands=4)
+                .groupBy("band_idx", "band_hash")
+                .agg(F.min("doc_id").alias("canon"))
+                .write.mode("overwrite")
+                .parquet(str(state_dir / "state"))
+            )
     state = spark.read.parquet(str(state_dir / "state"))
 
     delta_bands = minhash_band_exprs(
@@ -3927,7 +3934,14 @@ def q_doc_neardup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> Data
         .groupBy("band_idx", "band_hash")
         .agg(F.min("canon").alias("canon"))
     )
-    merged.write.mode("overwrite").parquet(str(state_dir / "state_next"))
+    # serialized under the staging flock: the publish target is shared per
+    # corpus key, and two co-running processes' overwrites would delete
+    # each other's in-flight _temporary dirs (round 13); the data is
+    # deterministic, so last-writer-wins is safe once serialized
+    from ..sources.writers import stage_lock
+
+    with stage_lock(state_dir / "state_next"):
+        merged.write.mode("overwrite").parquet(str(state_dir / "state_next"))
     return (
         hits.groupBy("doc_id")
         .agg(
@@ -4075,23 +4089,33 @@ def q_streaming_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFra
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     base = Path(tempfile.gettempdir()) / "bdec_stream_incr" / key
     src = base / "src"
-    if not (src / "_STAGED").exists():
-        shutil.rmtree(base, ignore_errors=True)
-        d = table_scan(spark, sf_dir, "documents").select("doc_id", "text")
-        d.filter(F.col("doc_id") % 3 != 0).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(str(src / "b1.parquet"))
-        _time.sleep(1.2)  # strict mtime order => deterministic batch order
-        d.filter(F.col("doc_id") % 3 == 0).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(str(src / "b2.parquet"))
-        (src / "_STAGED").touch()
-    # fresh state/out per run: the stream replays both batches each time
-    shutil.rmtree(base / "state", ignore_errors=True)
-    shutil.rmtree(base / "state_prev", ignore_errors=True)
-    shutil.rmtree(base / "out", ignore_errors=True)
-    shutil.rmtree(base / "ckpt", ignore_errors=True)
-    (base / "state_initialized").unlink(missing_ok=True)
+    with staged_once(src / "_STAGED") as _need:
+        if _need:
+            shutil.rmtree(base, ignore_errors=True)
+            d = table_scan(spark, sf_dir, "documents").select("doc_id", "text")
+            d.filter(F.col("doc_id") % 3 != 0).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(src / "b1.parquet"))
+            _time.sleep(1.2)  # strict mtime order => deterministic batch order
+            d.filter(F.col("doc_id") % 3 == 0).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(src / "b2.parquet"))
+            (src / "_STAGED").touch()
+    # fresh state/out per run, in a PROCESS-UNIQUE workspace: the stream
+    # replays both batches each time, and a shared mutable state/out/ckpt
+    # would let two co-running processes rmtree each other's in-flight
+    # state (round 13; the src staging above stays shared — it is
+    # immutable once _STAGED lands). Old workspaces (dead pids) age out
+    # via the grace-window reap.
+    from ..sources.writers import reap_stale_stage_siblings
+
+    work = base / f"run-{os.getpid()}"
+    reap_stale_stage_siblings(base, "run-", work.name)
+    shutil.rmtree(work / "state", ignore_errors=True)
+    shutil.rmtree(work / "state_prev", ignore_errors=True)
+    shutil.rmtree(work / "out", ignore_errors=True)
+    shutil.rmtree(work / "ckpt", ignore_errors=True)
+    (work / "state_initialized").unlink(missing_ok=True)
 
     parallelism = spark.sparkContext.defaultParallelism
     big = 0x7FFFFFFFFFFFFFFF
@@ -4100,7 +4124,7 @@ def q_streaming_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFra
         bands = minhash_band_exprs(
             batch_df.repartition(parallelism), num_hashes=16, bands=4
         ).persist()
-        readable = recover_incremental_state(base)
+        readable = recover_incremental_state(work)
         if readable is not None:
             state = spark.read.parquet(str(readable))
         else:
@@ -4124,7 +4148,7 @@ def q_streaming_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFra
                 ).alias("cand"),
             )
         )
-        hits.write.mode("append").parquet(str(base / "out"))
+        hits.write.mode("append").parquet(str(work / "out"))
         merged = (
             state.unionByName(
                 bands.select("band_idx", "band_hash", F.col("doc_id").alias("canon"))
@@ -4135,9 +4159,9 @@ def q_streaming_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFra
         # write-new-then-swap with an aside copy: a crash at any point
         # leaves either `state` or `state_prev` valid (never neither) —
         # see publish_incremental_state / recover_incremental_state.
-        new_dir = base / f"state_e{epoch_id}"
+        new_dir = work / f"state_e{epoch_id}"
         merged.write.mode("overwrite").parquet(str(new_dir))
-        publish_incremental_state(base, new_dir)
+        publish_incremental_state(work, new_dir)
         bands.unpersist()
 
     schema = StructType(
@@ -4148,13 +4172,13 @@ def q_streaming_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFra
         .option("maxFilesPerTrigger", 1)
         .parquet(str(src) + "/*.parquet")
         .writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", str(base / "ckpt"))
+        .option("checkpointLocation", str(work / "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     return (
-        spark.read.parquet(str(base / "out"))
+        spark.read.parquet(str(work / "out"))
         .groupBy("doc_id")
         .agg(
             F.min("cand").alias("dup_candidate_of"),

@@ -40,7 +40,11 @@ from ..operators.similarity import (
     semantic_dedup,
 )
 from ..sources.readers import json_array_scan, table_scan
-from ..sources.writers import idempotent_date_overwrite, write_partitioned_parquet
+from ..sources.writers import (
+    idempotent_date_overwrite,
+    staged_once,
+    write_partitioned_parquet,
+)
 from .silver import clean_breweries
 
 from .qshared import (
@@ -250,10 +254,11 @@ def q_streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     µs-timestamp parquet (streaming scans reject the raw ns files)."""
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     staging = Path(tempfile.gettempdir()) / "bdec_stream_events" / key
-    if not (staging / "_SUCCESS").exists():
-        table_scan(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(
-            str(staging)
-        )
+    with staged_once(staging / "_SUCCESS") as _need:
+        if _need:
+            table_scan(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(
+                str(staging)
+            )
     from ..streaming.events import stream_events
 
     stream = stream_events(spark, str(staging))
@@ -313,10 +318,11 @@ def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     GC'd — same aggregation, different output trigger."""
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     staging = Path(tempfile.gettempdir()) / "bdec_stream_events" / key
-    if not (staging / "_SUCCESS").exists():
-        table_scan(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(
-            str(staging)
-        )
+    with staged_once(staging / "_SUCCESS") as _need:
+        if _need:
+            table_scan(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(
+                str(staging)
+            )
     from ..streaming.events import stream_events
 
     stream = stream_events(spark, str(staging))
@@ -380,14 +386,15 @@ def q_streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     the surviving row is well-defined and the batch oracle is DISTINCT."""
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     staging = Path(tempfile.gettempdir()) / "bdec_stream_dedup" / key
-    if not (staging / "_DONE").exists():
-        ev = table_scan(spark, sf_dir, "events")
-        ev.repartition(4).write.mode("overwrite").parquet(str(staging))
-        # plant exact duplicates: every 100th event re-delivered
-        ev.filter(F.col("event_id") % 100 == 0).write.mode("append").parquet(
-            str(staging)
-        )
-        (staging / "_DONE").touch()
+    with staged_once(staging / "_DONE") as _need:
+        if _need:
+            ev = table_scan(spark, sf_dir, "events")
+            ev.repartition(4).write.mode("overwrite").parquet(str(staging))
+            # plant exact duplicates: every 100th event re-delivered
+            ev.filter(F.col("event_id") % 100 == 0).write.mode("append").parquet(
+                str(staging)
+            )
+            (staging / "_DONE").touch()
     from ..streaming.events import stream_events, streaming_dedup
 
     stream = stream_events(spark, str(staging))
@@ -499,10 +506,11 @@ def q_streaming_stateful_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
     five orders below the rounding step, so the round is stable)."""
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     staging = Path(tempfile.gettempdir()) / "bdec_stream_events" / key
-    if not (staging / "_SUCCESS").exists():
-        table_scan(spark, sf_dir, "events").repartition(4).write.mode(
-            "overwrite"
-        ).parquet(str(staging))
+    with staged_once(staging / "_SUCCESS") as _need:
+        if _need:
+            table_scan(spark, sf_dir, "events").repartition(4).write.mode(
+                "overwrite"
+            ).parquet(str(staging))
     from ..streaming.events import stream_events
     from ..streaming.stateful import user_activity_tracker
 
@@ -550,10 +558,11 @@ def q_streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFram
     oracle (ids only in the output — never raw ns timestamps)."""
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     staging = Path(tempfile.gettempdir()) / "bdec_stream_events" / key
-    if not (staging / "_SUCCESS").exists():
-        table_scan(spark, sf_dir, "events").repartition(4).write.mode(
-            "overwrite"
-        ).parquet(str(staging))
+    with staged_once(staging / "_SUCCESS") as _need:
+        if _need:
+            table_scan(spark, sf_dir, "events").repartition(4).write.mode(
+                "overwrite"
+            ).parquet(str(staging))
     from ..streaming.events import stream_events
 
     purchases = (
@@ -1247,10 +1256,11 @@ def q_streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFr
     pytest."""
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     staging = Path(tempfile.gettempdir()) / "bdec_stream_events" / key
-    if not (staging / "_SUCCESS").exists():
-        table_scan(spark, sf_dir, "events").repartition(4).write.mode(
-            "overwrite"
-        ).parquet(str(staging))
+    with staged_once(staging / "_SUCCESS") as _need:
+        if _need:
+            table_scan(spark, sf_dir, "events").repartition(4).write.mode(
+                "overwrite"
+            ).parquet(str(staging))
     from ..streaming.events import stream_events
     from ..streaming.stateful import (
         tws_available,
@@ -1568,10 +1578,11 @@ def q_streaming_foreachbatch_rollup(spark: SparkSession, sf_dir: str) -> DataFra
     both and only process new files."""
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     staging = Path(tempfile.gettempdir()) / "bdec_stream_events" / key
-    if not (staging / "_SUCCESS").exists():
-        table_scan(spark, sf_dir, "events").repartition(4).write.mode(
-            "overwrite"
-        ).parquet(str(staging))
+    with staged_once(staging / "_SUCCESS") as _need:
+        if _need:
+            table_scan(spark, sf_dir, "events").repartition(4).write.mode(
+                "overwrite"
+            ).parquet(str(staging))
     from ..streaming.events import EVENTS_STREAM_SCHEMA, maintain_rollup_foreach_batch
 
     run_dir = Path(tempfile.mkdtemp(prefix="bdec_fbr_"))
@@ -1641,10 +1652,11 @@ def q_streaming_file_sink_exactly_once(spark: SparkSession, sf_dir: str) -> Data
     proves the sink wrote every row exactly once."""
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     staging = Path(tempfile.gettempdir()) / "bdec_stream_events" / key
-    if not (staging / "_SUCCESS").exists():
-        table_scan(spark, sf_dir, "events").repartition(4).write.mode(
-            "overwrite"
-        ).parquet(str(staging))
+    with staged_once(staging / "_SUCCESS") as _need:
+        if _need:
+            table_scan(spark, sf_dir, "events").repartition(4).write.mode(
+                "overwrite"
+            ).parquet(str(staging))
     from ..streaming.events import EVENTS_STREAM_SCHEMA
 
     run_dir = Path(tempfile.gettempdir()) / "bdec_filesink" / key
@@ -1657,14 +1669,22 @@ def q_streaming_file_sink_exactly_once(spark: SparkSession, sf_dir: str) -> Data
     cleaned = stream.select(
         "event_id", "event_type", F.to_date("ts").alias("day")
     )
-    q = (
-        cleaned.writeStream.format("parquet")
-        .option("path", str(sink))
-        .option("checkpointLocation", str(ckpt))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from ..sources.writers import stage_lock
+
+    # sink+checkpoint are deliberately PERSISTENT per sf_dir (the restart /
+    # exactly-once semantics under test), so two processes co-running this
+    # query share them: serialize the run under the staging flock — the
+    # loser restarts over the winner's committed checkpoint, availableNow
+    # finds no new input, and the sink is unchanged (round 13)
+    with stage_lock(sink):
+        q = (
+            cleaned.writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.read.parquet(str(sink))
         .groupBy("event_type", "day")
@@ -2013,40 +2033,41 @@ def q_streaming_stream_stream_left_outer(
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     run_dir = Path(tempfile.gettempdir()) / "bdec_ss_lo_v3" / key
     in_dir = run_dir / "in"
-    if not (run_dir / "staged.done").exists():
-        # ONE file => ALL real data lands in micro-batch 0, before any
-        # watermark has advanced: with per-file batches and out-of-order
-        # staging, later real files would arrive below the sentinel-raised
-        # watermark and be dropped as late (measured: 1016 of 1981 rows).
-        # Replaying history through a file stream is harness staging; a
-        # production stream ingests in arrival order and never re-batches
-        # its own past.
-        table_scan(spark, sf_dir, "events").repartition(1).write.mode(
-            "overwrite"
-        ).parquet(str(in_dir))
-        import time as _time
+    with staged_once(run_dir / "staged.done") as _need:
+        if _need:
+            # ONE file => ALL real data lands in micro-batch 0, before any
+            # watermark has advanced: with per-file batches and out-of-order
+            # staging, later real files would arrive below the sentinel-raised
+            # watermark and be dropped as late (measured: 1016 of 1981 rows).
+            # Replaying history through a file stream is harness staging; a
+            # production stream ingests in arrival order and never re-batches
+            # its own past.
+            table_scan(spark, sf_dir, "events").repartition(1).write.mode(
+                "overwrite"
+            ).parquet(str(in_dir))
+            import time as _time
 
-        for tick, stamp in (
-            (1, "2024-02-15 12:00:00"),
-            (2, "2024-03-15 12:00:00"),
-        ):
-            _time.sleep(1.2)  # strictly increasing mtimes order the batches
-            spark.createDataFrame(
-                [
-                    (-tick, stamp, -1, "purchase", 0.0, "{}"),
-                    (-100 - tick, stamp, -2, "click", 0.0, "{}"),
-                ],
-                "event_id long, ts_s string, user_id long, event_type string,"
-                " value double, props string",
-            ).select(
-                "event_id",
-                F.col("ts_s").cast("timestamp").alias("ts"),
-                "user_id",
-                "event_type",
-                "value",
-                "props",
-            ).repartition(1).write.mode("append").parquet(str(in_dir))
-        (run_dir / "staged.done").touch()
+            for tick, stamp in (
+                (1, "2024-02-15 12:00:00"),
+                (2, "2024-03-15 12:00:00"),
+            ):
+                _time.sleep(1.2)  # strictly increasing mtimes order the batches
+                spark.createDataFrame(
+                    [
+                        (-tick, stamp, -1, "purchase", 0.0, "{}"),
+                        (-100 - tick, stamp, -2, "click", 0.0, "{}"),
+                    ],
+                    "event_id long, ts_s string, user_id long, event_type string,"
+                    " value double, props string",
+                ).select(
+                    "event_id",
+                    F.col("ts_s").cast("timestamp").alias("ts"),
+                    "user_id",
+                    "event_type",
+                    "value",
+                    "props",
+                ).repartition(1).write.mode("append").parquet(str(in_dir))
+            (run_dir / "staged.done").touch()
     stream = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", 1)

@@ -40,7 +40,11 @@ from ..operators.similarity import (
     semantic_dedup,
 )
 from ..sources.readers import json_array_scan, table_scan
-from ..sources.writers import idempotent_date_overwrite, write_partitioned_parquet
+from ..sources.writers import (
+    idempotent_date_overwrite,
+    staged_once,
+    write_partitioned_parquet,
+)
 from .silver import clean_breweries
 
 from .qshared import (
@@ -183,8 +187,9 @@ def q_multimodal_real_codec_extract(spark: SparkSession, sf_dir: str) -> DataFra
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     staging = Path(tempfile.gettempdir()) / "bdec_real_assets" / key
-    if not (staging / "_SUCCESS").exists():
-        synthetic_real_assets(spark, n=64).write.mode("overwrite").parquet(str(staging))
+    with staged_once(staging / "_SUCCESS") as _need:
+        if _need:
+            synthetic_real_assets(spark, n=64).write.mode("overwrite").parquet(str(staging))
     assets = spark.read.parquet(str(staging))
     return extract_features(assets, require_real_codec=True).orderBy("asset_id")
 

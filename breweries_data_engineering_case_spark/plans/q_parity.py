@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 import tempfile
 from collections.abc import Callable
 from pathlib import Path
@@ -40,7 +41,11 @@ from ..operators.similarity import (
     semantic_dedup,
 )
 from ..sources.readers import json_array_scan, table_scan
-from ..sources.writers import idempotent_date_overwrite, write_partitioned_parquet
+from ..sources.writers import (
+    idempotent_date_overwrite,
+    staged_once,
+    write_partitioned_parquet,
+)
 from .silver import clean_breweries
 
 from .qshared import (
@@ -70,11 +75,19 @@ def q_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     out = Path(tempfile.gettempdir()) / "bdec_json_scan" / key
     target = out / "nation.json"
-    if not target.exists():
-        rows = [r.asDict() for r in table_scan(spark, sf_dir, "nation").collect()]
-        rows.sort(key=lambda r: r["n_nationkey"])
-        out.mkdir(parents=True, exist_ok=True)
-        target.write_text(json.dumps(rows))
+    with staged_once(target) as _need:
+        if _need:
+            rows = [
+                r.asDict() for r in table_scan(spark, sf_dir, "nation").collect()
+            ]
+            rows.sort(key=lambda r: r["n_nationkey"])
+            out.mkdir(parents=True, exist_ok=True)
+            # single FILE target: the marker IS the payload, so it must
+            # appear atomically — a plain write_text streams content into a
+            # visible file and an unlocked reader could scan it half-written
+            tmp = target.with_name(target.name + f".tmp-{os.getpid()}")
+            tmp.write_text(json.dumps(rows))
+            os.replace(tmp, target)
     schema = StructType(
         [
             StructField("n_nationkey", IntegerType()),
@@ -1126,7 +1139,15 @@ def q_rest_paginated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (pages[page - 1] if page <= len(pages) else []), None
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    bronze = Path(tempfile.gettempdir()) / "bdec_rest_ingest" / key
+    # per-PROCESS bronze dir: the ingest rmtree+rewrites on every run, and
+    # a shared path would let two co-running processes delete each other's
+    # page files under the returned frame's lazy glob scan (round 13);
+    # dead pids' dirs age out via the grace reap
+    from ..sources.writers import reap_stale_stage_siblings
+
+    root = Path(tempfile.gettempdir()) / "bdec_rest_ingest" / key
+    bronze = root / f"run-{os.getpid()}"
+    reap_stale_stage_siblings(root, "run-", bronze.name)
     shutil.rmtree(bronze, ignore_errors=True)
     ingest_to_bronze(fetch, str(bronze), "2024-06-01", per_page=per_page)
     raw = json_array_scan(
@@ -1512,10 +1533,11 @@ def q_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle can check the round-trip against the parquet original."""
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     staging = Path(tempfile.gettempdir()) / "bdec_csv_nation" / key
-    if not (staging / "_SUCCESS").exists():
-        table_scan(spark, sf_dir, "nation").select(
-            "n_nationkey", "n_name", "n_regionkey"
-        ).write.mode("overwrite").option("header", True).csv(str(staging))
+    with staged_once(staging / "_SUCCESS") as _need:
+        if _need:
+            table_scan(spark, sf_dir, "nation").select(
+                "n_nationkey", "n_name", "n_regionkey"
+            ).write.mode("overwrite").option("header", True).csv(str(staging))
     return (
         spark.read.schema("n_nationkey bigint, n_name string, n_regionkey bigint")
         .option("header", True)
@@ -1583,14 +1605,15 @@ def q_sorted_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     I/O. File-range disjointness is asserted in tests/test_scale_mechanics.py."""
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     staging = Path(tempfile.gettempdir()) / "bdec_sorted_lineitem" / key
-    if not (staging / "_SUCCESS").exists():
-        (
-            table_scan(spark, sf_dir, "lineitem")
-            .repartitionByRange(8, "l_shipdate")
-            .sortWithinPartitions("l_shipdate")
-            .write.mode("overwrite")
-            .parquet(str(staging))
-        )
+    with staged_once(staging / "_SUCCESS") as _need:
+        if _need:
+            (
+                table_scan(spark, sf_dir, "lineitem")
+                .repartitionByRange(8, "l_shipdate")
+                .sortWithinPartitions("l_shipdate")
+                .write.mode("overwrite")
+                .parquet(str(staging))
+            )
     li = spark.read.parquet(str(staging))
     return li.filter(
         (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp_ntz"))
@@ -1705,37 +1728,38 @@ def q_bucketed_join_zero_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sources/writers.py:write_bucketed_table). The only exchange left is the
     final small aggregation's. Asserted in tests/test_plan_invariants.py;
     the oracle joins the unbucketed originals."""
-    from ..sources.writers import write_bucketed_table
+    from ..sources.writers import stage_bucketed_table
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     ot, lt = f"bdec_orders_b_{key}", f"bdec_lineitem_b_{key}"
-    # external-table locations under tmp: catalog entries are per-session,
-    # so a fresh session must be able to re-create over the leftover dir
+    # manifest-backed generation staging (round 13): a plain tableExists
+    # gate is per-session, so a fresh process used to REWRITE the bucketed
+    # files — and two processes co-running this query would rmtree each
+    # other's in-flight write. stage_bucketed_table gives cross-process
+    # adoption of the published generation plus the publish flock.
     base = Path(tempfile.gettempdir()) / "bdec_bucketed" / key
-    if not spark.catalog.tableExists(ot):
-        write_bucketed_table(
-            table_scan(spark, sf_dir, "orders").select(
-                "o_orderkey", "o_orderstatus"
-            ),
-            ot,
-            ["o_orderkey"],
-            num_buckets=16,
-            sort_cols=["o_orderkey"],
-            path=str(base / "orders"),
-        )
-    if not spark.catalog.tableExists(lt):
-        write_bucketed_table(
-            table_scan(spark, sf_dir, "lineitem").select(
-                "l_orderkey", "l_extendedprice"
-            ),
-            lt,
-            ["l_orderkey"],
-            num_buckets=16,
-            sort_cols=["l_orderkey"],
-            path=str(base / "lineitem"),
-        )
-    o = spark.table(ot)
-    li = spark.table(lt)
+    o = stage_bucketed_table(
+        spark,
+        ot,
+        ["o_orderkey"],
+        num_buckets=16,
+        sort_cols=["o_orderkey"],
+        path=str(base / "orders"),
+        builder=lambda: table_scan(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus"
+        ),
+    )
+    li = stage_bucketed_table(
+        spark,
+        lt,
+        ["l_orderkey"],
+        num_buckets=16,
+        sort_cols=["l_orderkey"],
+        path=str(base / "lineitem"),
+        builder=lambda: table_scan(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        ),
+    )
     return (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .groupBy("o_orderstatus")
@@ -1902,10 +1926,11 @@ def q_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle checks against the parquet original."""
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     staging = Path(tempfile.gettempdir()) / "bdec_orc_nation" / key
-    if not (staging / "_SUCCESS").exists():
-        table_scan(spark, sf_dir, "nation").select(
-            "n_nationkey", "n_name", "n_regionkey"
-        ).write.mode("overwrite").orc(str(staging))
+    with staged_once(staging / "_SUCCESS") as _need:
+        if _need:
+            table_scan(spark, sf_dir, "nation").select(
+                "n_nationkey", "n_name", "n_regionkey"
+            ).write.mode("overwrite").orc(str(staging))
     return spark.read.orc(str(staging))
 
 
@@ -1928,25 +1953,26 @@ def q_zorder_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     unsorted original."""
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     staging = Path(tempfile.gettempdir()) / "bdec_zorder_lineitem" / key
-    if not (staging / "_SUCCESS").exists():
-        li = table_scan(spark, sf_dir, "lineitem")
-        a = F.pmod(F.col("l_orderkey"), F.lit(256))
-        b = F.pmod(F.col("l_partkey"), F.lit(256))
-        z = F.lit(0).cast("long")
-        for i in range(8):
-            z = (
-                z
-                + (F.shiftright(a, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i)))
-                + (F.shiftright(b, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1)))
+    with staged_once(staging / "_SUCCESS") as _need:
+        if _need:
+            li = table_scan(spark, sf_dir, "lineitem")
+            a = F.pmod(F.col("l_orderkey"), F.lit(256))
+            b = F.pmod(F.col("l_partkey"), F.lit(256))
+            z = F.lit(0).cast("long")
+            for i in range(8):
+                z = (
+                    z
+                    + (F.shiftright(a, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i)))
+                    + (F.shiftright(b, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1)))
+                )
+            (
+                li.withColumn("__z", z)
+                .repartitionByRange(8, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+                .write.mode("overwrite")
+                .parquet(str(staging))
             )
-        (
-            li.withColumn("__z", z)
-            .repartitionByRange(8, "__z")
-            .sortWithinPartitions("__z")
-            .drop("__z")
-            .write.mode("overwrite")
-            .parquet(str(staging))
-        )
     li = spark.read.parquet(str(staging))
     return li.filter(
         (F.pmod(F.col("l_partkey"), F.lit(256)) < 16)
@@ -2219,14 +2245,15 @@ def q_binary_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     staging = Path(tempfile.gettempdir()) / "bdec_binary_files" / key
-    if not (staging / ".done").exists():
-        staging.mkdir(parents=True, exist_ok=True)
-        for i in range(5):
-            body = (
-                f"blob-{i}:" + _hl.md5(f"seed:{i}".encode()).hexdigest()
-            ) * (i + 1)
-            (staging / f"blob-{i}.bin").write_bytes(body.encode())
-        (staging / ".done").write_text("ok")
+    with staged_once(staging / ".done") as _need:
+        if _need:
+            staging.mkdir(parents=True, exist_ok=True)
+            for i in range(5):
+                body = (
+                    f"blob-{i}:" + _hl.md5(f"seed:{i}".encode()).hexdigest()
+                ) * (i + 1)
+                (staging / f"blob-{i}.bin").write_bytes(body.encode())
+            (staging / ".done").write_text("ok")
     raw = spark.read.format("binaryFile").load(str(staging / "*.bin"))
     return (
         raw.select(
@@ -2399,10 +2426,11 @@ def q_parquet_meta_partition_audit(spark: SparkSession, sf_dir: str) -> DataFram
     the scan itself."""
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     staging = Path(tempfile.gettempdir()) / "bdec_meta_nation" / key
-    if not (staging / "_SUCCESS").exists():
-        table_scan(spark, sf_dir, "nation").write.mode("overwrite").partitionBy(
-            "n_regionkey"
-        ).parquet(str(staging))
+    with staged_once(staging / "_SUCCESS") as _need:
+        if _need:
+            table_scan(spark, sf_dir, "nation").write.mode("overwrite").partitionBy(
+                "n_regionkey"
+            ).parquet(str(staging))
     df = spark.read.parquet(str(staging))
     meta = df.select(
         F.col("n_regionkey").cast("long").alias("rk_col"),
@@ -2427,12 +2455,13 @@ def q_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip against the parquet original."""
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     staging = Path(tempfile.gettempdir()) / "bdec_xml_nation" / key
-    if not (staging / "_SUCCESS").exists():
-        table_scan(spark, sf_dir, "nation").select(
-            "n_nationkey", "n_name", "n_regionkey"
-        ).write.mode("overwrite").format("xml").option("rowTag", "nation").save(
-            str(staging)
-        )
+    with staged_once(staging / "_SUCCESS") as _need:
+        if _need:
+            table_scan(spark, sf_dir, "nation").select(
+                "n_nationkey", "n_name", "n_regionkey"
+            ).write.mode("overwrite").format("xml").option("rowTag", "nation").save(
+                str(staging)
+            )
     return (
         spark.read.format("xml")
         .option("rowTag", "nation")
@@ -2464,18 +2493,19 @@ def q_json_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python pass."""
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     staging = Path(tempfile.gettempdir()) / "bdec_json_corrupt" / key
-    if not (staging / "_SUCCESS").exists():
-        ev = table_scan(spark, sf_dir, "events").select(
-            "event_id", "user_id", "event_type"
-        )
-        line = F.to_json(F.struct("event_id", "user_id", "event_type"))
-        ev.select(
-            F.when(
-                F.col("event_id") % 97 == 0, F.concat(F.lit("{corrupt!"), line)
+    with staged_once(staging / "_SUCCESS") as _need:
+        if _need:
+            ev = table_scan(spark, sf_dir, "events").select(
+                "event_id", "user_id", "event_type"
             )
-            .otherwise(line)
-            .alias("value")
-        ).write.mode("overwrite").text(str(staging))
+            line = F.to_json(F.struct("event_id", "user_id", "event_type"))
+            ev.select(
+                F.when(
+                    F.col("event_id") % 97 == 0, F.concat(F.lit("{corrupt!"), line)
+                )
+                .otherwise(line)
+                .alias("value")
+            ).write.mode("overwrite").text(str(staging))
     df = (
         spark.read.schema(
             "event_id long, user_id long, event_type string, _corrupt string"
@@ -2515,12 +2545,13 @@ def q_dpp_partitioned_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     than the fact), as in a real date-dimension join."""
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     staging = Path(tempfile.gettempdir()) / "bdec_dpp_orders" / key
-    if not (staging / "_SUCCESS").exists():
-        table_scan(spark, sf_dir, "orders").select(
-            "o_orderkey",
-            "o_totalprice",
-            F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
-        ).write.mode("overwrite").partitionBy("o_month").parquet(str(staging))
+    with staged_once(staging / "_SUCCESS") as _need:
+        if _need:
+            table_scan(spark, sf_dir, "orders").select(
+                "o_orderkey",
+                "o_totalprice",
+                F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+            ).write.mode("overwrite").partitionBy("o_month").parquet(str(staging))
     fact = spark.read.parquet(str(staging))
     dim = (
         table_scan(spark, sf_dir, "orders")
@@ -2803,12 +2834,13 @@ def q_parquet_sized_files_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin determinism.)"""
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     staging = Path(tempfile.gettempdir()) / "bdec_sized_orders" / key
-    if not (staging / "_SUCCESS").exists():
-        table_scan(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_totalprice"
-        ).repartition(1).sortWithinPartitions("o_orderkey").write.mode(
-            "overwrite"
-        ).option("maxRecordsPerFile", 5000).parquet(str(staging))
+    with staged_once(staging / "_SUCCESS") as _need:
+        if _need:
+            table_scan(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_totalprice"
+            ).repartition(1).sortWithinPartitions("o_orderkey").write.mode(
+                "overwrite"
+            ).option("maxRecordsPerFile", 5000).parquet(str(staging))
     per_file = (
         spark.read.parquet(str(staging))
         .groupBy(F.col("_metadata.file_name").alias("f"))

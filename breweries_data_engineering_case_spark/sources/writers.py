@@ -601,6 +601,47 @@ def stage_bucketed_table(
     return _register()
 
 
+def stage_lock(target):
+    """Public handle on the per-path inter-process staging flock, for call
+    sites whose critical section is a whole RUN over shared mutable state
+    (e.g. a Structured Streaming restart over a persistent
+    checkpoint+sink pair, where two concurrent first-runs would interleave
+    commits) rather than a marker-gated write-once block."""
+    return _publish_lock(Path(target))
+
+
+@contextlib.contextmanager
+def staged_once(marker_path):
+    """Cross-process guard for marker-gated write-once staging dirs.
+
+    The registry is full of ``if not (staging / "_SUCCESS").exists():
+    <derive + write>`` blocks keyed by corpus content — correct
+    single-process, but two processes hitting the check together BOTH
+    write, and Spark's ``mode("overwrite")`` starts by deleting the target
+    dir, taking the sibling writer's in-flight ``_temporary`` with it (the
+    same family as the round-13 bucketed-staging race; reachable whenever
+    two pytest shards or a bench and a test co-run the same query).
+
+    Usage::
+
+        with staged_once(staging / "_SUCCESS") as need:
+            if need:
+                ...derive and write; the marker lands LAST...
+
+    Yields True when THIS process must build (checked again under the
+    per-dir publish flock, so exactly one concurrent builder runs and the
+    rest block until the marker exists), False when the staged data is
+    already published. The marker must be the LAST effect of the build
+    (Spark's parquet/json writers do this via ``_SUCCESS``) so an
+    unlocked reader's marker check still implies a complete dir."""
+    marker = Path(marker_path)
+    if marker.exists():
+        yield False
+        return
+    with _publish_lock(marker.parent):
+        yield not marker.exists()
+
+
 def _reap_legacy_root_files(root: Path, grace_sec: float | None = None) -> None:
     """Remove pre-generation-layout bucketed files sitting directly in a
     stage root (part-*.parquet, their .crc shadows, _SUCCESS) once they are

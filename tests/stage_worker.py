@@ -161,13 +161,39 @@ def _restage_reap(table2, path2, nrows2, parent_dir, prefix, active, wait_file, 
     return result
 
 
+def _staged_once(staging, ready_file, go_file, out):
+    """No Spark needed: two processes race the marker-gated write-once
+    guard; exactly one may run the build body."""
+    from breweries_data_engineering_case_spark.sources.writers import staged_once
+
+    staging = Path(staging)
+    Path(ready_file).touch()
+    _wait_for(go_file)
+    built = False
+    with staged_once(staging / "_SUCCESS") as need:
+        if need:
+            built = True
+            staging.mkdir(parents=True, exist_ok=True)
+            # a slow multi-file build: without the lock the sibling would
+            # see no marker and start a second build concurrently
+            for i in range(5):
+                (staging / f"data-{i}.bin").write_bytes(bytes([i]) * 1024)
+                time.sleep(0.2)
+            (staging / "_SUCCESS").touch()
+    files = sorted(p.name for p in staging.iterdir())
+    return {"built": built, "files": files}
+
+
 def main() -> None:
     mode, *args = sys.argv[1:]
     out = args[-1]
     try:
-        fn = {"stage": _stage, "read_loop": _read_loop, "restage_reap": _restage_reap}[
-            mode
-        ]
+        fn = {
+            "stage": _stage,
+            "read_loop": _read_loop,
+            "restage_reap": _restage_reap,
+            "staged_once": _staged_once,
+        }[mode]
         result = fn(*args)
         result["ok"] = True
     except Exception:

@@ -97,6 +97,62 @@ def test_two_process_same_key_stage_contention(tmp_path):
     assert m["num_buckets"] == 4 and m["bucket_cols"] == ["d"]
 
 
+def test_two_process_staged_once_single_builder(tmp_path):
+    """The registry's marker-gated write-once staging blocks (now routed
+    through ``staged_once``) must admit exactly ONE builder across
+    processes: the loser blocks on the flock and then sees the marker.
+    Pure-filesystem workers (no Spark) keep this fast."""
+    staging = tmp_path / "bdec_staging" / "corpuskey"
+    go = tmp_path / "go"
+    outs = [tmp_path / "o1.json", tmp_path / "o2.json"]
+    readys = [tmp_path / "r1", tmp_path / "r2"]
+    procs = [
+        _spawn(
+            "staged_once",
+            staging,
+            readys[i],
+            go,
+            outs[i],
+            warehouse=str(tmp_path / f"wh{i}"),
+        )
+        for i in range(2)
+    ]
+    deadline = time.time() + 60
+    while not all(r.exists() for r in readys):
+        assert time.time() < deadline, "workers never became ready"
+        assert all(p.poll() is None for p in procs), "a worker died early"
+        time.sleep(0.05)
+    go.touch()
+    a, b = (_result(o, p, timeout=120) for o, p in zip(outs, procs))
+    assert [a["built"], b["built"]].count(True) == 1, (
+        f"exactly one process must build: {a['built'], b['built']}"
+    )
+    expect = sorted([f"data-{i}.bin" for i in range(5)] + ["_SUCCESS"])
+    assert a["files"] == b["files"] == expect
+
+
+def test_staged_once_unit(tmp_path):
+    from breweries_data_engineering_case_spark.sources.writers import staged_once
+
+    marker = tmp_path / "d" / "_SUCCESS"
+    with staged_once(marker) as need:
+        assert need
+        marker.parent.mkdir(parents=True, exist_ok=True)
+        marker.touch()
+    with staged_once(marker) as need:
+        assert not need
+    # a crashed build (marker never landed) re-yields True next time
+    boom = tmp_path / "d2" / "_SUCCESS"
+    try:
+        with staged_once(boom) as need:
+            assert need
+            raise RuntimeError("builder crash")
+    except RuntimeError:
+        pass
+    with staged_once(boom) as need:
+        assert need
+
+
 def test_reap_grace_protects_concurrent_reader(tmp_path):
     """A new generation's reap must NOT delete a freshly-staged sibling
     generation that another process is actively scanning (the round-12
