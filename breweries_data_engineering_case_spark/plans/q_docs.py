@@ -4091,7 +4091,11 @@ def q_streaming_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFra
     src = base / "src"
     with staged_once(src / "_STAGED") as _need:
         if _need:
-            shutil.rmtree(base, ignore_errors=True)
+            # clear only src — rmtree(base) would delete the very lock
+            # file (base/src.lock) this process is holding, silently
+            # re-admitting a concurrent builder (round-13 review), and
+            # would also destroy sibling processes' run-* workspaces
+            shutil.rmtree(src, ignore_errors=True)
             d = table_scan(spark, sf_dir, "documents").select("doc_id", "text")
             d.filter(F.col("doc_id") % 3 != 0).coalesce(1).write.mode(
                 "overwrite"

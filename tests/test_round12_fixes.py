@@ -404,19 +404,27 @@ def test_reap_stale_stage_siblings(tmp_path):
     import time
 
     parent = tmp_path / "bdec_bucketed"
+    old = time.time() - 86400
     for n in ("cc_scopeaa_aaa", "cc_scopeaa_bbb", "cc_scopebb_ccc", "pr_ddd"):
         (parent / n).mkdir(parents=True)
         (parent / n / "junk").write_text("x")
-        # age every dir past the reap grace window (round 13: young
-        # siblings are leased to protect concurrent readers)
-        old = time.time() - 86400
-        os.utime(parent / n, (old, old))
+        # start every dir's supersession lease in the past (round 13:
+        # removal keys on an expired tombstone, never the dir mtime)
+        tomb = parent / (n + ".stale")
+        tomb.touch()
+        os.utime(tomb, (old, old))
     reaped = reap_stale_stage_siblings(parent, "cc_scopeaa_", "cc_scopeaa_bbb")
-    left = sorted(p.name for p in parent.iterdir())
+    left = sorted(
+        p.name for p in parent.iterdir() if not p.name.endswith(".stale")
+    )
     # the active key survives; the stale same-scope generation is reaped
     # (and reported back for catalog cleanup); OTHER scopes are untouched
+    # (their pre-seeded lease tombstones, outside this reap's prefix, are
+    # someone else's to act on)
     assert reaped == ["cc_scopeaa_aaa"]
     assert left == ["cc_scopeaa_bbb", "cc_scopebb_ccc", "pr_ddd"]
+    # the active generation's own tombstone was cleared (re-adoption)
+    assert not (parent / "cc_scopeaa_bbb.stale").exists()
 
 
 def test_cc_staging_reaps_old_generation_same_scope_only(
@@ -441,12 +449,15 @@ def test_cc_staging_reaps_old_generation_same_scope_only(
     (parent / f"cc_{other8}_deadbeef0000").mkdir(parents=True)  # corpus B
     (parent / "cc_aaaabbbbcccc").mkdir(parents=True)  # pre-r12 legacy
     (parent / "cc_t1_aaaabbbbcccc").mkdir(parents=True)  # interim-r12 legacy
-    # age the old generations past the reap grace lease (round 13): a
-    # YOUNG stale sibling is deliberately left for a later reap so a
-    # concurrent process's in-flight scan is never yanked
+    # expire the old generations' supersession leases (round 13): a
+    # stale sibling is only removed once its tombstone — stamped at first
+    # sighting — outlives the grace window, so a concurrent process's
+    # in-flight scan is never yanked
     _old = _time.time() - 86400
     for _n in (f"cc_{scope8}_deadbeef0000", f"cc_{other8}_deadbeef0000"):
-        _os.utime(parent / _n, (_old, _old))
+        _t = parent / (_n + ".stale")
+        _t.touch()
+        _os.utime(_t, (_old, _old))
     # a dangling same-session catalog entry for the old generation
     spark.sql(
         "CREATE TABLE `bdec_cc_sym_t1_deadbeef0000` (d bigint) USING PARQUET "

@@ -201,14 +201,17 @@ def test_reap_grace_protects_concurrent_reader(tmp_path):
     assert (gen_a / "sym").exists(), "reader's staged files were deleted"
     assert r["errors"] == [], f"reader aborted mid-scan: {r['errors'][:3]}"
     assert r["n_reads"] >= 1
-    # and once the generation has AGED past the lease, the reap does fire —
-    # the /tmp leak stays bounded (no reader holds files >grace by contract)
+    # and once the supersession LEASE (the tombstone the restager's reap
+    # stamped at first sighting) has expired, the reap does fire — the
+    # /tmp leak stays bounded (no reader holds files >grace by contract)
     from breweries_data_engineering_case_spark.sources.writers import (
         reap_stale_stage_siblings,
     )
 
+    tomb = parent / (gen_a.name + ".stale")
+    assert tomb.exists(), "restager's reap did not start the lease"
     old = time.time() - 86400
-    os.utime(gen_a, (old, old))
+    os.utime(tomb, (old, old))
     reaped = reap_stale_stage_siblings(parent, "cc_t13scope_", gen_b.name)
     assert reaped == [gen_a.name]
     assert not gen_a.exists()

@@ -38,29 +38,53 @@ def _mk_gen(parent: Path, name: str, nbytes: int = 64, age_sec: float = 0) -> Pa
     return d
 
 
+def _age_tombstone(d: Path, age_sec: float = 86400) -> None:
+    """Simulate a reap lease started age_sec ago (round 13: removal keys
+    on the supersession tombstone's age, never the dir's publish mtime)."""
+    tomb = d.with_name(d.name + ".stale")
+    tomb.touch()
+    old = time.time() - age_sec
+    os.utime(tomb, (old, old))
+
+
 # ---------------------------------------------------------------------------
 # reap grace lease (VERDICT r12 #1)
 # ---------------------------------------------------------------------------
 
 
-def test_reap_leaves_young_siblings(tmp_path):
-    """A stale sibling younger than the grace window is NOT reaped — a
-    concurrent process may still be scanning it (the round-12 FileScanRDD
-    abort) — and is reported as untouched so the caller keeps its catalog
-    entry over the still-existing files."""
-    _mk_gen(tmp_path, "cc_s_young")  # fresh mtime
-    aged = _mk_gen(tmp_path, "cc_s_old", age_sec=86400)
-    reaped = reap_stale_stage_siblings(tmp_path, "cc_s_", "cc_s_active")
-    assert reaped == ["cc_s_old"]
-    assert (tmp_path / "cc_s_young").exists()
-    assert not aged.exists()
-    # a later reap after the lease expires does remove it — the leak is
-    # bounded, not permanent
-    old = time.time() - 86400
-    os.utime(tmp_path / "cc_s_young", (old, old))
+def test_reap_leases_from_supersession_not_publish(tmp_path):
+    """Removal keys on the SUPERSESSION tombstone's age, never the dir's
+    publish mtime: a generation published hours ago gets a FULL grace
+    window from the moment it is first sighted as stale (a publish-mtime
+    lease would delete it instantly under a sibling's active scan — the
+    round-12 abort, round-13 review). First sighting only stamps the
+    tombstone; removal happens once the lease expires."""
+    aged_pub = _mk_gen(tmp_path, "cc_s_old", age_sec=86400)  # old PUBLISH
+    assert reap_stale_stage_siblings(tmp_path, "cc_s_", "cc_s_active") == []
+    assert aged_pub.exists(), "published-long-ago dir reaped with no lease"
+    assert (tmp_path / "cc_s_old.stale").exists(), "lease not started"
+    # still inside the lease: untouched
+    assert reap_stale_stage_siblings(tmp_path, "cc_s_", "cc_s_active") == []
+    # lease expired: removed, tombstone cleared, reported for catalog drop
+    _age_tombstone(aged_pub)
     assert reap_stale_stage_siblings(tmp_path, "cc_s_", "cc_s_active") == [
-        "cc_s_young"
+        "cc_s_old"
     ]
+    assert not aged_pub.exists()
+    assert not (tmp_path / "cc_s_old.stale").exists()
+
+
+def test_reap_clears_tombstone_of_readopted_generation(tmp_path):
+    """A generation stamped stale and then re-adopted (code flip-back)
+    must have its lease cleared — otherwise the half-expired tombstone
+    would delete the now-ACTIVE generation on a later flip."""
+    d = _mk_gen(tmp_path, "cc_s_flip")
+    reap_stale_stage_siblings(tmp_path, "cc_s_", "cc_s_other")
+    assert (tmp_path / "cc_s_flip.stale").exists()
+    # flip back: cc_s_flip is active again
+    reap_stale_stage_siblings(tmp_path, "cc_s_", "cc_s_flip")
+    assert not (tmp_path / "cc_s_flip.stale").exists()
+    assert d.exists()
 
 
 def test_reap_grace_zero_reaps_immediately(tmp_path):
@@ -80,7 +104,8 @@ def test_reap_does_not_report_failed_removal(tmp_path, monkeypatch, caplog):
     """If rmtree fails, the dir must NOT be reported reaped (the caller
     would drop a catalog entry over still-existing files) and the leak is
     logged instead of silently retried as success."""
-    _mk_gen(tmp_path, "cc_s_stuck", age_sec=86400)
+    stuck = _mk_gen(tmp_path, "cc_s_stuck", age_sec=86400)
+    _age_tombstone(stuck)
     monkeypatch.setattr(writers.shutil, "rmtree", lambda *a, **k: None)
     with caplog.at_level(logging.WARNING, logger="bdec.staging"):
         reaped = reap_stale_stage_siblings(tmp_path, "cc_s_", "cc_s_active")
@@ -92,7 +117,8 @@ def test_reap_does_not_report_failed_removal(tmp_path, monkeypatch, caplog):
 def test_reap_logs_reclaimed_bytes(tmp_path, caplog):
     """Each successful reap logs one line with the reclaimed byte count so
     long-lived hosts can audit /tmp staging hygiene (VERDICT r12 #7)."""
-    _mk_gen(tmp_path, "cc_s_big", nbytes=1234, age_sec=86400)
+    big = _mk_gen(tmp_path, "cc_s_big", nbytes=1234, age_sec=86400)
+    _age_tombstone(big)
     with caplog.at_level(logging.INFO, logger="bdec.staging"):
         reaped = reap_stale_stage_siblings(tmp_path, "cc_s_", "cc_s_active")
     assert reaped == ["cc_s_big"]
@@ -250,21 +276,20 @@ def test_restage_is_non_destructive(spark, tmp_path):
         == files1
     )
     assert t1b.filter(F.col("p") >= 5).count() > 0  # serving v1 again
-    # aged-out generations are reaped on a later publish: age gen1 past the
-    # lease, trigger a publish-path call (v2 again after dropping its entry)
-    import os as _os
-    import time as _time
-
+    # aged-out generations are reaped on a later publish once their
+    # supersession lease expires
     spark.sql(f"DROP TABLE `{name}`")
-    old = _time.time() - 86400
-    _os.utime(gen1[0], (old, old))
     # v2's gen dir still exists → adoption path; reap only runs on publish,
-    # so call reap directly the way the publish path does
+    # so call reap directly the way the publish path does. Removal needs an
+    # EXPIRED supersession lease (first sighting only stamps it).
     from breweries_data_engineering_case_spark.sources.writers import (
         reap_stale_stage_siblings,
     )
 
     gen2 = [d.name for d in path.glob("gen-*") if d.name != gen1[0].name]
+    assert reap_stale_stage_siblings(path, "gen-", gen2[0]) == []
+    assert gen1[0].exists(), "reaped inside the supersession lease"
+    _age_tombstone(gen1[0])
     reaped = reap_stale_stage_siblings(path, "gen-", gen2[0])
     assert reaped == [gen1[0].name] and not gen1[0].exists()
     spark.sql(f"DROP TABLE IF EXISTS `{name}`")
