@@ -4111,10 +4111,10 @@ def q_streaming_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFra
     # state (round 13; the src staging above stays shared — it is
     # immutable once _STAGED lands). Old workspaces (dead pids) age out
     # via the grace-window reap.
-    from ..sources.writers import reap_stale_stage_siblings
+    from ..sources.writers import pid_workspace_alive, reap_stale_stage_siblings
 
     work = base / f"run-{os.getpid()}"
-    reap_stale_stage_siblings(base, "run-", work.name)
+    reap_stale_stage_siblings(base, "run-", work.name, keep=pid_workspace_alive)
     shutil.rmtree(work / "state", ignore_errors=True)
     shutil.rmtree(work / "state_prev", ignore_errors=True)
     shutil.rmtree(work / "out", ignore_errors=True)

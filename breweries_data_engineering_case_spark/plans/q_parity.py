@@ -1143,11 +1143,11 @@ def q_rest_paginated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a shared path would let two co-running processes delete each other's
     # page files under the returned frame's lazy glob scan (round 13);
     # dead pids' dirs age out via the grace reap
-    from ..sources.writers import reap_stale_stage_siblings
+    from ..sources.writers import pid_workspace_alive, reap_stale_stage_siblings
 
     root = Path(tempfile.gettempdir()) / "bdec_rest_ingest" / key
     bronze = root / f"run-{os.getpid()}"
-    reap_stale_stage_siblings(root, "run-", bronze.name)
+    reap_stale_stage_siblings(root, "run-", bronze.name, keep=pid_workspace_alive)
     shutil.rmtree(bronze, ignore_errors=True)
     ingest_to_bronze(fetch, str(bronze), "2024-06-01", per_page=per_page)
     raw = json_array_scan(

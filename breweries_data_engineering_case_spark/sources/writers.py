@@ -337,8 +337,32 @@ def _tree_bytes(d: Path) -> int:
     return total
 
 
+def pid_workspace_alive(name: str) -> bool:
+    """keep-predicate for ``run-<pid>`` per-process workspaces: True while
+    the owning process is alive (its workspace must never be reaped
+    mid-run, however long the run outlives the lease). A recycled pid
+    protects a dead workspace until the recycler exits — a bounded leak,
+    unlike deleting a live run's state."""
+    import re as _re
+
+    m = _re.fullmatch(r"run-(\d+)", name)
+    if not m:
+        return False
+    try:
+        os.kill(int(m.group(1)), 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+
+
 def reap_stale_stage_siblings(
-    parent, prefix: str, active_name: str, grace_sec: float | None = None
+    parent,
+    prefix: str,
+    active_name: str,
+    grace_sec: float | None = None,
+    keep=None,
 ) -> list[str]:
     """Remove sibling staged dirs under ``parent`` that share the stage
     ``prefix`` but are not the active key dir (ADVICE r11: fingerprint-keyed
@@ -375,6 +399,8 @@ def reap_stale_stage_siblings(
     for d in candidates:
         if d.name == active_name or d.name.endswith(".stale") or not d.is_dir():
             continue
+        if keep is not None and keep(d.name):
+            continue  # e.g. a live process's run-<pid> workspace
         tomb = d.with_name(d.name + ".stale")
         try:
             tomb_age = now - tomb.stat().st_mtime

@@ -87,6 +87,29 @@ def test_reap_clears_tombstone_of_readopted_generation(tmp_path):
     assert d.exists()
 
 
+def test_reap_keep_predicate_protects_live_pid_workspace(tmp_path):
+    """run-<pid> per-process workspaces pass a pid-liveness keep predicate:
+    a live process's workspace is never reaped regardless of lease age; a
+    dead pid's workspace goes through the normal lease."""
+    from breweries_data_engineering_case_spark.sources.writers import (
+        pid_workspace_alive,
+    )
+
+    live = _mk_gen(tmp_path, f"run-{os.getpid()}")  # this very process
+    _age_tombstone(live)  # even an expired lease must not matter
+    # a pid that cannot exist (> pid_max on linux)
+    dead = _mk_gen(tmp_path, "run-99999999")
+    _age_tombstone(dead)
+    reaped = reap_stale_stage_siblings(
+        tmp_path, "run-", "run-none", keep=pid_workspace_alive
+    )
+    assert reaped == [dead.name]
+    assert live.exists() and not dead.exists()
+    assert pid_workspace_alive(f"run-{os.getpid()}")
+    assert not pid_workspace_alive("run-99999999")
+    assert not pid_workspace_alive("not-a-run-dir")
+
+
 def test_reap_grace_zero_reaps_immediately(tmp_path):
     """grace_sec=0 restores eager reaping (tests / explicit cleanup)."""
     _mk_gen(tmp_path, "cc_s_young")
