@@ -43,6 +43,11 @@ from ..operators.similarity import (
 from ..sources.readers import json_array_scan, source_fingerprint, spread, table_scan
 from ..sources.writers import (
     idempotent_date_overwrite,
+    pid_workspace_alive,
+    reap_stale_stage_siblings,
+    run_once_layout_migration,
+    run_workspace_name,
+    stage_lock,
     staged_once,
     write_partitioned_parquet,
 )
@@ -3938,8 +3943,6 @@ def q_doc_neardup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> Data
     # corpus key, and two co-running processes' overwrites would delete
     # each other's in-flight _temporary dirs (round 13); the data is
     # deterministic, so last-writer-wins is safe once serialized
-    from ..sources.writers import stage_lock
-
     with stage_lock(state_dir / "state_next"):
         merged.write.mode("overwrite").parquet(str(state_dir / "state_next"))
     return (
@@ -4105,15 +4108,28 @@ def q_streaming_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFra
                 "overwrite"
             ).parquet(str(src / "b2.parquet"))
             (src / "_STAGED").touch()
-    # fresh state/out per run, in a PROCESS-UNIQUE workspace: the stream
-    # replays both batches each time, and a shared mutable state/out/ckpt
-    # would let two co-running processes rmtree each other's in-flight
-    # state (round 13; the src staging above stays shared — it is
-    # immutable once _STAGED lands). Old workspaces (dead pids) age out
-    # via the grace-window reap.
-    from ..sources.writers import pid_workspace_alive, reap_stale_stage_siblings
+    # fresh state/out per run, in a RUN-UNIQUE (pid+thread) workspace:
+    # the stream replays both batches each time, and a shared mutable
+    # state/out/ckpt would let two co-running processes — or two threads
+    # of one session — rmtree each other's in-flight state (round 13;
+    # the src staging above stays shared: immutable once _STAGED lands).
+    # Old workspaces (dead pids) age out via the grace-window reap, and
+    # the pre-round-13 SHARED-layout leftovers (state/out/ckpt directly
+    # under base) are swept once, marker-gated.
+    def _legacy_incr_sweep(b) -> bool:
+        ok = True
+        for nm in ("state", "state_prev", "out", "ckpt"):
+            d = b / nm
+            if d.is_dir():
+                try:
+                    shutil.rmtree(d)
+                except OSError:
+                    ok = False
+        (b / "state_initialized").unlink(missing_ok=True)
+        return ok
 
-    work = base / f"run-{os.getpid()}"
+    run_once_layout_migration(base, "_bdec_incr_layout_v2", _legacy_incr_sweep)
+    work = base / run_workspace_name()
     reap_stale_stage_siblings(base, "run-", work.name, keep=pid_workspace_alive)
     shutil.rmtree(work / "state", ignore_errors=True)
     shutil.rmtree(work / "state_prev", ignore_errors=True)

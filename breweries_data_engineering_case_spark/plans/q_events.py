@@ -42,6 +42,7 @@ from ..operators.similarity import (
 from ..sources.readers import json_array_scan, table_scan
 from ..sources.writers import (
     idempotent_date_overwrite,
+    stage_lock,
     staged_once,
     write_partitioned_parquet,
 )
@@ -1669,8 +1670,6 @@ def q_streaming_file_sink_exactly_once(spark: SparkSession, sf_dir: str) -> Data
     cleaned = stream.select(
         "event_id", "event_type", F.to_date("ts").alias("day")
     )
-    from ..sources.writers import stage_lock
-
     # sink+checkpoint are deliberately PERSISTENT per sf_dir (the restart /
     # exactly-once semantics under test), so two processes co-running this
     # query share them: serialize the run under the staging flock — the

@@ -43,6 +43,10 @@ from ..operators.similarity import (
 from ..sources.readers import json_array_scan, table_scan
 from ..sources.writers import (
     idempotent_date_overwrite,
+    pid_workspace_alive,
+    reap_stale_stage_siblings,
+    run_once_layout_migration,
+    run_workspace_name,
     staged_once,
     write_partitioned_parquet,
 )
@@ -82,6 +86,10 @@ def q_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             rows.sort(key=lambda r: r["n_nationkey"])
             out.mkdir(parents=True, exist_ok=True)
+            # tmps are only ever created while HOLDING this lock, so any
+            # found now belong to a crashed builder — clean them up
+            for orphan in out.glob(target.name + ".tmp-*"):
+                orphan.unlink(missing_ok=True)
             # single FILE target: the marker IS the payload, so it must
             # appear atomically — a plain write_text streams content into a
             # visible file and an unlocked reader could scan it half-written

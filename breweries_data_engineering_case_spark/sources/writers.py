@@ -337,15 +337,24 @@ def _tree_bytes(d: Path) -> int:
     return total
 
 
+def run_workspace_name() -> str:
+    """Name for a per-RUN mutable staging workspace: pid + thread id —
+    two THREADS of one session running the same query must not share a
+    mutable dir either (they would rmtree each other's in-flight state;
+    round-13 review #3), and a pid alone is only process-unique."""
+    return f"run-{os.getpid()}-{threading.get_ident()}"
+
+
 def pid_workspace_alive(name: str) -> bool:
-    """keep-predicate for ``run-<pid>`` per-process workspaces: True while
-    the owning process is alive (its workspace must never be reaped
-    mid-run, however long the run outlives the lease). A recycled pid
-    protects a dead workspace until the recycler exits — a bounded leak,
-    unlike deleting a live run's state."""
+    """keep-predicate for ``run-<pid>[-<tid>]`` per-run workspaces: True
+    while the owning PROCESS is alive (its workspaces must never be reaped
+    mid-run, however long the run outlives the lease; thread liveness is
+    not observable cross-process, and pid granularity errs safe). A
+    recycled pid protects a dead workspace until the recycler exits — a
+    bounded leak, unlike deleting a live run's state."""
     import re as _re
 
-    m = _re.fullmatch(r"run-(\d+)", name)
+    m = _re.fullmatch(r"run-(\d+)(?:-\d+)?", name)
     if not m:
         return False
     try:
@@ -598,15 +607,22 @@ def stage_bucketed_table(
             and _gen_published()
         ):
             return spark.table(name)
-        spark.sql(f"DROP TABLE `{name}`")
+        # IF EXISTS: two threads of one session can both see the stale
+        # entry and race the drop — the loser must fall through to
+        # restage, not throw TABLE_OR_VIEW_NOT_FOUND (round-13 review #3)
+        spark.sql(f"DROP TABLE IF EXISTS `{name}`")
 
     if _gen_published():
         # housekeeping also runs on the adopt path (cheap glob+stat):
         # otherwise a superseded generation's lease would only ever
         # progress when some process PUBLISHES at this root again — i.e.
-        # never, once the code stabilizes — and the old gen would leak
-        reap_stale_stage_siblings(root, "gen-", gen_name)
-        _reap_legacy_root_files(root)
+        # never, once the code stabilizes — and the old gen would leak.
+        # Under the flock: an unserialized stat-then-delete could reap a
+        # generation in the instant between a flip-back process clearing
+        # its tombstone and re-registering it (round-13 review #3).
+        with _publish_lock(root):
+            reap_stale_stage_siblings(root, "gen-", gen_name)
+            _reap_legacy_root_files(root)
         return _register()
     # stage-or-adopt under the per-root inter-process lock: a concurrent
     # same-generation stager either already published (adopt its files —
@@ -742,14 +758,25 @@ def _reap_legacy_root_files(root: Path, grace_sec: float | None = None) -> None:
             return
     if lease_age < grace_sec:
         return
-    freed = 0
+    freed, skipped = 0, 0
+    now = time.time()
     for f in files:
         try:
             st = f.stat()
+            # per-file grace ON TOP of the lease: an expired lease must not
+            # license deleting a CONCURRENT publisher's microseconds-old
+            # _bdec_manifest.json.tmp-<pid> (this runs outside the flock on
+            # the adopt path) or an old-code writer's fresh part files —
+            # each file still gets its own full window (round-13 review #3)
+            if now - st.st_mtime < grace_sec:
+                skipped += 1
+                continue
             f.unlink()
             freed += st.st_size
         except OSError:
+            skipped += 1
             continue
-    tomb.unlink(missing_ok=True)
+    if not skipped:
+        tomb.unlink(missing_ok=True)
     if freed:
         _log.info("reap: removed legacy root-layout files (%d bytes)", freed)
