@@ -249,8 +249,21 @@ def test_streaming_incremental_state_equals_full_corpus(spark, sf_dir):
 
     registry.QUERIES["streaming_neardup_incremental"](spark, sf_dir).collect()
     key = md5(sf_dir.encode()).hexdigest()[:12]
+    # round 13: the mutable state lives in THIS run's pid+thread-unique
+    # workspace (shared-layout state was a cross-process rmtree race and
+    # is now migrated away)
+    from breweries_data_engineering_case_spark.sources.writers import (
+        run_workspace_name,
+    )
+
     state = spark.read.parquet(
-        str(Path(tempfile.gettempdir()) / "bdec_stream_incr" / key / "state")
+        str(
+            Path(tempfile.gettempdir())
+            / "bdec_stream_incr"
+            / key
+            / run_workspace_name()
+            / "state"
+        )
     )
     full = (
         minhash_band_exprs(
