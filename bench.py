@@ -314,9 +314,14 @@ def main() -> None:
                     # the gate DECISION, not just the raw counter
                     "steal_delta_jiffies": steal_delta,
                     "steal_gate_threshold": STEAL_DIRTY_JIFFIES,
+                    # null (not true) when the counter is unavailable: an
+                    # unmeasurable host is UNKNOWN, not affirmatively clean
+                    # (ADVICE r13) — readers must not mistake a gate that
+                    # could not fire for one that passed
                     "steal_gate_clean": (
-                        steal_delta is None
-                        or steal_delta <= STEAL_DIRTY_JIFFIES
+                        None
+                        if steal_delta is None
+                        else steal_delta <= STEAL_DIRTY_JIFFIES
                     ),
                     "attempts": len(attempts),
                     # full per-attempt record: totals + stamps, so a reader

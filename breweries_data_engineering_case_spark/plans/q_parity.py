@@ -45,7 +45,6 @@ from ..sources.writers import (
     idempotent_date_overwrite,
     pid_workspace_alive,
     reap_stale_stage_siblings,
-    run_once_layout_migration,
     run_workspace_name,
     staged_once,
     write_partitioned_parquet,
@@ -1147,14 +1146,13 @@ def q_rest_paginated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (pages[page - 1] if page <= len(pages) else []), None
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    # per-PROCESS bronze dir: the ingest rmtree+rewrites on every run, and
-    # a shared path would let two co-running processes delete each other's
-    # page files under the returned frame's lazy glob scan (round 13);
-    # dead pids' dirs age out via the grace reap
-    from ..sources.writers import pid_workspace_alive, reap_stale_stage_siblings
-
+    # per-RUN bronze dir (pid+thread id): the ingest rmtree+rewrites on
+    # every run, and a shared path would let two co-running processes — or
+    # two THREADS of one session (ADVICE r13) — delete each other's page
+    # files under the returned frame's lazy glob scan; dead pids' dirs age
+    # out via the grace reap (pid_workspace_alive accepts run-<pid>-<tid>)
     root = Path(tempfile.gettempdir()) / "bdec_rest_ingest" / key
-    bronze = root / f"run-{os.getpid()}"
+    bronze = root / run_workspace_name()
     reap_stale_stage_siblings(root, "run-", bronze.name, keep=pid_workspace_alive)
     shutil.rmtree(bronze, ignore_errors=True)
     ingest_to_bronze(fetch, str(bronze), "2024-06-01", per_page=per_page)

@@ -163,6 +163,23 @@ _MANIFEST = "_bdec_manifest.json"
 # rare (once per stage call), contention is nil.
 _FP_CONF_LOCK = threading.Lock()
 
+# Per-table-name SESSION-level lock for stage_bucketed_table's
+# drop-and-register sequence (ADVICE r13): the per-root flock serializes
+# PROCESSES, but two threads of one session share the flock's usefulness
+# only for the write itself — a lagging thread that observed a stale
+# catalog entry could DROP the fresh entry the winning thread just
+# registered, making the winner's immediately-following spark.table(name)
+# raise TABLE_OR_VIEW_NOT_FOUND (a transient abort; final state correct).
+# The name set is small and static (one per staged operator), so the dict
+# never grows unboundedly.
+_TABLE_LOCKS: dict[str, threading.RLock] = {}
+_TABLE_LOCKS_GUARD = threading.Lock()
+
+
+def _table_thread_lock(name: str) -> threading.RLock:
+    with _TABLE_LOCKS_GUARD:
+        return _TABLE_LOCKS.setdefault(name, threading.RLock())
+
 
 @contextlib.contextmanager
 def _publish_lock(target: Path):
@@ -574,10 +591,12 @@ def stage_bucketed_table(
             if spec["sort_cols"]
             else ""
         )
-        # IF NOT EXISTS: two THREADS of one session can both reach here
-        # (both passed tableExists=False; the flock serializes processes,
-        # not a shared session's threads) — the loser must adopt the
-        # entry, not throw TABLE_OR_VIEW_ALREADY_EXISTS (round-13 review)
+        # IF NOT EXISTS: same-name threads are serialized by
+        # _table_thread_lock since ADVICE r13, but a caller outside
+        # stage_bucketed_table (or an old-code process) can still register
+        # the name between a drop and this CREATE — the loser must adopt
+        # the entry, not throw TABLE_OR_VIEW_ALREADY_EXISTS (round-13
+        # review)
         spark.sql(
             f"CREATE TABLE IF NOT EXISTS `{name}` ({schema_ddl}) "
             f"USING PARQUET CLUSTERED BY ({clustered}){sorted_by} "
@@ -589,91 +608,103 @@ def stage_bucketed_table(
     def _gen_published() -> bool:
         return (gen_path / "_SUCCESS").exists()
 
-    if spark.catalog.tableExists(name):
-        # validate the registered layout against the requested spec (ADVICE
-        # r11) AND the registered location against THIS builder's
-        # generation: a stale entry (spec change, or a table registered
-        # over a different code version's generation) is dropped — metadata
-        # only, the files stay — and resolution falls through.
-        cat_spec, cat_loc = _catalog_table_meta(spark, name)
-        if (
-            cat_spec == spec
-            and cat_loc
-            and Path(cat_loc.rstrip("/")).name == gen_name
-            # the generation can have been reaped by a newer code version
-            # in another process (>grace): serving the entry over deleted
-            # files would never self-heal — drop it and restage instead
-            # (round-13 review)
-            and _gen_published()
-        ):
-            return spark.table(name)
-        # IF EXISTS: two threads of one session can both see the stale
-        # entry and race the drop — the loser must fall through to
-        # restage, not throw TABLE_OR_VIEW_NOT_FOUND (round-13 review #3)
-        spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+    # per-name SESSION lock around the whole catalog-resolution + publish
+    # sequence (ADVICE r13): without it, a lagging thread that observed a
+    # stale entry can DROP the fresh entry the winning thread registered an
+    # instant earlier, so the winner's spark.table(name) inside _register
+    # raises TABLE_OR_VIEW_NOT_FOUND. The flock below serializes PROCESSES;
+    # this RLock serializes the one session's threads for this name.
+    with _table_thread_lock(name):
+        if spark.catalog.tableExists(name):
+            # validate the registered layout against the requested spec
+            # (ADVICE r11) AND the registered location against THIS
+            # builder's generation: a stale entry (spec change, or a table
+            # registered over a different code version's generation) is
+            # dropped — metadata only, the files stay — and resolution
+            # falls through.
+            cat_spec, cat_loc = _catalog_table_meta(spark, name)
+            if (
+                cat_spec == spec
+                and cat_loc
+                and Path(cat_loc.rstrip("/")).name == gen_name
+                # the generation can have been reaped by a newer code
+                # version in another process (>grace): serving the entry
+                # over deleted files would never self-heal — drop it and
+                # restage instead (round-13 review)
+                and _gen_published()
+            ):
+                return spark.table(name)
+            # IF EXISTS belt-and-braces: a CONCURRENT PROCESS can drop and
+            # re-register independently of this session's thread lock
+            spark.sql(f"DROP TABLE IF EXISTS `{name}`")
 
-    if _gen_published():
-        # housekeeping also runs on the adopt path (cheap glob+stat):
-        # otherwise a superseded generation's lease would only ever
-        # progress when some process PUBLISHES at this root again — i.e.
-        # never, once the code stabilizes — and the old gen would leak.
-        # Under the flock: an unserialized stat-then-delete could reap a
-        # generation in the instant between a flip-back process clearing
-        # its tombstone and re-registering it (round-13 review #3).
+        if _gen_published():
+            # housekeeping also runs on the adopt path (cheap glob+stat):
+            # otherwise a superseded generation's lease would only ever
+            # progress when some process PUBLISHES at this root again —
+            # i.e. never, once the code stabilizes — and the old gen would
+            # leak. Under the flock: an unserialized stat-then-delete could
+            # reap a generation in the instant between a flip-back process
+            # clearing its tombstone and re-registering it (round-13
+            # review #3).
+            with _publish_lock(root):
+                reap_stale_stage_siblings(root, "gen-", gen_name)
+                _reap_legacy_root_files(root)
+            return _register()
+        # stage-or-adopt under the per-root inter-process lock: a
+        # concurrent same-generation stager either already published
+        # (adopt its files — the generation is content+code-addressed, the
+        # data is identical) or is mid-write (block until it publishes,
+        # then adopt). Holding the lock across the write means the loser
+        # never pays a duplicate write.
         with _publish_lock(root):
+            if not _gen_published():
+                tmp_path = root / f"{gen_name}.tmp-{_os.getpid()}"
+                tmp_name = f"{name}__stage_tmp"
+                shutil.rmtree(tmp_path, ignore_errors=True)
+                spark.sql(f"DROP TABLE IF EXISTS `{tmp_name}`")
+                write_bucketed_table(
+                    df,
+                    tmp_name,
+                    bucket_cols,
+                    num_buckets=num_buckets,
+                    sort_cols=sort_cols,
+                    mode="overwrite",
+                    path=str(tmp_path),
+                )
+                # external table: dropping the catalog entry keeps the
+                # files
+                spark.sql(f"DROP TABLE `{tmp_name}`")
+                # a gen dir without its _SUCCESS marker is a torn artifact
+                # (no process can have registered it — adoption requires
+                # the marker); clear it so the rename publishes cleanly
+                if gen_path.exists():
+                    shutil.rmtree(gen_path, ignore_errors=True)
+                tmp_path.rename(gen_path)
+                # manifest = observability record of the LATEST generation
+                # (adoption never depends on it — the _SUCCESS marker
+                # inside the immutable generation dir is the commit
+                # evidence); write it atomically so an observer never
+                # reads a torn JSON
+                mf_tmp = root / (_MANIFEST + f".tmp-{_os.getpid()}")
+                mf_tmp.write_text(
+                    _json.dumps(
+                        {
+                            **spec,
+                            "schema": schema_ddl,
+                            "plan": plan_fp,
+                            "generation": gen_name,
+                        }
+                    )
+                )
+                _os.replace(mf_tmp, root / _MANIFEST)
+            # housekeeping, still under the lock: generations superseded
+            # longer than the grace window ago (plus any dead stagers' tmp
+            # dirs) age out here — live readers of a RECENT generation
+            # keep their files
             reap_stale_stage_siblings(root, "gen-", gen_name)
             _reap_legacy_root_files(root)
         return _register()
-    # stage-or-adopt under the per-root inter-process lock: a concurrent
-    # same-generation stager either already published (adopt its files —
-    # the generation is content+code-addressed, the data is identical) or
-    # is mid-write (block until it publishes, then adopt). Holding the
-    # lock across the write means the loser never pays a duplicate write.
-    with _publish_lock(root):
-        if not _gen_published():
-            tmp_path = root / f"{gen_name}.tmp-{_os.getpid()}"
-            tmp_name = f"{name}__stage_tmp"
-            shutil.rmtree(tmp_path, ignore_errors=True)
-            spark.sql(f"DROP TABLE IF EXISTS `{tmp_name}`")
-            write_bucketed_table(
-                df,
-                tmp_name,
-                bucket_cols,
-                num_buckets=num_buckets,
-                sort_cols=sort_cols,
-                mode="overwrite",
-                path=str(tmp_path),
-            )
-            # external table: dropping the catalog entry keeps the files
-            spark.sql(f"DROP TABLE `{tmp_name}`")
-            # a gen dir without its _SUCCESS marker is a torn artifact (no
-            # process can have registered it — adoption requires the
-            # marker); clear it so the rename publishes cleanly
-            if gen_path.exists():
-                shutil.rmtree(gen_path, ignore_errors=True)
-            tmp_path.rename(gen_path)
-            # manifest = observability record of the LATEST generation
-            # (adoption never depends on it — the _SUCCESS marker inside
-            # the immutable generation dir is the commit evidence); write
-            # it atomically so an observer never reads a torn JSON
-            mf_tmp = root / (_MANIFEST + f".tmp-{_os.getpid()}")
-            mf_tmp.write_text(
-                _json.dumps(
-                    {
-                        **spec,
-                        "schema": schema_ddl,
-                        "plan": plan_fp,
-                        "generation": gen_name,
-                    }
-                )
-            )
-            _os.replace(mf_tmp, root / _MANIFEST)
-        # housekeeping, still under the lock: generations superseded longer
-        # than the grace window ago (plus any dead stagers' tmp dirs) age
-        # out here — live readers of a RECENT generation keep their files
-        reap_stale_stage_siblings(root, "gen-", gen_name)
-        _reap_legacy_root_files(root)
-    return _register()
 
 
 def stage_lock(target):
@@ -764,10 +795,13 @@ def _reap_legacy_root_files(root: Path, grace_sec: float | None = None) -> None:
         try:
             st = f.stat()
             # per-file grace ON TOP of the lease: an expired lease must not
-            # license deleting a CONCURRENT publisher's microseconds-old
-            # _bdec_manifest.json.tmp-<pid> (this runs outside the flock on
-            # the adopt path) or an old-code writer's fresh part files —
-            # each file still gets its own full window (round-13 review #3)
+            # license deleting fresh files — both stage_bucketed_table call
+            # sites now hold _publish_lock, but OLD-CODE writers (and any
+            # future unlocked caller) don't take the flock, so their
+            # microseconds-old part files / manifest temps each still get
+            # their own full window (ADVICE r13: comment corrected — the
+            # old "runs outside the flock on the adopt path" rationale is
+            # stale, the per-file grace is not)
             if now - st.st_mtime < grace_sec:
                 skipped += 1
                 continue
