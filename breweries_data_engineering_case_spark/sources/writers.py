@@ -633,6 +633,17 @@ def stage_bucketed_table(
                 # restage instead (round-13 review)
                 and _gen_published()
             ):
+                # an ACTIVE adoption contradicts any supersession tombstone
+                # a concurrent newer-code process stamped on this
+                # generation: clear it so the reap lease restarts from the
+                # next sighting. Without this, a session re-validating its
+                # generation before every scan (the supported long-lived
+                # reader pattern) would still lose the files one grace
+                # window after a different code version first published —
+                # the round-14 two-process churn stress aborts without it.
+                # The full-path adopt branch below gets the same effect via
+                # reap_stale_stage_siblings(active=gen_name).
+                gen_path.with_name(gen_name + ".stale").unlink(missing_ok=True)
                 return spark.table(name)
             # IF EXISTS belt-and-braces: a CONCURRENT PROCESS can drop and
             # re-register independently of this session's thread lock

@@ -29,6 +29,28 @@ Modes (all write a JSON result to the last arg):
       stale same-scope siblings with the DEFAULT grace window. Records
       the reaped list — which must be empty while the other generation
       is young and being scanned.
+
+  reader_validate_loop <table> <root> <nrows> <variant> <ready_file>
+               <stop_file> <out_json>
+      The supported long-lived reader pattern (round-14 stress): stage
+      builder-variant <variant> at the shared key <root>, then loop
+      {re-resolve via stage_bucketed_table (catalog fast path) → full
+      scan} until <stop_file>. Records reads, errors, and how many
+      PHYSICAL writes this process performed (must stay 1: the initial
+      stage — a second write means the reader's generation was reaped
+      from under it and it had to self-heal).
+
+  restager_churn <table> <root> <nrows> <start_variant> <iters>
+               <period_sec> <wait_file> <out_json>
+      The alternating-restage side: stage strictly-increasing builder
+      variants (each a DIFFERENT plan fingerprint → a new generation) at
+      the same <root>, sleeping <period_sec> between publishes; the
+      publish path's housekeeping reap runs each time. Samples the
+      gen-dir count and tree bytes after every publish (the disk
+      high-water-mark record).
+
+Both round-14 modes honor env BDEC_TEST_GRACE (seconds) to shorten
+STAGE_REAP_GRACE_SEC so the lease actually progresses inside a test.
 """
 
 from __future__ import annotations
@@ -44,13 +66,18 @@ from pathlib import Path
 def _mini_spark():
     from breweries_data_engineering_case_spark.session import get_spark
 
+    # the SF1-scale churn stress (SPARK_GRAFT_SF1_STRESS=1) needs real
+    # cores/heap for its 20M-row generations; the default two-thread 1g
+    # profile keeps the in-suite tests cheap
+    cores = os.environ.get("BDEC_TEST_WORKER_CORES", "2")
+    mem = os.environ.get("BDEC_TEST_WORKER_MEM", "1g")
     s = get_spark(
         app_name=f"bdec-stage-worker-{os.getpid()}",
-        master="local[2]",
-        shuffle_partitions=2,
+        master=f"local[{cores}]",
+        shuffle_partitions=int(cores),
         extra_conf={
             "spark.ui.enabled": "false",
-            "spark.driver.memory": "1g",
+            "spark.driver.memory": mem,
         },
     )
     s.sparkContext.setLogLevel("ERROR")
@@ -161,6 +188,100 @@ def _restage_reap(table2, path2, nrows2, parent_dir, prefix, active, wait_file, 
     return result
 
 
+def _apply_test_grace(writers) -> None:
+    g = os.environ.get("BDEC_TEST_GRACE")
+    if g:
+        writers.STAGE_REAP_GRACE_SEC = float(g)
+
+
+def _variant_frame(spark, nrows: int, variant: int):
+    """Canonical frame whose payload expression differs per variant — a
+    different literal in the analyzed plan → a different plan fingerprint
+    → a NEW generation at the same key root (models a code change)."""
+    from pyspark.sql import functions as F
+
+    return spark.range(int(nrows)).select(
+        F.col("id").alias("d"),
+        (F.col("id") % (13 + int(variant))).alias("payload"),
+    )
+
+
+def _reader_validate_loop(table, root, nrows, variant, ready_file, stop_file, out):
+    import breweries_data_engineering_case_spark.sources.writers as writers
+
+    _apply_test_grace(writers)
+    spark = _mini_spark()
+    writes = []
+    real_write = writers.write_bucketed_table
+
+    def counting_write(*a, **k):
+        writes.append(1)
+        return real_write(*a, **k)
+
+    writers.write_bucketed_table = counting_write
+
+    def resolve():
+        return writers.stage_bucketed_table(
+            spark,
+            table,
+            ["d"],
+            num_buckets=4,
+            path=root,
+            builder=lambda: _variant_frame(spark, int(nrows), int(variant)),
+        )
+
+    t = resolve()
+    expected = t.groupBy().sum("payload").collect()[0][0]
+    Path(ready_file).touch()
+    n_reads, errors = 0, []
+    while not os.path.exists(stop_file):
+        try:
+            t = resolve()  # re-validate before every scan (supported mode)
+            got = t.groupBy().sum("payload").collect()[0][0]
+            if got != expected:
+                errors.append(f"payload drifted: {got} != {expected}")
+            n_reads += 1
+        except Exception as exc:  # a reap under the scan surfaces here
+            errors.append(f"{type(exc).__name__}: {exc}")
+            break
+    spark.stop()
+    return {"n_reads": n_reads, "errors": errors, "writes": len(writes)}
+
+
+def _restager_churn(table, root, nrows, start_variant, iters, period, wait_file, out):
+    import breweries_data_engineering_case_spark.sources.writers as writers
+
+    _apply_test_grace(writers)
+    _wait_for(wait_file)
+    spark = _mini_spark()
+    samples = []
+    for i in range(int(iters)):
+        v = int(start_variant) + i
+        t = writers.stage_bucketed_table(
+            spark,
+            table,
+            ["d"],
+            num_buckets=4,
+            path=root,
+            builder=lambda v=v: _variant_frame(spark, int(nrows), v),
+        )
+        gens = sorted(
+            p.name for p in Path(root).glob("gen-*") if p.is_dir()
+        )
+        samples.append(
+            {
+                "variant": v,
+                "count": t.count(),
+                "n_gens": len(gens),
+                "gens": gens,
+                "bytes": writers._tree_bytes(Path(root)),
+            }
+        )
+        time.sleep(float(period))
+    spark.stop()
+    return {"samples": samples, "minted": int(iters)}
+
+
 def _staged_once(staging, ready_file, go_file, out):
     """No Spark needed: two processes race the marker-gated write-once
     guard; exactly one may run the build body."""
@@ -192,6 +313,8 @@ def main() -> None:
             "stage": _stage,
             "read_loop": _read_loop,
             "restage_reap": _restage_reap,
+            "reader_validate_loop": _reader_validate_loop,
+            "restager_churn": _restager_churn,
             "staged_once": _staged_once,
         }[mode]
         result = fn(*args)

@@ -7,6 +7,10 @@ Usage:
         50-name list the NEXT round's `_WINDOW_PRIORITY` should contain
         (red-at-latest first, then zero-evidence in registration order,
         then green oldest-evidence-first) — paste-ready Python literal.
+    python tools/evidence_ledger.py --age-dist      # one-line JSON of
+        the evidence-age distribution (names per evidence round, oldest
+        round, max age in rounds) — the maintenance-rotation health check
+        VERDICT r13 #7 asked for; paste the line into NOTES.md.
 
 Pure metadata: reads CORRECTNESS_r*.json and the registry names via a
 regex (no Spark session). Run `--next-window` at session end and record
@@ -82,7 +86,36 @@ def next_window(size: int = 50) -> list[str]:
     return ordered[:size]
 
 
+def age_dist() -> dict:
+    """Evidence-age distribution across the registry: how many names have
+    their LATEST green driver row in each round, plus zero/red counts and
+    the max age in rounds (newest CORRECTNESS round minus oldest evidence
+    round). The window rotation is healthy when max_age_rounds stays small
+    (~4) and zero_evidence is 0."""
+    names = registry_names()
+    ev = latest_evidence()
+    rounds = sorted({int(r) for r, _ in ev.values()})
+    newest = rounds[-1] if rounds else 0
+    per_round: dict[str, int] = {}
+    for n in names:
+        if n in ev and ev[n][1]:
+            per_round[f"r{ev[n][0]}"] = per_round.get(f"r{ev[n][0]}", 0) + 1
+    oldest = min((int(r[1:]) for r in per_round), default=0)
+    return {
+        "registry": len(names),
+        "green_per_round": dict(sorted(per_round.items())),
+        "zero_evidence": sum(1 for n in names if n not in ev),
+        "red_at_latest": sum(1 for n in names if n in ev and not ev[n][1]),
+        "newest_round": newest,
+        "oldest_evidence_round": oldest,
+        "max_age_rounds": (newest - oldest) if per_round else 0,
+    }
+
+
 def main() -> None:
+    if "--age-dist" in sys.argv:
+        print(json.dumps(age_dist()))
+        return
     if "--next-window" in sys.argv:
         win = next_window()
         print(f"# next-round window ({len(win)} names) — paste into _WINDOW_PRIORITY:")
