@@ -2114,3 +2114,214 @@ def q_vocab_good_turing_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("source")
     )
+
+
+_KN_ORACLE = r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_transform(string_split_regex(TRIM(text), '\s+'),
+                 tok -> (CAST(concat('0x', substr(md5(tok), 1, 15))
+                              AS BIGINT) % 2147483647) % 65536) AS th
+      FROM documents WHERE TRIM(text) <> ''
+    ),
+    occ AS (
+      SELECT doc_id, lang, th[i + 1] AS w1, th[i + 2] AS w2
+      FROM t, UNNEST(range(GREATEST(len(th) - 1, 0))) AS u(i)
+    ),
+    dc AS (
+      SELECT doc_id, lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS dcnt
+      FROM occ GROUP BY doc_id, lang, w1, w2
+    ),
+    big AS (
+      SELECT w1, w2, CAST(SUM(dcnt) AS BIGINT) AS c12
+      FROM dc WHERE lang = 'en' GROUP BY w1, w2
+    ),
+    uni AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS n1p
+      FROM big GROUP BY w1
+    ),
+    cont AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS cw2 FROM big GROUP BY w2
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM big),
+    sc AS (
+      SELECT dc.doc_id, dc.lang, dc.dcnt,
+        CASE WHEN uni.c1 IS NULL THEN
+          CAST(FLOOR(1000000.0 * ln(
+            CAST(COALESCE(cont.cw2, 0) + 1 AS DOUBLE)
+            / CAST(tot.t + 65536 AS DOUBLE))) AS BIGINT)
+        ELSE
+          CAST(FLOOR(1000000.0 * ln(
+            CAST(GREATEST(4 * COALESCE(big.c12, 0) - 3, 0) * (tot.t + 65536)
+                 + 3 * uni.n1p * (COALESCE(cont.cw2, 0) + 1) AS DOUBLE)
+            / CAST(4 * uni.c1 * (tot.t + 65536) AS DOUBLE))) AS BIGINT)
+        END AS lp
+      FROM dc
+      LEFT JOIN big ON dc.w1 = big.w1 AND dc.w2 = big.w2
+      LEFT JOIN uni ON dc.w1 = uni.w1
+      LEFT JOIN cont ON dc.w2 = cont.w2
+      CROSS JOIN tot
+    ),
+    perdoc AS (
+      SELECT doc_id, lang,
+             CAST(SUM(dcnt) AS BIGINT) AS n_bigrams,
+             CAST(-SUM(dcnt * lp) AS BIGINT) AS nll_micro_nats
+      FROM sc GROUP BY doc_id, lang
+    ),
+    final AS (
+      SELECT doc_id, lang, n_bigrams, nll_micro_nats,
+             nll_micro_nats // n_bigrams AS ppl_micro_per_tok
+      FROM perdoc
+    )
+    SELECT doc_id, lang, n_bigrams, nll_micro_nats, ppl_micro_per_tok,
+      CASE NTILE(3) OVER (PARTITION BY lang
+                          ORDER BY ppl_micro_per_tok ASC, doc_id ASC)
+        WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+      END AS ccnet_bucket
+    FROM final ORDER BY doc_id
+"""
+
+
+@register("doc_kneser_ney_ppl_filter", _KN_ORACLE)
+def q_doc_kneser_ney_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM-perplexity quality filter (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): train an interpolated Kneser-Ney bigram LM on the clean
+    subset (lang='en' stands in for CCNet's Wikipedia target, as in
+    doc_dsir_importance_select), score EVERY document's negative
+    log-likelihood under it, and bucket each language's documents into
+    the head/middle/tail perplexity tertiles CCNet keeps/filters by.
+
+    Determinism: the interpolated-KN bigram probability with absolute
+    discount D=0.75 and an add-one-smoothed continuation distribution
+    (positivity for any scored pair, seen or unseen) is an EXACT integer
+    ratio once multiplied through by 4·(T+V):
+
+        P(w2|w1) = [max(4·c12−3, 0)·(T+V) + 3·N1+(w1·)·(cont(w2)+1)]
+                   / [4·c1·(T+V)]                      (w1 seen in train)
+        P(w2|w1) = (cont(w2)+1) / (T+V)                (w1 unseen)
+
+    with T = N1+(··) distinct train bigrams and V = 65536 hashed-vocab
+    buckets. Each distinct scored pair pays ONE ln on that exact double
+    ratio, frozen as floor(1e6·ln) micro-nats (the DSIR freeze — same
+    libm caveat, same boundary-margin test discipline in
+    tests/test_round14_ops.py); per-doc NLL is then an exact integer sum,
+    associative under any partitioning, and micro-nats/token is integer
+    division (both operands positive → floor == truncate, no engine
+    divergence). Numerators/denominators stay < 2^53 (exact doubles) up
+    to ~1e5 max unigram-bucket count × ~2e6 train bigram types; beyond
+    that the freeze is still deterministic per engine but the 1-ulp
+    cross-engine window widens — documented, like DSIR.
+
+    Scale shape: the "LM" is three count tables — uni/cont are ≤V=65536
+    rows (explicitly broadcast), big is ≤V² but realistically
+    corpus-bounded and joins (w1,w2)-to-(w1,w2) with partial aggregation
+    on both sides; one ln per distinct (doc,w1,w2) row, all JVM. The
+    tertile NTILE partitions by language (CCNet's actual grouping), so
+    the window never needs a global sort. 100 TB: the scoring join
+    shuffles skinny (doc, w1, w2, dcnt) rows; the model build is two
+    map-side-combinable aggregations over the train subset."""
+    from ..operators.fuzzy_dedup import shingle_hash_sequence
+    from ..sources.readers import spread
+
+    V = 65536
+    d = (
+        table_scan(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .filter(F.trim("text") != "")
+    )
+    th = F.transform(
+        shingle_hash_sequence("text", 1, portable=True), lambda t: t % V
+    )
+    seq = spread(d).select("doc_id", "lang", th.alias("th"))
+    sz = F.size("th")
+    pairs = F.arrays_zip(
+        F.slice("th", 1, sz - 1).alias("w1"),
+        F.slice(F.col("th"), F.lit(2), sz - 1).alias("w2"),
+    )
+    occ = seq.select("doc_id", "lang", F.explode(pairs).alias("p")).select(
+        "doc_id", "lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    # collapse to per-doc bigram types first (the doc→model join then
+    # moves one row per DISTINCT (doc, bigram); read twice: train + score)
+    dc = (
+        occ.groupBy("doc_id", "lang", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("dcnt"))
+        .transform(cached)
+    )
+    # train counts (read four times: uni, cont, tot, scoring join)
+    big = (
+        dc.filter(F.col("lang") == "en")
+        .groupBy("w1", "w2")
+        .agg(F.sum("dcnt").cast("long").alias("c12"))
+        .transform(cached)
+    )
+    uni = big.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1p"),
+    )
+    cont = big.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("cw2"))
+    tot = big.agg(F.count(F.lit(1)).cast("long").alias("t"))
+    j = (
+        dc.join(big, ["w1", "w2"], "left")
+        .join(F.broadcast(uni), "w1", "left")
+        .join(F.broadcast(cont), "w2", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    t4 = F.col("t") + F.lit(V)
+    cw2p = F.coalesce("cw2", F.lit(0)) + 1
+    num_seen = (
+        F.greatest(4 * F.coalesce("c12", F.lit(0)) - 3, F.lit(0)) * t4
+        + 3 * F.col("n1p") * cw2p
+    )
+    den_seen = 4 * F.col("c1") * t4
+    lp = (
+        F.when(
+            F.col("c1").isNull(),
+            F.floor(
+                F.lit(1000000.0)
+                * F.log(cw2p.cast("double") / t4.cast("double"))
+            ),
+        )
+        .otherwise(
+            F.floor(
+                F.lit(1000000.0)
+                * F.log(num_seen.cast("double") / den_seen.cast("double"))
+            )
+        )
+        .cast("long")
+    )
+    perdoc = (
+        j.select("doc_id", "lang", "dcnt", lp.alias("lp"))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("dcnt").cast("long").alias("n_bigrams"),
+            (-F.sum(F.col("dcnt") * F.col("lp"))).cast("long").alias(
+                "nll_micro_nats"
+            ),
+        )
+        .withColumn(
+            "ppl_micro_per_tok",
+            F.expr("nll_micro_nats div n_bigrams").cast("long"),
+        )
+    )
+    wt = Window.partitionBy("lang").orderBy(
+        F.asc("ppl_micro_per_tok"), F.asc("doc_id")
+    )
+    nt = F.ntile(3).over(wt)
+    return (
+        perdoc.withColumn("__nt", nt)
+        .select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            "nll_micro_nats",
+            "ppl_micro_per_tok",
+            F.when(F.col("__nt") == 1, F.lit("head"))
+            .when(F.col("__nt") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("ccnet_bucket"),
+        )
+        .orderBy("doc_id")
+    )

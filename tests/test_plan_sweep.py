@@ -45,6 +45,9 @@ BNLJ_OK = {
     "doc_dsir_importance_select",  # two single-row scalar broadcasts (raw
     #   and target bigram totals feeding the smoothed log-ratio); the
     #   per-doc scoring join itself is an equi-join on the bucket id
+    "doc_kneser_ney_ppl_filter",  # single-row train-bigram-total (T)
+    #   broadcast (the key_skew_profile shape); the model joins themselves
+    #   are equi-joins on (w1,w2)/w1/w2 with ≤V-row broadcast dims
     "events_seq_pattern_support",  # 5-row alphabet dim broadcast (the
     #   pattern fan-out is bounded by |Σ| by construction) + single-row
     #   user-count scalar broadcast for support_ppm

@@ -1,0 +1,170 @@
+"""Round-14 operator: doc_kneser_ney_ppl_filter — independent math replay.
+
+The registry parity gate proves Spark and DuckDB AGREE; these tests prove
+the math is RIGHT: a from-scratch pandas/hashlib/math replay of the
+interpolated Kneser-Ney bigram LM (train on lang='en', score all), the
+micro-nat freeze's boundary margin (the DSIR discipline — a frozen
+floor(1e6·ln) is only safe when the scaled ln sits far from an integer
+boundary relative to the 1-ulp libm window), and the semantic point of
+the CCNet filter (English documents score better under an English-trained
+LM than non-English ones).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter, defaultdict
+
+import pandas as pd
+import pytest
+
+V = 65536
+MH_P = (1 << 31) - 1
+
+
+def _tok_bucket(tok: str) -> int:
+    h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+    return (h % MH_P) % V
+
+
+def _bigrams(text: str) -> list[tuple[int, int]]:
+    toks = re.split(r"\s+", text.strip())
+    th = [_tok_bucket(t) for t in toks]
+    return list(zip(th, th[1:]))
+
+
+def _ntile3(n: int, pos: int) -> int:
+    size, extra = divmod(n, 3)
+    head = extra * (size + 1)
+    if pos < head:
+        return pos // (size + 1) + 1
+    return extra + (pos - head) // size + 1
+
+
+def _brute_force(docs: pd.DataFrame):
+    """Returns (per-doc dict, set of distinct (num, den) ratios scored)."""
+    bg_by_doc = {}
+    for r in docs.itertuples():
+        if not r.text.strip():
+            continue
+        bgs = _bigrams(r.text)
+        if bgs:
+            bg_by_doc[r.doc_id] = (r.lang, Counter(bgs))
+    big = Counter()
+    for _, (lang, cnt) in bg_by_doc.items():
+        if lang == "en":
+            big.update(cnt)
+    c1 = Counter()
+    n1p = Counter()
+    cont = Counter()
+    for (w1, w2), c in big.items():
+        c1[w1] += c
+        n1p[w1] += 1
+        cont[w2] += 1
+    t = len(big)
+    ratios = set()
+    out = {}
+    for doc_id, (lang, cnt) in bg_by_doc.items():
+        nll = 0
+        nb = 0
+        for (w1, w2), dcnt in cnt.items():
+            if w1 in c1:
+                num = max(4 * big.get((w1, w2), 0) - 3, 0) * (t + V) + 3 * n1p[
+                    w1
+                ] * (cont.get(w2, 0) + 1)
+                den = 4 * c1[w1] * (t + V)
+            else:
+                num = cont.get(w2, 0) + 1
+                den = t + V
+            ratios.add((num, den))
+            lp = math.floor(1e6 * math.log(num / den))
+            nll -= dcnt * lp
+            nb += dcnt
+        out[doc_id] = {
+            "lang": lang,
+            "n_bigrams": nb,
+            "nll_micro_nats": nll,
+            "ppl_micro_per_tok": nll // nb,
+        }
+    # per-language tertiles over (ppl asc, doc_id asc)
+    by_lang = defaultdict(list)
+    for doc_id, rec in out.items():
+        by_lang[rec["lang"]].append((rec["ppl_micro_per_tok"], doc_id))
+    names = {1: "head", 2: "middle", 3: "tail"}
+    for lang, rows in by_lang.items():
+        rows.sort()
+        for pos, (_, doc_id) in enumerate(rows):
+            out[doc_id]["ccnet_bucket"] = names[_ntile3(len(rows), pos)]
+    return out, ratios
+
+
+@pytest.fixture(scope="module")
+def kn(spark, sf_dir):
+    from breweries_data_engineering_case_spark.plans.registry import QUERIES
+
+    sdf = QUERIES["doc_kneser_ney_ppl_filter"](spark, sf_dir)
+    got = {r["doc_id"]: r.asDict() for r in sdf.collect()}
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[
+        ["doc_id", "lang", "text"]
+    ]
+    want, ratios = _brute_force(docs)
+    return got, want, ratios
+
+
+def test_kn_brute_force_replay(kn):
+    got, want, _ = kn
+    assert set(got) == set(want)
+    for doc_id, w in want.items():
+        g = got[doc_id]
+        for k in (
+            "lang",
+            "n_bigrams",
+            "nll_micro_nats",
+            "ppl_micro_per_tok",
+            "ccnet_bucket",
+        ):
+            assert g[k] == w[k], f"{doc_id}.{k}: spark {g[k]} != replay {w[k]}"
+
+
+def test_kn_freeze_boundary_margin(kn):
+    """Every frozen ln sits ≥1e-7 from the nearest integer boundary —
+    ≥100× the ~1e-9 window a 1-ulp libm ln difference could move it."""
+    _, _, ratios = kn
+    assert len(ratios) > 100  # the model is non-trivial
+    worst = min(
+        abs(1e6 * math.log(num / den) - round(1e6 * math.log(num / den)))
+        for num, den in ratios
+    )
+    assert worst >= 1e-7, f"floor-boundary margin too small: {worst}"
+
+
+def test_kn_semantics_nonvacuous(kn):
+    got, want, ratios = kn
+    # both probability branches are exercised: unseen-w1 pairs score via
+    # the pure continuation distribution (den == t + V detects them)
+    dens = {den for _, den in ratios}
+    t_plus_v = min(dens)
+    assert any(den == t_plus_v for _, den in ratios)
+    assert any(den != t_plus_v for _, den in ratios)
+    # every language with ≥3 docs fills all three CCNet buckets
+    langs = defaultdict(list)
+    for rec in got.values():
+        langs[rec["lang"]].append(rec)
+    for lang, rows in langs.items():
+        if len(rows) >= 3:
+            assert {r["ccnet_bucket"] for r in rows} == {
+                "head",
+                "middle",
+                "tail",
+            }, lang
+    # the CCNet point: an English-trained LM prefers English — the mean
+    # per-token NLL of en docs is strictly below every other language's
+    mean_ppl = {
+        lang: sum(r["ppl_micro_per_tok"] for r in rows) / len(rows)
+        for lang, rows in langs.items()
+    }
+    assert all(
+        mean_ppl["en"] < mean_ppl[lang] for lang in mean_ppl if lang != "en"
+    ), mean_ppl
