@@ -1150,7 +1150,15 @@ def q_rest_paginated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every run, and a shared path would let two co-running processes — or
     # two THREADS of one session (ADVICE r13) — delete each other's page
     # files under the returned frame's lazy glob scan; dead pids' dirs age
-    # out via the grace reap (pid_workspace_alive accepts run-<pid>-<tid>)
+    # out via the grace reap (pid_workspace_alive accepts run-<pid>-<tid>).
+    # Accepted bounds of the pid+tid key (round-14 review): a live
+    # process's dirs are reap-exempt, so a long-lived session pays one
+    # ~KB-scale dir per distinct thread ident until exit (idents recycle
+    # aggressively in CPython, keeping the set small), and a RECYCLED
+    # ident rmtrees its predecessor's dir — safe here because the frame a
+    # run returns is consumed by its own caller before the ident can be
+    # reused (a dead thread cannot hold an unread lazy frame; the registry
+    # gate collects immediately)
     root = Path(tempfile.gettempdir()) / "bdec_rest_ingest" / key
     bronze = root / run_workspace_name()
     reap_stale_stage_siblings(root, "run-", bronze.name, keep=pid_workspace_alive)

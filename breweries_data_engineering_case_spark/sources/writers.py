@@ -615,6 +615,7 @@ def stage_bucketed_table(
     # raises TABLE_OR_VIEW_NOT_FOUND. The flock below serializes PROCESSES;
     # this RLock serializes the one session's threads for this name.
     with _table_thread_lock(name):
+        tomb = gen_path.with_name(gen_name + ".stale")
         if spark.catalog.tableExists(name):
             # validate the registered layout against the requested spec
             # (ADVICE r11) AND the registered location against THIS
@@ -633,41 +634,49 @@ def stage_bucketed_table(
                 # restage instead (round-13 review)
                 and _gen_published()
             ):
-                # an ACTIVE adoption contradicts any supersession tombstone
+                if not tomb.exists():
+                    # steady state: no supersession in sight — lock-free.
+                    # A reaper that stamps the tombstone right after this
+                    # check must still wait a full grace window before
+                    # removing anything, so the scan this validate admits
+                    # is covered.
+                    return spark.table(name)
+                # an ACTIVE adoption contradicts the supersession tombstone
                 # a concurrent newer-code process stamped on this
                 # generation: clear it so the reap lease restarts from the
-                # next sighting. Without this, a session re-validating its
+                # next sighting — without this, a session re-validating its
                 # generation before every scan (the supported long-lived
                 # reader pattern) would still lose the files one grace
-                # window after a different code version first published —
-                # the round-14 two-process churn stress aborts without it.
-                # The full-path adopt branch below gets the same effect via
-                # reap_stale_stage_siblings(active=gen_name).
-                gen_path.with_name(gen_name + ".stale").unlink(missing_ok=True)
-                return spark.table(name)
+                # window after a different code version first published
+                # (the round-14 two-process churn stress aborts). Clearing
+                # MUST hold the flock (round-14 review): an expired
+                # tombstone can already be mid stat-then-rmtree in a
+                # concurrent reaper, and an unlocked unlink would not stop
+                # it — under the flock either this validate renews the
+                # lease before any reaper stats it, or the reap already
+                # won and the re-check below falls through to restage.
+                with _publish_lock(root):
+                    if _gen_published():
+                        tomb.unlink(missing_ok=True)
+                        return spark.table(name)
             # IF EXISTS belt-and-braces: a CONCURRENT PROCESS can drop and
             # re-register independently of this session's thread lock
             spark.sql(f"DROP TABLE IF EXISTS `{name}`")
 
-        if _gen_published():
-            # housekeeping also runs on the adopt path (cheap glob+stat):
-            # otherwise a superseded generation's lease would only ever
-            # progress when some process PUBLISHES at this root again —
-            # i.e. never, once the code stabilizes — and the old gen would
-            # leak. Under the flock: an unserialized stat-then-delete could
-            # reap a generation in the instant between a flip-back process
-            # clearing its tombstone and re-registering it (round-13
-            # review #3).
-            with _publish_lock(root):
-                reap_stale_stage_siblings(root, "gen-", gen_name)
-                _reap_legacy_root_files(root)
-            return _register()
-        # stage-or-adopt under the per-root inter-process lock: a
+        # adopt-or-stage under the per-root inter-process lock: a
         # concurrent same-generation stager either already published
         # (adopt its files — the generation is content+code-addressed, the
         # data is identical) or is mid-write (block until it publishes,
         # then adopt). Holding the lock across the write means the loser
-        # never pays a duplicate write.
+        # never pays a duplicate write. The published check itself runs
+        # INSIDE the flock (round-14 review): deciding to adopt on an
+        # unlocked check left a window where an expired-lease reap deleted
+        # the generation between the check and _register, and CREATE TABLE
+        # over the vanished LOCATION would serve an EMPTY table — worse
+        # than the abort it replaced. Housekeeping in the same block also
+        # keeps the old adopt-path property: a superseded generation's
+        # lease progresses even once the code stabilizes and nothing
+        # publishes here anymore (round-13 review #3).
         with _publish_lock(root):
             if not _gen_published():
                 tmp_path = root / f"{gen_name}.tmp-{_os.getpid()}"
