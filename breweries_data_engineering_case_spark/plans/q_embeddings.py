@@ -2143,3 +2143,238 @@ def q_embedding_clustering_rand_index(
         .cast("long")
         .alias("ari_ppm"),
     )
+
+
+_D4_PRUNE_ORACLE = """
+    WITH kk AS (
+      SELECT GREATEST(8, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS k
+      FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id, i, CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS qx
+      FROM (SELECT vec_id, UNNEST(embedding) AS x,
+                   UNNEST(range(len(embedding))) AS i FROM embeddings)
+    ),
+    c0 AS (SELECT vec_id AS cid, i, qx AS cx FROM e
+           WHERE vec_id < (SELECT k FROM kk)),
+    d1 AS (
+      SELECT e.vec_id, c0.cid,
+             CAST(SUM((e.qx - c0.cx) * (e.qx - c0.cx)) AS BIGINT) AS dist
+      FROM e JOIN c0 ON e.i = c0.i GROUP BY e.vec_id, c0.cid
+    ),
+    a1 AS (
+      SELECT vec_id, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      FROM d1
+    ),
+    s1 AS (
+      SELECT a1.cid AS cluster, e.i, CAST(SUM(e.qx) AS BIGINT) AS s,
+             COUNT(*) AS n
+      FROM a1 JOIN e ON e.vec_id = a1.vec_id
+      WHERE a1.rn = 1 GROUP BY a1.cid, e.i
+    ),
+    c1 AS (SELECT cluster AS cid, i, CAST(s // n AS BIGINT) AS cx FROM s1),
+    d2 AS (
+      SELECT e.vec_id, c1.cid,
+             CAST(SUM((e.qx - c1.cx) * (e.qx - c1.cx)) AS BIGINT) AS dist
+      FROM e JOIN c1 ON e.i = c1.i GROUP BY e.vec_id, c1.cid
+    ),
+    a2 AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d2) WHERE rn = 1
+    ),
+    vn AS (SELECT vec_id, CAST(SUM(qx * qx) AS BIGINT) AS n2 FROM e GROUP BY vec_id),
+    cn AS (SELECT cid, CAST(SUM(cx * cx) AS BIGINT) AS n2 FROM c1 GROUP BY cid),
+    pdot AS (
+      SELECT a2.vec_id, a2.cluster, CAST(SUM(e.qx * c1.cx) AS BIGINT) AS dot
+      FROM a2 JOIN e ON e.vec_id = a2.vec_id
+              JOIN c1 ON c1.cid = a2.cluster AND c1.i = e.i
+      GROUP BY a2.vec_id, a2.cluster
+    ),
+    proto AS (
+      SELECT p.vec_id, p.cluster,
+             CAST(p.dot AS DOUBLE) / (sqrt(vn.n2) * sqrt(cn.n2)) AS proto_sim
+      FROM pdot p JOIN vn ON vn.vec_id = p.vec_id JOIN cn ON cn.cid = p.cluster
+    ),
+    pairdot AS (
+      SELECT l.vec_id AS id, r.vec_id AS rid,
+             CAST(SUM(le.qx * re.qx) AS BIGINT) AS dot
+      FROM a2 l JOIN a2 r ON l.cluster = r.cluster AND l.vec_id > r.vec_id
+      JOIN e le ON le.vec_id = l.vec_id
+      JOIN e re ON re.vec_id = r.vec_id AND re.i = le.i
+      GROUP BY l.vec_id, r.vec_id
+    ),
+    drops AS (
+      SELECT DISTINCT p.id AS vec_id
+      FROM pairdot p JOIN vn a ON a.vec_id = p.id
+                     JOIN vn b ON b.vec_id = p.rid
+      WHERE CAST(p.dot AS DOUBLE) / (sqrt(a.n2) * sqrt(b.n2)) >= 0.4
+    ),
+    surv AS (
+      SELECT pr.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY pr.cluster
+                                ORDER BY pr.proto_sim DESC, pr.vec_id) AS rn,
+             COUNT(*) OVER (PARTITION BY pr.cluster) AS nc
+      FROM proto pr
+      WHERE pr.vec_id NOT IN (SELECT vec_id FROM drops)
+    )
+    SELECT pr.vec_id, pr.cluster,
+           CASE WHEN d.vec_id IS NOT NULL THEN 'semdedup_drop'
+                WHEN s.rn * 4 <= s.nc THEN 'proto_drop'
+                ELSE 'keep' END AS stage,
+           pr.proto_sim
+    FROM proto pr
+    LEFT JOIN drops d ON d.vec_id = pr.vec_id
+    LEFT JOIN surv s ON s.vec_id = pr.vec_id
+"""
+
+
+@register("embedding_d4_prune", _D4_PRUNE_ORACLE)
+def q_embedding_d4_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 data curation (Tirumala et al. 2023, arXiv:2308.12284): k-means
+    the embedding space, SemDeDup away near-duplicates WITHIN each cluster
+    (Abbas et al. 2023), then prune the most PROTOTYPICAL quarter of each
+    cluster's survivors (SSL-prototypes, Sorscher et al. 2022 — when data
+    is abundant the easiest/most-central examples teach the least). Every
+    vector gets a verdict: 'semdedup_drop' (cosine ≥ 0.4 to a smaller-id
+    cluster sibling), 'proto_drop' (rank·4 ≤ n by centroid-cosine DESC —
+    a pure-integer per-cluster quantile, no float boundary), or 'keep'.
+
+    k is ADAPTIVE: max(8, ⌊√N⌋), computed identically on both sides
+    (count → correctly-rounded sqrt → floor). √N balances the two stages
+    — assignment costs N·k distance folds, the cluster-local SemDeDup
+    pair join N²/k·d — so total work is Θ(N^1.5·d), never all-pairs
+    (measured: SF1's 20k vectors fall from 50M pairs at fixed k=8 to
+    1.5M at k=141). The one driver-side scalar is that bounded count.
+
+    Bitwise oracle-checkable end to end: embeddings quantize to int64
+    fixed point (ROUND(x·10⁶)), the two Lloyd passes reuse the proven
+    kmeans_lloyd_converge_int kernel (exact integer distances, argmin
+    tiebreak on cid, trunc-division centroid update), and every cosine —
+    pair AND centroid — is exact-int64 dot/norms (|dot| ≤ 64·(5.8e5)² ≈
+    2.2e13 < 2⁵³, so the double casts are exact and the one
+    correctly-rounded sqrt/mul/div sequence is bit-identical in both
+    engines; integer sums are associative, so no index-ordered fold is
+    even needed).
+
+    Scale: k grows with N (D4 uses ~11k clusters at 100M docs) so the
+    SemDeDup pair join stays cluster-local — never all-pairs; the
+    centroid table is a broadcast k×dim dim; prototypicality ranking is a
+    per-cluster window, partition-parallel. The only global shuffles are
+    the assignment groupBys and the dim-sized centroid update — the same
+    partial-aggregate shape a distributed k-means already pays."""
+    from ..operators.similarity import quantize_embedding
+
+    import math as _math
+
+    emb = table_scan(spark, sf_dir, "embeddings")
+    q0 = emb.select("vec_id", quantize_embedding("embedding").alias("qv")).transform(
+        cached
+    )
+    k = max(8, _math.isqrt(q0.count()))
+
+    def _dot(a: str, b: str):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        diff = F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b))
+        dist = F.aggregate(diff, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        scored = q0.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "qv", "cid", dist.alias("dist")
+        )
+        return (
+            scored.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cid", "qv")).alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cluster"), F.col("m.qv").alias("qv"))
+        )
+
+    c0 = q0.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    )
+    a1 = assign(c0)
+    s1 = (
+        a1.select("cluster", F.posexplode("qv").alias("i", "qx"))
+        .groupBy("cluster", "i")
+        .agg(F.sum("qx").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    c1 = (
+        s1.selectExpr("cluster AS cid", "i", "s div n AS comp")
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "comp"))),
+                lambda x: x["comp"],
+            ).alias("cv")
+        )
+    )
+    # per-vector quantized norms ride along with the final assignment
+    vn = assign(c1).select(
+        "vec_id", "cluster", "qv", _dot("qv", "qv").alias("n2")
+    ).transform(cached)
+
+    cents = c1.select("cid", "cv", _dot("cv", "cv").alias("cn2"))
+    proto = vn.join(
+        F.broadcast(cents), vn["cluster"] == cents["cid"]
+    ).select(
+        "vec_id",
+        "cluster",
+        (
+            _dot("qv", "cv").cast("double")
+            / (F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("cn2").cast("double")))
+        ).alias("proto_sim"),
+    ).transform(cached)
+
+    lside = vn.select(
+        F.col("vec_id").alias("id"),
+        "cluster",
+        F.col("qv").alias("lv"),
+        F.col("n2").alias("ln2"),
+    )
+    rside = vn.select(
+        F.col("vec_id").alias("rid"),
+        F.col("cluster").alias("rcluster"),
+        F.col("qv").alias("rv"),
+        F.col("n2").alias("rn2"),
+    )
+    pair_sim = _dot("lv", "rv").cast("double") / (
+        F.sqrt(F.col("ln2").cast("double")) * F.sqrt(F.col("rn2").cast("double"))
+    )
+    drops = (
+        lside.join(
+            rside,
+            (F.col("cluster") == F.col("rcluster")) & (F.col("id") > F.col("rid")),
+        )
+        .filter(pair_sim >= 0.4)
+        .select(F.col("id").alias("vec_id"))
+        .distinct()
+    )
+
+    w_rank = Window.partitionBy("cluster").orderBy(F.desc("proto_sim"), "vec_id")
+    w_all = Window.partitionBy("cluster")
+    surv = (
+        proto.join(drops, "vec_id", "left_anti")
+        .select(
+            "vec_id",
+            F.row_number().over(w_rank).alias("rn"),
+            F.count(F.lit(1)).over(w_all).alias("nc"),
+        )
+    )
+    return (
+        proto.join(drops.withColumn("is_drop", F.lit(True)), "vec_id", "left")
+        .join(surv, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.when(F.col("is_drop"), F.lit("semdedup_drop"))
+            .when(F.col("rn") * 4 <= F.col("nc"), F.lit("proto_drop"))
+            .otherwise(F.lit("keep"))
+            .alias("stage"),
+            "proto_sim",
+        )
+    )

@@ -69,6 +69,10 @@ BNLJ_OK = {
     "kmeans_lloyd_step_int",  # 8-row centroid table broadcast, corpus streamed
     "events_distribution_drift",  # single-row bounds + totals broadcasts
     "kmeans_lloyd_converge_int",  # ≤8-row centroid tables broadcast twice
+    "embedding_d4_prune",  # ≤⌊√N⌋-row centroid tables broadcast (the
+    #   kmeans_lloyd_converge_int assignment kernel, reused twice, with
+    #   k = max(8, ⌊√N⌋)); the SemDeDup pair join itself is an equi-join
+    #   on the cluster id
     "vocab_heavy_hitters_pigeonhole",  # single-row corpus-total broadcast
     #   (twice: candidate threshold + final threshold)
     "ann_cosine_topk_ivf_portable",  # ≤8-row centroid tables broadcast

@@ -207,3 +207,142 @@ def test_kn_unseen_w1_branch_planted(spark, tmp_path):
     assert got[4]["ppl_micro_per_tok"] > max(
         got[i]["ppl_micro_per_tok"] for i in (1, 2, 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_d4_prune — independent numpy replay of the D4 curation pipeline
+# ---------------------------------------------------------------------------
+
+
+def _d4_brute_force(emb: pd.DataFrame):
+    """From-scratch int64 replay: quantize (round half-away, the Spark/DuckDB
+    ROUND contract), two Lloyd passes with trunc-division centroid update,
+    within-cluster pair cosines, SemDeDup keep-min drops, prototypicality
+    rank prune (rn·4 ≤ nc). Returns per-vec verdicts + the pair sims (for
+    the threshold-margin audit)."""
+    import numpy as np
+
+    ids = emb["vec_id"].to_numpy()
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    v = X * 1e6
+    Q = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+
+    def trunc_div(s, n):
+        return (np.sign(s) * (np.abs(s) // n)).astype(np.int64)
+
+    def assign(cids, C):
+        # exact integer squared L2; argmin ties → lowest cid (C sorted by cid)
+        d = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+        return cids[np.argmin(d, axis=1)]
+
+    k = max(8, math.isqrt(len(ids)))
+    seed_mask = ids < k
+    order0 = np.argsort(ids[seed_mask])
+    c0_ids = ids[seed_mask][order0]
+    C0 = Q[seed_mask][order0]
+    a1 = assign(c0_ids, C0)
+    cids1, C1 = [], []
+    for cid in c0_ids:
+        m = a1 == cid
+        if m.any():
+            cids1.append(cid)
+            C1.append(trunc_div(Q[m].sum(axis=0), int(m.sum())))
+    cids1 = np.array(cids1)
+    C1 = np.stack(C1)
+    a2 = assign(cids1, C1)
+
+    n2 = (Q * Q).sum(axis=1)
+    cn2 = (C1 * C1).sum(axis=1)
+    crow = {cid: k for k, cid in enumerate(cids1)}
+    proto = {}
+    for j, vid in enumerate(ids):
+        k = crow[a2[j]]
+        dot = int((Q[j] * C1[k]).sum())
+        proto[vid] = float(dot) / (math.sqrt(float(n2[j])) * math.sqrt(float(cn2[k])))
+
+    pair_sims, drops = [], set()
+    for cid in cids1:
+        idx = np.where(a2 == cid)[0]
+        for a in range(len(idx)):
+            for b in range(a + 1, len(idx)):
+                j, k = idx[a], idx[b]
+                hi, lo = (j, k) if ids[j] > ids[k] else (k, j)
+                sim = float((Q[hi] * Q[lo]).sum()) / (
+                    math.sqrt(float(n2[hi])) * math.sqrt(float(n2[lo]))
+                )
+                pair_sims.append(sim)
+                if sim >= 0.4:
+                    drops.add(int(ids[hi]))
+
+    stage = {}
+    for cid in cids1:
+        surv = sorted(
+            (
+                (-proto[int(ids[j])], int(ids[j]))
+                for j in np.where(a2 == cid)[0]
+                if int(ids[j]) not in drops
+            ),
+        )
+        nc = len(surv)
+        for rn, (_, vid) in enumerate(surv, start=1):
+            stage[vid] = "proto_drop" if rn * 4 <= nc else "keep"
+    for vid in drops:
+        stage[vid] = "semdedup_drop"
+    cluster = {int(ids[j]): int(a2[j]) for j in range(len(ids))}
+    return stage, proto, cluster, pair_sims
+
+
+@pytest.fixture(scope="module")
+def d4(spark, sf_dir):
+    from breweries_data_engineering_case_spark.plans.registry import QUERIES
+
+    sdf = QUERIES["embedding_d4_prune"](spark, sf_dir)
+    got = {r["vec_id"]: r.asDict() for r in sdf.collect()}
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")[["vec_id", "embedding"]]
+    stage, proto, cluster, pair_sims = _d4_brute_force(emb)
+    return got, stage, proto, cluster, pair_sims
+
+
+def test_d4_brute_force_replay(d4):
+    got, stage, proto, cluster, _ = d4
+    assert set(got) == set(stage)
+    for vid, g in got.items():
+        assert g["stage"] == stage[vid], f"{vid}: {g['stage']} != {stage[vid]}"
+        assert g["cluster"] == cluster[vid]
+        # exact-int dot/norms → the double is a fixed correctly-rounded
+        # sequence; numpy replays it bit-for-bit
+        assert g["proto_sim"] == proto[vid], f"{vid}: proto_sim mismatch"
+
+
+def test_d4_threshold_margin(d4):
+    """No pair cosine sits ON the 0.4 SemDeDup boundary: exact-int inputs
+    make both engines agree bitwise anyway, but a healthy margin means
+    even a future 1-ulp drift in sqrt/div could not flip a verdict."""
+    *_, pair_sims = d4
+    margin = min(abs(s - 0.4) for s in pair_sims)
+    assert margin >= 1e-7, f"pair sim within {margin} of the 0.4 threshold"
+
+
+def test_d4_semantics_nonvacuous(d4):
+    got, *_ = d4
+    from collections import Counter as _C
+
+    stages = _C(g["stage"] for g in got.values())
+    # all three verdicts fire on the real corpus — never a vacuous column
+    assert stages["semdedup_drop"] > 0
+    assert stages["proto_drop"] > 0
+    assert stages["keep"] > 0
+    # exactly floor(nc/4) most-prototypical survivors pruned per cluster
+    by_cluster: dict[int, list[dict]] = defaultdict(list)
+    for g in got.values():
+        if g["stage"] != "semdedup_drop":
+            by_cluster[g["cluster"]].append(g)
+    for cid, rows in by_cluster.items():
+        n_drop = sum(1 for r in rows if r["stage"] == "proto_drop")
+        assert n_drop == len(rows) // 4, f"cluster {cid}"
+        if n_drop:
+            worst_dropped = min(
+                r["proto_sim"] for r in rows if r["stage"] == "proto_drop"
+            )
+            best_kept = max(r["proto_sim"] for r in rows if r["stage"] == "keep")
+            assert worst_dropped >= best_kept  # prunes the PROTOTYPICAL side
