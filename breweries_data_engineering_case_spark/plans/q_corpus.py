@@ -2325,3 +2325,491 @@ def q_doc_kneser_ney_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_DOREMI_ORACLE = r"""
+    WITH tok AS (
+      SELECT lang,
+             (CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+              % 2147483647) % 1024 AS v
+      FROM (SELECT lang, UNNEST(string_split_regex(TRIM(text), '\s+')) AS t
+            FROM documents WHERE TRIM(text) <> '')
+    ),
+    ckv AS (SELECT lang, v, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok GROUP BY lang, v),
+    pool AS (SELECT v, CAST(SUM(c) AS BIGINT) AS cv FROM ckv GROUP BY v),
+    nk AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS ntok FROM ckv GROUP BY lang),
+    ntot AS (SELECT CAST(SUM(cv) AS BIGINT) AS n FROM pool),
+    lpref AS (
+      SELECT v, CAST(FLOOR(1000000.0 * ln(
+               CAST(1000 * cv + 1 AS DOUBLE)
+               / CAST(1000 * n + 1024 AS DOUBLE))) AS BIGINT) AS lpr
+      FROM pool CROSS JOIN ntot
+    ),
+    lpk AS (
+      SELECT ckv.lang, ckv.v, ckv.c,
+             CAST(FLOOR(1000000.0 * ln(
+               CAST(1000 * ckv.c + 1 AS DOUBLE)
+               / CAST(1000 * nk.ntok + 1024 AS DOUBLE))) AS BIGINT) AS lpk
+      FROM ckv JOIN nk USING (lang)
+    ),
+    ex AS (
+      SELECT lpk.lang,
+             CAST(SUM(lpk.c * (lpk.lpk - lpref.lpr)) AS BIGINT) AS et
+      FROM lpk JOIN lpref USING (v) GROUP BY lpk.lang
+    ),
+    ept AS (
+      SELECT ex.lang, nk.ntok, GREATEST(ex.et, 0) // nk.ntok AS excess
+      FROM ex JOIN nk USING (lang)
+    ),
+    mx AS (SELECT CAST(MAX(excess) AS BIGINT) AS m FROM ept),
+    sk AS (
+      SELECT lang, ntok, excess,
+             CAST(FLOOR(1000000000.0 * exp(
+               CAST(100 * (excess - m) AS DOUBLE) / 1000000.0)) AS BIGINT) AS s
+      FROM ept CROSS JOIN mx
+    ),
+    agg AS (SELECT CAST(SUM(s) AS BIGINT) AS stot,
+                   CAST(COUNT(*) AS BIGINT) AS k FROM sk),
+    ak AS (
+      SELECT lang, ntok, excess, s,
+             99 * s * k + stot AS a, 100 * k * stot AS d
+      FROM sk CROSS JOIN agg
+    ),
+    alloc AS (
+      SELECT lang, ntok, excess, s,
+             CAST((1000000::HUGEINT * a) // d AS BIGINT) AS wfloor,
+             CAST((1000000::HUGEINT * a) % d AS BIGINT) AS rem
+      FROM ak
+    ),
+    short AS (SELECT 1000000 - CAST(SUM(wfloor) AS BIGINT) AS sh FROM alloc),
+    rk AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, lang)
+                          AS BIGINT) AS rn
+           FROM alloc)
+    SELECT lang, ntok AS n_tokens, excess AS excess_micro_per_tok,
+           s AS eg_score_nano,
+           wfloor + CASE WHEN rn <= sh THEN 1 ELSE 0 END AS weight_ppm
+    FROM rk CROSS JOIN short ORDER BY lang
+"""
+
+
+@register("doremi_domain_mixture_weights", _DOREMI_ORACLE)
+def q_doremi_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    per-domain excess loss drives one exponentiated-gradient step with
+    uniform smoothing, emitting a training mixture in exact ppm. Domains
+    are `lang`; the reference model is a Lidstone-smoothed hashed-unigram
+    LM over the POOL, the per-domain proxy is the same LM fit on the
+    domain alone, and excess loss is the per-token gap
+    NLL_ref − NLL_proxy clipped at 0 — an exact plug-in estimate of
+    KL(domain ‖ pool), DoReMi's "domain the reference underserves" signal.
+
+    Determinism ladder (the DSIR/KN freeze discipline):
+    - Lidstone α=1/1000 is the exact rational (1000·c+1)/(1000·N+V),
+      V=1024 hash buckets — α≈V/(1000·N)·mass keeps the smoothing penalty
+      far below the inter-domain KL (add-ONE at this vocab size drowns it;
+      measured round 14). Each distinct count pays one ln on that exact
+      double ratio, frozen as floor(1e6·ln) micro-nats; domain sums are
+      then exact integer dot products, associative under any partitioning.
+    - The EG step exp(η·excess), η=100, is max-normalized (log-sum-exp
+      style: exponent = η·(excess−max) ≤ 0) so the frozen
+      floor(1e9·exp(·)) fits int64 for ANY corpus, and exp(0)=1 is exact
+      in every IEEE libm when the argument is the max domain itself.
+    - DoReMi's uniform mixing (c=0.01) is the exact rational
+      w_k = 0.99·s_k/S + 0.01/K = (99·s_k·K + S)/(100·K·S): numerators
+      a_k are int64, Σa_k = 100·K·S = D by construction, and the ppm
+      allocation runs largest-remainder over (10⁶·a_k) div D in
+      DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — proven bit-equal — so
+      the emitted weights always sum to exactly 1,000,000.
+
+    Scale shape: the "model" is ≤V=1024 reference rows (broadcast) plus
+    one ≤K-row domain table — ONE (domain, bucket) count shuffle with
+    map-side partial aggregation scores any corpus; everything after is
+    K-row arithmetic. 100 TB: the token explode partial-aggregates to
+    (domain, v) before shuffling; no doc-level state survives the first
+    groupBy."""
+    from ..operators.fuzzy_dedup import shingle_hash_sequence
+    from ..sources.readers import spread
+
+    V = 1024
+    ETA = 100
+    d = (
+        table_scan(spark, sf_dir, "documents")
+        .select("lang", "text")
+        .filter(F.trim("text") != "")
+    )
+    th = F.transform(
+        shingle_hash_sequence("text", 1, portable=True), lambda t: t % V
+    )
+    ckv = (
+        spread(d)
+        .select("lang", F.explode(th).alias("v"))
+        .groupBy("lang", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        # read three times: pool counts, domain totals, proxy scoring
+        .transform(cached)
+    )
+    pool = ckv.groupBy("v").agg(F.sum("c").cast("long").alias("cv"))
+    nk = ckv.groupBy("lang").agg(F.sum("c").cast("long").alias("ntok"))
+    ntot = pool.agg(F.sum("cv").cast("long").alias("n"))
+    freeze = lambda num, den: F.floor(  # noqa: E731
+        F.lit(1000000.0) * F.log(num.cast("double") / den.cast("double"))
+    ).cast("long")
+    lpref = pool.crossJoin(F.broadcast(ntot)).select(
+        "v",
+        freeze(1000 * F.col("cv") + 1, 1000 * F.col("n") + V).alias("lpr"),
+    )
+    lpk = ckv.join(F.broadcast(nk), "lang").select(
+        "lang",
+        "v",
+        "c",
+        freeze(1000 * F.col("c") + 1, 1000 * F.col("ntok") + V).alias("lpk"),
+    )
+    ex = (
+        lpk.join(F.broadcast(lpref), "v")
+        .groupBy("lang")
+        .agg(
+            F.sum(F.col("c") * (F.col("lpk") - F.col("lpr")))
+            .cast("long")
+            .alias("et")
+        )
+    )
+    ept = (
+        ex.join(F.broadcast(nk), "lang")
+        .select(
+            "lang",
+            "ntok",
+            F.expr("greatest(et, 0L) div ntok").cast("long").alias("excess"),
+        )
+        # K rows; caching truncates the corpus-scan lineage so the five
+        # downstream scalar broadcasts (mx, S/K, shortfall, rank, final)
+        # re-read K cached rows instead of re-running the count shuffles
+        .transform(cached)
+    )
+    mx = ept.agg(F.max("excess").cast("long").alias("m"))
+    sk = ept.crossJoin(F.broadcast(mx)).select(
+        "lang",
+        "ntok",
+        "excess",
+        F.floor(
+            F.lit(1000000000.0)
+            * F.exp(
+                (ETA * (F.col("excess") - F.col("m"))).cast("double")
+                / F.lit(1000000.0)
+            )
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    agg = sk.agg(
+        F.sum("s").cast("long").alias("stot"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    ak = sk.crossJoin(F.broadcast(agg)).select(
+        "lang",
+        "ntok",
+        "excess",
+        "s",
+        (99 * dec(F.col("s")) * dec(F.col("k")) + dec(F.col("stot"))).alias(
+            "a"
+        ),
+        (100 * dec(F.col("k")) * dec(F.col("stot"))).alias("d"),
+    )
+    alloc = ak.select(
+        "lang",
+        "ntok",
+        "excess",
+        "s",
+        F.expr("(CAST(1000000 AS DECIMAL(38,0)) * a) div d")
+        .cast("long")
+        .alias("wfloor"),
+        F.expr("(CAST(1000000 AS DECIMAL(38,0)) * a) % d").alias("rem"),
+    ).transform(cached)  # K rows, read by shortfall + the rank pass
+    short = alloc.agg(
+        (F.lit(1000000) - F.sum("wfloor")).cast("long").alias("sh")
+    )
+    wr = Window.orderBy(F.desc("rem"), F.asc("lang"))
+    return (
+        alloc.withColumn("rn", F.row_number().over(wr).cast("long"))
+        .crossJoin(F.broadcast(short))
+        .select(
+            "lang",
+            F.col("ntok").alias("n_tokens"),
+            F.col("excess").alias("excess_micro_per_tok"),
+            F.col("s").alias("eg_score_nano"),
+            (
+                F.col("wfloor")
+                + F.when(F.col("rn") <= F.col("sh"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("weight_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+_DISTILL_ORACLE = r"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    wc AS (
+      SELECT doc_id, word, COUNT(*) AS c
+      FROM w WHERE word <> '' GROUP BY doc_id, word
+    ),
+    lab AS (
+      SELECT doc_id,
+        CAST(SUM(c) BETWEEN 20 AND 100000
+             AND CAST(SUM(c * length(word)) AS DOUBLE)
+                 / CAST(SUM(c) AS DOUBLE) BETWEEN 2.0 AND 10.0
+             AND CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) <= 0.2
+             AND CAST(SUM(CASE WHEN word IN ('a', 'the') THEN c ELSE 0 END)
+                      AS DOUBLE) / CAST(SUM(c) AS DOUBLE) >= 0.005
+             AS BOOLEAN) AS keep
+      FROM wc GROUP BY doc_id
+    ),
+    base AS (
+      SELECT d.doc_id, d.source, COALESCE(lab.keep, FALSE) AS keep
+      FROM documents d LEFT JOIN lab USING (doc_id)
+    ),
+    fv AS (
+      SELECT doc_id,
+             (CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+              % 2147483647) % 4096 AS v,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\s+')) AS t
+            FROM documents WHERE TRIM(text) <> '')
+      GROUP BY doc_id, v
+    ),
+    cls AS (
+      SELECT fv.v,
+             CAST(SUM(CASE WHEN base.keep THEN fv.c ELSE 0 END) AS BIGINT)
+               AS cp,
+             CAST(SUM(CASE WHEN base.keep THEN 0 ELSE fv.c END) AS BIGINT)
+               AS cn
+      FROM fv JOIN base USING (doc_id) GROUP BY fv.v
+    ),
+    tots AS (
+      SELECT CAST(SUM(cp) AS BIGINT) AS np, CAST(SUM(cn) AS BIGINT) AS nn
+      FROM cls
+    ),
+    dtot AS (
+      SELECT CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS dp,
+             CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS dn
+      FROM base
+    ),
+    wv AS (
+      SELECT v, CAST(FLOOR(1000000.0 * ln(
+               (CAST(1000 * cp + 1 AS DOUBLE)
+                / CAST(1000 * np + 4096 AS DOUBLE))
+               / (CAST(1000 * cn + 1 AS DOUBLE)
+                  / CAST(1000 * nn + 4096 AS DOUBLE)))) AS BIGINT) AS wv
+      FROM cls CROSS JOIN tots
+    ),
+    fs AS (
+      SELECT fv.doc_id, CAST(SUM(fv.c * wv.wv) AS BIGINT) AS fsum
+      FROM fv JOIN wv USING (v) GROUP BY fv.doc_id
+    ),
+    scored AS (
+      SELECT base.doc_id, base.source, base.keep,
+             CAST(FLOOR(1000000.0 * ln(CAST(dp + 1 AS DOUBLE)
+                                       / CAST(dn + 1 AS DOUBLE))) AS BIGINT)
+               + COALESCE(fs.fsum, 0) AS score
+      FROM base LEFT JOIN fs USING (doc_id) CROSS JOIN dtot
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_keep_labels,
+           CAST(SUM(CASE WHEN keep AND score >= 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN NOT keep AND score >= 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN keep AND score < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN NOT keep AND score < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tn,
+           (1000000 * CAST(SUM(CASE WHEN (score >= 0) = keep THEN 1 ELSE 0
+                                    END) AS BIGINT)) // COUNT(*)
+             AS accuracy_ppm,
+           CAST(SUM(score) AS BIGINT) AS sum_score_micro
+    FROM scored GROUP BY source ORDER BY source
+"""
+
+
+@register("doc_quality_classifier_distill", _DISTILL_ORACLE)
+def q_doc_quality_classifier_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distill an expensive rule-based quality filter into a cheap linear
+    classifier and measure the agreement — the GPT-3 / LLaMA CommonCrawl
+    quality-filter workflow (Brown et al. 2020 App. A; Touvron et al.
+    2023 train a fastText-style linear model to imitate a reference
+    filter). Teacher labels are the Gopher keep rule (doc_gopher_quality,
+    replicated verbatim); the student is a multinomial Naive-Bayes
+    log-odds model over V=4096 hashed unigrams — exactly a linear
+    classifier with integer weights — trained in closed form on the
+    labeled pool and evaluated in-sample as a per-source confusion
+    matrix. High agreement means the cheap broadcast-join score can
+    replace the word-level teacher on the next 100 TB; the per-source
+    breakdown shows WHERE the student drifts.
+
+    Determinism: per-token weight w_v = ln[p(v|keep)/p(v|drop)] with
+    Lidstone α=1/1000 is one ln over a quotient of two exact int/int
+    double ratios ((1000·c+1)/(1000·N+V), all operands exact doubles
+    < 2^53), frozen as floor(1e6·ln) micro-nats (the DSIR freeze,
+    boundary-margin-tested); the doc score is then the exact integer
+    bias + Σ c_v·w_v, associative under any partitioning; accuracy is
+    integer ppm division on positive operands.
+
+    Scale shape: teacher pass = the Gopher (doc_id, word) shuffle with
+    map-side partial aggregation; student training = ONE (v ≤ 4096)-row
+    aggregate over doc-joined features; student scoring = a broadcast
+    join of the 4096-row weight table — the whole point of distillation.
+    No doc-level list survives any stage."""
+    from ..operators.fuzzy_dedup import shingle_hash_sequence
+    from ..sources.readers import spread
+
+    V = 4096
+    docs = (
+        table_scan(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .transform(cached)  # read by the teacher, the feature pass, and base
+    )
+    # --- teacher: the Gopher keep rule, replicated from doc_gopher_quality
+    wc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    g = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.sum(F.col("c") * F.length("word")).alias("__len_sum"),
+        F.max("c").alias("__max_c"),
+        F.sum(
+            F.when(F.col("word").isin("a", "the"), F.col("c")).otherwise(0)
+        ).alias("__stop_c"),
+    )
+    mean_word_len = F.col("__len_sum").cast("double") / F.col("n_words").cast(
+        "double"
+    )
+    top_word_frac = F.col("__max_c").cast("double") / F.col("n_words").cast(
+        "double"
+    )
+    stopword_frac = F.col("__stop_c").cast("double") / F.col("n_words").cast(
+        "double"
+    )
+    keep = (
+        F.col("n_words").between(20, 100000)
+        & mean_word_len.between(2.0, 10.0)
+        & (top_word_frac <= 0.2)
+        & (stopword_frac >= 0.005)
+    )
+    lab = g.select("doc_id", keep.alias("keep"))
+    base = (
+        docs.select("doc_id", "source")
+        .join(lab, "doc_id", "left")
+        .select(
+            "doc_id", "source", F.coalesce("keep", F.lit(False)).alias("keep")
+        )
+        # read by training (class counts + doc prior) and the final eval
+        .transform(cached)
+    )
+    # --- student features: hashed \s+ unigrams, per-doc counts
+    th = F.transform(
+        shingle_hash_sequence("text", 1, portable=True), lambda t: t % V
+    )
+    fv = (
+        spread(docs.filter(F.trim("text") != "").select("doc_id", "text"))
+        .select("doc_id", F.explode(th).alias("v"))
+        .groupBy("doc_id", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .transform(cached)  # read by training and scoring
+    )
+    cls = (
+        fv.join(base.select("doc_id", "keep"), "doc_id")
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("keep"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("cp"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(F.col("c")))
+            .cast("long")
+            .alias("cn"),
+        )
+        # ≤V rows; read by the totals broadcast AND the weight freeze —
+        # caching stops the doc-feature shuffle from running twice
+        .transform(cached)
+    )
+    tots = cls.agg(
+        F.sum("cp").cast("long").alias("np"),
+        F.sum("cn").cast("long").alias("nn"),
+    )
+    dtot = base.agg(
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("dp"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("long").alias("dn"),
+    )
+    wv = cls.crossJoin(F.broadcast(tots)).select(
+        "v",
+        F.floor(
+            F.lit(1000000.0)
+            * F.log(
+                (
+                    (1000 * F.col("cp") + 1).cast("double")
+                    / (1000 * F.col("np") + V).cast("double")
+                )
+                / (
+                    (1000 * F.col("cn") + 1).cast("double")
+                    / (1000 * F.col("nn") + V).cast("double")
+                )
+            )
+        )
+        .cast("long")
+        .alias("wv"),
+    )
+    fs = (
+        fv.join(F.broadcast(wv), "v")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("wv")).cast("long").alias("fsum"))
+    )
+    bias = F.floor(
+        F.lit(1000000.0)
+        * F.log((F.col("dp") + 1).cast("double") / (F.col("dn") + 1).cast("double"))
+    ).cast("long")
+    scored = (
+        base.join(fs, "doc_id", "left")
+        .crossJoin(F.broadcast(dtot))
+        .select(
+            "source",
+            "keep",
+            (bias + F.coalesce("fsum", F.lit(0))).alias("score"),
+        )
+    )
+    pred = F.col("score") >= 0
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_keep_labels"),
+            F.sum(F.when(F.col("keep") & pred, 1).otherwise(0))
+            .cast("long")
+            .alias("tp"),
+            F.sum(F.when(~F.col("keep") & pred, 1).otherwise(0))
+            .cast("long")
+            .alias("fp"),
+            F.sum(F.when(F.col("keep") & ~pred, 1).otherwise(0))
+            .cast("long")
+            .alias("fn"),
+            F.sum(F.when(~F.col("keep") & ~pred, 1).otherwise(0))
+            .cast("long")
+            .alias("tn"),
+            F.expr(
+                "(1000000 * CAST(SUM(CASE WHEN (score >= 0) = keep"
+                " THEN 1 ELSE 0 END) AS BIGINT)) div COUNT(*)"
+            ).alias("accuracy_ppm"),
+            F.sum("score").cast("long").alias("sum_score_micro"),
+        )
+        .orderBy("source")
+    )

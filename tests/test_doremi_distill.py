@@ -1,0 +1,289 @@
+"""Round-14 operators: doremi_domain_mixture_weights and
+doc_quality_classifier_distill — independent math replays.
+
+The registry parity gate proves Spark and DuckDB AGREE; these tests prove
+the math is RIGHT: from-scratch pandas/hashlib/math replays of the DoReMi
+excess-loss → exponentiated-gradient → smoothed largest-remainder mixture
+and of the Gopher→Naive-Bayes distillation, the micro-nat freeze boundary
+margins (the DSIR discipline), and the semantic non-vacuousness of each
+(weights actually reorder domains; the student actually predicts both
+classes and agrees with the teacher well above chance).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter, defaultdict
+
+import pandas as pd
+import pytest
+
+MH_P = (1 << 31) - 1
+
+
+def _bucket(tok: str, v: int) -> int:
+    h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+    return (h % MH_P) % v
+
+
+def _toks(text: str) -> list[str]:
+    t = text.strip()
+    return re.split(r"\s+", t) if t else []
+
+
+# ---------------------------------------------------------------------------
+# DoReMi
+# ---------------------------------------------------------------------------
+
+DOREMI_V = 1024
+ETA = 100
+
+
+def _doremi_brute_force(docs: pd.DataFrame):
+    """Returns (per-lang dict, ln-freeze ratios, exp-freeze exponents)."""
+    ckv = Counter()
+    for r in docs.itertuples():
+        for t in _toks(r.text):
+            ckv[(r.lang, _bucket(t, DOREMI_V))] += 1
+    pool = Counter()
+    nk = Counter()
+    for (lang, v), c in ckv.items():
+        pool[v] += c
+        nk[lang] += c
+    n = sum(pool.values())
+    ratios = set()
+
+    def freeze(num: int, den: int) -> int:
+        ratios.add((num, den))
+        return math.floor(1e6 * math.log(num / den))
+
+    lpr = {v: freeze(1000 * cv + 1, 1000 * n + DOREMI_V) for v, cv in pool.items()}
+    et = Counter()
+    for (lang, v), c in ckv.items():
+        lpk = freeze(1000 * c + 1, 1000 * nk[lang] + DOREMI_V)
+        et[lang] += c * (lpk - lpr[v])
+    excess = {lang: max(et[lang], 0) // nk[lang] for lang in nk}
+    mx = max(excess.values())
+    exps = {lang: ETA * (e - mx) / 1e6 for lang, e in excess.items()}
+    s = {lang: math.floor(1e9 * math.exp(x)) for lang, x in exps.items()}
+    stot, k = sum(s.values()), len(s)
+    a = {lang: 99 * sv * k + stot for lang, sv in s.items()}
+    d = 100 * k * stot
+    wfloor = {lang: (1000000 * av) // d for lang, av in a.items()}
+    rem = {lang: (1000000 * av) % d for lang, av in a.items()}
+    short = 1000000 - sum(wfloor.values())
+    order = sorted(rem, key=lambda lang: (-rem[lang], lang))
+    w = dict(wfloor)
+    for lang in order[:short]:
+        w[lang] += 1
+    out = {
+        lang: {
+            "n_tokens": nk[lang],
+            "excess_micro_per_tok": excess[lang],
+            "eg_score_nano": s[lang],
+            "weight_ppm": w[lang],
+        }
+        for lang in nk
+    }
+    return out, ratios, exps
+
+
+@pytest.fixture(scope="module")
+def doremi(spark, sf_dir):
+    from breweries_data_engineering_case_spark.plans.registry import QUERIES
+
+    sdf = QUERIES["doremi_domain_mixture_weights"](spark, sf_dir)
+    got = {r["lang"]: r.asDict() for r in sdf.collect()}
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["lang", "text"]]
+    want, ratios, exps = _doremi_brute_force(docs)
+    return got, want, ratios, exps
+
+
+def test_doremi_brute_force_replay(doremi):
+    got, want, _, _ = doremi
+    assert set(got) == set(want)
+    for lang, w in want.items():
+        g = got[lang]
+        for k in (
+            "n_tokens",
+            "excess_micro_per_tok",
+            "eg_score_nano",
+            "weight_ppm",
+        ):
+            assert g[k] == w[k], f"{lang}.{k}: spark {g[k]} != replay {w[k]}"
+
+
+def test_doremi_ln_freeze_boundary_margin(doremi):
+    """Every frozen ln sits ≥1e-7 from the nearest integer boundary —
+    ≥100× the ~1e-9 window a 1-ulp libm ln difference could move it."""
+    _, _, ratios, _ = doremi
+    assert len(ratios) > 50  # the model is non-trivial
+    worst = min(
+        abs(1e6 * math.log(num / den) - round(1e6 * math.log(num / den)))
+        for num, den in ratios
+    )
+    assert worst >= 1e-7, f"ln floor-boundary margin too small: {worst}"
+
+
+def test_doremi_exp_freeze_boundary_margin(doremi):
+    """The EG freeze floor(1e9·exp(x)): x=0 (the max-excess domain) is
+    exact in every IEEE libm (exp(0)=1, 1e9·1 is an exact double), and
+    every other exponent's scaled exp must clear the boundary."""
+    _, _, _, exps = doremi
+    assert any(x == 0.0 for x in exps.values())  # max domain is normalized
+    margins = [
+        abs(1e9 * math.exp(x) - round(1e9 * math.exp(x)))
+        for x in exps.values()
+        if x != 0.0
+    ]
+    assert margins, "all domains at max — excess signal is degenerate"
+    assert min(margins) >= 1e-4, f"exp floor-boundary margin: {min(margins)}"
+
+
+def test_doremi_semantics_nonvacuous(doremi):
+    got, want, _, _ = doremi
+    weights = {lang: g["weight_ppm"] for lang, g in got.items()}
+    excess = {lang: g["excess_micro_per_tok"] for lang, g in got.items()}
+    # exact simplex in ppm
+    assert sum(weights.values()) == 1_000_000
+    # the signal is real: domains are NOT uniformly weighted...
+    assert len(set(weights.values())) > 1, weights
+    # ...and weight order follows excess-loss order (EG is monotone)
+    for a in weights:
+        for b in weights:
+            if excess[a] > excess[b]:
+                assert weights[a] > weights[b], (a, b, excess, weights)
+    # DoReMi's uniform-smoothing floor: every domain keeps ≥ ~c/K mass
+    k = len(weights)
+    assert all(w >= (10_000 // k) - 1 for w in weights.values()), weights
+    # en is the pool-dominant domain, so the pool LM underserves it LEAST
+    assert excess["en"] == min(excess.values()), excess
+
+
+# ---------------------------------------------------------------------------
+# Gopher → Naive-Bayes distillation
+# ---------------------------------------------------------------------------
+
+NB_V = 4096
+
+
+def _gopher_keep(text: str) -> bool:
+    wc = Counter(w for w in text.split(" ") if w != "")
+    if not wc:
+        return False
+    n = sum(wc.values())
+    len_sum = sum(c * len(w) for w, c in wc.items())
+    top = max(wc.values())
+    stop = wc.get("a", 0) + wc.get("the", 0)
+    return (
+        20 <= n <= 100000
+        and 2.0 <= len_sum / n <= 10.0
+        and top / n <= 0.2
+        and stop / n >= 0.005
+    )
+
+
+def _distill_brute_force(docs: pd.DataFrame):
+    labels = {r.doc_id: _gopher_keep(r.text) for r in docs.itertuples()}
+    fv = {}
+    for r in docs.itertuples():
+        cnt = Counter(_bucket(t, NB_V) for t in _toks(r.text))
+        if cnt:
+            fv[r.doc_id] = cnt
+    cp = Counter()
+    cn = Counter()
+    for doc_id, cnt in fv.items():
+        tgt = cp if labels[doc_id] else cn
+        tgt.update(cnt)
+    np_, nn = sum(cp.values()), sum(cn.values())
+    dp = sum(1 for k in labels.values() if k)
+    dn = len(labels) - dp
+    vs = set(cp) | set(cn)
+    ratios = []
+    wv = {}
+    for v in vs:
+        num = (1000 * cp.get(v, 0) + 1) / (1000 * np_ + NB_V)
+        den = (1000 * cn.get(v, 0) + 1) / (1000 * nn + NB_V)
+        ratios.append(num / den)
+        wv[v] = math.floor(1e6 * math.log(num / den))
+    bias_ratio = (dp + 1) / (dn + 1)
+    ratios.append(bias_ratio)
+    bias = math.floor(1e6 * math.log(bias_ratio))
+    per_source = defaultdict(lambda: Counter())
+    for r in docs.itertuples():
+        score = bias + sum(c * wv[v] for v, c in fv.get(r.doc_id, {}).items())
+        pred = score >= 0
+        keep = labels[r.doc_id]
+        c = per_source[r.source]
+        c["n_docs"] += 1
+        c["n_keep_labels"] += int(keep)
+        c["tp"] += int(keep and pred)
+        c["fp"] += int(not keep and pred)
+        c["fn"] += int(keep and not pred)
+        c["tn"] += int(not keep and not pred)
+        c["sum_score_micro"] += score
+    out = {}
+    for src, c in per_source.items():
+        acc = (1000000 * (c["tp"] + c["tn"])) // c["n_docs"]
+        out[src] = dict(c) | {"accuracy_ppm": acc}
+    return out, ratios
+
+
+@pytest.fixture(scope="module")
+def distill(spark, sf_dir):
+    from breweries_data_engineering_case_spark.plans.registry import QUERIES
+
+    sdf = QUERIES["doc_quality_classifier_distill"](spark, sf_dir)
+    got = {r["source"]: r.asDict() for r in sdf.collect()}
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[
+        ["doc_id", "source", "text"]
+    ]
+    want, ratios = _distill_brute_force(docs)
+    return got, want, ratios
+
+
+def test_distill_brute_force_replay(distill):
+    got, want, _ = distill
+    assert set(got) == set(want)
+    for src, w in want.items():
+        g = got[src]
+        for k in (
+            "n_docs",
+            "n_keep_labels",
+            "tp",
+            "fp",
+            "fn",
+            "tn",
+            "accuracy_ppm",
+            "sum_score_micro",
+        ):
+            assert g[k] == w[k], f"{src}.{k}: spark {g[k]} != replay {w[k]}"
+
+
+def test_distill_freeze_boundary_margin(distill):
+    _, _, ratios = distill
+    assert len(ratios) > 20
+    worst = min(
+        abs(1e6 * math.log(r) - round(1e6 * math.log(r))) for r in ratios
+    )
+    assert worst >= 1e-7, f"ln floor-boundary margin too small: {worst}"
+
+
+def test_distill_semantics_nonvacuous(distill):
+    got, _, _ = distill
+    tp = sum(g["tp"] for g in got.values())
+    fp = sum(g["fp"] for g in got.values())
+    fn = sum(g["fn"] for g in got.values())
+    tn = sum(g["tn"] for g in got.values())
+    n = sum(g["n_docs"] for g in got.values())
+    keep = sum(g["n_keep_labels"] for g in got.values())
+    # the teacher is two-class on this corpus (else distillation is moot)
+    assert 0 < keep < n, (keep, n)
+    # the student predicts BOTH classes — it is not a constant function
+    assert tp + fp > 0 and fn + tn > 0, (tp, fp, fn, tn)
+    # in-sample agreement beats the majority-class baseline — the student
+    # actually learned the rule, not just the prior
+    majority = max(keep, n - keep) / n
+    assert (tp + tn) / n > majority, ((tp + tn) / n, majority)

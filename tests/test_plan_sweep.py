@@ -218,6 +218,13 @@ BNLJ_OK = {
     "events_conversion_latency_quartiles",  # 1-row stats + 1-row cutoffs
     #   broadcasts (_exact_rank_cutoffs) + the 1-row count x cutoffs join
     "dq_freshness_by_type",  # 1-row dataset-frontier scalar broadcast
+    "doremi_domain_mixture_weights",  # 1-row vocab-total / max-excess /
+    #   (S, K) / shortfall scalar broadcasts into the ≤K-row domain
+    #   ledger (the Hamilton apportionment shape); the scoring joins are
+    #   equi-joins on bucket id / domain with ≤V=1024-row broadcast dims
+    "doc_quality_classifier_distill",  # 1-row class-token-totals (Np, Nn)
+    #   and doc-prior (Dp, Dn) scalar broadcasts; the student scoring
+    #   join is an equi-join on the ≤V=4096-row broadcast weight table
 }
 
 #: queries allowed a single-partition (global) Window. Each must justify the
@@ -236,6 +243,9 @@ GLOBAL_WINDOW_OK = {
     #   aggregate — O(|charset|) rows at any corpus size
     "dataset_token_budget_allocation",  # Hamilton rank window over the
     #   per-SOURCE aggregate — O(|sources|) rows at any corpus size
+    "doremi_domain_mixture_weights",  # largest-remainder rank window over
+    #   the per-DOMAIN allocation ledger — O(|domains|) rows at any
+    #   corpus size (the dataset_token_budget_allocation shape)
     "doc_jaccard_threshold_sweep",  # cumulative window over the ≤11
     #   decile rows of the bucketed pair histogram
     "orders_aov_theil_sen",  # median-rank window over the ~3k-row
