@@ -42,7 +42,8 @@ ETA = 100
 
 
 def _doremi_brute_force(docs: pd.DataFrame):
-    """Returns (per-lang dict, ln-freeze ratios, exp-freeze exponents)."""
+    """Returns (per-lang dict, ln-freeze ratios, exp-freeze exponents,
+    raw pre-clip excess totals)."""
     ckv = Counter()
     for r in docs.itertuples():
         for t in _toks(r.text):
@@ -87,7 +88,7 @@ def _doremi_brute_force(docs: pd.DataFrame):
         }
         for lang in nk
     }
-    return out, ratios, exps
+    return out, ratios, exps, dict(et)
 
 
 @pytest.fixture(scope="module")
@@ -97,7 +98,7 @@ def doremi(spark, sf_dir):
     sdf = QUERIES["doremi_domain_mixture_weights"](spark, sf_dir)
     got = {r["lang"]: r.asDict() for r in sdf.collect()}
     docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["lang", "text"]]
-    want, ratios, exps = _doremi_brute_force(docs)
+    want, ratios, exps, _ = _doremi_brute_force(docs)
     return got, want, ratios, exps
 
 
@@ -287,3 +288,113 @@ def test_distill_semantics_nonvacuous(distill):
     # actually learned the rule, not just the prior
     majority = max(keep, n - keep) / n
     assert (tp + tn) / n > majority, ((tp + tn) / n, majority)
+
+
+# ---------------------------------------------------------------------------
+# planted corpora — branches the testdata can never fire
+# ---------------------------------------------------------------------------
+
+
+def test_doremi_single_domain_planted(spark, tmp_path):
+    """K=1 boundary: with one domain, proxy ≡ reference (same counts, same
+    denominators) so every frozen lp cancels exactly — excess 0, the EG
+    score is the exact exp(0)=1 freeze, and the largest-remainder
+    allocation must hand the whole simplex (exactly 1,000,000 ppm) to the
+    single domain with zero shortfall correction."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "lang": ["en", "en", "en"],
+            "text": ["a b c a", "b c a b", "c a b c"],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    from breweries_data_engineering_case_spark.plans.registry import QUERIES
+
+    rows = QUERIES["doremi_domain_mixture_weights"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0].asDict()
+    assert r["excess_micro_per_tok"] == 0
+    assert r["eg_score_nano"] == 1_000_000_000  # floor(1e9·exp(0)), exact
+    assert r["weight_ppm"] == 1_000_000
+
+
+def test_doremi_negative_excess_clip_planted(spark, tmp_path):
+    """The testdata's domains all have positive excess, so GREATEST(et, 0)
+    never fires there. Plant two domains with IDENTICAL token
+    distributions: each half-pool proxy carries MORE Lidstone smoothing
+    distortion than the full pool reference (ε ≈ (B−V)/2000 nats < 0 for
+    B distinct buckets ≪ V), so the raw excess is strictly NEGATIVE and
+    the clip must floor it to 0 — verified against the replay's pre-clip
+    totals — and the two domains split the simplex exactly in half."""
+    text = ["x y z x y", "y z x y z", "z x y z x"]
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(1, 7)),
+            "lang": ["en"] * 3 + ["fr"] * 3,
+            "text": text + text,
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    _, _, _, ets = _doremi_brute_force(docs)
+    assert all(v < 0 for v in ets.values()), (
+        f"planted corpus did not drive raw excess negative: {ets}"
+    )
+    from breweries_data_engineering_case_spark.plans.registry import QUERIES
+
+    got = {
+        r["lang"]: r.asDict()
+        for r in QUERIES["doremi_domain_mixture_weights"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(got) == {"en", "fr"}
+    for r in got.values():
+        assert r["excess_micro_per_tok"] == 0  # the clip fired
+        assert r["eg_score_nano"] == 1_000_000_000
+        assert r["weight_ppm"] == 500_000
+
+
+def test_distill_one_class_planted(spark, tmp_path):
+    """All-drop teacher boundary: every planted doc fails the Gopher rule
+    (<20 words), one has EMPTY text (no label row, no feature rows — the
+    coalesce/left-join path). Dp=0 drives the bias to ln(1/(Dn+1)) < 0 and
+    every class-positive count to zero; the student must predict drop for
+    every doc and the confusion matrix collapses to tn=n with perfect
+    in-sample accuracy. Replayed with the same brute force."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "source": ["s1", "s1", "s2"],
+            "text": ["a b c", "", "x y"],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    from breweries_data_engineering_case_spark.plans.registry import QUERIES
+
+    got = {
+        r["source"]: r.asDict()
+        for r in QUERIES["doc_quality_classifier_distill"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    want, _ = _distill_brute_force(docs)
+    assert set(got) == set(want)
+    for src, w in want.items():
+        g = got[src]
+        for k in (
+            "n_docs",
+            "n_keep_labels",
+            "tp",
+            "fp",
+            "fn",
+            "tn",
+            "accuracy_ppm",
+            "sum_score_micro",
+        ):
+            assert g[k] == w[k], f"{src}.{k}: spark {g[k]} != replay {w[k]}"
+    assert sum(g["n_keep_labels"] for g in got.values()) == 0
+    assert all(g["tn"] == g["n_docs"] for g in got.values())
+    assert all(g["accuracy_ppm"] == 1_000_000 for g in got.values())
