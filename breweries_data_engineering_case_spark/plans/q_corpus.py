@@ -2813,3 +2813,137 @@ def q_doc_quality_classifier_distill(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("source")
     )
+
+
+_EPOCH_PLAN_ORACLE = r"""
+    WITH u0 AS (
+      SELECT source, md5(text) AS fp,
+             MIN(len(string_split_regex(TRIM(text), '\s+'))) AS tc
+      FROM documents WHERE TRIM(text) <> '' GROUP BY source, md5(text)
+    ),
+    uk AS (SELECT source, CAST(SUM(tc) AS BIGINT) AS u
+           FROM u0 GROUP BY source),
+    tot AS (SELECT CAST(2 * SUM(u) AS BIGINT) AS b,
+                   CAST(COUNT(*) AS BIGINT) AS k
+            FROM uk),
+    alloc AS (SELECT source, u, b // k AS budget FROM uk CROSS JOIN tot),
+    eff AS (
+      SELECT source, u, budget, (1000 * budget) // u AS epochs_milli,
+        CASE WHEN budget <= u THEN budget
+        ELSE CAST(FLOOR(CAST(u AS DOUBLE)
+               + CAST(77 * u AS DOUBLE)
+                 * (1.0 - exp(-(CAST(5 * (budget - u) AS DOUBLE)
+                                / CAST(77 * u AS DOUBLE)))) / 5.0) AS BIGINT)
+        END AS effective_tokens
+      FROM alloc
+    )
+    SELECT source, u AS unique_tokens, budget AS budget_tokens, epochs_milli,
+           effective_tokens,
+           (1000000 * effective_tokens) // budget AS efficiency_ppm,
+           CASE WHEN budget <= u THEN 1000000
+                ELSE (1000000 * (effective_tokens - u)) // (budget - u)
+           END AS repeat_retention_ppm,
+           epochs_milli > 4000 AS beyond_4_epochs
+    FROM eff ORDER BY source
+"""
+
+
+@register("dataset_epoch_repetition_plan", _EPOCH_PLAN_ORACLE)
+def q_dataset_epoch_repetition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch planning (Muennighoff et al. 2023, "Scaling
+    Data-Constrained Language Models"): given each source's UNIQUE token
+    supply and an equal per-source token budget, how much EFFECTIVE
+    training data does repetition actually buy? Their fitted decay —
+    effective data D' = U + U·R*·(1−exp(−R/R*)) for R repeat epochs
+    beyond the first, R* = 15.4 — means the second epoch retains ~97% of
+    fresh-data value but the return collapses past ~4 epochs; this is the
+    planning query that closes the curation chain mixture → budget →
+    epochs (source_mixture_weights / dataset_token_budget_allocation
+    pick budgets; this prices the repetition those budgets imply).
+
+    Per source: U = Σ tokens over exactly-deduplicated texts (md5
+    fingerprint within source — repetition of a duplicate is repetition,
+    so dedup FIRST is what makes U "unique supply"); budget = (2·ΣU) div
+    K (an equal-allocation 2×-pool budget, documented; Σbudgets ≤ B by
+    integer division); epochs_milli = (1000·budget) div U. The one
+    non-integer step freezes R* = 77/5 exactly: effective_tokens =
+    floor(U + 77·U·(1−exp(−5·(budget−U)/(77·U)))/5) — every operand an
+    exact int64-as-double, one identical correctly-rounded op sequence
+    in both engines, boundary-margin-tested; a budget below one epoch
+    is all fresh data (effective = budget, retention 1e6 by
+    convention). Efficiency and repeat-retention are integer ppm
+    divisions on positive operands.
+
+    Scale shape: one (source, fingerprint) dedup shuffle with map-side
+    partial aggregation (the md5 collapses each text before the
+    shuffle), one ≤K-row source aggregate, then K-row arithmetic under
+    a 1-row totals broadcast. No text survives the first groupBy."""
+    d = (
+        table_scan(spark, sf_dir, "documents")
+        .select("source", "text")
+        .filter(F.trim("text") != "")
+    )
+    u0 = (
+        d.select(
+            "source",
+            F.md5("text").alias("fp"),
+            F.size(F.split(F.trim("text"), r"\s+")).alias("tc"),
+        )
+        .groupBy("source", "fp")
+        .agg(F.min("tc").alias("tc"))
+    )
+    uk = (
+        u0.groupBy("source")
+        .agg(F.sum("tc").cast("long").alias("u"))
+        # K rows; read by the totals aggregate and the per-source plan
+        .transform(cached)
+    )
+    tot = uk.agg(
+        (2 * F.sum("u")).cast("long").alias("b"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    alloc = uk.crossJoin(F.broadcast(tot)).select(
+        "source", "u", F.expr("b div k").cast("long").alias("budget")
+    )
+    fresh_only = F.col("budget") <= F.col("u")
+    d_eff = F.floor(
+        F.col("u").cast("double")
+        + (77 * F.col("u")).cast("double")
+        * (
+            F.lit(1.0)
+            - F.exp(
+                -(
+                    (5 * (F.col("budget") - F.col("u"))).cast("double")
+                    / (77 * F.col("u")).cast("double")
+                )
+            )
+        )
+        / F.lit(5.0)
+    ).cast("long")
+    eff = alloc.select(
+        "source",
+        "u",
+        "budget",
+        F.expr("(1000 * budget) div u").cast("long").alias("epochs_milli"),
+        F.when(fresh_only, F.col("budget"))
+        .otherwise(d_eff)
+        .cast("long")
+        .alias("effective_tokens"),
+    )
+    return eff.select(
+        "source",
+        F.col("u").alias("unique_tokens"),
+        F.col("budget").alias("budget_tokens"),
+        "epochs_milli",
+        "effective_tokens",
+        F.expr("(1000000 * effective_tokens) div budget")
+        .cast("long")
+        .alias("efficiency_ppm"),
+        F.when(F.col("budget") <= F.col("u"), F.lit(1000000))
+        .otherwise(
+            F.expr("(1000000 * (effective_tokens - u)) div (budget - u)")
+        )
+        .cast("long")
+        .alias("repeat_retention_ppm"),
+        (F.col("epochs_milli") > 4000).alias("beyond_4_epochs"),
+    ).orderBy("source")

@@ -398,3 +398,142 @@ def test_distill_one_class_planted(spark, tmp_path):
     assert sum(g["n_keep_labels"] for g in got.values()) == 0
     assert all(g["tn"] == g["n_docs"] for g in got.values())
     assert all(g["accuracy_ppm"] == 1_000_000 for g in got.values())
+
+
+# ---------------------------------------------------------------------------
+# dataset_epoch_repetition_plan (Muennighoff et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+def _epoch_plan_brute_force(docs: pd.DataFrame):
+    """Returns (per-source dict, frozen pre-floor doubles for the margin
+    audit)."""
+    uniq = {}
+    for r in docs.itertuples():
+        if not r.text.strip():
+            continue
+        uniq.setdefault(r.source, {})[
+            hashlib.md5(r.text.encode("utf-8")).hexdigest()
+        ] = len(_toks(r.text))
+    uk = {src: sum(m.values()) for src, m in uniq.items()}
+    b = 2 * sum(uk.values())
+    k = len(uk)
+    budget = b // k
+    out = {}
+    frozen = []
+    for src, u in uk.items():
+        epochs_milli = (1000 * budget) // u
+        if budget <= u:
+            eff = budget
+            retention = 1_000_000
+        else:
+            x = u + 77 * u * (1 - math.exp(-(5 * (budget - u)) / (77 * u))) / 5
+            frozen.append(x)
+            eff = math.floor(x)
+            retention = (1_000_000 * (eff - u)) // (budget - u)
+        out[src] = {
+            "unique_tokens": u,
+            "budget_tokens": budget,
+            "epochs_milli": epochs_milli,
+            "effective_tokens": eff,
+            "efficiency_ppm": (1_000_000 * eff) // budget,
+            "repeat_retention_ppm": retention,
+            "beyond_4_epochs": epochs_milli > 4000,
+        }
+    return out, frozen
+
+
+@pytest.fixture(scope="module")
+def epoch_plan(spark, sf_dir):
+    from breweries_data_engineering_case_spark.plans.registry import QUERIES
+
+    sdf = QUERIES["dataset_epoch_repetition_plan"](spark, sf_dir)
+    got = {r["source"]: r.asDict() for r in sdf.collect()}
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["source", "text"]]
+    want, frozen = _epoch_plan_brute_force(docs)
+    return got, want, frozen
+
+
+def test_epoch_plan_brute_force_replay(epoch_plan):
+    got, want, _ = epoch_plan
+    assert set(got) == set(want)
+    for src, w in want.items():
+        g = got[src]
+        for key in w:
+            assert g[key] == w[key], (
+                f"{src}.{key}: spark {g[key]} != replay {w[key]}"
+            )
+
+
+def test_epoch_plan_freeze_boundary_margin(epoch_plan):
+    """The one non-integer step (floor of the decay formula) must sit far
+    from an integer boundary relative to the cross-engine 1-ulp window
+    of exp() — same discipline as the ln freezes."""
+    _, _, frozen = epoch_plan
+    assert frozen, "repeat branch never fired — the plan is all-fresh"
+    worst = min(abs(x - round(x)) for x in frozen)
+    assert worst >= 1e-6, f"decay floor-boundary margin too small: {worst}"
+
+
+def test_epoch_plan_semantics_nonvacuous(epoch_plan):
+    got, _, _ = epoch_plan
+    for g in got.values():
+        # a 2x-pool equal split means every source repeats (epochs > 1)...
+        assert g["epochs_milli"] > 1000
+        # ...so effective < budget (repetition is never free)...
+        assert g["effective_tokens"] < g["budget_tokens"]
+        # ...but the early-epoch regime retains most of the value
+        assert 900_000 < g["repeat_retention_ppm"] < 1_000_000
+        # monotone sanity: more unique supply => fewer epochs
+    srcs = sorted(got.values(), key=lambda g: g["unique_tokens"])
+    for a, b in zip(srcs, srcs[1:]):
+        if a["unique_tokens"] < b["unique_tokens"]:
+            assert a["epochs_milli"] >= b["epochs_milli"]
+
+
+def test_epoch_plan_branches_planted(spark, tmp_path):
+    """The testdata's balanced sources keep every row in the ~2-epoch
+    regime, so neither the budget<=U all-fresh branch nor the
+    beyond-4-epochs flag ever fires there. Plant a skewed corpus: one
+    source with a huge unique supply (budget < U: all fresh, retention
+    pinned at 1e6) and one tiny source that the equal split forces far
+    past 4 epochs. A duplicated text in the tiny source checks that U
+    counts DEDUPLICATED supply."""
+    big = [
+        " ".join(f"w{i}_{j}" for j in range(40)) for i in range(30)
+    ]  # 1200 unique tokens in one source; with K=3 the equal split gives
+    # budget = 2*(1200+10+5)//3 = 810 < 1200, so 'big' is all-fresh
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(1, 35)),
+            "source": ["big"] * 30 + ["tiny"] * 3 + ["mini"],
+            "text": big + ["q r s t u", "q r s t u", "v w x y z"]
+            + ["m1 m2 m3 m4 m5"],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    from breweries_data_engineering_case_spark.plans.registry import QUERIES
+
+    got = {
+        r["source"]: r.asDict()
+        for r in QUERIES["dataset_epoch_repetition_plan"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    want, _ = _epoch_plan_brute_force(docs)
+    for src, w in want.items():
+        for key in w:
+            assert got[src][key] == w[key], (src, key, got[src], w)
+    # the duplicate doc did not inflate the tiny source's unique supply
+    assert got["tiny"]["unique_tokens"] == 10
+    # all-fresh branch: the big source's budget is below one epoch
+    assert got["big"]["budget_tokens"] < got["big"]["unique_tokens"]
+    assert (
+        got["big"]["effective_tokens"] == got["big"]["budget_tokens"]
+    )
+    assert got["big"]["repeat_retention_ppm"] == 1_000_000
+    assert not got["big"]["beyond_4_epochs"]
+    # deep-repetition branch: the tiny source blows past 4 epochs and its
+    # repeated tokens retain well under full value
+    assert got["tiny"]["beyond_4_epochs"]
+    assert got["tiny"]["repeat_retention_ppm"] < 900_000

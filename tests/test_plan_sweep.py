@@ -225,6 +225,8 @@ BNLJ_OK = {
     "doc_quality_classifier_distill",  # 1-row class-token-totals (Np, Nn)
     #   and doc-prior (Dp, Dn) scalar broadcasts; the student scoring
     #   join is an equi-join on the ≤V=4096-row broadcast weight table
+    "dataset_epoch_repetition_plan",  # 1-row (pool-budget, source-count)
+    #   totals broadcast into the ≤K-row per-source plan
 }
 
 #: queries allowed a single-partition (global) Window. Each must justify the
