@@ -93,3 +93,45 @@ def grouping_sets_counts(
             *([F.col(level_col)] if level_col is not None else []),
         )
     return out
+
+
+def largest_remainder_topup(
+    alloc: DataFrame,
+    budget: int,
+    floor_col: str,
+    rem_col: str,
+    key_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Hamilton (largest-remainder) apportionment tail, shared by every
+    exact-integer budget allocator (dataset_token_budget_allocation,
+    doremi_domain_mixture_weights, and the SQL twins they verify
+    against): given per-key floored shares and their remainders, hand the
+    integer shortfall (budget − Σfloor) to the largest remainders, ties
+    broken by ``key_col`` ascending — a total order, so the allocation is
+    deterministic and Σ``out_col`` == budget exactly, by construction.
+
+    ``rem_col`` may be any totally-ordered numeric (long or DECIMAL —
+    the DoReMi allocator ranks DECIMAL(38,0) remainders). The input is
+    expected to be key-level (a handful of rows): the shortfall is a
+    1-row broadcast and the rank is one tiny global window — O(|keys|)
+    through one task at any corpus size.
+    """
+    from pyspark.sql import Window
+
+    short = alloc.agg(
+        (F.lit(budget) - F.sum(floor_col)).cast("long").alias("__shortfall")
+    )
+    w = Window.orderBy(F.desc(rem_col), F.asc(key_col))
+    return (
+        alloc.withColumn("__rk", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(short))
+        .withColumn(
+            out_col,
+            (
+                F.col(floor_col)
+                + F.when(F.col("__rk") <= F.col("__shortfall"), 1).otherwise(0)
+            ).cast("long"),
+        )
+        .drop("__rk", "__shortfall")
+    )

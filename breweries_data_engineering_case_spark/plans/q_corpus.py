@@ -1228,21 +1228,17 @@ def q_dataset_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataF
         ).alias("n_tokens")
     )
     t = s.agg(F.sum("n_tokens").alias("nt"))
+    from ..operators.agg import largest_remainder_topup
+
     base = s.crossJoin(F.broadcast(t)).selectExpr(
         "source",
         "n_tokens",
         "(10000 * n_tokens) div nt AS floor_alloc",
         "(10000 * n_tokens) % nt AS remainder",
     )
-    short = base.agg((F.lit(10000) - F.sum("floor_alloc")).alias("shortfall"))
-    w = Window.orderBy(F.desc("remainder"), "source")
-    r = base.withColumn("rk", F.row_number().over(w).cast("long"))
-    return r.crossJoin(F.broadcast(short)).selectExpr(
-        "source",
-        "n_tokens",
-        "floor_alloc + CASE WHEN rk <= shortfall THEN 1 ELSE 0 END"
-        " AS alloc_tokens",
-    )
+    return largest_remainder_topup(
+        base, 10000, "floor_alloc", "remainder", "source", "alloc_tokens"
+    ).select("source", "n_tokens", "alloc_tokens")
 
 
 @register(
@@ -2355,11 +2351,12 @@ _DOREMI_ORACLE = r"""
     ),
     ex AS (
       SELECT lpk.lang,
-             CAST(SUM(lpk.c * (lpk.lpk - lpref.lpr)) AS BIGINT) AS et
+             SUM(CAST(lpk.c AS HUGEINT) * (lpk.lpk - lpref.lpr)) AS et
       FROM lpk JOIN lpref USING (v) GROUP BY lpk.lang
     ),
     ept AS (
-      SELECT ex.lang, nk.ntok, GREATEST(ex.et, 0) // nk.ntok AS excess
+      SELECT ex.lang, nk.ntok,
+             CAST(GREATEST(ex.et, 0) // nk.ntok AS BIGINT) AS excess
       FROM ex JOIN nk USING (lang)
     ),
     mx AS (SELECT CAST(MAX(excess) AS BIGINT) AS m FROM ept),
@@ -2466,13 +2463,19 @@ def q_doremi_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFra
         "c",
         freeze(1000 * F.col("c") + 1, 1000 * F.col("ntok") + V).alias("lpk"),
     )
+    # the excess total accumulates c·Δlp with Δlp up to ~3.5e7 micro-nats,
+    # so a ~1e13-token domain can exceed int64 — accumulate in
+    # DECIMAL(38,0) (Spark) / HUGEINT (DuckDB); the per-TOKEN excess that
+    # leaves this stage is bounded by max|Δlp| and always fits int64
     ex = (
         lpk.join(F.broadcast(lpref), "v")
         .groupBy("lang")
         .agg(
-            F.sum(F.col("c") * (F.col("lpk") - F.col("lpr")))
-            .cast("long")
-            .alias("et")
+            F.sum(
+                (F.col("c") * (F.col("lpk") - F.col("lpr"))).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("et")
         )
     )
     ept = (
@@ -2480,7 +2483,12 @@ def q_doremi_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFra
         .select(
             "lang",
             "ntok",
-            F.expr("greatest(et, 0L) div ntok").cast("long").alias("excess"),
+            F.expr(
+                "greatest(et, CAST(0 AS DECIMAL(38,0)))"
+                " div CAST(ntok AS DECIMAL(38,0))"
+            )
+            .cast("long")
+            .alias("excess"),
         )
         # K rows; caching truncates the corpus-scan lineage so the five
         # downstream scalar broadcasts (mx, S/K, shortfall, rank, final)
@@ -2527,24 +2535,18 @@ def q_doremi_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFra
         .alias("wfloor"),
         F.expr("(CAST(1000000 AS DECIMAL(38,0)) * a) % d").alias("rem"),
     ).transform(cached)  # K rows, read by shortfall + the rank pass
-    short = alloc.agg(
-        (F.lit(1000000) - F.sum("wfloor")).cast("long").alias("sh")
-    )
-    wr = Window.orderBy(F.desc("rem"), F.asc("lang"))
+    from ..operators.agg import largest_remainder_topup
+
     return (
-        alloc.withColumn("rn", F.row_number().over(wr).cast("long"))
-        .crossJoin(F.broadcast(short))
+        largest_remainder_topup(
+            alloc, 1000000, "wfloor", "rem", "lang", "weight_ppm"
+        )
         .select(
             "lang",
             F.col("ntok").alias("n_tokens"),
             F.col("excess").alias("excess_micro_per_tok"),
             F.col("s").alias("eg_score_nano"),
-            (
-                F.col("wfloor")
-                + F.when(F.col("rn") <= F.col("sh"), 1).otherwise(0)
-            )
-            .cast("long")
-            .alias("weight_ppm"),
+            "weight_ppm",
         )
         .orderBy("lang")
     )
@@ -2659,7 +2661,10 @@ def q_doc_quality_classifier_distill(spark: SparkSession, sf_dir: str) -> DataFr
     < 2^53), frozen as floor(1e6·ln) micro-nats (the DSIR freeze,
     boundary-margin-tested); the doc score is then the exact integer
     bias + Σ c_v·w_v, associative under any partitioning; accuracy is
-    integer ppm division on positive operands.
+    integer ppm division on positive operands. Bound note: the
+    sum_score_micro checksum is an int64 sum of per-doc scores (each
+    ≤ tokens/doc·max|w| ≈ 3.5e10 for kilotoken docs), safe to ~1e8 docs
+    per source; beyond that drop the checksum column, not the matrix.
 
     Scale shape: teacher pass = the Gopher (doc_id, word) shuffle with
     map-side partial aggregation; student training = ONE (v ≤ 4096)-row
@@ -2675,37 +2680,14 @@ def q_doc_quality_classifier_distill(spark: SparkSession, sf_dir: str) -> DataFr
         .select("doc_id", "source", "text")
         .transform(cached)  # read by the teacher, the feature pass, and base
     )
-    # --- teacher: the Gopher keep rule, replicated from doc_gopher_quality
-    wc = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("c"))
+    # --- teacher: THE Gopher keep rule (operators/quality.py — the same
+    # code object doc_gopher_quality emits, so the student can never
+    # train on a drifted rule; Catalyst prunes the unused signal columns)
+    from ..operators.quality import gopher_quality_signals
+
+    lab = gopher_quality_signals(docs.select("doc_id", "text")).select(
+        "doc_id", "keep"
     )
-    g = wc.groupBy("doc_id").agg(
-        F.sum("c").alias("n_words"),
-        F.sum(F.col("c") * F.length("word")).alias("__len_sum"),
-        F.max("c").alias("__max_c"),
-        F.sum(
-            F.when(F.col("word").isin("a", "the"), F.col("c")).otherwise(0)
-        ).alias("__stop_c"),
-    )
-    mean_word_len = F.col("__len_sum").cast("double") / F.col("n_words").cast(
-        "double"
-    )
-    top_word_frac = F.col("__max_c").cast("double") / F.col("n_words").cast(
-        "double"
-    )
-    stopword_frac = F.col("__stop_c").cast("double") / F.col("n_words").cast(
-        "double"
-    )
-    keep = (
-        F.col("n_words").between(20, 100000)
-        & mean_word_len.between(2.0, 10.0)
-        & (top_word_frac <= 0.2)
-        & (stopword_frac >= 0.005)
-    )
-    lab = g.select("doc_id", keep.alias("keep"))
     base = (
         docs.select("doc_id", "source")
         .join(lab, "doc_id", "left")

@@ -547,40 +547,13 @@ def q_doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine, no float-sum ordering involved). At 100 TB the word-level
     intermediate is the big shuffle — it partial-aggregates on
     (doc_id, word) map-side, and the second pass groups the already-skinny
-    per-word counts."""
+    per-word counts. The rule itself lives in operators/quality.py so the
+    distilled classifier (doc_quality_classifier_distill) trains on
+    EXACTLY this teacher."""
+    from ..operators.quality import gopher_quality_signals
+
     docs = table_scan(spark, sf_dir, "documents").select("doc_id", "text")
-    w = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("word")
-    ).filter(F.col("word") != "")
-    wc = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
-    n_words = F.sum("c")
-    len_sum = F.sum(F.col("c") * F.length("word"))
-    stop_c = F.sum(F.when(F.col("word").isin("a", "the"), F.col("c")).otherwise(0))
-    g = wc.groupBy("doc_id").agg(
-        n_words.alias("n_words"),
-        len_sum.alias("__len_sum"),
-        F.count(F.lit(1)).alias("n_distinct_words"),
-        F.max("c").alias("__max_c"),
-        stop_c.alias("__stop_c"),
-    )
-    mean_word_len = F.col("__len_sum").cast("double") / F.col("n_words").cast("double")
-    top_word_frac = F.col("__max_c").cast("double") / F.col("n_words").cast("double")
-    stopword_frac = F.col("__stop_c").cast("double") / F.col("n_words").cast("double")
-    keep = (
-        F.col("n_words").between(20, 100000)
-        & mean_word_len.between(2.0, 10.0)
-        & (top_word_frac <= 0.2)
-        & (stopword_frac >= 0.005)
-    )
-    return g.select(
-        "doc_id",
-        "n_words",
-        mean_word_len.alias("mean_word_len"),
-        "n_distinct_words",
-        top_word_frac.alias("top_word_frac"),
-        stopword_frac.alias("stopword_frac"),
-        keep.alias("keep"),
-    )
+    return gopher_quality_signals(docs)
 
 
 @register(
