@@ -324,3 +324,68 @@ def test_union_find_matches_bfs_closure(pairs):
         for v in comp:
             expected[v] = m
     assert got == expected
+
+
+# -- Hamilton apportionment tail (operators/agg.largest_remainder_topup) ----
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10**9),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=0, max_value=10**6),
+)
+def test_largest_remainder_topup_invariants(spark, weights, budget):
+    """For ANY nonnegative weights and budget: floors come from the exact
+    proportional shares, and the shared top-up must (a) hit the budget
+    exactly, (b) move each key by at most +1 over its floor, and (c) never
+    top up a smaller remainder while skipping a larger one (ties broken by
+    key ascending) — the determinism the two production allocators
+    (dataset_token_budget_allocation, doremi_domain_mixture_weights)
+    inherit from this operator."""
+    from pyspark.sql import functions as F
+
+    from breweries_data_engineering_case_spark.operators.agg import (
+        largest_remainder_topup,
+    )
+
+    total = sum(weights)
+    rows = []
+    for i, w in enumerate(weights):
+        if total == 0:
+            fl, rem = 0, 0
+        else:
+            fl, rem = divmod(budget * w, total)
+        rows.append((f"k{i:02d}", fl, rem))
+    df = spark.createDataFrame(rows, "key string, fl long, rem long")
+    out = {
+        r["key"]: r["alloc"]
+        for r in largest_remainder_topup(
+            df, budget, "fl", "rem", "key", "alloc"
+        ).collect()
+    }
+    floors = {k: fl for k, fl, _ in rows}
+    rems = {k: rem for k, _, rem in rows}
+    if total == 0:
+        # degenerate: all-zero weights — every remainder ties at 0, the
+        # shortfall IS the budget, and key order decides; with budget
+        # possibly exceeding len(weights) the +1 cap cannot absorb it, so
+        # this input is outside the operator's contract (callers always
+        # floor a true proportional share: Σfloor ≥ budget − n). Only the
+        # exact-sum property is meaningful here when budget ≤ n.
+        if budget <= len(weights):
+            assert sum(out.values()) == budget
+        return
+    assert sum(out.values()) == budget  # (a) exact simplex
+    for k, alloc in out.items():
+        assert alloc in (floors[k], floors[k] + 1), (k, alloc, floors[k])  # (b)
+    # (c) the topped-up set is exactly the shortfall-many largest
+    # (remainder desc, key asc) keys
+    shortfall = budget - sum(floors.values())
+    order = sorted(out, key=lambda k: (-rems[k], k))
+    expect_topped = set(order[:shortfall])
+    got_topped = {k for k in out if out[k] == floors[k] + 1}
+    assert got_topped == expect_topped, (got_topped, expect_topped)
