@@ -2929,3 +2929,171 @@ def q_dataset_epoch_repetition_plan(spark: SparkSession, sf_dir: str) -> DataFra
         .alias("repeat_retention_ppm"),
         (F.col("epochs_milli") > 4000).alias("beyond_4_epochs"),
     ).orderBy("source")
+
+
+_UNIMAX_ORACLE = r"""
+    WITH u0 AS (
+      SELECT lang, md5(text) AS fp,
+             MIN(len(string_split_regex(TRIM(text), '\s+'))) AS tc
+      FROM documents WHERE TRIM(text) <> '' GROUP BY lang, md5(text)
+    ),
+    uk AS (SELECT lang, CAST(SUM(tc) AS BIGINT) AS u FROM u0 GROUP BY lang),
+    tot AS (SELECT CAST((3 * SUM(u)) // 2 AS BIGINT) AS b,
+                   CAST(COUNT(*) AS BIGINT) AS k FROM uk),
+    cap AS (SELECT lang, u, 2 * u AS c FROM uk),
+    srt AS (
+      SELECT lang, u, c,
+             CAST(ROW_NUMBER() OVER (ORDER BY c, lang) AS BIGINT) AS i,
+             CAST(COALESCE(SUM(c) OVER (ORDER BY c, lang
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS pfx_excl
+      FROM cap
+    ),
+    flags AS (
+      SELECT srt.*, tot.b, tot.k,
+             (tot.b - pfx_excl) <= (tot.k - i + 1) * c AS valid
+      FROM srt CROSS JOIN tot
+    ),
+    m AS (SELECT MIN(i) FILTER (WHERE valid) AS m FROM flags),
+    ms AS (
+      SELECT m.m, CAST(COALESCE(f.pfx_excl, 0) AS BIGINT) AS pfx_m
+      FROM m LEFT JOIN flags f ON f.i = m.m
+    ),
+    alloc AS (
+      SELECT f.lang, f.u, f.c, f.i,
+             CASE WHEN s.m IS NULL OR f.i < s.m THEN f.c
+                  ELSE (f.b - s.pfx_m) // (f.k - s.m + 1)
+                       + CASE WHEN (f.i - s.m + 1)
+                                   <= (f.b - s.pfx_m) % (f.k - s.m + 1)
+                              THEN 1 ELSE 0 END
+             END AS alloc_tokens
+      FROM flags f CROSS JOIN ms s
+    )
+    SELECT lang, u AS unique_tokens, c AS capacity_tokens, alloc_tokens,
+           (1000 * alloc_tokens) // u AS epochs_milli,
+           alloc_tokens = c AS capped
+    FROM alloc ORDER BY lang
+"""
+
+
+@register("dataset_unimax_allocation", _UNIMAX_ORACLE)
+def q_dataset_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language sampling (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): distribute a token budget as UNIFORMLY as possible
+    across languages, subject to a per-language epoch cap — the
+    principled alternative to temperature sampling that never
+    over-repeats low-resource languages. The iterative UniMax loop
+    ("give every language an equal share; cap the ones that can't absorb
+    it; redistribute") collapses to ONE closed-form water-fill over the
+    capacity-sorted language table: with capacities C_i = E·U_i sorted
+    ascending and exclusive prefix sums P_i, the capped set is exactly
+    the rows below the FIRST i where B − P_i ≤ (K−i+1)·C_i; everyone
+    else splits the remainder evenly (integer div, remainder to the
+    smallest-capacity uncapped rows — which provably cannot breach their
+    caps: remainder > 0 at level C would contradict the split
+    condition). E = 2 epochs, B = (3·ΣU) div 2, U = per-language unique
+    supply after exact text dedup (the dataset_epoch_repetition_plan
+    convention).
+
+    Determinism: PURE INTEGER end to end — no ln/exp freeze, no margin
+    test needed; Σalloc == min(B, ΣC) exactly by construction, and every
+    operand is a nonneg int64 so div/mod agree across engines. The
+    emitted epochs_milli shows the UniMax signature: low-resource
+    languages pinned at exactly E·1000, the high-resource tail below
+    1000 (fresh data only).
+
+    Scale shape: one (lang, fingerprint) dedup shuffle with map-side
+    partial aggregation, then K-row arithmetic — a cumulative window and
+    a rank over the K-language table (O(|languages|) through one task at
+    any corpus size) under 1-row totals broadcasts."""
+    d = (
+        table_scan(spark, sf_dir, "documents")
+        .select("lang", "text")
+        .filter(F.trim("text") != "")
+    )
+    u0 = (
+        d.select(
+            "lang",
+            F.md5("text").alias("fp"),
+            F.size(F.split(F.trim("text"), r"\s+")).alias("tc"),
+        )
+        .groupBy("lang", "fp")
+        .agg(F.min("tc").alias("tc"))
+    )
+    uk = (
+        u0.groupBy("lang")
+        .agg(F.sum("tc").cast("long").alias("u"))
+        # K rows; read by the totals aggregate and the water-fill
+        .transform(cached)
+    )
+    tot = uk.agg(
+        F.expr("(3 * SUM(u)) div 2").cast("long").alias("b"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    cap = uk.select("lang", "u", (2 * F.col("u")).alias("c"))
+    w = Window.orderBy("c", "lang")
+    srt = cap.select(
+        "lang",
+        "u",
+        "c",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.coalesce(
+            F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("pfx_excl"),
+    )
+    flags = (
+        srt.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "valid",
+            (F.col("b") - F.col("pfx_excl"))
+            <= (F.col("k") - F.col("i") + 1) * F.col("c"),
+        )
+        # K rows; read by the split-point aggregate and the final alloc
+        .transform(cached)
+    )
+    m = flags.agg(
+        F.min(F.when(F.col("valid"), F.col("i"))).alias("m")
+    )
+    ms = m.join(
+        flags.select(F.col("i").alias("__mi"), F.col("pfx_excl").alias("pfx_m")),
+        F.col("m") == F.col("__mi"),
+        "left",
+    ).select("m", F.coalesce("pfx_m", F.lit(0)).cast("long").alias("pfx_m"))
+    alloc_tokens = (
+        F.when(F.col("m").isNull() | (F.col("i") < F.col("m")), F.col("c"))
+        .otherwise(
+            F.expr("(b - pfx_m) div (k - m + 1)")
+            + F.when(
+                F.col("i") - F.col("m") + 1
+                <= F.expr("(b - pfx_m) % (k - m + 1)"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+    )
+    return (
+        flags.crossJoin(F.broadcast(ms))
+        .select(
+            "lang",
+            F.col("u").alias("unique_tokens"),
+            F.col("c").alias("capacity_tokens"),
+            alloc_tokens.alias("alloc_tokens"),
+        )
+        .select(
+            "lang",
+            "unique_tokens",
+            "capacity_tokens",
+            "alloc_tokens",
+            F.expr("(1000 * alloc_tokens) div unique_tokens")
+            .cast("long")
+            .alias("epochs_milli"),
+            (F.col("alloc_tokens") == F.col("capacity_tokens")).alias(
+                "capped"
+            ),
+        )
+        .orderBy("lang")
+    )

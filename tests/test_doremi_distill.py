@@ -537,3 +537,141 @@ def test_epoch_plan_branches_planted(spark, tmp_path):
     # repeated tokens retain well under full value
     assert got["tiny"]["beyond_4_epochs"]
     assert got["tiny"]["repeat_retention_ppm"] < 900_000
+
+
+# ---------------------------------------------------------------------------
+# dataset_unimax_allocation (Chung et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+def _unimax_iterative(docs: pd.DataFrame):
+    """The paper's ITERATIVE UniMax loop, from scratch — the registry
+    query implements a closed-form water-fill; agreeing with this loop
+    on every corpus is the proof the closed form IS UniMax. Returns the
+    per-lang allocation dict."""
+    uniq = {}
+    for r in docs.itertuples():
+        if not r.text.strip():
+            continue
+        uniq.setdefault(r.lang, {})[
+            hashlib.md5(r.text.encode("utf-8")).hexdigest()
+        ] = len(_toks(r.text))
+    u = {lang: sum(m.values()) for lang, m in uniq.items()}
+    b = (3 * sum(u.values())) // 2
+    cap = {lang: 2 * uv for lang, uv in u.items()}
+    # iterate: equal share among uncapped; cap those that can't absorb it
+    capped: set = set()
+    while True:
+        remaining = b - sum(cap[lang] for lang in capped)
+        uncapped = [lang for lang in cap if lang not in capped]
+        if not uncapped:
+            break
+        share = remaining // len(uncapped)
+        newly = {lang for lang in uncapped if cap[lang] < share}
+        if not newly:
+            break
+        capped |= newly
+    alloc = {lang: cap[lang] for lang in capped}
+    if uncapped:
+        level, extra = divmod(remaining, len(uncapped))
+        # remainder goes to the smallest-capacity uncapped langs,
+        # (capacity, lang) ascending — the closed form's rank order
+        order = sorted(uncapped, key=lambda lang: (cap[lang], lang))
+        for pos, lang in enumerate(order):
+            alloc[lang] = level + (1 if pos < extra else 0)
+    out = {}
+    for lang, uv in u.items():
+        a = alloc[lang]
+        out[lang] = {
+            "unique_tokens": uv,
+            "capacity_tokens": cap[lang],
+            "alloc_tokens": a,
+            "epochs_milli": (1000 * a) // uv,
+            "capped": a == cap[lang],
+        }
+    return out, b
+
+
+def _run_unimax(spark, sf_dir):
+    from breweries_data_engineering_case_spark.plans.registry import QUERIES
+
+    return {
+        r["lang"]: r.asDict()
+        for r in QUERIES["dataset_unimax_allocation"](spark, sf_dir).collect()
+    }
+
+
+def test_unimax_closed_form_equals_iterative(spark, sf_dir):
+    got = _run_unimax(spark, sf_dir)
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["lang", "text"]]
+    want, b = _unimax_iterative(docs)
+    assert set(got) == set(want)
+    for lang, w in want.items():
+        for key in w:
+            assert got[lang][key] == w[key], (lang, key, got[lang], w)
+    # exact budget: B = 1.5·ΣU < ΣC = 2·ΣU, so the fill always lands the
+    # full budget (the all-capped surplus branch is unreachable by
+    # construction with these constants — the guard in the query is
+    # belt-and-braces for future constant changes)
+    assert sum(g["alloc_tokens"] for g in got.values()) == b
+    # the UniMax signature: en (the biggest language) is in the uncapped
+    # tail, every capped language pins at exactly 2.000 epochs, and the
+    # water level is non-degenerate at sf0.01+ (some capped, some not;
+    # at sf0.001 the supplies can land all-uncapped — equality with the
+    # iterative loop above is the load-bearing check there)
+    assert not got["en"]["capped"]
+    for g in got.values():
+        if g["capped"]:
+            assert g["epochs_milli"] == 2000
+        else:
+            assert g["epochs_milli"] < 2000
+    uncapped_allocs = sorted(
+        g["alloc_tokens"] for g in got.values() if not g["capped"]
+    )
+    assert uncapped_allocs[-1] - uncapped_allocs[0] <= 1  # equal water level
+
+
+def test_unimax_all_uncapped_planted(spark, tmp_path):
+    """Equal supplies: the 1.5x budget splits below every 2-epoch cap, so
+    NO language is capped and the equal split differs only by the
+    largest-remainder ±1."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "lang": ["aa", "bb", "cc"],
+            "text": ["t1 t2 t3 t4", "s1 s2 s3 s4", "r1 r2 r3 r4"],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    got = _run_unimax(spark, str(tmp_path))
+    want, b = _unimax_iterative(docs)
+    for lang, w in want.items():
+        for key in w:
+            assert got[lang][key] == w[key], (lang, key, got[lang], w)
+    assert not any(g["capped"] for g in got.values())
+    allocs = sorted(g["alloc_tokens"] for g in got.values())
+    assert allocs[-1] - allocs[0] <= 1  # equal split, remainder spread
+    assert sum(allocs) == b
+
+
+def test_unimax_deep_skew_planted(spark, tmp_path):
+    """One giant language among dwarfs: every dwarf caps at 2 epochs and
+    the giant absorbs the whole remainder uncapped — and a duplicated
+    dwarf doc must NOT raise its unique supply (dedup-first)."""
+    giant = " ".join(f"g{i}" for i in range(400))
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "lang": ["gg", "d1", "d1", "d2"],
+            "text": [giant, "x y z", "x y z", "p q"],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    got = _run_unimax(spark, str(tmp_path))
+    want, _ = _unimax_iterative(docs)
+    for lang, w in want.items():
+        for key in w:
+            assert got[lang][key] == w[key], (lang, key, got[lang], w)
+    assert got["d1"]["unique_tokens"] == 3  # duplicate collapsed
+    assert got["d1"]["capped"] and got["d2"]["capped"]
+    assert not got["gg"]["capped"]

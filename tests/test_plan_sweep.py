@@ -227,6 +227,9 @@ BNLJ_OK = {
     #   join is an equi-join on the ≤V=4096-row broadcast weight table
     "dataset_epoch_repetition_plan",  # 1-row (pool-budget, source-count)
     #   totals broadcast into the ≤K-row per-source plan
+    "dataset_unimax_allocation",  # 1-row (budget, K) totals + 1-row
+    #   water-fill split point (m, pfx_m) broadcasts into the ≤K-row
+    #   language ledger
 }
 
 #: queries allowed a single-partition (global) Window. Each must justify the
@@ -248,6 +251,9 @@ GLOBAL_WINDOW_OK = {
     "doremi_domain_mixture_weights",  # largest-remainder rank window over
     #   the per-DOMAIN allocation ledger — O(|domains|) rows at any
     #   corpus size (the dataset_token_budget_allocation shape)
+    "dataset_unimax_allocation",  # capacity-sort rank + cumulative prefix
+    #   window over the per-LANGUAGE ledger — O(|languages|) rows at any
+    #   corpus size (the water-fill split needs the total capacity order)
     "doc_jaccard_threshold_sweep",  # cumulative window over the ≤11
     #   decile rows of the bucketed pair histogram
     "orders_aov_theil_sen",  # median-rank window over the ~3k-row
