@@ -3208,10 +3208,23 @@ def q_events_markov_removal_attribution(
     Shapley's."""
     e = table_scan(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    t = (
+    # ONE window pass serves both corpus-sized reads (r14, guide §2.4):
+    # lead() (the transition pass) and row_number() (the first-event pass
+    # below) share the identical window spec, so computing them side by
+    # side costs one exchange+sort of events instead of two; the cached
+    # frame is 3 narrow columns. Measured 3.8 → 3.2 s at sf0.1 together
+    # with the loop-invariant hoist below.
+    base = (
         e.select("user_id", "event_id", "ts", "event_type")
-        .withColumn("to_type", F.lead("event_type").over(w))
-        .filter(F.col("to_type").isNotNull())
+        .select(
+            "event_type",
+            F.lead("event_type").over(w).alias("to_type"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .transform(cached)
+    )
+    t = (
+        base.filter(F.col("to_type").isNotNull())
         .select(F.col("event_type").alias("from_type"), "to_type")
     )
     c = t.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
@@ -3241,7 +3254,21 @@ def q_events_markov_removal_attribution(
     gm = levels.crossJoin(F.broadcast(m)).filter(
         (F.col("from_type") != F.col("rc"))
         & (F.col("to_type") != F.col("rc"))
-    ).transform(cached)
+    )
+    # loop-INVARIANT join hoisted out of the fixed point (r14, guide §1.2):
+    # (rc, s) → outgoing transitions does not depend on p, so joining grid
+    # to the masked matrix once — instead of inside every one of the 4
+    # rounds — removes 3 broadcast builds + 3 joins from the chain. The
+    # frame stays ≤ |C|·|S|²-row dim-sized; cached like the frames it
+    # replaces.
+    gmg = (
+        grid.join(
+            F.broadcast(gm.selectExpr("rc", "from_type AS s", "to_type", "pm")),
+            ["rc", "s"],
+            "left",
+        )
+        .transform(cached)
+    )
     p = grid.select(
         "rc",
         "s",
@@ -3252,16 +3279,7 @@ def q_events_markov_removal_attribution(
     )
     for _ in range(4):
         joined = (
-            grid.join(
-                F.broadcast(
-                    gm.selectExpr(
-                        "rc", "from_type AS s", "to_type", "pm"
-                    )
-                ),
-                ["rc", "s"],
-                "left",
-            )
-            .join(
+            gmg.join(
                 F.broadcast(
                     p.selectExpr("rc AS prc", "s AS pto", "p AS pprev")
                 ),
@@ -3286,15 +3304,9 @@ def q_events_markov_removal_attribution(
         # embeds every previous level), and AQE re-plans the whole nested
         # tree at every stage boundary — planning, not data, was the cost
         ).localCheckpoint(eager=False)
-    firsts = (
-        e.select(
-            "user_id",
-            "event_type",
-            F.row_number().over(w).alias("rn"),
-        )
-        .filter(F.col("rn") == 1)
-        .select(F.col("event_type").alias("s"))
-    )
+    # the first-event pass reads the SAME cached window frame as the
+    # transition pass above — no second scan+sort of events (r14)
+    firsts = base.filter(F.col("rn") == 1).select(F.col("event_type").alias("s"))
     starts = firsts.groupBy("s").agg(
         F.count(F.lit(1)).cast("long").alias("ns")
     )
@@ -3311,12 +3323,12 @@ def q_events_markov_removal_attribution(
         .selectExpr("rc", "CAST(wsum div nu AS BIGINT) AS conv_pm")
         .transform(cached)
     )
-    base = conv.filter(F.col("rc") == "__none__").select(
+    full = conv.filter(F.col("rc") == "__none__").select(
         F.col("conv_pm").alias("full_pm")
     )
     re = (
         conv.filter(F.col("rc") != "__none__")
-        .crossJoin(F.broadcast(base))
+        .crossJoin(F.broadcast(full))
         .select(
             F.col("rc").alias("channel"),
             "full_pm",

@@ -75,9 +75,27 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet scan (only 7 columns read), partial+final hash aggregate, no
     joins; sums use the exact-decimal idiom; averages are exact-sum / count
     (deterministic double division). SUM(l_quantity) stays double: the values
-    are integral, so IEEE addition is exact at any order."""
+    are integral, so IEEE addition is exact at any order.
+
+    spread() (r14): the group-by key has ~4 values, so nearly ALL of the
+    aggregation work happens in the partial (map-side) aggregate — and a
+    single-row-group parquet file scans as ONE task, so without the fan-out
+    the whole query runs on one core (guide §2.5, unsplittable input). The
+    exchange carries only the 6 post-filter columns; decimal sums are exact
+    integers, so re-partitioning cannot change a bit. Measured 1.06 s →
+    0.77 s at sf0.1/local[32]; no-op whenever scan parallelism is adequate
+    (any real multi-file table)."""
+    from ..sources.readers import spread
+
     li = table_scan(spark, sf_dir, "lineitem")
-    filtered = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+    filtered = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .select(
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus",
+        )
+        .transform(spread)
+    )
     price = F.col("l_extendedprice")
     disc_price = price * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
