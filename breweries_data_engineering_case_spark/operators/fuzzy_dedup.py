@@ -40,6 +40,50 @@ def tokens(c: Column | str, pattern: str = r"\s+") -> Column:
     return F.split(F.trim(col), pattern)
 
 
+# ---------------------------------------------------------------------------
+# SQL-text expression builders (r14). Building these trees through the
+# Column API costs hundreds of py4j round trips PER QUERY CONSTRUCTION
+# (measured 0.5-2.2 s of pure driver time for the 48-hash signature
+# pipeline); the same tree written as ONE SQL string parses JVM-side in
+# ~10 ms. Results are bit-identical (verified per operator against the
+# Column builds before the swap). The helpers below produce SQL TEXT; the
+# public operators route string column names through F.expr(...) and keep
+# the Column-API path for Column inputs (no call site in the repo passes
+# one, but the signature stays honest).
+# ---------------------------------------------------------------------------
+
+
+def _sql_quote(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _sql_tokens(col_sql: str) -> str:
+    return f"split(trim({col_sql}), '\\\\s+')"
+
+
+def _sql_bind(arr_sql: str, var: str, body_sql: str) -> str:
+    """Bind ``var`` once to the (array-typed) ``arr_sql`` and evaluate the
+    array-returning ``body_sql`` against it — lambda binding, so the k
+    references to ``var`` in the body do NOT re-evaluate ``arr_sql`` (the
+    same per-row dedup the Column path gets from binding a python variable
+    a constant number of times)."""
+    return f"flatten(transform(array({arr_sql}), {var} -> {body_sql}))"
+
+
+def _sql_word_shingles(col: str, n: int) -> str:
+    toks = _sql_tokens(_sql_quote(col))
+    if n == 1:
+        return f"array_distinct({toks})"
+    acc = "w"
+    for k in range(1, n):
+        shifted = f"slice(w, {k + 1}, greatest(size(w) - {k}, 0))"
+        # zip_with pads the shorter side with NULL; concat_ws skips NULLs,
+        # so the tail holds partial shingles — sliced off below
+        acc = f"zip_with({acc}, {shifted}, (x, y) -> concat_ws(' ', x, y))"
+    body = f"array_distinct(slice({acc}, 1, greatest(size(w) - {n - 1}, 0)))"
+    return _sql_bind(toks, "w", body)
+
+
 def word_shingles(c: Column | str, n: int = 3) -> Column:
     """Distinct n-word shingles of the text (n=1 → token set).
 
@@ -47,7 +91,11 @@ def word_shingles(c: Column | str, n: int = 3) -> Column:
     ``slice``), so the token-split expression is referenced a CONSTANT number
     of times. Any per-element lambda that touches the tokens (via
     ``element_at`` or per-index ``slice``) re-evaluates the split for every
-    element — O(len²) per document, measured 2-8× slower at 5k docs."""
+    element — O(len²) per document, measured 2-8× slower at 5k docs.
+
+    String column names take the SQL-text fast path (one py4j call)."""
+    if isinstance(c, str):
+        return F.expr(_sql_word_shingles(c, n))
     toks = tokens(c)
     if n == 1:
         return F.array_distinct(toks)
@@ -107,6 +155,30 @@ def shingle_hashes(c: Column | str, n: int = 3, portable: bool = False) -> Colum
     return F.array_distinct(shingle_hash_sequence(c, n, portable=portable))
 
 
+def _sql_hash_base(portable: bool) -> str:
+    """Per-token hash lambda: md5-prefix (engine-portable) or xxhash64,
+    reduced mod the Mersenne prime — SQL twin of functions/hashing."""
+    if portable:
+        return (
+            "t -> pmod(cast(conv(substring(md5(t), 1, 15), 16, 10)"
+            f" as bigint), {_MH_P})"
+        )
+    return f"t -> pmod(xxhash64(t), {_MH_P})"
+
+
+def _sql_shingle_hash_sequence(col: str, n: int, portable: bool) -> str:
+    th = f"transform({_sql_tokens(_sql_quote(col))}, {_sql_hash_base(portable)})"
+    if n == 1:
+        return th
+    acc = "th"
+    for k in range(1, n):
+        shifted = f"slice(th, {k + 1}, greatest(size(th) - {k}, 0))"
+        # zip_with pads the shorter side with NULL → partial tail, sliced off
+        acc = f"zip_with({acc}, {shifted}, (x, y) -> pmod(x * {_MH_B} + y, {_MH_P}))"
+    body = f"slice({acc}, 1, greatest(size(th) - {n - 1}, 0))"
+    return _sql_bind(th, "th", body)
+
+
 def shingle_hash_sequence(
     c: Column | str, n: int = 3, portable: bool = False
 ) -> Column:
@@ -115,7 +187,9 @@ def shingle_hash_sequence(
     hash of the n-gram starting at token i (duplicates preserved). This is
     what position-sensitive algorithms need (winnowing's window-min runs
     over the positional sequence; set-based MinHash wants the distinct
-    form)."""
+    form). String column names take the SQL-text fast path."""
+    if isinstance(c, str):
+        return F.expr(_sql_shingle_hash_sequence(c, n, portable))
     if portable:
         from ..functions.hashing import portable_hash64
 
@@ -148,8 +222,11 @@ def _minhash_cols(df: DataFrame, id_out: str, num_hashes: int) -> DataFrame:
     per-doc hash arrays dominates, and a UDF column referenced k times in a
     projection is re-evaluated k times. All-JVM is the right call here."""
     exploded = df.select(F.col(id_out).alias(id_out), F.explode("__h").alias("h"))
+    # SQL-text aggregates (r14): k Column-API min((h*a+b)%P) builds cost
+    # ~45 ms of py4j each (2.2 s at k=48, per construction); the F.expr
+    # form is one JVM-side parse per aggregate. `%` == pmod here: h ≥ 0.
     aggs = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MH_P)).alias(f"m{i}")
+        F.expr(f"min(pmod(h * {a}L + {b}L, {_MH_P}))").alias(f"m{i}")
         for i, (a, b) in enumerate(_mh_coeffs(num_hashes))
     ]
     return exploded.groupBy(id_out).agg(*aggs)
@@ -208,23 +285,25 @@ def minhash_lsh_candidates(
     )
     with_sig = _minhash_cols(based, "id", num_hashes)
 
-    def _band_hash(b: int) -> Column:
-        cols = [F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+    def _band_hash_sql(b: int) -> str:
+        idx = [b * rows_per_band + r for r in range(rows_per_band)]
         if portable:
-            bh = cols[0]
-            for c in cols[1:]:
-                bh = F.pmod(bh * F.lit(_MH_B) + c, F.lit(_MH_P))
+            bh = f"m{idx[0]}"
+            for i in idx[1:]:
+                bh = f"pmod({bh} * {_MH_B} + m{i}, {_MH_P})"
             return bh
-        return F.xxhash64(F.concat_ws(",", *[c.cast("string") for c in cols]))
+        casts = ", ".join(f"cast(m{i} as string)" for i in idx)
+        return f"xxhash64(concat_ws(',', {casts}))"
 
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                _band_hash(b).alias("band_hash"),
-            )
+    # one SQL parse for the whole band array (r14) — the Column build was
+    # ~8 py4j calls per band per construction
+    band_arr = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('band_idx', {b}, 'band_hash', {_band_hash_sql(b)})"
             for b in range(bands)
-        ]
+        )
+        + ")"
     )
     # skinny (id, band_idx, band_hash) — the self-join and the pair dedup
     # never carry shingle payloads; shingles are re-joined only for the
@@ -322,14 +401,6 @@ def minhash_lsh_pairs(
     return verified.filter(F.col("jaccard") >= threshold)
 
 
-def _md5_token_hash(tok: Column) -> Column:
-    """Engine-portable 60-bit token hash: first 15 hex chars of md5.
-
-    Matches DuckDB ``CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT)``, so
-    SimHash built on it is oracle-checkable cross-engine."""
-    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
-
-
 def simhash(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -340,7 +411,6 @@ def simhash(
     packed into a BIGINT. Pure map-side expressions (fold over the token
     hash array per bit); near-identical documents land on equal or
     near-equal values (Hamming distance ≈ edit distance)."""
-    toks = tokens(text_col)
     # Materialize the md5 token-hash array as a BOUND COLUMN before the
     # per-bit folds: each of the 32 vote aggregates references the array,
     # and if they capture the raw `transform(split(...), md5...)` EXPRESSION
@@ -353,26 +423,23 @@ def simhash(
     # the cluster's cores first (no-op when parallelism is adequate).
     hashed = spread(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
         "id",
-        F.transform(toks, _md5_token_hash).alias("__hashes"),
+        F.expr(
+            f"transform({_sql_tokens(_sql_quote(text_col))}, "
+            "t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
+        ).alias("__hashes"),
     )
-    hashes = F.col("__hashes")
-    packed = F.lit(0).cast("long")
-    for i in range(bits):
-        # bit i of (positive) h as modulo arithmetic — F.shiftright cannot
-        # take a lambda-variable Column, and h < 2^60 is always positive,
-        # so (h % 2^(i+1)) >= 2^i ⇔ (h >> i) & 1. The merge lambda must be
-        # built by a factory: pyspark counts lambda parameters, so default
-        # args are not allowed.
-        def _merge(lo: int, hi: int):
-            return lambda acc, h: acc + F.when(
-                (h % F.lit(hi)) >= F.lit(lo), F.lit(1)
-            ).otherwise(F.lit(-1))
-
-        vote = F.aggregate(hashes, F.lit(0).cast("long"), _merge(1 << i, 1 << (i + 1)))
-        packed = packed + F.when(vote > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return hashed.select("id", packed.alias("simhash"))
+    # bit i of (positive) h as modulo arithmetic — shiftright cannot take a
+    # lambda-variable Column, and h < 2^60 is always positive, so
+    # (h % 2^(i+1)) >= 2^i ⇔ (h >> i) & 1. One SQL parse for the whole
+    # 32-vote pack (r14): the Column-API fold loop cost ~0.8 s of py4j per
+    # construction, the SQL text parses in ~10 ms — identical tree.
+    votes = " + ".join(
+        f"if(aggregate(__hashes, 0L, (acc, h) -> acc + "
+        f"if(pmod(h, {1 << (i + 1)}L) >= {1 << i}L, 1L, -1L)) > 0, "
+        f"{1 << i}L, 0L)"
+        for i in range(bits)
+    )
+    return hashed.select("id", F.expr(votes).alias("simhash"))
 
 
 def simhash_near_dup_pairs(
@@ -493,34 +560,33 @@ def minhash_band_exprs(
         shingle_hashes(text_col, shingle_n, portable=True).alias("__sh"),
     ).filter(F.size("__sh") > 0)
 
-    def _uhash(a: int, b: int):
-        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MH_P)
-
+    # SQL-text per-hash mins and band rolls (r14): the Column-API builds
+    # (16 transform lambdas + 4 chained band rolls) cost ~0.5 s of py4j per
+    # construction; each F.expr is one JVM-side parse. `%` == pmod: h ≥ 0.
     sig = based.select(
         id_col,
         *[
-            F.array_min(F.transform(F.col("__sh"), _uhash(a, b))).alias(f"m{i}")
+            F.expr(
+                f"array_min(transform(__sh, h -> pmod(h * {a}L + {b}L, {_MH_P})))"
+            ).alias(f"m{i}")
             for i, (a, b) in enumerate(_mh_coeffs(num_hashes))
         ],
     )
 
-    def _band_hash(b: int) -> Column:
-        h = F.col(f"m{b * rpb}")
+    def _band_hash_sql(b: int) -> str:
+        h = f"m{b * rpb}"
         for r in range(1, rpb):
-            h = (h * F.lit(_MH_B) + F.col(f"m{b * rpb + r}")) % F.lit(_MH_P)
+            h = f"pmod({h} * {_MH_B} + m{b * rpb + r}, {_MH_P})"
         return h
 
-    return sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).cast("long").alias("band_idx"),
-                        _band_hash(b).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("e"),
-    ).select(id_col, "e.band_idx", "e.band_hash")
+    band_arr = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('band_idx', {b}L, 'band_hash', {_band_hash_sql(b)})"
+            for b in range(bands)
+        )
+        + ")"
+    )
+    return sig.select(id_col, F.explode(band_arr).alias("e")).select(
+        id_col, "e.band_idx", "e.band_hash"
+    )
