@@ -200,3 +200,52 @@ def test_spread_fans_out_single_task_scan(spark, sf_dir):
         )
     wide = d.repartition(cores + 4)
     assert spread(wide) is wide  # no-op: frame returned untouched
+
+
+def test_table_scan_memo_reuses_and_invalidates(spark, sf_dir, tmp_path):
+    """r14 memo: table_scan returns the SAME immutable frame for an
+    unchanged (path, mtime, size); a same-path rewrite mints a fresh entry
+    and the new frame reads the new content; directory tables bypass the
+    memo (their inode stat can't see partition-subdir rewrites)."""
+    import os
+    import shutil
+
+    a = table_scan(spark, sf_dir, "documents")
+    b = table_scan(spark, sf_dir, "documents")
+    assert a is b  # unchanged stat → memoized frame
+
+    src = f"{sf_dir.rstrip('/')}/region.parquet"
+    tbl = tmp_path / "region.parquet"
+    shutil.copyfile(src, tbl)
+    first = table_scan(spark, str(tmp_path), "region")
+    n1 = first.count()
+    # rewrite at the same path (stat changes) → fresh frame, fresh listing
+    shutil.copyfile(src, tbl)
+    os.utime(tbl, ns=(1, 1))
+    second = table_scan(spark, str(tmp_path), "region")
+    assert second is not first
+    assert second.count() == n1
+
+    # directory tables are never memoized
+    ddir = tmp_path / "asdir.parquet"
+    table_scan(spark, sf_dir, "region").write.mode("overwrite").parquet(str(ddir))
+    d1 = table_scan(spark, str(tmp_path), "asdir")
+    d2 = table_scan(spark, str(tmp_path), "asdir")
+    assert d1 is not d2
+
+
+def test_spread_probe_memo_caches_decision(spark, sf_dir):
+    """r14 memo: two semantically-identical fresh frames share one probe
+    (the second spread() call must not pay .rdd planning again), and the
+    fanned-out result still carries every row."""
+    from breweries_data_engineering_case_spark.sources.readers import spread
+
+    memo = spark.__dict__.setdefault("_bdec_spread_memo", {})
+    d1 = table_scan(spark, sf_dir, "documents").select("doc_id", "text")
+    key = d1._jdf.queryExecution().analyzed().semanticHash()
+    memo.pop(key, None)
+    out1 = spread(d1)
+    assert key in memo  # probe ran and was recorded
+    d2 = table_scan(spark, sf_dir, "documents").select("doc_id", "text")
+    out2 = spread(d2)
+    assert out1.count() == out2.count() == d1.count()
