@@ -1371,23 +1371,25 @@ def q_doc_dedup_portable_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     bands, rpb = 4, 4
 
-    def band_hash(b: int):
-        h = sig["sig"][b * rpb]
+    def band_hash_sql(b: int) -> str:
+        h = f"sig[{b * rpb}]"
         for r in range(1, rpb):
-            h = (h * F.lit(_MH_B) + sig["sig"][b * rpb + r]) % F.lit(_MH_P)
+            h = f"pmod({h} * {_MH_B} + sig[{b * rpb + r}], {_MH_P})"
         return h
 
+    # one SQL parse for the band array (r14, same as operators/fuzzy_dedup):
+    # the Column build was ~8 py4j round trips per band per construction
     banded = (
         sig.select(
             F.col("id"),
             F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("b"), band_hash(b).alias("bh")
-                        )
+                F.expr(
+                    "array("
+                    + ", ".join(
+                        f"named_struct('b', {b}, 'bh', {band_hash_sql(b)})"
                         for b in range(bands)
-                    ]
+                    )
+                    + ")"
                 )
             ).alias("e"),
         )
