@@ -3205,15 +3205,33 @@ def q_events_markov_removal_attribution(
     per-mille with one floor per (level, state, round) — both engines
     replay the identical fixed point. share_ppm over the removal effects
     is the attribution vector a marketing dashboard shows next to
-    Shapley's."""
+    Shapley's.
+
+    Execution shape (optimization round r14, guide §5): the only
+    corpus-sized work is ONE window pass over events serving both the
+    transition counts and the per-user first-event counts (shared spec:
+    lead() + row_number(), one exchange+sort). Those two aggregates are
+    ≤|S|²+|S| rows (|S| = the event-type vocabulary, a schema-level enum
+    — 5 here, dim-sized at any corpus scale), so they are COLLECTED and
+    the whole (removal-level × state) absorption fixed point runs
+    driver-side in exact Python integers — the bounded-collect pattern
+    the ANN centroid seeds and the CC fast-path probe already use. The
+    previous in-plan form spent its time on per-round stage scheduling +
+    AQE re-planning of 4 dim-sized broadcast-join rounds (plus a
+    localCheckpoint per round to truncate the lineage), ~1.5 s of fixed
+    overhead at ANY scale; the arithmetic is ≤|C|·|S|² integer ops. Every
+    per-mille floor is replayed bit-exactly: all operands are
+    non-negative (Python // == SQL div there), and the one signed
+    division (share_ppm) goes through _tdiv, which truncates toward zero
+    exactly like SQL's div. Result provably unchanged: the DuckDB oracle
+    replays the full fixed point in SQL and MATCHes at all three SFs."""
     e = table_scan(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # ONE window pass serves both corpus-sized reads (r14, guide §2.4):
     # lead() (the transition pass) and row_number() (the first-event pass
     # below) share the identical window spec, so computing them side by
     # side costs one exchange+sort of events instead of two; the cached
-    # frame is 3 narrow columns. Measured 3.8 → 3.2 s at sf0.1 together
-    # with the loop-invariant hoist below.
+    # frame is 3 narrow columns.
     base = (
         e.select("user_id", "event_id", "ts", "event_type")
         .select(
@@ -3223,137 +3241,97 @@ def q_events_markov_removal_attribution(
         )
         .transform(cached)
     )
-    t = (
-        base.filter(F.col("to_type").isNotNull())
-        .select(F.col("event_type").alias("from_type"), "to_type")
-    )
-    c = t.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
-    tot = c.groupBy("from_type").agg(F.sum("n").alias("tn"))
-    m = c.join(tot, "from_type").selectExpr(
-        "from_type", "to_type", "(n * 1000) div tn AS pm"
-    ).transform(cached)
-    states = (
-        c.select(F.col("from_type").alias("s"))
-        .unionByName(c.select(F.col("to_type").alias("s")))
-        .distinct()
-        .transform(cached)
-    )
-    levels = (
-        states.filter(F.col("s") != "purchase")
-        .select(F.col("s").alias("rc"))
-        .unionByName(
-            spark.range(1).select(F.lit("__none__").alias("rc"))
+    # transition counts (≤|S|² rows) — materializes the cached window
+    # frame; the first-event counts below re-read the cache, so the
+    # corpus is scanned+sorted exactly once
+    cnt = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in base.filter(F.col("to_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"), F.col("to_type")
         )
-        .transform(cached)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # per-state first-event counts (≤|S| rows; nu = their sum)
+    ns = {
+        r["s"]: r["ns"]
+        for r in base.filter(F.col("rn") == 1)
+        .groupBy(F.col("event_type").alias("s"))
+        .agg(F.count(F.lit(1)).cast("long").alias("ns"))
+        .collect()
+    }
+
+    out_schema = (
+        "channel string, conv_full_pm bigint, conv_removed_pm bigint, "
+        "removal_effect_pm bigint, share_ppm bigint"
     )
-    grid = (
-        levels.crossJoin(states)
-        .filter(F.col("s") != F.col("rc"))
-        .transform(cached)
-    )
-    gm = levels.crossJoin(F.broadcast(m)).filter(
-        (F.col("from_type") != F.col("rc"))
-        & (F.col("to_type") != F.col("rc"))
-    )
-    # loop-INVARIANT join hoisted out of the fixed point (r14, guide §1.2):
-    # (rc, s) → outgoing transitions does not depend on p, so joining grid
-    # to the masked matrix once — instead of inside every one of the 4
-    # rounds — removes 3 broadcast builds + 3 joins from the chain. The
-    # frame stays ≤ |C|·|S|²-row dim-sized; cached like the frames it
-    # replaces.
-    gmg = (
-        grid.join(
-            F.broadcast(gm.selectExpr("rc", "from_type AS s", "to_type", "pm")),
-            ["rc", "s"],
-            "left",
-        )
-        .transform(cached)
-    )
-    p = grid.select(
-        "rc",
-        "s",
-        F.when(F.col("s") == "purchase", F.lit(1000))
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("p"),
-    )
+
+    def _tdiv(a: int, b: int) -> int:
+        """SQL `div`: integer division truncating toward zero (Python //
+        floors — differs for negative operands)."""
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b > 0) else -q
+
+    # per-mille transition matrix: pm = (n*1000) div tn, all non-negative
+    tn: dict[str, int] = {}
+    for (f, _), n in cnt.items():
+        tn[f] = tn.get(f, 0) + n
+    pm = {(f, t): (n * 1000) // tn[f] for (f, t), n in cnt.items()}
+    states = sorted({f for f, _ in cnt} | {t for _, t in cnt})
+    levels = [s for s in states if s != "purchase"] + ["__none__"]
+    # absorption fixed point over the (level × state) grid, 4 rounds —
+    # identical joins/floors as the oracle: outgoing transitions through
+    # the removed channel are masked (to != rc; s != rc by grid
+    # construction), missing matrix rows contribute 0 (the SQL left join
+    # + COALESCE), purchase is the absorbing 1000-per-mille state
+    p = {
+        (rc, s): 1000 if s == "purchase" else 0
+        for rc in levels
+        for s in states
+        if s != rc
+    }
     for _ in range(4):
-        joined = (
-            gmg.join(
-                F.broadcast(
-                    p.selectExpr("rc AS prc", "s AS pto", "p AS pprev")
-                ),
-                (F.col("prc") == F.col("rc"))
-                & (F.col("pto") == F.col("to_type")),
-                "left",
+        p = {
+            (rc, s): 1000
+            if s == "purchase"
+            else sum(
+                pm[(s, to)] * p[(rc, to)]
+                for to in states
+                if to != rc and (s, to) in pm
             )
-            .groupBy("rc", "s")
-            .agg(
-                F.expr("COALESCE(SUM(pm * pprev) div 1000, 0)").alias("acc")
-            )
+            // 1000
+            for (rc, s) in p
+        }
+    # start-distribution-weighted conversion per level; nu counts ALL
+    # users (incl. single-event users whose type never enters a
+    # transition and is therefore absent from the grid — matching the
+    # SQL left join, such states weight nothing but still dilute nu)
+    nu = sum(ns.values())
+    conv: dict[str, int] = {}
+    for rc in levels:
+        gs = [s for s in states if s != rc]
+        if not gs:
+            continue  # a level with no grid rows never reaches the output
+        wsum = sum(ns[s] * p[(rc, s)] for s in gs if s in ns)
+        conv[rc] = wsum // nu
+    if "__none__" not in conv:  # empty transition graph → empty result
+        return spark.createDataFrame([], out_schema)
+    full_pm = conv["__none__"]
+    channels = [rc for rc in levels if rc != "__none__" and rc in conv]
+    effects = [(ch, full_pm - conv[ch]) for ch in channels]
+    te = sum(eff for _, eff in effects)
+    rows = [
+        (
+            ch,
+            full_pm,
+            conv[ch],
+            eff,
+            _tdiv(1_000_000 * eff, te) if te > 0 else None,
         )
-        p = joined.select(
-            "rc",
-            "s",
-            F.when(F.col("s") == "purchase", F.lit(1000))
-            .otherwise(F.col("acc"))
-            .cast("long")
-            .alias("p"),
-        # lazy per-iteration lineage truncation: without it the final
-        # action carries a 4-level nested plan (each level's broadcast
-        # embeds every previous level), and AQE re-plans the whole nested
-        # tree at every stage boundary — planning, not data, was the cost
-        ).localCheckpoint(eager=False)
-    # the first-event pass reads the SAME cached window frame as the
-    # transition pass above — no second scan+sort of events (r14)
-    firsts = base.filter(F.col("rn") == 1).select(F.col("event_type").alias("s"))
-    starts = firsts.groupBy("s").agg(
-        F.count(F.lit(1)).cast("long").alias("ns")
-    )
-    nu = firsts.agg(F.count(F.lit(1)).cast("long").alias("nu"))
-    conv = (
-        p.join(F.broadcast(starts), "s", "left")
-        .crossJoin(F.broadcast(nu))
-        .groupBy("rc", "nu")
-        .agg(
-            F.coalesce(F.sum(F.col("ns") * F.col("p")), F.lit(0)).alias(
-                "wsum"
-            )
-        )
-        .selectExpr("rc", "CAST(wsum div nu AS BIGINT) AS conv_pm")
-        .transform(cached)
-    )
-    full = conv.filter(F.col("rc") == "__none__").select(
-        F.col("conv_pm").alias("full_pm")
-    )
-    re = (
-        conv.filter(F.col("rc") != "__none__")
-        .crossJoin(F.broadcast(full))
-        .select(
-            F.col("rc").alias("channel"),
-            "full_pm",
-            "conv_pm",
-            (F.col("full_pm") - F.col("conv_pm"))
-            .cast("long")
-            .alias("removal_effect_pm"),
-        )
-        .transform(cached)
-    )
-    te = re.agg(
-        F.sum("removal_effect_pm").cast("long").alias("te")
-    )
-    return re.crossJoin(F.broadcast(te)).select(
-        "channel",
-        F.col("full_pm").cast("long").alias("conv_full_pm"),
-        F.col("conv_pm").cast("long").alias("conv_removed_pm"),
-        "removal_effect_pm",
-        F.when(
-            F.col("te") > 0,
-            F.expr("(1000000 * removal_effect_pm) div te"),
-        )
-        .cast("long")
-        .alias("share_ppm"),
-    )
+        for ch, eff in effects
+    ]
+    return spark.createDataFrame(rows, out_schema)
 
 
 @register(

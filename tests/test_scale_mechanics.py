@@ -249,3 +249,73 @@ def test_spread_probe_memo_caches_decision(spark, sf_dir):
     d2 = table_scan(spark, sf_dir, "documents").select("doc_id", "text")
     out2 = spread(d2)
     assert out1.count() == out2.count() == d1.count()
+
+
+def test_markov_removal_driver_lattice_planted(spark, tmp_path):
+    """The r14 optimization moved the markov removal-effect fixed point
+    driver-side (bounded collect of the ≤|S|²-row transition counts).
+    Plant a corpus that pins the two subtle join semantics the rewrite
+    had to replay exactly: (1) a single-event user whose type appears in
+    NO transition ('error') is absent from the lattice but still dilutes
+    nu (the SQL left join + total first-event count); (2) transitions
+    into the removed channel are masked without renormalization. All
+    expected values are hand-derived integer per-mille."""
+    import pandas as pd
+
+    from breweries_data_engineering_case_spark.plans.registry import QUERIES
+
+    ts = pd.Timestamp("2024-01-01")
+    rows = [
+        # u1: view -> cart -> purchase
+        (1, 1, ts, "view"), (1, 2, ts + pd.Timedelta("1s"), "cart"),
+        (1, 3, ts + pd.Timedelta("2s"), "purchase"),
+        # u2: view -> cart (no purchase)
+        (2, 4, ts, "view"), (2, 5, ts + pd.Timedelta("1s"), "cart"),
+        # u3: a single 'error' event — in no transition, dilutes nu only
+        (3, 6, ts, "error"),
+        # u4: cart -> view
+        (4, 7, ts, "cart"), (4, 8, ts + pd.Timedelta("1s"), "view"),
+    ]
+    ev = pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "event_type"])
+    d = tmp_path / "corpus"
+    d.mkdir()
+    ev.to_parquet(d / "events.parquet")
+    got = {
+        r["channel"]: r.asDict()
+        for r in QUERIES["events_markov_removal_attribution"](
+            spark, str(d)
+        ).collect()
+    }
+    # pm: (view,cart)=1000, (cart,purchase)=500, (cart,view)=500
+    # fixed point (4 rounds): full level -> cart=750, view=750;
+    # remove cart -> view unreachable (0); remove view -> cart=500.
+    # starts ns = {view:2, cart:1, error:1} => nu=4 (error counts!)
+    # conv: full=(1*750+2*750)//4=562, cart-removed=0, view-removed=(1*500)//4=125
+    te = 562 + 437
+    want = {
+        "cart": (562, 0, 562, (1_000_000 * 562) // te),
+        "view": (562, 125, 437, (1_000_000 * 437) // te),
+    }
+    assert set(got) == set(want)
+    for ch, (fp, cp, eff, share) in want.items():
+        g = got[ch]
+        assert (
+            g["conv_full_pm"],
+            g["conv_removed_pm"],
+            g["removal_effect_pm"],
+            g["share_ppm"],
+        ) == (fp, cp, eff, share), ch
+    # empty transition graph (every user single-event) -> empty result,
+    # same 5-column schema
+    d2 = tmp_path / "empty_graph"
+    d2.mkdir()
+    ev.iloc[[0, 5]].to_parquet(d2 / "events.parquet")
+    out = QUERIES["events_markov_removal_attribution"](spark, str(d2))
+    assert out.columns == [
+        "channel",
+        "conv_full_pm",
+        "conv_removed_pm",
+        "removal_effect_pm",
+        "share_ppm",
+    ]
+    assert out.count() == 0
