@@ -1481,9 +1481,17 @@ def q_events_markov_absorption_4step(spark: SparkSession, sf_dir: str) -> DataFr
     enumeration. purchase is made absorbing (p≡1000‰); each round applies
     p ← T·p in integer per-mille with a single floor per (state, round) —
     both engines replay the identical floored fixed point, unrolled in
-    the oracle. The matrix is |states|² (tiny after the one corpus-sized
-    LEAD pass), so each round is a broadcast join over a handful of rows
-    — the vector-iteration shape of PageRank on a micro state space."""
+    the oracle. The matrix is |states|² — |states| is the event-type
+    vocabulary, a schema-level enum (5 here), dim-sized at any corpus
+    scale — so after the one corpus-sized LEAD pass the transition
+    counts are COLLECTED (≤|S|² rows) and the 4-round vector iteration
+    runs driver-side in exact Python integers (optimization round r14,
+    guide §5 — the same bounded-collect move as the removal-attribution
+    lattice, implemented independently so the two queries stay
+    cross-checks for each other). Every operand is non-negative, so
+    Python ``//`` replays SQL ``div`` bit-for-bit; the oracle MATCH at
+    three SFs is the equivalence proof. The in-plan form spent ~2 s of
+    per-round stage scheduling + AQE re-planning on ≤25-row joins."""
     e = table_scan(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     t = (
@@ -1492,49 +1500,33 @@ def q_events_markov_absorption_4step(spark: SparkSession, sf_dir: str) -> DataFr
         .filter(F.col("to_type").isNotNull())
         .select(F.col("event_type").alias("from_type"), "to_type")
     )
-    c = t.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
-    tot = c.groupBy("from_type").agg(F.sum("n").alias("tn"))
-    m = c.join(tot, "from_type").selectExpr(
-        "from_type", "to_type", "(n * 1000) div tn AS pm"
-    )
-    states = (
-        c.select(F.col("from_type").alias("s"))
-        .unionByName(c.select(F.col("to_type").alias("s")))
-        .distinct()
-    )
-    p = states.select(
-        "s",
-        F.when(F.col("s") == "purchase", F.lit(1000))
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("p"),
-    )
+    cnt = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in t.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    tn: dict[str, int] = {}
+    for (f, _), n in cnt.items():
+        tn[f] = tn.get(f, 0) + n
+    pm = {(f, to): (n * 1000) // tn[f] for (f, to), n in cnt.items()}
+    states = sorted({f for f, _ in cnt} | {to for _, to in cnt})
+    p = {s: 1000 if s == "purchase" else 0 for s in states}
     for _ in range(4):
-        joined = (
-            states.join(
-                F.broadcast(m.withColumnRenamed("from_type", "s")), "s", "left"
-            )
-            .join(
-                F.broadcast(p.selectExpr("s AS to_type", "p AS pprev")),
-                "to_type",
-                "left",
-            )
-            .groupBy("s")
-            .agg(
-                F.expr("COALESCE(SUM(pm * pprev) div 1000, 0)").alias("acc")
-            )
-        )
-        p = joined.select(
-            "s",
-            F.when(F.col("s") == "purchase", F.lit(1000))
-            .otherwise(F.col("acc"))
-            .cast("long")
-            .alias("p"),
-        # lazy lineage truncation per step — same planning-cost fix as the
-        # removal-attribution lattice (each step's broadcast otherwise
-        # embeds every previous step's plan)
-        ).localCheckpoint(eager=False)
-    return p.select(F.col("s").alias("event_type"), F.col("p").alias("absorb_permille"))
+        # the SQL left joins: states with no outgoing transition sum
+        # nothing (COALESCE → 0); every to_type is itself a state, so
+        # the p' lookup never misses
+        p = {
+            s: 1000
+            if s == "purchase"
+            else sum(pm[(s, to)] * p[to] for to in states if (s, to) in pm)
+            // 1000
+            for s in states
+        }
+    return spark.createDataFrame(
+        [(s, p[s]) for s in states],
+        "event_type string, absorb_permille bigint",
+    )
 
 
 @register(
