@@ -2356,91 +2356,89 @@ def q_events_shapley_attribution(
     touch-set and conversion aggregates (two user-keyed shuffles, partial
     aggs apply). Everything stays integer: φ is emitted scaled by C!
     (shapley_x_cfact) plus an exact floor-div ppm share, so cross-engine
-    parity is exact — no factorial-ratio floats. Channel indices come from
-    a rank-free self-join count (no single-partition window). Efficiency
-    axiom holds by construction: Σφ·C! = C!·(v(full) − v(∅))."""
+    parity is exact — no factorial-ratio floats. Efficiency axiom holds
+    by construction: Σφ·C! = C!·(v(full) − v(∅)).
+
+    Execution shape (optimization round r14, guide §5): the only
+    data-sized work is ONE action computing per-(touch-set) converted
+    counts — ≤2^C rows, C the bounded non-purchase event-type dimension
+    — which is COLLECTED; the subset lattice, coalition worths, and
+    factorial-weighted marginals run driver-side in exact Python
+    integers (the removal-attribution bounded-collect pattern). All
+    marginals are non-negative (coverage is monotone in S), so Python
+    ``//`` replays SQL ``div``; oracle MATCH at 3 SFs + the efficiency/
+    replay pytests are the equivalence proof. The prior in-plan lattice
+    (subset explode + masked broadcasts + factorial fold) paid several
+    dim-sized stage rounds per run."""
+    import math
+
     e = table_scan(spark, sf_dir, "events").select("user_id", "event_type")
-    ch0 = (
+    touches = (
         e.filter(F.col("event_type") != "purchase")
-        .select("event_type")
-        .distinct()
-    )
-    ch = (
-        ch0.alias("a")
-        .join(
-            F.broadcast(ch0.alias("b")),
-            F.col("b.event_type") < F.col("a.event_type"),
-            "left",
-        )
-        .groupBy(F.col("a.event_type").alias("event_type"))
-        .agg(F.count(F.col("b.event_type")).cast("int").alias("idx"))
-    )
-    c = ch.agg(F.count(F.lit(1)).cast("int").alias("c"))
-    ut = e.filter(F.col("event_type") != "purchase").distinct()
-    um = (
-        ut.join(F.broadcast(ch), "event_type")
         .groupBy("user_id")
-        .agg(
-            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), idx)")).alias("mask")
-        )
+        .agg(F.sort_array(F.collect_set("event_type")).alias("ts"))
     )
     uc = e.groupBy("user_id").agg(
         F.max(
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("conv")
     )
-    ms = (
-        uc.join(um, "user_id", "left")
-        .select(F.coalesce("mask", F.lit(0)).alias("mask"), "conv")
-        .groupBy("mask")
+    # ≤2^C rows: converted-user count per distinct touch SET (the empty
+    # set for purchase-only users via the left join + empty-array
+    # coalesce) — the one corpus-sized action, collected
+    set_rows = (
+        uc.join(touches, "user_id", "left")
+        .select(
+            F.coalesce("ts", F.array().cast("array<string>")).alias("ts"),
+            "conv",
+        )
+        .groupBy("ts")
         .agg(F.sum("conv").cast("long").alias("conv"))
+        .collect()
     )
-    subsets = c.select(
-        F.explode(
-            F.sequence(
-                F.lit(0).cast("long"),
-                F.expr("shiftleft(CAST(1 AS BIGINT), c) - 1"),
-            )
-        ).alias("s")
-    )
-    v = (
-        subsets.join(F.broadcast(ms), F.expr("(mask & s) = mask"), "left")
-        .groupBy("s")
-        .agg(F.coalesce(F.sum("conv"), F.lit(0)).cast("long").alias("v"))
-    )
-    v1 = v.select(F.col("s").alias("s1"), F.col("v").alias("v1"))
-    v2 = v.select(F.col("s").alias("s2"), F.col("v").alias("v2"))
-    contrib = (
-        ch.crossJoin(F.broadcast(v1))
-        .filter(F.expr("(s1 & shiftleft(CAST(1 AS BIGINT), idx)) = 0"))
-        .join(
-            F.broadcast(v2),
-            F.expr("s2 = (s1 | shiftleft(CAST(1 AS BIGINT), idx))"),
+    # channel universe = union of all observed touch sets (every
+    # non-purchase event belongs to some user's set); idx = rank in the
+    # sorted channel list — identical to the rank-free self-join count
+    channels = sorted({t for r in set_rows for t in r["ts"]})
+    cdim = len(channels)
+    if cdim == 0:
+        return spark.createDataFrame(
+            [], "channel string, shapley_x_cfact bigint, share_ppm bigint"
         )
-    )
-    ssz = F.bit_count(F.col("s1")).cast("int")
-    weight = F.factorial(ssz) * F.factorial(
-        (F.col("c") - 1 - ssz).cast("int")
-    )
-    phi = (
-        contrib.crossJoin(F.broadcast(c))
-        .groupBy("event_type")
-        .agg(
-            F.sum(weight * (F.col("v2") - F.col("v1")))
-            .cast("long")
-            .alias("shapley_x_cfact")
+    idx = {t: i for i, t in enumerate(channels)}
+    ms: dict[int, int] = {}
+    for r in set_rows:
+        mask = 0
+        for t in r["ts"]:
+            mask |= 1 << idx[t]
+        ms[mask] = ms.get(mask, 0) + r["conv"]
+    # v(S) = converted users whose full touch set is covered by S
+    v = [
+        sum(cv for mask, cv in ms.items() if mask & s == mask)
+        for s in range(1 << cdim)
+    ]
+    fact = [math.factorial(i) for i in range(cdim + 1)]
+    phi: dict[str, int] = {}
+    for ch_name, i in idx.items():
+        bit = 1 << i
+        phi[ch_name] = sum(
+            fact[bin(s1).count("1")]
+            * fact[cdim - 1 - bin(s1).count("1")]
+            * (v[s1 | bit] - v[s1])
+            for s1 in range(1 << cdim)
+            if s1 & bit == 0
         )
-    )
-    tot = phi.agg(F.sum("shapley_x_cfact").cast("long").alias("tot"))
-    return phi.crossJoin(F.broadcast(tot)).select(
-        F.col("event_type").alias("channel"),
-        "shapley_x_cfact",
-        F.when(
-            F.col("tot") > 0,
-            F.expr("(shapley_x_cfact * 1000000) div tot"),
+    tot = sum(phi.values())
+    rows = [
+        (
+            ch_name,
+            phi[ch_name],
+            (phi[ch_name] * 1_000_000) // tot if tot > 0 else None,
         )
-        .cast("long")
-        .alias("share_ppm"),
+        for ch_name in channels
+    ]
+    return spark.createDataFrame(
+        rows, "channel string, shapley_x_cfact bigint, share_ppm bigint"
     )
 
 
@@ -2760,16 +2758,19 @@ def q_model_isotonic_calibration(
     standard POST-HOC score calibrator: the monotone step function closest
     (weighted L2) to the observed per-decile positive rates. Uses the
     minimax identity iso[i] = max_{j≤i} min_{k≥i} pooledavg(j..k), which
-    equals the pool-adjacent-violators fit but is expressible as bounded
-    relational algebra instead of a sequential scan: with B=10 bins the
-    prefix table, the (j,k) pooled-average grid (≤55 rows), and the
-    max-of-min fold are all dim-sized joins — nothing sequential, nothing
-    driver-side. Exactness: floor-ppm commutes with min/max (monotone), so
+    equals the pool-adjacent-violators fit without a sequential scan.
+    Exactness: floor-ppm commutes with min/max (monotone), so
     iso_rate_ppm == floor(10⁶ · exact PAVA value) — verified against a
     Fraction-arithmetic PAVA replay in pytest. Bin construction is shared
     with model_calibration_reliability (exact-rank decile cutoffs on the
-    cents score). Data-sized stages: the rank kernel + one decile groupBy;
-    everything after is a ≤10-row lattice."""
+    cents score). Data-sized stages: the rank kernel + one decile groupBy
+    — the resulting ≤10-row bin table is COLLECTED and the prefix sums,
+    (j,k) pooled-average grid, and max-of-min fold run driver-side in
+    exact Python integers (optimization round r14, guide §5: the prior
+    in-plan lattice paid a global-window + two join stages for ≤55
+    rows). All pooled averages have non-negative operands, so Python
+    ``//`` replays SQL ``div``; the oracle replays the identical lattice
+    in SQL and MATCHes at 3 SFs."""
     o = table_scan(spark, sf_dir, "orders").select(
         F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
         F.when(F.col("o_orderpriority") == "1-URGENT", 1)
@@ -2780,69 +2781,46 @@ def q_model_isotonic_calibration(
     bin_expr = sum(
         (F.col(f"c{i}") < F.col("v")).cast("long") for i in range(1, 10)
     )
-    g = (
-        o.crossJoin(F.broadcast(cuts))
+    g = {
+        r["bin"]: (r["n_orders"], r["n_pos"])
+        for r in o.crossJoin(F.broadcast(cuts))
         .select(bin_expr.alias("bin"), "pos")
         .groupBy("bin")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_orders"),
             F.sum("pos").cast("long").alias("n_pos"),
         )
-        .transform(cached)  # ≤10 rows, read by the prefix table, the minimax
-        # lattice anchor, and the final join — cache or compute 3×
-    )
-    wcum = Window.orderBy("bin").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    p = g.select(
-        "bin",
-        "n_orders",
-        "n_pos",
-        F.sum("n_orders").over(wcum).cast("long").alias("cum_n"),
-        F.sum("n_pos").over(wcum).cast("long").alias("cum_p"),
-    )
-    pj = p.select(
-        F.col("bin").alias("j"),
-        F.col("cum_n").alias("cnj"),
-        F.col("cum_p").alias("cpj"),
-        F.col("n_orders").alias("nj"),
-        F.col("n_pos").alias("pj"),
-    )
-    pk = p.select(
-        F.col("bin").alias("k"),
-        F.col("cum_n").alias("cnk"),
-        F.col("cum_p").alias("cpk"),
-    )
-    pair = pj.join(F.broadcast(pk), F.col("j") <= F.col("k")).select(
-        "j",
-        "k",
-        F.expr("(1000000 * (cpk - cpj + pj)) div (cnk - cnj + nj)")
-        .cast("long")
-        .alias("avg_ppm"),
-    )
-    minh = (
-        g.select(F.col("bin").alias("i"))
-        .join(
-            F.broadcast(pair),
-            (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")),
+        .collect()
+    }
+    bins = sorted(g)
+    cum_n: dict[int, int] = {}
+    cum_p: dict[int, int] = {}
+    tn = tp = 0
+    for b in bins:
+        tn += g[b][0]
+        tp += g[b][1]
+        cum_n[b], cum_p[b] = tn, tp
+    def _avg_ppm(j: int, k: int) -> int:
+        # pooled positives/weight over bins j..k (both present in g),
+        # via the same prefix-sum identity as the SQL pair grid
+        num = 1_000_000 * (cum_p[k] - cum_p[j] + g[j][1])
+        den = cum_n[k] - cum_n[j] + g[j][0]
+        return num // den
+    rows = []
+    for i in bins:
+        iso = max(
+            min(_avg_ppm(j, k) for k in bins if k >= i)
+            for j in bins
+            if j <= i
         )
-        .groupBy("i", "j")
-        .agg(F.min("avg_ppm").alias("m"))
-    )
-    iso = minh.groupBy(F.col("i").alias("bin")).agg(
-        F.max("m").cast("long").alias("iso_rate_ppm")
-    )
-    return (
-        g.join(F.broadcast(iso), "bin")
-        .select(
-            "bin",
-            "n_orders",
-            "n_pos",
-            F.expr("(1000000 * n_pos) div n_orders")
-            .cast("long")
-            .alias("pos_rate_ppm"),
-            "iso_rate_ppm",
+        n_orders, n_pos = g[i]
+        rows.append(
+            (i, n_orders, n_pos, (1_000_000 * n_pos) // n_orders, iso)
         )
+    return spark.createDataFrame(
+        rows,
+        "bin bigint, n_orders bigint, n_pos bigint, pos_rate_ppm bigint, "
+        "iso_rate_ppm bigint",
     )
 
 
