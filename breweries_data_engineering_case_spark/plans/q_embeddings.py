@@ -1878,9 +1878,19 @@ def q_embedding_kcenter_greedy_init(
     BEFORE that center was added — the non-increasing sequence a coreset
     quality dashboard plots. Exact integers: fixed-point (×1000)
     embeddings, BIGINT squared distances, struct-lexicographic argmax.
-    Scale shape per iteration: one full scan with the ≤k chosen centers
-    broadcast (never a pairwise join), a single-row argmax aggregate —
-    k·O(n) total, the textbook bound."""
+    Scale shape per iteration: one full scan computing LEAST over the ≤k
+    chosen centers INLINED as literal vectors, a single-row argmax
+    aggregate collected per round — k·O(n) total with zero shuffles, the
+    textbook bound. (Optimization round r14, guide §5/§2.4: the prior
+    form carried each round's centers as a UNION of the previous rounds'
+    argmax PLANS, so pick r was re-executed once per later round it was
+    embedded in — ~2× redundant corpus passes at k=4 — and the k-way
+    crossJoin + groupBy paid a corpus shuffle per round. The 1-row
+    per-round collect is the same bounded-collect pattern as the kmeans
+    centroid seeds; the argmax expression is unchanged, so the picked
+    rows are bit-identical — oracle MATCH ×3 SFs.)"""
+    from pyspark.sql import types as T
+
     from ..operators.similarity import quantize_embedding
 
     q = (
@@ -1890,47 +1900,60 @@ def q_embedding_kcenter_greedy_init(
         )
         .transform(cached)
     )
-    first = q.agg(F.min("vec_id").alias("vid"))
-    c0 = (
-        q.join(F.broadcast(first), q["vec_id"] == F.col("vid"))
-        .select(
-            F.lit(0).cast("long").alias("center_rank"),
-            "vec_id",
-            F.lit(0).cast("long").alias("radius_sq"),
-            "q",
-        )
+    id_type = q.schema["vec_id"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("center_rank", T.LongType(), False),
+            T.StructField("vec_id", id_type),
+            T.StructField("radius_sq", T.LongType()),
+        ]
     )
-    chosen = c0
+    # seed: every row holding the min vec_id (same equality-join
+    # semantics as before — a unique id yields exactly one seed row)
+    seed_rows = (
+        q.join(
+            F.broadcast(q.agg(F.min("vec_id").alias("vid"))),
+            q["vec_id"] == F.col("vid"),
+        )
+        .select("vec_id", "q")
+        .collect()
+    )
+    out = [(0, r["vec_id"], 0) for r in seed_rows]
+    centers = [list(r["q"]) for r in seed_rows]
+
+    def _d2_sql(c: list[int]) -> str:
+        arr = "array(" + ",".join(f"{x}L" for x in c) + ")"
+        return (
+            f"aggregate(zip_with(q, {arr}, (a, b) -> (a - b) * (a - b)), "
+            "0L, (acc, x) -> acc + x)"
+        )
+
     for r in range(1, 4):
-        cent = chosen.select(F.col("q").alias("cq"))
-        d2 = F.aggregate(
-            F.zip_with(
-                F.col("q"), F.col("cq"), lambda a, b: (a - b) * (a - b)
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+        if not centers:
+            # degenerate empty corpus: the prior union-of-plans form
+            # emitted an all-NULL argmax row per round — replicate
+            out.append((r, None, None))
+            continue
+        exprs = [_d2_sql(c) for c in centers]
+        nearest_sql = (
+            exprs[0] if len(exprs) == 1 else "least(" + ", ".join(exprs) + ")"
         )
-        nearest = (
-            q.crossJoin(F.broadcast(cent))
-            .select("vec_id", "q", d2.alias("d2"))
-            .groupBy("vec_id", "q")
-            .agg(F.min("d2").alias("nearest"))
+        s = (
+            q.select("vec_id", "q", F.expr(nearest_sql).alias("nearest"))
+            .agg(
+                F.max_by(
+                    F.struct(F.col("vec_id"), F.col("q"), F.col("nearest")),
+                    F.struct(
+                        F.col("nearest"), (-F.col("vec_id")).alias("nid")
+                    ),
+                ).alias("s")
+            )
+            .select("s.vec_id", "s.q", "s.nearest")
+            .collect()[0]
         )
-        pick = nearest.agg(
-            F.max_by(
-                F.struct(
-                    F.col("vec_id"), F.col("q"), F.col("nearest")
-                ),
-                F.struct(F.col("nearest"), (-F.col("vec_id")).alias("nid")),
-            ).alias("s")
-        ).select(
-            F.lit(r).cast("long").alias("center_rank"),
-            F.col("s.vec_id").alias("vec_id"),
-            F.col("s.nearest").cast("long").alias("radius_sq"),
-            F.col("s.q").alias("q"),
-        )
-        chosen = chosen.unionByName(pick)
-    return chosen.select("center_rank", "vec_id", "radius_sq")
+        out.append((r, s["vec_id"], s["nearest"]))
+        centers.append(list(s["q"]))
+    return spark.createDataFrame(out, out_schema)
 
 
 @register(
