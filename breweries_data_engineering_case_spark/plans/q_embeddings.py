@@ -650,48 +650,67 @@ def q_kmeans_lloyd_converge_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     negatives — both are trunc-toward-zero, NOT Python floor), so the
     updated centroids, the second assignment, and the final partials all
     replay exactly in SQL. Shape per iteration: quantized corpus (persisted
-    once, scanned per iteration — the PageRank iteration discipline) ×
-    broadcast 8-row centroid table, integer distance folds JVM-side,
-    min(struct) argmin; the only shuffles are the dim-sized partial-sum
-    groupBys. Clusters emptied by an iteration drop out of the centroid
-    table on both sides identically."""
+    once, scanned per iteration — the PageRank iteration discipline) with
+    the ≤8 centroids INLINED as literal vectors into a row-level
+    argmin — `array_min` over (dist, cid) structs, the same
+    lexicographic order as the previous min(struct(dist, cid, qv))
+    groupBy (qv is constant per row and cid unique, so the comparison
+    never reaches qv). Optimization round r14 (guide §2.3/§5): the
+    crossJoin+groupBy assign replicated every row k× and SHUFFLED the
+    full vector payload per iteration — at scale that is k·|corpus|
+    vector bytes over the network, twice; row-level argmin moves zero
+    rows. The iteration-1 partial sums (≤k·dim rows) are collected and
+    the centroid update `s div n` replays with trunc-toward-zero
+    division (component sums CAN be negative — Python // floors, so the
+    helper mirrors SQL div exactly). Only the dim-sized partial-sum
+    groupBys shuffle. Clusters emptied by an iteration drop out of the
+    collected centroid set identically. Oracle MATCH ×3 SFs + the numpy
+    two-iteration replay test are the equivalence proof."""
     emb = table_scan(spark, sf_dir, "embeddings")
     from ..operators.similarity import quantize_embedding
 
     q0 = emb.select("vec_id", quantize_embedding("embedding").alias("qv")).transform(cached)
 
-    def assign(cents: DataFrame) -> DataFrame:
-        diff = F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b))
-        dist = F.aggregate(diff, F.lit(0).cast("long"), lambda acc, x: acc + x)
-        scored = q0.crossJoin(F.broadcast(cents)).select(
-            "vec_id", "qv", "cid", dist.alias("dist")
+    def assign_lit(centers: list[tuple[int, list[int]]]) -> DataFrame:
+        structs = ", ".join(
+            "named_struct('dist', aggregate(zip_with(qv, array("
+            + ",".join(f"{x}L" for x in cv)
+            + "), (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x), "
+            f"'cid', {cid}L)"
+            for cid, cv in centers
         )
-        return (
-            scored.groupBy("vec_id")
-            .agg(F.min(F.struct("dist", "cid", "qv")).alias("m"))
-            .select("vec_id", F.col("m.cid").alias("cluster"), F.col("m.qv").alias("qv"))
-        )
+        m = F.expr(f"array_min(array({structs}))")
+        return q0.select("vec_id", m["cid"].alias("cluster"), "qv")
 
-    c0 = q0.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    cents0 = sorted(
+        (r["vec_id"], list(r["qv"]))
+        for r in q0.filter(F.col("vec_id") < 8)
+        .select("vec_id", "qv")
+        .collect()
     )
-    a1 = assign(c0)
+    if not cents0:  # empty corpus: both assignments are empty
+        return spark.createDataFrame(
+            [], "cluster bigint, i int, comp_sum bigint, n_members bigint"
+        )
+    a1 = assign_lit(cents0)
     s1 = (
         a1.select("cluster", F.posexplode("qv").alias("i", "qx"))
         .groupBy("cluster", "i")
         .agg(F.sum("qx").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
     )
-    c1 = (
-        s1.selectExpr("cluster AS cid", "i", "s div n AS comp")
-        .groupBy("cid")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "comp"))),
-                lambda x: x["comp"],
-            ).alias("cv")
-        )
+
+    def _tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b > 0) else -q
+
+    by_cid: dict[int, dict[int, int]] = {}
+    for r in s1:
+        by_cid.setdefault(r["cluster"], {})[r["i"]] = _tdiv(r["s"], r["n"])
+    cents1 = sorted(
+        (cid, [comp[i] for i in sorted(comp)]) for cid, comp in by_cid.items()
     )
-    a2 = assign(c1)
+    a2 = assign_lit(cents1)
     return (
         a2.select("cluster", F.posexplode("qv").alias("i", "qx"))
         .groupBy("cluster", "i")
