@@ -135,3 +135,13 @@ def largest_remainder_topup(
         )
         .drop("__rk", "__shortfall")
     )
+
+
+def trunc_div(a: int, b: int) -> int:
+    """Integer division truncating toward zero — SQL ``div`` (and DuckDB
+    ``//`` on BIGINT) semantics. Python's ``//`` floors, which differs on
+    exactly the mixed-sign cases; driver-side replays of SQL integer
+    division (the r14 bounded-collect lattice family) must route any
+    possibly-negative numerator through this helper."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b > 0) else -q

@@ -700,9 +700,7 @@ def q_kmeans_lloyd_converge_int(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
 
-    def _tdiv(a: int, b: int) -> int:
-        q = abs(a) // abs(b)
-        return q if (a >= 0) == (b > 0) else -q
+    from ..operators.agg import trunc_div as _tdiv
 
     by_cid: dict[int, dict[int, int]] = {}
     for r in s1:

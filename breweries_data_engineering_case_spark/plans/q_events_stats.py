@@ -3237,11 +3237,7 @@ def q_events_markov_removal_attribution(
         "removal_effect_pm bigint, share_ppm bigint"
     )
 
-    def _tdiv(a: int, b: int) -> int:
-        """SQL `div`: integer division truncating toward zero (Python //
-        floors — differs for negative operands)."""
-        q = abs(a) // abs(b)
-        return q if (a >= 0) == (b > 0) else -q
+    from ..operators.agg import trunc_div as _tdiv
 
     # per-mille transition matrix: pm = (n*1000) div tn, all non-negative
     tn: dict[str, int] = {}

@@ -319,3 +319,23 @@ def test_markov_removal_driver_lattice_planted(spark, tmp_path):
         "share_ppm",
     ]
     assert out.count() == 0
+
+
+def test_trunc_div_matches_sql_div_semantics():
+    """trunc_div must truncate toward zero on every sign combination —
+    the exact SQL `div` / DuckDB BIGINT `//` behavior the driver-side
+    lattice replays depend on (Python // floors instead)."""
+    from breweries_data_engineering_case_spark.operators.agg import trunc_div
+
+    cases = [(7, 2, 3), (-7, 2, -3), (7, -2, -3), (-7, -2, 3),
+             (6, 3, 2), (-6, 3, -2), (0, 5, 0), (1, 1_000_000, 0),
+             (-1, 1_000_000, 0)]
+    for a, b, want in cases:
+        assert trunc_div(a, b) == want, (a, b)
+        # cross-check against DuckDB's BIGINT integer division
+        import duckdb
+
+        got = duckdb.sql(
+            f"SELECT CAST({a} AS BIGINT) // CAST({b} AS BIGINT)"
+        ).fetchone()[0]
+        assert trunc_div(a, b) == got, (a, b)
