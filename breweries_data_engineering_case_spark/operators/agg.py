@@ -145,3 +145,31 @@ def trunc_div(a: int, b: int) -> int:
     possibly-negative numerator through this helper."""
     q = abs(a) // abs(b)
     return q if (a >= 0) == (b > 0) else -q
+
+
+def bounded_collect(df, bound: int, what: str) -> list:
+    """Collect a dim-sized aggregate with a LOUD overflow guard (VERDICT
+    r14 #3). The r14 driver-side lattice family collects frames that are
+    bounded *by assumption* — |S|² transition counts for a schema-level
+    event-type enum, ≤2^C touch sets, 12 calendar months, k·dim centroid
+    partials. The old in-plan forms made the identical assumption (≤|S|²
+    broadcasts, ``sequence(0, 2^c−1)`` explodes), but a violated
+    assumption there overloaded a Spark stage; violated HERE it would
+    OOM/hang the *driver* silently. This helper makes the bound explicit
+    and enforced: ``limit(bound+1)`` caps driver memory by construction
+    (the same short-circuit shape as connected_components' fast-path
+    probe), and one extra row raises with the documented assumption
+    instead of letting an unexpectedly high-cardinality input melt the
+    driver. Callers treat the returned rows as an unordered dict/set —
+    every call site aggregates by key — so the limit (which makes no
+    ordering promise a plain ``collect()`` made either) cannot change
+    results on conforming data."""
+    rows = df.limit(bound + 1).collect()
+    if len(rows) > bound:
+        raise RuntimeError(
+            f"bounded_collect: {what} produced more than {bound} rows — "
+            "the dim-size assumption this driver-side lattice relies on "
+            "does not hold for this input; refusing to iterate an "
+            "unbounded lattice on the driver"
+        )
+    return rows

@@ -682,22 +682,29 @@ def q_kmeans_lloyd_converge_int(spark: SparkSession, sf_dir: str) -> DataFrame:
         m = F.expr(f"array_min(array({structs}))")
         return q0.select("vec_id", m["cid"].alias("cluster"), "qv")
 
+    from ..operators.agg import bounded_collect
+
     cents0 = sorted(
         (r["vec_id"], list(r["qv"]))
-        for r in q0.filter(F.col("vec_id") < 8)
-        .select("vec_id", "qv")
-        .collect()
+        for r in bounded_collect(
+            q0.filter(F.col("vec_id") < 8).select("vec_id", "qv"),
+            8,
+            "kmeans_lloyd_converge_int seed centroids (vec_id < 8 over a "
+            "unique id ⇒ ≤8 rows)",
+        )
     )
     if not cents0:  # empty corpus: both assignments are empty
         return spark.createDataFrame(
             [], "cluster bigint, i int, comp_sum bigint, n_members bigint"
         )
     a1 = assign_lit(cents0)
-    s1 = (
+    s1 = bounded_collect(
         a1.select("cluster", F.posexplode("qv").alias("i", "qx"))
         .groupBy("cluster", "i")
-        .agg(F.sum("qx").alias("s"), F.count(F.lit(1)).alias("n"))
-        .collect()
+        .agg(F.sum("qx").alias("s"), F.count(F.lit(1)).alias("n")),
+        8 * 4096,
+        "kmeans_lloyd_converge_int iteration-1 partial sums (k·dim rows, "
+        "k = 8 clusters × embedding dim ≤ 4096)",
     )
 
     from ..operators.agg import trunc_div as _tdiv
@@ -1927,13 +1934,17 @@ def q_embedding_kcenter_greedy_init(
     )
     # seed: every row holding the min vec_id (same equality-join
     # semantics as before — a unique id yields exactly one seed row)
-    seed_rows = (
+    from ..operators.agg import bounded_collect
+
+    seed_rows = bounded_collect(
         q.join(
             F.broadcast(q.agg(F.min("vec_id").alias("vid"))),
             q["vec_id"] == F.col("vid"),
-        )
-        .select("vec_id", "q")
-        .collect()
+        ).select("vec_id", "q"),
+        1024,
+        "embedding_kcenter_greedy_init seed rows (rows holding the min "
+        "vec_id — exactly 1 for a unique id; 1024 is pure driver-memory "
+        "insurance against a degenerate duplicated-id corpus)",
     )
     out = [(0, r["vec_id"], 0) for r in seed_rows]
     centers = [list(r["q"]) for r in seed_rows]

@@ -50,6 +50,17 @@ from .qshared import (
     register,
 )
 
+# Documented dim bounds for the driver-side lattice family's bounded
+# collects (VERDICT r14 #3). event_type is a schema-level enum (5 values
+# in the shared testdata); 100 distinct states is already far outside the
+# schema contract, and |S|² = 10⁴ collected count rows is the point where
+# a driver-side fixed point stops being "not data work" — fail loudly
+# there instead of iterating an unbounded lattice on the driver.
+_LATTICE_STATES_MAX = 100
+# Shapley channel universe: the coalition lattice is 2^C — the identical
+# assumption the old in-plan `sequence(0, 2^c−1)` explode made. C > 20
+# (2^20 = 1,048,576 coalitions) is where both forms stop being dim-sized.
+_SHAPLEY_CHANNELS_MAX = 20
 
 
 @register(
@@ -1500,11 +1511,16 @@ def q_events_markov_absorption_4step(spark: SparkSession, sf_dir: str) -> DataFr
         .filter(F.col("to_type").isNotNull())
         .select(F.col("event_type").alias("from_type"), "to_type")
     )
+    from ..operators.agg import bounded_collect
+
     cnt = {
         (r["from_type"], r["to_type"]): r["n"]
-        for r in t.groupBy("from_type", "to_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+        for r in bounded_collect(
+            t.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n")),
+            _LATTICE_STATES_MAX**2,
+            "events_markov_absorption_4step transition counts (|S|² for a "
+            f"schema-level event-type enum, |S| ≤ {_LATTICE_STATES_MAX})",
+        )
     }
     tn: dict[str, int] = {}
     for (f, _), n in cnt.items():
@@ -2386,21 +2402,34 @@ def q_events_shapley_attribution(
     # ≤2^C rows: converted-user count per distinct touch SET (the empty
     # set for purchase-only users via the left join + empty-array
     # coalesce) — the one corpus-sized action, collected
-    set_rows = (
+    from ..operators.agg import bounded_collect
+
+    set_rows = bounded_collect(
         uc.join(touches, "user_id", "left")
         .select(
             F.coalesce("ts", F.array().cast("array<string>")).alias("ts"),
             "conv",
         )
         .groupBy("ts")
-        .agg(F.sum("conv").cast("long").alias("conv"))
-        .collect()
+        .agg(F.sum("conv").cast("long").alias("conv")),
+        1 << _SHAPLEY_CHANNELS_MAX,
+        "events_shapley_attribution distinct touch sets (≤2^C for C ≤ "
+        f"{_SHAPLEY_CHANNELS_MAX} channels)",
     )
     # channel universe = union of all observed touch sets (every
     # non-purchase event belongs to some user's set); idx = rank in the
     # sorted channel list — identical to the rank-free self-join count
     channels = sorted({t for r in set_rows for t in r["ts"]})
     cdim = len(channels)
+    if cdim > _SHAPLEY_CHANNELS_MAX:
+        # the 2^C coalition lattice below is only "not data work" while C
+        # is a dim-sized channel vocabulary — identical assumption to the
+        # old in-plan sequence(0, 2^c−1) explode, now enforced loudly
+        raise RuntimeError(
+            f"events_shapley_attribution: {cdim} distinct channels exceed "
+            f"the documented bound {_SHAPLEY_CHANNELS_MAX} — refusing to "
+            f"enumerate a 2^{cdim} coalition lattice on the driver"
+        )
     if cdim == 0:
         return spark.createDataFrame(
             [], "channel string, shapley_x_cfact bigint, share_ppm bigint"
@@ -2781,16 +2810,22 @@ def q_model_isotonic_calibration(
     bin_expr = sum(
         (F.col(f"c{i}") < F.col("v")).cast("long") for i in range(1, 10)
     )
+    from ..operators.agg import bounded_collect
+
     g = {
         r["bin"]: (r["n_orders"], r["n_pos"])
-        for r in o.crossJoin(F.broadcast(cuts))
-        .select(bin_expr.alias("bin"), "pos")
-        .groupBy("bin")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.sum("pos").cast("long").alias("n_pos"),
+        for r in bounded_collect(
+            o.crossJoin(F.broadcast(cuts))
+            .select(bin_expr.alias("bin"), "pos")
+            .groupBy("bin")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum("pos").cast("long").alias("n_pos"),
+            ),
+            10,
+            "model_isotonic_calibration decile bins (bin = a sum of 9 "
+            "indicator terms, so 0..9 by construction)",
         )
-        .collect()
     }
     bins = sorted(g)
     cum_n: dict[int, int] = {}
@@ -3214,22 +3249,30 @@ def q_events_markov_removal_attribution(
     # transition counts (≤|S|² rows) — materializes the cached window
     # frame; the first-event counts below re-read the cache, so the
     # corpus is scanned+sorted exactly once
+    from ..operators.agg import bounded_collect
+
     cnt = {
         (r["from_type"], r["to_type"]): r["n"]
-        for r in base.filter(F.col("to_type").isNotNull())
-        .groupBy(
-            F.col("event_type").alias("from_type"), F.col("to_type")
+        for r in bounded_collect(
+            base.filter(F.col("to_type").isNotNull()).groupBy(
+                F.col("event_type").alias("from_type"), F.col("to_type")
+            ).agg(F.count(F.lit(1)).alias("n")),
+            _LATTICE_STATES_MAX**2,
+            "events_markov_removal_attribution transition counts (|S|² "
+            f"for a schema-level event-type enum, |S| ≤ {_LATTICE_STATES_MAX})",
         )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
     }
     # per-state first-event counts (≤|S| rows; nu = their sum)
     ns = {
         r["s"]: r["ns"]
-        for r in base.filter(F.col("rn") == 1)
-        .groupBy(F.col("event_type").alias("s"))
-        .agg(F.count(F.lit(1)).cast("long").alias("ns"))
-        .collect()
+        for r in bounded_collect(
+            base.filter(F.col("rn") == 1)
+            .groupBy(F.col("event_type").alias("s"))
+            .agg(F.count(F.lit(1)).cast("long").alias("ns")),
+            _LATTICE_STATES_MAX,
+            "events_markov_removal_attribution first-event counts "
+            f"(≤|S| states, |S| ≤ {_LATTICE_STATES_MAX})",
+        )
     }
 
     out_schema = (

@@ -3135,9 +3135,16 @@ def q_orders_wagner_whitin_lotsize(
     of an optimal plan (smallest such month on cost ties). A sequential
     O(T²) Wagner–Whitin DP replay in pytest independently confirms both
     costs and argmins (the textbook recurrence
-    f(t) = min_j f(j−1) + K + Σᵢ₌ⱼ..ₜ (i−j)dᵢ). All-integer costs —
-    cross-engine exact. DuckDB recomputes the full Σ_t 2^t = 8190
-    setup-pattern lattice via range()/bit ops as the oracle.
+    f(t) = min_j f(j−1) + K + Σᵢ₌ⱼ..ₜ (i−j)dᵢ) — with the caveat
+    (ADVICE r14) that the DP-vs-lattice equivalence holds only when
+    month 1 of the horizon has demand: the lattice leaves zero-demand
+    PREFIX months uncovered (feasible, no setup) while the textbook DP
+    forces a covering setup, so the pytest cross-check relies on 1995
+    demand being dense in every tested SF (it is; the oracle replays
+    the LATTICE itself, so the query contract is unconditional).
+    All-integer costs — cross-engine exact. DuckDB recomputes the full
+    Σ_t 2^t = 8190 setup-pattern lattice via range()/bit ops as the
+    oracle.
 
     Execution shape (optimization round r14, guide §5): the only
     corpus-sized work is the 1995 monthly demand aggregate (≤12 rows,
@@ -3155,13 +3162,19 @@ def q_orders_wagner_whitin_lotsize(
     the same struct-min tie-break. Result provably unchanged: the
     DuckDB oracle replays the lattice independently and MATCHes at all
     three SFs."""
+    from ..operators.agg import bounded_collect
+
     dem = {
         int(r["m"]): int(r["d"])
-        for r in table_scan(spark, sf_dir, "orders")
-        .filter(F.year("o_orderdate") == 1995)
-        .groupBy(F.month("o_orderdate").alias("m"))
-        .agg(F.count(F.lit(1)).cast("long").alias("d"))
-        .collect()
+        for r in bounded_collect(
+            table_scan(spark, sf_dir, "orders")
+            .filter(F.year("o_orderdate") == 1995)
+            .groupBy(F.month("o_orderdate").alias("m"))
+            .agg(F.count(F.lit(1)).cast("long").alias("d")),
+            12,
+            "orders_wagner_whitin_lotsize monthly demand (month() is 1..12 "
+            "by construction)",
+        )
     }
     d = [dem.get(m, 0) for m in range(1, 13)]
     rows = []

@@ -107,8 +107,10 @@ BNLJ_OK = {
     #   statistic-sums scalar broadcasts (NA-hazard risk-set class)
     "lineitem_price_index_laspeyres_paasche",  # 1-row (base, current) year
     #   bounds broadcast into the scan filter
-    "orders_wagner_whitin_lotsize",  # bounded 8190-pattern setup lattice ×
-    #   12-row month spine joins (dim-sized exhaustive optimization)
+    # orders_wagner_whitin_lotsize left this list in r14: the 8190-pattern
+    #   setup-lattice × month-spine BNLJ joins it was allowlisted for are
+    #   gone — the lattice now solves driver-side on a ≤12-row bounded
+    #   collect (q_orders.py), so the plan is createDataFrame + one agg
     "orders_empirical_bayes_shrinkage",  # 1-row global-totals broadcast
     "orders_pinball_quantile_eval",  # 3-row quantile-cutoff broadcast +
     #   the rank-kernel stats/cutoff broadcasts

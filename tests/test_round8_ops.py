@@ -2123,6 +2123,13 @@ def test_wagner_whitin_matches_textbook_dp(spark, sf_dir):
     o = o[o.o_orderdate.dt.year == 1995]
     d = o.o_orderdate.dt.month.value_counts().to_dict()
     dem = [d.get(m, 0) for m in range(1, 13)]
+    # precondition (ADVICE r14): DP ≡ lattice only when month 1 has
+    # demand — the lattice leaves zero-demand PREFIX months uncovered
+    # (no setup, feasible) while this textbook recurrence forces a
+    # covering setup for every month. 1995 demand is dense at every
+    # tested SF; if a regenerated corpus ever breaks that, fail as a
+    # precondition here, not as a phantom query bug.
+    assert dem[0] > 0, "textbook-DP cross-check requires demand in month 1"
     K = 1000
     f = {0: 0}
     best_j = {}

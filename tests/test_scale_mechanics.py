@@ -339,3 +339,61 @@ def test_trunc_div_matches_sql_div_semantics():
             f"SELECT CAST({a} AS BIGINT) // CAST({b} AS BIGINT)"
         ).fetchone()[0]
         assert trunc_div(a, b) == got, (a, b)
+
+
+def test_bounded_collect_guard(spark):
+    """bounded_collect (VERDICT r14 #3): under the bound it returns every
+    row; one row over, it raises loudly instead of iterating an unbounded
+    lattice on the driver. Memory is capped by construction (limit n+1)."""
+    import pytest
+
+    from breweries_data_engineering_case_spark.operators.agg import (
+        bounded_collect,
+    )
+
+    df = spark.range(0, 6).select(F.col("id").alias("k"))
+    ok = bounded_collect(df, 6, "six rows, bound six")
+    assert sorted(r["k"] for r in ok) == list(range(6))
+    with pytest.raises(RuntimeError, match="planted lattice overflow"):
+        bounded_collect(df, 5, "planted lattice overflow")
+
+
+def test_markov_lattice_oversized_vocab_raises(spark, tmp_path):
+    """Planted oversized event-type vocabulary (101 distinct single-event
+    types > the documented _LATTICE_STATES_MAX = 100): the driver-side
+    markov lattice must REFUSE loudly at its first-event bounded collect,
+    not hang/OOM the driver — and conforming corpora (the planted-lattice
+    test above, the oracle sweep) are untouched."""
+    import pandas as pd
+    import pytest
+
+    from breweries_data_engineering_case_spark.plans.registry import QUERIES
+
+    ts = pd.Timestamp("2024-01-01")
+    rows = [(u, u, ts, f"etype_{u:03d}") for u in range(101)]
+    ev = pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "event_type"])
+    d = tmp_path / "wide_vocab"
+    d.mkdir()
+    ev.to_parquet(d / "events.parquet")
+    with pytest.raises(RuntimeError, match="bounded_collect.*first-event"):
+        QUERIES["events_markov_removal_attribution"](spark, str(d))
+
+
+def test_shapley_oversized_channel_universe_raises(spark, tmp_path):
+    """Planted 21-channel universe (> _SHAPLEY_CHANNELS_MAX = 20): the
+    coalition-lattice guard must refuse before enumerating 2^21 subsets
+    driver-side."""
+    import pandas as pd
+    import pytest
+
+    from breweries_data_engineering_case_spark.plans.registry import QUERIES
+
+    ts = pd.Timestamp("2024-01-01")
+    rows = [(u, u, ts, f"ch_{u:02d}") for u in range(21)]
+    rows.append((0, 99, ts + pd.Timedelta("1s"), "purchase"))
+    ev = pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "event_type"])
+    d = tmp_path / "wide_channels"
+    d.mkdir()
+    ev.to_parquet(d / "events.parquet")
+    with pytest.raises(RuntimeError, match="distinct channels exceed"):
+        QUERIES["events_shapley_attribution"](spark, str(d))
