@@ -234,10 +234,36 @@ def _plan_fingerprint(df: DataFrame) -> str:
     mints a different fingerprint and forces a restage. (An upstream
     ``localCheckpoint`` truncates lineage to an opaque ``LogicalRDD`` node,
     so code changes ABOVE a checkpoint are not visible — stagers should
-    build their frame un-checkpointed, as all in-repo call sites do.)"""
+    build their frame un-checkpointed, as all in-repo call sites do.)
+
+    MEMOIZED per session on ``(analyzed.semanticHash(), schema
+    catalogString)`` — r15, VERDICT r14 #4: the two stringifications cost
+    ~0.2 s per call on the portable pipeline's LSH lineage, paid on every
+    construction (a bench pass constructs up to 9×). The key is sound for
+    the fingerprint's two halves: ``semanticHash`` IS the canonicalized
+    plan's hash (expressions + literals — the canonical half), and the
+    schema string carries the output name↔position↔type binding (the
+    rename/swap hole the named half exists to close). The named half's
+    extra sensitivity — INTERMEDIATE alias renames — distinguishes plans
+    that are canonically equal, i.e. produce identical data, so a memo
+    hit across such a pair would reuse a byte-identical generation: over-
+    invalidation forgone, never stale data. Residual risk is a 32-bit
+    semanticHash collision between genuinely different same-schema plans
+    built in ONE session (the memo dies with it; cross-process reuse
+    always goes through the manifest's stored full fingerprint) — with a
+    handful of staged plans per session the pair-collision odds are
+    ~n²/2³³; accepted and documented."""
     import re
 
     spark = df.sparkSession
+    memo: dict = spark.__dict__.setdefault("_bdec_plan_fp_memo", {})
+    try:
+        analyzed0 = df._jdf.queryExecution().analyzed()
+        mkey = (analyzed0.semanticHash(), analyzed0.schema().catalogString())
+    except Exception:
+        mkey = None
+    if mkey is not None and mkey in memo:
+        return memo[mkey]
     key = "spark.sql.debug.maxToStringFields"
     with _FP_CONF_LOCK:  # set/stringify/restore must not interleave (r12)
         # SQLConf.get is resolved through the JVM thread's ACTIVE session;
@@ -293,7 +319,12 @@ def _plan_fingerprint(df: DataFrame) -> str:
     h.update(canonical.encode())
     h.update(b"\x00")
     h.update(named.encode())
-    return h.hexdigest()[:12]
+    fp = h.hexdigest()[:12]
+    if mkey is not None:
+        if len(memo) > 64:  # bound growth across many staged plans
+            memo.clear()
+        memo[mkey] = fp
+    return fp
 
 
 def _catalog_table_meta(
@@ -571,7 +602,16 @@ def stage_bucketed_table(
     # The builder runs first: its analyzed-plan fingerprint names the
     # generation. Construction is cheap (call sites have already built the
     # lineage; the thunk returns it) — the expensive parts a generation hit
-    # skips are the shuffle, the write, and the data movement.
+    # skips are the shuffle, the write, and the data movement. The
+    # fingerprint itself is memoized per session on the analyzed plan's
+    # (semanticHash, schema) — see _plan_fingerprint. A stage-LEVEL memo
+    # keyed on (name, path, spec) that skipped builder()+fingerprint was
+    # tried in r15 and REJECTED: a same-session caller staging a changed
+    # builder under an unchanged key would silently reuse stale data —
+    # exactly the manual-:vN:-bump footgun the fingerprint closes
+    # (test_round12_fixes.py::test_changed_builder_code_restages caught
+    # it). The plan-keyed memo below has no such hole: a semantic change
+    # changes the key.
     df = builder()
     plan_fp = _plan_fingerprint(df)
     gen_key = hashlib.md5(
@@ -608,6 +648,17 @@ def stage_bucketed_table(
     def _gen_published() -> bool:
         return (gen_path / "_SUCCESS").exists()
 
+    def _tag(frame: DataFrame) -> DataFrame:
+        # Breadcrumb for callers (r15, VERDICT r14 #4): the resolved
+        # generation's immutable on-disk location, so a bounded-size
+        # question ("does this staged table fit under a threshold?") can
+        # be answered from parquet FOOTER metadata instead of a Spark
+        # probe job — see connected_components' fast path. Metadata only;
+        # every execution still scans the data. Inert for callers that
+        # ignore it.
+        frame._bdec_stage_gen_path = str(gen_path)
+        return frame
+
     # per-name SESSION lock around the whole catalog-resolution + publish
     # sequence (ADVICE r13): without it, a lagging thread that observed a
     # stale entry can DROP the fresh entry the winning thread registered an
@@ -640,7 +691,7 @@ def stage_bucketed_table(
                     # check must still wait a full grace window before
                     # removing anything, so the scan this validate admits
                     # is covered.
-                    return spark.table(name)
+                    return _tag(spark.table(name))
                 # an ACTIVE adoption contradicts the supersession tombstone
                 # a concurrent newer-code process stamped on this
                 # generation: clear it so the reap lease restarts from the
@@ -658,7 +709,7 @@ def stage_bucketed_table(
                 with _publish_lock(root):
                     if _gen_published():
                         tomb.unlink(missing_ok=True)
-                        return spark.table(name)
+                        return _tag(spark.table(name))
             # IF EXISTS belt-and-braces: a CONCURRENT PROCESS can drop and
             # re-register independently of this session's thread lock
             spark.sql(f"DROP TABLE IF EXISTS `{name}`")
@@ -724,7 +775,7 @@ def stage_bucketed_table(
             # keep their files
             reap_stale_stage_siblings(root, "gen-", gen_name)
             _reap_legacy_root_files(root)
-        return _register()
+        return _tag(_register())
 
 
 def stage_lock(target):

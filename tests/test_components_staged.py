@@ -162,9 +162,11 @@ def test_staging_manifest_fresh_catalog_reuses_files(spark, tmp_path):
     t2 = stage_bucketed_table(
         spark, name, ["d"], num_buckets=8, path=str(path), builder=builder
     )
-    # round 12: the builder now runs on every resolution (its analyzed-plan
-    # fingerprint is the CODE half of the manifest key), so reuse is proven
-    # by the data files being untouched, not by the builder call count
+    # the builder runs on every resolution (its analyzed-plan fingerprint
+    # is the CODE half of the manifest key — an r15 attempt to memoize it
+    # away per (name,path,spec) was rejected, see stage_bucketed_table),
+    # so reuse is proven by the data files being untouched, not by the
+    # builder call count
     assert calls == [1, 1]
     files_after = sorted(
         (p.name, p.stat().st_mtime_ns) for p in path.rglob("*.parquet")
@@ -293,3 +295,55 @@ def test_pagerank_staging_survives_catalog_reset(spark, sf_dir):
     assert again == base
     after = sorted((p.name, p.stat().st_mtime_ns) for p in path.rglob("*.parquet"))
     assert after == before, "fresh catalog rewrote the staged pagerank files"
+
+
+def test_plan_fingerprint_memo_keyed_on_semantics_and_schema(spark):
+    """r15 _plan_fingerprint memo (VERDICT r14 #4): rebuilding the SAME
+    frame hits the (semanticHash, schema) memo and returns the identical
+    fingerprint without re-stringifying; a literal change (different
+    canonicalized plan) and an output RENAME (same canonicalized plan,
+    different schema — the named half's reason to exist) both miss the
+    memo and mint DIFFERENT fingerprints. This pins exactly the two blind
+    spots the memo key must cover for the r13 invalidation contract."""
+    from breweries_data_engineering_case_spark.sources.writers import (
+        _plan_fingerprint,
+    )
+
+    def frame(mod: int, out: str):
+        return spark.range(100).select(
+            F.col("id").alias("d"), (F.col("id") % mod).alias(out)
+        )
+
+    fp1 = _plan_fingerprint(frame(7, "payload"))
+    memo = spark.__dict__["_bdec_plan_fp_memo"]
+    n0 = len(memo)
+    assert _plan_fingerprint(frame(7, "payload")) == fp1
+    assert len(memo) == n0, "identical rebuild must hit the memo"
+    fp_lit = _plan_fingerprint(frame(5, "payload"))
+    assert fp_lit != fp1, "a literal change must mint a new fingerprint"
+    fp_ren = _plan_fingerprint(frame(7, "renamed"))
+    assert fp_ren != fp1, "an output rename must mint a new fingerprint"
+    assert len(memo) == n0 + 2
+
+
+def test_staged_row_count_matches_scan(spark, tmp_path):
+    """r15 footer-metadata row count (the CC fast-path probe): exact for a
+    staged frame, None for a plain frame (which must fall back to the
+    limit-probe job)."""
+    from breweries_data_engineering_case_spark.operators.components import (
+        _staged_row_count,
+    )
+
+    name = "bdec_test_stage_rowcount"
+    path = tmp_path / "staged_rc"
+    staged = stage_bucketed_table(
+        spark,
+        name,
+        ["d"],
+        num_buckets=4,
+        path=str(path),
+        builder=lambda: spark.range(137).select(F.col("id").alias("d")),
+    )
+    assert _staged_row_count(staged) == 137 == staged.count()
+    assert _staged_row_count(spark.range(5)) is None
+    spark.sql(f"DROP TABLE `{name}`")
