@@ -211,6 +211,35 @@ def shingle_hash_sequence(
     return F.slice(acc, 1, valid)
 
 
+#: (SparkContext identity, num_hashes) → the k parsed min-aggregate Columns.
+#: The aggregate expressions are STATIC (seeded coefficients, the literal
+#: column name "h") — r15: even as one F.expr parse each, k=48 of them cost
+#: ~0.2 s of py4j round trips per query construction, re-parsing the same
+#: 48 strings every time. Column objects are immutable expression handles,
+#: safe to reuse across frames/queries within one JVM; keying on the
+#: active SparkContext's applicationId drops stale handles if the context
+#: is ever restarted. Plan metadata only — nothing about data is cached.
+_MH_AGG_MEMO: dict = {}
+
+
+def _mh_agg_cols(num_hashes: int) -> list[Column]:
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    app = sc.applicationId if sc is not None else None
+    key = (app, num_hashes)
+    cols = _MH_AGG_MEMO.get(key)
+    if cols is None:
+        cols = [
+            F.expr(f"min(pmod(h * {a}L + {b}L, {_MH_P}))").alias(f"m{i}")
+            for i, (a, b) in enumerate(_mh_coeffs(num_hashes))
+        ]
+        if len(_MH_AGG_MEMO) > 8:  # bound growth across context restarts
+            _MH_AGG_MEMO.clear()
+        _MH_AGG_MEMO[key] = cols
+    return cols
+
+
 def _minhash_cols(df: DataFrame, id_out: str, num_hashes: int) -> DataFrame:
     """(id, m0..m{k-1}) from a df of (id, __h array): explode the base
     hashes and take k min-aggregates. The explode+hash-aggregate shape stays
@@ -225,11 +254,8 @@ def _minhash_cols(df: DataFrame, id_out: str, num_hashes: int) -> DataFrame:
     # SQL-text aggregates (r14): k Column-API min((h*a+b)%P) builds cost
     # ~45 ms of py4j each (2.2 s at k=48, per construction); the F.expr
     # form is one JVM-side parse per aggregate. `%` == pmod here: h ≥ 0.
-    aggs = [
-        F.expr(f"min(pmod(h * {a}L + {b}L, {_MH_P}))").alias(f"m{i}")
-        for i, (a, b) in enumerate(_mh_coeffs(num_hashes))
-    ]
-    return exploded.groupBy(id_out).agg(*aggs)
+    # r15: the parsed Columns are memoized per (context, k) — _mh_agg_cols.
+    return exploded.groupBy(id_out).agg(*_mh_agg_cols(num_hashes))
 
 
 def minhash_signatures(

