@@ -1,9 +1,10 @@
-"""Dump .explain("formatted") for headline (or named) queries to plans/r14/.
+"""Dump .explain("formatted") for headline (or named) queries to
+plans/$BDEC_PLAN_ROUND/ (default r15).
 
 Usage: python tools/dump_plans.py <suffix> [query ...]
-Writes plans/r14/<query>_<suffix>.txt for each query (default: the bench
-HEADLINE list). Plans are captured fresh (cache cleared first) so the dump
-reflects what the bench actually executes.
+Writes plans/<round>/<query>_<suffix>.txt for each query (default: the
+bench HEADLINE list). Plans are captured fresh (cache cleared first) so
+the dump reflects what the bench actually executes.
 """
 
 from __future__ import annotations
@@ -29,7 +30,8 @@ def main() -> None:
         names = HEADLINE
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r14"
+    round_dir = os.environ.get("BDEC_PLAN_ROUND", "r15")
+    out_dir = Path(__file__).resolve().parent.parent / "plans" / round_dir
     out_dir.mkdir(parents=True, exist_ok=True)
 
     spark = get_spark(app_name="bdec-plan-dump")

@@ -109,8 +109,15 @@ def main() -> None:
 
     from breweries_data_engineering_case_spark.plans import registry
 
+    # r15: core count honors $SPARK_GRAFT_CPUS (default 16, the historical
+    # value) so the SF1 heavy-tail scaling record (VERDICT r14 #6) can run
+    # the same batch at 8 vs 32 cores; timing goes to the noop sink (guide
+    # §1.4 — computes every column, no count-style column pruning),
+    # best-of-N per query with per-query steal deltas recorded.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "16")
+    reps = int(os.environ.get("BDEC_SF1_REPS", "2"))
     spark = (
-        SparkSession.builder.master("local[16]")
+        SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.driver.memory", "24g")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
@@ -119,12 +126,31 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     build(spark)
+
+    def steal() -> int:
+        try:
+            with open("/proc/stat") as f:
+                return int(f.readline().split()[8])
+        except Exception:
+            return 0
+
     names = sys.argv[1:] or STANDARD_BATCH
     for name in names:
-        t0 = time.perf_counter()
+        times, steals = [], []
         try:
-            n = registry.QUERIES[name](spark, DST).count()
-            print(f"{name}: {time.perf_counter() - t0:.1f}s rows={n}")
+            for _ in range(reps):
+                spark.catalog.clearCache()
+                s0 = steal()
+                t0 = time.perf_counter()
+                registry.QUERIES[name](spark, DST).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                times.append(round(time.perf_counter() - t0, 1))
+                steals.append(steal() - s0)
+            print(
+                f"{name}: best={min(times)}s cpus={cpus} "
+                f"all={times} steal_deltas={steals}"
+            )
         except Exception as ex:  # keep the batch going; report the failure
             print(f"{name}: ERROR {str(ex)[:200]}")
     spark.stop()
