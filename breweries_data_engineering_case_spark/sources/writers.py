@@ -155,6 +155,25 @@ def write_bucketed_table(
 
 _MANIFEST = "_bdec_manifest.json"
 
+# Staged-generation FILE LAYOUT version (r15, guide §6). v1 wrote the
+# builder frame as-is: every upstream task wrote one file per bucket it
+# held rows for, so an N-task builder produced up to N×num_buckets tiny
+# files (measured: the sf0.1 pagerank edge generation held 470 files for
+# 32 buckets, ~9 KB each). Each bucketed-scan task then opened ~15 files,
+# and every parquet file open clones a Hadoop Configuration/JobConf whose
+# constructor is SYNCHRONIZED on the shared parent conf — thread dumps
+# during the pagerank iteration stages showed 25/32 task threads BLOCKED
+# in org.apache.hadoop.conf.Configuration.<init>, i.e. a lock convoy that
+# left the CPUs 76% idle (runTime≫cpuTime with zero GC/fetch-wait). v2
+# repartitions the staged frame by the bucket columns into num_buckets
+# partitions before the bucketed write: repartition's HashPartitioning
+# and the writer's bucket id use the same murmur3-pmod function, so each
+# task holds exactly one bucket and writes exactly ONE file — the
+# canonical bucketed layout (one file per bucket per table). At scale the
+# same rule holds: num_buckets is already the knob that must balance
+# file size against parallelism for a bucketed table.
+_STAGE_LAYOUT = "one-file-per-bucket-v2"
+
 # _plan_fingerprint mutates session-global maxToStringFields around its two
 # stringifications; in a multithreaded driver sharing one SparkSession a
 # concurrent fingerprint (or any other plan stringify) could interleave
@@ -614,8 +633,14 @@ def stage_bucketed_table(
     # changes the key.
     df = builder()
     plan_fp = _plan_fingerprint(df)
+    # _STAGE_LAYOUT is folded into the generation key (NOT into `spec`,
+    # which must keep matching what DESCRIBE TABLE reports) so a layout
+    # change below re-stages existing generations exactly like a code
+    # change would — old-layout generations age out via the normal
+    # supersession reap.
     gen_key = hashlib.md5(
-        (plan_fp + "|" + _json.dumps(spec, sort_keys=True)).encode()
+        (plan_fp + "|" + _json.dumps(spec, sort_keys=True) + "|" + _STAGE_LAYOUT)
+        .encode()
     ).hexdigest()[:12]
     gen_name = f"gen-{gen_key}"
     root = Path(path)
@@ -734,8 +759,14 @@ def stage_bucketed_table(
                 tmp_name = f"{name}__stage_tmp"
                 shutil.rmtree(tmp_path, ignore_errors=True)
                 spark.sql(f"DROP TABLE IF EXISTS `{tmp_name}`")
+                # layout v2: one task per bucket → one file per bucket
+                # (see _STAGE_LAYOUT). Row content identical; only the
+                # file layout of the immutable generation changes.
+                df_w = df.repartition(
+                    int(num_buckets), *[F.col(c) for c in bucket_cols]
+                )
                 write_bucketed_table(
-                    df,
+                    df_w,
                     tmp_name,
                     bucket_cols,
                     num_buckets=num_buckets,

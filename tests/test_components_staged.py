@@ -347,3 +347,31 @@ def test_staged_row_count_matches_scan(spark, tmp_path):
     assert _staged_row_count(staged) == 137 == staged.count()
     assert _staged_row_count(spark.range(5)) is None
     spark.sql(f"DROP TABLE `{name}`")
+
+
+def test_staged_generation_writes_one_file_per_bucket(spark, tmp_path):
+    """r15 layout v2 (guide §6): the staged bucketed write repartitions by
+    the bucket columns into num_buckets tasks, so a committed generation
+    holds at most ONE parquet file per bucket — a many-task builder must
+    not fan out into tasks×buckets tiny files (the sf0.1 pagerank edge
+    table reached 2048 files for 32 buckets; every scan task then paid ~64
+    synchronized Hadoop-Configuration clones per stage, a measured lock
+    convoy). Layout, not content: rows and bucketing semantics unchanged."""
+    name = "bdec_test_stage_layout"
+    path = tmp_path / "staged_layout"
+    staged = stage_bucketed_table(
+        spark,
+        name,
+        ["d"],
+        num_buckets=8,
+        path=str(path),
+        builder=lambda: spark.range(10_000)
+        .repartition(64)  # a many-task builder, the pathological input
+        .select(F.col("id").alias("d")),
+    )
+    gens = [d for d in path.glob("gen-*") if d.is_dir()]
+    assert len(gens) == 1
+    files = [p for p in gens[0].glob("*.parquet")]
+    assert 0 < len(files) <= 8, f"{len(files)} files for 8 buckets"
+    assert staged.count() == 10_000
+    spark.sql(f"DROP TABLE `{name}`")

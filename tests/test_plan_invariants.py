@@ -401,8 +401,15 @@ def test_no_input_row_collect_in_operators():
         # dataflow needs; never input rows. Round 12 adds the
         # limit(local_threshold+1) small-graph probe: bounded by the
         # caller's threshold by construction (broadcast-threshold
-        # adaptivity), never the whole edge list
+        # adaptivity), never the whole edge list; r15 replaces the probe
+        # with a footer-metadata count + one under-threshold collect,
+        # still bounded by the same threshold
         ("operators/components.py", "connected_components"),
+        # r15 (VERDICT r14 #3): THE audited bounded-reduction entry point —
+        # limit(bound+1) caps driver memory by construction and one extra
+        # row raises; this is the guard the lattice family's dim-sized
+        # collects route through, the opposite of collecting input rows
+        ("operators/agg.py", "bounded_collect"),
     }
     offenders = []
     for py in sorted((pkg / "operators").glob("*.py")):
