@@ -164,7 +164,29 @@ def bounded_collect(df, bound: int, what: str) -> list:
     every call site aggregates by key — so the limit (which makes no
     ordering promise a plain ``collect()`` made either) cannot change
     results on conforming data."""
-    rows = df.limit(bound + 1).collect()
+    # CollectLimit executes incrementally (1 partition, then scaleUpFactor
+    # more per job) — on a ≤30-row aggregate spread over 32 partitions it
+    # needs up to 4 scheduling rounds to learn there is no (bound+1)-th
+    # row, which measurably taxed the markov lattice (+0.17 s/query).
+    # Scoping spark.sql.limit.initialNumPartitions to the collect makes
+    # the first job scan every partition at once: ONE job, bound intact.
+    spark = df.sparkSession
+    key = "spark.sql.limit.initialNumPartitions"
+    try:
+        prev = spark.conf.get(key, None)
+    except Exception:
+        prev = None
+    try:
+        spark.conf.set(key, "1000000")
+        rows = df.limit(bound + 1).collect()
+    finally:
+        try:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+        except Exception:
+            pass
     if len(rows) > bound:
         raise RuntimeError(
             f"bounded_collect: {what} produced more than {bound} rows — "
